@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Plan-time grok → regex compiler.
+  *
+  * The reference's parse stage is VRL `parse_grok` / `parse_groks`
+  * (reference: website/cue/reference/remap/functions/parse_grok.cue,
+  * parse_groks.cue — first-matching pattern set). Grok is macro expansion
+  * over regex, so we compile the grok expression to a plain regex at PLAN
+  * time and emit built-in `regexp_extract` columns — everything stays
+  * inside whole-stage codegen; no UDF, no custom Expression needed
+  * (SURVEY.md §4 "custom pieces").
+  *
+  * Design constraints:
+  *  - Only NUMBERED capture groups in the output regex (named-group syntax
+  *    differs between Java and RE2/DuckDB; the oracle must run the same
+  *    pattern). Sub-pattern bodies use (?:...) exclusively so user group
+  *    indices are stable.
+  *  - The pattern library is the common subset of the upstream grok
+  *    patterns actually exercised by log-line parsing.
+  */
+object Grok {
+
+  /** name → regex body (must contain no capturing groups). */
+  val patterns: Map[String, String] = Map(
+    "WORD"              -> """\w+""",
+    "NOTSPACE"          -> """\S+""",
+    "SPACE"             -> """\s*""",
+    "DATA"              -> """.*?""",
+    "GREEDYDATA"        -> """.*""",
+    "INT"               -> """(?:[+-]?\d+)""",
+    "NUMBER"            -> """(?:[+-]?\d+(?:\.\d+)?)""",
+    "BASE16NUM"         -> """(?:0[xX])?[0-9a-fA-F]+""",
+    "LOGLEVEL"          -> """(?:trace|debug|info|notice|warn(?:ing)?|error|err|crit(?:ical)?|fatal|severe|emerg(?:ency)?|TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|ERR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)""",
+    "TIMESTAMP_ISO8601" -> """\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?""",
+    "IP"                -> """(?:\d{1,3}\.){3}\d{1,3}""",
+    "HOSTNAME"          -> """(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*""",
+    "UUID"              -> """[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}""",
+    "PATH"              -> """(?:/[\w.-]*)+""",
+    "QS"                -> """"(?:[^"\\]|\\.)*"""",
+    "HTTPMETHOD"        -> """(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)"""
+  )
+
+  /** A compiled grok expression: anchored regex + ordered field names,
+    * fields(i) corresponds to capture group i+1.
+    */
+  final case class Compiled(regex: String, fields: Seq[String]) {
+    /** Columns extracting every named field from `text` (string-typed). */
+    def columns(text: Column): Seq[(String, Column)] =
+      fields.zipWithIndex.map { case (f, i) =>
+        f -> regexp_extract(text, regex, i + 1)
+      }
+    def matches(text: Column): Column = text.rlike(regex)
+  }
+
+  private val Token = """%\{(\w+)(?::([\w.\[\]@]+))?\}""".r
+
+  private def escapeLiteral(s: String): String =
+    s.flatMap {
+      case c if "\\^$.|?*+()[]{}".contains(c) => s"\\$c"
+      case c => c.toString
+    }
+
+  /** Compile one grok expression to an anchored regex. Unnamed tokens
+    * (`%{INT}`) match without capturing; named tokens (`%{INT:latency}`)
+    * become capture groups. Unknown pattern names throw at plan time —
+    * mirroring VRL's compile-once semantics
+    * (reference: src/transforms/remap.rs:451-463).
+    */
+  def compile(grok: String, anchored: Boolean = true): Compiled = {
+    val sb = new StringBuilder
+    val fields = Seq.newBuilder[String]
+    var last = 0
+    for (m <- Token.findAllMatchIn(grok)) {
+      sb ++= escapeLiteral(grok.substring(last, m.start))
+      val name = m.group(1)
+      val body = patterns.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
+      Option(m.group(2)) match {
+        case Some(field) => fields += field; sb ++= s"($body)"
+        case None        => sb ++= s"(?:$body)"
+      }
+      last = m.end
+    }
+    sb ++= escapeLiteral(grok.substring(last))
+    val core = sb.result()
+    Compiled(if (anchored) s"^$core$$" else core, fields.result())
+  }
+
+  /** parse_groks: first-matching pattern wins
+    * (reference: website/cue/reference/remap/functions/parse_groks.cue).
+    * Emits, per field, a coalesce over per-pattern extractions gated on
+    * that pattern matching — still pure built-in expressions.
+    */
+  def compileSet(groks: Seq[String]): Seq[Compiled] = groks.map(compile(_))
+
+  /** Apply a compiled pattern set to `df`: adds one column per field
+    * (first matching pattern's capture; null if no pattern matches) plus
+    * `_matched` (the 0-based index of the matching pattern, -1 if none).
+    */
+  def applySet(df: DataFrame, text: Column, set: Seq[Compiled]): DataFrame = {
+    val allFields = set.flatMap(_.fields).distinct
+    val matchIdx = set.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((c, i), acc) => when(text.rlike(c.regex), lit(i)).otherwise(acc)
+    }
+    val withIdx = df.withColumn("_matched", matchIdx)
+    allFields.foldLeft(withIdx) { (acc, f) =>
+      val variants = set.zipWithIndex.flatMap { case (c, i) =>
+        val gi = c.fields.indexOf(f)
+        if (gi < 0) None
+        else Some(when(col("_matched") === i, regexp_extract(text, c.regex, gi + 1)))
+      }
+      acc.withColumn(f, coalesce(variants: _*))
+    }
+  }
+}

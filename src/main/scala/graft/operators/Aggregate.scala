@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector's `aggregate` transform re-expressed over event-time windows.
+  *
+  * Reference: src/transforms/aggregate.rs — tumbling windows keyed by
+  * MetricSeries with modes Auto/Sum/Latest/Count/Diff/Max/Min/Mean/Stdev
+  * (aggregate.rs:48-76); Auto = sum incremental, last absolute
+  * (:134-140); Diff = value minus previous window's value (:256-262).
+  * The reference flushes on PROCESSING-time interval ticks
+  * (aggregate.rs:333-335); we deliberately use EVENT-time windows over
+  * `ts` — deterministic, replayable, and the only semantics that survive
+  * distributed re-execution (SURVEY.md §7.4 documents the divergence).
+  *
+  * Scale notes: one shuffle on (series keys, window); partial aggregation
+  * (map-side combine) is automatic for all modes except Latest-by-order,
+  * which uses max_by (still a single-pass hash aggregate). Diff adds a
+  * window function over the aggregated (already small) frame, not the raw
+  * events.
+  */
+object Aggregate {
+
+  /** Tumbling event-time window start as epoch seconds (BIGINT). Kept as
+    * a long rather than Spark's window struct so results are exactly
+    * comparable across engines and stable under serialization.
+    */
+  def windowStart(ts: Column, windowSecs: Long): Column =
+    (floor(unix_timestamp(ts) / windowSecs) * windowSecs).cast("long")
+
+  sealed trait Mode
+  case object Sum extends Mode
+  case object Count extends Mode
+  case object Max extends Mode
+  case object Min extends Mode
+  case object Mean extends Mode
+  case object Stdev extends Mode
+  /** last value in (orderCol) order within the window — reference Latest */
+  case object Latest extends Mode
+  /** this window's Latest minus previous window's Latest — reference Diff */
+  case object Diff extends Mode
+
+  /** Aggregate `value` per (keys × tumbling window of `windowSecs`).
+    * Returns columns: keys..., win (epoch secs), value.
+    * Stdev is population stddev computed from exact sums (deterministic
+    * across engines, unlike a streaming stddev over doubles).
+    */
+  def tumbling(
+      df: DataFrame,
+      keys: Seq[Column],
+      ts: Column,
+      value: Column,
+      mode: Mode,
+      windowSecs: Long = 10L,
+      orderCol: Option[Column] = None): DataFrame = {
+    val win = windowStart(ts, windowSecs).as("win")
+    val grouped = df.groupBy(keys :+ win: _*)
+    val ord = orderCol.getOrElse(ts)
+    mode match {
+      case Sum    => grouped.agg(sum(value).as("value"))
+      case Count  => grouped.agg(count(value).as("value"))
+      case Max    => grouped.agg(max(value).as("value"))
+      case Min    => grouped.agg(min(value).as("value"))
+      case Mean   => grouped.agg((sum(value) / count(value)).as("value"))
+      case Stdev  =>
+        grouped.agg(
+          sqrt(
+            (sum(value * value) * count(value) - sum(value) * sum(value)) /
+              (count(value) * count(value))).as("value"))
+      case Latest => grouped.agg(max_by(value, ord).as("value"))
+      case Diff   =>
+        val latest = grouped.agg(max_by(value, ord).as("value"))
+        val keyNames = latest.columns.filterNot(c => c == "win" || c == "value")
+        val w = Window.partitionBy(keyNames.map(col): _*).orderBy(col("win"))
+        latest.withColumn("value",
+          col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+    }
+  }
+}

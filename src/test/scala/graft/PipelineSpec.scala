@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.plans.Pipeline
+import graft.operators.{Enrich, Route}
+
+/** North-rule invariants over the end-to-end pipeline (SURVEY.md §5):
+  * per-turn text equality under stable (conv_id, turn_idx) ordering,
+  * parse/dropped partition completeness, multicast route semantics,
+  * enrichment exactly-one semantics.
+  */
+class PipelineSpec extends SparkSpec {
+
+  lazy val st: Pipeline.Stages = Pipeline.build(spark, sfDir)
+
+  test("parse + dropped partition the input exactly") {
+    val n = st.transcript.count()
+    assert(st.parsed.count() + st.dropped.count() == n)
+    // no row in both ports
+    val both = st.parsed.select("conv_id", "turn_idx")
+      .join(st.dropped.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"))
+    assert(both.count() == 0)
+  }
+
+  test("per-turn text equality under (conv_id, turn_idx) ordering") {
+    // text must ride through parse+enrich+route unchanged: join routed
+    // back to the source on the stable key and compare.
+    val src = st.transcript.select(col("conv_id"), col("turn_idx"), col("text").as("src_text"))
+    val mismatches = st.routed.select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(src, Seq("conv_id", "turn_idx"))
+      .filter(col("text") =!= col("src_text"))
+    assert(mismatches.count() == 0)
+  }
+
+  test("parsed ts_str round-trips to the source event time") {
+    val bad = st.parsed.filter(col("ts_parsed") =!= col("ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("dropped port carries the ORIGINAL event with annotations") {
+    val row = st.dropped.limit(1).collect()(0)
+    assert(row.getAs[String]("dropped_reason").nonEmpty)
+    assert(row.getAs[String]("dropped_component_id") == "parse_log_line")
+    assert(st.dropped.filter(!col("text").contains("BOGUS")).count() == 0)
+  }
+
+  test("route is multicast: rows land in every matching port") {
+    // a slow error must appear in both 'errors' and 'slow'
+    val multi = st.routed.groupBy("conv_id", "turn_idx")
+      .agg(collect_set("port").as("ports"))
+      .filter(array_contains(col("ports"), "errors") && array_contains(col("ports"), "slow"))
+    val expected = st.enriched
+      .filter(col("level") === "error" && col("latency_ms") >= 800).count()
+    assert(expected > 0 && multi.count() == expected)
+  }
+
+  test("every enriched row lands in >=1 port; unmatched rows match nothing") {
+    assert(st.routed.select("conv_id", "turn_idx").distinct().count() == st.enriched.count())
+    val um = st.routed.filter(col("port") === Route.UnmatchedPort)
+    val anyCond = Pipeline.routeConditions.values.reduce(_ || _)
+    assert(um.filter(coalesce(anyCond, lit(false))).count() == 0)
+  }
+
+  test("reserved port name is rejected") {
+    assertThrows[IllegalArgumentException] {
+      Route.tagged(st.enriched, ListMap("_unmatched" -> lit(true)))
+    }
+  }
+
+  test("enrichment is exactly-one: join preserves row count, dup keys fail") {
+    assert(st.enriched.count() == st.parsed.count())
+    import spark.implicits._
+    val dup = Seq(("a", "x", 1), ("a", "x", 2)).toDF("k1", "k2", "v")
+    assertThrows[IllegalArgumentException] {
+      Enrich.validateUnique(dup, Seq("k1", "k2"))
+    }
+  }
+
+  test("assistant/tool rows with a known tool get team + cost_tier") {
+    val miss = st.enriched
+      .filter(col("tool").isNotNull && col("team").isNull)
+    assert(miss.count() == 0)
+    val nonTool = st.enriched.filter(col("tool").isNull && col("team").isNotNull)
+    assert(nonTool.count() == 0)
+  }
+
+  test("aggregate counts reconcile with routed rows") {
+    val aggSum = st.aggregated.agg(sum("n_turns")).collect()(0).getLong(0)
+    assert(aggSum == st.routed.count())
+  }
+}
