@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The metric-side transforms: log_to_metric, metric_to_log,
+  * incremental_to_absolute, tag_cardinality_limit.
+  *
+  * Metric model (reference lib/vector-core/src/event/metric/):
+  * a flat MetricRow — name, namespace, tags, kind
+  * (incremental|absolute, mod.rs:515), value — SURVEY.md §1.3. Tags are
+  * carried as a canonical `k=v,k=v` string in verifiable outputs (map
+  * columns don't hash portably); the library also exposes map-typed tags.
+  */
+object Metrics {
+
+  // ---- log_to_metric -------------------------------------------------
+
+  /** One conversion rule: reference src/transforms/log_to_metric.rs
+    * :375-481 — each rule extracts a field (or counts the event) and
+    * emits one metric per event; name/namespace/tags are templates
+    * rendered per event (:101-123). Events missing the field are
+    * skipped, not errored (:432).
+    */
+  final case class MetricRule(
+      metricType: String,            // counter|gauge|set|distribution
+      name: Column,                  // template-rendered name
+      value: Column,                 // lit(1.0) for count-style counters
+      tags: Seq[(String, Column)],   // rendered tag templates
+      kind: String = "incremental",
+      namespace: Column = lit(null).cast("string"))
+
+  /** Log → metric rows. Missing field (null value) ⇒ row skipped for
+    * value-bearing rules, matching the reference's TemplateRenderingError
+    * /FieldNotFound skip semantics.
+    */
+  def logToMetric(logs: DataFrame, rules: Seq[MetricRule], ts: Column): DataFrame = {
+    val parts = rules.map { r =>
+      val tagStr = concat_ws(",",
+        r.tags.map { case (k, v) => concat_ws("=", lit(k), v) }: _*)
+      logs
+        .filter(r.value.isNotNull)
+        .select(
+          r.name.cast("string").as("name"),
+          r.namespace.as("namespace"),
+          tagStr.as("tags"),
+          lit(r.kind).as("kind"),
+          lit(r.metricType).as("value_type"),
+          r.value.cast("double").as("value"),
+          ts.as("ts"))
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Downstream aggregation of log_to_metric output per series×window:
+    * counter → sum, gauge → last, set → distinct count, distribution →
+    * count+sum (+ percentiles out of verifiable scope).
+    */
+  def aggregateMetrics(metrics: DataFrame, windowSecs: Long, ord: Column): DataFrame = {
+    val win = Aggregate.windowStart(col("ts"), windowSecs).as("win")
+    metrics
+      .groupBy(col("name"), col("tags"), col("value_type"), win)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value_type") === "counter" || col("value_type") === "distribution",
+          col("value"))).as("sum_value"),
+        max_by(when(col("value_type") === "gauge", col("value")), ord).as("last_value"),
+        countDistinct(when(col("value_type") === "set", col("value"))).as("distinct_values"))
+  }
+
+  // ---- metric_to_log ---------------------------------------------------
+
+  /** Metric → structured log. Reference src/transforms/metric_to_log.rs
+    * :286-330 serializes the metric into a log event; we emit both the
+    * struct columns and a canonical rendered line.
+    */
+  def metricToLog(metrics: DataFrame): DataFrame =
+    metrics.withColumn("message",
+      concat(
+        lit("metric name="), col("name"),
+        lit(" kind="), col("kind"),
+        lit(" type="), col("value_type"),
+        lit(" tags={"), col("tags"), lit("}"),
+        lit(" value="), col("value").cast("string")))
+
+  // ---- incremental_to_absolute ----------------------------------------
+
+  /** Running-sum normalization of incremental metrics into absolute.
+    * Reference: src/transforms/incremental_to_absolute.rs:68-90 (per
+    * MetricSeries running sum). One shuffle on the series key; the
+    * cumulative frame is per-series ordered — at 100 TB the series
+    * cardinality (not event count) bounds the window state.
+    */
+  def incrementalToAbsolute(df: DataFrame, series: Seq[Column], ord: Column,
+                            value: Column): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("abs_value", sum(value).over(w))
+      .withColumn("kind", lit("absolute"))
+  }
+
+  // ---- tag_cardinality_limit -------------------------------------------
+
+  /** Per-tag-key cardinality guard. Reference:
+    * src/transforms/tag_cardinality_limit/ — track the value set per tag
+    * key; once `valueLimit` distinct values are seen, either drop the tag
+    * from offending events (DropTag) or drop the events (DropEvent).
+    * "Seen" order = first occurrence by `ord` (deterministic batch analog
+    * of arrival order).
+    *
+    * Implementation: rank tag values by first-seen order (one agg on the
+    * (tag-value) domain — small — then a broadcast-friendly join back).
+    */
+  def tagCardinalityLimit(
+      df: DataFrame,
+      tag: String,
+      ord: Column,
+      valueLimit: Int,
+      dropEvent: Boolean): DataFrame = {
+    val firstSeen = df.groupBy(col(tag).as("__v"))
+      .agg(min(ord).as("__first"))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__first"), col("__v"))))
+      .filter(col("__rank") <= valueLimit)
+      .select(col("__v"))
+    val joined = df.join(broadcast(firstSeen), df(tag) === firstSeen("__v"), "left")
+    if (dropEvent) joined.filter(col("__v").isNotNull).drop("__v")
+    else joined.withColumn(tag,
+      when(col("__v").isNotNull, col(tag)).otherwise(lit(null).cast("string")))
+      .drop("__v")
+  }
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.Oracle
+import graft.operators._
+import graft.plans.Pipeline
+import graft.sources.Tables
+
+/** Oracle-gated queries covering the reference's transform inventory
+  * (SURVEY.md §2.1). Each `spark` entry has a matching DuckDB statement
+  * in `oracle` with identical column names and values.
+  */
+object TransformQueries {
+
+  /** Unique, sortable per-turn sequence key (iso-ts + conv + turn) used
+    * wherever "last/first seen" needs a deterministic total order that
+    * both engines can compare identically (structs don't port).
+    */
+  private def seqCol: Column =
+    concat_ws("#", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      col("conv_id"), lpad(col("turn_idx").cast("string"), 6, "0"))
+  private val seqSql =
+    s"${Oracle.fmtIso("ts")} || '#' || conv_id || '#' || lpad(CAST(turn_idx AS STRING), 6, '0')"
+
+  private def parsed(s: SparkSession, dir: String): DataFrame =
+    Pipeline.build(s, dir).parsed
+
+  // ---------------------------------------------------------- filter
+  private def qFilter(s: SparkSession, dir: String): DataFrame =
+    Filter(parsed(s, dir), col("level") =!= "info")
+      .select(col("conv_id"), col("turn_idx"), col("level"), col("latency_ms"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- sample
+  private def qSample(s: SparkSession, dir: String): DataFrame =
+    Sample.byKey(Tables.transcript(s, dir),
+        expr("CAST(substring(conv_id, 6) AS BIGINT)"), 10)
+      .select(col("conv_id"), col("turn_idx"), col("sample_rate"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- throttle
+  private def qThrottle(s: SparkSession, dir: String): DataFrame =
+    Throttle(parsed(s, dir), col("tool_p"), col("ts"),
+        threshold = 2, windowSecs = 86400,
+        order = Seq(col("ts"), col("conv_id"), col("turn_idx")))
+      .select(col("conv_id"), col("turn_idx"), col("tool_p"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- dedupe
+  private def qDedupe(s: SparkSession, dir: String): DataFrame =
+    Dedupe.keepFirst(parsed(s, dir),
+        matchCols = Seq(col("role"), col("level"), col("tool_p")),
+        order = Seq(col("conv_id"), col("turn_idx")))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("level"), col("tool_p"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- reduce
+  private def qReduce(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir).groupBy(col("conv_id")).agg(
+        Reduce.Strategy.discard(col("text"), col("turn_idx")).as("first_text"),
+        Reduce.Strategy.retain(col("level"), col("turn_idx")).as("last_level"),
+        sum(col("latency_ms")).cast("long").as("total_latency"),
+        max(col("latency_ms")).as("max_latency"),
+        min(col("latency_ms")).as("min_latency"),
+        Reduce.Strategy.concatNewline(col("text"), col("turn_idx")).as("merged_text"),
+        array_join(Reduce.Strategy.flatUnique(col("tool_p")), ",").as("tools"))
+      .orderBy("conv_id")
+
+  // ---------------------------------------------------------- reduce sessions
+  private def qSessions(s: SparkSession, dir: String): DataFrame =
+    Reduce.sessionIds(parsed(s, dir), Seq(col("conv_id")), col("turn_idx"),
+        endsWhen = Some(col("level") === "error"), maxEvents = None)
+      .groupBy(col("conv_id"), col("session_id").cast("long").as("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"))
+      .orderBy("conv_id", "session_id")
+
+  // ---------------------------------------------------------- context window
+  private def qContextWindow(s: SparkSession, dir: String): DataFrame =
+    ContextWindow(parsed(s, dir), key = Seq(col("conv_id")), ord = col("turn_idx"),
+        flushWhen = col("level") === "error", numBefore = 2, numAfter = 1)
+      .select(col("conv_id"), col("turn_idx"), col("level"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- log_to_metric
+  private def metricRules: Seq[Metrics.MetricRule] = Seq(
+    Metrics.MetricRule("counter", lit("turns_total"), lit(1.0),
+      tags = Seq("level" -> col("level"))),
+    Metrics.MetricRule("counter", lit("latency_total"), col("latency_ms"),
+      tags = Seq("tool" -> col("tool_p"))),
+    Metrics.MetricRule("gauge", lit("latency_last"), col("latency_ms"),
+      tags = Seq("role" -> col("role")), kind = "absolute"))
+
+  /** Metric rows carrying the deterministic seq key for ordering. */
+  private def metricRowsDirect(s: SparkSession, dir: String): DataFrame = {
+    val p = parsed(s, dir).withColumn("seq", seqCol)
+    val parts = metricRules.map { r =>
+      val tagStr = concat_ws(",",
+        r.tags.map { case (k, v) => concat_ws("=", lit(k), v) }: _*)
+      p.filter(r.value.isNotNull).select(
+        r.name.cast("string").as("name"),
+        tagStr.as("tags"),
+        lit(r.kind).as("kind"),
+        lit(r.metricType).as("value_type"),
+        r.value.cast("double").as("value"),
+        col("ts"), col("seq"))
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  private def qLogToMetric(s: SparkSession, dir: String): DataFrame =
+    metricRowsDirect(s, dir)
+      .select(col("name"), col("tags"), col("kind"), col("value_type"),
+        col("value"), col("seq"))
+      .orderBy("name", "seq")
+
+  private def qMetricAgg(s: SparkSession, dir: String): DataFrame =
+    Metrics.aggregateMetrics(metricRowsDirect(s, dir), windowSecs = 86400,
+        ord = col("seq"))
+      .orderBy("name", "tags", "win")
+
+  private def qMetricToLog(s: SparkSession, dir: String): DataFrame =
+    Metrics.metricToLog(metricRowsDirect(s, dir))
+      .select(col("name"), col("tags"), col("message"), col("seq"))
+      .orderBy("name", "seq")
+
+  // ---------------------------------------------------------- incremental_to_absolute
+  private def qIncToAbs(s: SparkSession, dir: String): DataFrame =
+    Metrics.incrementalToAbsolute(
+        Tables.table(s, dir, "events")
+          .withColumn("v", col("value").cast("decimal(18,2)")),
+        series = Seq(col("user_id")), ord = col("event_id"), value = col("v"))
+      .select(col("event_id"), col("user_id"),
+        col("abs_value").cast("double").as("abs_value"), col("kind"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------- tag_cardinality_limit
+  private def qTagLimit(s: SparkSession, dir: String): DataFrame =
+    Metrics.tagCardinalityLimit(
+        Tables.table(s, dir, "events")
+          .withColumn("user_tag", col("user_id").cast("string")),
+        tag = "user_tag", ord = col("event_id"), valueLimit = 10,
+        dropEvent = false)
+      .select(col("event_id"), col("user_tag"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------- aggregate modes
+  private def qAggModes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "events")
+      .withColumn("vd", col("value").cast("decimal(18,2)"))
+    val win = Aggregate.windowStart(col("ts"), 86400).as("win")
+    val n = count(lit(1))
+    val sx = sum(col("vd")).cast("double")
+    val sx2 = sum(col("vd") * col("vd")).cast("double")
+    e.groupBy(col("event_type"), win).agg(
+        n.as("n"),
+        sum(col("vd")).cast("double").as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        (sx / n).as("mean_value"),
+        sqrt((sx2 * n - sx * sx) / (n * n)).as("stdev_value"),
+        max_by(col("value"), col("ts")).as("latest_value"))
+      .orderBy("event_type", "win")
+  }
+
+  private def qAggDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "events")
+    Aggregate.tumbling(e, keys = Seq(col("event_type")), ts = col("ts"),
+        value = col("value"), mode = Aggregate.Diff, windowSecs = 86400,
+        orderCol = Some(col("ts")))
+      .orderBy("event_type", "win")
+  }
+
+  // ======================================================== registry
+  val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_filter"         -> (qFilter _),
+    "q_sample"         -> (qSample _),
+    "q_throttle"       -> (qThrottle _),
+    "q_dedupe"         -> (qDedupe _),
+    "q_reduce"         -> (qReduce _),
+    "q_sessions"       -> (qSessions _),
+    "q_context_window" -> (qContextWindow _),
+    "q_log_to_metric"  -> (qLogToMetric _),
+    "q_metric_agg"     -> (qMetricAgg _),
+    "q_metric_to_log"  -> (qMetricToLog _),
+    "q_inc_to_abs"     -> (qIncToAbs _),
+    "q_tag_limit"      -> (qTagLimit _),
+    "q_agg_modes"      -> (qAggModes _),
+    "q_agg_diff"       -> (qAggDiff _)
+  )
+
+  // DuckDB oracle -------------------------------------------------------
+
+  /** metric rows CTE (union of the three rules over parsed). */
+  private val metricsCte: String = {
+    def rule(name: String, tagK: String, tagV: String, kind: String,
+             vtype: String, value: String) =
+      s"""SELECT '$name' AS name, '$tagK=' || $tagV AS tags, '$kind' AS kind,
+         '$vtype' AS value_type, CAST($value AS DOUBLE) AS value, ts,
+         $seqSql AS seq FROM parsed"""
+    s"""metrics AS (
+${rule("turns_total", "level", "level", "incremental", "counter", "1.0")}
+UNION ALL ${rule("latency_total", "tool", "tool_p", "incremental", "counter", "latency_ms")}
+UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_ms")}
+)"""
+  }
+
+  private def winSql(ts: String, secs: Long) =
+    s"CAST(floor(epoch($ts) / $secs) * $secs AS BIGINT)"
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q_filter" -> Oracle.q(
+      "SELECT conv_id, turn_idx, level, latency_ms FROM parsed WHERE level <> 'info' ORDER BY conv_id, turn_idx",
+      Seq(Oracle.parsedCte)),
+    "q_sample" -> Oracle.q(
+      "SELECT conv_id, turn_idx, 10 AS sample_rate FROM transcript WHERE CAST(substring(conv_id, 6) AS BIGINT) % 10 = 0 ORDER BY conv_id, turn_idx"),
+    "q_throttle" -> Oracle.q(
+      s"""SELECT conv_id, turn_idx, tool_p FROM (
+         SELECT conv_id, turn_idx, tool_p,
+           row_number() OVER (PARTITION BY tool_p, ${winSql("ts", 86400)}
+             ORDER BY ts, conv_id, turn_idx) AS rn
+         FROM parsed) t WHERE rn <= 2 ORDER BY conv_id, turn_idx""",
+      Seq(Oracle.parsedCte)),
+    "q_dedupe" -> Oracle.q(
+      """SELECT conv_id, turn_idx, role, level, tool_p FROM (
+         SELECT conv_id, turn_idx, role, level, tool_p,
+           row_number() OVER (PARTITION BY role, level, tool_p
+             ORDER BY conv_id, turn_idx) AS rn
+         FROM parsed) t WHERE rn = 1 ORDER BY conv_id, turn_idx""",
+      Seq(Oracle.parsedCte)),
+    "q_reduce" -> Oracle.q(
+      """SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         max_by(level, turn_idx) AS last_level,
+         CAST(sum(latency_ms) AS BIGINT) AS total_latency,
+         max(latency_ms) AS max_latency,
+         min(latency_ms) AS min_latency,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS merged_text,
+         string_agg(DISTINCT tool_p, ',' ORDER BY tool_p) AS tools
+         FROM parsed GROUP BY conv_id ORDER BY conv_id""",
+      Seq(Oracle.parsedCte)),
+    "q_sessions" -> Oracle.q(
+      """SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+         FROM (SELECT conv_id, turn_idx,
+           coalesce(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session_id
+           FROM parsed) t
+         GROUP BY 1, 2 ORDER BY conv_id, session_id""",
+      Seq(Oracle.parsedCte)),
+    "q_context_window" -> Oracle.q(
+      """SELECT conv_id, turn_idx, level FROM (
+         SELECT conv_id, turn_idx, level,
+           max(CASE WHEN level = 'error' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS near
+         FROM parsed) t WHERE near = 1 ORDER BY conv_id, turn_idx""",
+      Seq(Oracle.parsedCte)),
+    "q_log_to_metric" -> Oracle.q(
+      "SELECT name, tags, kind, value_type, value, seq FROM metrics ORDER BY name, seq",
+      Seq(Oracle.parsedCte, metricsCte)),
+    "q_metric_agg" -> Oracle.q(
+      s"""SELECT name, tags, value_type, ${winSql("ts", 86400)} AS win,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CASE WHEN value_type IN ('counter','distribution') THEN value END) AS sum_value,
+         max_by(CASE WHEN value_type = 'gauge' THEN value END, seq) AS last_value,
+         CAST(count(DISTINCT CASE WHEN value_type = 'set' THEN value END) AS BIGINT) AS distinct_values
+         FROM metrics GROUP BY 1, 2, 3, 4 ORDER BY name, tags, win""",
+      Seq(Oracle.parsedCte, metricsCte)),
+    "q_metric_to_log" -> Oracle.q(
+      """SELECT name, tags,
+         'metric name=' || name || ' kind=' || kind || ' type=' || value_type
+           || ' tags={' || tags || '}' || ' value=' || CAST(value AS STRING) AS message,
+         seq FROM metrics ORDER BY name, seq""",
+      Seq(Oracle.parsedCte, metricsCte)),
+    "q_inc_to_abs" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS abs_value,
+         'absolute' AS kind
+         FROM events ORDER BY event_id""",
+    "q_tag_limit" ->
+      """WITH ranked AS (
+           SELECT CAST(user_id AS STRING) AS v, min(event_id) AS f
+           FROM events GROUP BY 1),
+         keepv AS (
+           SELECT v FROM (SELECT v, row_number() OVER (ORDER BY f, v) AS r
+                          FROM ranked) t WHERE r <= 10)
+         SELECT e.event_id,
+           CASE WHEN k.v IS NOT NULL THEN CAST(e.user_id AS STRING) END AS user_tag
+         FROM events e LEFT JOIN keepv k ON CAST(e.user_id AS STRING) = k.v
+         ORDER BY e.event_id""",
+    "q_agg_modes" ->
+      s"""SELECT event_type, ${winSql("ts", 86400)} AS win,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         max(value) AS max_value,
+         min(value) AS min_value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value,
+         sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) * count(*)
+               - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+              / (count(*) * count(*))) AS stdev_value,
+         max_by(value, ts) AS latest_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, win""",
+    "q_agg_diff" ->
+      s"""WITH latest AS (
+           SELECT event_type, ${winSql("ts", 86400)} AS win,
+             max_by(value, ts) AS value
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, win,
+           value - coalesce(lag(value) OVER (PARTITION BY event_type ORDER BY win), 0.0) AS value
+         FROM latest ORDER BY event_type, win"""
+  )
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.operators._
+
+/** Per-operator unit tests mirroring the reference's inline suites
+  * (reference src/transforms/&lt;name&gt; inline test modules — build small
+  * inputs, assert exact outputs).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filter keeps matches and observes drop counts (filter.rs:99-156)") {
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val out = Filter(df, col("v") > 1)
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("sample.byKey keeps exactly the key-bucket, stamps sample_rate (sample/transform.rs:205)") {
+    val df = (0 until 100).map(i => (i.toLong, s"m$i")).toDF("k", "m")
+    val out = Sample.byKey(df, col("k"), 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getLong(0) % 10 == 0 && r.getInt(2) == 10))
+  }
+
+  test("sample.byKey exclude bypasses sampling") {
+    val df = (0 until 100).map(i => (i.toLong, s"m$i")).toDF("k", "m")
+    val out = Sample.byKey(df, col("k"), 10, exclude = Some(col("k") < 5))
+    assert(out.count() == 10 + 4) // 0 is in both
+  }
+
+  test("sample.counter keeps every Nth per group") {
+    val df = (0 until 30).map(i => (s"g${i % 2}", i)).toDF("g", "i")
+    val out = Sample.counter(df, Seq(col("g")), Seq(col("i")), 5)
+    assert(out.count() == 6) // 15 per group -> 3 each
+  }
+
+  test("throttle caps events per key-window, first wins (throttle/transform.rs:36-53)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 10).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+       new java.sql.Timestamp(base.getTime + i * 1000L), i)
+    }
+    val df = rows.toDF("key", "ts", "i")
+    val out = Throttle(df, col("key"), col("ts"), threshold = 2,
+      windowSecs = 3600, order = Seq(col("ts"), col("i")))
+    // per key: first 2 of 5
+    assert(out.collect().map(_.getInt(2)).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("dedupe keeps first by order; typed columns never cross-dedupe (dedupe/transform.rs:54-65)") {
+    val df = Seq(("x", 1, "first"), ("x", 1, "second"), ("x", 2, "other"))
+      .toDF("a", "b", "tag")
+      .withColumn("ord", monotonically_increasing_id())
+    val out = Dedupe.keepFirst(df, Seq(col("a"), col("b")), Seq(col("tag")))
+    assert(out.count() == 2)
+    // int 1 vs string "1" must NOT dedupe: schema-level distinction
+    val mixed = Seq((1, "1")).toDF("i", "s")
+    assert(mixed.schema("i").dataType != mixed.schema("s").dataType)
+  }
+
+  test("reduce merge strategies (merge_strategy.rs:17-55)") {
+    val df = Seq(
+      ("g1", 0, "a", 10), ("g1", 1, "b", 5), ("g1", 2, "c", 7),
+      ("g2", 0, "z", 1)
+    ).toDF("g", "o", "s", "n")
+    val out = df.groupBy($"g").agg(
+      Reduce.Strategy.discard($"s", $"o").as("first"),
+      Reduce.Strategy.retain($"s", $"o").as("last"),
+      Reduce.Strategy.sumS($"n").as("sum"),
+      Reduce.Strategy.maxS($"n").as("max"),
+      Reduce.Strategy.minS($"n").as("min"),
+      Reduce.Strategy.concat($"s", $"o").as("concat"),
+      Reduce.Strategy.concatNewline($"s", $"o").as("concat_nl"),
+      array_join(Reduce.Strategy.flatUnique($"s"), ",").as("uniq")
+    ).collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[String]("first") == "a" && g1.getAs[String]("last") == "c")
+    assert(g1.getAs[Long]("sum") == 22 && g1.getAs[Int]("max") == 10 && g1.getAs[Int]("min") == 5)
+    assert(g1.getAs[String]("concat") == "a b c")
+    assert(g1.getAs[String]("concat_nl") == "a\nb\nc")
+    assert(g1.getAs[String]("uniq") == "a,b,c")
+  }
+
+  test("reduce shortest/longest array aggregators") {
+    val df = Seq(
+      ("g", Seq("a", "b")), ("g", Seq("x")), ("g", Seq("p", "q", "r"))
+    ).toDF("g", "arr")
+    val out = df.groupBy($"g").agg(
+      Reduce.Strategy.shortestArray($"arr").as("short"),
+      Reduce.Strategy.longestArray($"arr").as("long")
+    ).collect()(0)
+    assert(out.getAs[scala.collection.Seq[String]]("short").toSeq == Seq("x"))
+    assert(out.getAs[scala.collection.Seq[String]]("long").toSeq == Seq("p", "q", "r"))
+  }
+
+  test("reduce ends_when closes the session INCLUDING the matching row (reduce/transform.rs:223)") {
+    val df = Seq(
+      ("c", 0, false), ("c", 1, true), ("c", 2, false), ("c", 3, false)
+    ).toDF("g", "o", "end")
+    val out = Reduce.sessionIds(df, Seq($"g"), $"o", Some($"end"), None)
+      .orderBy($"o").collect().map(_.getAs[Long]("session_id")).toSeq
+    assert(out == Seq(0L, 0L, 1L, 1L))
+  }
+
+  test("reduce max_events cuts sessions") {
+    val df = (0 until 7).map(i => ("c", i)).toDF("g", "o")
+    val out = Reduce.sessionIds(df, Seq($"g"), $"o", None, Some(3))
+      .orderBy($"o").collect().map(_.getAs[String]("session_id")).toSeq
+    assert(out == Seq("0:0", "0:0", "0:0", "0:1", "0:1", "0:1", "0:2"))
+  }
+
+  test("context window emits before/after context (window/transform.rs:50-94)") {
+    val df = (0 until 10).map(i => ("k", i, i == 5)).toDF("k", "o", "m")
+    val out = ContextWindow(df, Seq($"k"), $"o", $"m", numBefore = 2, numAfter = 1)
+    assert(out.collect().map(_.getInt(1)).sorted.toSeq == Seq(3, 4, 5, 6))
+  }
+
+  test("context window forward_when always passes") {
+    val df = (0 until 10).map(i => ("k", i, i == 5)).toDF("k", "o", "m")
+    val out = ContextWindow(df, Seq($"k"), $"o", $"m", 1, 0,
+      forwardWhen = Some($"o" === 9))
+    assert(out.collect().map(_.getInt(1)).sorted.toSeq == Seq(4, 5, 9))
+  }
+
+  test("log_to_metric skips events with missing field (log_to_metric.rs:432)") {
+    val logs = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)))
+      .toDF("k", "v").withColumn("ts", current_timestamp())
+    val rules = Seq(Metrics.MetricRule("counter", lit("m"), col("v"),
+      tags = Seq("k" -> col("k"))))
+    val out = Metrics.logToMetric(logs, rules, col("ts"))
+    assert(out.count() == 2)
+  }
+
+  test("incremental_to_absolute is a per-series running sum (incremental_to_absolute.rs:68-90)") {
+    val df = Seq(("s1", 1, 1.0), ("s1", 2, 2.0), ("s1", 3, 4.0), ("s2", 1, 10.0))
+      .toDF("series", "o", "v")
+    val out = Metrics.incrementalToAbsolute(df, Seq($"series"), $"o", $"v")
+      .orderBy($"series", $"o")
+      .collect().map(_.getAs[Double]("abs_value")).toSeq
+    assert(out == Seq(1.0, 3.0, 7.0, 10.0))
+  }
+
+  test("tag_cardinality_limit drop_tag nulls the overflow values (tag_cardinality_limit)") {
+    val df = (0 until 20).map(i => (i, s"v${i / 2}")).toDF("ord", "tag")
+    val out = Metrics.tagCardinalityLimit(df, "tag", $"ord", valueLimit = 3,
+      dropEvent = false)
+    assert(out.filter($"tag".isNotNull).count() == 6)
+    assert(out.count() == 20)
+    val dropped = Metrics.tagCardinalityLimit(df, "tag", $"ord", 3, dropEvent = true)
+    assert(dropped.count() == 6)
+  }
+
+  test("aggregate modes over event-time windows (aggregate.rs:131-322)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq(
+      ("s", t(0), 1.0), ("s", t(5), 3.0),   // window 0
+      ("s", t(10), 10.0), ("s", t(12), 4.0) // window 1
+    ).toDF("series", "ts", "v")
+    def run(m: Aggregate.Mode) =
+      Aggregate.tumbling(df, Seq($"series"), $"ts", $"v", m, 10L)
+        .orderBy($"win").collect().map(_.getAs[Any]("value")).toSeq
+    assert(run(Aggregate.Sum) == Seq(4.0, 14.0))
+    assert(run(Aggregate.Count) == Seq(2L, 2L))
+    assert(run(Aggregate.Max) == Seq(3.0, 10.0))
+    assert(run(Aggregate.Min) == Seq(1.0, 4.0))
+    assert(run(Aggregate.Mean) == Seq(2.0, 7.0))
+    assert(run(Aggregate.Latest) == Seq(3.0, 4.0))
+    assert(run(Aggregate.Diff) == Seq(3.0, 1.0)) // 3-0, 4-3
+  }
+}
