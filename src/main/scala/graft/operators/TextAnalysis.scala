@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.PortableHash
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * These extend the reference's VRL string/parse surface
+  * (website/cue/reference/remap/functions/ — parse_tokens.cue,
+  * strlen.cue, contains.cue, …) to corpus-curation semantics. Every
+  * scoring function is a pure, codegen-friendly column expression —
+  * no UDFs, so the whole stage stays inside WholeStageCodegen and
+  * scales as a narrow map over the corpus.
+  */
+object TextAnalysis {
+
+  /** Per-language discriminative stopword profiles for the n-gram/
+    * stopword language-ID heuristic. Deterministic and engine-portable
+    * (the oracle re-implements the same argmax in SQL).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1")
+  )
+
+  /** Language-ID: per-language stopword hit count over the token
+    * multiset; winner = max count, ties broken alphabetically (stable
+    * argmax). Returns (scores..., lang_pred).
+    */
+  def languageId(text: Column): (Seq[(String, Column)], Column) = {
+    val toks = split(text, " ")
+    val scores = langProfiles.map { case (lang, words) =>
+      val hits = filter(toks, t => words.map(w => t === w).reduce(_ || _))
+      lang -> size(hits).cast("long")
+    }
+    // stable argmax: fold in reverse-alphabetical order with >= so the
+    // alphabetically-first language wins ties
+    val pred = scores.reverse.tail.foldLeft(
+      (lit(scores.last._1), scores.last._2)) {
+      case ((bestL, bestS), (lang, s)) =>
+        (when(s >= bestS, lit(lang)).otherwise(bestL),
+         when(s >= bestS, s).otherwise(bestS))
+    }._1
+    (scores, pred)
+  }
+
+  /** Quality-signal columns over a text column. All ratios in [0,1],
+    * rounded for cross-engine comparability.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+    val stopHits = size(filter(toks, t => stop.map(w => t === w).reduce(_ || _)))
+    val nonAlnum = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    val meanTokLen = round((nChars - (nTok - 1)).cast("double") / nTok, 6)
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars" -> nChars,
+      "mean_tok_len" -> meanTokLen,
+      "stopword_ratio" -> round(stopHits.cast("double") / nTok, 6),
+      "punct_ratio" -> round(nonAlnum.cast("double") / nChars, 6),
+      "uniq_ratio" -> round(size(array_distinct(toks)).cast("double") / nTok, 6)
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalize very short/long docs,
+    * low lexical diversity, missing stopwords. A fixed, documented
+    * formula (the point is the shape of the pipeline, not the exact
+    * weights — swap per corpus).
+    */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text).toMap
+    val lenScore = least(s("n_tokens").cast("double") / 32.0, lit(1.0))
+    val divScore = s("uniq_ratio")
+    val stopScore = least(s("stopword_ratio") * 5.0, lit(1.0))
+    round((lenScore + divScore + stopScore) / 3.0, 6)
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish subword count (runs of
+    * letters / digits / single non-alnum, each run counted ceil(len/4)
+    * — the standard "~4 chars per token" estimator made exact and
+    * portable).
+    */
+  def tokenCounts(text: Column): Seq[(String, Column)] = {
+    val ws = size(split(text, " ")).cast("long")
+    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    val bpeish = aggregate(pieces, lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+    Seq("ws_tokens" -> ws, "bpeish_tokens" -> bpeish)
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * hash every `n`-gram shingle, slide a window of `w` consecutive
+    * shingle hashes, keep each window's minimum; the distinct kept
+    * hashes are the document's fingerprints. Output: (id, fp) rows.
+    *
+    * Scale: narrow explode + per-doc window min (shuffle on doc id
+    * only), fingerprint count per doc ~ 2·len/w — a tunable sketch of
+    * the corpus for plagiarism/near-dup detection.
+    */
+  def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
+                            n: Int, w: Int): DataFrame = {
+    val sh = TextDedup.shingles(df, id, text, n)
+      .select(col("id"), col("pos"), PortableHash.h60(col("shingle")).as("h"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    sh.withColumn("fp", min(col("h")).over(win))
+      .select(col("id"), col("fp")).distinct()
+  }
+}

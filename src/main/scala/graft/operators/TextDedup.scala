@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.PortableHash
+
+/** Document-corpus deduplication — the training-data-pipeline extension
+  * of Vector's per-event `dedupe` transform (src/transforms/dedupe/) to
+  * corpus scale: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one shuffle on the normalized-text hash; group sizes are
+  *    tiny (true dup clusters), no skew risk beyond AQE's reach.
+  *  - ngramPairs: exact Jaccard via a shingle-inverted-index self-join —
+  *    quadratic in per-shingle posting-list length; correct baseline and
+  *    the verifier for the approximate variants. At 100 TB this is only
+  *    run AFTER LSH banding has cut candidates to near-linear.
+  *  - minhashLsh: the scale path. Signature build is a narrow
+  *    explode + one hash-agg (map-side combined); banding turns the
+  *    all-pairs problem into equi-join on (band, signature) — shuffle is
+  *    linear in corpus size, candidate verification linear in true-pair
+  *    count. This is the standard web-dedup pipeline (GPL-free
+  *    formulation straight from Broder's paper).
+  *  - simhash: constant-size (one long) fingerprint per doc; hamming
+  *    ball join via bit_count — here paired brute-force for oracle
+  *    parity; at scale, block on rotated prefixes (pigeonhole) the same
+  *    way bands work for minhash.
+  *  - embeddingPairs: cosine near-dup over dense vectors; brute force
+  *    baseline here, LSH/IVF bucketing in Similarity.scala for scale.
+  */
+object TextDedup {
+
+  /** Word n-gram shingles: (id, shingle) rows, distinct per doc.
+    * Narrow: explode + windowed concat — no shuffle until the consumer
+    * aggregates. `text` is whitespace-tokenized (the corpus contract).
+    */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = df.select(id.as("id"), split(text, " ").as("toks"))
+    // shingle i = toks[i..i+n-1]; slice is 1-based
+    toks
+      .select(col("id"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("id"), col("pos"),
+        array_join(slice(col("toks"), col("pos"), lit(n)), " ").as("shingle"))
+  }
+
+  /** Exact dedupe by a key expression (hash-groupBy): keep the row with
+    * the smallest `order` per key. The 100 TB shape: shuffle on
+    * md5(key) — uniform by construction; cluster sizes bounded by true
+    * duplication.
+    */
+  def exact(df: DataFrame, key: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+    * Output: (a, b, inter, na, nb, jaccard) with a < b.
+    */
+  def ngramPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                 threshold: Double): DataFrame = {
+    val sh = shingles(df, id, text, n).select(col("id"), col("shingle")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
+
+  /** h_i(x) with per-row (a, b) columns from the broadcast family. */
+  private def permCols(x: Column, a: Column, b: Column): Column =
+    (pmod(x, lit(PortableHash.P)) * a + b) % lit(PortableHash.P)
+
+  /** Banded LSH candidate pairs verified with exact Jaccard.
+    * k hashes in bands of r rows; pairs agreeing on any full band are
+    * candidates; candidates are verified against the exact shingle
+    * Jaccard and filtered at `threshold`.
+    */
+  def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
+                 k: Int, r: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hf = broadcast(PortableHash.family(k).map {
+      case (i, a, b) => (i, a, b)
+    }.toDF("i", "a", "b"))
+    val sh = shingles(df, id, text, n)
+      .select(col("id"), col("shingle")).distinct()
+    val hashed = sh.select(col("id"), PortableHash.h60(col("shingle")).as("h"))
+    val sig = hashed.crossJoin(hf)
+      .groupBy(col("id"), col("i"))
+      .agg(min(permCols(col("h"), col("a"), col("b"))).as("mh"))
+    // band signature: concat of the r minhashes in hash order
+    val bandsFlat = sig
+      .withColumn("band", floor(col("i") / r))
+      .groupBy(col("id"), col("band"))
+      .agg(concat_ws(":",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("bsig"))
+    val cand = bandsFlat.as("x").join(bandsFlat.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // verify candidates with exact jaccard
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val shB = sh.select(col("id").as("bid"), col("shingle").as("sb"))
+    val inter = cand
+      .join(sh.withColumnRenamed("id", "a").withColumnRenamed("shingle", "sa"), "a")
+      .join(shB, col("b") === col("bid") && col("sa") === col("sb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (B<=60 bits) over the distinct word-`n`-gram
+    * shingle set: bit j of the fingerprint is set iff
+    * Σ_features (bit_j(h60(feature)) ? 1 : -1) > 0. Shingle features
+    * (not single words) so that small-vocabulary corpora still
+    * discriminate — the feature space is the n-gram space.
+    * Output: (id, simhash).
+    */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int,
+              n: Int): DataFrame = {
+    val toks = shingles(df, id, text, n)
+      .select(col("id"), col("shingle")).distinct()
+      .select(col("id"), PortableHash.h60(col("shingle")).as("h"))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (brute-force pairing —
+    * see scale note in the scaladoc above).
+    */
+  def simhashPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    fps.as("x").join(fps.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
+  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
+    * Vectors are cast to double before any arithmetic so both engines
+    * sum in double precision; the result is rounded for portability.
+    */
+  def embeddingPairs(df: DataFrame, id: Column, vec: Column,
+                     threshold: Double): DataFrame = {
+    val v = df.select(id.as("id"),
+      transform(vec, x => x.cast("double")).as("v"))
+    val n = v.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val pairs = n.as("x").join(n.as("y"), col("x.id") < col("y.id"))
+    pairs.select(
+        col("x.id").as("a"), col("y.id").as("b"),
+        round(
+          aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
+            lit(0.0), (acc, x) => acc + x) /
+            (col("x.norm") * col("y.norm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.functions.PortableHash
+import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.sources.Tables
+
+/** Oracle-gated queries for the training-data-pipeline operators
+  * (dedup family, similarity search, text analysis) over the driver's
+  * `documents` and `embeddings` tables.
+  *
+  * Every Spark query here has a DuckDB statement computing the exact
+  * same values: hashes via PortableHash (md5-prefix — identical in both
+  * engines), float arithmetic forced to double + round(6).
+  */
+object TrainingQueries {
+
+  // MinHash/LSH configuration (shared between Spark and oracle).
+  val ShingleN = 3
+  val MinhashK = 64
+  val BandR = 4
+  val JaccardThreshold = 0.5
+  val SimhashBits = 32
+  val SimhashMaxHamming = 4
+  val CosineDupThreshold = 0.4
+  val TopK = 5
+  val LshBits = 6
+  val WinnowN = 3
+  val WinnowW = 4
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  // ---------------------------------------------------------- exact dedupe
+  // Key = first 8 words (normalized prefix) — hash-groupBy keep-first.
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(
+        docs(s, dir).withColumn("key",
+          array_join(slice(split(col("text"), " "), 1, 8), " ")),
+        col("key"), col("doc_id"))
+      .select(col("doc_id"), col("key"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- ngram jaccard
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramPairs(docs(s, dir), col("doc_id"), col("text"),
+        ShingleN, JaccardThreshold)
+      .orderBy("a", "b")
+
+  // ---------------------------------------------------------- minhash lsh
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"),
+        ShingleN, MinhashK, BandR, JaccardThreshold)
+      .orderBy("a", "b")
+
+  // ---------------------------------------------------------- simhash
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(docs(s, dir), col("doc_id"), col("text"), SimhashBits,
+        ShingleN)
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(
+        TextDedup.simhash(docs(s, dir), col("doc_id"), col("text"), SimhashBits,
+          ShingleN),
+        SimhashMaxHamming)
+      .orderBy("a", "b")
+
+  // ---------------------------------------------------------- embedding dup
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    TextDedup.embeddingPairs(embs(s, dir), col("vec_id"), col("embedding"),
+        CosineDupThreshold)
+      .orderBy("a", "b")
+
+  // ---------------------------------------------------------- knn
+  /** Brute-force queries restricted to vec_id % 25 == 0 (coverage at
+    * sf0.01, bounded quadratic cost at bench scale).
+    */
+  private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0),
+        col("vec_id"), col("embedding"), TopK)
+      .orderBy("qid", "rank")
+  }
+
+  private def qKnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.signLshTopK(embs(s, dir), col("vec_id"), col("embedding"),
+        TopK, LshBits)
+      .orderBy("qid", "rank")
+
+  // ---------------------------------------------------------- text analysis
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val (scores, pred) = TextAnalysis.languageId(col("text"))
+    docs(s, dir).select(
+        col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }
+          :+ pred.as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(col("text"))
+    docs(s, dir).select(
+        col("doc_id") +: sig.map { case (n, c) => c.as(n) }
+          :+ TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+      .orderBy("doc_id")
+  }
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val tc = TextAnalysis.tokenCounts(col("text"))
+    docs(s, dir).select(
+        col("doc_id") +: tc.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowingFingerprints(docs(s, dir), col("doc_id"),
+        col("text"), WinnowN, WinnowW)
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy("doc_id", "fp")
+
+  val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_ngram"   -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_simhash"       -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_dedup_embed"   -> (qDedupEmbed _),
+    "q_knn_brute"     -> (qKnnBrute _),
+    "q_knn_lsh"       -> (qKnnLsh _),
+    "q_lang_id"       -> (qLangId _),
+    "q_text_quality"  -> (qTextQuality _),
+    "q_token_count"   -> (qTokenCount _),
+    "q_fingerprint"   -> (qFingerprint _)
+  )
+
+  // ====================================================== DuckDB oracle
+
+  private val P = PortableHash.P
+  private def h60(e: String) = PortableHash.h60Sql(e)
+
+  /** Distinct word-ngram shingles of documents: sh(id, pos, shingle). */
+  private def shinglesCte(n: Int): String =
+    s"""toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT id, pos, array_to_string(t[pos:pos+${n - 1}], ' ') AS shingle
+  FROM (SELECT id, t,
+          unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS pos
+        FROM toks)
+)"""
+
+  private val shd = "shd AS (SELECT DISTINCT id, shingle FROM sh)"
+  private val sizesCte = "sizes AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY 1)"
+
+  private def jaccardSelect(candSrc: String): String =
+    s"""inter AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS inter
+  FROM $candSrc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b, inter, sa.n_sh AS na, sb.n_sh AS nb,
+    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = inter.a
+  JOIN sizes sb ON sb.id = inter.b
+)"""
+
+  private def minhashCtes: String = {
+    val hfRows = PortableHash.family(MinhashK)
+      .map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",")
+    s"""hf AS (SELECT * FROM (VALUES $hfRows) AS t(i, a, b)),
+hashed AS (SELECT id, ${h60("shingle")} AS h FROM shd),
+sig AS (
+  SELECT id, i, min(((h % $P) * CAST(a AS BIGINT) + b) % $P) AS mh
+  FROM hashed, hf GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, i // $BandR AS band,
+         string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.id < y.id
+)"""
+  }
+
+  private def simhashCtes: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fp = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""${shinglesCte(ShingleN)},
+$shd,
+th AS (SELECT id, ${h60("shingle")} AS h FROM shd),
+bits AS (SELECT id, $bitSums FROM th GROUP BY 1),
+fp AS (SELECT id AS doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  /** embeddings as double vectors with norms. */
+  private val vecCte =
+    """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, v,
+    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM v
+)"""
+
+  private val cosineExpr =
+    "round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) / (x.norm * y.norm), 6)"
+
+  private def w(ctes: Seq[String], select: String) =
+    s"WITH ${ctes.mkString(",\n")}\n$select"
+
+  // language-ID SQL mirroring TextAnalysis.languageId
+  private def langScoreSql(words: Seq[String]): String = {
+    val inList = words.map(x => s"'$x'").mkString(",")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT)"
+  }
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q_dedup_exact" -> w(Seq(
+      """k AS (SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:8], ' ') AS key
+         FROM documents)""",
+      """r AS (SELECT doc_id, key,
+           row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM k)"""),
+      "SELECT doc_id, key FROM r WHERE rn = 1 ORDER BY doc_id"),
+
+    "q_dedup_ngram" -> w(Seq(shinglesCte(ShingleN), shd, sizesCte,
+      jaccardSelect("shd x JOIN shd y ON x.shingle = y.shingle AND x.id < y.id")),
+      s"""SELECT a, b, inter, na, nb, jaccard FROM pairs
+         WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
+
+    "q_dedup_minhash" -> w(Seq(shinglesCte(ShingleN), shd, sizesCte, minhashCtes,
+      jaccardSelect(
+        "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.shingle = y.shingle")),
+      s"""SELECT a, b, jaccard FROM pairs
+         WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
+
+    "q_simhash" -> w(Seq(simhashCtes),
+      "SELECT doc_id, simhash FROM fp ORDER BY doc_id"),
+
+    "q_simhash_pairs" -> w(Seq(simhashCtes),
+      s"""SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming
+         ORDER BY a, b"""),
+
+    "q_dedup_embed" -> w(Seq(vecCte),
+      s"""SELECT x.vec_id AS a, y.vec_id AS b, $cosineExpr AS cosine
+         FROM vn x JOIN vn y ON x.vec_id < y.vec_id
+         WHERE $cosineExpr >= $CosineDupThreshold
+         ORDER BY a, b"""),
+
+    "q_knn_brute" -> w(Seq(vecCte,
+      s"""sims AS (
+         SELECT x.vec_id AS qid, y.vec_id AS nid, $cosineExpr AS cosine
+         FROM vn x JOIN vn y ON x.vec_id % 25 = 0 AND x.vec_id <> y.vec_id)""",
+      """ranked AS (
+         SELECT qid, nid, cosine,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+         FROM sims)"""),
+      s"SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= $TopK ORDER BY qid, rank"),
+
+    "q_knn_lsh" -> w(Seq(vecCte,
+      s"""bk AS (
+         SELECT vec_id, v, norm,
+           ${(0 until LshBits).map(j => s"(CASE WHEN v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket
+         FROM vn)""",
+      s"""qp AS (
+         SELECT vec_id, v, norm,
+           unnest([bucket${(0 until LshBits).map(j => s", xor(bucket, ${1L << j})").mkString}]) AS bucket
+         FROM bk)""",
+      s"""sims AS (
+         SELECT x.vec_id AS qid, y.vec_id AS nid, $cosineExpr AS cosine
+         FROM qp x JOIN bk y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)""",
+      """ranked AS (
+         SELECT qid, nid, cosine,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rank
+         FROM sims)"""),
+      s"SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= $TopK ORDER BY qid, rank"),
+
+    "q_lang_id" -> {
+      val scores = TextAnalysis.langProfiles
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(x => s"s_$x")
+        val g = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(",")})"
+        s"WHEN s_$l >= $g THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      w(Seq(s"s AS (SELECT doc_id, $scores FROM documents)"),
+        s"SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, $pred AS lang_pred FROM s ORDER BY doc_id")
+    },
+
+    "q_text_quality" -> w(Seq(
+      """q AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS stop_hits,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS non_alnum,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+         FROM documents)"""),
+      """SELECT doc_id, n_tokens, n_chars,
+         round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+         round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+         round(CAST(non_alnum AS DOUBLE) / n_chars, 6) AS punct_ratio,
+         round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+         round((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+                + round(CAST(n_uniq AS DOUBLE) / n_tokens, 6)
+                + least(round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) * 5.0, 1.0)) / 3.0, 6) AS quality
+         FROM q ORDER BY doc_id"""),
+
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+           p -> CAST(ceil(CAST(length(p) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_fingerprint" -> w(Seq(shinglesCte(WinnowN),
+      s"""sh2 AS (SELECT id, pos, ${h60("shingle")} AS h FROM sh),
+         fps AS (
+           SELECT DISTINCT id AS doc_id,
+             min(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+           FROM sh2)"""),
+      "SELECT doc_id, fp FROM fps ORDER BY doc_id, fp")
+  )
+}
