@@ -94,7 +94,8 @@ object SparkEntry {
     "q_exclusive_route" -> (qExclusiveRoute _),
     "q_pipeline_agg"    -> (qPipelineAgg _),
     "q1_agg"            -> (qLineitemAgg _)
-  ) ++ graft.queries.TransformQueries.spark ++ graft.queries.TrainingQueries.spark
+  ) ++ graft.queries.TransformQueries.spark ++ graft.queries.TrainingQueries.spark ++
+    graft.queries.ParserQueries.spark
 
   // ---- DuckDB oracle -------------------------------------------------
 
@@ -141,6 +142,7 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
-    ) ++ graft.queries.TransformQueries.oracle ++ graft.queries.TrainingQueries.oracle
+    ) ++ graft.queries.TransformQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
+      graft.queries.ParserQueries.oracle
   }
 }

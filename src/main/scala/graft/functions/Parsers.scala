@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The VRL parse/encode function surface re-expressed as Catalyst
+  * column expressions (reference: website/cue/reference/remap/functions/
+  * parse_json.cue, parse_csv.cue, parse_key_value.cue, parse_url.cue,
+  * parse_syslog.cue, parse_apache_log.cue, parse_timestamp.cue,
+  * encode_logfmt.cue — 200-function stdlib, SURVEY.md §2.7).
+  *
+  * Everything here is a pure built-in expression (from_json/from_csv/
+  * regexp/str_to_map) — codegen-friendly, no UDFs. Grok-backed parsers
+  * come from Grok.compile at plan time.
+  */
+object Parsers {
+
+  /** parse_json: typed extraction via from_json with an explicit schema
+    * (VRL's parse_json is schemaless; Spark-first means declaring the
+    * schema so Catalyst can prune and codegen).
+    */
+  def parseJson(c: Column, schema: StructType): Column =
+    from_json(c, schema)
+
+  /** parse_csv: one CSV line to a typed struct. */
+  def parseCsv(c: Column, schema: StructType): Column =
+    from_csv(c, schema, Map.empty[String, String])
+
+  /** parse_key_value / parse_logfmt: `k=v` pairs separated by `sep`
+    * into a map<string,string>. Quoted values with embedded separators
+    * need parseKeyValueQuoted.
+    */
+  def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
+    str_to_map(c, lit(pairSep), lit(kvSep))
+
+  /** parse_url: host / path / query-param extraction (Spark's built-in
+    * parse_url expression).
+    */
+  def urlHost(c: Column): Column = parse_url(c, lit("HOST"))
+  def urlPath(c: Column): Column = parse_url(c, lit("PATH"))
+  def urlQueryParam(c: Column, key: String): Column =
+    parse_url(c, lit("QUERY"), lit(key))
+
+  /** parse_timestamp with an explicit pattern; null on mismatch (VRL's
+    * fallibility → null column, handled by the caller's error channel).
+    */
+  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+
+  /** from_unix_timestamp (seconds). */
+  def fromUnixTs(c: Column): Column = timestamp_seconds(c)
+
+  /** RFC 5424 syslog header grok (reference regression topology
+    * syslog_regex_logs2metric parses exactly this shape,
+    * regression/cases/syslog_regex_logs2metric_ddmetrics/vector/
+    * vector.yaml:21-35).
+    */
+  val Syslog5424Grok: String =
+    "<%{INT:pri}>%{INT:syslog_version} %{TIMESTAMP_ISO8601:sts} %{NOTSPACE:hostname}" +
+      " %{NOTSPACE:appname} %{NOTSPACE:procid} %{NOTSPACE:msgid} - %{GREEDYDATA:message}"
+
+  lazy val syslog5424: Grok.Compiled = Grok.compile(Syslog5424Grok)
+
+  /** Apache common log format grok (reference parse_apache_log.cue). */
+  val ApacheCommonGrok: String =
+    "%{NOTSPACE:client} %{NOTSPACE:ident} %{NOTSPACE:auth} [%{DATA:atime}]" +
+      " \"%{WORD:method} %{NOTSPACE:apath} HTTP/%{NUMBER:http_version}\"" +
+      " %{INT:status} %{INT:bytes}"
+
+  lazy val apacheCommon: Grok.Compiled = Grok.compile(ApacheCommonGrok)
+
+  /** encode_logfmt: render (key, value-column) pairs as `k=v` logfmt,
+    * quoting values containing spaces (reference encode_logfmt.cue).
+    */
+  def encodeLogfmt(pairs: Seq[(String, Column)]): Column =
+    concat_ws(" ", pairs.map { case (k, v) =>
+      val s = v.cast("string")
+      val quoted = when(s.contains(" "),
+        concat(lit("\""), s, lit("\""))).otherwise(s)
+      concat(lit(k + "="), quoted)
+    }: _*)
+
+  /** encode_json for a fixed set of fields (deterministic key order —
+    * to_json of a struct).
+    */
+  def encodeJson(fields: Seq[(String, Column)]): Column =
+    to_json(struct(fields.map { case (n, c) => c.as(n) }: _*))
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+
+import graft.Oracle
+import graft.functions.Parsers
+import graft.sources.Tables
+
+/** Oracle-gated queries for the codec/parse surface (SURVEY.md §2.6-2.7).
+  *
+  * Each query synthesizes a wire-format line deterministically from the
+  * `events` table columns (ints/strings only — double→string formatting
+  * is not portable across engines), parses it back, and outputs the
+  * extracted typed fields. The construction SQL is mirrored per dialect;
+  * the grok-based extraction regex is the SAME compiled pattern in both
+  * engines (single source of truth, like Oracle.parsedCte).
+  */
+object ParserQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+
+  private val isoFmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+  // ---------------------------------------------------------- parse_json
+  private def qParseJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("j", Parsers.parseJson(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))))
+      .select(col("event_id"), col("j").getField("k").as("k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------- parse_key_value
+  private def kvLine: Column = concat(
+    lit("user="), col("user_id"),
+    lit(" type="), col("event_type"),
+    lit(" value="), floor(col("value")).cast("long"))
+
+  private def qParseKv(s: SparkSession, dir: String): DataFrame = {
+    val m = Parsers.parseKeyValue(kvLine)
+    events(s, dir).select(
+        col("event_id"),
+        m.getItem("user").cast("long").as("user"),
+        m.getItem("type").as("type"),
+        m.getItem("value").cast("long").as("value_int"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- parse_csv
+  private def csvLine: Column = concat_ws(",",
+    col("event_id"), col("event_type"), col("user_id"))
+
+  private def qParseCsv(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("etype", StringType),
+      StructField("uid", LongType)))
+    events(s, dir)
+      .withColumn("c", Parsers.parseCsv(csvLine, schema))
+      .select(col("c.id").as("id"), col("c.etype").as("etype"),
+        col("c.uid").as("uid"))
+      .orderBy("id")
+  }
+
+  // ---------------------------------------------------------- parse_url
+  private def urlLine: Column = concat(
+    lit("https://svc.example.com/api/"), col("event_type"),
+    lit("/v1?u="), col("user_id"), lit("&k="), floor(col("value")).cast("long"))
+
+  private def qParseUrl(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id"),
+        Parsers.urlHost(urlLine).as("host"),
+        Parsers.urlPath(urlLine).as("path"),
+        Parsers.urlQueryParam(urlLine, "u").cast("long").as("u"),
+        Parsers.urlQueryParam(urlLine, "k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------- parse_syslog
+  private def syslogLine: Column = concat(
+    lit("<"), (col("user_id") % 8 + 9).cast("int"), lit(">1 "),
+    date_format(col("ts"), isoFmt), lit(" host-"), col("user_id") % 5,
+    lit(" "), col("event_type"), lit(" "), col("event_id") % 100,
+    lit(" ID"), col("event_id") % 10, lit(" - event "), col("event_id"))
+
+  private def qParseSyslog(s: SparkSession, dir: String): DataFrame = {
+    val g = Parsers.syslog5424
+    val cols = g.columns(syslogLine).toMap
+    events(s, dir).select(
+        col("event_id"),
+        cols("pri").cast("int").as("pri"),
+        cols("sts").as("sts"),
+        cols("hostname").as("hostname"),
+        cols("appname").as("appname"),
+        cols("procid").cast("int").as("procid"),
+        cols("msgid").as("msgid"),
+        cols("message").as("message"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- parse_apache_log
+  private def apacheLine: Column = concat(
+    lit("10.0."), col("user_id") % 256, lit(".1 - frank ["),
+    date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET /"),
+    col("event_type"), lit(" HTTP/1.1\" "),
+    when(col("event_type") === "error", 500).otherwise(200), lit(" "),
+    floor(col("value") * 100).cast("long"))
+
+  private def qParseApache(s: SparkSession, dir: String): DataFrame = {
+    val g = Parsers.apacheCommon
+    val cols = g.columns(apacheLine).toMap
+    events(s, dir).select(
+        col("event_id"),
+        cols("client").as("client"),
+        cols("atime").as("atime"),
+        cols("method").as("method"),
+        cols("apath").as("apath"),
+        cols("status").cast("int").as("status"),
+        cols("bytes").cast("long").as("bytes"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- encode
+  private def qEncode(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id"),
+        Parsers.encodeLogfmt(Seq(
+          "id" -> col("event_id"),
+          "etype" -> col("event_type"),
+          "msg" -> concat(lit("event "), col("event_id")))).as("logfmt"),
+        Parsers.encodeJson(Seq(
+          "id" -> col("event_id"),
+          "etype" -> col("event_type"))).as("json"))
+      .orderBy("event_id")
+
+  val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_parse_json"   -> (qParseJson _),
+    "q_parse_kv"     -> (qParseKv _),
+    "q_parse_csv"    -> (qParseCsv _),
+    "q_parse_url"    -> (qParseUrl _),
+    "q_parse_syslog" -> (qParseSyslog _),
+    "q_parse_apache" -> (qParseApache _),
+    "q_encode"       -> (qEncode _)
+  )
+
+  // ====================================================== DuckDB oracle
+
+  private def re(c: graft.functions.Grok.Compiled, line: String, group: Int) =
+    s"regexp_extract($line, ${Oracle.lit(c.regex)}, $group)"
+
+  private val kvLineSql =
+    "'user=' || user_id || ' type=' || event_type || ' value=' || CAST(floor(value) AS BIGINT)"
+  private val urlLineSql =
+    "'https://svc.example.com/api/' || event_type || '/v1?u=' || user_id || '&k=' || CAST(floor(value) AS BIGINT)"
+  private val syslogLineSql =
+    "'<' || (user_id % 8 + 9) || '>1 ' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || ' host-' || (user_id % 5)" +
+      " || ' ' || event_type || ' ' || (event_id % 100) || ' ID' || (event_id % 10) || ' - event ' || event_id"
+  private val apacheLineSql =
+    "'10.0.' || (user_id % 256) || '.1 - frank [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] \"GET /'" +
+      " || event_type || ' HTTP/1.1\" ' || (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)" +
+      " || ' ' || CAST(floor(value * 100) AS BIGINT)"
+
+  val oracle: ListMap[String, String] = {
+    val sys = Parsers.syslog5424
+    val sysG = sys.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
+    val ap = Parsers.apacheCommon
+    val apG = ap.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
+    ListMap(
+      "q_parse_json" ->
+        "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
+      "q_parse_kv" ->
+        s"""WITH l AS (SELECT event_id, $kvLineSql AS line FROM events)
+           SELECT event_id,
+             CAST(regexp_extract(line, 'user=([^ ]+)', 1) AS BIGINT) AS user,
+             regexp_extract(line, 'type=([^ ]+)', 1) AS type,
+             CAST(regexp_extract(line, 'value=([^ ]+)', 1) AS BIGINT) AS value_int
+           FROM l ORDER BY event_id""",
+      "q_parse_csv" ->
+        """SELECT CAST(string_split(line, ',')[1] AS BIGINT) AS id,
+             string_split(line, ',')[2] AS etype,
+             CAST(string_split(line, ',')[3] AS BIGINT) AS uid
+           FROM (SELECT event_id || ',' || event_type || ',' || user_id AS line
+                 FROM events) ORDER BY id""",
+      "q_parse_url" ->
+        s"""WITH l AS (SELECT event_id, $urlLineSql AS line FROM events)
+           SELECT event_id,
+             regexp_extract(line, '^https?://([^/?#]+)', 1) AS host,
+             regexp_extract(line, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+             CAST(regexp_extract(line, '[?&]u=([^&]*)', 1) AS BIGINT) AS u,
+             CAST(regexp_extract(line, '[?&]k=([^&]*)', 1) AS BIGINT) AS k
+           FROM l ORDER BY event_id""",
+      "q_parse_syslog" ->
+        s"""WITH l AS (SELECT event_id, $syslogLineSql AS line FROM events)
+           SELECT event_id,
+             CAST(${re(sys, "line", sysG("pri"))} AS INT) AS pri,
+             ${re(sys, "line", sysG("sts"))} AS sts,
+             ${re(sys, "line", sysG("hostname"))} AS hostname,
+             ${re(sys, "line", sysG("appname"))} AS appname,
+             CAST(${re(sys, "line", sysG("procid"))} AS INT) AS procid,
+             ${re(sys, "line", sysG("msgid"))} AS msgid,
+             ${re(sys, "line", sysG("message"))} AS message
+           FROM l ORDER BY event_id""",
+      "q_parse_apache" ->
+        s"""WITH l AS (SELECT event_id, $apacheLineSql AS line FROM events)
+           SELECT event_id,
+             ${re(ap, "line", apG("client"))} AS client,
+             ${re(ap, "line", apG("atime"))} AS atime,
+             ${re(ap, "line", apG("method"))} AS method,
+             ${re(ap, "line", apG("apath"))} AS apath,
+             CAST(${re(ap, "line", apG("status"))} AS INT) AS status,
+             CAST(${re(ap, "line", apG("bytes"))} AS BIGINT) AS bytes
+           FROM l ORDER BY event_id""",
+      "q_encode" ->
+        """SELECT event_id,
+             'id=' || event_id || ' etype=' || event_type
+               || ' msg="event ' || event_id || '"' AS logfmt,
+             '{"id":' || event_id || ',"etype":"' || event_type || '"}' AS json
+           FROM events ORDER BY event_id"""
+    )
+  }
+}
