@@ -118,6 +118,18 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- multimodal
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.featureColumns(
+        graft.operators.Multimodal.fromDocuments(docs(s, dir)))
+      .orderBy("id")
+
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.fromDocuments(docs(s, dir)),
+        frameBytes = 32, stride = 4)
+      .orderBy("id", "frame_idx")
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowingFingerprints(docs(s, dir), col("doc_id"),
         col("text"), WinnowN, WinnowW)
@@ -136,7 +148,9 @@ object TrainingQueries {
     "q_lang_id"       -> (qLangId _),
     "q_text_quality"  -> (qTextQuality _),
     "q_token_count"   -> (qTokenCount _),
-    "q_fingerprint"   -> (qFingerprint _)
+    "q_fingerprint"   -> (qFingerprint _),
+    "q_multimodal"    -> (qMultimodal _),
+    "q_frame_sample"  -> (qFrameSample _)
   )
 
   // ====================================================== DuckDB oracle
@@ -333,6 +347,27 @@ vn AS (
            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
            p -> CAST(ceil(CAST(length(p) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpeish_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q_multimodal" ->
+      """SELECT doc_id AS id,
+         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         substr(hex(encode(text)), 1, 16) AS head_hex,
+         CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+         CAST((doc_id % 6 + 1) * 64 AS INT) AS height
+         FROM documents ORDER BY id""",
+
+    "q_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id AS id, hex(encode(text)) AS hx,
+             CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS n_frames
+           FROM documents),
+         f AS (
+           SELECT id, hx, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+           FROM m WHERE n_frames > 0)
+         SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+           substr(hx, frame_idx * 64 + 1, 64) AS frame_hex
+         FROM f WHERE frame_idx % 4 = 0 ORDER BY id, frame_idx""",
 
     "q_fingerprint" -> w(Seq(shinglesCte(WinnowN),
       s"""sh2 AS (SELECT id, pos, ${h60("shingle")} AS h FROM sh),
