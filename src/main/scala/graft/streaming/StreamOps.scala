@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.plans.Pipeline
+
+/** Structured Streaming forms of the stateful transforms — Vector's
+  * `Task` transform class (lib/vector-core/src/transform/mod.rs:33-36:
+  * aggregate, reduce, dedupe, throttle run as stream→stream tasks).
+  *
+  * The batch pipeline's narrow stages (parse/enrich/route) are already
+  * streaming-safe: the SAME Pipeline.buildFrom code runs over a
+  * readStream frame. This module adds the genuinely stateful pieces:
+  *
+  *  - windowed aggregates with watermark (reference `aggregate`
+  *    interval flush, src/transforms/aggregate.rs:333-335 — event-time
+  *    window + watermark is the deterministic distributed analog);
+  *  - streaming dedupe within a watermark (reference dedupe LRU cache,
+  *    src/transforms/dedupe/ — the watermark bounds state like the LRU
+  *    bound does);
+  *  - token-bucket throttle via flatMapGroupsWithState (reference
+  *    src/transforms/throttle/transform.rs:22-53, governor quota per
+  *    key — here refilled in event-time);
+  *  - session reduce via flatMapGroupsWithState (reference `reduce`
+  *    ends_when/max_events/expire_after cut rules,
+  *    src/transforms/reduce/transform.rs:264-310).
+  *
+  * State stores are per-key (shuffled on the group key), so state size
+  * scales with key cardinality, not event count — the property that
+  * lets these run on unbounded streams at cluster scale.
+  */
+object StreamOps {
+
+  /** The north-star pipeline over a streaming transcript frame:
+    * parse → enrich → route (all narrow — shared code with batch), then
+    * watermarked windowed counts per (port, role).
+    */
+  def pipeline(spark: SparkSession, stream: DataFrame,
+               watermark: String = "1 hour"): DataFrame = {
+    val st = Pipeline.buildFrom(spark, stream)
+    st.routed
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"${Pipeline.WindowSecs} seconds"),
+        col("port"), col("role"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("latency_ms")).as("sum_latency"))
+  }
+
+  /** Streaming dedupe: exact within the watermark horizon (bounded
+    * state; the batch/LRU divergence note lives in operators.Dedupe).
+    */
+  def dedupe(df: DataFrame, cols: Seq[String], tsCol: String,
+             watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(cols)
+
+  // ---- throttle ------------------------------------------------------
+
+  /** Keyed event with an event-time second — the throttle input shape. */
+  final case class Keyed(key: String, epochSec: Long, payload: String)
+  /** Token bucket state: last refill window + tokens used. */
+  final case class Bucket(windowStart: Long, used: Long)
+
+  /** Token-bucket throttle: at most `threshold` events per key per
+    * `windowSecs` (event-time tumbling refill — deterministic analog of
+    * the reference's wall-clock quota). Emits kept events (append mode).
+    */
+  def throttle(ds: Dataset[Keyed], threshold: Int, windowSecs: Long)(
+      implicit ek: Encoder[Keyed], eb: Encoder[Bucket]): Dataset[Keyed] = {
+    ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Bucket, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[Keyed], state: GroupState[Bucket]) =>
+          // order within the batch for determinism
+          val sorted = events.toSeq.sortBy(e => (e.epochSec, e.payload))
+          var st = state.getOption.getOrElse(Bucket(Long.MinValue, 0L))
+          val kept = Seq.newBuilder[Keyed]
+          sorted.foreach { e =>
+            val win = math.floorDiv(e.epochSec, windowSecs) * windowSecs
+            if (win > st.windowStart) st = Bucket(win, 0L)
+            if (st.used < threshold) {
+              st = st.copy(used = st.used + 1)
+              kept += e
+            }
+          }
+          state.update(st)
+          kept.result().iterator
+      }
+  }
+
+  // ---- session reduce ------------------------------------------------
+
+  final case class SessionEvent(key: String, seq: Long, endsWhen: Boolean,
+                                text: String)
+  final case class SessionState(sessionId: Long, n: Long, buffer: Seq[String])
+  final case class SessionOut(key: String, sessionId: Long, n: Long,
+                              merged: String)
+
+  /** Reduce with ends_when/max_events cut rules: buffer per key; a row
+    * with endsWhen=true (or hitting maxEvents) closes the session
+    * INCLUDING that row (reference reduce/transform.rs:223) and emits
+    * the merged result. Open sessions are held in state across batches
+    * (flush on endsWhen only — add a timeout for expire_after_ms).
+    */
+  def sessionReduce(ds: Dataset[SessionEvent], maxEvents: Int)(
+      implicit eo: Encoder[SessionOut], es: Encoder[SessionState]): Dataset[SessionOut] = {
+    ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Vector.empty))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val buf = st.buffer :+ e.text
+            val n = st.n + 1
+            if (e.endsWhen || n >= maxEvents) {
+              out += SessionOut(key, st.sessionId, n, buf.mkString("\n"))
+              st = SessionState(st.sessionId + 1, 0L, Vector.empty)
+            } else {
+              st = st.copy(n = n, buffer = buf)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Built-in session windows (gap-based session semantics — the
+    * reference's expire_after_ms inactivity flush,
+    * reduce/config.rs:109-115) — for when the cut rule is inactivity,
+    * Spark's native session_window needs no custom state at all.
+    */
+  def sessionWindowCounts(df: DataFrame, key: Column, tsCol: String,
+                          gap: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), key)
+      .agg(count(lit(1)).as("n"))
+}

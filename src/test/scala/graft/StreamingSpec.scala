@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming specs: the same pipeline code over a stream,
+  * plus the stateful Task-class transforms (throttle, session reduce,
+  * dedupe) — mirroring the reference's stream-native semantics
+  * (SURVEY.md §2.1 Task transforms).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  final case class Turn(conv_id: String, turn_idx: Int, role: String,
+                        tool: String, ts: Timestamp, text: String)
+
+  private def turn(conv: String, idx: Int, level: String): Turn = {
+    val t = ts(s"2024-01-01 00:0${idx % 10}:00")
+    val iso = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss'Z'").format(t)
+    Turn(conv, idx, "assistant", "tool_1", t,
+      s"""$iso $level tool=tool_1 latency_ms=${100 + idx} msg="turn $idx"""")
+  }
+
+  test("north-star pipeline runs over a stream: parse->enrich->route->windowed agg") {
+    val input = MemoryStream[Turn](spark)
+    val out = StreamOps.pipeline(spark, input.toDF())
+    val q = out.writeStream.format("memory").queryName("s_pipeline")
+      .outputMode("append").start()
+    try {
+      input.addData(turn("c1", 0, "info"), turn("c1", 1, "error"),
+        turn("c2", 0, "info"))
+      q.processAllAvailable()
+      // append mode emits only closed windows — advance the watermark
+      input.addData(turn("c9", 99, "info").copy(ts = ts("2024-01-02 00:00:00"),
+        text = "2024-01-02T00:00:00Z info tool=tool_1 latency_ms=1 msg=\"x\""))
+      q.processAllAvailable()
+      val rows = spark.table("s_pipeline")
+      assert(rows.agg(sum("n_turns")).collect()(0).getLong(0) >= 3)
+      assert(rows.select("port").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(
+          Set("errors", "tool_calls", "slow", "premium", "_unmatched")))
+    } finally q.stop()
+  }
+
+  test("streaming throttle: token bucket caps per key-window across batches") {
+    val input = MemoryStream[StreamOps.Keyed](spark)
+    val out = StreamOps.throttle(input.toDS(), threshold = 2, windowSecs = 60)
+    val q = out.writeStream.format("memory").queryName("s_throttle")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.Keyed("a", 0, "e1"), StreamOps.Keyed("a", 1, "e2"),
+        StreamOps.Keyed("a", 2, "e3"))
+      q.processAllAvailable()
+      // second batch, same window: still capped
+      input.addData(StreamOps.Keyed("a", 3, "e4"),
+        StreamOps.Keyed("a", 61, "e5")) // next window refills
+      q.processAllAvailable()
+      val kept = spark.table("s_throttle").select("payload")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(kept == Seq("e1", "e2", "e5"))
+    } finally q.stop()
+  }
+
+  test("streaming session reduce: ends_when closes including the row; state spans batches") {
+    val input = MemoryStream[StreamOps.SessionEvent](spark)
+    val out = StreamOps.sessionReduce(input.toDS(), maxEvents = 10)
+    val q = out.writeStream.format("memory").queryName("s_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.SessionEvent("c", 0, endsWhen = false, "t0"),
+        StreamOps.SessionEvent("c", 1, endsWhen = true, "t1"))
+      q.processAllAvailable()
+      input.addData(
+        StreamOps.SessionEvent("c", 2, endsWhen = false, "t2"),
+        StreamOps.SessionEvent("c", 3, endsWhen = true, "t3"))
+      q.processAllAvailable()
+      val rows = spark.table("s_sessions").orderBy("sessionId").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("merged") == "t0\nt1")
+      assert(rows(1).getAs[String]("merged") == "t2\nt3")
+    } finally q.stop()
+  }
+
+  test("streaming dedupe within watermark") {
+    val input = MemoryStream[Turn](spark)
+    val out = StreamOps.dedupe(input.toDF(), Seq("conv_id", "turn_idx"),
+      "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("s_dedupe")
+      .outputMode("append").start()
+    try {
+      val t0 = turn("c1", 0, "info")
+      input.addData(t0, t0, turn("c1", 1, "info"))
+      q.processAllAvailable()
+      assert(spark.table("s_dedupe").count() == 2)
+    } finally q.stop()
+  }
+}
