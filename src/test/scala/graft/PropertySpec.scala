@@ -1,0 +1,106 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.functions.Grok
+import graft.operators.Route
+
+/** Property-based invariants (SURVEY.md §5: ScalaCheck for parse
+  * round-trips and routing partition laws).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 40): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genLevel = Gen.oneOf("info", "warn", "error", "debug")
+  private val genTool = Gen.oneOf((0 until 12).map(i => s"tool_$i") :+ "none")
+  private val genMsg = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    .map(_.take(40))
+  private val genLatency = Gen.choose(0, 999)
+
+  test("grok parse inverts log-line rendering (parse ∘ render = id)") {
+    val g = graft.plans.Pipeline.compiledGrok
+    val re = java.util.regex.Pattern.compile(g.regex)
+    val p = Prop.forAll(genLevel, genTool, genLatency, genMsg) {
+      (level, tool, lat, msg) =>
+        val line = s"""2024-03-01T10:20:30Z $level tool=$tool latency_ms=$lat msg="$msg""""
+        val m = re.matcher(line)
+        m.matches() &&
+          m.group(g.fields.indexOf("level") + 1) == level &&
+          m.group(g.fields.indexOf("tool_p") + 1) == tool &&
+          m.group(g.fields.indexOf("latency_ms") + 1).toInt == lat &&
+          m.group(g.fields.indexOf("msg") + 1) == msg
+    }
+    check(p, 100)
+  }
+
+  private val genRow: Gen[(String, Int, Int)] =
+    for {
+      level <- genLevel
+      lat <- genLatency
+      tier <- Gen.choose(0, 2)
+    } yield (level, lat, tier)
+
+  test("route laws: every row lands in >=1 port; unmatched matches nothing; exclusive = first match") {
+    val conds = ListMap(
+      "errors" -> (col("level") === "error"),
+      "slow"   -> (col("lat") >= 800),
+      "high"   -> (col("tier") === 2))
+    val p = Prop.forAll(Gen.nonEmptyListOf(genRow)) { rows =>
+      val df = rows.toDF("level", "lat", "tier")
+        .withColumn("id", monotonically_increasing_id())
+      val tagged = Route.tagged(df, conds).collect()
+      val byId = tagged.groupBy(_.getAs[Long]("id"))
+      val coverage = byId.size == df.count()
+      val unmatchedLaw = tagged
+        .filter(_.getAs[String]("port") == Route.UnmatchedPort)
+        .forall { r =>
+          r.getAs[String]("level") != "error" &&
+            r.getAs[Int]("lat") < 800 && r.getAs[Int]("tier") != 2
+        }
+      val exclusive = Route.exclusive(df, conds).collect()
+      val exclusiveLaw = exclusive.forall { r =>
+        val expected =
+          if (r.getAs[String]("level") == "error") "errors"
+          else if (r.getAs[Int]("lat") >= 800) "slow"
+          else if (r.getAs[Int]("tier") == 2) "high"
+          else Route.UnmatchedPort
+        r.getAs[String]("port") == expected
+      }
+      coverage && unmatchedLaw && exclusiveLaw
+    }
+    check(p, 15)
+  }
+
+  test("multicast tagged row count = sum of per-port matches") {
+    val conds = ListMap(
+      "a" -> (col("lat") >= 500),
+      "b" -> (col("tier") === 1))
+    val p = Prop.forAll(Gen.nonEmptyListOf(genRow)) { rows =>
+      val df = rows.toDF("level", "lat", "tier")
+      val tagged = Route.tagged(df, conds)
+      val nA = rows.count(_._2 >= 500)
+      val nB = rows.count(_._3 == 1)
+      val nU = rows.count(r => r._2 < 500 && r._3 != 1)
+      tagged.count() == (nA + nB + nU)
+    }
+    check(p, 15)
+  }
+
+  test("grok compiler: literal round-trip safety for regex metacharacters") {
+    val genLit = Gen.listOf(Gen.oneOf("a.b", "[x]", "(y)", "c+d", "e*",
+      "f?", "g|h", "^i$", "{2}", "\\k")).map(_.mkString(" ")).suchThat(_.nonEmpty)
+    val p = Prop.forAll(genLit) { lit =>
+      val c = Grok.compile(s"$lit %{INT:n}")
+      s"$lit 42".matches(c.regex)
+    }
+    check(p, 50)
+  }
+}
