@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's template strings (`src/template.rs:21,63,158-244`):
+  * `"{{ field }}"` event-field interpolation plus strftime specifiers,
+  * used for sink partition keys, metric names/tags, throttle/sample
+  * group keys.
+  *
+  * Re-expression: compile the template ONCE at plan time into a
+  * `concat` of column refs and `date_format` fragments — a plain
+  * codegen'd expression, no per-row parsing.
+  */
+object Template {
+
+  private val fieldRe = "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r
+  private val strftimeRe = "%[YmdHMSFjT%]".r
+
+  /** strftime → java.time format pattern (the subset the reference's
+    * sink paths use; extend as needed).
+    */
+  private val strf: Map[String, String] = Map(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss",
+    "%F" -> "yyyy-MM-dd", "%j" -> "DDD", "%T" -> "HH:mm:ss")
+
+  /** Compile `template` into a Column. `{{ field }}` → `fieldCol(field)`
+    * (default `col`); strftime specifiers format `tsCol`; `%%` is a
+    * literal percent. Null fields render as "" (template render in the
+    * reference fails on missing fields; over a fixed schema a missing
+    * column is a plan-time error instead — stricter, caught earlier).
+    */
+  def compile(template: String, tsCol: Column,
+              fieldCol: String => Column = col): Column = {
+    // split into literal / {{field}} / %X tokens, preserving order
+    val tokenRe = ("(" + fieldRe.regex + ")|(" + strftimeRe.regex + ")").r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- tokenRe.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      val tok = m.matched
+      if (tok.startsWith("{{")) {
+        val field = fieldRe.findFirstMatchIn(tok).get.group(1)
+        parts += coalesce(fieldCol(field).cast("string"), lit(""))
+      } else if (tok == "%%") parts += lit("%")
+      else parts += date_format(tsCol, strf.getOrElse(tok,
+        throw new IllegalArgumentException(s"unsupported strftime: $tok")))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
+  /** Static render check: the set of event fields a template needs —
+    * mirrors the reference's plan-time `Template::get_fields`.
+    */
+  def fields(template: String): Seq[String] =
+    fieldRe.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+}

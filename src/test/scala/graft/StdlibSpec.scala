@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SearchSyntax, Template, Vrl}
+import graft.operators.LineAgg
+
+/** Specs for the VRL-stdlib extensions, line_agg modes, templates and
+  * the search-syntax condition compiler.
+  */
+class StdlibSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head.get(0)
+
+  // ------------------------------------------------------------ Vrl
+
+  test("parseDuration units and fallibility") {
+    assert(one(Vrl.parseDuration(lit("250ms"))) == 0.25)
+    assert(one(Vrl.parseDuration(lit("1.5s"))) == 1.5)
+    assert(one(Vrl.parseDuration(lit("2m"))) == 120.0)
+    assert(one(Vrl.parseDuration(lit("1h"), "m")) == 60.0)
+    assert(one(Vrl.parseDuration(lit("not a duration"))) == null)
+  }
+
+  test("ip aton/ntoa round-trip and cidr membership") {
+    assert(one(Vrl.ipAton(lit("1.2.3.4"))) == 16909060L)
+    assert(one(Vrl.ipNtoa(lit(16909060L))) == "1.2.3.4")
+    assert(one(Vrl.ipCidrContains(lit("10.64.0.0/10"), lit("10.100.3.4"))) == true)
+    assert(one(Vrl.ipCidrContains(lit("10.64.0.0/10"), lit("10.200.3.4"))) == false)
+    assert(one(Vrl.ipCidrContains(lit("0.0.0.0/0"), lit("200.1.2.3"))) == true)
+    assert(one(Vrl.ipCidrContains(lit("10.64.0.1/32"), lit("10.64.0.1"))) == true)
+    assert(one(Vrl.ipCidrContains(lit("10.64.0.1/32"), lit("10.64.0.2"))) == false)
+  }
+
+  test("case conversions") {
+    assert(one(Vrl.camelcase(lit("foo_bar_baz"))) == "fooBarBaz")
+    assert(one(Vrl.pascalcase(lit("foo_bar"))) == "FooBar")
+    assert(one(Vrl.snakecase(lit("fooBarBaz"))) == "foo_bar_baz")
+    assert(one(Vrl.kebabcase(lit("fooBarBaz"))) == "foo-bar-baz")
+    assert(one(Vrl.camelcase(lit("single"))) == "single")
+  }
+
+  test("redact and sieve") {
+    assert(one(Vrl.redact(lit("card 1234-5678 end"), "[0-9]{4}-[0-9]{4}"))
+      == "card [REDACTED] end")
+    assert(one(Vrl.sieve(lit("a1b2 c3!d"), "[a-z]+", "-")) == "a-b-c-d")
+  }
+
+  test("base64 and parse_int round-trips") {
+    assert(one(Vrl.decodeBase64(Vrl.encodeBase64(lit("hello, world")))) == "hello, world")
+    assert(one(Vrl.parseInt(lit("ff"), 16)) == 255L)
+    assert(one(Vrl.parseInt(lit("777"), 8)) == 511L)
+  }
+
+  test("parse_query_string") {
+    assert(one(element_at(Vrl.parseQueryString(lit("?a=1&b=two")), "b")) == "two")
+  }
+
+  // ------------------------------------------------------------ Template
+
+  test("template compiles fields and strftime") {
+    val df = Seq(("click", 7, java.sql.Timestamp.valueOf("2026-03-05 10:20:30")))
+      .toDF("event_type", "user_id", "ts")
+    val out = df.select(Template.compile(
+      "logs/{{ event_type }}/%Y-%m-%d/p-{{ user_id }}", col("ts"))).head.getString(0)
+    assert(out == "logs/click/2026-03-05/p-7")
+    assert(Template.fields("x{{ a }}y{{ b.c }}{{ a }}") == Seq("a", "b.c"))
+  }
+
+  // ------------------------------------------------------------ LineAgg
+
+  private val stack = Seq(
+    ("f", 1, "ERROR first"), ("f", 2, "  at a"), ("f", 3, "  at b"),
+    ("f", 4, "INFO ok"), ("f", 5, "ERROR second"), ("f", 6, "  at c")
+  ).toDF("key", "line_no", "line")
+
+  test("line_agg continue_through merges stack traces") {
+    val got = LineAgg.merge(stack, col("key"), col("line_no"), col("line"),
+        "^\\s", LineAgg.ContinueThrough)
+      .orderBy("grp").select("text").as[String].collect()
+    assert(got === Array(
+      "ERROR first\n  at a\n  at b", "INFO ok", "ERROR second\n  at c"))
+  }
+
+  test("line_agg continue_past joins on trailing backslash") {
+    val lines = Seq(("f", 1, "cmd a \\"), ("f", 2, "cont b \\"),
+      ("f", 3, "end c"), ("f", 4, "solo")).toDF("key", "line_no", "line")
+    val got = LineAgg.merge(lines, col("key"), col("line_no"), col("line"),
+        "\\\\$", LineAgg.ContinuePast)
+      .orderBy("grp").select("text").as[String].collect()
+    assert(got === Array("cmd a \\\ncont b \\\nend c", "solo"))
+  }
+
+  test("line_agg halt_before starts groups at matches") {
+    val got = LineAgg.merge(stack, col("key"), col("line_no"), col("line"),
+        "^(ERROR|INFO)", LineAgg.HaltBefore)
+      .orderBy("grp").select("text").as[String].collect()
+    assert(got === Array(
+      "ERROR first\n  at a\n  at b", "INFO ok", "ERROR second\n  at c"))
+  }
+
+  test("line_agg halt_with ends groups at matches") {
+    val lines = Seq(("f", 1, "a"), ("f", 2, "END"), ("f", 3, "b"),
+      ("f", 4, "c"), ("f", 5, "END")).toDF("key", "line_no", "line")
+    val got = LineAgg.merge(lines, col("key"), col("line_no"), col("line"),
+        "^END$", LineAgg.HaltWith)
+      .orderBy("grp").select("text").as[String].collect()
+    assert(got === Array("a\nEND", "b\nc\nEND"))
+  }
+
+  test("line_agg keeps keys independent and counts lines") {
+    val lines = Seq(("a", 1, "X h"), ("b", 1, "  cont"), ("a", 2, "  t")).toDF("key", "line_no", "line")
+    val got = LineAgg.merge(lines, col("key"), col("line_no"), col("line"),
+        "^\\s", LineAgg.ContinueThrough)
+      .orderBy("key").collect()
+    assert(got.map(_.getString(0)) === Array("a", "b"))
+    assert(got.map(_.getLong(3)) === Array(2L, 1L)) // n_lines
+  }
+
+  // ------------------------------------------------------------ SearchSyntax
+
+  private val docs = Seq(
+    (1L, "nginx error timeout", "error", 120.0, "web"),
+    (2L, "ok fast", "info", 10.0, "web"),
+    (3L, "apache error", "error", 80.0, "infra"),
+    (4L, "slow warn", "warn", 250.0, "db")
+  ).toDF("id", "message", "level", "latency", "team")
+
+  private def search(q: String): Set[Long] =
+    docs.filter(SearchSyntax.compile(q, col("message")))
+      .select("id").as[Long].collect().toSet
+
+  test("search: bare term, field, implicit AND") {
+    assert(search("error") == Set(1L, 3L))
+    assert(search("level:error") == Set(1L, 3L))
+    assert(search("level:error team:web") == Set(1L))
+  }
+
+  test("search: OR, NOT, parens, quoted phrase") {
+    assert(search("level:warn OR team:infra") == Set(3L, 4L))
+    assert(search("level:error -team:infra") == Set(1L))
+    assert(search("NOT (level:error OR level:warn)") == Set(2L))
+    assert(search("\"ok fast\"") == Set(2L))
+  }
+
+  test("search: wildcards, comparisons, ranges") {
+    assert(search("team:w*") == Set(1L, 2L))
+    assert(search("latency:>100") == Set(1L, 4L))
+    assert(search("latency:<=80") == Set(2L, 3L))
+    assert(search("latency:[80 TO 150]") == Set(1L, 3L))
+    assert(search("latency:[200 TO *]") == Set(4L))
+  }
+}
