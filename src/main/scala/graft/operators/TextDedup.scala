@@ -80,35 +80,37 @@ object TextDedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
-  /** h_i(x) with per-row (a, b) columns from the broadcast family. */
-  private def permCols(x: Column, a: Column, b: Column): Column =
-    (pmod(x, lit(PortableHash.P)) * a + b) % lit(PortableHash.P)
-
   /** Banded LSH candidate pairs verified with exact Jaccard.
     * k hashes in bands of r rows; pairs agreeing on any full band are
     * candidates; candidates are verified against the exact shingle
     * Jaccard and filtered at `threshold`.
+    *
+    * Signature build is ONE hash-agg over the shingle rows: the k
+    * permutations are plan-time constants, so all k minhashes are k
+    * `min()` aggregates in a single map-side-combined groupBy — the
+    * shuffle stays linear in #shingles (a per-row k-fanout join here
+    * would multiply the shuffle by k, the dominant cost at corpus
+    * scale). Bands then explode narrowly (k/r small structs per doc).
     */
   def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
                  k: Int, r: Int, threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hf = broadcast(PortableHash.family(k).map {
-      case (i, a, b) => (i, a, b)
-    }.toDF("i", "a", "b"))
+    val fam = PortableHash.family(k)
     val sh = shingles(df, id, text, n)
       .select(col("id"), col("shingle")).distinct()
     val hashed = sh.select(col("id"), PortableHash.h60(col("shingle")).as("h"))
-    val sig = hashed.crossJoin(hf)
-      .groupBy(col("id"), col("i"))
-      .agg(min(permCols(col("h"), col("a"), col("b"))).as("mh"))
-    // band signature: concat of the r minhashes in hash order
+    val minAggs = fam.map { case (i, a, b) =>
+      min(PortableHash.perm(col("h"), a, b)).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // band j signature: ':'-concat of minhashes j*r .. j*r+r-1 (hash order)
+    val bandStructs = (0 until k / r).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(":", (j * r until (j + 1) * r)
+          .map(i => col(s"mh$i").cast("string")): _*).as("bsig"))
+    }
     val bandsFlat = sig
-      .withColumn("band", floor(col("i") / r))
-      .groupBy(col("id"), col("band"))
-      .agg(concat_ws(":",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("bsig"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     val cand = bandsFlat.as("x").join(bandsFlat.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
@@ -154,13 +156,44 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs within `maxHamming` (brute-force pairing —
-    * see scale note in the scaladoc above).
+    * O(n²), only for tiny corpora / oracle cross-checks; use
+    * `simhashPairsBlocked` everywhere else).
     */
   def simhashPairs(fps: DataFrame, maxHamming: Int): DataFrame =
     fps.as("x").join(fps.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  /** EXACT simhash pairing at scale via pigeonhole blocking: split the
+    * `bits`-bit fingerprint into maxHamming+1 contiguous blocks — any
+    * pair within `maxHamming` differing bits must agree EXACTLY on at
+    * least one block, so an equi-join per block finds every true pair
+    * (no false negatives); candidates are then verified with the full
+    * hamming distance. Same result set as `simhashPairs`, but the join
+    * is an equi-shuffle on (block, value) — candidate count scales with
+    * bucket collision mass, not n². The standard trick from Manku et
+    * al.'s web near-dup detection paper.
+    */
+  def simhashPairsBlocked(fps: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val nb = maxHamming + 1
+    val blocks = (0 until nb).map { j =>
+      val lo = j * bits / nb
+      val hi = (j + 1) * bits / nb
+      struct(lit(j).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
+    }
+    val exploded = fps
+      .select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
     * Vectors are cast to double before any arithmetic so both engines

@@ -66,10 +66,10 @@ object TrainingQueries {
       .orderBy("doc_id")
 
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    TextDedup.simhashPairs(
+    TextDedup.simhashPairsBlocked(
         TextDedup.simhash(docs(s, dir), col("doc_id"), col("text"), SimhashBits,
           ShingleN),
-        SimhashMaxHamming)
+        SimhashBits, SimhashMaxHamming)
       .orderBy("a", "b")
 
   // ---------------------------------------------------------- embedding dup

@@ -142,4 +142,13 @@ class TrainingSpec extends SparkSpec {
     assert(byDoc(1L) == byDoc(2L))
     assert(byDoc(1L).size <= 8) // 8 shingles -> <= 8 window minima
   }
+
+  test("blocked simhash pairing equals brute force (pigeonhole exactness)") {
+    val fps = TextDedup.simhash(docs, col("doc_id"), col("text"), 32, 3)
+    val brute = TextDedup.simhashPairs(fps, 4).select("a", "b", "hamming")
+    val blocked = TextDedup.simhashPairsBlocked(fps, 32, 4).select("a", "b", "hamming")
+    assert(brute.exceptAll(blocked).count() == 0)
+    assert(blocked.exceptAll(brute).count() == 0)
+    assert(blocked.count() > 0) // corpus has near-dup pairs at this radius
+  }
 }
