@@ -60,12 +60,22 @@ object TextDedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** The distinct (id, shingle) set, persisted: every consumer
+    * (signature build, size counts, verification joins) re-reads it —
+    * without the persist each read is a fresh scan + dedup shuffle.
+    * MEMORY_AND_DISK; eviction under pressure degrades to recompute.
+    */
+  private def distinctShingles(df: DataFrame, id: Column, text: Column,
+                               n: Int): DataFrame =
+    shingles(df, id, text, n).select(col("id"), col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
     * Output: (a, b, inter, na, nb, jaccard) with a < b.
     */
   def ngramPairs(df: DataFrame, id: Column, text: Column, n: Int,
                  threshold: Double): DataFrame = {
-    val sh = shingles(df, id, text, n).select(col("id"), col("shingle")).distinct()
+    val sh = distinctShingles(df, id, text, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
@@ -95,8 +105,7 @@ object TextDedup {
   def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
                  k: Int, r: Int, threshold: Double): DataFrame = {
     val fam = PortableHash.family(k)
-    val sh = shingles(df, id, text, n)
-      .select(col("id"), col("shingle")).distinct()
+    val sh = distinctShingles(df, id, text, n)
     val hashed = sh.select(col("id"), PortableHash.h60(col("shingle")).as("h"))
     val minAggs = fam.map { case (i, a, b) =>
       min(PortableHash.perm(col("h"), a, b)).as(s"mh$i")

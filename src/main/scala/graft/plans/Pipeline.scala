@@ -88,10 +88,21 @@ object Pipeline {
 
   val WindowSecs = 600L
 
-  /** Build every stage of the pipeline off the transcript at `dir`. */
+  /** Build every stage of the pipeline off the transcript at `dir`.
+    *
+    * The parsed stage is persisted: it is the fan-out point every
+    * downstream consumer (enrich, route ports, metric rules, dropped
+    * channel) re-reads, and Spark's cache manager substitutes the
+    * cached fragment into any later plan containing it — one regex
+    * pass total instead of one per consumer. `buildFrom` (the bench
+    * scaling entry) deliberately does NOT persist, so the measured
+    * scaling job does all of its work every run.
+    */
   def build(spark: SparkSession, dir: String): Stages = {
     val t = Tables.transcript(spark, dir)
-    buildFrom(spark, t)
+    val st = buildFrom(spark, t)
+    st.parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    st
   }
 
   def buildFrom(spark: SparkSession, transcript: DataFrame): Stages = {
