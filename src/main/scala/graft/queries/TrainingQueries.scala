@@ -74,7 +74,7 @@ object TrainingQueries {
 
   // ---------------------------------------------------------- embedding dup
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    TextDedup.embeddingPairs(embs(s, dir), col("vec_id"), col("embedding"),
+    TextDedup.embeddingPairsKernel(embs(s, dir), col("vec_id"), col("embedding"),
         CosineDupThreshold)
       .orderBy("a", "b")
 

@@ -143,6 +143,14 @@ class TrainingSpec extends SparkSpec {
     assert(byDoc(1L).size <= 8) // 8 shingles -> <= 8 window minima
   }
 
+  test("embedding kernel pairing equals declarative form") {
+    val decl = TextDedup.embeddingPairs(embs, col("vec_id"), col("embedding"), 0.3)
+    val kern = TextDedup.embeddingPairsKernel(embs, col("vec_id"), col("embedding"), 0.3)
+    assert(decl.exceptAll(kern).count() == 0)
+    assert(kern.exceptAll(decl).count() == 0)
+    assert(kern.count() > 0)
+  }
+
   test("blocked simhash pairing equals brute force (pigeonhole exactness)") {
     val fps = TextDedup.simhash(docs, col("doc_id"), col("text"), 32, 3)
     val brute = TextDedup.simhashPairs(fps, 4).select("a", "b", "hamming")
