@@ -40,7 +40,10 @@ object Grok {
     "UUID"              -> """[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}""",
     "PATH"              -> """(?:/[\w.-]*)+""",
     "QS"                -> """"(?:[^"\\]|\\.)*"""",
-    "HTTPMETHOD"        -> """(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)"""
+    "HTTPMETHOD"        -> """(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)""",
+    "GLOGLEVEL"         -> """[IWEF]""",
+    "MONTHDAY4"         -> """\d{4}""",
+    "TIME"              -> """\d{2}:\d{2}:\d{2}(?:\.\d+)?"""
   )
 
   /** A compiled grok expression: anchored regex + ordered field names,

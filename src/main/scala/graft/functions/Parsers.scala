@@ -69,6 +69,16 @@ object Parsers {
 
   lazy val apacheCommon: Grok.Compiled = Grok.compile(ApacheCommonGrok)
 
+  /** glog / klog line grok (reference parse_glog.cue, parse_klog.cue —
+    * klog is the Kubernetes variant of the same format):
+    * `I0817 02:34:56.789012 408 reactor.cc:123] message`.
+    */
+  val GlogGrok: String =
+    "%{GLOGLEVEL:glevel}%{MONTHDAY4:gdate} %{TIME:gtime} %{INT:threadid}" +
+      " %{DATA:gfile}:%{INT:gline}] %{GREEDYDATA:gmsg}"
+
+  lazy val glog: Grok.Compiled = Grok.compile(GlogGrok)
+
   /** encode_logfmt: render (key, value-column) pairs as `k=v` logfmt,
     * quoting values containing spaces (reference encode_logfmt.cue).
     */

@@ -122,6 +122,28 @@ object ParserQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------- parse_glog
+  private def glogLine: Column = concat(
+    element_at(array(lit("I"), lit("W"), lit("E"), lit("F")),
+      (col("event_id") % 4 + 1).cast("int")),
+    lit("0817 02:34:56."), lpad((col("event_id") % 1000000).cast("string"), 6, "0"),
+    lit(" "), col("user_id"), lit(" reactor"), col("event_id") % 7,
+    lit(".cc:"), col("event_id") % 997, lit("] msg "), col("event_id"))
+
+  private def qParseGlog(s: SparkSession, dir: String): DataFrame = {
+    val g = Parsers.glog
+    val cols = g.columns(glogLine).toMap
+    events(s, dir).select(
+        col("event_id"),
+        cols("glevel").as("glevel"),
+        cols("gtime").as("gtime"),
+        cols("threadid").cast("long").as("threadid"),
+        cols("gfile").as("gfile"),
+        cols("gline").cast("int").as("gline"),
+        cols("gmsg").as("gmsg"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- encode
   private def qEncode(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
@@ -142,6 +164,7 @@ object ParserQueries {
     "q_parse_url"    -> (qParseUrl _),
     "q_parse_syslog" -> (qParseSyslog _),
     "q_parse_apache" -> (qParseApache _),
+    "q_parse_glog"   -> (qParseGlog _),
     "q_encode"       -> (qEncode _)
   )
 
@@ -162,11 +185,19 @@ object ParserQueries {
       " || event_type || ' HTTP/1.1\" ' || (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)" +
       " || ' ' || CAST(floor(value * 100) AS BIGINT)"
 
+  private val glogLineSql =
+    "(CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'W' WHEN 2 THEN 'E' ELSE 'F' END)" +
+      " || '0817 02:34:56.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0')" +
+      " || ' ' || user_id || ' reactor' || (event_id % 7) || '.cc:' || (event_id % 997)" +
+      " || '] msg ' || event_id"
+
   val oracle: ListMap[String, String] = {
     val sys = Parsers.syslog5424
     val sysG = sys.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
     val ap = Parsers.apacheCommon
     val apG = ap.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
+    val gl = Parsers.glog
+    val glG = gl.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
     ListMap(
       "q_parse_json" ->
         "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
@@ -211,6 +242,16 @@ object ParserQueries {
              ${re(ap, "line", apG("apath"))} AS apath,
              CAST(${re(ap, "line", apG("status"))} AS INT) AS status,
              CAST(${re(ap, "line", apG("bytes"))} AS BIGINT) AS bytes
+           FROM l ORDER BY event_id""",
+      "q_parse_glog" ->
+        s"""WITH l AS (SELECT event_id, user_id, $glogLineSql AS line FROM events)
+           SELECT event_id,
+             ${re(gl, "line", glG("glevel"))} AS glevel,
+             ${re(gl, "line", glG("gtime"))} AS gtime,
+             CAST(${re(gl, "line", glG("threadid"))} AS BIGINT) AS threadid,
+             ${re(gl, "line", glG("gfile"))} AS gfile,
+             CAST(${re(gl, "line", glG("gline"))} AS INT) AS gline,
+             ${re(gl, "line", glG("gmsg"))} AS gmsg
            FROM l ORDER BY event_id""",
       "q_encode" ->
         """SELECT event_id,

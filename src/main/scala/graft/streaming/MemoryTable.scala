@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's `memory` enrichment table
+  * (`src/enrichment_tables/memory/table.rs:110`, also a sink at `:394`
+  * and a source via `memory/source.rs`, per-key TTL in
+  * `memory/config.rs:31-35`): a writable key-value cache that streams
+  * write into, readers join against, and entries of which expire.
+  *
+  * Spark re-expression: micro-batch upserts via
+  * `writeStream.foreachBatch(sink)` — each batch merges
+  * last-write-wins per key into a persisted snapshot; `snapshot` is
+  * the source face (broadcast-join it as an enrichment side);
+  * `expire(now)` applies the TTL. At production scale the snapshot is
+  * a Delta/Iceberg table with MERGE + snapshot reads — this in-memory
+  * variant mirrors the reference's process-local cache and keeps the
+  * same three faces.
+  */
+final class MemoryTable(spark: SparkSession, schema: StructType,
+                        keyCols: Seq[String], tsCol: String,
+                        ttlSecs: Option[Long] = None) {
+
+  @volatile private var state: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def latestPerKey(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Last-write-wins merge of a batch into the snapshot. Materializes
+    * the new snapshot before dropping the old one so readers never see
+    * a partial state.
+    */
+  def upsert(batch: DataFrame): Unit = synchronized {
+    val merged = latestPerKey(state.unionByName(batch.select(schema.fieldNames.map(col): _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count()
+    val old = state
+    state = merged
+    old.unpersist()
+  }
+
+  /** The sink face: plug into `writeStream.foreachBatch(mt.sink)`. */
+  def sink: (DataFrame, Long) => Unit = (batch, _) => upsert(batch)
+
+  /** The source/enrichment face: the current consistent snapshot. */
+  def snapshot: DataFrame = state
+
+  /** Drop entries older than the TTL relative to `now`. */
+  def expire(now: Timestamp): Unit = ttlSecs.foreach { ttl =>
+    synchronized {
+      val kept = state
+        .filter(col(tsCol) >= lit(new Timestamp(now.getTime - ttl * 1000L)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.count()
+      val old = state
+      state = kept
+      old.unpersist()
+    }
+  }
+
+  /** Enrich `df` against the snapshot (left join on the key columns,
+    * broadcast — the cache is small by contract, like the reference's
+    * in-process map).
+    */
+  def enrich(df: DataFrame): DataFrame =
+    df.join(broadcast(snapshot.drop(tsCol)), keyCols, "left")
+}
