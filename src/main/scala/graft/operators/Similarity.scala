@@ -72,6 +72,48 @@ object Similarity {
     * explodes ×(b+1). The join stays an equi-join on the bucket key —
     * shuffle linear in (b+1)·|Q| + |corpus|, never quadratic.
     */
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
+    * Voronoi cells, search only the `nProbe` cells nearest each query.
+    *
+    * Centroids are a deterministic pseudo-random sample (the
+    * `nCentroids` rows with the smallest portable id-hash) — the
+    * random-init step of k-means; Lloyd refinement is an offline
+    * batch job at production scale and does not change the plan shape
+    * here. Assignment and probing are a crossJoin against the
+    * BROADCAST centroid set (C rows — constant) + one window per side,
+    * then an equi-join on the cell id: shuffle linear in
+    * nProbe·|Q| + |corpus|, never quadratic. Each corpus vector lives
+    * in exactly one cell, so no candidate dedup is needed.
+    * Output schema matches bruteForceTopK; recall vs. the exact
+    * baseline is the quality metric (nProbe is the knob).
+    */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column,
+              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val c = prep(df, id, vec)
+    val cents = c
+      .withColumn("hkey", graft.functions.PortableHash.h60(col("id").cast("string")))
+      .orderBy(col("hkey"), col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val centSims = c.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("norm"), col("cid"),
+        cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
+    val cw = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    val ranked = centSims.withColumn("crank", row_number().over(cw))
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("cid").as("cell"), col("id"), col("v"), col("norm"))
+    val probes = ranked.filter(col("crank") <= nProbe)
+      .select(col("cid").as("cell"), col("id").as("qid"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val sims = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        cosine(col("qv"), col("v"), col("qn"), col("norm")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
                   k: Int, b: Int, multiprobe: Boolean = true): DataFrame = {
     val c = prep(df, id, vec).withColumn("bucket", signBucket(col("v"), b))

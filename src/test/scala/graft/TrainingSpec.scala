@@ -100,6 +100,22 @@ class TrainingSpec extends SparkSpec {
     assert(recall > 0.15, s"recall $recall")
   }
 
+  test("IVF ANN: probed-cell neighbors with useful recall, exact cosines") {
+    val brute = Similarity.bruteForceTopK(embs, embs, col("vec_id"),
+        col("embedding"), 5)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(embs, col("vec_id"), col("embedding"),
+        k = 5, nCentroids = 16, nProbe = 4)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hits = ivf.keySet & brute.keySet
+    val recall = hits.size.toDouble / brute.size
+    assert(recall > 0.15, s"recall $recall")
+    // every overlapping pair must carry the same exact cosine
+    hits.foreach(p => assert(ivf(p) == brute(p)))
+  }
+
   test("language-ID: stable argmax with alphabetical tie-break") {
     val df = Seq(
       (1L, "the cat and the dog"),   // en hits
