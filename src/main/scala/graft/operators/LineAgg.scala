@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   *
   * The flush `timeout` is a liveness knob of the streaming state
   * machine and has no batch meaning; in Structured Streaming the same
-  * merge runs through `flatMapGroupsWithState` with a processing-time
-  * timeout (see streaming/StreamOps).
+  * merge runs through `flatMapGroupsWithState` — see
+  * `streaming/StreamOps.lineAgg`.
   */
 object LineAgg {
 

@@ -128,6 +128,47 @@ object StreamOps {
       }
   }
 
+  // ---- line_agg (streaming) ------------------------------------------
+
+  final case class Line(key: String, lineNo: Long, line: String)
+  final case class LineAggState(firstLineNo: Long, n: Long, buffer: Seq[String])
+  final case class MergedRecord(key: String, firstLineNo: Long, nLines: Long,
+                                text: String)
+
+  /** Streaming multiline merge — the reference's per-stream line_agg
+    * state machine (`src/line_agg.rs:24-69`), ContinueThrough mode: a
+    * line NOT matching `conditionPattern` closes the open record and
+    * opens a new one; matching lines append. Open records persist in
+    * state across micro-batches. The reference's flush `timeout` maps
+    * to a processing-time `GroupStateTimeout` (NoTimeout here so specs
+    * are deterministic; production sets one to bound open-record
+    * latency). Batch equivalent: `operators/LineAgg.merge`.
+    */
+  def lineAgg(ds: Dataset[Line], conditionPattern: String)(
+      implicit em: Encoder[MergedRecord], es: Encoder[LineAggState]): Dataset[MergedRecord] = {
+    val re = conditionPattern.r
+    ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[LineAggState, MergedRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, lines: Iterator[Line], state: GroupState[LineAggState]) =>
+          val sorted = lines.toSeq.sortBy(_.lineNo)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[MergedRecord]
+          sorted.foreach { l =>
+            val continuation = re.findFirstIn(l.line).isDefined
+            if (continuation && st != null) {
+              st = st.copy(n = st.n + 1, buffer = st.buffer :+ l.line)
+            } else {
+              if (st != null)
+                out += MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n"))
+              st = LineAggState(l.lineNo, 1L, Vector(l.line))
+            }
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Built-in session windows (gap-based session semantics — the
     * reference's expire_after_ms inactivity flush,
     * reduce/config.rs:109-115) — for when the cut rule is inactivity,

@@ -88,6 +88,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line_agg merges continuation lines across micro-batches") {
+    val input = MemoryStream[StreamOps.Line](spark)
+    val out = StreamOps.lineAgg(input.toDS(), "^\\s")
+    val q = out.writeStream.format("memory").queryName("s_lineagg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.Line("f", 1, "ERROR a"), StreamOps.Line("f", 2, "  at x"))
+      q.processAllAvailable()
+      input.addData(
+        StreamOps.Line("f", 3, "  at y"), StreamOps.Line("f", 4, "INFO done"),
+        StreamOps.Line("f", 5, "ERROR b"))
+      q.processAllAvailable()
+      val rows = spark.table("s_lineagg").orderBy("firstLineNo").collect()
+      // "ERROR b" stays buffered (no closing line yet — timeout flushes
+      // it in production)
+      assert(rows.map(_.getAs[String]("text")).toSeq ==
+        Seq("ERROR a\n  at x\n  at y", "INFO done"))
+      assert(rows.map(_.getAs[Long]("nLines")).toSeq == Seq(3L, 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedupe within watermark") {
     val input = MemoryStream[Turn](spark)
     val out = StreamOps.dedupe(input.toDF(), Seq("conv_id", "turn_idx"),
