@@ -79,6 +79,50 @@ object Parsers {
 
   lazy val glog: Grok.Compiled = Grok.compile(GlogGrok)
 
+  /** GELF (Graylog Extended Log Format) — JSON with well-known keys
+    * (reference `lib/codecs/src/decoding/format/gelf.rs`). Parse = typed
+    * from_json over the standard fields; extra `_`-prefixed fields stay
+    * available via a second map-typed parse if needed.
+    */
+  def parseGelf(c: Column): Column =
+    from_json(c, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("short_message", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.IntegerType))))
+
+  /** encode_gelf: render the standard GELF fields as JSON (field order
+    * fixed for cross-engine determinism).
+    */
+  def encodeGelf(host: Column, shortMessage: Column, timestamp: Column,
+                 level: Column): Column =
+    concat(
+      lit("""{"version":"1.1","host":""""), host,
+      lit("""","short_message":""""), shortMessage,
+      lit("""","timestamp":"""), timestamp.cast("long"),
+      lit(""","level":"""), level, lit("}"))
+
+  /** CEF (Common Event Format, reference
+    * `lib/codecs/src/encoding/format/cef.rs`):
+    * `CEF:0|vendor|product|version|signatureId|name|severity|k=v k=v...`.
+    */
+  def encodeCef(vendor: String, product: String, version: String,
+                sigId: Column, name: Column, severity: Column,
+                extension: Seq[(String, Column)]): Column = {
+    val ext = extension.map { case (k, v) => concat(lit(k + "="), v) }
+    concat(
+      concat_ws("|", lit("CEF:0"), lit(vendor), lit(product), lit(version),
+        sigId, name, severity),
+      lit("|"), concat_ws(" ", ext: _*))
+  }
+
+  /** parse_cef: header fields by position + extension as a map. */
+  def cefHeader(c: Column, idx: Int): Column =
+    split(c, "\\|").getItem(idx)
+  def cefExtension(c: Column): Column =
+    str_to_map(split(c, "\\|").getItem(7), lit(" "), lit("="))
+
   /** encode_logfmt: render (key, value-column) pairs as `k=v` logfmt,
     * quoting values containing spaces (reference encode_logfmt.cue).
     */

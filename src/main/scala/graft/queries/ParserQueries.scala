@@ -144,6 +144,42 @@ object ParserQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------- gelf
+  /** encode → parse round-trip; the oracle derives the expected fields
+    * straight from the source columns (independent check).
+    */
+  private def qGelf(s: SparkSession, dir: String): DataFrame = {
+    val enc = Parsers.encodeGelf(
+      concat(lit("host-"), col("user_id") % 5), col("event_type"),
+      col("user_id").cast("double"), (col("event_id") % 8).cast("int"))
+    val p = Parsers.parseGelf(enc)
+    events(s, dir).select(
+        col("event_id"),
+        p.getField("version").as("version"),
+        p.getField("host").as("host"),
+        p.getField("short_message").as("short_message"),
+        p.getField("timestamp").cast("long").as("ts_sec"),
+        p.getField("level").as("level"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- cef
+  private def qCef(s: SparkSession, dir: String): DataFrame = {
+    val cef = Parsers.encodeCef("graft", "pipeline", "1.0",
+      (col("event_id") % 100).cast("string"), col("event_type"),
+      (col("event_id") % 10).cast("string"),
+      Seq("src" -> concat(lit("10.0.0."), col("user_id") % 256),
+        "cnt" -> (col("event_id") % 7).cast("string")))
+    events(s, dir).select(
+        col("event_id"),
+        Parsers.cefHeader(cef, 4).cast("int").as("sig_id"),
+        Parsers.cefHeader(cef, 5).as("name"),
+        Parsers.cefHeader(cef, 6).cast("int").as("severity"),
+        Parsers.cefExtension(cef).getItem("src").as("src"),
+        Parsers.cefExtension(cef).getItem("cnt").cast("int").as("cnt"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- encode
   private def qEncode(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
@@ -165,6 +201,8 @@ object ParserQueries {
     "q_parse_syslog" -> (qParseSyslog _),
     "q_parse_apache" -> (qParseApache _),
     "q_parse_glog"   -> (qParseGlog _),
+    "q_gelf"         -> (qGelf _),
+    "q_cef"          -> (qCef _),
     "q_encode"       -> (qEncode _)
   )
 
@@ -253,6 +291,21 @@ object ParserQueries {
              CAST(${re(gl, "line", glG("gline"))} AS INT) AS gline,
              ${re(gl, "line", glG("gmsg"))} AS gmsg
            FROM l ORDER BY event_id""",
+      "q_gelf" ->
+        """SELECT event_id, '1.1' AS version,
+             'host-' || (user_id % 5) AS host,
+             event_type AS short_message,
+             user_id AS ts_sec,
+             CAST(event_id % 8 AS INT) AS level
+           FROM events ORDER BY event_id""",
+      "q_cef" ->
+        """SELECT event_id,
+             CAST(event_id % 100 AS INT) AS sig_id,
+             event_type AS name,
+             CAST(event_id % 10 AS INT) AS severity,
+             '10.0.0.' || (user_id % 256) AS src,
+             CAST(event_id % 7 AS INT) AS cnt
+           FROM events ORDER BY event_id""",
       "q_encode" ->
         """SELECT event_id,
              'id=' || event_id || ' etype=' || event_type
