@@ -18,6 +18,19 @@ class OperatorSpec extends SparkSpec {
     assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
   }
 
+  test("filter telemetry surfaces via observed metrics (assert_transform_compliance analog)") {
+    // the reference's component spec requires every transform to emit
+    // standardized counters (FilterEventsDropped, filter.rs:94); our
+    // analog is observe() metrics readable off the QueryExecution —
+    // counted in the same pass, no extra scan
+    val df = Seq(1, 2, 3, 4).toDF("v")
+    val out = Filter(df, col("v") % 2 === 0, "flt")
+    out.collect()
+    val m = out.queryExecution.observedMetrics("flt")
+    assert(m.getAs[Long]("events_in") == 4L)
+    assert(m.getAs[Long]("events_dropped") == 2L)
+  }
+
   test("sample.byKey keeps exactly the key-bucket, stamps sample_rate (sample/transform.rs:205)") {
     val df = (0 until 100).map(i => (i.toLong, s"m$i")).toDF("k", "m")
     val out = Sample.byKey(df, col("k"), 10).collect()
