@@ -13,6 +13,14 @@ import graft.operators.{Enrich, Route}
   */
 class PipelineSpec extends SparkSpec {
 
+  test("driver contract: every query has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+    assert(q.size >= 55)
+  }
+
   lazy val st: Pipeline.Stages = Pipeline.build(spark, sfDir)
 
   test("parse + dropped partition the input exactly") {
