@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VectorOps
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Two paths:
@@ -15,26 +17,28 @@ import org.apache.spark.sql.expressions.Window
   *    LSH with coordinate hyperplanes; deterministic and portable): the
   *    bucket key is the sign pattern of the first `b` dimensions. Equal
   *    buckets co-locate similar vectors; the join is an equi-join on
-  *    the bucket key (linear shuffle), with top-k within bucket. Probing
-  *    only the home bucket trades recall for a 2^b-fold cut in pair
-  *    count; multiprobe (flipping low-|x| bits) is the standard recall
-  *    knob left as a parameter.
+  *    the bucket key, so the SHUFFLE is linear in corpus size — but the
+  *    candidate-pair evaluation after the join is ~(#probes)·N²/2^b,
+  *    which degrades quadratically if `b` is held fixed while N grows.
+  *    At scale `b` must grow with log₂(N) (keeping expected bucket
+  *    occupancy ~constant) with `probeRadius` as the recall knob;
+  *    the defaults here are sized for the test corpus.
   *
-  * All arithmetic in double after an explicit cast; cosine rounded to
-  * 6dp so both engines agree bit-for-bit in the correctness gate.
+  * Cosine/norm arithmetic runs through `VectorOps.dot` — a codegen'd
+  * primitive-double loop (the declarative `aggregate(zip_with(...))`
+  * form evaluates interpreted, ~20x slower per pair). All arithmetic in
+  * double after an explicit cast; cosine rounded to 6dp so both engines
+  * agree bit-for-bit in the correctness gate.
   */
 object Similarity {
 
   /** (id, v: array<double>, norm) projection. */
   def prep(df: DataFrame, id: Column, vec: Column): DataFrame =
     df.select(id.as("id"), transform(vec, x => x.cast("double")).as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
 
   private def cosine(xv: Column, yv: Column, xn: Column, yn: Column): Column =
-    round(
-      aggregate(zip_with(xv, yv, (p, q) => p * q), lit(0.0), (a, x) => a + x)
-        / (xn * yn), 6)
+    round(VectorOps.dot(xv, yv) / (xn * yn), 6)
 
   /** Exact top-k cosine neighbors for every query row (queries = rows of
     * `queries` DF, corpus = rows of `df`). Ties broken by neighbor id.
@@ -61,17 +65,48 @@ object Similarity {
       when(element_at(v, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN with hamming-1 multiprobe: each query probes its
-    * own sign bucket plus the `b` buckets one bit-flip away (the
-    * standard multiprobe recall knob — flipping the least-confident
-    * hyperplane first generalizes this; here all b flips are probed).
-    * Output schema matches bruteForceTopK (qid, nid, cosine, rank) —
-    * recall vs. the exact baseline is the quality metric.
-    *
-    * Scale shape: corpus keeps ONE row per vector; only the query side
-    * explodes ×(b+1). The join stays an equi-join on the bucket key —
-    * shuffle linear in (b+1)·|Q| + |corpus|, never quadratic.
+  /** XOR masks for blind multiprobe at hamming distance <= `radius`
+    * from the home bucket (radius 0 = home only; 1 adds the b
+    * single-bit flips; 2 adds the b(b-1)/2 double flips). Shared with
+    * the DuckDB oracle generator so both engines probe the identical
+    * bucket set.
     */
+  def probeMasks(b: Int, radius: Int): Seq[Long] = {
+    val r1 = if (radius >= 1) (0 until b).map(j => 1L << j) else Seq.empty
+    val r2 =
+      if (radius >= 2)
+        for { i <- 0 until b; j <- i + 1 until b } yield (1L << i) | (1L << j)
+      else Seq.empty
+    0L +: (r1 ++ r2)
+  }
+
+  /** Query-dependent multiprobe (Lv et al., VLDB'07): a neighbor's sign
+    * pattern differs from the query's almost only in the dimensions
+    * where |v[j]| is small (the point sits near those hyperplanes), so
+    * instead of blindly probing every hamming-r bucket, probe exactly
+    * the 2^q buckets reachable by flipping any subset of the query's
+    * `q` LEAST-CONFIDENT bits. Returns the array-of-XOR-masks column.
+    *
+    * Confidence order is (|v[j]| asc, j asc) — a total order both
+    * engines compute identically (struct sort), so the probe set is
+    * deterministic and oracle-portable.
+    */
+  def confidenceProbes(v: Column, b: Int, q: Int): Column = {
+    val ranked = array_sort(transform(sequence(lit(0), lit(b - 1)),
+      j => struct(abs(element_at(v, j + 1)).as("a"), j.as("j"))))
+    val ls = (0 until q).map(i => element_at(ranked, i + 1).getField("j"))
+    // 1L << ls(i) without a column-shift builtin: 2^l is exact in double
+    // for l < 53, so pow+cast is bit-exact (and portable to the oracle)
+    def bitOf(l: Column): Column =
+      pow(lit(2.0), l.cast("double")).cast("long")
+    val masks = (0 until (1 << q)).map { t =>
+      (0 until q).filter(i => (t & (1 << i)) != 0) match {
+        case Nil => lit(0L)
+        case is  => is.map(i => bitOf(ls(i))).reduce(_ + _)
+      }
+    }
+    array(masks: _*)
+  }
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
     * Voronoi cells, search only the `nProbe` cells nearest each query.
     *
@@ -114,13 +149,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** LSH-bucketed ANN with hamming-`probeRadius` multiprobe: each query
+    * probes its own sign bucket plus every bucket within `probeRadius`
+    * bit flips (`probeMasks`). Output schema matches bruteForceTopK
+    * (qid, nid, cosine, rank) — recall vs. the exact baseline is the
+    * quality metric.
+    *
+    * Scale shape: corpus keeps ONE row per vector; only the query side
+    * explodes ×|probeMasks|. The join is an equi-join on the bucket key
+    * (linear shuffle); candidate-pair work is |probes|·N²/2^b, so keep
+    * bucket occupancy bounded by growing `b` with log₂(N) — see the
+    * object doc.
+    */
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
-                  k: Int, b: Int, multiprobe: Boolean = true): DataFrame = {
+                  k: Int, b: Int, probeRadius: Int = 1,
+                  confidenceBits: Int = 0): DataFrame = {
     val c = prep(df, id, vec).withColumn("bucket", signBucket(col("v"), b))
-    val probes =
-      if (!multiprobe) array(col("bucket"))
-      else array(col("bucket") +:
-        (0 until b).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val maskArr =
+      if (confidenceBits > 0) confidenceProbes(col("v"), b, confidenceBits)
+      else array(probeMasks(b, probeRadius).map(lit): _*)
+    val probes = transform(maskArr, m => col("bucket").bitwiseXOR(m))
     val q = c.select(col("id").as("qid"), col("v").as("qv"),
       col("norm").as("qn"), explode(probes).as("bucket"))
     val sims = q.join(c, Seq("bucket"))

@@ -207,34 +207,40 @@ object TextDedup {
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
     * Vectors are cast to double before any arithmetic so both engines
     * sum in double precision; the result is rounded for portability.
+    *
+    * Fully distributed: the pair join is a broadcast-nested-loop on
+    * `a < b` (the smaller side broadcasts; candidate evaluation runs on
+    * executors — no driver collect), and the per-pair cosine is the
+    * codegen'd `VectorOps.dot` loop. All-pairs exact cosine is
+    * inherently quadratic in comparisons — at 100 TB this exact form
+    * runs only on bucketed candidates (sign-LSH / IVF from Similarity,
+    * the same banding pattern `minhashLsh` uses); its quadratic-output
+    * contract is the semantics, not an implementation accident.
     */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
                      threshold: Double): DataFrame = {
     val v = df.select(id.as("id"),
       transform(vec, x => x.cast("double")).as("v"))
     val n = v.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
     val pairs = n.as("x").join(n.as("y"), col("x.id") < col("y.id"))
     pairs.select(
         col("x.id").as("a"), col("y.id").as("b"),
         round(
-          aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
-            lit(0.0), (acc, x) => acc + x) /
+          graft.functions.VectorOps.dot(col("x.v"), col("y.v")) /
             (col("x.norm") * col("y.norm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
-  /** Same result as `embeddingPairs`, computed as a dense kernel:
-    * the normalized matrix is broadcast (all-pairs brute force is only
-    * ever run on corpora that fit one executor — quadratic output
-    * forbids anything bigger; the scale path is LSH/banding) and each
-    * task loops a primitive-double row block. This is the one operator
-    * where `mapPartitions`-style code beats declarative expressions:
-    * a dense dot product is a BLAS kernel, and the higher-order
-    * `zip_with`/`aggregate` path evaluates it interpreted per element
-    * (~20x slower measured at sf0.1). Summation order (left-to-right,
-    * then round-half-up to 6dp) matches the declarative form exactly,
-    * so results are bit-identical.
+  /** Same result as `embeddingPairs`, computed as a dense driver-side
+    * kernel (collects the matrix, broadcasts it, loops primitive
+    * doubles). SPEC-LEVEL CROSS-CHECK ONLY — the driver collect caps it
+    * at corpora that fit the driver heap; the registered query path is
+    * the distributed `embeddingPairs` (codegen'd `VectorOps.dot`, which
+    * closed the ~20x interpreted-HOF gap that originally motivated this
+    * kernel). Summation order (left-to-right, then round-half-up to
+    * 6dp) matches the declarative form exactly, so results are
+    * bit-identical and the equality spec pins both.
     */
   def embeddingPairsKernel(df: DataFrame, id: Column, vec: Column,
                            threshold: Double): DataFrame = {

@@ -98,6 +98,14 @@ class TrainingSpec extends SparkSpec {
     // random-unit-vector corpus: random baseline is ~1%; hamming-1
     // multiprobe over 64 buckets measured ~24%
     assert(recall > 0.15, s"recall $recall")
+    // the registered q_knn_lsh config: query-dependent multiprobe over
+    // the 5 least-confident bits (Lv et al.) — measured 0.72-0.73 on
+    // this corpus at sf0.001/0.01/0.1
+    val conf = Similarity.signLshTopK(embs, col("vec_id"), col("embedding"), 5, 6,
+        confidenceBits = graft.queries.TrainingQueries.LshConfidenceBits)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val confRecall = (conf & brute).size.toDouble / brute.size
+    assert(confRecall >= 0.6, s"confidence-probe recall $confRecall")
   }
 
   test("IVF ANN: probed-cell neighbors with useful recall, exact cosines") {
