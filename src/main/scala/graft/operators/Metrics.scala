@@ -69,6 +69,48 @@ object Metrics {
         countDistinct(when(col("value_type") === "set", col("value"))).as("distinct_values"))
   }
 
+  /** AggregatedHistogram per group: fixed upper-limit buckets with
+    * NON-cumulative counts, plus total count and sum — the reference's
+    * histogram metric value (src/transforms/log_to_metric.rs:705;
+    * lib/vector-core/src/event/metric/value.rs:20-95 Bucket{upper_limit,
+    * count}). `bucket_i` counts values in (buckets[i-1], buckets[i]];
+    * `bucket_inf` is the overflow bucket. One map-side-combined hash agg
+    * — the 100 TB shape: state per group is |buckets|+2 longs, and the
+    * shuffle carries partials, not values.
+    */
+  def histogramAgg(df: DataFrame, value: Column, buckets: Seq[Double],
+                   keys: Seq[Column]): DataFrame = {
+    require(buckets == buckets.sorted && buckets.nonEmpty, "sorted, non-empty")
+    val bucketCols = buckets.zipWithIndex.map { case (ub, i) =>
+      val in =
+        if (i == 0) value <= ub
+        else value > buckets(i - 1) && value <= ub
+      sum(when(in, 1L).otherwise(0L)).as(s"bucket_$i")
+    } :+ sum(when(value > buckets.last, 1L).otherwise(0L)).as("bucket_inf")
+    val aggs = bucketCols ++ Seq(
+      count(value).as("n"), sum(value).cast("double").as("sum_value"))
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** AggregatedSummary per group: exact interpolated quantiles (`q_50`
+    * style columns) + count + sum — the reference's summary value
+    * (src/transforms/log_to_metric.rs:776). Exact `percentile` here so
+    * the DuckDB oracle (quantile_cont) can verify bit-for-bit at gate
+    * scale; the production swap at 100 TB is `percentile_approx` (one
+    * pass, bounded state) or a DDSketch `TypedImperativeAggregate` —
+    * same plan shape, sketch-sized agg buffers.
+    */
+  def summaryAgg(df: DataFrame, value: Column, quantiles: Seq[Double],
+                 keys: Seq[Column]): DataFrame = {
+    val qCols = quantiles.map { q =>
+      round(percentile(value, lit(q)), 6)
+        .as(s"q_${(q * 100).round.toInt}")
+    }
+    val aggs = qCols ++ Seq(
+      count(value).as("n"), sum(value).cast("double").as("sum_value"))
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---- metric_to_log ---------------------------------------------------
 
   /** Metric → structured log. Reference src/transforms/metric_to_log.rs
@@ -109,8 +151,17 @@ object Metrics {
     * "Seen" order = first occurrence by `ord` (deterministic batch analog
     * of arrival order).
     *
-    * Implementation: rank tag values by first-seen order (one agg on the
-    * (tag-value) domain — small — then a broadcast-friendly join back).
+    * Implementation: per-value first-seen via one map-side-combined
+    * `min(ord)` agg, then the `valueLimit` earliest values via
+    * sort-limit — Spark plans that as TakeOrderedAndProject (each task
+    * computes a local top-K, the driver merges K·partitions rows), so
+    * the distinct value domain NEVER funnels through a single-partition
+    * window. This operator exists precisely for unbounded-cardinality
+    * tags: the shuffled agg handles any domain size, and only
+    * `valueLimit` rows (the kept set — the same bounded state the
+    * reference's per-key HashSet/bloom holds,
+    * tag_cardinality_limit/config.rs:56-82) ever reach the driver for
+    * the broadcast back.
     */
   def tagCardinalityLimit(
       df: DataFrame,
@@ -120,9 +171,8 @@ object Metrics {
       dropEvent: Boolean): DataFrame = {
     val firstSeen = df.groupBy(col(tag).as("__v"))
       .agg(min(ord).as("__first"))
-      .withColumn("__rank", row_number().over(
-        Window.orderBy(col("__first"), col("__v"))))
-      .filter(col("__rank") <= valueLimit)
+      .orderBy(col("__first"), col("__v"))
+      .limit(valueLimit)
       .select(col("__v"))
     val joined = df.join(broadcast(firstSeen), df(tag) === firstSeen("__v"), "left")
     if (dropEvent) joined.filter(col("__v").isNotNull).drop("__v")

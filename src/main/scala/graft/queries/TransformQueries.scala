@@ -128,6 +128,22 @@ object TransformQueries {
       .select(col("name"), col("tags"), col("message"), col("seq"))
       .orderBy("name", "seq")
 
+  // ------------------------------------------------- histogram / summary
+  private val HistBuckets = Seq(100.0, 250.0, 500.0, 750.0)
+  private val SummaryQuantiles = Seq(0.5, 0.9, 0.99)
+
+  private def qMetricHist(s: SparkSession, dir: String): DataFrame =
+    Metrics.histogramAgg(parsed(s, dir), col("latency_ms"), HistBuckets,
+        keys = Seq(col("role"),
+          Aggregate.windowStart(col("ts"), 86400).as("win")))
+      .orderBy("role", "win")
+
+  private def qMetricSummary(s: SparkSession, dir: String): DataFrame =
+    Metrics.summaryAgg(parsed(s, dir), col("latency_ms"), SummaryQuantiles,
+        keys = Seq(col("role"),
+          Aggregate.windowStart(col("ts"), 86400).as("win")))
+      .orderBy("role", "win")
+
   // ---------------------------------------------------------- incremental_to_absolute
   private def qIncToAbs(s: SparkSession, dir: String): DataFrame =
     Metrics.incrementalToAbsolute(
@@ -147,6 +163,60 @@ object TransformQueries {
         dropEvent = false)
       .select(col("event_id"), col("user_tag"))
       .orderBy("event_id")
+
+  // ---------------------------------------------------------- trace_to_log
+  /** Trace-shaped frame: every turn as a span with an id envelope. */
+  private def traceFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.transcript(s, dir)
+      .withColumn("trace_id", concat(lit("tr-"), col("conv_id")))
+      .withColumn("span_id", concat_ws("-", col("conv_id"), col("turn_idx")))
+      .withColumn("parent_span_id",
+        when(col("turn_idx") > 0,
+          concat_ws("-", col("conv_id"), col("turn_idx") - 1)))
+
+  private def qTraceToLog(s: SparkSession, dir: String): DataFrame =
+    Stamp.traceToLog(traceFrame(s, dir))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("text"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- metadata stamp
+  /** Single source of truth for BOTH the Spark stamp and the oracle. */
+  private val metadataFixture: ListMap[String, String] = ListMap(
+    "instance_id"       -> "i-0graft5678",
+    "availability_zone" -> "us-east-1a",
+    "ami_id"            -> "ami-graft42")
+
+  private def qMetadata(s: SparkSession, dir: String): DataFrame =
+    Stamp.withMetadata(Tables.transcript(s, dir), metadataFixture)
+      .select(col("conv_id") +: col("turn_idx") +:
+        metadataFixture.keys.toSeq.map(col): _*)
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------- date-range enrich
+  /** BetweenDates enrichment fixture: per-role release eras, disjoint
+    * per key so the exactly-one-match contract holds (reference
+    * lib/enrichment/src/lib.rs:25-31,53-56). Shared with the oracle.
+    */
+  private val releaseEras: Seq[(String, String, String, String)] =
+    for {
+      role <- Seq("user", "assistant", "tool", "system")
+      (from, to, v) <- Seq(
+        ("1992-01-01 00:00:00", "1994-12-31 23:59:59", "v1"),
+        ("1995-01-01 00:00:00", "1999-12-31 23:59:59", "v2"))
+    } yield (role, from, to, s"${role}_$v")
+
+  private def qEnrichBetween(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = releaseEras.toDF("role", "from_str", "to_str", "release")
+      .withColumn("valid_from", to_timestamp(col("from_str")))
+      .withColumn("valid_to", to_timestamp(col("to_str")))
+      .drop("from_str", "to_str")
+    Enrich.lookupBetween(Tables.transcript(s, dir), table, Seq("role"),
+        col("ts"), "valid_from", "valid_to")
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("release"))
+      .orderBy("conv_id", "turn_idx")
+  }
 
   // ---------------------------------------------------------- aggregate modes
   private def qAggModes(s: SparkSession, dir: String): DataFrame = {
@@ -187,10 +257,15 @@ object TransformQueries {
     "q_log_to_metric"  -> (qLogToMetric _),
     "q_metric_agg"     -> (qMetricAgg _),
     "q_metric_to_log"  -> (qMetricToLog _),
+    "q_metric_hist"    -> (qMetricHist _),
+    "q_metric_summary" -> (qMetricSummary _),
     "q_inc_to_abs"     -> (qIncToAbs _),
     "q_tag_limit"      -> (qTagLimit _),
     "q_agg_modes"      -> (qAggModes _),
-    "q_agg_diff"       -> (qAggDiff _)
+    "q_agg_diff"       -> (qAggDiff _),
+    "q_trace_to_log"   -> (qTraceToLog _),
+    "q_metadata"       -> (qMetadata _),
+    "q_enrich_between" -> (qEnrichBetween _)
   )
 
   // DuckDB oracle -------------------------------------------------------
@@ -279,6 +354,28 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
            || ' tags={' || tags || '}' || ' value=' || CAST(value AS STRING) AS message,
          seq FROM metrics ORDER BY name, seq""",
       Seq(Oracle.parsedCte, metricsCte)),
+    "q_metric_hist" -> Oracle.q(
+      s"""SELECT role, ${winSql("ts", 86400)} AS win,
+         ${HistBuckets.zipWithIndex.map { case (ub, i) =>
+           val in =
+             if (i == 0) s"latency_ms <= $ub"
+             else s"latency_ms > ${HistBuckets(i - 1)} AND latency_ms <= $ub"
+           s"CAST(sum(CASE WHEN $in THEN 1 ELSE 0 END) AS BIGINT) AS bucket_$i"
+         }.mkString(", ")},
+         CAST(sum(CASE WHEN latency_ms > ${HistBuckets.last} THEN 1 ELSE 0 END) AS BIGINT) AS bucket_inf,
+         CAST(count(latency_ms) AS BIGINT) AS n,
+         CAST(sum(latency_ms) AS DOUBLE) AS sum_value
+         FROM parsed GROUP BY 1, 2 ORDER BY role, win""",
+      Seq(Oracle.parsedCte)),
+    "q_metric_summary" -> Oracle.q(
+      s"""SELECT role, ${winSql("ts", 86400)} AS win,
+         ${SummaryQuantiles.map(q =>
+           s"round(quantile_cont(latency_ms, ${q}e0), 6) AS q_${(q * 100).round.toInt}")
+           .mkString(", ")},
+         CAST(count(latency_ms) AS BIGINT) AS n,
+         CAST(sum(latency_ms) AS DOUBLE) AS sum_value
+         FROM parsed GROUP BY 1, 2 ORDER BY role, win""",
+      Seq(Oracle.parsedCte)),
     "q_inc_to_abs" ->
       """SELECT event_id, user_id,
          CAST(sum(CAST(value AS DECIMAL(18,2)))
@@ -316,6 +413,21 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
            FROM events GROUP BY 1, 2)
          SELECT event_type, win,
            value - coalesce(lag(value) OVER (PARTITION BY event_type ORDER BY win), 0.0) AS value
-         FROM latest ORDER BY event_type, win"""
+         FROM latest ORDER BY event_type, win""",
+    "q_trace_to_log" -> Oracle.q(
+      // unwrap = drop the envelope: the log projection of the trace frame
+      "SELECT conv_id, turn_idx, role, tool, text FROM transcript ORDER BY conv_id, turn_idx"),
+    "q_metadata" -> Oracle.q(
+      s"""SELECT conv_id, turn_idx,
+         ${metadataFixture.map { case (k, v) => s"'$v' AS $k" }.mkString(", ")}
+         FROM transcript ORDER BY conv_id, turn_idx"""),
+    "q_enrich_between" -> Oracle.q(
+      """SELECT t.conv_id, t.turn_idx, t.role, e.release
+         FROM transcript t LEFT JOIN eras e
+           ON t.role = e.role AND t.ts >= e.valid_from AND t.ts <= e.valid_to
+         ORDER BY t.conv_id, t.turn_idx""",
+      Seq(s"""eras AS (SELECT * FROM (VALUES ${releaseEras.map { case (r, f, to, v) =>
+          s"('$r', TIMESTAMP '$f', TIMESTAMP '$to', '$v')"
+        }.mkString(",")}) AS t(role, valid_from, valid_to, release))"""))
   )
 }
