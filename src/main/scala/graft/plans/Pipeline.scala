@@ -99,11 +99,23 @@ object Pipeline {
     * scaling job does all of its work every run.
     */
   def build(spark: SparkSession, dir: String): Stages = {
-    val t = Tables.transcript(spark, dir)
-    val st = buildFrom(spark, t)
-    st.parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    st
+    stagesCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(stagesCache.remove)
+    stagesCache.getOrElseUpdate((spark, dir), {
+      val st = buildFrom(spark, Tables.transcript(spark, dir))
+      st.parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      st
+    })
   }
+
+  /** One Stages per (session, dir): repeated `build` calls reuse the
+    * SAME persisted parsed frame instead of re-creating an identical
+    * plan and re-calling persist on it (CacheManager deduplicated the
+    * storage anyway, but the re-registration was noisy and the
+    * re-analysis wasted planning time per query).
+    */
+  private val stagesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Stages]
 
   def buildFrom(spark: SparkSession, transcript: DataFrame): Stages = {
     val ports = Parse.grok(

@@ -122,6 +122,54 @@ object ParserQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------- parse_nginx
+  private def nginxLine: Column = concat(
+    lit("10.0."), col("user_id") % 256, lit(".1 - alice ["),
+    date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET /"),
+    col("event_type"), lit(" HTTP/1.1\" "),
+    when(col("event_type") === "error", 500).otherwise(200), lit(" "),
+    floor(col("value") * 100).cast("long"),
+    lit(" \"https://ref.example.com/p"), col("user_id") % 10,
+    lit("\" \"agent/"), col("event_id") % 5, lit("\""))
+
+  private def qParseNginx(s: SparkSession, dir: String): DataFrame = {
+    val g = Parsers.nginxCombined
+    val cols = g.columns(nginxLine).toMap
+    events(s, dir).select(
+        col("event_id"),
+        cols("remote_addr").as("remote_addr"),
+        cols("remote_user").as("remote_user"),
+        cols("time_local").as("time_local"),
+        cols("method").as("method"),
+        cols("request_path").as("request_path"),
+        cols("status").cast("int").as("status"),
+        cols("body_bytes").cast("long").as("body_bytes"),
+        cols("referer").as("referer"),
+        cols("agent").as("agent"))
+      .orderBy("event_id")
+  }
+
+  private def nginxErrLine: Column = concat(
+    date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"), lit(" ["),
+    element_at(array(lit("error"), lit("warn"), lit("crit")),
+      (col("event_id") % 3 + 1).cast("int")),
+    lit("] "), col("user_id"), lit("#"), col("user_id") % 8,
+    lit(": *"), col("event_id"), lit(" open() failed ev "), col("event_id"))
+
+  private def qParseNginxErr(s: SparkSession, dir: String): DataFrame = {
+    val g = Parsers.nginxError
+    val cols = g.columns(nginxErrLine).toMap
+    events(s, dir).select(
+        col("event_id"),
+        cols("etime").as("etime"),
+        cols("elevel").as("elevel"),
+        cols("pid").cast("long").as("pid"),
+        cols("tid").cast("long").as("tid"),
+        cols("cid").cast("long").as("cid"),
+        cols("emsg").as("emsg"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- parse_glog
   private def glogLine: Column = concat(
     element_at(array(lit("I"), lit("W"), lit("E"), lit("F")),
@@ -200,6 +248,8 @@ object ParserQueries {
     "q_parse_url"    -> (qParseUrl _),
     "q_parse_syslog" -> (qParseSyslog _),
     "q_parse_apache" -> (qParseApache _),
+    "q_parse_nginx"  -> (qParseNginx _),
+    "q_parse_nginx_err" -> (qParseNginxErr _),
     "q_parse_glog"   -> (qParseGlog _),
     "q_gelf"         -> (qGelf _),
     "q_cef"          -> (qCef _),
@@ -223,6 +273,18 @@ object ParserQueries {
       " || event_type || ' HTTP/1.1\" ' || (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)" +
       " || ' ' || CAST(floor(value * 100) AS BIGINT)"
 
+  private val nginxLineSql =
+    "'10.0.' || (user_id % 256) || '.1 - alice [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] \"GET /'" +
+      " || event_type || ' HTTP/1.1\" ' || (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END)" +
+      " || ' ' || CAST(floor(value * 100) AS BIGINT)" +
+      " || ' \"https://ref.example.com/p' || (user_id % 10) || '\" \"agent/' || (event_id % 5) || '\"'"
+
+  private val nginxErrLineSql =
+    "strftime(ts, '%Y/%m/%d %H:%M:%S') || ' ['" +
+      " || (CASE event_id % 3 WHEN 0 THEN 'error' WHEN 1 THEN 'warn' ELSE 'crit' END)" +
+      " || '] ' || user_id || '#' || (user_id % 8) || ': *' || event_id" +
+      " || ' open() failed ev ' || event_id"
+
   private val glogLineSql =
     "(CASE event_id % 4 WHEN 0 THEN 'I' WHEN 1 THEN 'W' WHEN 2 THEN 'E' ELSE 'F' END)" +
       " || '0817 02:34:56.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0')" +
@@ -236,6 +298,10 @@ object ParserQueries {
     val apG = ap.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
     val gl = Parsers.glog
     val glG = gl.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
+    val ng = Parsers.nginxCombined
+    val ngG = ng.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
+    val ne = Parsers.nginxError
+    val neG = ne.fields.zipWithIndex.toMap.map { case (f, i) => f -> (i + 1) }
     ListMap(
       "q_parse_json" ->
         "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
@@ -280,6 +346,29 @@ object ParserQueries {
              ${re(ap, "line", apG("apath"))} AS apath,
              CAST(${re(ap, "line", apG("status"))} AS INT) AS status,
              CAST(${re(ap, "line", apG("bytes"))} AS BIGINT) AS bytes
+           FROM l ORDER BY event_id""",
+      "q_parse_nginx" ->
+        s"""WITH l AS (SELECT event_id, $nginxLineSql AS line FROM events)
+           SELECT event_id,
+             ${re(ng, "line", ngG("remote_addr"))} AS remote_addr,
+             ${re(ng, "line", ngG("remote_user"))} AS remote_user,
+             ${re(ng, "line", ngG("time_local"))} AS time_local,
+             ${re(ng, "line", ngG("method"))} AS method,
+             ${re(ng, "line", ngG("request_path"))} AS request_path,
+             CAST(${re(ng, "line", ngG("status"))} AS INT) AS status,
+             CAST(${re(ng, "line", ngG("body_bytes"))} AS BIGINT) AS body_bytes,
+             ${re(ng, "line", ngG("referer"))} AS referer,
+             ${re(ng, "line", ngG("agent"))} AS agent
+           FROM l ORDER BY event_id""",
+      "q_parse_nginx_err" ->
+        s"""WITH l AS (SELECT event_id, $nginxErrLineSql AS line FROM events)
+           SELECT event_id,
+             ${re(ne, "line", neG("etime"))} AS etime,
+             ${re(ne, "line", neG("elevel"))} AS elevel,
+             CAST(${re(ne, "line", neG("pid"))} AS BIGINT) AS pid,
+             CAST(${re(ne, "line", neG("tid"))} AS BIGINT) AS tid,
+             CAST(${re(ne, "line", neG("cid"))} AS BIGINT) AS cid,
+             ${re(ne, "line", neG("emsg"))} AS emsg
            FROM l ORDER BY event_id""",
       "q_parse_glog" ->
         s"""WITH l AS (SELECT event_id, user_id, $glogLineSql AS line FROM events)

@@ -28,13 +28,25 @@ object Tables {
     * consumer. At 100 TB this stage would be a real table written once;
     * MEMORY_AND_DISK keeps the sandbox honest about spill.
     */
-  def transcript(spark: SparkSession, dir: String): DataFrame =
+  def transcript(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     transcriptCache.getOrElseUpdate((spark, dir), {
       registerViews(spark, dir, Seq("lineitem"))
       spark.sql(TranscriptSql.withTranscript(
           Dialect.Spark, Nil, "SELECT * FROM transcript"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
+
+  /** Drop cache entries whose owning session has stopped — their cached
+    * blocks died with the session's executors; only the map entry (and
+    * its retained plan) would otherwise leak in a long-lived driver
+    * hosting many sessions.
+    */
+  private def evictStopped(): Unit =
+    transcriptCache.keys
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(transcriptCache.remove)
 
   private val transcriptCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

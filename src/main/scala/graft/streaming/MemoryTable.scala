@@ -26,44 +26,51 @@ final class MemoryTable(spark: SparkSession, schema: StructType,
                         keyCols: Seq[String], tsCol: String,
                         ttlSecs: Option[Long] = None) {
 
+  // internal generation stamp: breaks ts ties deterministically in favor
+  // of the NEWER write (true last-write-wins even for same-ts upserts)
+  private val genCol = "__gen"
+  @volatile private var gen = 0L
+
   @volatile private var state: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .withColumn(genCol, lit(0L))
 
   private def latestPerKey(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(genCol).desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Last-write-wins merge of a batch into the snapshot. Materializes
     * the new snapshot before dropping the old one so readers never see
-    * a partial state.
+    * a partial state. `localCheckpoint` (eager) both persists the
+    * snapshot and TRUNCATES its plan lineage — without it each merge's
+    * plan references the previous snapshot's plan and the analyzer
+    * stack-overflows after a few thousand micro-batches (superseded
+    * checkpoint blocks are released by Spark's ContextCleaner once the
+    * old snapshot is unreferenced).
     */
   def upsert(batch: DataFrame): Unit = synchronized {
-    val merged = latestPerKey(state.unionByName(batch.select(schema.fieldNames.map(col): _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    merged.count()
-    val old = state
-    state = merged
-    old.unpersist()
+    gen += 1
+    val stamped = batch.select(schema.fieldNames.map(col): _*)
+      .withColumn(genCol, lit(gen))
+    state = latestPerKey(state.unionByName(stamped))
+      .localCheckpoint(true)
   }
 
   /** The sink face: plug into `writeStream.foreachBatch(mt.sink)`. */
   def sink: (DataFrame, Long) => Unit = (batch, _) => upsert(batch)
 
   /** The source/enrichment face: the current consistent snapshot. */
-  def snapshot: DataFrame = state
+  def snapshot: DataFrame = state.drop(genCol)
 
   /** Drop entries older than the TTL relative to `now`. */
   def expire(now: Timestamp): Unit = ttlSecs.foreach { ttl =>
     synchronized {
-      val kept = state
+      state = state
         .filter(col(tsCol) >= lit(new Timestamp(now.getTime - ttl * 1000L)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept.count()
-      val old = state
-      state = kept
-      old.unpersist()
+        .localCheckpoint(true)
     }
   }
 

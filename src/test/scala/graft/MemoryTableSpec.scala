@@ -41,6 +41,26 @@ class MemoryTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("memory table: same-timestamp re-upsert wins (generation tie-break)") {
+    val mt = new MemoryTable(spark, schema, Seq("tool"), "updated")
+    mt.upsert(Seq(ToolInfo("search", "infra", ts("2024-01-01 00:00:00"))).toDF())
+    mt.upsert(Seq(ToolInfo("search", "platform", ts("2024-01-01 00:00:00"))).toDF())
+    assert(mt.snapshot.select("team").as[String].collect().toSeq == Seq("platform"))
+  }
+
+  test("memory table: 500 upserts stay flat (lineage truncated per merge)") {
+    val mt = new MemoryTable(spark, schema, Seq("tool"), "updated")
+    // without localCheckpoint each merge's plan nests the previous one
+    // and the analyzer stack-overflows long before 500 generations
+    (1 to 500).foreach { i =>
+      mt.upsert(Seq(
+        ToolInfo(s"tool_${i % 25}", s"team_$i", ts("2024-01-01 00:00:00"))).toDF())
+    }
+    val snap = mt.snapshot.collect()
+    assert(snap.length == 25)
+    assert(snap.map(_.getString(1)).forall(_.stripPrefix("team_").toInt > 475))
+  }
+
   test("memory table: TTL expiry and enrichment join") {
     val mt = new MemoryTable(spark, schema, Seq("tool"), "updated",
       ttlSecs = Some(3600))

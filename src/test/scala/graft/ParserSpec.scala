@@ -56,4 +56,18 @@ class ParserSpec extends SparkSpec {
       "id" -> $"id", "s" -> $"s")).as("j")).collect()(0).getString(0)
     assert(out == """{"id":1,"s":"x"}""")
   }
+
+  test("encode_gelf escapes quotes/backslashes so hostile values round-trip") {
+    val df = Seq(("h\"o\\st", "say \"hi\"\nnow", 1700000000.0, 3))
+      .toDF("host", "msg", "ts", "lvl")
+    val enc = Parsers.encodeGelf($"host", $"msg", $"ts", $"lvl")
+    val p = Parsers.parseGelf(enc)
+    val row = df.select(
+      p.getField("host").as("h"), p.getField("short_message").as("m"),
+      p.getField("timestamp").as("t"), p.getField("level").as("l")).head
+    assert(row.getString(0) == "h\"o\\st")
+    assert(row.getString(1) == "say \"hi\"\nnow")
+    assert(row.getDouble(2) == 1700000000.0)
+    assert(row.getInt(3) == 3)
+  }
 }
