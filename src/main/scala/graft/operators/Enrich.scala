@@ -52,6 +52,48 @@ object Enrich {
     }
   }
 
+  /** GeoIP-style CIDR enrichment (reference
+    * src/enrichment_tables/geoip.rs, mmdb.rs — broadcast MMDB +
+    * per-event network lookup). No MMDB reader exists in this sandbox,
+    * so the table is plain (cidr, attrs...) rows — semantically an
+    * exported MMDB. Like MaxMind exports, networks are DISJOINT by
+    * contract, so a range hit is unique (exactly-one-match for free).
+    *
+    * Scale shape: the naive `aton(ip) BETWEEN start AND end` join is a
+    * BroadcastNestedLoopJoin — O(|events|·|table|) comparisons per
+    * event batch. Instead every CIDR explodes into the /`bucketBits`
+    * prefixes it covers (table side only — small, and a /8 still only
+    * makes 2^8 rows at the default /16 bucket) and each event computes
+    * its own prefix: the join becomes an EQUI broadcast hash join (O(1)
+    * probe per event) with the range check as a post-probe filter.
+    */
+  def lookupCidr(
+      events: DataFrame,
+      ip: Column,
+      table: DataFrame,
+      cidrCol: String = "cidr",
+      bucketBits: Int = 16): DataFrame = {
+    import graft.functions.Vrl
+    val shift = 1L << (32 - bucketBits)
+    val net = Vrl.ipAton(split(col(cidrCol), "/").getItem(0))
+    val plen = split(col(cidrCol), "/").getItem(1).cast("int")
+    val size = pow(lit(2.0), lit(32) - plen).cast("long")
+    val t = table
+      .withColumn("__start", floor(net / size).cast("long") * size)
+      .withColumn("__end", col("__start") + size - 1)
+      .withColumn("__bkt", explode(sequence(
+        floor(col("__start") / shift).cast("long"),
+        floor(col("__end") / shift).cast("long"))))
+    val e = events.withColumn("__aton", Vrl.ipAton(ip))
+      .withColumn("__bkt", floor(col("__aton") / shift).cast("long"))
+    e.join(broadcast(t),
+        e("__bkt") === t("__bkt") &&
+          col("__aton") >= col("__start") && col("__aton") <= col("__end"),
+        "left")
+      .drop(t("__bkt"))
+      .drop("__aton", "__bkt", "__start", "__end")
+  }
+
   /** Lookup with an additional date-range condition: equi keys AND
     * ts BETWEEN validFrom AND validTo (inclusive — reference
     * Condition::BetweenDates, lib/enrichment/src/lib.rs:25-31). The small

@@ -9,6 +9,12 @@ import graft.operators._
 import graft.plans.Pipeline
 import graft.sources.Tables
 
+/** Typed rows for the Script (lua-analog) oracle query — top-level
+  * because Spark encoders cannot be generated for inner classes.
+  */
+final case class ScriptTurn(conv_id: String, turn_idx: Int, level: String)
+final case class ScriptOut(conv_id: String, turn_idx: Int, errs: Long)
+
 /** Oracle-gated queries covering the reference's transform inventory
   * (SURVEY.md §2.1). Each `spark` entry has a matching DuckDB statement
   * in `oracle` with identical column names and values.
@@ -218,6 +224,73 @@ object TransformQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  // ---------------------------------------------------------- script (lua analog)
+  /** A "script" with keyed state: running error count per conversation
+    * emitted with every turn, plus a summary event (turn_idx = -1) on
+    * key flush — the canonical lua-transform example (stateful counter
+    * + shutdown emit) under `Script.transformByKey`.
+    */
+  private def qScript(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val turns = parsed(s, dir)
+      .select(col("conv_id"), col("turn_idx"), col("level")).as[ScriptTurn]
+    Script.transformByKey(turns, (t: ScriptTurn) => t.conv_id,
+        Seq(col("turn_idx")))(
+        _ => 0L)(
+        (errs, t) => {
+          val e2 = errs + (if (t.level == "error") 1L else 0L)
+          (e2, Seq(ScriptOut(t.conv_id, t.turn_idx, e2)))
+        })(
+        (k, errs) => Seq(ScriptOut(k, -1, errs)))
+      .toDF()
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  // ---------------------------------------------------------- geoip / cidr
+  /** Disjoint-network fixture (an "exported MMDB"); shared with the
+    * oracle, which derives each network's [start, end] aton range
+    * INDEPENDENTLY in Scala (integer math) rather than mirroring the
+    * Spark expressions.
+    */
+  private val geoRows: Seq[(String, String, String)] = Seq(
+    ("10.0.0.0/9",     "US", "nyc"),
+    ("10.128.0.0/9",   "DE", "ber"),
+    ("172.16.0.0/12",  "FR", "par"),
+    ("192.168.0.0/16", "JP", "tyo"))
+
+  private def cidrRange(cidr: String): (Long, Long) = {
+    val Array(a, p) = cidr.split("/")
+    val net = a.split("\\.").map(_.toLong).reduce(_ * 256 + _)
+    val size = 1L << (32 - p.toInt)
+    val start = net / size * size
+    (start, start + size - 1)
+  }
+
+  /** Synthetic per-event IP: two /9 hits, one guaranteed miss (8.8.*),
+    * one /16 hit — exercises match and no-match paths.
+    */
+  private def ipCol: Column =
+    when(col("event_id") % 4 === 3,
+      concat(lit("192.168."), col("user_id") % 256, lit("."), col("event_id") % 256))
+    .when(col("event_id") % 4 === 2,
+      concat(lit("8.8."), col("user_id") % 256, lit("."), col("event_id") % 256))
+    .otherwise(
+      concat(lit("10."), col("user_id") % 256, lit("."), col("event_id") % 256, lit(".9")))
+  private val ipSql =
+    """CASE WHEN event_id % 4 = 3 THEN '192.168.' || (user_id % 256) || '.' || (event_id % 256)
+       WHEN event_id % 4 = 2 THEN '8.8.' || (user_id % 256) || '.' || (event_id % 256)
+       ELSE '10.' || (user_id % 256) || '.' || (event_id % 256) || '.9' END"""
+
+  private def qEnrichGeoip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = geoRows.toDF("cidr", "country", "city")
+    Enrich.lookupCidr(
+        Tables.table(s, dir, "events").withColumn("ip", ipCol),
+        col("ip"), table)
+      .select(col("event_id"), col("ip"), col("country"), col("city"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- aggregate modes
   private def qAggModes(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(s, dir, "events")
@@ -265,7 +338,9 @@ object TransformQueries {
     "q_agg_diff"       -> (qAggDiff _),
     "q_trace_to_log"   -> (qTraceToLog _),
     "q_metadata"       -> (qMetadata _),
-    "q_enrich_between" -> (qEnrichBetween _)
+    "q_enrich_between" -> (qEnrichBetween _),
+    "q_enrich_geoip"   -> (qEnrichGeoip _),
+    "q_script"         -> (qScript _)
   )
 
   // DuckDB oracle -------------------------------------------------------
@@ -428,6 +503,34 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
          ORDER BY t.conv_id, t.turn_idx""",
       Seq(s"""eras AS (SELECT * FROM (VALUES ${releaseEras.map { case (r, f, to, v) =>
           s"('$r', TIMESTAMP '$f', TIMESTAMP '$to', '$v')"
-        }.mkString(",")}) AS t(role, valid_from, valid_to, release))"""))
+        }.mkString(",")}) AS t(role, valid_from, valid_to, release))""")),
+    "q_enrich_geoip" ->
+      s"""WITH geo AS (SELECT * FROM (VALUES ${geoRows.map { case (c, co, ci) =>
+           val (s0, e0) = cidrRange(c)
+           s"('$co', '$ci', CAST($s0 AS BIGINT), CAST($e0 AS BIGINT))"
+         }.mkString(",")}) AS t(country, city, r_start, r_end)),
+         e AS (SELECT event_id, $ipSql AS ip FROM events),
+         a AS (SELECT event_id, ip,
+                 CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(ip, '.')[4] AS BIGINT) AS aton
+               FROM e)
+         SELECT a.event_id, a.ip, g.country, g.city
+         FROM a LEFT JOIN geo g ON a.aton >= g.r_start AND a.aton <= g.r_end
+         ORDER BY a.event_id""",
+    "q_script" -> Oracle.q(
+      """SELECT conv_id, turn_idx, errs FROM (
+           SELECT conv_id, turn_idx,
+             CAST(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS errs
+           FROM parsed
+           UNION ALL
+           SELECT conv_id, -1 AS turn_idx,
+             CAST(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+           FROM parsed GROUP BY conv_id
+         ) t ORDER BY conv_id, turn_idx""",
+      Seq(Oracle.parsedCte))
   )
 }
