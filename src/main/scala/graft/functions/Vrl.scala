@@ -138,4 +138,34 @@ object Vrl {
       .when(c.rlike("(?i)safari/"), "Safari")
       .when(c.rlike("(?i)curl/"), "curl")
       .otherwise("Other")
+
+  // ------------------------------------------------------ compression
+
+  /** VRL encode_gzip / decode_gzip / encode_zlib / decode_zlib /
+    * encode_zstd / decode_zstd (binary → binary; Catalyst expressions
+    * in graftvec.CodecExpressions). Deterministic output, so specs pin
+    * exact round-trips. Spec-verified only — the oracle engine has no
+    * portable gzip/zstd scalar, which is the documented reason these
+    * carry no CORRECTNESS row.
+    */
+  def encodeGzip(c: Column): Column = graftCodecs.gzip(c)
+  def decodeGzip(c: Column): Column = graftCodecs.gunzip(c)
+  def encodeZlib(c: Column): Column = graftCodecs.zlib(c)
+  def decodeZlib(c: Column): Column = graftCodecs.unzlib(c)
+  def encodeZstd(c: Column, level: Int = 3): Column = graftCodecs.zstd(c, level)
+  def decodeZstd(c: Column): Column = graftCodecs.unzstd(c)
+  private def graftCodecs = org.apache.spark.sql.graftvec.CodecExpressions
+
+  // ------------------------------------------------------------ crypto
+
+  /** VRL encrypt!/decrypt! (reference encrypt.cue — AES family). Spark's
+    * aes_encrypt embeds the caller-supplied IV in the ciphertext prefix
+    * (GCM/CBC), so decrypt needs only the key — pass a fixed IV for
+    * deterministic output or omit for a random one per row.
+    */
+  def encrypt(c: Column, key: Column, iv: Column,
+              mode: String = "GCM"): Column =
+    aes_encrypt(c, key, lit(mode), lit("DEFAULT"), iv)
+  def decrypt(c: Column, key: Column, mode: String = "GCM"): Column =
+    aes_decrypt(c, key, lit(mode), lit("DEFAULT"))
 }

@@ -1,0 +1,112 @@
+package org.apache.spark.sql.graftvec
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, GZIPInputStream, GZIPOutputStream, Inflater}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType}
+
+/** Compression codecs as Catalyst expressions (the VRL
+  * encode_gzip/decode_gzip/encode_zlib/decode_zlib/encode_zstd/
+  * decode_zstd functions — website/cue/reference/remap/functions/).
+  *
+  * binary → binary; deterministic (java's GZIPOutputStream writes
+  * MTIME=0, Deflater default level is fixed, zstd frames are
+  * content-addressed) so round-trip specs can pin exact bytes.
+  * `CodegenFallback` (interpreted eval): compression calls a native/JNI
+  * or heavily-JITed library either way, so generated-code fusion buys
+  * nothing — the cost is in the codec, not the dispatch.
+  */
+object CodecExpressions {
+
+  abstract class BinaryCodec extends UnaryExpression
+      with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+  }
+
+  case class GzipCompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "encode_gzip"
+    override def nullSafeEval(v: Any): Any = {
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(v.asInstanceOf[Array[Byte]]); gz.close()
+      bos.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class GzipDecompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "decode_gzip"
+    override def nullSafeEval(v: Any): Any = {
+      val in = new GZIPInputStream(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      try in.readAllBytes() finally in.close()
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class ZlibCompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "encode_zlib"
+    override def nullSafeEval(v: Any): Any = {
+      val d = new Deflater()
+      d.setInput(v.asInstanceOf[Array[Byte]]); d.finish()
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class ZlibDecompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "decode_zlib"
+    override def nullSafeEval(v: Any): Any = {
+      val i = new Inflater()
+      i.setInput(v.asInstanceOf[Array[Byte]])
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!i.finished()) {
+        val n = i.inflate(buf)
+        if (n == 0 && i.needsInput()) throw new java.util.zip.DataFormatException("truncated zlib input")
+        bos.write(buf, 0, n)
+      }
+      i.end()
+      bos.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class ZstdCompress(child: Expression, level: Int) extends BinaryCodec {
+    override def prettyName: String = "encode_zstd"
+    override def nullSafeEval(v: Any): Any =
+      com.github.luben.zstd.Zstd.compress(v.asInstanceOf[Array[Byte]], level)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class ZstdDecompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "decode_zstd"
+    override def nullSafeEval(v: Any): Any = {
+      val src = v.asInstanceOf[Array[Byte]]
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(src)
+      com.github.luben.zstd.Zstd.decompress(src, n.toInt)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  private def wrap(f: Expression => Expression)(c: Column): Column =
+    ExpressionUtils.column(f(ExpressionUtils.expression(c)))
+
+  def gzip: Column => Column = wrap(GzipCompress)
+  def gunzip: Column => Column = wrap(GzipDecompress)
+  def zlib: Column => Column = wrap(ZlibCompress)
+  def unzlib: Column => Column = wrap(ZlibDecompress)
+  def zstd(c: Column, level: Int = 3): Column = wrap(ZstdCompress(_, level))(c)
+  def unzstd: Column => Column = wrap(ZstdDecompress)
+}

@@ -152,4 +152,46 @@ class StdlibSpec extends SparkSpec {
     assert(search("latency:[80 TO 150]") == Set(1L, 3L))
     assert(search("latency:[200 TO *]") == Set(4L))
   }
+
+  test("compression codecs round-trip and compress repetitive payloads") {
+    val payload = ("log line with repetition " * 40).trim
+    val df = Seq(payload).toDF("s").select(col("s").cast("binary").as("b"))
+    def len(c: org.apache.spark.sql.Column) = octet_length(c).cast("long")
+    val row = df.select(
+      decode(Vrl.decodeGzip(Vrl.encodeGzip(col("b"))), "UTF-8").as("gz"),
+      decode(Vrl.decodeZlib(Vrl.encodeZlib(col("b"))), "UTF-8").as("zl"),
+      decode(Vrl.decodeZstd(Vrl.encodeZstd(col("b"))), "UTF-8").as("zs"),
+      len(Vrl.encodeGzip(col("b"))).as("gzn"),
+      len(Vrl.encodeZlib(col("b"))).as("zln"),
+      len(Vrl.encodeZstd(col("b"))).as("zsn"),
+      len(col("b")).as("n")).head
+    assert(row.getString(0) == payload)
+    assert(row.getString(1) == payload)
+    assert(row.getString(2) == payload)
+    // repetitive input must actually shrink
+    assert(row.getLong(3) < row.getLong(6))
+    assert(row.getLong(4) < row.getLong(6))
+    assert(row.getLong(5) < row.getLong(6))
+  }
+
+  test("compression codecs are deterministic (stable bytes across calls)") {
+    val df = Seq("abc123").toDF("s").select(col("s").cast("binary").as("b"))
+    def hex(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.hex(c)
+    val r1 = df.select(hex(Vrl.encodeGzip(col("b"))), hex(Vrl.encodeZstd(col("b")))).head
+    val r2 = df.select(hex(Vrl.encodeGzip(col("b"))), hex(Vrl.encodeZstd(col("b")))).head
+    assert(r1 == r2)
+  }
+
+  test("encrypt/decrypt round-trip (AES-GCM, fixed IV is deterministic)") {
+    val key = lit("0123456789abcdef") // AES-128
+    val iv = unhex(lit("000102030405060708090a0b")) // 12-byte GCM IV
+    val df = Seq("secret payload").toDF("s")
+    val enc = Vrl.encrypt(col("s").cast("binary"), key, iv)
+    val row = df.select(
+      decode(Vrl.decrypt(enc, key), "UTF-8").as("rt"),
+      hex(enc).as("h1")).head
+    assert(row.getString(0) == "secret payload")
+    val row2 = df.select(hex(Vrl.encrypt(col("s").cast("binary"), key, iv))).head
+    assert(row.getString(1) == row2.getString(0))
+  }
 }
