@@ -182,4 +182,14 @@ object Parsers {
     */
   def encodeJson(fields: Seq[(String, Column)]): Column =
     to_json(struct(fields.map { case (n, c) => c.as(n) }: _*))
+
+  /** parse_xml (reference parse_xml.cue): field extraction by XPath —
+    * Spark's native xpath_* expressions (VRL returns a dynamic object;
+    * Spark-first is declaring the paths you want so the plan stays
+    * typed and prunable). Spec-verified only: the oracle engine has no
+    * XPath scalar, the documented reason this carries no oracle row.
+    */
+  def xmlString(c: Column, path: String): Column = xpath_string(c, lit(path))
+  def xmlLong(c: Column, path: String): Column = xpath_long(c, lit(path))
+  def xmlList(c: Column, path: String): Column = xpath(c, lit(path))
 }

@@ -57,6 +57,18 @@ class ParserSpec extends SparkSpec {
     assert(out == """{"id":1,"s":"x"}""")
   }
 
+  test("parse_xml extracts typed fields by xpath") {
+    val xml = "<event><id>42</id><user name=\"ada\"/><tags><t>a</t><t>b</t></tags></event>"
+    val df = Seq(xml).toDF("x")
+    val row = df.select(
+      Parsers.xmlLong($"x", "/event/id").as("id"),
+      Parsers.xmlString($"x", "/event/user/@name").as("name"),
+      Parsers.xmlList($"x", "/event/tags/t/text()").as("tags")).head
+    assert(row.getLong(0) == 42L)
+    assert(row.getString(1) == "ada")
+    assert(row.getSeq[String](2) == Seq("a", "b"))
+  }
+
   test("encode_gelf escapes quotes/backslashes so hostile values round-trip") {
     val df = Seq(("h\"o\\st", "say \"hi\"\nnow", 1700000000.0, 3))
       .toDF("host", "msg", "ts", "lvl")
