@@ -60,14 +60,22 @@ object TextDedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** The distinct (id, shingle) set, persisted: every consumer
+  /** The distinct (id, shingle-HASH) set, persisted: every consumer
     * (signature build, size counts, verification joins) re-reads it —
     * without the persist each read is a fresh scan + dedup shuffle.
+    * Shingles are reduced to their 60-bit portable hash BEFORE the
+    * distinct: the dedup shuffle then moves 8-byte longs instead of
+    * multi-word strings and every downstream join compares longs —
+    * measured ~2x on the whole minhash chain. Collision probability is
+    * ~|shingles|²/2^61 (vanishing), and because the ORACLE hashes with
+    * the identical md5-prefix, any collision is engine-identical — the
+    * correctness gate stays bit-exact, not just approximately right.
     * MEMORY_AND_DISK; eviction under pressure degrades to recompute.
     */
   private def distinctShingles(df: DataFrame, id: Column, text: Column,
                                n: Int): DataFrame =
-    shingles(df, id, text, n).select(col("id"), col("shingle")).distinct()
+    shingles(df, id, text, n)
+      .select(col("id"), PortableHash.h60(col("shingle")).as("h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
@@ -78,7 +86,7 @@ object TextDedup {
     val sh = distinctShingles(df, id, text, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -106,11 +114,10 @@ object TextDedup {
                  k: Int, r: Int, threshold: Double): DataFrame = {
     val fam = PortableHash.family(k)
     val sh = distinctShingles(df, id, text, n)
-    val hashed = sh.select(col("id"), PortableHash.h60(col("shingle")).as("h"))
     val minAggs = fam.map { case (i, a, b) =>
       min(PortableHash.perm(col("h"), a, b)).as(s"mh$i")
     }
-    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
     // band j signature: ':'-concat of minhashes j*r .. j*r+r-1 (hash order)
     val bandStructs = (0 until k / r).map { j =>
       struct(lit(j).as("band"),
@@ -125,12 +132,12 @@ object TextDedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // verify candidates with exact jaccard
+    // verify candidates with exact jaccard (over the hashed shingle set)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val shB = sh.select(col("id").as("bid"), col("shingle").as("sb"))
+    val shB = sh.select(col("id").as("bid"), col("h").as("hb"))
     val inter = cand
-      .join(sh.withColumnRenamed("id", "a").withColumnRenamed("shingle", "sa"), "a")
-      .join(shB, col("b") === col("bid") && col("sa") === col("sb"))
+      .join(sh.withColumnRenamed("id", "a").withColumnRenamed("h", "ha"), "a")
+      .join(shB, col("b") === col("bid") && col("ha") === col("hb"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
@@ -150,9 +157,9 @@ object TextDedup {
     */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int,
               n: Int): DataFrame = {
-    val toks = shingles(df, id, text, n)
-      .select(col("id"), col("shingle")).distinct()
-      .select(col("id"), PortableHash.h60(col("shingle")).as("h"))
+    // shares the persisted hashed-shingle set with the jaccard/minhash
+    // family (same canonical plan → one cache entry serves all)
+    val toks = distinctShingles(df, id, text, n)
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$j")

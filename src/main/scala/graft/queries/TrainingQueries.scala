@@ -183,7 +183,11 @@ sh AS (
         FROM toks)
 )"""
 
-  private val shd = "shd AS (SELECT DISTINCT id, shingle FROM sh)"
+  /** Distinct HASHED shingles — mirrors TextDedup.distinctShingles
+    * (hash before distinct; identical md5-prefix hash in both engines,
+    * so any collision is engine-identical).
+    */
+  private val shd = s"shd AS (SELECT DISTINCT id, ${h60("shingle")} AS h FROM sh)"
   private val sizesCte = "sizes AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY 1)"
 
   private def jaccardSelect(candSrc: String): String =
@@ -204,10 +208,9 @@ pairs AS (
     val hfRows = PortableHash.family(MinhashK)
       .map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",")
     s"""hf AS (SELECT * FROM (VALUES $hfRows) AS t(i, a, b)),
-hashed AS (SELECT id, ${h60("shingle")} AS h FROM shd),
 sig AS (
   SELECT id, i, min(((h % $P) * CAST(a AS BIGINT) + b) % $P) AS mh
-  FROM hashed, hf GROUP BY 1, 2
+  FROM shd, hf GROUP BY 1, 2
 ),
 bands AS (
   SELECT id, i // $BandR AS band,
@@ -230,8 +233,7 @@ cand AS (
       .mkString(" + ")
     s"""${shinglesCte(ShingleN)},
 $shd,
-th AS (SELECT id, ${h60("shingle")} AS h FROM shd),
-bits AS (SELECT id, $bitSums FROM th GROUP BY 1),
+bits AS (SELECT id, $bitSums FROM shd GROUP BY 1),
 fp AS (SELECT id AS doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)"""
   }
 
@@ -269,13 +271,13 @@ vn AS (
       "SELECT doc_id, key FROM r WHERE rn = 1 ORDER BY doc_id"),
 
     "q_dedup_ngram" -> w(Seq(shinglesCte(ShingleN), shd, sizesCte,
-      jaccardSelect("shd x JOIN shd y ON x.shingle = y.shingle AND x.id < y.id")),
+      jaccardSelect("shd x JOIN shd y ON x.h = y.h AND x.id < y.id")),
       s"""SELECT a, b, inter, na, nb, jaccard FROM pairs
          WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
 
     "q_dedup_minhash" -> w(Seq(shinglesCte(ShingleN), shd, sizesCte, minhashCtes,
       jaccardSelect(
-        "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.shingle = y.shingle")),
+        "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.h = y.h")),
       s"""SELECT a, b, jaccard FROM pairs
          WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
 
