@@ -34,23 +34,34 @@ object Metrics {
   /** Log → metric rows. Missing field (null value) ⇒ row skipped for
     * value-bearing rules, matching the reference's TemplateRenderingError
     * /FieldNotFound skip semantics.
+    *
+    * ONE pass over the input: every rule renders into a struct and the
+    * row explodes ×|rules| (Generate — narrow, codegen'd), instead of
+    * |rules| unioned scans. At 100 TB the input read dominates the
+    * transform, so the union form multiplies the job's scan cost by the
+    * rule count; the explode form never re-reads. `passthrough` columns
+    * (event time, sequence keys) ride along unchanged.
     */
-  def logToMetric(logs: DataFrame, rules: Seq[MetricRule], ts: Column): DataFrame = {
-    val parts = rules.map { r =>
+  def logToMetric(logs: DataFrame, rules: Seq[MetricRule], ts: Column,
+                  passthrough: Seq[(String, Column)] = Nil): DataFrame = {
+    val structs = rules.map { r =>
       val tagStr = concat_ws(",",
         r.tags.map { case (k, v) => concat_ws("=", lit(k), v) }: _*)
-      logs
-        .filter(r.value.isNotNull)
-        .select(
-          r.name.cast("string").as("name"),
-          r.namespace.as("namespace"),
-          tagStr.as("tags"),
-          lit(r.kind).as("kind"),
-          lit(r.metricType).as("value_type"),
-          r.value.cast("double").as("value"),
-          ts.as("ts"))
+      struct(
+        r.name.cast("string").as("name"),
+        r.namespace.as("namespace"),
+        tagStr.as("tags"),
+        lit(r.kind).as("kind"),
+        lit(r.metricType).as("value_type"),
+        r.value.cast("double").as("value"))
     }
-    parts.reduce(_.unionByName(_))
+    logs
+      .select(explode(array(structs: _*)).as("m") +: ts.as("ts") +:
+        passthrough.map { case (n, c) => c.as(n) }: _*)
+      .filter(col("m.value").isNotNull)
+      .select(Seq("name", "namespace", "tags", "kind", "value_type", "value")
+        .map(f => col(s"m.$f").as(f)) ++
+        (col("ts") +: passthrough.map { case (n, _) => col(n) }): _*)
   }
 
   /** Downstream aggregation of log_to_metric output per series×window:

@@ -101,22 +101,14 @@ object TransformQueries {
     Metrics.MetricRule("gauge", lit("latency_last"), col("latency_ms"),
       tags = Seq("role" -> col("role")), kind = "absolute"))
 
-  /** Metric rows carrying the deterministic seq key for ordering. */
-  private def metricRowsDirect(s: SparkSession, dir: String): DataFrame = {
-    val p = parsed(s, dir).withColumn("seq", seqCol)
-    val parts = metricRules.map { r =>
-      val tagStr = concat_ws(",",
-        r.tags.map { case (k, v) => concat_ws("=", lit(k), v) }: _*)
-      p.filter(r.value.isNotNull).select(
-        r.name.cast("string").as("name"),
-        tagStr.as("tags"),
-        lit(r.kind).as("kind"),
-        lit(r.metricType).as("value_type"),
-        r.value.cast("double").as("value"),
-        col("ts"), col("seq"))
-    }
-    parts.reduce(_.unionByName(_))
-  }
+  /** Metric rows carrying the deterministic seq key for ordering —
+    * the one-pass explode operator with `seq` riding as passthrough.
+    */
+  private def metricRowsDirect(s: SparkSession, dir: String): DataFrame =
+    Metrics.logToMetric(parsed(s, dir), metricRules, col("ts"),
+        passthrough = Seq("seq" -> seqCol))
+      .select(col("name"), col("tags"), col("kind"), col("value_type"),
+        col("value"), col("ts"), col("seq"))
 
   private def qLogToMetric(s: SparkSession, dir: String): DataFrame =
     metricRowsDirect(s, dir)
