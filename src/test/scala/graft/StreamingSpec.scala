@@ -48,6 +48,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pipeline equals the batch pipeline on closed windows") {
+    import graft.plans.Pipeline
+    import graft.operators.Aggregate
+    val turns = (0 until 30).map(i =>
+      turn(s"c${i % 5}", i, if (i % 7 == 0) "error" else "info"))
+    val sentinel = turn("cz", 99, "info").copy(ts = ts("2024-01-02 00:00:00"),
+      text = "2024-01-02T00:00:00Z info tool=tool_1 latency_ms=1 msg=\"x\"")
+    val sentinelWin = sentinel.ts.getTime / 1000
+
+    val input = MemoryStream[Turn](spark)
+    val q = StreamOps.pipeline(spark, input.toDF())
+      .writeStream.format("memory").queryName("s_pipe_eq")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(turns: _*)
+        q.processAllAvailable()
+        input.addData(sentinel) // advances the watermark, closes day-1 windows
+        q.processAllAvailable()
+        spark.table("s_pipe_eq")
+          .select(col("window.start").cast("long").as("win"), col("port"),
+            col("role"), col("n_turns"), col("sum_latency"))
+          .filter(col("win") < sentinelWin)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4))).toSet
+      } finally q.stop()
+
+    // tuple toDF: inner case classes can't get a deferred-outer encoder
+    val batchDf = turns.map(t => (t.conv_id, t.turn_idx, t.role, t.tool, t.ts, t.text))
+      .toDF("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    val batch = Pipeline.buildFrom(spark, batchDf).routed
+      .groupBy(Aggregate.windowStart(col("ts"), Pipeline.WindowSecs).as("win"),
+        col("port"), col("role"))
+      .agg(count(lit(1)).as("n_turns"), sum(col("latency_ms")).as("sum_latency"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming throttle: token bucket caps per key-window across batches") {
     val input = MemoryStream[StreamOps.Keyed](spark)
     val out = StreamOps.throttle(input.toDS(), threshold = 2, windowSecs = 60)
