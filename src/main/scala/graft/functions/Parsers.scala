@@ -61,13 +61,18 @@ object Parsers {
 
   lazy val syslog5424: Grok.Compiled = Grok.compile(Syslog5424Grok)
 
-  /** Apache common log format grok (reference parse_apache_log.cue). */
+  /** Apache COMMON log format grok (reference parse_apache_log.cue
+    * `format: "common"` — which is also exactly what
+    * parse_common_log.cue parses, so `commonLog` aliases it).
+    */
   val ApacheCommonGrok: String =
     "%{NOTSPACE:client} %{NOTSPACE:ident} %{NOTSPACE:auth} [%{DATA:atime}]" +
       " \"%{WORD:method} %{NOTSPACE:apath} HTTP/%{NUMBER:http_version}\"" +
       " %{INT:status} %{INT:bytes}"
 
   lazy val apacheCommon: Grok.Compiled = Grok.compile(ApacheCommonGrok)
+  /** parse_common_log — same format, reference parse_common_log.cue. */
+  def commonLog: Grok.Compiled = apacheCommon
 
   /** Nginx/Apache COMBINED access-log grok (reference
     * parse_nginx_log.cue `format: "combined"` / parse_apache_log.cue

@@ -136,8 +136,29 @@ object StdlibQueries {
         Vrl.parseInt(hexCol, 16).as("hex_val"))
       .orderBy("event_id")
 
+  // ----------------------------------------------- string stdlib tier 2
+  /** truncate / strip_whitespace / replace / starts_with / levenshtein /
+    * reverse / repeat (VRL string.cue family) — each a direct Spark
+    * builtin; the oracle computes the same value from the raw columns.
+    */
+  private def qStdlibStrings(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit("  "), col("event_type"), lit("-"),
+      col("event_id").cast("string"), lit("  "))
+    events(s, dir).select(
+        col("event_id"),
+        substring(col("event_type"), 1, 4).as("truncated"),
+        trim(padded).as("stripped"),
+        regexp_replace(col("event_type"), "[aeiou]", "_").as("replaced"),
+        col("event_type").startsWith("c").cast("int").as("starts_c"),
+        levenshtein(col("event_type"), lit("click")).as("lev_click"),
+        reverse(col("event_type")).as("reversed"),
+        repeat(lit("*"), (col("event_id") % 5 + 1).cast("int")).as("stars"))
+      .orderBy("event_id")
+  }
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_line_agg"       -> (qLineAgg _),
+    "q_stdlib_strings" -> (qStdlibStrings _),
     "q_parse_duration" -> (qParseDuration _),
     "q_ip"             -> (qIp _),
     "q_redact_sieve"   -> (qRedactSieve _),
@@ -237,6 +258,16 @@ object StdlibQueries {
            user_id AS qs_a,
            event_type AS qs_b,
            4080 + (event_id % 10) AS hex_val
+         FROM events ORDER BY event_id""",
+    "q_stdlib_strings" ->
+      """SELECT event_id,
+           substr(event_type, 1, 4) AS truncated,
+           trim('  ' || event_type || '-' || CAST(event_id AS STRING) || '  ') AS stripped,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS replaced,
+           CAST(starts_with(event_type, 'c') AS INT) AS starts_c,
+           CAST(levenshtein(event_type, 'click') AS INT) AS lev_click,
+           reverse(event_type) AS reversed,
+           repeat('*', CAST(event_id % 5 + 1 AS INT)) AS stars
          FROM events ORDER BY event_id"""
   )
 }
