@@ -88,15 +88,19 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Run the scaling job at `cpus`, with one warmup (JIT + page cache)
-    * and `reps` measured runs; min is reported (robust to host noise).
+  /** One timed scaling-job run at `cpus` in a fresh session (the JVM —
+    * and so JIT state — is shared across calls; the one-time global
+    * warmup covers compilation).
     */
-  private def scaleRun(inputDir: String, cpus: Int, reps: Int = 3): Double = {
+  private def scaleRunOnce(inputDir: String, cpus: Int): Double = {
     val spark = session(cpus)
-    try {
-      pipelineJob(spark, inputDir) // warmup
-      (0 until reps).map(_ => timed(pipelineJob(spark, inputDir))._2).min
-    } finally spark.stop()
+    try timed(pipelineJob(spark, inputDir))._2 finally spark.stop()
+  }
+
+  /** Discarded warmup run (JIT + page cache) at `cpus`. */
+  private def warmup(inputDir: String, cpus: Int): Unit = {
+    val spark = session(cpus)
+    try { pipelineJob(spark, inputDir); () } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,18 +135,32 @@ object Bench {
     val (inputDir, turns) = prepareInput(sfDir)
     // discarded global warmup so JIT compilation cost doesn't land on
     // whichever level happens to run first (it would skew the ratio)
-    scaleRun(inputDir, Scale4N, reps = 1)
-    val tN = scaleRun(inputDir, ScaleN)
-    val t4N = scaleRun(inputDir, Scale4N)
+    warmup(inputDir, Scale4N)
+    // INTERLEAVED (N, 4N) pairs, min per level: this shared host has
+    // multi-minute degraded windows (one observed run lost 30% at one
+    // level only); running all reps of a level back-to-back lets one
+    // such window poison that level — and therefore the RATIO — while
+    // alternation plus per-level min needs only one clean pair somewhere
+    // in the sequence.
+    val pairs = (1 to 3).map { _ =>
+      (scaleRunOnce(inputDir, ScaleN), scaleRunOnce(inputDir, Scale4N))
+    }
+    val tN = pairs.map(_._1).min
+    val t4N = pairs.map(_._2).min
     val thrN = turns / tN
     val thr4N = turns / t4N
     val eff = thr4N / (4.0 * thrN)
 
     // ---- part 2b: same job INCLUDING the checkpointed fan-out write
     // (north-rule evidence that the sink stage adds no exchange and
-    // does not break scaling) — one rep per level after a warmup rep.
-    val wN = writeRun(inputDir, ScaleN)
-    val w4N = writeRun(inputDir, Scale4N)
+    // does not break scaling) — interleaved pairs, min per level, after
+    // one discarded warmup of the write path.
+    writeRun(inputDir, Scale4N, 0)
+    val wPairs = (1 to 2).map { r =>
+      (writeRun(inputDir, ScaleN, r), writeRun(inputDir, Scale4N, r))
+    }
+    val wN = wPairs.map(_._1).min
+    val w4N = wPairs.map(_._2).min
     val weff = (turns / w4N) / (4.0 * (turns / wN))
 
     writeBenchMd(sfDir, turns, tN, t4N, thrN, thr4N, eff, wN, w4N, weff)
@@ -167,19 +185,21 @@ object Bench {
   }
 
   /** One timed end-to-end run INCLUDING the checkpointed per-port
-    * fan-out write (data + lineage manifest) at `cpus`, after a warmup.
+    * fan-out write (data + lineage manifest) at `cpus`. The output
+    * directory is deleted afterwards so repeated reps don't fill the
+    * disk (and the overwrite path stays comparable across reps).
     */
-  private def writeRun(inputDir: String, cpus: Int): Double = {
+  private def writeRun(inputDir: String, cpus: Int, rep: Int): Double = {
     val spark = session(cpus)
     try {
-      val out = Files.createTempDirectory(s"graft-bench-sink-$cpus").toString
-      def job(rep: Int): Unit = {
+      val out = Files.createTempDirectory(s"graft-bench-sink-$cpus-$rep")
+      val (_, sec) = timed {
         val st = Pipeline.buildFrom(spark, spark.read.parquet(inputDir))
         graft.sinks.MultiSink.writeWithCheckpoint(
-          st.routed, s"$out/data$rep", s"$out/manifest$rep", s"bench-$cpus-$rep")
+          st.routed, s"$out/data", s"$out/manifest", s"bench-$cpus-$rep")
       }
-      job(0) // warmup (JIT + committer paths)
-      timed(job(1))._2
+      org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+      sec
     } finally spark.stop()
   }
 
@@ -195,8 +215,12 @@ object Bench {
          |materialized untimed) → grok parse → broadcast enrich → multicast
          |route → windowed aggregate → count. Same job, same input, two
          |parallelism levels (sandbox stand-in for N vs 4N executors per
-         |BASELINE.md), min of 3 runs after per-level warmup + a discarded
-         |global JIT warmup.
+         |BASELINE.md). Levels run as INTERLEAVED (N, 4N) pairs — 3 for
+         |the compute job, 2 for the write-included job — with min per
+         |level, after a discarded global JIT warmup: this shared host
+         |has multi-minute degraded windows, and back-to-back reps of one
+         |level would let a single window poison that level's number (and
+         |so the ratio), while alternation needs only one clean pair.
          |
          || metric | local[$ScaleN] (N) | local[$Scale4N] (4N) |
          ||---|---|---|
