@@ -123,12 +123,10 @@ object Similarity {
     * baseline is the quality metric (nProbe is the knob).
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column,
-              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+              k: Int, nCentroids: Int, nProbe: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val c = prep(df, id, vec)
-    val cents = c
-      .withColumn("hkey", graft.functions.PortableHash.h60(col("id").cast("string")))
-      .orderBy(col("hkey"), col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val cents = centroids.getOrElse(ivfInitCentroids(df, id, vec, nCentroids))
     val centSims = c.crossJoin(broadcast(cents))
       .select(col("id"), col("v"), col("norm"), col("cid"),
         cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
@@ -161,6 +159,43 @@ object Similarity {
     * bucket occupancy bounded by growing `b` with log₂(N) — see the
     * object doc.
     */
+  /** The deterministic hash-sampled centroid init used by `ivfTopK`,
+    * exposed so refinement can iterate on it. Output: (cid, cv, cn).
+    */
+  def ivfInitCentroids(df: DataFrame, id: Column, vec: Column,
+                       nCentroids: Int): DataFrame =
+    prep(df, id, vec)
+      .withColumn("hkey", graft.functions.PortableHash.h60(col("id").cast("string")))
+      .orderBy(col("hkey"), col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+
+  /** One Lloyd iteration of spherical k-means over the IVF centroid
+    * set: assign every vector to its nearest centroid (broadcast
+    * centroids — the same linear shape as `ivfTopK`'s assignment), then
+    * replace each centroid with its cell's element-wise mean. Empty
+    * cells drop. At production scale this loops offline until centroid
+    * movement < eps; each iteration is one broadcast join + one
+    * (cell, dimension) hash-agg — linear in corpus size, no quadratic
+    * term, and the refined set feeds `ivfTopK` unchanged.
+    */
+  def ivfRefineCentroids(df: DataFrame, id: Column, vec: Column,
+                         cents: DataFrame): DataFrame = {
+    val c = prep(df, id, vec)
+    val centSims = c.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"),
+        cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
+    val cw = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = centSims.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") === 1)
+    val means = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    means.withColumn("cn", sqrt(graft.functions.VectorOps.dot(col("cv"), col("cv"))))
+  }
+
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
                   k: Int, b: Int, probeRadius: Int = 1,
                   confidenceBits: Int = 0): DataFrame = {

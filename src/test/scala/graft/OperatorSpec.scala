@@ -31,6 +31,24 @@ class OperatorSpec extends SparkSpec {
     assert(m.getAs[Long]("events_dropped") == 2L)
   }
 
+  test("telemetry: component received counts and per-port sent counts in one pass") {
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val observed = Telemetry.component(df, "parse",
+      extra = Seq(sum(col("v")).as("v_total")))
+    observed.collect()
+    val m = observed.queryExecution.observedMetrics("graft.parse")
+    assert(m.getAs[Long]("events_received") == 3L)
+    assert(m.getAs[Long]("v_total") == 6L)
+
+    val routed = Route.tagged(df, scala.collection.immutable.ListMap(
+      "big" -> (col("v") >= 2), "odd" -> (col("v") % 2 === 1)))
+    val obsRouted = Telemetry.routedSent(routed, Seq("big", "odd"))
+    obsRouted.collect()
+    val r = obsRouted.queryExecution.observedMetrics("graft.route")
+    assert(r.getAs[Long]("sent_big") == 2L)   // v=2, v=3
+    assert(r.getAs[Long]("sent_odd") == 2L)   // v=1, v=3
+  }
+
   test("sample.byKey keeps exactly the key-bucket, stamps sample_rate (sample/transform.rs:205)") {
     val df = (0 until 100).map(i => (i.toLong, s"m$i")).toDF("k", "m")
     val out = Sample.byKey(df, col("k"), 10).collect()

@@ -124,6 +124,28 @@ class TrainingSpec extends SparkSpec {
     hits.foreach(p => assert(ivf(p) == brute(p)))
   }
 
+  test("IVF Lloyd refinement: spherical k-means step improves the assignment objective") {
+    import graft.functions.VectorOps
+    def meanAssignedSim(cents: org.apache.spark.sql.DataFrame): Double = {
+      val c = Similarity.prep(embs, col("vec_id"), col("embedding"))
+      c.crossJoin(broadcast(cents))
+        .select(col("id"),
+          (VectorOps.dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("cs"))
+        .groupBy(col("id")).agg(max(col("cs")).as("best"))
+        .agg(avg(col("best"))).head.getDouble(0)
+    }
+    val init = Similarity.ivfInitCentroids(embs, col("vec_id"), col("embedding"), 16)
+    val refined = Similarity.ivfRefineCentroids(embs, col("vec_id"), col("embedding"), init)
+    val n = refined.count()
+    assert(n > 0 && n <= 16)
+    val before = meanAssignedSim(init)
+    val after = meanAssignedSim(refined)
+    assert(after >= before - 1e-9, s"objective regressed: $before -> $after")
+    // refined centroids slot into ivfTopK unchanged
+    assert(Similarity.ivfTopK(embs, col("vec_id"), col("embedding"),
+      k = 5, nCentroids = 16, nProbe = 4, centroids = Some(refined)).count() > 0)
+  }
+
   test("language-ID: stable argmax with alphabetical tie-break") {
     val df = Seq(
       (1L, "the cat and the dog"),   // en hits
