@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
 import graft.functions.Grok
-import graft.operators.{Aggregate, Enrich, Parse, Route}
+import graft.operators.{Aggregate, Enrich, Parse, Route, Telemetry}
 import graft.sources.Tables
 
 /** The north-star pipeline: parse → enrich → route → aggregate over the
@@ -125,17 +125,29 @@ object Pipeline {
         "latency_ms" -> ((c: Column) => c.cast("int")),
         "ts_str"     -> ((c: Column) => c) // kept as string; ts_parsed below
       ))
-    val parsed = ports.primary
-      .withColumn("ts_parsed", to_timestamp(col("ts_str"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    // in-flight per-component telemetry (internal_events analog):
+    // observe() counters are accumulator-backed — same pass, no extra
+    // scan — and pair with the sink-side lineage manifest to cover the
+    // north rule's "per-partition lineage AND metrics"
+    val parsed = Telemetry.component(
+      ports.primary
+        .withColumn("ts_parsed", to_timestamp(col("ts_str"), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      "parse")
 
     // join key is the PARSED tool (tool_p); role from the typed column.
-    val enriched = Enrich.lookup(
-      parsed.withColumn("tool_join", when(col("tool_p") === "none", lit(null)).otherwise(col("tool_p"))),
-      Pipeline.enrichTable(spark)
-        .withColumnRenamed("tool", "tool_join"),
-      Seq("tool_join", "role")).drop("tool_join")
+    val enriched = Telemetry.component(
+      Enrich.lookup(
+        parsed.withColumn("tool_join", when(col("tool_p") === "none", lit(null)).otherwise(col("tool_p"))),
+        Pipeline.enrichTable(spark)
+          .withColumnRenamed("tool", "tool_join"),
+        Seq("tool_join", "role")).drop("tool_join"),
+      "enrich",
+      extra = Seq(sum(when(col("team").isNotNull, 1L).otherwise(0L))
+        .as("events_matched")))
 
-    val routed = Route.tagged(enriched, routeConditions)
+    val routed = Telemetry.routedSent(
+      Route.tagged(enriched, routeConditions),
+      routeConditions.keys.toSeq :+ graft.operators.Route.UnmatchedPort)
 
     val aggregated = routed
       .groupBy(col("port"), col("role"),

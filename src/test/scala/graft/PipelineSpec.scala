@@ -32,6 +32,34 @@ class PipelineSpec extends SparkSpec {
     assert(both.count() == 0)
   }
 
+  test("pipeline stages carry in-flight telemetry (internal_events analog)") {
+    import spark.implicits._
+    // fresh inline frame: the persisted sfDir pipeline serves reads from
+    // cache, and cached reads (correctly) do not re-fire observe
+    // accumulators — metrics count each event once, at materialization
+    val turns = (0 until 20).map { i =>
+      val lvl = if (i % 5 == 0) "error" else "info"
+      ("c" + (i % 3), i, "assistant", "tool_1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        s"""2024-01-01T00:00:00Z $lvl tool=tool_1 latency_ms=${100 + i} msg="t$i"""")
+    }.toDF("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    val stg = Pipeline.buildFrom(spark, turns)
+
+    // execute the stage frames THEMSELVES: observed metrics live on the
+    // QueryExecution that ran (count() would spawn its own)
+    assert(stg.parsed.collect().length == 20)
+    val m = stg.parsed.queryExecution.observedMetrics("graft.parse")
+    assert(m.getAs[Long]("events_received") == 20L)
+
+    val portCounts = stg.routed.groupBy("port").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    stg.routed.collect()
+    val r = stg.routed.queryExecution.observedMetrics("graft.route")
+    assert(r.getAs[Long]("events_sent") == portCounts.values.sum)
+    assert(r.getAs[Long]("sent_errors") == portCounts.getOrElse("errors", 0L))
+    assert(r.getAs[Long]("sent__unmatched") == portCounts.getOrElse("_unmatched", 0L))
+  }
+
   test("per-turn text equality under (conv_id, turn_idx) ordering") {
     // text must ride through parse+enrich+route unchanged: join routed
     // back to the source on the stable key and compare.
