@@ -197,4 +197,16 @@ object Parsers {
   def xmlString(c: Column, path: String): Column = xpath_string(c, lit(path))
   def xmlLong(c: Column, path: String): Column = xpath_long(c, lit(path))
   def xmlList(c: Column, path: String): Column = xpath(c, lit(path))
+
+  /** parse_avro / encode_avro (reference lib/codecs decoding/format/
+    * avro.rs): Spark 4 ships the from_avro/to_avro API in sql-api but
+    * gates evaluation on the spark-avro module jar — absent (as in this
+    * sandbox) any use raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at
+    * analysis time; present, these are the real binary codec. Jar-gated
+    * exactly like the Iceberg TableIO path (spec pins the error class).
+    */
+  def fromAvro(c: Column, jsonSchema: String): Column =
+    org.apache.spark.sql.avro.functions.from_avro(c, jsonSchema)
+  def toAvro(c: Column): Column =
+    org.apache.spark.sql.avro.functions.to_avro(c)
 }

@@ -57,6 +57,17 @@ class ParserSpec extends SparkSpec {
     assert(out == """{"id":1,"s":"x"}""")
   }
 
+  test("avro codec is jar-gated with Spark's named analysis error") {
+    // the sandbox ships no spark-avro module jar; Spark must gate the
+    // codec with its named error (with the jar present, the same calls
+    // are the real binary codec — probed via graft.tools.AvroProbe)
+    val df = Seq("x").toDF("s")
+    val e = intercept[Exception] {
+      df.select(Parsers.toAvro($"s")).collect()
+    }
+    assert(e.getMessage.contains("AVRO_NOT_LOADED"))
+  }
+
   test("parse_xml extracts typed fields by xpath") {
     val xml = "<event><id>42</id><user name=\"ada\"/><tags><t>a</t><t>b</t></tags></event>"
     val df = Seq(xml).toDF("x")
