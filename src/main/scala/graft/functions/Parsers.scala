@@ -209,4 +209,17 @@ object Parsers {
     org.apache.spark.sql.avro.functions.from_avro(c, jsonSchema)
   def toAvro(c: Column): Column =
     org.apache.spark.sql.avro.functions.to_avro(c)
+
+  /** parse_protobuf / encode_protobuf (reference lib/codecs
+    * decoding/format/protobuf.rs; the otlp formats are protobuf
+    * messages over these) — same jar-gating as avro: the sql-api
+    * binding is always present, evaluation requires the spark-protobuf
+    * module (PROTOBUF_NOT_LOADED error otherwise). `descFilePath` is
+    * the compiled descriptor set, the analog of the reference's
+    * `desc_file` config.
+    */
+  def fromProtobuf(c: Column, messageName: String, descFilePath: String): Column =
+    org.apache.spark.sql.protobuf.functions.from_protobuf(c, messageName, descFilePath)
+  def toProtobuf(c: Column, messageName: String, descFilePath: String): Column =
+    org.apache.spark.sql.protobuf.functions.to_protobuf(c, messageName, descFilePath)
 }

@@ -66,6 +66,12 @@ class ParserSpec extends SparkSpec {
       df.select(Parsers.toAvro($"s")).collect()
     }
     assert(e.getMessage.contains("AVRO_NOT_LOADED"))
+    val p = intercept[Exception] {
+      df.select(Parsers.fromProtobuf($"s".cast("binary"), "Msg", "/tmp/none.desc"))
+        .collect()
+    }
+    assert(p.getMessage.contains("PROTOBUF_NOT_LOADED")
+      || p.getMessage.toLowerCase.contains("protobuf"))
   }
 
   test("parse_xml extracts typed fields by xpath") {
