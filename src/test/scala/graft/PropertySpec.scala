@@ -103,4 +103,46 @@ class PropertySpec extends SparkSpec {
     }
     check(p, 50)
   }
+
+  test("LSH probe masks: count, distinctness, and bucket-space closure") {
+    val p = Prop.forAll(Gen.choose(2, 12), Gen.choose(0, 2)) { (b, r) =>
+      val masks = graft.operators.Similarity.probeMasks(b, r)
+      val expected = 1 + (if (r >= 1) b else 0) + (if (r >= 2) b * (b - 1) / 2 else 0)
+      masks.size == expected &&
+        masks.distinct.size == masks.size &&
+        masks.forall(m => m >= 0 && m < (1L << b)) &&
+        masks.head == 0L // home bucket always probed first
+    }
+    check(p, 60)
+  }
+
+  test("portable hash family: perm stays in [0, P) and members differ") {
+    import graft.functions.PortableHash
+    val p = Prop.forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.choose(2, 64)) { (x, k) =>
+      val fam = PortableHash.family(k)
+      val vals = fam.map { case (_, a, b) => ((x % PortableHash.P) * a + b) % PortableHash.P }
+      vals.forall(v => v >= 0 && v < PortableHash.P) &&
+        fam.map { case (_, a, b) => (a, b) }.distinct.size == k
+    }
+    check(p, 60)
+  }
+
+  test("cidr range math: lookupCidr's bucket cover contains exactly the network") {
+    // mirrors Enrich.lookupCidr's start/end/bucket arithmetic in plain
+    // Scala and checks the invariants the join relies on
+    val genOctet = Gen.choose(0, 255)
+    val p = Prop.forAll(genOctet, genOctet, Gen.choose(8, 32)) { (o1, o2, prefix) =>
+      val net = ((o1.toLong * 256 + o2) * 256) * 256
+      val size = 1L << (32 - prefix)
+      val start = net / size * size
+      val end = start + size - 1
+      val bkts = (start >> 16) to (end >> 16)
+      // every address in [start, end] lands in a covered bucket, and
+      // the bucket count is bounded by the /16 grid the table explodes to
+      start >= 0 && end < (1L << 32) &&
+        bkts.nonEmpty && bkts.size <= math.max(1L, size >> 16) + 1 &&
+        (start >> 16) == bkts.head && (end >> 16) == bkts.last
+    }
+    check(p, 60)
+  }
 }
