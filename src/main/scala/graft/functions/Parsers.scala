@@ -198,6 +198,34 @@ object Parsers {
   def xmlLong(c: Column, path: String): Column = xpath_long(c, lit(path))
   def xmlList(c: Column, path: String): Column = xpath(c, lit(path))
 
+  /** InfluxDB line protocol (reference lib/codecs decoding/format/
+    * influxdb.rs): `measurement,tag=v,... field=v,... <ts-nanos>`.
+    * Unescaped subset (no embedded commas/spaces/quotes in names or
+    * values — the common telemetry shape); integer fields carry the
+    * protocol's `i` suffix. Pure regexp/str_to_map expressions.
+    */
+  private val InfluxRe = "^([^,]+),([^ ]+) ([^ ]+) ([0-9]+)$"
+
+  def encodeInflux(measurement: Column, tags: Seq[(String, Column)],
+                   fields: Seq[(String, Column)], tsNanos: Column): Column =
+    concat(
+      measurement, lit(","),
+      concat_ws(",", tags.map { case (k, v) => concat(lit(k + "="), v) }: _*),
+      lit(" "),
+      concat_ws(",", fields.map { case (k, v) => concat(lit(k + "="), v) }: _*),
+      lit(" "), tsNanos.cast("string"))
+
+  def influxMeasurement(c: Column): Column = regexp_extract(c, InfluxRe, 1)
+  def influxTags(c: Column): Column =
+    str_to_map(regexp_extract(c, InfluxRe, 2), lit(","), lit("="))
+  def influxFields(c: Column): Column =
+    str_to_map(regexp_extract(c, InfluxRe, 3), lit(","), lit("="))
+  def influxTsNanos(c: Column): Column =
+    regexp_extract(c, InfluxRe, 4).cast("long")
+  /** Integer field value: strip the protocol's `i` suffix. */
+  def influxInt(fieldValue: Column): Column =
+    regexp_replace(fieldValue, "i$", "").cast("long")
+
   /** parse_avro / encode_avro (reference lib/codecs decoding/format/
     * avro.rs): Spark 4 ships the from_avro/to_avro API in sql-api but
     * gates evaluation on the spark-avro module jar — absent (as in this

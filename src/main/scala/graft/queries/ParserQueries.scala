@@ -170,6 +170,31 @@ object ParserQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------- influx line protocol
+  /** encode → parse round-trip; oracle derives expectations from the
+    * source columns (independent check).
+    */
+  private def qInflux(s: SparkSession, dir: String): DataFrame = {
+    val line = Parsers.encodeInflux(
+      col("event_type"),
+      tags = Seq(
+        "host"   -> concat(lit("h"), col("user_id") % 5),
+        "region" -> concat(lit("r"), col("user_id") % 3)),
+      fields = Seq(
+        "count" -> concat((col("event_id") % 97).cast("string"), lit("i")),
+        "value" -> concat(floor(col("value") * 100).cast("long").cast("string"), lit("i"))),
+      tsNanos = unix_timestamp(col("ts")) * lit(1000000000L))
+    events(s, dir).select(
+        col("event_id"),
+        Parsers.influxMeasurement(line).as("measurement"),
+        Parsers.influxTags(line).getItem("host").as("host"),
+        Parsers.influxTags(line).getItem("region").as("region"),
+        Parsers.influxInt(Parsers.influxFields(line).getItem("count")).as("count"),
+        Parsers.influxInt(Parsers.influxFields(line).getItem("value")).as("value_int"),
+        (Parsers.influxTsNanos(line) / lit(1000000000L)).cast("long").as("ts_sec"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- parse_glog
   private def glogLine: Column = concat(
     element_at(array(lit("I"), lit("W"), lit("E"), lit("F")),
@@ -250,6 +275,7 @@ object ParserQueries {
     "q_parse_apache" -> (qParseApache _),
     "q_parse_nginx"  -> (qParseNginx _),
     "q_parse_nginx_err" -> (qParseNginxErr _),
+    "q_influx"       -> (qInflux _),
     "q_parse_glog"   -> (qParseGlog _),
     "q_gelf"         -> (qGelf _),
     "q_cef"          -> (qCef _),
@@ -380,6 +406,15 @@ object ParserQueries {
              CAST(${re(gl, "line", glG("gline"))} AS INT) AS gline,
              ${re(gl, "line", glG("gmsg"))} AS gmsg
            FROM l ORDER BY event_id""",
+      "q_influx" ->
+        """SELECT event_id,
+             event_type AS measurement,
+             'h' || (user_id % 5) AS host,
+             'r' || (user_id % 3) AS region,
+             CAST(event_id % 97 AS BIGINT) AS count,
+             CAST(floor(value * 100) AS BIGINT) AS value_int,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events ORDER BY event_id""",
       "q_gelf" ->
         """SELECT event_id, '1.1' AS version,
              'host-' || (user_id % 5) AS host,
