@@ -112,22 +112,29 @@ object Bench {
     // measured on a WARMED engine: the shared source stage (transcript
     // derivation, cached by Tables.transcript) is materialized untimed,
     // as a long-lived service would have it; the scaling section below
-    // re-does ALL work every run. Each query runs TWICE and the min is
-    // reported: a single-shot timing is hostage to transient host
-    // contention (round-1 readings were inflated 10-40x for several
-    // queries by an overlapping job on the shared host), and min-of-2
-    // keeps a contaminated rep from masquerading as plan cost.
+    // re-does ALL work every run. Reps are INTERLEAVED across the whole
+    // registry — two full passes, min per query across passes — not two
+    // back-to-back reps per query: this shared host has multi-minute
+    // degraded windows, and back-to-back reps let ONE such window poison
+    // BOTH reps of whatever query it lands on (round-2 recorded 16s/18s
+    // for two queries that re-time at 1.5s/4-6s in isolation), while a
+    // window short relative to a full pass (~1-2 min of separation)
+    // can't hit the same query in both passes.
     val spark0 = session(cpus)
     if (!skipQueries) Tables.transcript(spark0, sfDir).count()
     val results: Seq[(String, Double)] =
       if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val secs = (1 to 2).map { _ =>
-          timed {
+      else {
+        val names = SparkEntry.queries.toSeq
+        def onePass(): Seq[(String, Double)] = names.map { case (name, fn) =>
+          name -> timed {
             try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
           }._2
         }
-        name -> secs.min
+        val passes = Seq(onePass(), onePass())
+        names.map { case (name, _) =>
+          name -> passes.map(_.toMap.apply(name)).min
+        }
       }
     spark0.stop()
 
@@ -258,9 +265,14 @@ object Bench {
          |  broadcast enrich join (no shuffle), single event-time shuffle
          |  for the aggregate; reference throughput ballpark: Vector's
          |  closest topology ≈300k events/s on 4 threads (BASELINE.md).
-         |- per-query timings (part 1 of the bench JSON) are min-of-2 per
-         |  query: single-shot numbers on this shared host are hostage to
-         |  transient contention (round-1 showed 10-40× inflation).
+         |- per-query timings (part 1 of the bench JSON) are the min per
+         |  query across two INTERLEAVED full passes over the registry
+         |  (pass1 all queries, then pass2 all queries): single-shot
+         |  numbers on this shared host are hostage to transient
+         |  contention (round-1 showed 10-40× inflation), and round-2
+         |  showed back-to-back reps let one degraded window poison both
+         |  reps of one query — full-pass separation (~1 min) means a
+         |  short window can't hit the same query twice.
          |""".stripMargin
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
   }

@@ -121,20 +121,33 @@ object Parsers {
       org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.IntegerType))))
 
-  /** JSON string-body escaping: backslash first, then quote, then the
-    * common control characters — enough that any host/message value
-    * round-trips through from_json.
+  /** JSON string-body escaping: backslash first, then quote, the short
+    * escapes (\n \r \t \b \f), then EVERY remaining C0 control character
+    * as \u00XX — so the encoder output is valid JSON for any input
+    * value, including hostile ones. The rare-control tail is a folded
+    * chain of single-char replaces; each is a cheap literal scan and the
+    * whole chain stays inside whole-stage codegen.
     */
-  private def jsonEscape(c: Column): Column =
-    regexp_replace(
+  private def jsonEscape(c: Column): Column = {
+    val common =
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(c, "\\\\", "\\\\\\\\"),
-            "\"", "\\\\\""),
-          "\n", "\\\\n"),
-        "\r", "\\\\r"),
-      "\t", "\\\\t")
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(c, "\\\\", "\\\\\\\\"),
+                  "\"", "\\\\\""),
+                "\n", "\\\\n"),
+              "\r", "\\\\r"),
+            "\t", "\\\\t"),
+          "\b", "\\\\b"),
+        "\f", "\\\\f")
+    val rest = (0 until 32).filterNot(Set(8, 9, 10, 12, 13))
+    rest.foldLeft(common) { (acc, code) =>
+      regexp_replace(acc, f"\\x$code%02x", f"\\\\\\\\u$code%04x")
+    }
+  }
 
   /** encode_gelf: render the standard GELF fields as JSON (field order
     * fixed for cross-engine determinism). String fields are

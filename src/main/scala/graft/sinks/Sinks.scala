@@ -108,12 +108,22 @@ object MultiSink {
     * cache) moves the full event payload through the block store twice
     * — measured 0.68 scaling efficiency at bench scale vs ≥0.8 without
     * the persist (cache spill dominates the small-cluster run).
+    *
+    * The read-back is SCOPED to the ports this run actually routed (a
+    * broadcast semi-join on the routed frame's distinct ports): when
+    * dataDir is reused across jobs, partitions committed by EARLIER
+    * jobs must not be stamped with this jobId — completedPorts/resume
+    * would otherwise treat ports this job never wrote as committed for
+    * it, and the min/max stats would cover data it didn't produce.
+    * Partition pruning turns the semi-join into a pruned scan: only
+    * this run's port directories are read.
     */
   def writeWithCheckpoint(routed: DataFrame, dataDir: String,
                           manifestDir: String, jobId: String,
                           io: TableIO = ParquetIO): Unit = {
     writeRouted(routed, dataDir, io)
     val committed = io.read(routed.sparkSession, dataDir)
+      .join(broadcast(routed.select("port").distinct()), Seq("port"), "left_semi")
     io.write(manifestFor(committed, jobId), manifestDir, Seq.empty, SaveMode.Append)
   }
 

@@ -50,6 +50,15 @@ final class MemoryTable(spark: SparkSession, schema: StructType,
     * stack-overflows after a few thousand micro-batches (superseded
     * checkpoint blocks are released by Spark's ContextCleaner once the
     * old snapshot is unreferenced).
+    *
+    * DURABILITY: `localCheckpoint` stores blocks with reliable=false —
+    * losing an executor that holds snapshot blocks makes the snapshot
+    * unrecoverable. That matches the reference's semantics (an
+    * in-PROCESS enrichment cache dies with the process,
+    * src/enrichment_tables/memory.rs) and is safe in local mode; a
+    * multi-executor deployment that needs the cache to survive executor
+    * loss should set `sparkContext.setCheckpointDir` and swap in
+    * reliable `checkpoint()` here.
     */
   def upsert(batch: DataFrame): Unit = synchronized {
     gen += 1

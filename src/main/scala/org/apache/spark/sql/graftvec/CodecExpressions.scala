@@ -95,7 +95,22 @@ object CodecExpressions {
     override def nullSafeEval(v: Any): Any = {
       val src = v.asInstanceOf[Array[Byte]]
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(src)
-      com.github.luben.zstd.Zstd.decompress(src, n.toInt)
+      // Streaming-written frames report no content size (n < 0), and a
+      // single-allocation decompress can't hold >2GB — both fall back to
+      // a streaming inflate instead of failing/overflowing on valid
+      // external zstd input.
+      if (n >= 0 && n <= Int.MaxValue)
+        com.github.luben.zstd.Zstd.decompress(src, n.toInt)
+      else {
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(src))
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var k = in.read(buf)
+        while (k >= 0) { bos.write(buf, 0, k); k = in.read(buf) }
+        in.close()
+        bos.toByteArray
+      }
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }

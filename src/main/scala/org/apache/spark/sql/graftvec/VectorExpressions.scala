@@ -24,6 +24,14 @@ object VectorExpressions {
     * are bit-identical to both and 6dp-rounded cosines hash-match the
     * correctness oracle.
     *
+    * PRECONDITION (embedding-column contract): both arrays are non-null,
+    * contain no null elements, and have equal length — the shape every
+    * graft embedding producer guarantees. Outside it this expression
+    * diverges from the HOF form: a null ELEMENT reads as 0.0 (ArrayData
+    * primitive access) instead of propagating null, and mismatched
+    * lengths truncate to min(n) instead of yielding null. Top-level null
+    * arrays DO propagate null (nullIntolerant).
+    *
     * Codegen emits a fused primitive loop (no per-element lambda
     * dispatch, no allocation) inlined into the consuming stage by
     * whole-stage codegen — ~20x faster per pair than the interpreted
