@@ -1,0 +1,382 @@
+package graft.config
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Toml._
+import VrlAst.{SegName, VrlUnsupported}
+import VrlCompile._
+
+/** An event batch flowing through a config-built topology: a DataFrame
+  * plus the tracked VRL types of its event fields. The frame also
+  * carries a non-event `__seq` column (arrival order) used by
+  * order-sensitive transforms (dedupe first-wins, reduce sessions,
+  * sample counters); it is never visible to VRL programs.
+  */
+final case class Frame(df: DataFrame, meta: EventMeta) {
+  def isEmpty: Boolean = df.isEmpty
+}
+
+/** Config-driven pipeline front-end: a TOML topology of `[transforms.*]`
+  * blocks (the reference's primary UX — config loading in
+  * `src/config/builder.rs`, transform registration per type) compiled
+  * into the SAME Spark operators the Scala API exposes. Nothing is
+  * interpreted per event: each transform's config compiles once into
+  * Catalyst columns.
+  *
+  * Supported transform types mirror the reference's behavior-test
+  * corpus: remap (VRL program via `source`/`file`, drop_on_error /
+  * drop_on_abort / reroute_dropped with a `.dropped` port —
+  * src/transforms/remap.rs:58-135), filter, route (multicast ports +
+  * `_unmatched`), exclusive_route (first-match ports), dedupe
+  * (fields.match / fields.ignore), reduce (group_by, ends_when,
+  * max_events, merge_strategies), sample, throttle.
+  */
+final class Topology(val root: TTab, fileDir: Option[String] = None) {
+
+  import Topology._
+
+  val transforms: ListMap[String, TTab] =
+    root.tab("transforms") match {
+      case Some(t) =>
+        ListMap(t.entries.toSeq.collect { case (n, tab: TTab) => n -> tab }: _*)
+      case None => ListMap.empty
+    }
+
+  def testDefs: Vector[TTab] = root.tabs("tests")
+
+  /** Evaluate the DAG. `injected` supplies an input batch per transform
+    * name (the unit-test harness's insert_at, or a source mapping);
+    * declared `inputs` naming other transforms wire internal edges;
+    * input names that match no transform (external sources) resolve
+    * against `injected` under that name. Returns every produced output
+    * id — `name` or `name.port` — to its frame.
+    */
+  def run(injected: Map[String, Frame]): Map[String, Frame] = {
+    val outputs = mutable.LinkedHashMap.empty[String, Frame]
+    val done = mutable.Set.empty[String]
+    var progress = true
+    while (done.size < transforms.size && progress) {
+      progress = false
+      for ((name, cfg) <- transforms if !done(name)) {
+        val declared = cfg.strArr("inputs")
+        val internal = declared.filter(d => transforms.contains(rootOf(d)))
+        if (internal.forall(r => done(rootOf(r)))) {
+          val fromEdges = declared.flatMap { d =>
+            outputs.get(d).orElse(if (transforms.contains(rootOf(d))) None
+                                  else injected.get(d))
+          }
+          val frames = fromEdges ++ injected.get(name).filter(_ => !declared.contains(name))
+          if (frames.nonEmpty) {
+            val in = unionFrames(frames)
+            applyTransform(name, cfg, in).foreach { case (port, f) =>
+              outputs(if (port.isEmpty) name else s"$name.$port") = f
+            }
+          }
+          done += name
+          progress = true
+        }
+      }
+    }
+    if (done.size < transforms.size)
+      throw new IllegalArgumentException(
+        s"topology cycle or missing input among ${transforms.keySet -- done}")
+    outputs.toMap
+  }
+
+  // ----------------------------------------------------------- apply
+  private def applyTransform(name: String, cfg: TTab, in: Frame): Seq[(String, Frame)] =
+    cfg.str("type").getOrElse(
+      throw new IllegalArgumentException(s"transform $name has no type")) match {
+
+      case "remap" =>
+        val src = cfg.str("source").orElse(cfg.str("file").map(readRelative))
+          .getOrElse(throw new IllegalArgumentException(s"remap $name: no source/file"))
+        val prog = VrlAst.parse(src)
+        val opts = RemapOpts(
+          dropOnError = cfg.bool("drop_on_error").getOrElse(false),
+          dropOnAbort = cfg.bool("drop_on_abort").getOrElse(true),
+          rerouteDropped = cfg.bool("reroute_dropped").getOrElse(false))
+        val r = VrlCompile.remap(in.df, in.meta, prog, opts, Seq(SeqCol))
+        Seq("" -> Frame(r.df, r.meta)) ++
+          r.dropped.map(d => "dropped" -> Frame(d, in.meta))
+
+      case "filter" =>
+        Seq("" -> in.copy(df = in.df.filter(Conditions.compile(cfg.get("condition"), in))))
+
+      case "route" =>
+        val routes = cfg.tab("route").getOrElse(
+          throw new IllegalArgumentException(s"route $name: no route table"))
+        val compiled = routes.entries.toSeq.map { case (port, v) =>
+          port -> Conditions.compile(Some(v), in)
+        }
+        val anyMatch = compiled.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+        compiled.map { case (p, c) => p -> in.copy(df = in.df.filter(c)) } :+
+          ("_unmatched" -> in.copy(df = in.df.filter(!anyMatch)))
+
+      case "exclusive_route" =>
+        var prior: Column = lit(false)
+        val outs = cfg.tabs("routes").map { r =>
+          val nm = r.str("name").getOrElse(
+            throw new IllegalArgumentException(s"exclusive_route $name: route without name"))
+          val c = Conditions.compile(r.get("condition"), in)
+          val keep = c && !prior
+          prior = prior || c
+          nm -> in.copy(df = in.df.filter(keep))
+        }
+        outs :+ ("_unmatched" -> in.copy(df = in.df.filter(!prior)))
+
+      case "dedupe" =>
+        val fieldsTab = cfg.tab("fields")
+        val env = envFromDf(in.df, in.meta)
+        val keys: Seq[Column] = fieldsTab.flatMap(_.get("match")) match {
+          case Some(TArr(paths)) =>
+            paths.collect { case TStr(p) => dedupeKey(env, p) }
+          case _ =>
+            val ignore = fieldsTab.map(_.strArr("ignore")).getOrElse(Vector.empty).toSet
+            in.meta.types.keys.filterNot(ignore).map(p => dedupeKey(env, p)).toSeq
+        }
+        Seq("" -> in.copy(df =
+          graft.operators.Dedupe.keepFirst(in.df, keys, Seq(col(SeqCol)))))
+
+      case "reduce" => Seq("" -> reduce(name, cfg, in))
+
+      case "sample" =>
+        val rate = cfg.long("rate").getOrElse(10L).toInt
+        val env = envFromDf(in.df, in.meta)
+        val group = cfg.str("group_by").map(p =>
+          resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
+        val out = graft.operators.Sample.counter(in.df, Seq(group), Seq(col(SeqCol)), rate)
+        Seq("" -> Frame(out, EventMeta(in.meta.types + ("sample_rate" -> VInt), in.meta.rootT)))
+
+      case "throttle" =>
+        val threshold = cfg.long("threshold").getOrElse(
+          throw new IllegalArgumentException(s"throttle $name: no threshold")).toInt
+        val windowSecs = cfg.long("window_secs").getOrElse(60L)
+        val env = envFromDf(in.df, in.meta)
+        val key = cfg.str("key_field").map(p =>
+          resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
+        val ts = resolveField(env, Seq(SegName("timestamp"))).col
+        Seq("" -> in.copy(df = graft.operators.Throttle(
+          in.df, key, ts, threshold, windowSecs, Seq(col(SeqCol)))))
+
+      case other => throw VrlUnsupported(s"transform type $other")
+    }
+
+  /** Type-tagged portable dedupe key for one match path: JSON encoding
+    * distinguishes `1` / `"1"` / `{"c":"d"}` the way the reference's
+    * typed match keys do (src/transforms/dedupe/common.rs).
+    */
+  private def dedupeKey(env: Env, path: String): Column = {
+    val cv = resolveField(env, parsePathStr(path))
+    to_json(struct(cv.col.as("v")))
+  }
+
+  // ----------------------------------------------------------- reduce
+  /** Config-driven reduce: group_by + ends_when/max_events session cuts
+    * + per-field merge strategies with the reference's defaults —
+    * numbers sum, timestamps window to (field, field_end), everything
+    * else keeps the first present value
+    * (src/transforms/reduce/transform.rs:85-127, merge_strategy.rs).
+    */
+  private def reduce(name: String, cfg: TTab, in: Frame): Frame = {
+    val env = envFromDf(in.df, in.meta)
+    val groupPaths = cfg.strArr("group_by")
+    val groupCols = groupPaths.map(p => resolveField(env, parsePathStr(p)).col)
+    val endsWhen = cfg.get("ends_when").map(v => Conditions.compile(Some(v), in))
+    val maxEvents = cfg.long("max_events").map(_.toInt)
+    val strategies: Map[String, String] = cfg.tab("merge_strategies") match {
+      case Some(t) => t.entries.toSeq.collect { case (k, TStr(s)) => k -> s }.toMap
+      case None => Map.empty
+    }
+
+    // group keys materialized under reserved names so the post-agg
+    // projection can't collide with same-named event fields
+    val cut = graft.operators.Reduce.sessionIds(
+        in.df, groupCols, col(SeqCol), endsWhen, maxEvents)
+      .withColumns(groupPaths.indices.map(i => s"__g$i" -> groupCols(i)).toMap)
+    val gKeys = groupPaths.indices.map(i => col(s"__g$i")) :+ col("session_id")
+    val ord = col(SeqCol)
+    val groupSet = groupPaths.toSet
+    import graft.operators.Reduce.Strategy
+
+    def firstPresent(v: Column): Column = min_by(v, when(v.isNotNull, ord))
+
+    val aggs = mutable.ArrayBuffer.empty[Column]
+    val outTypes = mutable.ArrayBuffer.empty[(String, VT)]
+    in.meta.types.foreach { case (n, t) =>
+      val v = in.df.col(s"`$n`")
+      if (groupSet(n)) {
+        aggs += first(col(s"__g${groupPaths.indexOf(n)}")).as(n)
+        outTypes += (n -> t)
+      } else strategies.get(n) match {
+        case Some(s) =>
+          val (c, ot) = s match {
+            case "discard" => (Strategy.discard(v, ord), t)
+            case "retain" => (Strategy.retain(v, ord), t)
+            case "sum" => (Strategy.sumS(v), t)
+            case "max" => (Strategy.maxS(v), t)
+            case "min" => (Strategy.minS(v), t)
+            case "array" => (Strategy.array(v, ord), VHetFromArray(t))
+            case "concat" => (Strategy.concat(v.cast("string"), ord), VStr)
+            case "concat_newline" => (Strategy.concatNewline(v.cast("string"), ord), VStr)
+            case "concat_raw" => (Strategy.concatRaw(v.cast("string"), ord, ""), VStr)
+            case "flat_unique" => (Strategy.flatUnique(v), VHetFromArray(t))
+            case "shortest_array" => (Strategy.shortestArray(v.cast("array<string>")), VArrOf(VStr))
+            case "longest_array" => (Strategy.longestArray(v.cast("array<string>")), VArrOf(VStr))
+            case other => throw VrlUnsupported(s"merge strategy $other")
+          }
+          aggs += c.as(n); outTypes += (n -> ot)
+        case None => t match {
+          case VInt | VFloat =>
+            aggs += sum(v).cast(if (t == VInt) "bigint" else "double").as(n)
+            outTypes += (n -> t)
+          case VTime =>
+            aggs += min(v).as(n); outTypes += (n -> VTime)
+            aggs += max(v).as(s"${n}_end"); outTypes += (s"${n}_end" -> VTime)
+          case _ =>
+            aggs += firstPresent(v).as(n); outTypes += (n -> t)
+        }
+      }
+    }
+    val grouped = cut
+      .groupBy(gKeys: _*)
+      .agg(min(ord).as(SeqCol), aggs.toSeq: _*)
+      .select(col(SeqCol) +: outTypes.toSeq.map { case (n, _) => col(s"`$n`") }: _*)
+    Frame(grouped, EventMeta(ListMap(outTypes.toSeq: _*), None))
+  }
+
+  private def VHetFromArray(elem: VT): VT = VArrOf(elem)
+
+  private def readRelative(p: String): String = {
+    val f = fileDir.map(d => java.nio.file.Paths.get(d, p))
+      .getOrElse(java.nio.file.Paths.get(p))
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+  }
+}
+
+object Topology {
+
+  /** Arrival-order column carried alongside event fields. */
+  val SeqCol = "__seq"
+
+  def load(text: String): Topology = new Topology(Toml.parse(text))
+
+  def loadFile(path: String): Topology = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    new Topology(Toml.parse(text),
+      Some(java.nio.file.Paths.get(path).toAbsolutePath.getParent.toString))
+  }
+
+  private def rootOf(id: String): String = id.split('.').head
+
+  private[config] def parsePathStr(p: String): Seq[VrlAst.PathSeg] =
+    p.split('.').toSeq.map(SegName(_))
+
+  // ------------------------------------------------- frame unification
+  /** Union frames by field name: equal types keep their type, int/float
+    * widens, struct-vs-struct unions fieldwise, anything else widens to
+    * VARIANT — the plan-time analogue of the reference's dynamic events.
+    */
+  private[config] def unionFrames(frames: Seq[Frame]): Frame = {
+    require(frames.nonEmpty)
+    if (frames.length == 1) return frames.head
+    val names = frames.flatMap(_.meta.types.keys).distinct
+    val unified: ListMap[String, VT] = ListMap(names.map { n =>
+      n -> frames.flatMap(_.meta.types.get(n)).reduce(unifyT)
+    }: _*)
+    val dfs = frames.map { f =>
+      val cols = unified.map { case (n, t) =>
+        f.meta.types.get(n) match {
+          case Some(ft) => adapt(CV(f.df.col(s"`$n`"), ft), t).as(n)
+          case None => lit(null).cast(toSpark(t)).as(n)
+        }
+      }.toSeq
+      f.df.select(col(SeqCol) +: cols: _*)
+    }
+    Frame(dfs.reduce(_ union _), EventMeta(unified, None))
+  }
+
+  private[config] def unifyT(a: VT, b: VT): VT =
+    if (a == b) a
+    else (a, b) match {
+      case (VNullT, x) => x
+      case (x, VNullT) => x
+      case (VInt, VFloat) | (VFloat, VInt) => VFloat
+      case (VObj(fa), VObj(fb)) =>
+        val keys = (fa.keys ++ fb.keys).toSeq.distinct
+        VObj(ListMap(keys.map { k =>
+          k -> ((fa.get(k), fb.get(k)) match {
+            case (Some(x), Some(y)) => unifyT(x, y)
+            case (Some(x), None) => x
+            case (None, Some(y)) => y
+            case _ => VNullT
+          })
+        }: _*))
+      case _ => VAny
+    }
+
+  private[config] def adapt(cv: CV, target: VT): Column =
+    if (cv.t == target) cv.col
+    else (cv.t, target) match {
+      case (VNullT, t) => lit(null).cast(toSpark(t))
+      case (VInt, VFloat) => cv.col.cast("double")
+      case (VObj(fa), VObj(fb)) =>
+        struct(fb.map { case (k, t) =>
+          (fa.get(k) match {
+            case Some(ft) => adapt(CV(cv.col.getField(k), ft), t)
+            case None => lit(null).cast(toSpark(t))
+          }).as(k)
+        }.toSeq: _*)
+      case (_, VAny) => VrlCompile.toVariant(cv)
+      case (a, b) => throw VrlUnsupported(s"cannot adapt $a to $b")
+    }
+
+  private[config] def toSpark(t: VT): DataType = t match {
+    case VStr => StringType
+    case VInt => LongType
+    case VFloat => DoubleType
+    case VBool => BooleanType
+    case VTime => TimestampType
+    case VNullT => StringType
+    case VAny => VariantType
+    case VArrOf(e) => ArrayType(toSpark(e))
+    case VHet(ts) =>
+      StructType(ts.zipWithIndex.map { case (et, i) => StructField(s"_$i", toSpark(et)) })
+    case VObj(fs) =>
+      StructType(fs.map { case (n, ft) => StructField(n, toSpark(ft)) }.toSeq)
+    case VMap => MapType(StringType, StringType)
+  }
+}
+
+/** Vector-style conditions over a Frame: `vrl` programs, the `is_log` /
+  * `is_metric` type guards (the config path models log events), and
+  * bare-string VRL shorthand (reference: src/conditions/mod.rs).
+  */
+object Conditions {
+  def compile(v: Option[Toml.V], in: Frame): Column = v match {
+    case Some(TStr(src)) => vrl(src, in)
+    case Some(t: TTab) =>
+      t.str("type").getOrElse("vrl") match {
+        case "vrl" => vrl(t.str("source").getOrElse(
+          throw new IllegalArgumentException("vrl condition without source")), in)
+        case "is_log" => lit(true)
+        case "is_metric" | "is_trace" => lit(false)
+        case "datadog_search" =>
+          val q = t.str("source").getOrElse(
+            throw new IllegalArgumentException("datadog_search condition without source"))
+          graft.functions.SearchSyntax.compile(q, in.df.col("message"),
+            n => in.df.col(s"`$n`"))
+        case other => throw VrlUnsupported(s"condition type $other")
+      }
+    case _ => throw new IllegalArgumentException("missing condition")
+  }
+
+  def vrl(src: String, in: Frame): Column =
+    VrlCompile.condition(in.df, in.meta, VrlAst.parse(src))
+}

@@ -1,0 +1,194 @@
+package graft.config
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Toml._
+import VrlAst.VrlUnsupported
+import VrlCompile._
+
+/** Result of one `[[tests]]` entry: `errors` empty = pass; `skipped`
+  * set = the test exercises a VRL feature outside the supported subset
+  * (reported, not failed — the documented-skip contract).
+  */
+final case class TestResult(name: String, errors: Seq[String],
+                            skipped: Option[String] = None) {
+  def passed: Boolean = errors.isEmpty && skipped.isEmpty
+}
+
+/** The `vector test` harness re-expressed over Spark: builds the input
+  * events each `[[tests.inputs]]` block declares (insert_at + raw /
+  * log_fields / vrl forms), pushes them through the config topology,
+  * and checks every `[[tests.outputs]]` block's conditions plus
+  * `no_outputs_from` — an output check passes when ANY event from the
+  * extract_from target satisfies ALL its conditions, matching the
+  * reference sink's clear-on-first-match loop
+  * (src/config/unit_test/unit_test_components.rs:214-227; test schema
+  * src/config/mod.rs:407-425, 550-599).
+  */
+object UnitTestHarness {
+
+  import Topology.SeqCol
+
+  /** Deterministic base for the default `timestamp` field the reference
+    * stamps on synthesized log events; successive inputs get successive
+    * seconds so timestamp windows are observable.
+    */
+  private val BaseEpoch = 1600000000L
+
+  def runFile(spark: SparkSession, path: String): Seq[TestResult] =
+    run(spark, Topology.loadFile(path))
+
+  def run(spark: SparkSession, topo: Topology): Seq[TestResult] =
+    topo.testDefs.map(t => runOne(spark, topo, t))
+
+  def runOne(spark: SparkSession, topo: Topology, test: TTab): TestResult = {
+    val name = test.str("name").getOrElse("<unnamed>")
+    try {
+      val inputs: Seq[TTab] = test.tab("input").toSeq ++ test.tabs("inputs")
+      if (inputs.isEmpty) return TestResult(name, Seq("test has no inputs"))
+
+      val bySite = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[(Long, TTab)]]
+      inputs.zipWithIndex.foreach { case (in, i) =>
+        val at = in.str("insert_at").getOrElse(
+          return TestResult(name, Seq(s"input $i has no insert_at")))
+        bySite.getOrElseUpdate(at, mutable.ArrayBuffer.empty) += ((i.toLong, in))
+      }
+      val injected = bySite.map { case (at, evs) =>
+        at -> buildFrame(spark, evs.toSeq)
+      }.toMap
+
+      val outputs = topo.run(injected)
+      val errors = mutable.ArrayBuffer.empty[String]
+
+      test.tabs("outputs").zipWithIndex.foreach { case (out, ci) =>
+        val ids: Seq[String] = out.get("extract_from") match {
+          case Some(TStr(s)) => Seq(s)
+          case Some(TArr(xs)) => xs.collect { case TStr(s) => s }
+          case _ => Seq.empty
+        }
+        if (ids.isEmpty) errors += s"check[$ci]: no extract_from"
+        else {
+          val conds = out.tabs("conditions")
+          val frames = ids.flatMap(outputs.get).filterNot(_.isEmpty)
+          if (frames.isEmpty)
+            errors += s"check[$ci] for ${ids.mkString(",")}: no events received"
+          else if (conds.nonEmpty) {
+            // reference semantics: EACH condition must be satisfied by at
+            // least one received event (unit_test_components.rs:214-227)
+            val satisfied = Array.fill(conds.length)(false)
+            frames.foreach { frame =>
+              val flags = frame.df.agg(
+                count(lit(1)).as("__n"),
+                conds.zipWithIndex.map { case (c, i) =>
+                  max(when(Conditions.compile(Some(c), frame), 1).otherwise(0)).as(s"__c$i")
+                }: _*).collect()(0)
+              conds.indices.foreach { i =>
+                if (flags.getInt(i + 1) == 1) satisfied(i) = true
+              }
+            }
+            conds.indices.foreach { i =>
+              if (!satisfied(i))
+                errors += s"check[$ci] condition[$i] for ${ids.mkString(",")}: no event matched"
+            }
+          }
+        }
+      }
+
+      test.strArr("no_outputs_from").foreach { id =>
+        if (outputs.get(id).exists(f => !f.isEmpty))
+          errors += s"expected no events from $id"
+      }
+
+      TestResult(name, errors.toSeq)
+    } catch {
+      case VrlUnsupported(f) => TestResult(name, Nil, Some(f))
+    }
+  }
+
+  // --------------------------------------------------- input building
+  /** One insert site's events, in arrival order, as a typed Frame. */
+  private[graft] def buildFrame(spark: SparkSession, evs: Seq[(Long, TTab)]): Frame = {
+    val frames = evs.map { case (seq, in) =>
+      in.str("type").getOrElse(if (in.get("source").isDefined) "vrl" else "raw") match {
+        case "vrl" =>
+          val src = in.str("source").getOrElse(
+            throw new IllegalArgumentException("vrl input without source"))
+          val empty = Frame(
+            spark.range(1).select(lit(seq).as(SeqCol)),
+            EventMeta(ListMap.empty, None))
+          val r = VrlCompile.remap(empty.df, empty.meta, VrlAst.parse(src),
+            RemapOpts(), Seq(SeqCol))
+          withDefaultTimestamp(Frame(r.df, r.meta), seq)
+        case "raw" | "log" =>
+          val tree: TTab = in.str("value") match {
+            case Some(v) =>
+              val t = TTab.empty; t.entries("message") = TStr(v); t
+            case None =>
+              nestDotted(in.tab("log_fields").getOrElse(TTab.empty))
+          }
+          withDefaultTimestamp(oneRow(spark, seq, tree), seq)
+        case other => throw VrlUnsupported(s"test input type $other")
+      }
+    }
+    Topology.unionFrames(frames)
+  }
+
+  private def withDefaultTimestamp(f: Frame, seq: Long): Frame =
+    if (f.meta.types.contains("timestamp") || f.meta.rootT.isDefined) f
+    else Frame(
+      f.df.withColumn("timestamp", timestamp_seconds(lit(BaseEpoch + seq))),
+      EventMeta(f.meta.types + ("timestamp" -> VTime), None))
+
+  /** Vector log_fields keys are event PATHS: `"a.b.c" = 1` nests. */
+  private[config] def nestDotted(flat: TTab): TTab = {
+    val out = TTab.empty
+    flat.entries.foreach { case (k, v) =>
+      val segs = k.split('.')
+      var t = out
+      segs.init.foreach { s =>
+        t = t.entries.getOrElseUpdate(s, TTab.empty) match {
+          case tt: TTab => tt
+          case _ => throw new IllegalArgumentException(s"log_fields path conflict at $s")
+        }
+      }
+      t.entries(segs.last) = v match {
+        case tt: TTab => nestDotted(tt)
+        case other => other
+      }
+    }
+    out
+  }
+
+  private def oneRow(spark: SparkSession, seq: Long, tree: TTab): Frame = {
+    val fields = tree.entries.toSeq.map { case (n, v) => n -> typedLit(v) }
+    val cols = lit(seq).as(SeqCol) +: fields.map { case (n, cv) => cv.col.as(n) }
+    Frame(spark.range(1).select(cols: _*),
+      EventMeta(ListMap(fields.map { case (n, cv) => n -> cv.t }: _*), None))
+  }
+
+  /** TOML value → typed literal column (ints are VRL integers, inline
+    * tables nest to structs, arrays stay typed when homogeneous).
+    */
+  private[config] def typedLit(v: V): CV = v match {
+    case TStr(s) => CV(lit(s), VStr)
+    case TInt(n) => CV(lit(n), VInt)
+    case TFloat(d) => CV(lit(d), VFloat)
+    case TBool(b) => CV(lit(b), VBool)
+    case t: TTab =>
+      val fields = t.entries.toSeq.map { case (n, fv) => n -> typedLit(fv) }
+      CV(struct(fields.map { case (n, cv) => cv.col.as(n) }: _*),
+        VObj(ListMap(fields.map { case (n, cv) => n -> cv.t }: _*)))
+    case TArr(items) =>
+      val cvs = items.map(typedLit)
+      val ts = cvs.map(_.t).distinct
+      if (ts.size == 1 && (ts.head == VStr || ts.head == VInt || ts.head == VFloat || ts.head == VBool))
+        CV(array(cvs.map(_.col): _*), VArrOf(ts.head))
+      else
+        CV(struct(cvs.zipWithIndex.map { case (cv, i) => cv.col.as(s"_$i") }: _*),
+          VHet(cvs.map(_.t)))
+  }
+}

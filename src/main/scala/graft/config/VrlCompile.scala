@@ -1,0 +1,683 @@
+package graft.config
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import VrlAst._
+
+/** VRL-subset → Catalyst compiler.
+  *
+  * A VRL program (reference: the `Program` compiled by
+  * `src/transforms/remap.rs:58-135` and evaluated per event) is compiled
+  * ONCE into Spark columns over the input DataFrame — evaluation is
+  * ordinary whole-stage-codegen'd expression work, no per-event
+  * interpreter. The compile is schema-directed: every event field has a
+  * static type (`VT`) taken from the DataFrame schema or tracked through
+  * the program, which is what lets VRL's dynamic typing resolve at plan
+  * time.
+  *
+  * Error semantics follow the reference engine:
+  *  - a raised runtime error (bang-function failure, null arithmetic,
+  *    division by zero, failed assert) reverts the event to its
+  *    unmodified input (`drop_on_error = false`) or drops it
+  *    (`drop_on_error = true`) — src/transforms/remap.rs (DROPPED
+  *    channel);
+  *  - `ok, err = expr` captures the error: `ok` gets the "zero value"
+  *    of the expression type, `err` the message (message TEXT is
+  *    engine-specific here, unlike the reference's exact strings);
+  *  - `expr ?? fallback` substitutes the fallback when expr raises;
+  *  - `abort` reverts/drops per `drop_on_abort`.
+  *
+  * Dynamic JSON (`parse_json`) compiles to Spark 4 VARIANT columns;
+  * heterogeneous arrays and objects compile to structs with
+  * compile-time-tracked element types.
+  */
+object VrlCompile {
+
+  // ------------------------------------------------------------ types
+  sealed trait VT
+  case object VStr extends VT
+  case object VInt extends VT
+  case object VFloat extends VT
+  case object VBool extends VT
+  case object VTime extends VT
+  case object VNullT extends VT
+  case object VAny extends VT // VariantType-backed
+  final case class VArrOf(elem: VT) extends VT // native array
+  final case class VHet(elems: Seq[VT]) extends VT // struct _0.._n
+  final case class VObj(fields: ListMap[String, VT]) extends VT // struct
+  case object VMap extends VT // map<string,string>
+
+  final case class CV(col: Column, t: VT)
+
+  /** Expression result: value + optional raise predicate + message. */
+  final case class XV(cv: CV, raise: Option[Column], msg: Column)
+  object XV {
+    def pure(cv: CV): XV = XV(cv, None, lit(null).cast("string"))
+  }
+
+  final case class EventMeta(types: ListMap[String, VT], rootT: Option[VT])
+  object EventMeta {
+    def fromSchema(schema: StructType): EventMeta =
+      EventMeta(ListMap(schema.fields.map(f => f.name -> fromSpark(f.dataType)): _*), None)
+  }
+
+  def fromSpark(dt: DataType): VT = dt match {
+    case StringType => VStr
+    case LongType | IntegerType | ShortType | ByteType => VInt
+    case DoubleType | FloatType | _: DecimalType => VFloat
+    case BooleanType => VBool
+    case TimestampType | TimestampNTZType => VTime
+    case NullType => VNullT
+    case s: StructType =>
+      VObj(ListMap(s.fields.map(f => f.name -> fromSpark(f.dataType)): _*))
+    case ArrayType(e, _) => VArrOf(fromSpark(e))
+    case MapType(StringType, _, _) => VMap
+    case _: VariantType => VAny
+    case other => throw VrlUnsupported(s"input column type $other")
+  }
+
+  private def sparkTypeName(t: VT): String = t match {
+    case VStr => "string"
+    case VInt => "bigint"
+    case VFloat => "double"
+    case VBool => "boolean"
+    case VTime => "timestamp"
+    case _ => "variant"
+  }
+
+  private def nullCV: CV = CV(lit(null), VNullT)
+
+  private def zero(t: VT): Column = t match {
+    case VStr => lit("")
+    case VInt => lit(0L)
+    case VFloat => lit(0.0)
+    case VBool => lit(false)
+    case _ => lit(null)
+  }
+
+  // ------------------------------------------------------------- env
+  final case class Env(
+      fields: ListMap[String, CV],
+      locals: Map[String, CV],
+      root: Option[CV],
+      secrets: Map[String, Column],
+      raise: Option[Column],
+      abort: Option[Column],
+      fanout: Option[Seq[ListMap[String, CV]]]) {
+    def withRaise(r: Option[Column]): Env = copy(raise = orOpt(raise, r))
+    def withAbort(a: Option[Column]): Env = copy(abort = orOpt(abort, a))
+  }
+
+  private def orOpt(a: Option[Column], b: Option[Column]): Option[Column] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) => Some(x || y)
+    }
+  private def guardOpt(cond: Column, r: Option[Column]): Option[Column] =
+    r.map(x => cond && coalesce(x, lit(false)))
+
+  def envFromDf(df: DataFrame, meta: EventMeta): Env = meta.rootT match {
+    case Some(rt) =>
+      Env(ListMap.empty, Map.empty, Some(CV(df.col("__root"), rt)),
+        Map.empty, None, None, None)
+    case None =>
+      val fields = meta.types.map { case (n, t) => n -> CV(df.col(s"`$n`"), t) }
+      Env(fields, Map.empty, None, Map.empty, None, None, None)
+  }
+
+  // --------------------------------------------------- public surface
+  final case class RemapOpts(dropOnError: Boolean = false,
+                             dropOnAbort: Boolean = true,
+                             rerouteDropped: Boolean = false)
+
+  final case class Remapped(df: DataFrame, meta: EventMeta,
+                            dropped: Option[DataFrame])
+
+  /** Compile + apply a remap program to `df`. `passthrough` names
+    * non-event columns (e.g. an arrival-order seq) carried through to
+    * the output unchanged.
+    */
+  def remap(df: DataFrame, meta: EventMeta, program: Program,
+            opts: RemapOpts = RemapOpts(),
+            passthrough: Seq[String] = Nil): Remapped = {
+    val env0 = envFromDf(df, meta)
+    val env = program.stmts.foldLeft(env0)((e, s) => compileStmt(e, s))
+
+    val raiseC = env.raise.map(c => coalesce(c, lit(false)))
+    val abortC = env.abort.map(c => coalesce(c, lit(false)))
+
+    val dropPred = orOpt(
+      if (opts.dropOnError) raiseC else None,
+      if (opts.dropOnAbort) abortC else None)
+    val revertPred = orOpt(
+      if (!opts.dropOnError) raiseC else None,
+      if (!opts.dropOnAbort) abortC else None)
+
+    val kept = dropPred.map(p => df.filter(!coalesce(p, lit(false)))).getOrElse(df)
+
+    val (outDf, outMeta) = materialize(kept, env0, env, revertPred, passthrough)
+    val dropped =
+      if (opts.rerouteDropped && dropPred.isDefined)
+        Some(df.filter(coalesce(dropPred.get, lit(false))))
+      else None
+    Remapped(outDf, outMeta, dropped)
+  }
+
+  /** Compile a VRL condition program into a boolean Column: the value
+    * of the LAST statement (matching the reference engine's program
+    * result), false when the program raises or resolves null.
+    */
+  def condition(df: DataFrame, meta: EventMeta, program: Program): Column = {
+    require(program.stmts.nonEmpty, "empty condition program")
+    val env0 = envFromDf(df, meta)
+    val env1 = program.stmts.init.foldLeft(env0)((e, s) => compileStmt(e, s))
+    val (value, env2) = program.stmts.last match {
+      case ExprStmt(e) =>
+        val (xv, envN) = compileExpr(env1, e)
+        (XV(xv.cv, orOpt(envN.raise, xv.raise), xv.msg), envN)
+      case other =>
+        throw VrlUnsupported(s"condition ending in non-expression $other")
+    }
+    val bool = asBool(value.cv)
+    val raised = orOpt(env2.raise, value.raise)
+    raised match {
+      case Some(r) => !coalesce(r, lit(false)) && coalesce(bool, lit(false))
+      case None => coalesce(bool, lit(false))
+    }
+  }
+
+  private def asBool(cv: CV): Column = cv.t match {
+    case VBool => cv.col
+    case VAny => try_variant_get(cv.col, "$", "boolean")
+    case VNullT => lit(false)
+    case other => throw VrlUnsupported(s"non-boolean condition of type $other")
+  }
+
+  // ------------------------------------------------------ materialize
+  /** Build the output frame from the final env: new columns, with rows
+    * matching `revert` restored to their input values (null where the
+    * input had no such column, best-effort cast on type change).
+    */
+  private def materialize(df: DataFrame, env0: Env, env: Env,
+                          revert: Option[Column],
+                          passthrough: Seq[String] = Nil): (DataFrame, EventMeta) = {
+    val pass = passthrough.map(n => df.col(s"`$n`"))
+    env.fanout match {
+      case Some(objs) =>
+        // `. = [obj, obj, ...]`: each input row emits one row per object
+        val keys = objs.flatMap(_.keys).distinct
+        val structs = objs.map { o =>
+          struct(keys.map { k =>
+            o.get(k).map(_.col).getOrElse(lit(null)).as(k)
+          }: _*)
+        }
+        val exploded = df.select(pass :+ explode(array(structs: _*)).as("__e"): _*)
+        val types = ListMap(keys.map { k =>
+          val ts = objs.flatMap(_.get(k).map(_.t)).distinct
+          k -> (if (ts.size == 1) ts.head else VStr)
+        }: _*)
+        val out = exploded.select(
+          passthrough.map(n => col(s"`$n`")) ++
+            keys.map(k => col(s"__e.`$k`").as(k)): _*)
+        (out, EventMeta(types, None))
+      case None =>
+        env.root match {
+          case Some(rcv) =>
+            (df.select(pass :+ rcv.col.as("__root"): _*),
+              EventMeta(ListMap.empty, Some(rcv.t)))
+          case None =>
+            val cols = env.fields.map { case (n, cv) =>
+              val blended = revert match {
+                case None => cv.col
+                case Some(r) =>
+                  val orig = env0.fields.get(n) match {
+                    case Some(o) if o.t == cv.t => o.col
+                    case Some(o) => castTo(o, cv.t).getOrElse(lit(null))
+                    case None => lit(null)
+                  }
+                  when(coalesce(r, lit(false)), orig).otherwise(cv.col)
+              }
+              blended.as(n)
+            }.toSeq
+            val types = env.fields.map { case (n, cv) => n -> cv.t }
+            (df.select(pass ++ cols: _*), EventMeta(types, None))
+        }
+    }
+  }
+
+  private def castTo(cv: CV, t: VT): Option[Column] = (cv.t, t) match {
+    case (a, b) if a == b => Some(cv.col)
+    case (VInt, VFloat) => Some(cv.col.cast("double"))
+    case (VFloat, VInt) => Some(cv.col.cast("bigint"))
+    case (_, VStr) if cv.t.isInstanceOf[VT] && scalar(cv.t) => Some(cv.col.cast("string"))
+    case _ => None
+  }
+  private def scalar(t: VT): Boolean = t match {
+    case VStr | VInt | VFloat | VBool | VTime | VNullT => true
+    case _ => false
+  }
+
+  // -------------------------------------------------------- statements
+  private def compileStmt(env: Env, stmt: Stmt): Env = stmt match {
+    case AbortStmt(_) => env.withAbort(Some(lit(true)))
+
+    case Assign(TWhole, _, expr) =>
+      val (xv, env1) = compileExpr(env, expr)
+      val env2 = env1.withRaise(xv.raise)
+      expr match {
+        case ArrLit(items) if items.nonEmpty && items.forall(_.isInstanceOf[ObjLit]) =>
+          val objs = items.map { case o: ObjLit =>
+            ListMap(o.fields.map { case (k, v) =>
+              k -> compileExpr(env1, v)._1.cv
+            }: _*)
+          }
+          env2.copy(fanout = Some(objs))
+        case _ =>
+          xv.cv.t match {
+            case VObj(fts) =>
+              val fields = ListMap(fts.keys.map { k =>
+                k -> CV(xv.cv.col.getField(k), fts(k))
+              }.toSeq: _*)
+              env2.copy(fields = fields, root = None, fanout = None)
+            case VAny | VMap =>
+              env2.copy(fields = ListMap.empty, root = Some(xv.cv), fanout = None)
+            case _ =>
+              env2.copy(fields = ListMap("message" -> xv.cv), root = None, fanout = None)
+          }
+      }
+
+    case Assign(tgt, errTgt, expr) =>
+      val (xv, env1) = compileExpr(env, expr)
+      errTgt match {
+        case None =>
+          setTarget(env1.withRaise(xv.raise), tgt, xv.cv)
+        case Some(et) =>
+          val okCv = xv.raise match {
+            case None => xv.cv
+            case Some(r) =>
+              CV(when(coalesce(r, lit(false)), zero(xv.cv.t)).otherwise(xv.cv.col), xv.cv.t)
+          }
+          val errCv = xv.raise match {
+            case None => CV(lit(null).cast("string"), VStr)
+            case Some(r) =>
+              CV(when(coalesce(r, lit(false)), xv.msg).otherwise(lit(null).cast("string")), VStr)
+          }
+          setTarget(setTarget(env1, tgt, okCv), et, errCv)
+      }
+
+    case ExprStmt(e) =>
+      val (xv, env1) = compileExpr(env, e)
+      env1.withRaise(xv.raise)
+  }
+
+  private def setTarget(env: Env, t: Target, cv: CV): Env = t match {
+    case TLocal(n) => env.copy(locals = env.locals + (n -> cv))
+    case TWhole => throw VrlUnsupported("whole-event target in this position")
+    case TField(path) =>
+      if (env.root.isDefined)
+        throw VrlUnsupported("field assignment after whole-event dynamic replace")
+      path.head match {
+        case SegIndex(_) => throw VrlUnsupported("index at path root")
+        case SegName(top) =>
+          val updated = setIn(env.fields.get(top), path.tail, cv)
+          env.copy(fields = env.fields + (top -> updated))
+      }
+  }
+
+  /** Functional nested update — rebuilds the struct/het tree. */
+  private def setIn(base: Option[CV], segs: Seq[PathSeg], v: CV): CV =
+    if (segs.isEmpty) v
+    else segs.head match {
+      case SegName(n) =>
+        val fields = base match {
+          case Some(CV(c, VObj(fts))) =>
+            ListMap(fts.keys.map(k => k -> CV(c.getField(k), fts(k))).toSeq: _*)
+          case _ => ListMap.empty[String, CV]
+        }
+        mkObj(fields + (n -> setIn(fields.get(n), segs.tail, v)))
+      case SegIndex(i) =>
+        val elems: Vector[CV] = base match {
+          case Some(CV(c, VHet(ts))) =>
+            ts.zipWithIndex.map { case (t, j) => CV(c.getField(s"_$j"), t) }.toVector
+          case _ => Vector.empty
+        }
+        val padded =
+          if (i < elems.length) elems
+          else elems ++ Vector.fill(i + 1 - elems.length)(nullCV)
+        val existing = if (i < elems.length) Some(elems(i)) else None
+        mkHet(padded.updated(i, setIn(existing, segs.tail, v)))
+    }
+
+  private def mkObj(fields: ListMap[String, CV]): CV =
+    if (fields.isEmpty) CV(lit(null), VObj(ListMap.empty))
+    else CV(struct(fields.map { case (n, cv) => cv.col.as(n) }.toSeq: _*),
+      VObj(fields.map { case (n, cv) => n -> cv.t }))
+
+  private def mkHet(elems: Seq[CV]): CV =
+    CV(struct(elems.zipWithIndex.map { case (cv, i) => cv.col.as(s"_$i") }: _*),
+      VHet(elems.map(_.t)))
+
+  // ------------------------------------------------------- resolution
+  private def resolve(env: Env, path: Seq[PathSeg]): CV = env.root match {
+    case Some(rcv) => walkDynamic(rcv, path)
+    case None =>
+      if (path.isEmpty) throw VrlUnsupported("whole-event read `.`")
+      path.head match {
+        case SegIndex(_) => throw VrlUnsupported("index at path root")
+        case SegName(top) =>
+          env.fields.get(top) match {
+            case None => nullCV
+            case Some(cv) => path.tail.foldLeft(cv)(walk)
+          }
+      }
+  }
+
+  private def walk(cv: CV, seg: PathSeg): CV = (cv.t, seg) match {
+    case (VObj(fts), SegName(n)) =>
+      fts.get(n).map(t => CV(cv.col.getField(n), t)).getOrElse(nullCV)
+    case (VHet(ts), SegIndex(i)) =>
+      if (i < ts.length) CV(cv.col.getField(s"_$i"), ts(i)) else nullCV
+    case (VArrOf(e), SegIndex(i)) => CV(get(cv.col, lit(i)), e)
+    case (VMap, SegName(n)) => CV(element_at(cv.col, n), VStr)
+    case (VAny, _) => walkDynamic(cv, Seq(seg))
+    case (VNullT, _) => nullCV
+    case (t, s) => throw VrlUnsupported(s"path step $s into $t")
+  }
+
+  private def walkDynamic(cv: CV, path: Seq[PathSeg]): CV = cv.t match {
+    case VAny =>
+      val p = "$" + path.map {
+        case SegName(n) => s"['${n.replace("'", "\\'")}']"
+        case SegIndex(i) => s"[$i]"
+      }.mkString
+      CV(try_variant_get(cv.col, p, "variant"), VAny)
+    case VMap =>
+      path match {
+        case Seq(SegName(n)) => CV(element_at(cv.col, n), VStr)
+        case _ => throw VrlUnsupported(s"path $path into map event")
+      }
+    case t => throw VrlUnsupported(s"dynamic path into $t")
+  }
+
+  private def removePath(env: Env, path: Seq[PathSeg]): Env = path.head match {
+    case SegIndex(_) => throw VrlUnsupported("del of array index")
+    case SegName(top) =>
+      if (path.tail.isEmpty) env.copy(fields = env.fields - top)
+      else env.fields.get(top) match {
+        case Some(CV(c, VObj(fts))) if path.tail.forall(_.isInstanceOf[SegName]) =>
+          val names = path.tail.map { case SegName(n) => n; case _ => "" }
+          def rm(c0: Column, fts0: ListMap[String, VT], ns: Seq[String]): CV = {
+            val fields = ListMap(fts0.keys.map(k => k -> CV(c0.getField(k), fts0(k))).toSeq: _*)
+            if (ns.tail.isEmpty) mkObj(fields - ns.head)
+            else fields.get(ns.head) match {
+              case Some(CV(cc, VObj(ff))) => mkObj(fields + (ns.head -> rm(cc, ff, ns.tail)))
+              case _ => mkObj(fields)
+            }
+          }
+          env.copy(fields = env.fields + (top -> rm(c, fts, names)))
+        case _ => env
+      }
+  }
+
+  // ------------------------------------------------------ expressions
+  private[config] def compileExpr(env: Env, e: Expr): (XV, Env) = e match {
+    case LitS(s) => (XV.pure(CV(lit(s), VStr)), env)
+    case LitI(n) => (XV.pure(CV(lit(n), VInt)), env)
+    case LitF(d) => (XV.pure(CV(lit(d), VFloat)), env)
+    case LitB(b) => (XV.pure(CV(lit(b), VBool)), env)
+    case LitNull => (XV.pure(nullCV), env)
+    case LitRegex(p) => throw VrlUnsupported(s"regex literal r'$p' outside function argument")
+    case FieldRef(path) => (XV.pure(resolve(env, path)), env)
+    case LocalRef(n) =>
+      env.locals.get(n) match {
+        case Some(cv) => (XV.pure(cv), env)
+        case None => throw VrlUnsupported(s"undefined variable $n")
+      }
+    case ArrLit(items) =>
+      var e2 = env
+      val cvs = items.map { it =>
+        val (xv, en) = compileExpr(e2, it); e2 = en.withRaise(xv.raise); xv.cv
+      }
+      val ts = cvs.map(_.t).distinct
+      if (ts.size == 1 && scalar(ts.head) && ts.head != VNullT)
+        (XV.pure(CV(array(cvs.map(_.col): _*), VArrOf(ts.head))), e2)
+      else (XV.pure(mkHet(cvs)), e2)
+    case ObjLit(fields) =>
+      var e2 = env
+      val cvs = fields.map { case (k, v) =>
+        val (xv, en) = compileExpr(e2, v); e2 = en.withRaise(xv.raise); k -> xv.cv
+      }
+      (XV.pure(mkObj(ListMap(cvs: _*))), e2)
+    case Un("!", x) =>
+      val (xv, e2) = compileExpr(env, x)
+      (XV(CV(!coalesce(asBool(xv.cv), lit(false)), VBool), xv.raise, xv.msg), e2)
+    case Un("-", x) =>
+      val (xv, e2) = compileExpr(env, x)
+      (XV(CV(-xv.cv.col, xv.cv.t), xv.raise, xv.msg), e2)
+    case Un(op, _) => throw VrlUnsupported(s"unary $op")
+    case Coalesce(l, r) =>
+      val (lx, e2) = compileExpr(env, l)
+      val (rx, e3) = compileExpr(e2, r)
+      lx.raise match {
+        case None => (lx, e3)
+        case Some(lr) =>
+          val (la, ra, t) = unify(lx.cv, rx.cv)
+          val v = when(coalesce(lr, lit(false)), ra).otherwise(la)
+          val raise = rx.raise.map(rr => coalesce(lr, lit(false)) && coalesce(rr, lit(false)))
+          (XV(CV(v, t), raise, rx.msg), e3)
+      }
+    case Bin(op, l, r) => compileBin(env, op, l, r)
+    case IfE(cond, thenB, elseB) => compileIf(env, cond, thenB, elseB)
+    case Block(stmts) =>
+      // expression-position block: value of last statement
+      val envN = stmts.init.foldLeft(env)((e0, s) => compileStmt(e0, s))
+      stmts.last match {
+        case ExprStmt(x) => compileExpr(envN, x)
+        case s => (XV.pure(nullCV), compileStmt(envN, s))
+      }
+    case c: Call => VrlFunctions.call(env, c)
+  }
+
+  private def unify(a: CV, b: CV): (Column, Column, VT) = (a.t, b.t) match {
+    case (x, y) if x == y => (a.col, b.col, x)
+    case (VInt, VFloat) | (VFloat, VInt) =>
+      (a.col.cast("double"), b.col.cast("double"), VFloat)
+    case (VNullT, y) => (lit(null), b.col, y)
+    case (x, VNullT) => (a.col, lit(null), x)
+    case (VAny, y) if scalar(y) => (a.col, toVariant(b), VAny)
+    case (x, VAny) if scalar(x) => (toVariant(a), b.col, VAny)
+    case (x, y) => throw VrlUnsupported(s"cannot unify $x with $y")
+  }
+
+  private[config] def toVariant(cv: CV): Column =
+    try_variant_get(parse_json(to_json(struct(cv.col.as("v")))), "$['v']", "variant")
+
+  // -------------------------------------------------------- operators
+  private def compileBin(env: Env, op: String, l: Expr, r: Expr): (XV, Env) = {
+    val (lx, e2) = compileExpr(env, l)
+    val (rx, e3) = compileExpr(e2, r)
+    val prop = orOpt(lx.raise, rx.raise)
+    def msg(m: String) = lit(m)
+
+    op match {
+      case "==" => (XV(CV(eq(lx.cv, rx.cv), VBool), prop, lx.msg), e3)
+      case "!=" => (XV(CV(!eq(lx.cv, rx.cv), VBool), prop, lx.msg), e3)
+      case "&&" =>
+        (XV(CV(coalesce(asBool(lx.cv), lit(false)) && coalesce(asBool(rx.cv), lit(false)), VBool),
+          prop, lx.msg), e3)
+      case "||" =>
+        (XV(CV(coalesce(asBool(lx.cv), lit(false)) || coalesce(asBool(rx.cv), lit(false)), VBool),
+          prop, lx.msg), e3)
+      case "<" | "<=" | ">" | ">=" =>
+        val (la, ra, _) = unify(num(lx.cv), num(rx.cv))
+        val v = op match {
+          case "<" => la < ra; case "<=" => la <= ra
+          case ">" => la > ra; case _ => la >= ra
+        }
+        val nullRaise = Some(la.isNull || ra.isNull)
+        (XV(CV(v, VBool), orOpt(prop, nullRaise), msg("comparison on null")), e3)
+      case "+" if lx.cv.t == VStr || rx.cv.t == VStr =>
+        val strRaise = Some(lx.cv.col.isNull || rx.cv.col.isNull ||
+          lit(lx.cv.t != VStr || rx.cv.t != VStr))
+        (XV(CV(concat(lx.cv.col, rx.cv.col), VStr), orOpt(prop, strRaise),
+          msg("string concatenation on non-string")), e3)
+      case "+" | "-" | "*" | "%" =>
+        val la = num(lx.cv); val ra = num(rx.cv)
+        val t = if (lx.cv.t == VFloat || rx.cv.t == VFloat) VFloat else VInt
+        val (lc, rc) =
+          if (t == VFloat) (la.col.cast("double"), ra.col.cast("double"))
+          else (la.col, ra.col)
+        val v = op match {
+          case "+" => lc + rc; case "-" => lc - rc
+          case "*" => lc * rc; case _ => lc % rc
+        }
+        val nullRaise = Some(lc.isNull || rc.isNull)
+        (XV(CV(v, t), orOpt(prop, nullRaise), msg("arithmetic on null")), e3)
+      case "/" =>
+        val la = num(lx.cv).col.cast("double")
+        val ra = num(rx.cv).col.cast("double")
+        val divRaise = Some(la.isNull || ra.isNull || ra === 0.0)
+        (XV(CV(la / ra, VFloat), orOpt(prop, divRaise), msg("division by zero")), e3)
+      case other => throw VrlUnsupported(s"operator $other")
+    }
+  }
+
+  private def num(cv: CV): CV = cv.t match {
+    case VInt | VFloat => cv
+    case VAny => CV(try_variant_get(cv.col, "$", "double"), VFloat)
+    case VNullT => CV(lit(null).cast("double"), VFloat)
+    case t => throw VrlUnsupported(s"arithmetic on $t")
+  }
+
+  /** VRL equality: null-safe, type-strict across scalars, structural
+    * for objects/arrays, numeric across int/float.
+    */
+  private[config] def eq(a: CV, b: CV): Column = (a.t, b.t) match {
+    case (VNullT, _) => b.col.isNull
+    case (_, VNullT) => a.col.isNull
+    case (x, y) if x == y && scalar(x) => a.col <=> b.col
+    case (VInt, VFloat) | (VFloat, VInt) =>
+      a.col.cast("double") <=> b.col.cast("double")
+    case (VAny, y) if scalar(y) =>
+      try_variant_get(a.col, "$", sparkTypeName(y)) <=> b.col
+    case (x, VAny) if scalar(x) => eq(b, a)
+    case (VObj(fa), VObj(fb)) =>
+      if (fa.keySet != fb.keySet) lit(false)
+      else if (fa.isEmpty) a.col.isNotNull && b.col.isNotNull
+      else fa.keys.map { k =>
+        eq(CV(a.col.getField(k), fa(k)), CV(b.col.getField(k), fb(k)))
+      }.reduce(_ && _)
+    case (VHet(ta), VHet(tb)) =>
+      if (ta.length != tb.length) lit(false)
+      else if (ta.isEmpty) lit(true)
+      else ta.indices.map { i =>
+        eq(CV(a.col.getField(s"_$i"), ta(i)), CV(b.col.getField(s"_$i"), tb(i)))
+      }.reduce(_ && _)
+    case (VArrOf(ea), VHet(tb)) =>
+      val sizeOk = size(a.col) === tb.length
+      if (tb.isEmpty) sizeOk
+      else sizeOk && tb.indices.map { i =>
+        eq(CV(get(a.col, lit(i)), ea), CV(b.col.getField(s"_$i"), tb(i)))
+      }.reduce(_ && _)
+    case (VHet(_), VArrOf(_)) => eq(b, a)
+    case (VArrOf(x), VArrOf(y)) if x == y => a.col <=> b.col
+    case (VAny, VObj(_)) | (VObj(_), VAny) | (VAny, VHet(_)) | (VHet(_), VAny) =>
+      val (av, bv) = if (a.t == VAny) (a, b) else (b, a)
+      bv.t match {
+        case VObj(fb) =>
+          if (fb.isEmpty) lit(false)
+          else fb.keys.map { k =>
+            eq(walkDynamic(av, Seq(SegName(k))), CV(bv.col.getField(k), fb(k)))
+          }.reduce(_ && _)
+        case VHet(tb) =>
+          if (tb.isEmpty) lit(false)
+          else tb.indices.map { i =>
+            eq(walkDynamic(av, Seq(SegIndex(i))), CV(bv.col.getField(s"_$i"), tb(i)))
+          }.reduce(_ && _)
+        case _ => lit(false)
+      }
+    case (VMap, VObj(fb)) =>
+      if (fb.isEmpty) size(a.col) === 0
+      else (size(a.col) === fb.size) && fb.keys.map { k =>
+        eq(CV(element_at(a.col, k), VStr), CV(b.col.getField(k), fb(k)))
+      }.reduce(_ && _)
+    case (VObj(_), VMap) => eq(b, a)
+    case _ => lit(false)
+  }
+
+  // -------------------------------------------------------------- if
+  private def compileIf(env: Env, cond: Expr, thenB: Block,
+                        elseB: Option[Block]): (XV, Env) = {
+    val (cx, envC) = compileExpr(env, cond)
+    val c = coalesce(asBool(cx.cv), lit(false))
+    val base = envC.withRaise(cx.raise)
+
+    val cleared = base.copy(raise = None, abort = None)
+    val (tv, tEnv) = compileExpr(cleared, thenB)
+    val (ev, eEnv) = elseB match {
+      case Some(b) => compileExpr(cleared, b)
+      case None => (XV.pure(nullCV), cleared)
+    }
+
+    // merge branch deltas under the branch guard
+    val mergedFields = mergeMaps(base.fields, tEnv.fields, eEnv.fields, c)
+    val mergedLocals = mergeMaps(
+      ListMap(base.locals.toSeq: _*),
+      ListMap(tEnv.locals.toSeq: _*),
+      ListMap(eEnv.locals.toSeq: _*), c)
+    val mergedRaise = orOpt(orOpt(base.raise,
+      guardOpt(c, orOpt(tEnv.raise, tv.raise))),
+      guardOpt(!c, orOpt(eEnv.raise, ev.raise)))
+    val mergedAbort = orOpt(orOpt(base.abort,
+      guardOpt(c, tEnv.abort)), guardOpt(!c, eEnv.abort))
+
+    val outEnv = base.copy(fields = mergedFields, locals = mergedLocals.toMap,
+      raise = mergedRaise, abort = mergedAbort,
+      secrets = tEnv.secrets ++ eEnv.secrets)
+    val value =
+      if (tv.cv.t == VNullT && ev.cv.t == VNullT) XV.pure(nullCV)
+      else {
+        val (ta, ea, t) = unify(tv.cv, ev.cv)
+        XV.pure(CV(when(c, ta).otherwise(ea), t))
+      }
+    (value, outEnv)
+  }
+
+  private def mergeMaps(base: ListMap[String, CV], t: ListMap[String, CV],
+                        e: ListMap[String, CV], c: Column): ListMap[String, CV] = {
+    val keys = (base.keys ++ t.keys ++ e.keys).toSeq.distinct
+    ListMap(keys.map { k =>
+      val tb = t.get(k); val eb = e.get(k); val bb = base.get(k)
+      val cv =
+        if (tb == eb) tb.orElse(bb).getOrElse(nullCV)
+        else mergeCV(c, tb.orElse(bb).getOrElse(nullCV), eb.orElse(bb).getOrElse(nullCV))
+      k -> cv
+    }: _*)
+  }
+
+  private def mergeCV(c: Column, a: CV, b: CV): CV = (a.t, b.t) match {
+    case (x, y) if x == y => CV(when(c, a.col).otherwise(b.col), x)
+    case (VNullT, y) => CV(when(c, lit(null)).otherwise(b.col), y)
+    case (x, VNullT) => CV(when(c, a.col).otherwise(lit(null)), x)
+    case _ =>
+      val (aa, bb, t) = unify(a, b)
+      CV(when(c, aa).otherwise(bb), t)
+  }
+
+  // internal hooks for VrlFunctions
+  private[config] def resolveField(env: Env, path: Seq[PathSeg]): CV = resolve(env, path)
+  private[config] def removeField(env: Env, path: Seq[PathSeg]): Env = removePath(env, path)
+  private[config] def nullValue: CV = nullCV
+  private[config] def zeroOf(t: VT): Column = zero(t)
+  private[config] def isScalar(t: VT): Boolean = scalar(t)
+  private[config] def buildObj(fields: ListMap[String, CV]): CV = mkObj(fields)
+  private[config] def buildHet(elems: Seq[CV]): CV = mkHet(elems)
+  private[config] def typeName(t: VT): String = sparkTypeName(t)
+  private[config] def dynWalk(cv: CV, segs: Seq[PathSeg]): CV = walkDynamic(cv, segs)
+  private[config] def boolOf(cv: CV): Column = asBool(cv)
+}

@@ -1,0 +1,311 @@
+package graft.config
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import VrlCompile._
+
+/** Narrow JVM kernels backing VRL functions that have no Spark-native
+  * expression (hash variants outside `sha2`'s set, 128-bit IPv6 math,
+  * local-resolver DNS). All are deterministic scalar UDFs on cold paths
+  * — none appear in the pipeline hot path, where codegen'd expressions
+  * are used instead (see `graftvec`).
+  */
+object VrlKernels {
+
+  private def digest(algo: String, s: String): String =
+    if (s == null) null
+    else java.security.MessageDigest.getInstance(algo)
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val sha512_224Udf = udf((s: String) => digest("SHA-512/224", s))
+  private lazy val sha512_256Udf = udf((s: String) => digest("SHA-512/256", s))
+  private lazy val sha3_224Udf = udf((s: String) => digest("SHA3-224", s))
+  private lazy val sha3_256Udf = udf((s: String) => digest("SHA3-256", s))
+  private lazy val sha3_384Udf = udf((s: String) => digest("SHA3-384", s))
+  private lazy val sha3_512Udf = udf((s: String) => digest("SHA3-512", s))
+
+  def sha512_224(c: Column): Column = sha512_224Udf(c)
+  def sha512_256(c: Column): Column = sha512_256Udf(c)
+  def sha3(c: Column, variant: String): Column = variant match {
+    case "SHA3-224" => sha3_224Udf(c)
+    case "SHA3-256" => sha3_256Udf(c)
+    case "SHA3-384" => sha3_384Udf(c)
+    case "SHA3-512" => sha3_512Udf(c)
+    case v => throw VrlAst.VrlUnsupported(s"sha3 variant $v")
+  }
+
+  // ------------------------------------------------------------- ip
+  private def ipBytes(ip: String): Option[Array[Byte]] =
+    try {
+      // getByName on a literal does no DNS lookup
+      if (ip == null || !ip.matches("[0-9a-fA-F:.]+")) None
+      else Some(java.net.InetAddress.getByName(ip).getAddress)
+    } catch { case _: Exception => None }
+
+  private def maskBytes(mask: String, len: Int): Option[Array[Byte]] =
+    if (mask == null) None
+    else if (mask.startsWith("/")) {
+      val bits = mask.drop(1).toInt
+      val out = new Array[Byte](len)
+      var i = 0
+      var rem = bits
+      while (i < len) {
+        out(i) = (if (rem >= 8) 0xff else if (rem <= 0) 0 else (0xff << (8 - rem)) & 0xff).toByte
+        rem -= 8; i += 1
+      }
+      Some(out)
+    } else ipBytes(mask).filter(_.length == len)
+
+  private def renderIp(bytes: Array[Byte]): String =
+    java.net.InetAddress.getByAddress(bytes) match {
+      case v6: java.net.Inet6Address =>
+        // compress to canonical :: form
+        val groups = v6.getAddress.grouped(2)
+          .map(g => ((g(0) & 0xff) << 8) | (g(1) & 0xff)).toArray
+        // find longest zero run
+        var bestStart = -1; var bestLen = 0
+        var i = 0
+        while (i < 8) {
+          if (groups(i) == 0) {
+            var j = i
+            while (j < 8 && groups(j) == 0) j += 1
+            if (j - i > bestLen) { bestLen = j - i; bestStart = i }
+            i = j
+          } else i += 1
+        }
+        if (bestLen < 2) groups.map(Integer.toHexString).mkString(":")
+        else {
+          val head = groups.take(bestStart).map(Integer.toHexString).mkString(":")
+          val tail = groups.drop(bestStart + bestLen).map(Integer.toHexString).mkString(":")
+          s"$head::$tail"
+        }
+      case v4 => v4.getHostAddress
+    }
+
+  private lazy val ipSubnetUdf = udf((ip: String, mask: String) =>
+    (for {
+      ipB <- ipBytes(ip)
+      mB <- maskBytes(mask, ipB.length)
+    } yield renderIp(ipB.zip(mB).map { case (a, b) => (a & b).toByte }))
+      .orNull)
+
+  def ipSubnet(ip: Column, mask: Column): Column = ipSubnetUdf(ip, mask)
+
+  private lazy val cidrContainsUdf = udf((cidr: String, ip: String) => {
+    if (cidr == null || ip == null || !cidr.contains("/")) null
+    else {
+      val Array(net, bitsS) = cidr.split("/", 2)
+      (for {
+        netB <- ipBytes(net)
+        ipB <- ipBytes(ip)
+        if netB.length == ipB.length
+        mB <- maskBytes("/" + bitsS, netB.length)
+      } yield netB.zip(mB).map { case (a, b) => (a & b).toByte }
+        .sameElements(ipB.zip(mB).map { case (a, b) => (a & b).toByte }))
+        .map(java.lang.Boolean.valueOf).orNull
+    }
+  })
+
+  /** v4+v6 CIDR membership (the codegen'd v4-only fast path is
+    * `graft.functions.Vrl.ipCidrContains`; this kernel is the general
+    * form VRL's behavior corpus needs).
+    */
+  def cidrContains(cidr: Column, ip: Column): Column = cidrContainsUdf(cidr, ip)
+
+  /** Local-resolver reverse lookup: resolves via the hosts file (e.g.
+    * 127.0.0.1 → localhost); with no resolver answer, returns the input
+    * — this sandbox has no egress, so only hosts-file entries resolve.
+    */
+  private lazy val reverseDnsUdf = udf((ip: String) =>
+    ipBytes(ip).map { b =>
+      try java.net.InetAddress.getByAddress(b).getHostName
+      catch { case _: Exception => ip }
+    }.orNull)
+  def reverseDns(ip: Column): Column = reverseDnsUdf(ip)
+
+  private lazy val hostnameUdf = udf(() =>
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "localhost" })
+  def hostname(): Column = hostnameUdf()
+
+  // ------------------------------------------------------ regex util
+  /** Translate a Rust-style `(?P<name>...)` pattern to Java syntax and
+    * return the capture-group names in positional order.
+    */
+  def namedGroups(pattern: String): (String, Seq[String]) = {
+    val names = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
+      .findAllMatchIn(pattern).map(_.group(1)).toSeq
+    (pattern.replace("(?P<", "(?<"), names)
+  }
+}
+
+/** VRL timestamp format handling (strftime → Spark datetime patterns).
+  * `%+` (RFC 3339) accepts variable fractional precision via a
+  * `coalesce` over `try_to_timestamp` patterns.
+  */
+object VrlTime {
+
+  private val strf: Map[String, String] = Map(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd", "%e" -> "d",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%b" -> "MMM", "%B" -> "MMMM",
+    "%T" -> "HH:mm:ss", "%F" -> "yyyy-MM-dd", "%j" -> "DDD",
+    "%z" -> "xx", "%:z" -> "xxx", "%f" -> "SSSSSS", "%3f" -> "SSS")
+
+  def toJavaPattern(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val lits = new StringBuilder
+    def flushLits(): Unit = {
+      if (lits.nonEmpty) {
+        val s = lits.toString
+        if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+        else sb.append(s)
+        lits.clear()
+      }
+    }
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val spec3 = if (i + 2 < fmt.length) fmt.substring(i, i + 3) else ""
+        val spec2 = fmt.substring(i, i + 2)
+        if (strf.contains(spec3)) { flushLits(); sb.append(strf(spec3)); i += 3 }
+        else if (strf.contains(spec2)) { flushLits(); sb.append(strf(spec2)); i += 2 }
+        else if (spec2 == "%%") { lits.append('%'); i += 2 }
+        else throw VrlAst.VrlUnsupported(s"strftime specifier $spec2")
+      } else { lits.append(fmt.charAt(i)); i += 1 }
+    }
+    flushLits()
+    sb.toString
+  }
+
+  private val iso8601Patterns = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+  def parse(c: Column, fmt: String): Column = fmt match {
+    case "%+" => parseIso(c)
+    case "%s" => timestamp_seconds(c.cast("long"))
+    case _ => try_to_timestamp(c, lit(toJavaPattern(fmt)))
+  }
+
+  def parseIso(c: Column): Column =
+    coalesce(iso8601Patterns.map(p => try_to_timestamp(c, lit(p))): _*)
+
+  def format(c: Column, fmt: String): Column = fmt match {
+    case "%+" => date_format(c, "yyyy-MM-dd'T'HH:mm:ssxxx")
+    case "%s" => unix_timestamp(c).cast("string")
+    case _ => date_format(c, toJavaPattern(fmt))
+  }
+}
+
+/** Structured log parsers matching the VRL stdlib's output shapes
+  * (field names and types per `website/cue/reference/remap/functions/`).
+  */
+object VrlParsers {
+  import VrlAst.VrlUnsupported
+
+  private def nn(c: Column): Column = nullif(c, lit(""))
+  private def dash(c: Column): Column = nullif(nullif(c, lit("")), lit("-"))
+
+  private def obj(fields: (String, CV)*): XV = {
+    val cv = VrlCompileAccess.buildObj(ListMap(fields: _*))
+    XV(cv, None, lit("parse error"))
+  }
+
+  /** Apache common log → host/identity/user/timestamp/message/method/
+    * path/protocol/status/size (vrl: parse_common_log.cue).
+    */
+  def commonLog(v: Column, tsFormat: Option[String]): XV = {
+    val re = """^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+)$"""
+    def g(i: Int) = regexp_extract(v, re, i)
+    val fmt = tsFormat.getOrElse("%d/%b/%Y:%H:%M:%S %z")
+    val ts = VrlTime.parse(g(4), fmt)
+    val x = obj(
+      "host" -> CV(dash(g(1)), VStr),
+      "identity" -> CV(dash(g(2)), VStr),
+      "user" -> CV(dash(g(3)), VStr),
+      "timestamp" -> CV(ts, VTime),
+      "message" -> CV(concat_ws(" ", g(5), g(6), g(7)), VStr),
+      "method" -> CV(g(5), VStr),
+      "path" -> CV(g(6), VStr),
+      "protocol" -> CV(g(7), VStr),
+      "status" -> CV(nn(g(8)).cast("bigint"), VInt),
+      "size" -> CV(nn(g(9)).cast("bigint"), VInt))
+    XV(CV(when(v.rlike(re), x.cv.col), x.cv.t), Some(v.isNull || !v.rlike(re)), x.msg)
+  }
+
+  /** glog: `I20210131 14:48:54.411655 15520 main.c++:9] Hello world!` */
+  def glog(v: Column): XV = {
+    val re = """^([IWEF])(\d{8}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"""
+    def g(i: Int) = regexp_extract(v, re, i)
+    val level = when(g(1) === "I", "info").when(g(1) === "W", "warning")
+      .when(g(1) === "E", "error").when(g(1) === "F", "fatal")
+    val ts = try_to_timestamp(concat(g(2), lit(" "), g(3)), lit("yyyyMMdd HH:mm:ss.SSSSSS"))
+    val x = obj(
+      "level" -> CV(level, VStr),
+      "timestamp" -> CV(ts, VTime),
+      "id" -> CV(nn(g(4)).cast("bigint"), VInt),
+      "file" -> CV(g(5), VStr),
+      "line" -> CV(nn(g(6)).cast("bigint"), VInt),
+      "message" -> CV(g(7), VStr))
+    XV(CV(when(v.rlike(re), x.cv.col), x.cv.t), Some(v.isNull || !v.rlike(re)), x.msg)
+  }
+
+  private val sevNames = Seq("emerg", "alert", "crit", "err", "warning",
+    "notice", "info", "debug")
+  private val facNames = Seq("kern", "user", "mail", "daemon", "auth", "syslog",
+    "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp", "security",
+    "console", "solaris-cron", "local0", "local1", "local2", "local3",
+    "local4", "local5", "local6", "local7")
+
+  /** RFC 5424: `<PRI>VER TS HOST APP PROCID MSGID SD MSG` */
+  def syslog(v: Column): XV = {
+    val re = """^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (?:(?:-|\[[^\]]*\]) )?(.*)$"""
+    def g(i: Int) = regexp_extract(v, re, i)
+    val pri = nn(g(1)).cast("int")
+    val x = obj(
+      "facility" -> CV(element_at(array(facNames.map(lit): _*), (pri / 8).cast("int") + 1), VStr),
+      "severity" -> CV(element_at(array(sevNames.map(lit): _*), (pri % 8).cast("int") + 1), VStr),
+      "version" -> CV(nn(g(2)).cast("bigint"), VInt),
+      "timestamp" -> CV(VrlTime.parseIso(g(3)), VTime),
+      "hostname" -> CV(dash(g(4)), VStr),
+      "appname" -> CV(dash(g(5)), VStr),
+      "procid" -> CV(dash(g(6)).cast("bigint"), VInt),
+      "msgid" -> CV(dash(g(7)), VStr),
+      "message" -> CV(g(8), VStr))
+    XV(CV(when(v.rlike(re), x.cv.col), x.cv.t), Some(v.isNull || !v.rlike(re)), x.msg)
+  }
+
+  /** parse_url → scheme/username/password/host/port/path/query/fragment */
+  def url(v: Column): XV = {
+    def part(p: String) = parse_url(v, lit(p))
+    val x = obj(
+      "scheme" -> CV(lower(part("PROTOCOL")), VStr),
+      "username" -> CV(coalesce(part("USERINFO"), lit("")), VStr),
+      "password" -> CV(lit(""), VStr),
+      "host" -> CV(regexp_replace(part("HOST"), ":\\d+$", ""), VStr),
+      "port" -> CV(nn(regexp_extract(part("HOST"), ":(\\d+)$", 1)).cast("bigint"), VInt),
+      "path" -> CV(coalesce(part("PATH"), lit("")), VStr),
+      "query" -> CV(coalesce(
+        str_to_map(part("QUERY"), lit("&"), lit("=")),
+        map_from_arrays(array(), array())), VMap),
+      "fragment" -> CV(part("REF"), VStr))
+    XV(x.cv, Some(v.isNull || part("PROTOCOL").isNull), x.msg)
+  }
+}
+
+/** Access shim: lets the sibling parser/kernel objects build typed
+  * object values through VrlCompile's private constructors.
+  */
+private[config] object VrlCompileAccess {
+  def buildObj(fields: ListMap[String, CV]): CV = {
+    if (fields.isEmpty) CV(lit(null), VObj(ListMap.empty))
+    else CV(struct(fields.map { case (n, cv) => cv.col.as(n) }.toSeq: _*),
+      VObj(fields.map { case (n, cv) => n -> cv.t }))
+  }
+}
