@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// run_main.sh executes straight off target/scala-2.13/classes, so bundled
+// config resources (graft/topology/*.toml) must land there on plain compile
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value

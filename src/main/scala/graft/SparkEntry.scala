@@ -95,7 +95,8 @@ object SparkEntry {
     "q_pipeline_agg"    -> (qPipelineAgg _),
     "q1_agg"            -> (qLineitemAgg _)
   ) ++ graft.queries.TransformQueries.spark ++ graft.queries.TrainingQueries.spark ++
-    graft.queries.ParserQueries.spark ++ graft.queries.StdlibQueries.spark
+    graft.queries.ParserQueries.spark ++ graft.queries.StdlibQueries.spark ++
+    graft.queries.ConfigQueries.spark
 
   // ---- DuckDB oracle -------------------------------------------------
 
@@ -143,6 +144,7 @@ object SparkEntry {
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
     ) ++ graft.queries.TransformQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
-      graft.queries.ParserQueries.oracle ++ graft.queries.StdlibQueries.oracle
+      graft.queries.ParserQueries.oracle ++ graft.queries.StdlibQueries.oracle ++
+      graft.queries.ConfigQueries.oracle
   }
 }

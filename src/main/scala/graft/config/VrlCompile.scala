@@ -438,6 +438,9 @@ object VrlCompile {
         case Some(cv) => (XV.pure(cv), env)
         case None => throw VrlUnsupported(s"undefined variable $n")
       }
+    case PathOn(base, path) =>
+      val (xv, e2) = compileExpr(env, base)
+      (XV(path.foldLeft(xv.cv)(walk), xv.raise, xv.msg), e2)
     case ArrLit(items) =>
       var e2 = env
       val cvs = items.map { it =>

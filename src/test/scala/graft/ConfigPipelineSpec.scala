@@ -90,6 +90,15 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(in.df.filter(c).count() == 1)
   }
 
+  test("flagship.toml grok pattern stays in sync with Pipeline.logLineGrok") {
+    val toml = graft.queries.ConfigQueries.resourceText(
+      graft.queries.ConfigQueries.FlagshipResource)
+    // the oracle reuses Pipeline's compiled regex, so the config file's
+    // pattern must be the same string
+    assert(toml.contains(graft.plans.Pipeline.logLineGrok.replace("\"", "\\\"")),
+      "flagship.toml parse_grok pattern drifted from Pipeline.logLineGrok")
+  }
+
   test("unsupported VRL features surface as documented skips") {
     val topo = Topology.load(
       """
