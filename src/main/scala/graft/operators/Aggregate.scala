@@ -31,6 +31,13 @@ object Aggregate {
     (floor(unix_timestamp(ts) / windowSecs) * windowSecs).cast("long")
 
   sealed trait Mode
+  /** The reference's DEFAULT mode (aggregate.rs:134-140): per series,
+    * an Absolute event REPLACES the running entry and an Incremental
+    * event ADDS to it — so a window's value is the last absolute value
+    * plus the sum of incrementals recorded after it (plain incremental
+    * sum when the window saw no absolute).
+    */
+  case object Auto extends Mode
   case object Sum extends Mode
   case object Count extends Mode
   case object Max extends Mode
@@ -54,11 +61,31 @@ object Aggregate {
       value: Column,
       mode: Mode,
       windowSecs: Long = 10L,
-      orderCol: Option[Column] = None): DataFrame = {
+      orderCol: Option[Column] = None,
+      kind: Option[Column] = None): DataFrame = {
     val win = windowStart(ts, windowSecs).as("win")
     val grouped = df.groupBy(keys :+ win: _*)
     val ord = orderCol.getOrElse(ts)
     mode match {
+      case Auto =>
+        // One window pass to find each (series, win)'s last absolute
+        // event, then a single hash aggregate over the surviving rows:
+        // the last absolute plus every incremental after it. The window
+        // and the groupBy share the same (keys, win) partitioning, so
+        // AQE plans ONE exchange, not two. `orderCol` must be unique
+        // within a (series, window) for the last-absolute row pick.
+        val kc = kind.getOrElse(throw new IllegalArgumentException(
+          "Aggregate.Auto needs a kind column ('absolute'|'incremental')"))
+        val winPlain = windowStart(ts, windowSecs)
+        val w = Window.partitionBy(keys :+ winPlain: _*)
+        val lastAbs = max(when(kc === "absolute", ord)).over(w)
+        df.withColumn("__last_abs", lastAbs)
+          .filter(
+            (kc === "absolute" && ord === col("__last_abs")) ||
+            (kc === "incremental" &&
+              (col("__last_abs").isNull || ord > col("__last_abs"))))
+          .groupBy(keys :+ win: _*)
+          .agg(sum(value).as("value"))
       case Sum    => grouped.agg(sum(value).as("value"))
       case Count  => grouped.agg(count(value).as("value"))
       case Max    => grouped.agg(max(value).as("value"))

@@ -302,6 +302,23 @@ object TransformQueries {
       .orderBy("event_type", "win")
   }
 
+  /** Auto (the reference DEFAULT): metric kind derived deterministically
+    * from event_id so both engines see the same absolute/incremental
+    * split; ord = event_id (unique). Decimal sums for cross-engine
+    * float determinism, cast to double at the edge.
+    */
+  private def qAggAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "events")
+      .withColumn("vd", col("value").cast("decimal(18,2)"))
+      .withColumn("kind",
+        when(col("event_id") % 5 === 0, "absolute").otherwise("incremental"))
+    Aggregate.tumbling(e, keys = Seq(col("event_type")), ts = col("ts"),
+        value = col("vd"), mode = Aggregate.Auto, windowSecs = 86400,
+        orderCol = Some(col("event_id")), kind = Some(col("kind")))
+      .withColumn("value", col("value").cast("double"))
+      .orderBy("event_type", "win")
+  }
+
   private def qAggDiff(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(s, dir, "events")
     Aggregate.tumbling(e, keys = Seq(col("event_type")), ts = col("ts"),
@@ -327,6 +344,7 @@ object TransformQueries {
     "q_inc_to_abs"     -> (qIncToAbs _),
     "q_tag_limit"      -> (qTagLimit _),
     "q_agg_modes"      -> (qAggModes _),
+    "q_agg_auto"       -> (qAggAuto _),
     "q_agg_diff"       -> (qAggDiff _),
     "q_trace_to_log"   -> (qTraceToLog _),
     "q_metadata"       -> (qMetadata _),
@@ -473,6 +491,21 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
               / (count(*) * count(*))) AS stdev_value,
          max_by(value, ts) AS latest_value
          FROM events GROUP BY 1, 2 ORDER BY event_type, win""",
+    "q_agg_auto" ->
+      s"""WITH ev AS (
+           SELECT event_type, CAST(value AS DECIMAL(18,2)) AS vd,
+             ${winSql("ts", 86400)} AS win, event_id,
+             CASE WHEN event_id % 5 = 0 THEN 'absolute' ELSE 'incremental' END AS kind
+           FROM events),
+         marked AS (
+           SELECT *, max(CASE WHEN kind = 'absolute' THEN event_id END)
+             OVER (PARTITION BY event_type, win) AS last_abs
+           FROM ev)
+         SELECT event_type, win, CAST(sum(vd) AS DOUBLE) AS value
+         FROM marked
+         WHERE (kind = 'absolute' AND event_id = last_abs)
+            OR (kind = 'incremental' AND (last_abs IS NULL OR event_id > last_abs))
+         GROUP BY 1, 2 ORDER BY event_type, win""",
     "q_agg_diff" ->
       s"""WITH latest AS (
            SELECT event_type, ${winSql("ts", 86400)} AS win,
