@@ -52,6 +52,42 @@ object Enrich {
     }
   }
 
+  /** Equi-key lookup with a wildcard fallback row (reference
+    * src/enrichment_tables/file.rs:337-346 and the indexed path at
+    * :499-523): probe the exact key first; if no row matches, probe
+    * once more with EVERY key replaced by the wildcard value. (Per-key
+    * partial wildcard matches exist only on the reference's un-indexed
+    * sequential scan; the indexed path — and this operator — is the
+    * two-level exact-then-all-wildcard fallback.)
+    *
+    * Shape: one broadcast hash join for the exact probe plus one
+    * broadcast hash join on a constant key against the <=1-row wildcard
+    * slice, then a per-row hit flag decides which side supplies ALL
+    * enrich columns — a NULL inside a matched row is NOT back-filled
+    * column-wise from the wildcard row, because the reference's
+    * fallback is per-row, not per-column. No shuffle at any scale.
+    */
+  def lookupWithWildcard(
+      events: DataFrame,
+      table: DataFrame,
+      keys: Seq[String],
+      wildcard: String): DataFrame = {
+    val t = validateUnique(table, keys)
+    val enrichCols = t.columns.filterNot(keys.contains).toSeq
+    val exact = events.join(
+      broadcast(t.withColumn("__hit", lit(true))), keys, "left")
+    val wcRow = t.filter(keys.map(col(_) === lit(wildcard)).reduce(_ && _))
+      .select(enrichCols.map(c => col(c).as(s"__wc_$c")): _*)
+      .withColumn("__one", lit(1))
+    val joined = exact.withColumn("__one", lit(1))
+      .join(broadcast(wcRow), Seq("__one"), "left")
+    enrichCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+          when(col("__hit"), col(c)).otherwise(col(s"__wc_$c")))
+        .drop(s"__wc_$c")
+    }.drop("__hit", "__one")
+  }
+
   /** GeoIP-style CIDR enrichment (reference
     * src/enrichment_tables/geoip.rs, mmdb.rs — broadcast MMDB +
     * per-event network lookup). No MMDB reader exists in this sandbox,

@@ -216,6 +216,26 @@ object TransformQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  // ---------------------------------------------------------- wildcard enrich
+  /** Wildcard-fallback fixture: handlers for tools 0-5 plus a '*'
+    * default row; tools 6-11 and NULL-tool turns fall through to it
+    * (reference src/enrichment_tables/file.rs:337-346). Shared with the
+    * oracle.
+    */
+  private val handlerRows: Seq[(String, String, Int)] =
+    (0 to 5).map(i => (s"tool_$i", s"handler_$i", (i + 1) * 10)) :+
+      (("*", "handler_default", 5))
+
+  private def qEnrichWildcard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = handlerRows.toDF("tool", "handler", "quota")
+    Enrich.lookupWithWildcard(Tables.transcript(s, dir), table,
+        Seq("tool"), "*")
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        col("handler"), col("quota"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   // ---------------------------------------------------------- script (lua analog)
   /** A "script" with keyed state: running error count per conversation
     * emitted with every turn, plus a summary event (turn_idx = -1) on
@@ -349,6 +369,7 @@ object TransformQueries {
     "q_trace_to_log"   -> (qTraceToLog _),
     "q_metadata"       -> (qMetadata _),
     "q_enrich_between" -> (qEnrichBetween _),
+    "q_enrich_wildcard" -> (qEnrichWildcard _),
     "q_enrich_geoip"   -> (qEnrichGeoip _),
     "q_script"         -> (qScript _)
   )
@@ -529,6 +550,17 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
       Seq(s"""eras AS (SELECT * FROM (VALUES ${releaseEras.map { case (r, f, to, v) =>
           s"('$r', TIMESTAMP '$f', TIMESTAMP '$to', '$v')"
         }.mkString(",")}) AS t(role, valid_from, valid_to, release))""")),
+    "q_enrich_wildcard" -> Oracle.q(
+      """SELECT t.conv_id, t.turn_idx, t.tool,
+         CASE WHEN l.hit THEN l.handler ELSE w.handler END AS handler,
+         CASE WHEN l.hit THEN l.quota ELSE w.quota END AS quota
+         FROM transcript t
+         LEFT JOIN lut l ON t.tool = l.tool
+         LEFT JOIN (SELECT handler, quota FROM lut WHERE tool = '*') w ON TRUE
+         ORDER BY t.conv_id, t.turn_idx""",
+      Seq(s"""lut AS (SELECT *, TRUE AS hit FROM (VALUES ${handlerRows.map {
+          case (t, h, q) => s"('$t', '$h', $q)"
+        }.mkString(",")}) AS v(tool, handler, quota))""")),
     "q_enrich_geoip" ->
       s"""WITH geo AS (SELECT * FROM (VALUES ${geoRows.map { case (c, co, ci) =>
            val (s0, e0) = cidrRange(c)

@@ -114,6 +114,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("wildcard enrich: exact hit wins, miss falls back per-row (file.rs:337-346)") {
+    import spark.implicits._
+    val events = Seq("a", "b", "zz", null).toDF("k")
+    val lut = Seq(("a", "ha", "x1"), ("b", null, "x2"), ("*", "hw", "xw"))
+      .toDF("k", "h", "extra")
+    val out = Enrich.lookupWithWildcard(events, lut, Seq("k"), "*")
+      .select("k", "h", "extra").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // "b" matched exactly: its NULL h stays NULL (per-row fallback,
+    // never per-column back-fill); "zz" and null-key miss -> wildcard.
+    assert(out == Set(
+      ("a", "ha", "x1"), ("b", null, "x2"),
+      ("zz", "hw", "xw"), (null, "hw", "xw")))
+    // no wildcard row in the table -> misses stay NULL
+    val out2 = Enrich.lookupWithWildcard(events,
+        Seq(("a", "ha", "x1")).toDF("k", "h", "extra"), Seq("k"), "*")
+      .select("k", "h").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out2 == Set(("a", "ha"), ("b", null), ("zz", null), (null, null)))
+  }
+
   test("assistant/tool rows with a known tool get team + cost_tier") {
     val miss = st.enriched
       .filter(col("tool").isNotNull && col("team").isNull)
