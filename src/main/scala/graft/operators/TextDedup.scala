@@ -80,15 +80,52 @@ object TextDedup {
 
   /** Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
     * Output: (a, b, inter, na, nb, jaccard) with a < b.
+    *
+    * `maxShingleDf` defuses the stop-shingle skew bomb: a shingle shared
+    * by f documents contributes f·(f-1)/2 rows to the self-join, so ONE
+    * corpus-hot boilerplate shingle (f ~ O(corpus)) is quadratic even
+    * though every pair it seeds is junk. With the cap, CANDIDATE pairs
+    * are generated only from shingles with document frequency <= cap,
+    * and the Jaccard is then verified over the FULL shingle sets — so
+    * every reported (a, b, inter, na, nb, jaccard) is still the exact
+    * uncapped value. A qualifying pair (jaccard >= t, hence sharing
+    * inter >= t/(1+t)·(na+nb) shingles) is lost ONLY if every one of
+    * those shared shingles is corpus-hot (df > cap) — i.e. the pair's
+    * entire intersection is boilerplate, in which case it is exactly the
+    * junk the cap exists to drop. Pick cap >> the largest true-duplicate
+    * cluster size: a real near-dup pair then always shares a sub-cap
+    * (content) shingle and the pair set is invariant — the
+    * TrainingSpec proves both the invariance and the join-row collapse
+    * on a hot-shingle corpus.
     */
   def ngramPairs(df: DataFrame, id: Column, text: Column, n: Int,
-                 threshold: Double): DataFrame = {
+                 threshold: Double,
+                 maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = distinctShingles(df, id, text, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = maxShingleDf match {
+      case None =>
+        sh.as("x").join(sh.as("y"),
+            col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+          .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(cap) =>
+        val cold = sh.join(
+          sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select(col("h")),
+          Seq("h"))
+        val cand = cold.as("x").join(cold.as("y"),
+            col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+          .distinct()
+        // exact intersection over the FULL (uncapped) shingle sets
+        cand
+          .join(sh.withColumnRenamed("id", "a").withColumnRenamed("h", "ha"), "a")
+          .join(sh.select(col("id").as("__bid"), col("h").as("hb")),
+            col("b") === col("__bid") && col("ha") === col("hb"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")

@@ -23,6 +23,14 @@ object TrainingQueries {
   val MinhashK = 64
   val BandR = 4
   val JaccardThreshold = 0.5
+  /** Stop-shingle document-frequency cap for ngram candidate
+    * generation (TextDedup.ngramPairs doc). 64 >> the corpus's largest
+    * true-dup cluster; measured max shingle df is 7 (sf0.01) / 25
+    * (sf0.1), so the pair set is provably invariant at test scale while
+    * the cap bounds the join at corpus scale where boilerplate df grows
+    * with N.
+    */
+  val NgramMaxDf = 64L
   val SimhashBits = 32
   val SimhashMaxHamming = 4
   val CosineDupThreshold = 0.4
@@ -56,7 +64,7 @@ object TrainingQueries {
   // ---------------------------------------------------------- ngram jaccard
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramPairs(docs(s, dir), col("doc_id"), col("text"),
-        ShingleN, JaccardThreshold)
+        ShingleN, JaccardThreshold, maxShingleDf = Some(NgramMaxDf))
       .orderBy("a", "b")
 
   // ---------------------------------------------------------- minhash lsh
@@ -271,7 +279,15 @@ vn AS (
       "SELECT doc_id, key FROM r WHERE rn = 1 ORDER BY doc_id"),
 
     "q_dedup_ngram" -> w(Seq(shinglesCte(ShingleN), shd, sizesCte,
-      jaccardSelect("shd x JOIN shd y ON x.h = y.h AND x.id < y.id")),
+      // capped candidate generation + exact verify over full sets —
+      // mirrors TextDedup.ngramPairs(maxShingleDf)
+      s"""cold AS (SELECT shd.* FROM shd JOIN (
+           SELECT h FROM shd GROUP BY h HAVING count(*) <= $NgramMaxDf) ch
+           ON shd.h = ch.h),
+cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+         FROM cold x JOIN cold y ON x.h = y.h AND x.id < y.id)""",
+      jaccardSelect(
+        "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.h = y.h")),
       s"""SELECT a, b, inter, na, nb, jaccard FROM pairs
          WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
 

@@ -42,6 +42,36 @@ class TrainingSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("ngram stop-shingle cap: pair set invariant, quadratic junk dropped") {
+    // 40 docs all sharing one boilerplate shingle "the quick brown"
+    // (df 40 > cap 8) + two real near-dup pairs whose intersections
+    // include sub-cap content shingles.
+    val boiler = (1L to 40L).map(i => (i, s"the quick brown tok${i}a tok${i}b tok${i}c"))
+    val dups = Seq(
+      (101L, "alpha beta gamma delta epsilon"),
+      (102L, "alpha beta gamma delta zeta"),
+      (103L, "one two three four five"),
+      (104L, "one two three four six"))
+    val df = (boiler ++ dups).toDF("doc_id", "text")
+    val uncapped = TextDedup.ngramPairs(df, col("doc_id"), col("text"), 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    val capped = TextDedup.ngramPairs(df, col("doc_id"), col("text"), 3, 0.4,
+        maxShingleDf = Some(8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    // exact same pairs AND exact same (full-set) jaccard values
+    assert(capped == uncapped)
+    assert(capped.map(p => (p._1, p._2)) == Set((101L, 102L), (103L, 104L)))
+    // the defused bomb: candidate generation over sub-cap shingles only
+    // — the hot shingle alone would have seeded 40*39/2 = 780 junk pairs
+    val candRows = TextDedup.ngramPairs(df, col("doc_id"), col("text"), 3, 0.0,
+        maxShingleDf = Some(8L)).count()
+    val uncappedRows = TextDedup.ngramPairs(df, col("doc_id"), col("text"), 3, 0.0).count()
+    assert(uncappedRows >= 780L && candRows <= uncappedRows - 780L)
+    // the documented (and intended) miss: a pair whose ENTIRE
+    // intersection is stop-shingles is exactly the junk the cap drops
+    assert(!capped.exists(p => p._1 <= 40L && p._2 <= 40L))
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs on the corpus") {
     val exact = TextDedup.ngramPairs(docs, col("doc_id"), col("text"), 3, 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
