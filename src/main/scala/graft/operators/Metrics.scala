@@ -107,9 +107,8 @@ object Metrics {
     * style columns) + count + sum — the reference's summary value
     * (src/transforms/log_to_metric.rs:776). Exact `percentile` here so
     * the DuckDB oracle (quantile_cont) can verify bit-for-bit at gate
-    * scale; the production swap at 100 TB is `percentile_approx` (one
-    * pass, bounded state) or a DDSketch `TypedImperativeAggregate` —
-    * same plan shape, sketch-sized agg buffers.
+    * scale; the production swap at 100 TB is `summarySketchAgg` below —
+    * same plan shape, mergeable DDSketch agg buffers.
     */
   def summaryAgg(df: DataFrame, value: Column, quantiles: Seq[Double],
                  keys: Seq[Column]): DataFrame = {
@@ -120,6 +119,26 @@ object Metrics {
     val aggs = qCols ++ Seq(
       count(value).as("n"), sum(value).cast("double").as("sum_value"))
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `summaryAgg`'s at-scale form: identical output shape (q_* columns
+    * + n + sum) but the quantiles come from the mergeable DDSketch
+    * `TypedImperativeAggregate` (reference MetricValue::Sketch,
+    * lib/vector-core/src/event/metric/value.rs:20-95) — per-group state
+    * is O(maxBins) regardless of row count, partials combine map-side,
+    * and the shuffle carries sketches instead of values. Quantiles are
+    * within `alpha` RELATIVE error of the exact rank statistic
+    * (spec-checked); use `summaryAgg` when bit-exactness is contractual.
+    */
+  def summarySketchAgg(df: DataFrame, value: Column, quantiles: Seq[Double],
+                       keys: Seq[Column], alpha: Double = 0.01): DataFrame = {
+    val aggs = Seq(
+      graft.functions.Sketch.ddQuantiles(value, quantiles, alpha).as("__qs"),
+      count(value).as("n"), sum(value).cast("double").as("sum_value"))
+    val g = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    quantiles.zipWithIndex.foldLeft(g) { case (d, (q, i)) =>
+      d.withColumn(s"q_${(q * 100).round.toInt}", col("__qs").getItem(i))
+    }.drop("__qs")
   }
 
   // ---- metric_to_log ---------------------------------------------------

@@ -202,4 +202,101 @@ class OperatorSpec extends SparkSpec {
     assert(run(Aggregate.Latest) == Seq(3.0, 4.0))
     assert(run(Aggregate.Diff) == Seq(3.0, 1.0)) // 3-0, 4-3
   }
+
+  test("aggregate Auto: last absolute replaces, later incrementals add (aggregate.rs:134-140)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq(
+      // window 0: inc 1, abs 100, inc 2, inc 3 -> 100 + 2 + 3 = 105
+      ("s", t(0), 1.0, "incremental", 1L), ("s", t(2), 100.0, "absolute", 2L),
+      ("s", t(4), 2.0, "incremental", 3L), ("s", t(6), 3.0, "incremental", 4L),
+      // window 1: all incremental -> plain sum 7
+      ("s", t(10), 3.0, "incremental", 5L), ("s", t(12), 4.0, "incremental", 6L),
+      // window 2: abs 50 then abs 60 -> last absolute wins
+      ("s", t(20), 50.0, "absolute", 7L), ("s", t(22), 60.0, "absolute", 8L)
+    ).toDF("series", "ts", "v", "kind", "ord")
+    val out = Aggregate.tumbling(df, Seq($"series"), $"ts", $"v",
+        Aggregate.Auto, 10L, orderCol = Some($"ord"), kind = Some($"kind"))
+      .orderBy($"win").collect().map(_.getAs[Double]("value")).toSeq
+    assert(out == Seq(105.0, 7.0, 60.0))
+  }
+
+  // ---- DDSketch mergeable summary sketch (value.rs:20-95) -------------
+
+  test("ddsketch: quantiles within alpha relative error of the exact rank statistic") {
+    import org.apache.spark.sql.graftvec.SketchExpressions.DDSketchState
+    val rnd = new scala.util.Random(42)
+    // log-normal-ish latencies + negatives + zeros: all three stores
+    val xs = Array.fill(20000)(math.exp(rnd.nextGaussian() * 2 + 3)) ++
+      Array.fill(500)(-math.exp(rnd.nextGaussian())) ++ Array.fill(100)(0.0)
+    val alpha = 0.01
+    val st = new DDSketchState(alpha)
+    xs.foreach(st.insert)
+    val sorted = xs.sorted
+    for (q <- Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val exact = sorted((q * (xs.length - 1)).toLong.toInt)
+      val est = st.quantile(q)
+      val err = math.abs(est - exact) / math.max(math.abs(exact), 1e-9)
+      assert(err <= alpha + 1e-9, s"q=$q exact=$exact est=$est err=$err")
+    }
+  }
+
+  test("ddsketch: merge is order- and partitioning-invariant") {
+    import org.apache.spark.sql.graftvec.SketchExpressions.DDSketchState
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(5000)(rnd.nextDouble() * 1000 - 100)
+    def build(slices: Seq[Array[Double]], order: Seq[Int]): DDSketchState = {
+      val parts = slices.map { s =>
+        val st = new DDSketchState(0.01); s.foreach(st.insert); st }
+      val acc = new DDSketchState(0.01)
+      order.foreach(i => acc.mergeWith(parts(i)))
+      acc
+    }
+    val a = build(xs.grouped(500).toSeq, 0 until 10)
+    val b = build(xs.grouped(1250).toSeq, Seq(3, 0, 2, 1))
+    assert(a.pos.toMap == b.pos.toMap && a.neg.toMap == b.neg.toMap)
+    assert(a.zero == b.zero && a.total == b.total)
+    assert(a.minV == b.minV && a.maxV == b.maxV)
+  }
+
+  test("ddsketch: summarySketchAgg matches exact summaryAgg within alpha, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map(i =>
+      (s"g${i % 3}", math.exp(rnd.nextGaussian() + 4)))
+    val df = rows.toDF("k", "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    def run(parts: Int) =
+      Metrics.summarySketchAgg(df.repartition(parts), col("v"), qs,
+          Seq(col("k")), alpha = 0.01)
+        .orderBy("k").collect()
+    val r8 = run(8)
+    // partition-count invariance of the SKETCH columns (mergeability at
+    // the plan level); the plain sum(v) double is excluded — float
+    // addition order legitimately varies with partitioning
+    def sk(rs: Array[Row]) = rs.map(r =>
+      (r.getString(0), r.getLong(r.fieldIndex("n")),
+        qs.map(q => r.getDouble(r.fieldIndex(s"q_${(q * 100).round.toInt}")))))
+    assert(sk(r8).toSeq == sk(run(2)).toSeq)
+    // rank-statistic ground truth per group, same floor-rank convention
+    val byK = rows.groupBy(_._1)
+    for (r <- r8; (q, qi) <- qs.zipWithIndex) {
+      val vs = byK(r.getString(0)).map(_._2).sorted
+      val exact = vs((q * (vs.length - 1)).toInt)
+      val est = r.getDouble(r.fieldIndex(s"q_${(q * 100).round.toInt}"))
+      assert(math.abs(est - exact) / exact <= 0.01 + 1e-9,
+        s"k=${r.getString(0)} q=$q exact=$exact est=$est")
+    }
+  }
+
+  test("ddsketch: bucket budget enforced by collapse, tail quantiles survive") {
+    import org.apache.spark.sql.graftvec.SketchExpressions.DDSketchState
+    val st = new DDSketchState(0.01)
+    // 6 decades of dynamic range -> far more than 64 natural buckets
+    (1 to 50000).foreach(i => { st.insert(i * 0.01); st.collapseIfNeeded(64) })
+    assert(st.pos.size + st.neg.size <= 64)
+    // collapse folds LOW buckets: upper quantiles keep the alpha bound
+    val exact9 = 0.01 * math.ceil(0.9 * 50000)
+    assert(math.abs(st.quantile(0.9) - exact9) / exact9 <= 0.011)
+    assert(st.quantile(1.0) == 500.0)
+  }
 }
