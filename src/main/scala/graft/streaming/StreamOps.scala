@@ -101,30 +101,54 @@ object StreamOps {
   /** Reduce with ends_when/max_events cut rules: buffer per key; a row
     * with endsWhen=true (or hitting maxEvents) closes the session
     * INCLUDING that row (reference reduce/transform.rs:223) and emits
-    * the merged result. Open sessions are held in state across batches
-    * (flush on endsWhen only — add a timeout for expire_after_ms).
+    * the merged result. Open sessions are held in state across batches.
+    *
+    * `expireAfterMs` is the reference's `expire_after_ms` inactivity
+    * flush (reduce/config.rs:109-111, default 30 s): when set, a key
+    * with no new events for that long has its OPEN session flushed as-is
+    * and its state dropped — guaranteed-delivery for sessions whose
+    * closing event never arrives. Wall-clock (`ProcessingTimeTimeout`)
+    * exactly like the reference's `flush_into` tick; the check fires on
+    * the next micro-batch after expiry (the analog of `flush_period_ms`
+    * is the trigger interval).
     */
-  def sessionReduce(ds: Dataset[SessionEvent], maxEvents: Int)(
+  def sessionReduce(ds: Dataset[SessionEvent], maxEvents: Int,
+                    expireAfterMs: Option[Long] = None)(
       implicit eo: Encoder[SessionOut], es: Encoder[SessionState]): Dataset[SessionOut] = {
+    val timeoutConf = if (expireAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: String, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = events.toSeq.sortBy(_.seq)
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, Vector.empty))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val buf = st.buffer :+ e.text
-            val n = st.n + 1
-            if (e.endsWhen || n >= maxEvents) {
-              out += SessionOut(key, st.sessionId, n, buf.mkString("\n"))
-              st = SessionState(st.sessionId + 1, 0L, Vector.empty)
-            } else {
-              st = st.copy(n = n, buffer = buf)
+          if (state.hasTimedOut) {
+            // inactivity flush: emit the open session (if any) unchanged
+            val st = state.get
+            state.remove()
+            if (st.n > 0)
+              Iterator.single(SessionOut(key, st.sessionId, st.n, st.buffer.mkString("\n")))
+            else Iterator.empty
+          } else {
+            val sorted = events.toSeq.sortBy(_.seq)
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Vector.empty))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val buf = st.buffer :+ e.text
+              val n = st.n + 1
+              if (e.endsWhen || n >= maxEvents) {
+                out += SessionOut(key, st.sessionId, n, buf.mkString("\n"))
+                st = SessionState(st.sessionId + 1, 0L, Vector.empty)
+              } else {
+                st = st.copy(n = n, buffer = buf)
+              }
             }
+            // sessionId must survive even when the buffer is empty (it
+            // numbers the NEXT session), but an empty buffer needs no
+            // inactivity timer — nothing would flush.
+            state.update(st)
+            if (st.n > 0) expireAfterMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -139,33 +163,47 @@ object StreamOps {
     * state machine (`src/line_agg.rs:24-69`), ContinueThrough mode: a
     * line NOT matching `conditionPattern` closes the open record and
     * opens a new one; matching lines append. Open records persist in
-    * state across micro-batches. The reference's flush `timeout` maps
-    * to a processing-time `GroupStateTimeout` (NoTimeout here so specs
-    * are deterministic; production sets one to bound open-record
-    * latency). Batch equivalent: `operators/LineAgg.merge`.
+    * state across micro-batches. The reference's flush `timeout`
+    * ("once this timeout is reached, the buffered message is guaranteed
+    * to be flushed, even if incomplete", line_agg.rs:68-69 +
+    * DelayQueue:126-136) maps to `timeoutMs` here: a key idle that long
+    * has its open record emitted incomplete and its state dropped
+    * (`ProcessingTimeTimeout`, fires on the next micro-batch after
+    * expiry). `None` keeps records open indefinitely (deterministic for
+    * specs). Batch equivalent: `operators/LineAgg.merge`.
     */
-  def lineAgg(ds: Dataset[Line], conditionPattern: String)(
+  def lineAgg(ds: Dataset[Line], conditionPattern: String,
+              timeoutMs: Option[Long] = None)(
       implicit em: Encoder[MergedRecord], es: Encoder[LineAggState]): Dataset[MergedRecord] = {
     val re = conditionPattern.r
+    val timeoutConf = if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[LineAggState, MergedRecord](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: String, lines: Iterator[Line], state: GroupState[LineAggState]) =>
-          val sorted = lines.toSeq.sortBy(_.lineNo)
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[MergedRecord]
-          sorted.foreach { l =>
-            val continuation = re.findFirstIn(l.line).isDefined
-            if (continuation && st != null) {
-              st = st.copy(n = st.n + 1, buffer = st.buffer :+ l.line)
-            } else {
-              if (st != null)
-                out += MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n"))
-              st = LineAggState(l.lineNo, 1L, Vector(l.line))
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n")))
+          } else {
+            val sorted = lines.toSeq.sortBy(_.lineNo)
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[MergedRecord]
+            sorted.foreach { l =>
+              val continuation = re.findFirstIn(l.line).isDefined
+              if (continuation && st != null) {
+                st = st.copy(n = st.n + 1, buffer = st.buffer :+ l.line)
+              } else {
+                if (st != null)
+                  out += MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n"))
+                st = LineAggState(l.lineNo, 1L, Vector(l.line))
+              }
             }
+            if (st == null) state.remove()
+            else { state.update(st); timeoutMs.foreach(state.setTimeoutDuration) }
+            out.result().iterator
           }
-          if (st == null) state.remove() else state.update(st)
-          out.result().iterator
       }
   }
 

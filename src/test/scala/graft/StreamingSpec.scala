@@ -131,6 +131,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** ProcessingTimeTimeout makes the engine run micro-batches
+    * continuously (shouldRunAnotherBatch is always true so expired
+    * timers fire without new data) — which also means `noNewData` never
+    * latches and `processAllAvailable` would block forever. Timeout
+    * specs therefore POLL the memory sink with a deadline instead.
+    */
+  private def awaitRows(table: String, atLeast: Long, deadlineMs: Long = 60000): Unit = {
+    val t0 = System.nanoTime()
+    while (spark.table(table).count() < atLeast) {
+      assert((System.nanoTime() - t0) / 1e6 < deadlineMs,
+        s"$table still has ${spark.table(table).count()} rows (< $atLeast)")
+      Thread.sleep(100)
+    }
+  }
+
+  test("session reduce expire_after_ms: open session flushes on inactivity timeout (reduce/config.rs:109-111)") {
+    val input = MemoryStream[StreamOps.SessionEvent](spark)
+    val out = StreamOps.sessionReduce(input.toDS(), maxEvents = 10,
+      expireAfterMs = Some(500L))
+    val q = out.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .format("memory").queryName("s_sess_expire")
+      .outputMode("append").start()
+    try {
+      // an OPEN session for key c: no endsWhen row ever arrives
+      input.addData(
+        StreamOps.SessionEvent("c", 0, endsWhen = false, "t0"),
+        StreamOps.SessionEvent("c", 1, endsWhen = false, "t1"))
+      // inactivity flush: the 500 ms timer fires on a later empty batch
+      awaitRows("s_sess_expire", 1)
+      val flushed = spark.table("s_sess_expire").collect()(0)
+      assert(flushed.getAs[String]("key") == "c")
+      assert(flushed.getAs[String]("merged") == "t0\nt1")
+      assert(flushed.getAs[Long]("n") == 2L)
+      // state was dropped: a later event for c starts a FRESH session
+      input.addData(StreamOps.SessionEvent("c", 9, endsWhen = true, "t9"))
+      awaitRows("s_sess_expire", 2)
+      val again = spark.table("s_sess_expire")
+        .filter($"key" === "c" && $"merged" === "t9").collect()
+      assert(again.length == 1 && again(0).getAs[Long]("n") == 1L)
+    } finally q.stop()
+  }
+
+  test("line_agg timeout flushes the incomplete open record (line_agg.rs:68-69)") {
+    val input = MemoryStream[StreamOps.Line](spark)
+    val out = StreamOps.lineAgg(input.toDS(), "^\\s", timeoutMs = Some(500L))
+    val q = out.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .format("memory").queryName("s_lineagg_to")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.Line("f", 1, "ERROR a"), StreamOps.Line("f", 2, "  at x"))
+      awaitRows("s_lineagg_to", 1) // flushed INCOMPLETE by the timer
+      val f = spark.table("s_lineagg_to").filter($"key" === "f").collect()
+      assert(f.length == 1)
+      assert(f(0).getAs[String]("text") == "ERROR a\n  at x")
+      assert(f(0).getAs[Long]("nLines") == 2L)
+    } finally q.stop()
+  }
+
   test("streaming line_agg merges continuation lines across micro-batches") {
     val input = MemoryStream[StreamOps.Line](spark)
     val out = StreamOps.lineAgg(input.toDS(), "^\\s")
