@@ -156,6 +156,199 @@ object Vrl {
   def decodeZstd(c: Column): Column = graftCodecs.unzstd(c)
   private def graftCodecs = org.apache.spark.sql.graftvec.CodecExpressions
 
+  // ------------------------------------------ long-tail codecs / strings
+
+  /** encode_base16 / decode_base16 (decode_base16.cue). */
+  def encodeBase16(c: Column): Column = lower(hex(c.cast("binary")))
+  def decodeBase16(c: Column): Column = unhex(c).cast("string")
+
+  /** encode_percent / decode_percent (encode_percent.cue): %20-style
+    * percent escapes (form-style `+` never emitted; a literal `+`
+    * survives decode).
+    */
+  def encodePercent(c: Column): Column =
+    regexp_replace(url_encode(c), "\\+", "%20")
+  def decodePercent(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
+  /** encode_punycode/decode_punycode, decode_mime_q, parse_cbor,
+    * parse_ruby_hash, seahash, shannon_entropy, sha3, hmac,
+    * community_id, uuid_from_friendly_id — tokenizer/JDK-crypto grade,
+    * implemented as Catalyst expressions in graftvec.StringExpressions.
+    */
+  def encodePunycode(c: Column): Column = strExprs.encodePunycode(c)
+  def decodePunycode(c: Column): Column = strExprs.decodePunycode(c)
+  def decodeMimeQ(c: Column): Column = strExprs.decodeMimeQ(c)
+  def parseCbor(c: Column): Column = strExprs.parseCbor(c)
+  def parseRubyHash(c: Column): Column = strExprs.parseRubyHash(c)
+  def seahash(c: Column): Column = strExprs.seahash(c)
+  def shannonEntropy(c: Column): Column = strExprs.shannonEntropy(c)
+  def sha3(c: Column, variant: String = "SHA3-512"): Column = strExprs.sha3(c, variant)
+  def sha1Hex(c: Column): Column = sha1(c.cast("binary"))
+  def hmacBytes(data: Column, key: Column, algorithm: String = "SHA-256"): Column =
+    strExprs.hmac(data, key, algorithm)
+  /** The reference's two common compositions (hmac.cue examples). */
+  def hmacBase64(data: Column, key: Column, algorithm: String = "SHA-256"): Column =
+    base64(hmacBytes(data, key, algorithm))
+  def hmacHex(data: Column, key: Column, algorithm: String = "SHA-256"): Column =
+    lower(hex(hmacBytes(data, key, algorithm)))
+  def communityId(saddr: Column, daddr: Column, sport: Column, dport: Column,
+                  proto: Column, seed: Int = 0): Column =
+    strExprs.communityId(saddr, daddr, sport, dport, proto, seed)
+  def uuidFromFriendlyId(c: Column): Column = strExprs.uuidFromFriendlyId(c)
+  private def strExprs = org.apache.spark.sql.graftvec.StringExpressions
+
+  /** encode_lz4/decode_lz4 (lz4_flex prepend_size layout) and
+    * encode_snappy/decode_snappy (raw block) — see CodecExpressions.
+    */
+  def encodeLz4(c: Column): Column = graftCodecs.lz4(c)
+  def decodeLz4(c: Column): Column = graftCodecs.unlz4(c)
+  def encodeSnappy(c: Column): Column = graftCodecs.snappy(c)
+  def decodeSnappy(c: Column): Column = graftCodecs.unsnappy(c)
+
+  /** strip_ansi_escape_codes (strip_ansi_escape_codes.cue): CSI
+    * sequences (ESC [ params final) and two-byte ESC sequences.
+    */
+  def stripAnsiEscapeCodes(c: Column): Column =
+    regexp_replace(c, "\\x1b\\[[0-9;?]*[ -/]*[@-~]|\\x1b[@-_]", "")
+
+  // ------------------------------------------------------------ numbers
+
+  /** format_int!(n, base) (format_int.cue): 42, 16 → "2a" (lowercase,
+    * sign preserved — `conv` alone would render negatives as unsigned
+    * 2's complement).
+    */
+  def formatInt(c: Column, base: Int): Column =
+    when(c < 0, concat(lit("-"), lower(conv(-c, 10, base))))
+      .otherwise(lower(conv(c, 10, base)))
+
+  /** format_number(n, decimals, decimal_separator, grouping_separator)
+    * (format_number.cue): 1234567.89, 3 → "1,234,567.890".
+    */
+  def formatNumber(c: Column, decimals: Int, decimalSep: String = ".",
+                   groupingSep: String = ","): Column = {
+    val std = format_number(c.cast("double"), decimals)
+    if (decimalSep == "." && groupingSep == ",") std
+    else translate(std, ".,", decimalSep + groupingSep)
+  }
+
+  // ------------------------------------------------------------ geo
+
+  /** haversine(lat1, lon1, lat2, lon2) (haversine.cue) → struct(
+    * distance, bearing): great-circle distance (km by default, miles
+    * with unit="miles") + initial bearing in degrees from north.
+    */
+  def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+                unit: String = "kilometers"): Column = {
+    val r = if (unit == "miles") 3959.8728 else 6371.0088 // IUGG mean earth radius
+    val (p1, p2) = (radians(lat1), radians(lat2))
+    val (dp, dl) = (radians(lat2 - lat1), radians(lon2 - lon1))
+    val a = pow(sin(dp / 2), 2) + cos(p1) * cos(p2) * pow(sin(dl / 2), 2)
+    val dist = lit(2 * r) * asin(sqrt(a))
+    val brg = degrees(atan2(sin(dl) * cos(p2),
+      cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dl)))
+    struct(dist.as("distance"),
+      ((brg + 360.0) % 360.0).as("bearing"))
+  }
+
+  // ------------------------------------------------------------ syslog maps
+
+  /** to_syslog_level!(severity) (to_syslog_level.cue): 5 → "notice". */
+  def toSyslogLevel(c: Column): Column =
+    element_at(map(Seq(0 -> "emerg", 1 -> "alert", 2 -> "crit", 3 -> "err",
+      4 -> "warning", 5 -> "notice", 6 -> "info", 7 -> "debug")
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), c.cast("int"))
+
+  /** to_syslog_severity!(level) — accepts the RFC names + common
+    * aliases (panic/error/warn).
+    */
+  def toSyslogSeverity(c: Column): Column =
+    element_at(map(Seq("emerg" -> 0, "panic" -> 0, "alert" -> 1, "crit" -> 2,
+      "err" -> 3, "error" -> 3, "warning" -> 4, "warn" -> 4, "notice" -> 5,
+      "info" -> 6, "debug" -> 7)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), lower(c))
+
+  private val facilityNames = Seq("kern", "user", "mail", "daemon", "auth",
+    "syslog", "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp",
+    "security", "console", "solaris-cron") ++ (0 to 7).map(i => s"local$i")
+
+  /** to_syslog_facility!(code) (to_syslog_facility.cue): 4 → "auth". */
+  def toSyslogFacility(c: Column): Column =
+    element_at(map(facilityNames.zipWithIndex
+      .flatMap { case (v, k) => Seq(lit(k), lit(v)) }: _*), c.cast("int"))
+
+  /** to_syslog_facility_code!(name): "auth" → 4. */
+  def toSyslogFacilityCode(c: Column): Column =
+    element_at(map(facilityNames.zipWithIndex
+      .flatMap { case (v, k) => Seq(lit(v), lit(k)) }: _*), lower(c))
+
+  // ------------------------------------------------------------ timestamps
+
+  /** from_unix_timestamp!(n, unit) / to_unix_timestamp(ts, unit). */
+  def fromUnixTimestamp(c: Column, unit: String = "seconds"): Column = unit match {
+    case "milliseconds" => timestamp_millis(c.cast("long"))
+    case "nanoseconds" => timestamp_micros((c.cast("long") / 1000L).cast("long"))
+    case _ => timestamp_seconds(c.cast("long"))
+  }
+  def toUnixTimestamp(c: Column, unit: String = "seconds"): Column = unit match {
+    case "milliseconds" => unix_millis(c)
+    case "nanoseconds" => unix_micros(c) * 1000L
+    case _ => unix_timestamp(c)
+  }
+
+  // ------------------------------------------------------------ uuid
+
+  /** uuid_v7(ts, entropy...) (uuid_v7.cue): RFC 9562 layout —
+    * 48-bit unix-millis, version 7, 74 random bits. The reference draws
+    * randomness from an RNG; a distributed engine wants REPRODUCIBLE
+    * output, so entropy comes from caller-supplied columns (hash a row
+    * key) — same layout, deterministic rows. Time-sortability (the
+    * property uuid_v7 exists for) is preserved exactly.
+    */
+  def uuidV7(ts: Column, entropyA: Column, entropyB: Column): Column = {
+    val millis = unix_millis(ts)
+    val timeHex = lpad(lower(hex(millis)), 12, "0")
+    val ra = lpad(lower(hex(entropyA.cast("long").bitwiseAND(0xfffL))), 3, "0")
+    // variant bits 10xx: force the top nibble of the last section to 8-b
+    val rb = lower(hex(entropyB.cast("long")
+      .bitwiseAND(0x3fffffffffffffffL).bitwiseOR(Long.MinValue)))
+    concat(substring(timeHex, 1, 8), lit("-"), substring(timeHex, 9, 4),
+      lit("-7"), ra, lit("-"), substring(rb, 1, 4), lit("-"),
+      substring(rb, 5, 12))
+  }
+
+  /** uuid_v4 from explicit entropy (deterministic analog — see uuidV7). */
+  def uuidV4(entropyA: Column, entropyB: Column): Column = {
+    val ha = lpad(lower(hex(entropyA.cast("long"))), 16, "0")
+    val rb = lower(hex(entropyB.cast("long")
+      .bitwiseAND(0x3fffffffffffffffL).bitwiseOR(Long.MinValue)))
+    concat(substring(ha, 1, 8), lit("-"), substring(ha, 9, 4), lit("-4"),
+      substring(ha, 14, 3), lit("-"), substring(rb, 1, 4), lit("-"),
+      substring(rb, 5, 12))
+  }
+
+  // ------------------------------------------------------------ ip extras
+
+  /** ip_subnet!(ip, mask) — IPv4, mask as "255.255.255.0" or "/24". */
+  def ipSubnet(ip: Column, mask: Column): Column = {
+    val bits = when(mask.startsWith("/"),
+      substring(mask, 2, 2).cast("int")).otherwise(lit(null).cast("int"))
+    val maskNum = when(bits.isNotNull,
+      when(bits === 0, 0L).otherwise(
+        lit(4294967295L) - (pow(lit(2.0), lit(32) - bits).cast("long") - 1L)))
+      .otherwise(ipAton(mask))
+    ipNtoa(ipAton(ip).bitwiseAND(maskNum))
+  }
+
+  /** ip_to_ipv6!(ip) → IPv4-mapped form; ipv6_to_ipv4! inverts it. */
+  def ipToIpv6(c: Column): Column = concat(lit("::ffff:"), c)
+  def ipv6ToIpv4(c: Column): Column = {
+    val m = regexp_extract(c, "(?i)^::ffff:((?:\\d{1,3}\\.){3}\\d{1,3})$", 1)
+    when(c.rlike("^(?:\\d{1,3}\\.){3}\\d{1,3}$"), c)
+      .when(m =!= "", m)
+      .otherwise(lit(null).cast("string"))
+  }
+
   // ------------------------------------------------------------ crypto
 
   /** VRL encrypt!/decrypt! (reference encrypt.cue — AES family). Spark's

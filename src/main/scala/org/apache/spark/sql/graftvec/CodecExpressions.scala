@@ -115,6 +115,58 @@ object CodecExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** VRL encode_lz4 (encode_lz4.cue): lz4_flex `compress_prepend_size`
+    * layout — u32 little-endian original length, then one LZ4 block.
+    * Compressed BYTES may differ from the Rust encoder (any valid block
+    * is legal); the contracts are round-trip identity and cross-decoding
+    * the reference's own example frames (both spec-pinned).
+    */
+  case class Lz4Compress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "encode_lz4"
+    override def nullSafeEval(v: Any): Any = {
+      val src = v.asInstanceOf[Array[Byte]]
+      val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val block = comp.compress(src)
+      val out = java.nio.ByteBuffer.allocate(4 + block.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.putInt(src.length).put(block)
+      out.array()
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class Lz4Decompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "decode_lz4"
+    override def nullSafeEval(v: Any): Any = {
+      val src = v.asInstanceOf[Array[Byte]]
+      val n = java.nio.ByteBuffer.wrap(src, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(n >= 0, s"lz4: negative length prefix $n")
+      val dst = new Array[Byte](n)
+      net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+        .decompress(src, 4, dst, 0, n)
+      dst
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** VRL encode_snappy/decode_snappy — raw snappy block format (the
+    * Rust `snap` raw encoder), via Spark's bundled snappy-java.
+    */
+  case class SnappyCompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "encode_snappy"
+    override def nullSafeEval(v: Any): Any =
+      org.xerial.snappy.Snappy.compress(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class SnappyDecompress(child: Expression) extends BinaryCodec {
+    override def prettyName: String = "decode_snappy"
+    override def nullSafeEval(v: Any): Any =
+      org.xerial.snappy.Snappy.uncompress(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   private def wrap(f: Expression => Expression)(c: Column): Column =
     ExpressionUtils.column(f(ExpressionUtils.expression(c)))
 
@@ -124,4 +176,8 @@ object CodecExpressions {
   def unzlib: Column => Column = wrap(ZlibDecompress)
   def zstd(c: Column, level: Int = 3): Column = wrap(ZstdCompress(_, level))(c)
   def unzstd: Column => Column = wrap(ZstdDecompress)
+  def lz4: Column => Column = wrap(Lz4Compress)
+  def unlz4: Column => Column = wrap(Lz4Decompress)
+  def snappy: Column => Column = wrap(SnappyCompress)
+  def unsnappy: Column => Column = wrap(SnappyDecompress)
 }
