@@ -37,4 +37,65 @@ object Dedupe {
   /** `ignore` mode: dedupe on every column EXCEPT the given ones. */
   def ignoring(df: DataFrame, ignore: Seq[String], order: Seq[Column]): DataFrame =
     keepFirst(df, df.columns.filterNot(ignore.contains).map(col).toSeq, order)
+
+  /** EXACT batch replay of the reference's LRU-bounded cache
+    * (dedupe/transform.rs:76-84 over `LruCache::new(num_events)`,
+    * default 5000, dedupe/common.rs:32-34): an event is DROPPED iff its
+    * key is currently cached; every event — kept or dropped — refreshes
+    * the key's recency (`cache.put` on both paths); a key falls out
+    * once `numEvents` other distinct keys were touched after it, and
+    * its next occurrence is RE-EMITTED.
+    *
+    * Distributed formulation (no sequential scan): with `ord` a unique
+    * total order and prev(i) = the key's previous occurrence (lag over
+    * the key partition), the cache holds the `numEvents` most recently
+    * touched distinct keys, so event i is re-emitted iff at least
+    * `numEvents` distinct keys were touched in (prev(i), i). A key's
+    * FIRST touch inside that gap is precisely a row m with
+    * prevOcc(m) <= prev(i) < m (later touches have prevOcc inside the
+    * gap), so the distinct count is a plain row count over
+    * { m : prev(i) < m < i, prevOcc(m) <= prev(i) } — one lag window
+    * (shuffle on the key) + one range self-join over DUPLICATE gaps.
+    *
+    * The gap scan is a BUCKETED band join (an interval-stabbing join):
+    * touches carry bucket = floor(ord / bucketSize); each duplicate
+    * explodes into the buckets its gap covers and joins on bucket
+    * EQUALITY before the range refine — SortMergeJoin, never a nested
+    * loop. Cost: Σ gap-length over duplicate events (+ one bucket of
+    * slack each) — proportional to re-emission pressure, not n². First
+    * occurrences never join; duplicate-dense streams (the operator's
+    * use case) have short gaps. `keepFirst` is the exact fixpoint when
+    * bounded-cache re-emission is NOT wanted. `ord` must be integral
+    * (bucket arithmetic) and unique.
+    */
+  def keepFirstLru(df: DataFrame, matchCols: Seq[Column], ord: Column,
+                   numEvents: Int, bucketSize: Long = 256L): DataFrame = {
+    require(numEvents > 0, "numEvents must be positive")
+    val w = Window.partitionBy(matchCols: _*).orderBy(ord)
+    val withPrev = df.withColumn("__ord", ord.cast("long"))
+      .withColumn("__prev", lag(col("__ord"), 1).over(w))
+    // all events as recency probes: (touch position, its own reach-back)
+    val touches = withPrev.select(col("__ord").as("__m"),
+      col("__prev").as("__m_prev"),
+      floor(col("__ord") / bucketSize).as("__bkt"))
+    val firsts = withPrev.filter(col("__prev").isNull)
+    val dups = withPrev.filter(col("__prev").isNotNull)
+      .withColumn("__bkt", explode(when(col("__prev") + 1 > col("__ord") - 1,
+          array().cast("array<long>"))
+        .otherwise(sequence(floor((col("__prev") + 1) / bucketSize),
+          floor((col("__ord") - 1) / bucketSize)))))
+    // distinct keys touched in (prev, ord) == rows m with
+    // m_prev <= prev < m < ord; each m lives in exactly one bucket, so
+    // the bucket-exploded join never double-counts
+    val counted = dups.alias("d").join(touches.alias("t"),
+        col("t.__bkt") === col("d.__bkt") &&
+          col("t.__m") > col("d.__prev") && col("t.__m") < col("d.__ord") &&
+          (col("t.__m_prev").isNull || col("t.__m_prev") <= col("d.__prev")),
+        "inner")
+      .groupBy(withPrev.columns.map(c => col("d." + c)).toIndexedSeq: _*)
+      .agg(count(col("t.__m")).as("__evicted_by"))
+      .filter(col("__evicted_by") >= numEvents)
+      .drop("__evicted_by")
+    firsts.unionByName(counted).drop("__ord", "__prev")
+  }
 }

@@ -63,6 +63,18 @@ object TransformQueries {
       .select(col("conv_id"), col("turn_idx"), col("role"), col("level"), col("tool_p"))
       .orderBy("conv_id", "turn_idx")
 
+  /** LRU-bounded dedupe (dedupe/common.rs:32-34): key of moderate
+    * cardinality over `events` so both behaviors occur — adjacent
+    * repeats dropped, long-gap repeats re-emitted after ≥4 distinct
+    * intervening keys.
+    */
+  private def qDedupeLru(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(s, dir, "events").select(col("event_id"),
+      concat(col("event_type"), lit("-"), col("user_id") % 40).as("k"))
+    Dedupe.keepFirstLru(ev, Seq(col("k")), col("event_id"), numEvents = 4)
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- reduce
   private def qReduce(s: SparkSession, dir: String): DataFrame =
     parsed(s, dir).groupBy(col("conv_id")).agg(
@@ -353,6 +365,7 @@ object TransformQueries {
     "q_sample"         -> (qSample _),
     "q_throttle"       -> (qThrottle _),
     "q_dedupe"         -> (qDedupe _),
+    "q_dedupe_lru"     -> (qDedupeLru _),
     "q_reduce"         -> (qReduce _),
     "q_sessions"       -> (qSessions _),
     "q_context_window" -> (qContextWindow _),
@@ -413,6 +426,20 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
              ORDER BY conv_id, turn_idx) AS rn
          FROM parsed) t WHERE rn = 1 ORDER BY conv_id, turn_idx""",
       Seq(Oracle.parsedCte)),
+    "q_dedupe_lru" -> Oracle.q(
+      """SELECT event_id, k FROM lru_p WHERE prev IS NULL
+         UNION ALL SELECT event_id, k FROM lru_c WHERE cnt >= 4
+         ORDER BY event_id""",
+      Seq(
+        "lru_ev AS (SELECT event_id, event_type || '-' || (user_id % 40) AS k FROM events)",
+        """lru_p AS (SELECT event_id, k,
+           lag(event_id) OVER (PARTITION BY k ORDER BY event_id) AS prev FROM lru_ev)""",
+        "lru_d AS (SELECT * FROM lru_p WHERE prev IS NOT NULL)",
+        """lru_c AS (SELECT d.event_id, d.k, count(t.event_id) AS cnt
+               FROM lru_d d LEFT JOIN lru_p t
+                 ON t.event_id > d.prev AND t.event_id < d.event_id
+                AND coalesce(t.prev, -1) <= d.prev
+               GROUP BY d.event_id, d.k)""")),
     "q_reduce" -> Oracle.q(
       """SELECT conv_id,
          min_by(text, turn_idx) AS first_text,

@@ -221,6 +221,35 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(105.0, 7.0, 60.0))
   }
 
+  test("dedupe LRU bounded cache: exact match with a sequential LruCache replay (dedupe/common.rs:32-34)") {
+    // sequential reference model: put-on-every-event LRU, emit on miss
+    def lruModel(keys: Seq[String], n: Int): Seq[Int] = {
+      val cache = new java.util.LinkedHashMap[String, Boolean](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Boolean]) =
+          size() > n
+      }
+      keys.zipWithIndex.collect {
+        case (k, i) if { val hit = cache.containsKey(k); cache.put(k, true); !hit } => i
+      }
+    }
+    val rnd = new scala.util.Random(99)
+    val keys = (0 until 2000).map(_ => s"k${rnd.nextInt(30)}")
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "ord")
+    for (n <- Seq(1, 5, 29, 200)) {
+      val got = graft.operators.Dedupe
+        .keepFirstLru(df.repartition(7), Seq($"k"), $"ord", n)
+        .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == lruModel(keys, n).map(_.toLong),
+        s"n=$n: distributed LRU dedupe diverges from the sequential cache")
+    }
+    // capacity >= distinct keys degenerates to exact keepFirst
+    val exact = graft.operators.Dedupe.keepFirst(df, Seq($"k"), Seq($"ord"))
+      .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+    val lru1000 = graft.operators.Dedupe.keepFirstLru(df, Seq($"k"), $"ord", 1000)
+      .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+    assert(lru1000 == exact)
+  }
+
   // ---- DDSketch mergeable summary sketch (value.rs:20-95) -------------
 
   test("ddsketch: quantiles within alpha relative error of the exact rank statistic") {
