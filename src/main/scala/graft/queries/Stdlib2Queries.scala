@@ -148,10 +148,35 @@ object Stdlib2Queries {
           .as("unix_rt"))
       .orderBy("event_id")
 
+  // ------------------------------------------------------ q_user_agent
+
+  private val uaFixtures = Seq(
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 6.1; rv:102.0) Gecko/20100101 Firefox/102.0",
+    "Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko",
+    "curl/8.4.0",
+    "weirdclient/0")
+
+  private def uaCol: Column = element_at(
+    array(uaFixtures.map(lit): _*), (e % 7 + 1).cast("int"))
+
+  private def qUserAgent(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.functions.UserAgent.parse(uaCol)
+    events(s, dir).select(
+        e.as("event_id"),
+        p.getField("family").as("ua_family"),
+        p.getField("major").as("ua_major"),
+        p.getField("minor").as("ua_minor"))
+      .orderBy("event_id")
+  }
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_stdlib_parse3" -> (qStdlibParse3 _),
     "q_aws_logs"      -> (qAwsLogs _),
-    "q_stdlib_misc2"  -> (qStdlibMisc2 _)
+    "q_stdlib_misc2"  -> (qStdlibMisc2 _),
+    "q_user_agent"    -> (qUserAgent _)
   )
 
   // ====================================================== DuckDB oracle
@@ -230,6 +255,20 @@ object Stdlib2Queries {
            strftime(to_timestamp(1700000000 + event_id),
              '%Y-%m-%dT%H:%M:%SZ') AS unix_iso,
            CAST(1700000000 + event_id AS BIGINT) AS unix_rt
+         FROM events ORDER BY event_id""",
+    "q_user_agent" ->
+      // expected (family, major, minor) per fixture written out directly
+      // — an independent statement of what uap-core says each UA is
+      """SELECT event_id,
+           CASE event_id % 7 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Edge'
+             WHEN 2 THEN 'Safari' WHEN 3 THEN 'Firefox' WHEN 4 THEN 'IE'
+             WHEN 5 THEN 'curl' ELSE 'Other' END AS ua_family,
+           CASE event_id % 7 WHEN 0 THEN '120' WHEN 1 THEN '120'
+             WHEN 2 THEN '17' WHEN 3 THEN '102' WHEN 4 THEN '11'
+             WHEN 5 THEN '8' ELSE NULL END AS ua_major,
+           CASE event_id % 7 WHEN 0 THEN '0' WHEN 1 THEN '0'
+             WHEN 2 THEN '1' WHEN 3 THEN '0' WHEN 4 THEN '0'
+             WHEN 5 THEN '4' ELSE NULL END AS ua_minor
          FROM events ORDER BY event_id"""
   )
 }

@@ -272,6 +272,44 @@ class Stdlib2Spec extends SparkSpec {
     assert(v4.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
   }
 
+  test("user agent: uap-style ruleset, first match wins (parse_user_agent.cue)") {
+    import graft.functions.UserAgent
+    def parse(ua: String) = {
+      val r = Seq(ua).toDF("ua").select(UserAgent.parse(col("ua")).as("p"))
+        .select("p.*").head
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    val chrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36"
+    assert(parse(chrome) == ("Chrome", "120", "0"))
+    assert(parse(chrome + " Edg/120.0.2210.91") == ("Edge", "120", "0"))
+    assert(parse(chrome + " OPR/92.0.4561.33") == ("Opera", "92", "0"))
+    assert(parse("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15")
+      == ("Safari", "17", "1"))
+    assert(parse("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1")
+      == ("Mobile Safari", "17", "0"))
+    assert(parse("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.109 Mobile/15E148 Safari/604.1")
+      == ("Chrome Mobile iOS", "119", "0"))
+    assert(parse("Mozilla/5.0 (Windows NT 6.1; rv:102.0) Gecko/20100101 Firefox/102.0")
+      == ("Firefox", "102", "0"))
+    assert(parse("Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)")
+      == ("IE", "9", "0"))
+    assert(parse("Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko")
+      == ("IE", "11", "0"))
+    assert(parse("curl/8.4.0") == ("curl", "8", "4"))
+    assert(parse("python-requests/2.31.0") == ("python-requests", "2", "31"))
+    assert(parse("Go-http-client/2.0") == ("Go-http-client", "2", "0"))
+    assert(parse("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)")
+      == ("Googlebot", "2", "1"))
+    assert(parse("weirdclient") == ("Other", null, null))
+    // ruleset-as-data: a table-loaded rule overrides/extends the default
+    val custom = Seq((0, "MyAgent/(\\d+)\\.(\\d+)", "MyAgent", 1, 2))
+      .toDF("priority", "regex", "family", "v1_group", "v2_group")
+    val rules = UserAgent.fromTable(custom) ++ UserAgent.DefaultRules
+    val got = Seq("MyAgent/3.7").toDF("ua")
+      .select(UserAgent.parse(col("ua"), rules).as("p")).select("p.*").head
+    assert((got.getString(0), got.getString(1), got.getString(2)) == ("MyAgent", "3", "7"))
+  }
+
   test("ip subnet / v6 mapping extras") {
     assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("/24"))) == "10.1.2.0")
     assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("255.255.0.0"))) == "10.1.0.0")
