@@ -196,6 +196,44 @@ object Similarity {
     means.withColumn("cn", sqrt(graft.functions.VectorOps.dot(col("cv"), col("cv"))))
   }
 
+  /** The offline IVF TRAINING LOOP: iterate `ivfRefineCentroids` until
+    * the largest centroid L2 movement drops below `eps` or `maxIters`
+    * is hit. Each round is one broadcast-assign + one hash-agg over the
+    * corpus (linear, same shape as a single refine); between rounds the
+    * centroid TABLE (nCentroids rows — config-sized, like MLlib's
+    * KMeans model state) is collected to cut the growing lineage and to
+    * compute movement driver-side. Returns the trained centroids for
+    * `ivfTopK(centroids = Some(...))`.
+    */
+  def ivfTrainCentroids(df: DataFrame, id: Column, vec: Column,
+                        nCentroids: Int, maxIters: Int = 10,
+                        eps: Double = 1e-4): DataFrame = {
+    val spark = df.sparkSession
+    var cents = ivfInitCentroids(df, id, vec, nCentroids)
+    var prev = cents.collect().map(r =>
+      r.get(0).toString -> r.getAs[scala.collection.Seq[Double]]("cv")).toMap
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved >= eps) {
+      val next = ivfRefineCentroids(df, id, vec, cents)
+      val rows = next.collect()
+      val cur = rows.map(r =>
+        r.get(0).toString -> r.getAs[scala.collection.Seq[Double]]("cv")).toMap
+      moved = cur.map { case (cid, cv) =>
+        prev.get(cid) match {
+          case Some(pv) =>
+            math.sqrt(cv.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          case None => Double.MaxValue // re-seeded/renamed cell: keep going
+        }
+      }.foldLeft(0.0)(math.max)
+      cents = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), next.schema)
+      prev = cur
+      iter += 1
+    }
+    cents
+  }
+
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
                   k: Int, b: Int, probeRadius: Int = 1,
                   confidenceBits: Int = 0): DataFrame = {
