@@ -172,11 +172,32 @@ object Stdlib2Queries {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------------ q_native_json
+
+  private def qNativeJson(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeJson
+    val vt = when(e % 2 === 0, "counter").otherwise("gauge")
+    val kind = when(e % 2 === 0, "incremental").otherwise("absolute")
+    val enc = NativeJson.encodeMetric(concat(lit("m"), e % 5),
+      map(lit("tool"), col("event_type")), kind, vt, e + lit(0.5))
+    events(s, dir).select(
+        e.as("event_id"),
+        enc.as("native_line"),
+        NativeJson.eventKind(enc).as("arm"),
+        NativeJson.decode(enc).getField("metric").getField("name").as("rt_name"),
+        coalesce(
+          NativeJson.decode(enc).getField("metric").getField("counter").getField("value"),
+          NativeJson.decode(enc).getField("metric").getField("gauge").getField("value"))
+          .as("rt_value"))
+      .orderBy("event_id")
+  }
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_stdlib_parse3" -> (qStdlibParse3 _),
     "q_aws_logs"      -> (qAwsLogs _),
     "q_stdlib_misc2"  -> (qStdlibMisc2 _),
-    "q_user_agent"    -> (qUserAgent _)
+    "q_user_agent"    -> (qUserAgent _),
+    "q_native_json"   -> (qNativeJson _)
   )
 
   // ====================================================== DuckDB oracle
@@ -269,6 +290,21 @@ object Stdlib2Queries {
            CASE event_id % 7 WHEN 0 THEN '0' WHEN 1 THEN '0'
              WHEN 2 THEN '1' WHEN 3 THEN '0' WHEN 4 THEN '0'
              WHEN 5 THEN '4' ELSE NULL END AS ua_minor
+         FROM events ORDER BY event_id""",
+    "q_native_json" ->
+      // the exact native_json line constructed independently by string
+      // concatenation — checks the encoder's key order, arm selection,
+      // float rendering, and the decode round-trip
+      """SELECT event_id,
+           '{"metric":{"name":"m' || (event_id % 5) || '","kind":"'
+             || CASE WHEN event_id % 2 = 0 THEN 'incremental' ELSE 'absolute' END
+             || '","'
+             || CASE WHEN event_id % 2 = 0 THEN 'counter' ELSE 'gauge' END
+             || '":{"value":' || CAST(event_id + 0.5 AS VARCHAR)
+             || '},"tags":{"tool":"' || event_type || '"}}}' AS native_line,
+           'metric' AS arm,
+           'm' || (event_id % 5) AS rt_name,
+           CAST(event_id + 0.5 AS DOUBLE) AS rt_value
          FROM events ORDER BY event_id"""
   )
 }

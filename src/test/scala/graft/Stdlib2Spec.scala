@@ -310,6 +310,74 @@ class Stdlib2Spec extends SparkSpec {
     assert((got.getString(0), got.getString(1), got.getString(2)) == ("MyAgent", "3", "7"))
   }
 
+  test("native_json: decodes the reference's full 1027-event encoding corpus") {
+    import graft.functions.NativeJson
+    val dir = new java.io.File(
+      "/root/reference/lib/codecs/tests/data/native_encoding/json")
+    assume(dir.exists, "reference corpus not present")
+    val raw = spark.read.text(dir.getAbsolutePath + "/*.json")
+      .filter(length(trim($"value")) > 0)
+    val total = raw.count()
+    assert(total >= 1000)
+    // every line classifies into exactly one envelope arm
+    assert(raw.filter(NativeJson.eventKind($"value").isNull).count() == 0)
+    val dec = raw.select($"value", NativeJson.decode($"value").as("e"))
+    val m = dec.filter(NativeJson.eventKind($"value") === "metric")
+      .select("e.metric.*")
+    val nMetrics = m.count()
+    assert(nMetrics > 400)
+    assert(m.filter($"name".isNull || $"kind".isNull).count() == 0)
+    // exactly one value arm per metric, and every arm type occurs
+    val arms = Seq("counter", "gauge", "set", "distribution",
+      "aggregated_histogram", "aggregated_summary", "sketch")
+    val armCnt = arms.map(a => when(col(a).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    assert(m.filter(armCnt =!= 1).count() == 0,
+      "every corpus metric must decode exactly one value variant")
+    arms.foreach { a =>
+      assert(m.filter(col(a).isNotNull).count() > 0, s"no $a in corpus?")
+    }
+    // u64 counts survive beyond Long range (DECIMAL(20,0))
+    val maxCount = m.filter($"aggregated_histogram".isNotNull)
+      .select(max($"aggregated_histogram.count".cast("decimal(20,0)"))).head.getDecimal(0)
+    assert(maxCount.unscaledValue().bitLength() > 63,
+      s"corpus contains >Long u64 counts; got max $maxCount")
+  }
+
+  test("native_json: round-trips our own log and metric rows") {
+    import graft.functions.NativeJson
+    val logs = Seq(("c1", 3, "hello \"quoted\"")).toDF("conv_id", "turn_idx", "text")
+    val enc = logs.select(NativeJson.encodeLog(Seq(
+      "conv_id" -> $"conv_id", "turn_idx" -> $"turn_idx", "text" -> $"text")).as("l"))
+    val logSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("turn_idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = enc.select(NativeJson.decode($"l", logSchema).as("e"))
+      .select("e.log.*").head
+    assert(back.getString(0) == "c1" && back.getInt(1) == 3 &&
+      back.getString(2) == "hello \"quoted\"")
+
+    val metrics = Seq(
+      ("turns_total", Map("level" -> "err"), "incremental", "counter", 2.0),
+      ("latency_last", Map("role" -> "user"), "absolute", "gauge", 17.5),
+      ("users", Map.empty[String, String], "incremental", "set", 42.0)
+    ).toDF("name", "tags", "kind", "value_type", "value")
+    val encM = metrics.select(NativeJson.encodeMetric($"name", $"tags",
+      $"kind", $"value_type", $"value").as("l"))
+    assert(encM.filter(NativeJson.eventKind($"l") =!= "metric").count() == 0)
+    val backM = encM.select(NativeJson.decode($"l").as("e")).select("e.metric.*")
+      .orderBy("name").collect()
+    assert(backM(0).getAs[org.apache.spark.sql.Row]("gauge").getDouble(0) == 17.5)
+    assert(backM(1).getAs[org.apache.spark.sql.Row]("counter").getDouble(0) == 2.0)
+    assert(backM(1).getAs[Map[String, String]]("tags") == Map("level" -> "err"))
+    assert(backM(2).getAs[org.apache.spark.sql.Row]("set").getAs[scala.collection.Seq[String]]("values")
+      == Seq("42.0"))
+  }
+
   test("ip subnet / v6 mapping extras") {
     assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("/24"))) == "10.1.2.0")
     assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("255.255.0.0"))) == "10.1.0.0")
