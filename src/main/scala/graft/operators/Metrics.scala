@@ -67,9 +67,25 @@ object Metrics {
   /** Downstream aggregation of log_to_metric output per series×window:
     * counter → sum, gauge → last, set → distinct count, distribution →
     * count+sum (+ percentiles out of verifiable scope).
+    *
+    * `approxDistinct`: the exact set cardinality uses `countDistinct`,
+    * which Catalyst plans as a partial-distinct — an EXTRA full shuffle
+    * keyed on (series, value) ahead of the series shuffle (and an
+    * Expand multiplying the stream once a second distinct agg joins).
+    * Exactness is contractual for the oracle (default), but at 100 TB
+    * pass `approxDistinct = true`: `approx_count_distinct`
+    * (HyperLogLog++) is a plain partial-mergeable aggregate — ONE
+    * exchange, sketch-sized state — the same swap the sink manifest
+    * documents (Sinks.scala manifest agg). Spec-pinned: 2 exchanges
+    * exact vs 1 approx.
     */
-  def aggregateMetrics(metrics: DataFrame, windowSecs: Long, ord: Column): DataFrame = {
+  def aggregateMetrics(metrics: DataFrame, windowSecs: Long, ord: Column,
+                       approxDistinct: Boolean = false): DataFrame = {
     val win = Aggregate.windowStart(col("ts"), windowSecs).as("win")
+    val setVal = when(col("value_type") === "set", col("value"))
+    val distinctAgg =
+      if (approxDistinct) approx_count_distinct(setVal)
+      else countDistinct(setVal)
     metrics
       .groupBy(col("name"), col("tags"), col("value_type"), win)
       .agg(
@@ -77,7 +93,7 @@ object Metrics {
         sum(when(col("value_type") === "counter" || col("value_type") === "distribution",
           col("value"))).as("sum_value"),
         max_by(when(col("value_type") === "gauge", col("value")), ord).as("last_value"),
-        countDistinct(when(col("value_type") === "set", col("value"))).as("distinct_values"))
+        distinctAgg.as("distinct_values"))
   }
 
   /** AggregatedHistogram per group: fixed upper-limit buckets with

@@ -221,6 +221,33 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(105.0, 7.0, 60.0))
   }
 
+  test("aggregateMetrics approxDistinct: one exchange instead of two, values agree at low cardinality") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 300).map { i =>
+      val vt = Seq("counter", "gauge", "set")(i % 3)
+      (s"m${i % 2}", "t=1", vt, (i % 7).toDouble,
+        new java.sql.Timestamp(base.getTime + i * 1000L), i.toLong)
+    }
+    val df = rows.toDF("name", "tags", "value_type", "value", "ts", "ord")
+    val exact = Metrics.aggregateMetrics(df, 3600, $"ord")
+    val approx = Metrics.aggregateMetrics(df, 3600, $"ord", approxDistinct = true)
+    // the exact countDistinct plans a partial-distinct: an EXTRA full
+    // shuffle keyed on (group keys, value) before the group shuffle
+    // (with 2+ distinct aggs it becomes an Expand that multiplies the
+    // stream); the HLL swap is a plain mergeable agg — one exchange
+    def exchanges(d: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(d.queryExecution.executedPlan.toString).length
+    assert(exchanges(exact) == 2, "exact distinct should add a shuffle")
+    assert(exchanges(approx) == 1, "approx distinct must keep ONE shuffle")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("name", "value_type").collect().map(r =>
+        (r.getAs[String]("name"), r.getAs[String]("value_type"),
+          r.getAs[Long]("n"), r.getAs[Long]("distinct_values"))).toSeq
+    // 7 distinct set values — well inside HLL exact range
+    assert(snap(exact) == snap(approx))
+  }
+
   test("dedupe LRU bounded cache: exact match with a sequential LruCache replay (dedupe/common.rs:32-34)") {
     // sequential reference model: put-on-every-event LRU, emit on miss
     def lruModel(keys: Seq[String], n: Int): Seq[Int] = {
