@@ -212,6 +212,78 @@ object Vrl {
   def stripAnsiEscapeCodes(c: Column): Column =
     regexp_replace(c, "\\x1b\\[[0-9;?]*[ -/]*[@-~]|\\x1b[@-_]", "")
 
+  // --------------------------------------------- strings/objects tier 3
+
+  /** chunks("abcdefgh", 4) → ["abcd","efgh"] (chunks.cue — STRING
+    * chunking; byte-exactness caveat: Spark regex chunks by
+    * CODEPOINTS, the reference by bytes — identical on ASCII).
+    */
+  def chunks(c: Column, n: Int): Column =
+    regexp_extract_all(c, lit(s".{1,$n}"), lit(0))
+
+  /** screamingsnakecase("fooBar") → "FOO_BAR". */
+  def screamingsnakecase(c: Column): Column = upper(snakecase(c))
+
+  /** basename/dirname (basename.cue) — POSIX semantics on "/" paths. */
+  def basename(c: Column): Column =
+    element_at(split(regexp_replace(c, "/+$", ""), "/"), -1)
+  def dirname(c: Column): Column = {
+    val trimmed = regexp_replace(c, "/+$", "")
+    val dir = regexp_replace(trimmed, "/[^/]+$", "")
+    when(trimmed.rlike("^[^/]*$"), lit("."))
+      .when(dir === "", "/")
+      .otherwise(dir)
+  }
+
+  /** is_nullish (is_nullish.cue): null, "", whitespace-only, or "-". */
+  def isNullish(c: Column): Column =
+    c.isNull || trim(c) === "" || trim(c) === "-"
+
+  /** is_json — cheap validity probe via try-parse to variant. */
+  def isJson(c: Column): Column = try_parse_json(c).isNotNull
+
+  /** is_ipv4 / is_ipv6 (is_ipv4.cue) — syntactic checks. */
+  def isIpv4(c: Column): Column =
+    c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$")
+  def isIpv6(c: Column): Column =
+    c.rlike("^[0-9A-Fa-f:]+(:(\\d{1,3}\\.){3}\\d{1,3})?$") && c.contains(":")
+
+  /** flatten/unflatten on OBJECTS (flatten.cue, unflatten.cue): JSON
+    * text with dot-joined keys — graftvec.StringExpressions.
+    */
+  def flattenObject(c: Column): Column = strExprs.flattenObject(c)
+  def unflattenObject(c: Column): Column = strExprs.unflattenObject(c)
+
+  /** tag_types_externally (tag_types_externally.cue): wrap the value
+    * keyed by its type name. Spark columns are STATICALLY typed, so the
+    * tag is the column's type, applied at plan time.
+    */
+  def tagTypesExternally(c: Column, tpe: String): Column =
+    to_json(struct(c.as(tpe)))
+
+  /** random_bool/random_int/random_float (random_bool.cue):
+    * DETERMINISTIC per-row randomness from a seed column — a
+    * distributed engine wants reproducible rows (the same trade as
+    * uuidV7's entropy parameter). Uniformity comes from xxhash64.
+    */
+  def randomBool(seed: Column): Column = pmod(xxhash64(seed), lit(2)) === 1
+  def randomInt(seed: Column, minIncl: Long, maxExcl: Long): Column =
+    pmod(xxhash64(seed), lit(maxExcl - minIncl)) + minIncl
+  def randomFloat(seed: Column): Column =
+    pmod(xxhash64(seed), lit(1L << 52)).cast("double") / (1L << 52).toDouble
+
+  /** get_hostname / get_timezone_name — environment reads, resolved at
+    * plan time (constant across the cluster by design: the DRIVER's
+    * identity, not each executor's).
+    */
+  def getHostname(): Column = lit(java.net.InetAddress.getLocalHost.getHostName)
+  def getTimezoneName(): Column = lit(java.util.TimeZone.getDefault.getID)
+  def getEnvVar(name: String): Column = lit(sys.env.getOrElse(name, null))
+
+  /** encode_charset/decode_charset — Spark builtins cover these. */
+  def encodeCharset(c: Column, charset: String): Column = encode(c, charset)
+  def decodeCharset(c: Column, charset: String): Column = decode(c, charset)
+
   // ------------------------------------------------------------ numbers
 
   /** format_int!(n, base) (format_int.cue): 42, 16 → "2a" (lowercase,

@@ -182,7 +182,9 @@ object VrlParsers {
     val num = regexp_extract(c, bytesRe, 1)
     val letter = regexp_extract(c, bytesRe, 2)
     val binMark = regexp_extract(c, bytesRe, 3)
-    val factor = when(binMark =!= "" || lit(base) === "2", 1024.0).otherwise(1000.0)
+    val factor =
+      if (base == "2") lit(1024.0)
+      else when(binMark =!= "", 1024.0).otherwise(1000.0)
     val mult = pow(factor, bytePower(letter))
     val unitM = unit match {
       case u if u.length > 1 =>

@@ -55,22 +55,32 @@ object Reduce {
     * and after every row matching `endsWhen` (reference ends_when closes
     * the CURRENT session including the matching row,
     * reduce/transform.rs:223) or when `maxEvents` is reached.
-    * Returns df + `session_id` column (0-based per group).
+    * `startsWhen` (reduce/config.rs:102-106) cuts BEFORE the matching
+    * row: the previous session flushes WITHOUT it and the matching row
+    * opens the next session. Returns df + `session_id` column
+    * (0-based and consecutive per group without `startsWhen`; with it,
+    * ids stay distinct-and-monotone but may skip when an end cut and a
+    * start cut coincide — grouping semantics are unaffected).
     */
   def sessionIds(
       df: DataFrame,
       groupBy: Seq[Column],
       ord: Column,
       endsWhen: Option[Column],
-      maxEvents: Option[Int]): DataFrame = {
+      maxEvents: Option[Int],
+      startsWhen: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupBy: _*).orderBy(ord)
     val endFlag = endsWhen.map(c => when(c, 1).otherwise(0)).getOrElse(lit(0))
+    val startFlag = startsWhen.map(c => when(c, 1).otherwise(0)).getOrElse(lit(0))
     // session = count of ends strictly BEFORE this row (the ending row
-    // belongs to the session it closes)
+    // belongs to the session it closes) + count of starts AT or before
+    // it (a starting row belongs to the session it opens)
     val prevEnds = coalesce(
       sum(endFlag).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
-    val base = df.withColumn("__ends_before", prevEnds)
+    val inclStarts = coalesce(
+      sum(startFlag).over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0))
+    val base = df.withColumn("__ends_before", prevEnds + inclStarts)
     maxEvents match {
       case None => base.withColumn("session_id", col("__ends_before")).drop("__ends_before")
       case Some(m) =>

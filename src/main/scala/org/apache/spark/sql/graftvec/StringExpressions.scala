@@ -550,6 +550,72 @@ object StringExpressions {
       copy(child = c)
   }
 
+  // ---------------------------------------------------------- flatten
+
+  /** VRL flatten on OBJECTS (flatten.cue: nested keys join with "."):
+    * JSON text → JSON text with dot-joined keys. Arrays stay values
+    * (the array form of flatten is Spark's own `flatten`). Jackson
+    * (bundled with Spark) does the tree walk — order-preserving.
+    */
+  case class JsonFlatten(child: Expression) extends StrMapper {
+    override def prettyName: String = "flatten_object"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val m = new ObjectMapper()
+      val root = m.readTree(s)
+      val out = m.createObjectNode()
+      def walk(prefix: String, n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        if (n.isObject && n.size() > 0) {
+          val it = n.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val key = if (prefix.isEmpty) e.getKey else prefix + "." + e.getKey
+            walk(key, e.getValue)
+          }
+        } else if (prefix.nonEmpty) { out.set(prefix, n); () }
+      }
+      walk("", root)
+      m.writeValueAsString(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** VRL unflatten (unflatten.cue): dot-joined keys → nested objects.
+    * Later keys win on collision; a scalar/object conflict keeps the
+    * deeper object (the reference's recursive behavior).
+    */
+  case class JsonUnflatten(child: Expression) extends StrMapper {
+    override def prettyName: String = "unflatten"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val m = new ObjectMapper()
+      val root = m.readTree(s)
+      val out = m.createObjectNode()
+      if (root.isObject) {
+        val it = root.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val parts = e.getKey.split('.')
+          var cur: ObjectNode = out
+          var i = 0
+          while (i < parts.length - 1) {
+            val nxt = cur.get(parts(i))
+            cur = nxt match {
+              case o: ObjectNode => o
+              case _ => val o = m.createObjectNode(); cur.set(parts(i), o); o
+            }
+            i += 1
+          }
+          cur.set(parts.last, e.getValue); ()
+        }
+      }
+      m.writeValueAsString(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   // ---------------------------------------------------------- wrappers
 
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -571,6 +637,8 @@ object StringExpressions {
     col(CommunityId(IndexedSeq(expr(saddr), expr(daddr), expr(sport),
       expr(dport), expr(proto)), seed))
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
+  def flattenObject(c: Column): Column = col(JsonFlatten(expr(c)))
+  def unflattenObject(c: Column): Column = col(JsonUnflatten(expr(c)))
   def parseEtld(c: Column, suffixes: Seq[String], plusParts: Int): Column =
     col(EtldExtract(expr(c), suffixes, plusParts))
 }

