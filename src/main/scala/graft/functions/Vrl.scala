@@ -196,6 +196,11 @@ object Vrl {
                   proto: Column, seed: Int = 0): Column =
     strExprs.communityId(saddr, daddr, sport, dport, proto, seed)
   def uuidFromFriendlyId(c: Column): Column = strExprs.uuidFromFriendlyId(c)
+  /** encrypt_ip/decrypt_ip aes128 (format-preserving, deterministic —
+    * the cue's own vectors are spec-pinned); `pfx` mode not built.
+    */
+  def encryptIp(ip: Column, key: Column): Column = strExprs.encryptIp(ip, key)
+  def decryptIp(ip: Column, key: Column): Column = strExprs.decryptIp(ip, key)
   private def strExprs = org.apache.spark.sql.graftvec.StringExpressions
 
   /** encode_lz4/decode_lz4 (lz4_flex prepend_size layout) and

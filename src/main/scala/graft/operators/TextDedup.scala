@@ -110,21 +110,32 @@ object TextDedup {
           .groupBy(col("x.id").as("a"), col("y.id").as("b"))
           .agg(count(lit(1)).as("inter"))
       case Some(cap) =>
-        val cold = sh.join(
-          sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= cap).select(col("h")),
-          Seq("h"))
-        val cand = cold.as("x").join(cold.as("y"),
+        // split postings at the cap: HOT shingles (df > cap) are the
+        // few boilerplate ones; COLD carry the content
+        val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        val cold = sh.join(dfs.filter(col("__df") <= cap).select(col("h")), Seq("h"))
+        val hotSh = sh.join(dfs.filter(col("__df") > cap).select(col("h")), Seq("h"))
+        // candidate pairs + their COLD intersection in one pass — the
+        // cold self-join IS the intersection count (sh is distinct), no
+        // re-verification join needed
+        val coldInter = cold.as("x").join(cold.as("y"),
             col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-          .select(col("x.id").as("a"), col("y.id").as("b"))
-          .distinct()
-        // exact intersection over the FULL (uncapped) shingle sets
-        cand
-          .join(sh.withColumnRenamed("id", "a").withColumnRenamed("h", "ha"), "a")
-          .join(sh.select(col("id").as("__bid"), col("h").as("hb")),
-            col("b") === col("__bid") && col("ha") === col("hb"))
+          .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+          .agg(count(lit(1)).as("__inter_cold"))
+        // HOT intersection only for the candidates: join each pair to
+        // its two hot-posting lists (rows ~ |cand| × hot-shingles/doc —
+        // zero when the corpus has no hot shingles). inter = cold + hot
+        // is EXACT for every candidate; a pair whose entire
+        // intersection is hot never becomes a candidate (the documented
+        // boilerplate-only exclusion).
+        val hotInter = coldInter.select(col("a"), col("b"))
+          .join(hotSh.select(col("id").as("a"), col("h")), Seq("a"))
+          .join(hotSh.select(col("id").as("b"), col("h")), Seq("b", "h"))
           .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("inter"))
+          .agg(count(lit(1)).as("__inter_hot"))
+        coldInter.join(hotInter, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("__inter_cold") + coalesce(col("__inter_hot"), lit(0L))).as("inter"))
     }
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")

@@ -83,7 +83,7 @@ object StringExpressions {
             while (i < q.length) {
               q.charAt(i) match {
                 case '_' => out.write(' '); i += 1
-                case '=' if i + 2 < q.length + 1 =>
+                case '=' if i + 2 < q.length =>
                   out.write(Integer.parseInt(q.substring(i + 1, i + 3), 16)); i += 3
                 case c => out.write(c.toInt); i += 1
               }
@@ -441,8 +441,21 @@ object StringExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = "community_id"
 
-    private def ipBytes(s: String): Array[Byte] =
-      s.split('.').map(o => o.toInt.toByte)
+    /** Dotted-quad → 4 bytes; null (→ null result) when malformed —
+      * the VRL fallible-error analog, matching the other parsers.
+      */
+    private def ipBytes(s: String): Array[Byte] = {
+      val parts = s.split('.')
+      if (parts.length != 4) return null
+      val out = new Array[Byte](4)
+      var i = 0
+      while (i < 4) {
+        val o = try parts(i).toInt catch { case _: NumberFormatException => -1 }
+        if (o < 0 || o > 255) return null
+        out(i) = o.toByte; i += 1
+      }
+      out
+    }
 
     override def eval(input: InternalRow): Any = {
       val vs = children.map(_.eval(input))
@@ -453,6 +466,7 @@ object StringExpressions {
       val dport = vs(3).asInstanceOf[Number].intValue()
       val proto = vs(4).asInstanceOf[Number].intValue()
       val sb = ipBytes(saddr); val db = ipBytes(daddr)
+      if (sb == null || db == null) return null
       // canonical order: smaller (addr, port) endpoint first
       val cmp = {
         val c = java.util.Arrays.compareUnsigned(sb, db)
@@ -550,6 +564,69 @@ object StringExpressions {
       copy(child = c)
   }
 
+  // ---------------------------------------------------------- ip crypto
+
+  /** encrypt_ip / decrypt_ip, `aes128` mode (encrypt_ip.cue; the
+    * ipcrypt-deterministic construction): the address as 16 bytes
+    * (IPv4 enters as its IPv4-mapped ::ffff:a.b.c.d form), one
+    * AES-128-ECB block, rendered as IPv6 text. Format-preserving and
+    * deterministic — spec pins the cue's own vectors. The `pfx`
+    * prefix-preserving mode is not implemented (documented out).
+    */
+  abstract class IpCryptBase extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    protected def cipher(key: Array[Byte], mode: Int): javax.crypto.Cipher = {
+      require(key.length == 16, "aes128 needs a 16-byte key")
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"))
+      c
+    }
+    protected def addrBytes(s: String): Array[Byte] = {
+      val a = java.net.InetAddress.getByName(s).getAddress
+      if (a.length == 16) a
+      else { // IPv4 → IPv4-mapped IPv6
+        val out = new Array[Byte](16)
+        out(10) = 0xff.toByte; out(11) = 0xff.toByte
+        System.arraycopy(a, 0, out, 12, 4)
+        out
+      }
+    }
+  }
+
+  case class EncryptIp(left: Expression, right: Expression) extends IpCryptBase {
+    override def prettyName: String = "encrypt_ip"
+    override def nullSafeEval(ip: Any, key: Any): Any = {
+      val enc = cipher(key.asInstanceOf[UTF8String].getBytes,
+        javax.crypto.Cipher.ENCRYPT_MODE)
+        .doFinal(addrBytes(ip.asInstanceOf[UTF8String].toString))
+      UTF8String.fromString(
+        java.net.InetAddress.getByAddress(enc).getHostAddress)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class DecryptIp(left: Expression, right: Expression) extends IpCryptBase {
+    override def prettyName: String = "decrypt_ip"
+    override def nullSafeEval(ip: Any, key: Any): Any = {
+      val dec = cipher(key.asInstanceOf[UTF8String].getBytes,
+        javax.crypto.Cipher.DECRYPT_MODE)
+        .doFinal(addrBytes(ip.asInstanceOf[UTF8String].toString))
+      // IPv4-mapped → dotted quad, else IPv6 text
+      val isV4 = dec.take(10).forall(_ == 0) && dec(10) == 0xff.toByte &&
+        dec(11) == 0xff.toByte
+      val out =
+        if (isV4) java.net.InetAddress.getByAddress(dec.takeRight(4))
+        else java.net.InetAddress.getByAddress(dec)
+      UTF8String.fromString(out.getHostAddress)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ---------------------------------------------------------- flatten
 
   /** VRL flatten on OBJECTS (flatten.cue: nested keys join with "."):
@@ -639,6 +716,8 @@ object StringExpressions {
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
   def flattenObject(c: Column): Column = col(JsonFlatten(expr(c)))
   def unflattenObject(c: Column): Column = col(JsonUnflatten(expr(c)))
+  def encryptIp(ip: Column, key: Column): Column = col(EncryptIp(expr(ip), expr(key)))
+  def decryptIp(ip: Column, key: Column): Column = col(DecryptIp(expr(ip), expr(key)))
   def parseEtld(c: Column, suffixes: Seq[String], plusParts: Int): Column =
     col(EtldExtract(expr(c), suffixes, plusParts))
 }
