@@ -580,6 +580,66 @@ object VrlFunctions {
         }
         out(CV(r, VInt), Some(r.isNull), "unknown severity")
 
+      // --- round-3 long-tail wires (graft.functions implementations) --
+      case "parse_bytes" =>
+        val v = asStr(a(0, "value"))
+        val unit = a.litStr(1, "unit").getOrElse("B")
+        val base = a.litStr(2, "base").getOrElse("2")
+        val r = graft.functions.VrlParsers.parseBytes(v, unit, base)
+        out(CV(r, VFloat), Some(r.isNull), "not a parsable byte size")
+      case "parse_etld" =>
+        val v = asStr(a(0, "value"))
+        val plus = a.litInt(1, "plus_parts").getOrElse(0L).toInt
+        out(CV(to_json(graft.functions.Etld.parseEtld(v, plus)), VStr))
+      case "parse_ruby_hash" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.parseRubyHash))
+      case "parse_user_agent" =>
+        out(CV(to_json(graft.functions.UserAgent.parse(asStr(a(0, "value")))), VStr))
+      case "parse_linux_authorization" =>
+        val r = graft.functions.VrlParsers
+          .parseLinuxAuthorization(asStr(a(0, "value")))
+        out(CV(to_json(r), VStr), Some(r.isNull), "not an auth log line")
+      case "strip_ansi_escape_codes" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.stripAnsiEscapeCodes))
+      case "shannon_entropy" =>
+        out(CV(graft.functions.Vrl.shannonEntropy(asStr(a(0, "value"))), VFloat))
+      case "seahash" =>
+        out(CV(graft.functions.Vrl.seahash(asStr(a(0, "value"))), VInt))
+      case "encode_base16" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.encodeBase16))
+      case "decode_base16" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.decodeBase16))
+      case "encode_percent" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.encodePercent))
+      case "decode_percent" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.decodePercent))
+      case "encode_punycode" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.encodePunycode))
+      case "decode_punycode" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.decodePunycode))
+      case "decode_mime_q" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.decodeMimeQ))
+      case "hmac" =>
+        val algo = a.litStr(2, "algorithm").getOrElse("SHA-256")
+        out(CV(graft.functions.Vrl.hmacBase64(asStr(a(0, "value")),
+          asStr(a(1, "key")), algo), VStr))
+      case "format_int" =>
+        val b = a.litInt(1, "base").getOrElse(10L).toInt
+        out(CV(graft.functions.Vrl.formatInt(a(0, "value").cv.col.cast("long"), b), VStr))
+      case "to_syslog_level" =>
+        val r = graft.functions.Vrl.toSyslogLevel(a(0, "value").cv.col)
+        out(CV(r, VStr), Some(r.isNull), "invalid severity code")
+      case "to_syslog_facility_code" =>
+        val r = graft.functions.Vrl.toSyslogFacilityCode(asStr(a(0, "value")))
+        out(CV(r.cast("bigint"), VInt), Some(r.isNull), "unknown facility")
+      case "community_id" =>
+        val r = graft.functions.Vrl.communityId(
+          asStr(a(0, "source_ip")), asStr(a(1, "destination_ip")),
+          a(2, "source_port").cv.col.cast("int"),
+          a(3, "destination_port").cv.col.cast("int"),
+          a(4, "protocol").cv.col.cast("int"))
+        out(CV(r, VStr), Some(r.isNull), "invalid address")
+
       case other => throw VrlUnsupported(s"function $other")
     }
   }

@@ -158,7 +158,32 @@ object TrainingQueries {
       .select(col("id").as("doc_id"), col("fp"))
       .orderBy("doc_id", "fp")
 
+  /** The composed training-data-prep pipeline a real corpus job runs —
+    * exact dedup → language filter → quality gate → token annotation →
+    * deterministic shard sample — end-to-end in ONE plan: dedup's
+    * window shuffle is the only exchange; every later stage is a narrow
+    * filter/projection fused into the same whole-stage-codegen span, so
+    * at 100 TB the pipeline costs one shuffle + one scan.
+    */
+  private def qTrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("key",
+      array_join(slice(split(col("text"), " "), 1, 8), " "))
+    val deduped = TextDedup.exact(base, col("key"), col("doc_id"))
+    val (_, pred) = TextAnalysis.languageId(col("text"))
+    val toks = TextAnalysis.tokenCounts(col("text")).toMap
+    deduped
+      .withColumn("lang_pred", pred)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      .filter(col("doc_id") % 2 === 0) // deterministic 1-in-2 shard sample
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        toks("ws_tokens").as("ws_tokens"),
+        toks("bpeish_tokens").as("bpeish_tokens"))
+      .orderBy("doc_id")
+  }
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q_training_prep" -> (qTrainingPrep _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -270,6 +295,46 @@ vn AS (
   }
 
   val oracle: ListMap[String, String] = ListMap(
+    "q_training_prep" -> {
+      val scores = TextAnalysis.langProfiles
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(x => s"s_$x")
+        val g = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(",")})"
+        s"WHEN s_$l >= $g THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      w(Seq(
+        """tk AS (SELECT doc_id, text,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS key
+           FROM documents)""",
+        """td AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+             FROM tk) WHERE rn = 1)""",
+        s"tl AS (SELECT doc_id, text, $scores FROM td)",
+        s"""tq AS (SELECT doc_id, text, $pred AS lang_pred,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS stop_hits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+           FROM tl)"""),
+        """SELECT doc_id, lang_pred,
+           round((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+                  + round(CAST(n_uniq AS DOUBLE) / n_tokens, 6)
+                  + least(round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) * 5.0, 1.0)) / 3.0, 6) AS quality,
+           CAST(n_tokens AS BIGINT) AS ws_tokens,
+           CAST(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+             p -> CAST(ceil(CAST(length(p) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpeish_tokens
+           FROM tq
+           WHERE lang_pred = 'en'
+             AND round((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+                  + round(CAST(n_uniq AS DOUBLE) / n_tokens, 6)
+                  + least(round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) * 5.0, 1.0)) / 3.0, 6) >= 0.5
+             AND doc_id % 2 = 0
+           ORDER BY doc_id""")
+    },
     "q_dedup_exact" -> w(Seq(
       """k AS (SELECT doc_id,
            array_to_string(string_split(text, ' ')[1:8], ' ') AS key

@@ -99,6 +99,60 @@ class ConfigPipelineSpec extends SparkSpec {
       "flagship.toml parse_grok pattern drifted from Pipeline.logLineGrok")
   }
 
+  test("round-3 stdlib wires are callable from config-source VRL programs") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .mib = parse_bytes!(.sz, unit: "B")
+        |    .etld = parse_etld!(.host, plus_parts: 1)
+        |    .clean = strip_ansi_escape_codes(.txt)
+        |    .ent = shannon_entropy(.txt)
+        |    .hash = seahash(.txt)
+        |    .hex = encode_base16(.txt)
+        |    .pct = decode_percent(.enc)
+        |    .mac = hmac(.txt, "super-secret-key")
+        |    .lvl = to_syslog_level!(5)
+        |    .fh = format_int!(255, 16)
+        |    .cid = community_id!(source_ip: .sip, destination_ip: .dip, source_port: 1122, destination_port: 3344, protocol: 6)
+        |  '''
+        |[[tests]]
+        |  name = "stdlib_round3"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      sz = "2MiB"
+        |      host = "sub.sussex.ac.uk"
+        |      txt = "foobar"
+        |      enc = "foo%20bar%3F"
+        |      sip = "1.2.3.4"
+        |      dip = "5.6.7.8"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.mib, 2097152.0)
+        |        assert_eq!(.etld, "{\"etld\":\"ac.uk\",\"etld_plus\":\"sussex.ac.uk\",\"known_suffix\":true}")
+        |        assert_eq!(.clean, "foobar")
+        |        assert_eq!(.hash, 5348458858952426560)
+        |        assert_eq!(.hex, "666f6f626172")
+        |        assert_eq!(.pct, "foo bar?")
+        |        assert_eq!(.lvl, "notice")
+        |        assert_eq!(.fh, "ff")
+        |        assert_eq!(.cid, "1:wCb3OG7yAFWelaUydu0D+125CLM=")
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("unsupported VRL features surface as documented skips") {
     val topo = Topology.load(
       """
