@@ -682,5 +682,6 @@ object VrlCompile {
   private[config] def buildHet(elems: Seq[CV]): CV = mkHet(elems)
   private[config] def typeName(t: VT): String = sparkTypeName(t)
   private[config] def dynWalk(cv: CV, segs: Seq[PathSeg]): CV = walkDynamic(cv, segs)
+  private[config] def walkStep(cv: CV, seg: PathSeg): CV = walk(cv, seg)
   private[config] def boolOf(cv: CV): Column = asBool(cv)
 }

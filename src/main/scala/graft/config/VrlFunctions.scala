@@ -97,6 +97,32 @@ object VrlFunctions {
           case _ => throw VrlUnsupported("remove_secret with non-literal key")
         }
       case "log" => return (XV.pure(nullValue), env)
+      // get/set/remove (get.cue/set.cue/remove.cue): path-array access
+      // over values. The path must be a literal array — VRL's dynamic
+      // path strings are a per-row interpreter feature with no
+      // plan-time column equivalent.
+      case "get" =>
+        val segs = litPathArg(c, 1, "path")
+        valueArg(c) match {
+          case FieldRef(p) => return (XV.pure(resolveField(env, p ++ segs)), env)
+          case e =>
+            val (xv, e2) = compileExpr(env, e)
+            return (XV(segs.foldLeft(xv.cv)(walkCv), xv.raise, xv.msg), e2)
+        }
+      case "remove" =>
+        val segs = litPathArg(c, 1, "path")
+        val (xv, e2) = compileExpr(env, valueArg(c))
+        return (XV(removeStatic(xv.cv, segs), xv.raise, xv.msg), e2)
+      case "set" =>
+        val segs = litPathArg(c, 1, "path")
+        c.args.lift(2).orElse(c.named.collectFirst { case ("data", e) => e }) match {
+          case Some(dataE) =>
+            val (base, e2) = compileExpr(env, valueArg(c))
+            val (data, e3) = compileExpr(e2, dataE)
+            return (XV(setStatic(base.cv, segs, data.cv),
+              (base.raise ++ data.raise).reduceOption(_ || _), base.msg), e3)
+          case None => throw VrlUnsupported("set without data")
+        }
       case _ => ()
     }
 
@@ -104,6 +130,9 @@ object VrlFunctions {
     var envAcc = env
     def cx(e: Expr): XV = e match {
       case LitRegex(p) => XV.pure(CV(lit(p), VStr)) // regex args carried as pattern strings
+      case ArrLit(items) if items.exists(_.isInstanceOf[LitRegex]) =>
+        val strs = items.map { case LitRegex(p) => LitS(p); case x => x }
+        val (xv, e2) = compileExpr(envAcc, ArrLit(strs)); envAcc = e2; xv
       case _ =>
         val (xv, e2) = compileExpr(envAcc, e); envAcc = e2; xv
     }
@@ -533,8 +562,6 @@ object VrlFunctions {
             out(buildHet(ea ++ eb))
           case (p, q) => throw VrlUnsupported(s"append of $p with $q")
         }
-      case "flatten" => throw VrlUnsupported("flatten")
-
       // ------------------------------------------------- control
       case "assert" =>
         val cond = boolOf(a(0, "condition").cv)
@@ -640,8 +667,613 @@ object VrlFunctions {
           a(4, "protocol").cv.col.cast("int"))
         out(CV(r, VStr), Some(r.isNull), "invalid address")
 
+      // --- string case family (camelcase.cue & siblings) --------------
+      case "camelcase" => out(withStrRaise(a, bang, graft.functions.Vrl.camelcase))
+      case "pascalcase" => out(withStrRaise(a, bang, graft.functions.Vrl.pascalcase))
+      case "snakecase" => out(withStrRaise(a, bang, graft.functions.Vrl.snakecase))
+      case "screamingsnakecase" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.screamingsnakecase))
+      case "kebabcase" => out(withStrRaise(a, bang, graft.functions.Vrl.kebabcase))
+      case "strlen" =>
+        // strlen.cue: count of Unicode scalar values (Spark `length` on
+        // strings counts characters, which matches)
+        val v = asStr(str0)
+        out(CV(length(v).cast("bigint"), VInt), Some(v.isNull), "expected string")
+      case "sieve" =>
+        val v = asStr(a(0, "value"))
+        val pat = a.litStr(1, "pattern").getOrElse(
+          throw VrlUnsupported("sieve without literal pattern"))
+        val single = a.litStr(2, "replace_single").getOrElse("")
+        val repeated = a.litStr(3, "replace_repeated").getOrElse(single)
+        // join-of-matches replaces every INTERIOR rejected run with the
+        // marker (sieve.cue); distinct single/repeated markers would
+        // need run-length inspection — not expressible declaratively
+        if (single != repeated)
+          throw VrlUnsupported("sieve with distinct replace_single/replace_repeated")
+        out(CV(graft.functions.Vrl.sieve(v, pat, single), VStr))
+      case "basename" => out(withStrRaise(a, bang, graft.functions.Vrl.basename))
+      case "dirname" => out(withStrRaise(a, bang, graft.functions.Vrl.dirname))
+      case "chunks" =>
+        val v = asStr(a(0, "value"))
+        val n = a.litInt(1, "chunk_size").getOrElse(
+          throw VrlUnsupported("chunks without literal chunk_size")).toInt
+        if (n < 1) throw VrlUnsupported("chunk_size must be at least 1")
+        out(CV(graft.functions.Vrl.chunks(v, n), VArrOf(VStr)))
+
+      // --- numbers ----------------------------------------------------
+      case "mod" =>
+        val v = a(0, "value"); val m = a(1, "modulus")
+        val t = if (v.cv.t == VFloat || m.cv.t == VFloat) VFloat else VInt
+        val (lc, rc) =
+          if (t == VFloat) (v.cv.col.cast("double"), m.cv.col.cast("double"))
+          else (v.cv.col, m.cv.col)
+        out(CV(lc % rc, t), Some(rc.isNull || rc === 0 || lc.isNull), "modulus is zero")
+      case "haversine" =>
+        val unit = a.litStr(4, "measurement_system").getOrElse("kilometers")
+        val h = graft.functions.Vrl.haversine(
+          a(0, "latitude1").cv.col.cast("double"), a(1, "longitude1").cv.col.cast("double"),
+          a(2, "latitude2").cv.col.cast("double"), a(3, "longitude2").cv.col.cast("double"),
+          unit)
+        out(CV(h, VObj(ListMap("distance" -> VFloat, "bearing" -> VFloat))))
+
+      // --- hashes / checksums ------------------------------------------
+      case "crc" =>
+        // crc.cue returns the checksum rendered as a string
+        out(CV(graft.functions.Vrl.crc(asStr(str0)).cast("string"), VStr))
+      case "xxhash" =>
+        out(CV(graft.functions.Vrl.xxhash(asStr(str0)), VInt))
+
+      // --- codecs -------------------------------------------------------
+      case "encode_gzip" => out(binCodec(a, asStr, graft.functions.Vrl.encodeGzip, encodeSide = true))
+      case "decode_gzip" => out(binCodec(a, asStr, graft.functions.Vrl.decodeGzip, encodeSide = false))
+      case "encode_zlib" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZlib, encodeSide = true))
+      case "decode_zlib" => out(binCodec(a, asStr, graft.functions.Vrl.decodeZlib, encodeSide = false))
+      case "encode_zstd" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZstd(_), encodeSide = true))
+      case "decode_zstd" => out(binCodec(a, asStr, graft.functions.Vrl.decodeZstd, encodeSide = false))
+      case "encode_lz4" => out(binCodec(a, asStr, graft.functions.Vrl.encodeLz4, encodeSide = true))
+      case "decode_lz4" => out(binCodec(a, asStr, graft.functions.Vrl.decodeLz4, encodeSide = false))
+      case "encode_snappy" => out(binCodec(a, asStr, graft.functions.Vrl.encodeSnappy, encodeSide = true))
+      case "decode_snappy" => out(binCodec(a, asStr, graft.functions.Vrl.decodeSnappy, encodeSide = false))
+      case "encode_charset" =>
+        val cs = a.litStr(1, "to_charset", "charset").getOrElse(
+          throw VrlUnsupported("encode_charset without literal charset"))
+        out(CV(base64(graft.functions.Vrl.encodeCharset(asStr(str0), cs)), VStr))
+      case "decode_charset" =>
+        val cs = a.litStr(1, "from_charset", "charset").getOrElse(
+          throw VrlUnsupported("decode_charset without literal charset"))
+        out(CV(graft.functions.Vrl.decodeCharset(unbase64(asStr(str0)), cs), VStr))
+      case "encrypt" | "decrypt" =>
+        // encrypt.cue: AES family; mode taken from the algorithm name.
+        // TRANSPORT ENCODING: ciphertext is carried base64 (a raw-byte
+        // string column is not portable), so decrypt decodes it first.
+        val algo = a.litStr(1, "algorithm").getOrElse("AES-256-GCM")
+        val mode = algo.split("-").lastOption match {
+          case Some(m @ ("GCM" | "CBC" | "ECB")) => m
+          case other => throw VrlUnsupported(s"encrypt algorithm ${other.getOrElse(algo)}")
+        }
+        val key = asStr(a(2, "key"))
+        if (name == "encrypt") {
+          val iv = a.opt(3, "iv").map(asStr).getOrElse(lit("0000000000000000"))
+          out(CV(base64(graft.functions.Vrl.encrypt(asStr(a(0, "plaintext")), key, iv, mode)), VStr))
+        } else {
+          val r = graft.functions.Vrl.decrypt(unbase64(asStr(a(0, "ciphertext"))), key, mode)
+            .cast("string")
+          out(CV(r, VStr), Some(r.isNull), "unable to decrypt")
+        }
+      case "encrypt_ip" =>
+        val r = graft.functions.Vrl.encryptIp(asStr(a(0, "ip")), asStr(a(1, "key")))
+        out(CV(r, VStr), Some(r.isNull), "invalid ip or key")
+      case "decrypt_ip" =>
+        val r = graft.functions.Vrl.decryptIp(asStr(a(0, "ip")), asStr(a(1, "key")))
+        out(CV(r, VStr), Some(r.isNull), "invalid ip or key")
+
+      // --- random (seeded: a distributed plan wants per-row
+      // reproducibility; `seed:` defaults to a per-row unique id) -------
+      case "random_bool" =>
+        out(CV(graft.functions.Vrl.randomBool(seedCol(a, 0)), VBool))
+      case "random_float" =>
+        out(CV(graft.functions.Vrl.randomFloat(seedCol(a, 0)), VFloat))
+      case "random_int" =>
+        val mn = a.litInt(0, "min").getOrElse(throw VrlUnsupported("random_int without literal min"))
+        val mx = a.litInt(1, "max").getOrElse(throw VrlUnsupported("random_int without literal max"))
+        if (mx <= mn) throw VrlUnsupported("random_int max must exceed min")
+        out(CV(graft.functions.Vrl.randomInt(seedCol(a, 2), mn, mx), VInt))
+      case "random_bytes" =>
+        val len = a.litInt(0, "length").getOrElse(
+          throw VrlUnsupported("random_bytes without literal length")).toInt
+        if (len < 0 || len > 4096) throw VrlUnsupported("random_bytes length out of range")
+        val seed = seedCol(a, 1)
+        // deterministic byte stream: chained sha2-256 hex, cut to length
+        val hex = (0 until (len + 31) / 32)
+          .map(i => sha2(concat(seed.cast("string"), lit(s"#$i")).cast("binary"), 256))
+        out(CV(base64(unhex(substring(concat(hex: _*), 1, len * 2))), VStr))
+
+      // --- ip ----------------------------------------------------------
+      case "ip_aton" =>
+        val r = graft.functions.Vrl.ipAton(asStr(str0))
+        out(CV(r, VInt), Some(r.isNull), "invalid ipv4 address")
+      case "ip_ntoa" =>
+        val v = a(0, "value").cv.col.cast("long")
+        out(CV(graft.functions.Vrl.ipNtoa(v), VStr), Some(v.isNull), "invalid integer")
+
+      // --- type checks ---------------------------------------------------
+      case "is_string" | "is_integer" | "is_float" | "is_boolean" |
+           "is_array" | "is_object" | "is_null" | "is_timestamp" | "is_regex" =>
+        out(CV(typeCheck(name, a, c), VBool))
+      case "is_empty" =>
+        val v = a(0, "value")
+        val col = v.cv.t match {
+          case VStr => length(v.cv.col) === 0
+          case VArrOf(_) | VMap => size(v.cv.col) === 0
+          case VHet(ts) => lit(ts.isEmpty)
+          case VObj(fs) => lit(fs.isEmpty)
+          case VAny => to_json(v.cv.col).isin("[]", "{}", "\"\"")
+          case _ => throw VrlUnsupported("is_empty on scalar")
+        }
+        out(CV(coalesce(col, lit(false)), VBool))
+      case "is_ipv4" =>
+        out(CV(coalesce(graft.functions.Vrl.isIpv4(asStr(str0)), lit(false)), VBool))
+      case "is_ipv6" =>
+        out(CV(coalesce(graft.functions.Vrl.isIpv6(asStr(str0)), lit(false)), VBool))
+      case "is_json" =>
+        out(CV(coalesce(graft.functions.Vrl.isJson(asStr(str0)), lit(false)), VBool))
+
+      // --- type declarations (array.cue/object.cue/timestamp.cue) -------
+      case "timestamp" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VTime => out(CV(v.cv.col, VTime), Some(v.cv.col.isNull), "expected timestamp")
+          case _ => out(CV(lit(null).cast("timestamp"), VTime), Some(lit(true)), "expected timestamp")
+        }
+      case "array" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VArrOf(_) | VHet(_) => out(v.cv, Some(v.cv.col.isNull), "expected array")
+          case VAny =>
+            out(v.cv, Some(!to_json(v.cv.col).startsWith("[")), "expected array")
+          case _ => out(CV(lit(null), VNullT), Some(lit(true)), "expected array")
+        }
+      case "object" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VObj(_) | VMap => out(v.cv, Some(v.cv.col.isNull), "expected object")
+          case VAny =>
+            out(v.cv, Some(!to_json(v.cv.col).startsWith("{")), "expected object")
+          case _ => out(CV(lit(null), VNullT), Some(lit(true)), "expected object")
+        }
+      case "to_regex" =>
+        // regexes are carried as pattern strings (see `cx(LitRegex)`)
+        out(CV(asStr(str0), VStr), Some(asStr(str0).isNull), "expected string")
+
+      // --- environment / misc -------------------------------------------
+      case "get_env_var" =>
+        val n = a.litStr(0, "name").getOrElse(
+          throw VrlUnsupported("get_env_var without literal name"))
+        val r = graft.functions.Vrl.getEnvVar(n)
+        out(CV(r, VStr), Some(r.isNull), s"environment variable $n not set")
+      case "tag_types_externally" =>
+        val v = a(0, "value")
+        val tag = v.cv.t match {
+          case VStr => "string"; case VInt => "integer"; case VFloat => "float"
+          case VBool => "boolean"; case VTime => "timestamp"
+          case t => throw VrlUnsupported(s"tag_types_externally on $t")
+        }
+        out(CV(graft.functions.Vrl.tagTypesExternally(v.cv.col, tag), VStr))
+      case "uuid_from_friendly_id" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.uuidFromFriendlyId))
+      case "match_datadog_query" =>
+        val q = a.litStr(1, "query").getOrElse(
+          throw VrlUnsupported("match_datadog_query without literal query"))
+        a(0, "value").cv match {
+          case CV(c0, VObj(fs)) =>
+            val fieldCol = (n: String) =>
+              if (fs.contains(n)) c0.getField(n).cast("string") else nullStr
+            val default =
+              if (fs.contains("message")) c0.getField("message").cast("string")
+              else concat_ws(" ", fs.keys.toSeq.map(k => c0.getField(k).cast("string")): _*)
+            out(CV(graft.functions.SearchSyntax.compile(q, default, fieldCol), VBool))
+          case _ => throw VrlUnsupported("match_datadog_query on non-object")
+        }
+
+      // --- collections (closure-free) ------------------------------------
+      case "unique" =>
+        val v = XV(normArr(a(0, "value").cv), a(0, "value").raise, a(0, "value").msg)
+        v.cv.t match {
+          case VArrOf(e) => out(CV(array_distinct(v.cv.col), VArrOf(e)))
+          case _ => throw VrlUnsupported("unique of non-array")
+        }
+      case "includes" =>
+        val arr = XV(normArr(a(0, "value").cv), None, nullStr); val item = a(1, "item")
+        arr.cv.t match {
+          case VArrOf(_) =>
+            out(CV(coalesce(array_contains(arr.cv.col, item.cv.col), lit(false)), VBool))
+          case _ => throw VrlUnsupported("includes of non-array")
+        }
+      case "contains_all" =>
+        val v = asStr(a(0, "value"))
+        val subs = a(1, "substrings")
+        val cs = a.litBool(2, "case_sensitive").getOrElse(true)
+        val vv = if (cs) v else lower(v)
+        subs.cv.t match {
+          case VArrOf(VStr) =>
+            val ss = if (cs) subs.cv.col else transform(subs.cv.col, lower(_))
+            out(CV(coalesce(forall(ss, s => vv.contains(s)), lit(false)), VBool))
+          case _ => throw VrlUnsupported("contains_all without string array")
+        }
+      case "match_any" =>
+        val v = asStr(a(0, "value"))
+        val pats = a.raw(1, "patterns") match {
+          case ArrLit(items) => items.map {
+            case LitRegex(p) => p
+            case LitS(s) => java.util.regex.Pattern.quote(s)
+            case _ => throw VrlUnsupported("match_any pattern")
+          }
+          case _ => throw VrlUnsupported("match_any without literal patterns array")
+        }
+        out(CV(pats.map(p => coalesce(v.rlike(p), lit(false))).reduce(_ || _), VBool))
+      case "match_array" =>
+        val arr = XV(normArr(a(0, "value").cv), None, nullStr)
+        val pat = a.litStr(1, "pattern").getOrElse(
+          throw VrlUnsupported("match_array without literal pattern"))
+        val all = a.litBool(2, "all").getOrElse(false)
+        arr.cv.t match {
+          case VArrOf(_) =>
+            val f = (x: Column) => coalesce(x.cast("string").rlike(pat), lit(false))
+            val r = if (all) forall(arr.cv.col, f) else exists(arr.cv.col, f)
+            out(CV(coalesce(r, lit(false)), VBool))
+          case _ => throw VrlUnsupported("match_array of non-array")
+        }
+      case "keys" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VObj(fs) => out(CV(array(fs.keys.toSeq.map(lit): _*), VArrOf(VStr)))
+          case VMap => out(CV(map_keys(v.cv.col), VArrOf(VStr)))
+          case VAny => out(CV(json_object_keys(to_json(v.cv.col)), VArrOf(VStr)))
+          case _ => throw VrlUnsupported("keys of non-object")
+        }
+      case "values" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VObj(fs) =>
+            val elems = fs.keys.toSeq.map(k => CV(v.cv.col.getField(k), fs(k)))
+            if (elems.map(_.t).distinct.size == 1 && elems.nonEmpty)
+              out(CV(array(elems.map(_.col): _*), VArrOf(elems.head.t)))
+            else out(buildHet(elems))
+          case VMap => out(CV(map_values(v.cv.col), VArrOf(VStr)))
+          case _ => throw VrlUnsupported("values of non-object")
+        }
+      case "zip" =>
+        val x = a(0, "array_0"); val y = a(1, "array_1")
+        (x.cv.t, y.cv.t) match {
+          case (VArrOf(e1), VArrOf(e2)) if e1 == e2 =>
+            // zip.cue truncates to the shorter array (zip_with pads)
+            val zipped = zip_with(x.cv.col, y.cv.col, (p, q) => array(p, q))
+            out(CV(slice(zipped, lit(1), least(size(x.cv.col), size(y.cv.col))),
+              VArrOf(VArrOf(e1))))
+          case (p, q) => throw VrlUnsupported(s"zip of $p with $q")
+        }
+      case "object_from_array" =>
+        val v = XV(normArr(a(0, "values").cv), None, nullStr)
+        v.cv.t match {
+          case VArrOf(VArrOf(_)) =>
+            // null keys are dropped (object_from_array.cue)
+            val pairs = filter(v.cv.col, p => element_at(p, 1).isNotNull)
+            val m = map_from_arrays(
+              transform(pairs, p => element_at(p, 1).cast("string")),
+              transform(pairs, p => element_at(p, 2).cast("string")))
+            out(CV(m, VMap))
+          case t => throw VrlUnsupported(s"object_from_array of $t")
+        }
+      case "pop" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VArrOf(e) =>
+            out(CV(slice(v.cv.col, lit(1), greatest(size(v.cv.col) - 1, lit(0))), VArrOf(e)))
+          case VHet(ts) if ts.nonEmpty =>
+            val elems = ts.zipWithIndex.init.map { case (t, i) => CV(v.cv.col.getField(s"_$i"), t) }
+            out(buildHet(elems))
+          case _ => throw VrlUnsupported("pop of non-array")
+        }
+      case "flatten" =>
+        val v = XV(normArr(a(0, "value").cv), None, nullStr)
+        v.cv.t match {
+          case VArrOf(VArrOf(e)) => out(CV(flatten(v.cv.col), VArrOf(e)))
+          case VAny =>
+            out(CV(try_parse_json(graft.functions.Vrl.flattenObject(to_json(v.cv.col))), VAny))
+          case t => throw VrlUnsupported(s"flatten of $t")
+        }
+      case "unflatten" =>
+        val v = a(0, "value")
+        v.cv.t match {
+          case VAny =>
+            out(CV(try_parse_json(graft.functions.Vrl.unflattenObject(to_json(v.cv.col))), VAny))
+          case t => throw VrlUnsupported(s"unflatten of $t")
+        }
+
+      // --- parsers (grok-backed + structured) ----------------------------
+      case "parse_apache_log" =>
+        val fmt = a.litStr(1, "format").getOrElse("common")
+        fmt match {
+          case "common" => grokXv(graft.functions.Parsers.apacheCommon, asStr(a(0, "value")), prop, name)
+          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, name)
+          case other => throw VrlUnsupported(s"parse_apache_log format $other")
+        }
+      case "parse_nginx_log" =>
+        val fmt = a.litStr(1, "format").getOrElse("combined")
+        fmt match {
+          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, name)
+          case "error" => grokXv(graft.functions.Parsers.nginxError, asStr(a(0, "value")), prop, name)
+          case other => throw VrlUnsupported(s"parse_nginx_log format $other")
+        }
+      case "parse_klog" =>
+        // klog is the Kubernetes variant of glog (parse_klog.cue)
+        val x = VrlParsers.glog(asStr(a(0, "value")))
+        XV(x.cv, (prop ++ x.raise).reduceOption(_ || _), x.msg)
+      case "parse_groks" =>
+        val pats = a.raw(1, "patterns") match {
+          case ArrLit(items) => items.map {
+            case LitS(s) => s
+            case _ => throw VrlUnsupported("parse_groks pattern")
+          }
+          case _ => throw VrlUnsupported("parse_groks without literal patterns array")
+        }
+        val v = asStr(a(0, "value"))
+        val compiled = pats.map(graft.functions.Grok.compile(_))
+        // first-match-wins (parse_groks.cue): fields = union, each field
+        // read from the first matching pattern that captures it
+        val firstIdx = compiled.zipWithIndex.foldRight(lit(-1)) { case ((cp, i), acc) =>
+          when(cp.matches(v), lit(i)).otherwise(acc)
+        }
+        val union = compiled.flatMap(_.fields).distinct
+        val fields = ListMap(union.map { f =>
+          val alts = compiled.zipWithIndex.collect {
+            case (cp, i) if cp.fields.contains(f) =>
+              val c = cp.columns(v).collectFirst { case (n, cc) if n == f => cc }.get
+              when(firstIdx === i, nullif(c, lit("")))
+          }
+          f -> CV(coalesce(alts :+ nullStr: _*), VStr)
+        }: _*)
+        val obj = buildObj(fields)
+        out(CV(when(firstIdx >= 0, obj.col), obj.t),
+          Some(v.isNull || firstIdx === -1), "no grok pattern matched")
+      case "parse_csv" =>
+        val v = asStr(a(0, "value"))
+        val delim = a.litStr(1, "delimiter").getOrElse(",")
+        val d = java.util.regex.Pattern.quote(delim)
+        // split on delimiters outside double quotes, then unquote
+        val parts = split(v, s"""$d(?=(?:[^"]*"[^"]*")*[^"]*$$)""", -1)
+        val unq = transform(parts, p =>
+          when(p.startsWith("\"") && p.endsWith("\"") && length(p) >= 2,
+            regexp_replace(expr_substr(p), "\"\"", "\"")).otherwise(p))
+        out(CV(unq, VArrOf(VStr)), Some(v.isNull), "expected string")
+      case "parse_logfmt" =>
+        val v = asStr(a(0, "value"))
+        out(CV(str_to_map(v, lit(" "), lit("=")), VMap))
+      case "parse_query_string" =>
+        out(CV(graft.functions.Vrl.parseQueryString(asStr(a(0, "value"))), VMap))
+      case "parse_int" =>
+        val v = asStr(a(0, "value"))
+        val r = a.litInt(1, "base") match {
+          case Some(b) =>
+            if (b < 2 || b > 36) throw VrlUnsupported("parse_int base out of range")
+            graft.functions.Vrl.parseInt(v, b.toInt)
+          case None =>
+            // prefix-dispatched base (parse_int.cue)
+            val sign = when(v.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+            val u = regexp_replace(v, "^[+-]", "")
+            sign * (when(u.startsWith("0x"), conv(u.substr(lit(3), length(u)), 16, 10).cast("long"))
+              .when(u.startsWith("0b"), conv(u.substr(lit(3), length(u)), 2, 10).cast("long"))
+              .when(u.startsWith("0o"), conv(u.substr(lit(3), length(u)), 8, 10).cast("long"))
+              .when(u.rlike("^0[0-7]+$"), conv(u.substr(lit(2), length(u)), 8, 10).cast("long"))
+              .otherwise(try_cast_long(u)))
+        }
+        out(CV(r, VInt), Some(v.isNotNull && r.isNull), "unable to parse int")
+      case "parse_float" =>
+        val v = asStr(a(0, "value"))
+        val r = v.cast("double")
+        out(CV(r, VFloat), Some(v.isNotNull && r.isNull), "unable to parse float")
+      case "parse_cef" =>
+        val raw = asStr(a(0, "value"))
+        // a syslog prefix before `CEF:` is allowed (parse_cef.cue)
+        val start = instr(raw, "CEF:")
+        val v = raw.substr(start, length(raw))
+        import graft.functions.Parsers
+        val fields = ListMap(
+          "cefVersion" -> CV(regexp_replace(Parsers.cefHeader(v, 0), "^CEF:", ""), VStr),
+          "deviceVendor" -> CV(Parsers.cefHeader(v, 1), VStr),
+          "deviceProduct" -> CV(Parsers.cefHeader(v, 2), VStr),
+          "deviceVersion" -> CV(Parsers.cefHeader(v, 3), VStr),
+          "deviceEventClassId" -> CV(Parsers.cefHeader(v, 4), VStr),
+          "name" -> CV(Parsers.cefHeader(v, 5), VStr),
+          "severity" -> CV(Parsers.cefHeader(v, 6), VStr),
+          "extension" -> CV(Parsers.cefExtension(v), VMap))
+        val obj = buildObj(fields)
+        out(CV(when(v.startsWith("CEF:"), obj.col), obj.t),
+          Some(v.isNull || !v.startsWith("CEF:")), "not a CEF message")
+      case "parse_influxdb" =>
+        val v = asStr(a(0, "value"))
+        import graft.functions.Parsers
+        val m = nullif(Parsers.influxMeasurement(v), lit(""))
+        val obj = buildObj(ListMap(
+          "measurement" -> CV(m, VStr),
+          "tags" -> CV(Parsers.influxTags(v), VMap),
+          "fields" -> CV(Parsers.influxFields(v), VMap),
+          "timestamp" -> CV(Parsers.influxTsNanos(v), VInt)))
+        out(CV(when(m.isNotNull, obj.col), obj.t),
+          Some(v.isNull || m.isNull), "not an influx line")
+      case "parse_aws_alb_log" =>
+        structuredXv(graft.functions.VrlParsers.parseAwsAlbLog(asStr(a(0, "value"))),
+          prop, "not an ALB log line")
+      case "parse_aws_vpc_flow_log" =>
+        val fmt = a.litStr(1, "format")
+        val r = fmt match {
+          case Some(f) => graft.functions.VrlParsers.parseAwsVpcFlowLog(asStr(a(0, "value")), f)
+          case None => graft.functions.VrlParsers.parseAwsVpcFlowLog(asStr(a(0, "value")))
+        }
+        structuredXv(r, prop, "not a VPC flow log line")
+      case "parse_aws_cloudwatch_log_subscription_message" =>
+        structuredXv(graft.functions.VrlParsers
+          .parseAwsCloudwatchLogSubscriptionMessage(asStr(a(0, "value"))),
+          prop, "not a cloudwatch subscription message")
+      case "parse_cbor" =>
+        // input carried base64 (raw-byte columns aren't portable strings)
+        val r = try_parse_json(graft.functions.Vrl.parseCbor(unbase64(asStr(a(0, "value")))))
+        out(CV(r, VAny), Some(r.isNull), "unable to parse cbor")
+      case "encode_logfmt" | "encode_key_value" =>
+        val v = a(0, "value")
+        val kvSep = a.litStr(2, "key_value_delimiter").getOrElse("=")
+        val fieldSep = a.litStr(3, "field_delimiter").getOrElse(" ")
+        v.cv.t match {
+          case VObj(fs) =>
+            // encode_logfmt.cue: keys in lexicographic order
+            val pairs = fs.keys.toSeq.sorted.map { k =>
+              k -> v.cv.col.getField(k).cast("string")
+            }
+            out(CV(concat_ws(fieldSep, pairs.map { case (k, c) =>
+              val quoted = when(c.contains(" "), concat(lit("\""), c, lit("\""))).otherwise(c)
+              concat(lit(k + kvSep), quoted)
+            }: _*), VStr))
+          case VMap =>
+            val entries = sort_array(map_entries(v.cv.col))
+            out(CV(array_join(transform(entries, e => {
+              val value = e.getField("value").cast("string")
+              val quoted = when(value.contains(" "),
+                concat(lit("\""), value, lit("\""))).otherwise(value)
+              concat(e.getField("key"), lit(kvSep), quoted)
+            }), fieldSep), VStr))
+          case t => throw VrlUnsupported(s"encode_logfmt of $t")
+        }
+
       case other => throw VrlUnsupported(s"function $other")
     }
+  }
+
+  /** Build the grok-object XV used by the format-dispatched parsers. */
+  private def grokXv(compiled: graft.functions.Grok.Compiled, v: Column,
+                     prop: Option[Column], fname: String): XV = {
+    val fields = ListMap(compiled.columns(v).map { case (n, c) =>
+      n -> CV(nullif(c, lit("")), VStr)
+    }: _*)
+    val obj = buildObj(fields)
+    val raise = v.isNull || !compiled.matches(v)
+    XV(CV(when(compiled.matches(v), obj.col), obj.t),
+      Some((prop ++ Seq(raise)).reduce(_ || _)),
+      lit(s"""function call error for "$fname": log line did not match"""))
+  }
+
+  /** Struct-returning parser → dynamic object (variant) result, so
+    * config programs can walk fields without a static VObj contract.
+    */
+  private def structuredXv(structCol: Column, prop: Option[Column], msg: String): XV = {
+    val r = try_parse_json(to_json(structCol))
+    XV(CV(r, VAny), Some((prop ++ Seq(r.isNull)).reduce(_ || _)), lit(msg))
+  }
+
+  /** Binary codec wire: payloads are carried base64 across the string
+    * event model (a raw compressed byte string is not a valid UTF-8
+    * column value).
+    */
+  private def binCodec(a: Args, asStr: XV => Column,
+                       f: Column => Column, encodeSide: Boolean): CV = {
+    val v = asStr(a(0, "value"))
+    if (encodeSide) CV(base64(f(v)), VStr)
+    else CV(f(unbase64(v).cast("binary")).cast("string"), VStr)
+  }
+
+  private def seedCol(a: Args, i: Int): Column =
+    a.opt(i, "seed").map(_.cv.col).getOrElse(expr("monotonically_increasing_id()"))
+
+  /** Static-type checks: resolved at plan time for typed columns, by
+    * JSON rendering for variant values (exact on the canonical render).
+    */
+  private def typeCheck(name: String, a: Args, c: Call): Column = {
+    if (name == "is_regex")
+      return lit(c.args.headOption.exists(_.isInstanceOf[LitRegex]))
+    val v = a(0, "value")
+    (name, v.cv.t) match {
+      case (_, VAny) =>
+        val j = to_json(v.cv.col)
+        name match {
+          case "is_string" => coalesce(j.startsWith("\""), lit(false))
+          case "is_integer" => coalesce(j.rlike("^-?\\d+$"), lit(false))
+          case "is_float" => coalesce(j.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$"), lit(false))
+          case "is_boolean" => coalesce(j.isin("true", "false"), lit(false))
+          case "is_array" => coalesce(j.startsWith("["), lit(false))
+          case "is_object" => coalesce(j.startsWith("{"), lit(false))
+          case "is_null" => is_variant_null(v.cv.col) || v.cv.col.isNull
+          case _ => lit(false) // is_timestamp: variants carry no timestamp type
+        }
+      case ("is_string", VStr) => v.cv.col.isNotNull
+      case ("is_integer", VInt) => v.cv.col.isNotNull
+      case ("is_float", VFloat) => v.cv.col.isNotNull
+      case ("is_boolean", VBool) => v.cv.col.isNotNull
+      case ("is_timestamp", VTime) => v.cv.col.isNotNull
+      case ("is_array", VArrOf(_) | VHet(_)) => v.cv.col.isNotNull
+      case ("is_object", VObj(_) | VMap) => v.cv.col.isNotNull
+      case ("is_null", VNullT) => lit(true)
+      case ("is_null", _) => v.cv.col.isNull
+      case _ => lit(false)
+    }
+  }
+
+  /** Array literals with non-scalar elements compile to VHet structs;
+    * a homogeneous het normalizes to a native array for the
+    * collection functions.
+    */
+  private def normArr(cv: CV): CV = cv.t match {
+    case VHet(ts) if ts.nonEmpty && ts.distinct.size == 1 =>
+      CV(array(ts.indices.map(i => cv.col.getField(s"_$i")): _*), VArrOf(ts.head))
+    case _ => cv
+  }
+
+  private def valueArg(c: Call): Expr =
+    c.args.headOption.orElse(c.named.collectFirst { case ("value", e) => e })
+      .getOrElse(throw VrlUnsupported(s"${c.name} without a value"))
+
+  private def litPathArg(c: Call, i: Int, pname: String): Seq[PathSeg] =
+    c.args.lift(i).orElse(c.named.collectFirst { case (`pname`, e) => e }) match {
+      case Some(ArrLit(items)) => items.map {
+        case LitS(s) => SegName(s)
+        case LitI(n) => SegIndex(n.toInt)
+        case other => throw VrlUnsupported(s"non-literal path segment $other")
+      }
+      case _ => throw VrlUnsupported(s"${c.name} without a literal path array")
+    }
+
+  private def walkCv(cv: CV, seg: PathSeg): CV = VrlCompile.walkStep(cv, seg)
+
+  private def objFields(cv: CV): ListMap[String, CV] = cv.t match {
+    case VObj(fts) =>
+      ListMap(fts.keys.map(k => k -> CV(cv.col.getField(k), fts(k))).toSeq: _*)
+    case t => throw VrlUnsupported(s"object operation on $t")
+  }
+
+  /** Functional set/remove on statically-typed objects (set.cue,
+    * remove.cue): returns the REBUILT value, never mutates the event.
+    */
+  private def setStatic(base: CV, segs: Seq[PathSeg], v: CV): CV = segs.toList match {
+    case Nil => v
+    case SegName(n) :: rest =>
+      val fields = base.t match {
+        case VObj(_) => objFields(base)
+        case VNullT => ListMap.empty[String, CV]
+        case t => throw VrlUnsupported(s"set into $t")
+      }
+      val child = fields.getOrElse(n, CV(lit(null), VNullT))
+      buildObj(fields + (n -> setStatic(child, rest, v)))
+    case SegIndex(_) :: _ => throw VrlUnsupported("set with array index path")
+  }
+
+  private def removeStatic(base: CV, segs: Seq[PathSeg]): CV = segs.toList match {
+    case Nil => CV(lit(null), VNullT)
+    case SegName(n) :: rest =>
+      val fields = objFields(base)
+      if (rest.isEmpty) buildObj(fields - n)
+      else fields.get(n) match {
+        case Some(child) => buildObj(fields + (n -> removeStatic(child, rest)))
+        case None => base
+      }
+    case SegIndex(_) :: _ => throw VrlUnsupported("remove with array index path")
   }
 
   private def withStrRaise(a: Args, bang: Boolean, f: Column => Column): CV = {

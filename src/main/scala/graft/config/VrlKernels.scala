@@ -241,11 +241,15 @@ object VrlParsers {
 
   /** glog: `I20210131 14:48:54.411655 15520 main.c++:9] Hello world!` */
   def glog(v: Column): XV = {
-    val re = """^([IWEF])(\d{8}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"""
+    // both date forms: glog's yyyyMMdd (parse_glog.cue) and klog's MMdd
+    // (parse_klog.cue — year implied; pinned to 2024 for determinism,
+    // same trade as parseLinuxAuthorization's year default)
+    val re = """^([IWEF])(\d{8}|\d{4}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"""
     def g(i: Int) = regexp_extract(v, re, i)
     val level = when(g(1) === "I", "info").when(g(1) === "W", "warning")
       .when(g(1) === "E", "error").when(g(1) === "F", "fatal")
-    val ts = try_to_timestamp(concat(g(2), lit(" "), g(3)), lit("yyyyMMdd HH:mm:ss.SSSSSS"))
+    val fullDate = when(length(g(2)) === 4, concat(lit("2024"), g(2))).otherwise(g(2))
+    val ts = try_to_timestamp(concat(fullDate, lit(" "), g(3)), lit("yyyyMMdd HH:mm:ss.SSSSSS"))
     val x = obj(
       "level" -> CV(level, VStr),
       "timestamp" -> CV(ts, VTime),

@@ -153,13 +153,182 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("scalar stdlib wires: case/path/number/codec/crypto/type-check fns from config") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .snake = snakecase("fooBarBaz")
+        |    .pascal = pascalcase("foo_bar")
+        |    .kebab = kebabcase("fooBar")
+        |    .scream = screamingsnakecase("fooBar")
+        |    .camel = camelcase("foo_bar_baz")
+        |    .n = strlen!(.txt)
+        |    .sieved = sieve(.host, r'[a-z0-9.]')
+        |    .base = basename(.path)
+        |    .dir = dirname(.path)
+        |    .m = mod(5, 2)
+        |    .crc = crc(.txt)
+        |    .gz = decode_gzip!(encode_gzip(.txt))
+        |    .ct = decrypt!(encrypt(.txt, "AES-128-CBC", .key, iv: .iv), "AES-128-CBC", .key)
+        |    .ipn = ip_aton!(.ip)
+        |    .ips = ip_ntoa!(.ipn)
+        |    .ri = random_int(0, 10, seed: .txt)
+        |    .s_ok = is_string(.txt)
+        |    .i_ok = is_integer(.num)
+        |    .e_ok = is_empty("")
+        |    .ip4 = is_ipv4(.ip)
+        |    .tagged = tag_types_externally(.num)
+        |    .pi = parse_int!("0x2a")
+        |    .pib = parse_int!("0b1001")
+        |    .pf = parse_float!("-1.5")
+        |    .g = get!({"foo": {"bar": "baz"}}, ["foo", "bar"])
+        |    .s2 = set!(value: {"foo": "bar"}, path: ["foo"], data: "baz")
+        |    .r2 = remove!({"foo": "bar", "qux": 1}, ["foo"])
+        |  '''
+        |[[tests]]
+        |  name = "stdlib_scalar"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      txt = "foobar"
+        |      num = 7
+        |      host = "test123%456.net."
+        |      path = "/var/log/app/x.log"
+        |      key = "sixteen-byte-key"
+        |      iv = "0000000000000000"
+        |      ip = "1.2.3.4"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.snake, "foo_bar_baz")
+        |        assert_eq!(.pascal, "FooBar")
+        |        assert_eq!(.kebab, "foo-bar")
+        |        assert_eq!(.scream, "FOO_BAR")
+        |        assert_eq!(.camel, "fooBarBaz")
+        |        assert_eq!(.n, 6)
+        |        assert_eq!(.sieved, "test123456.net.")
+        |        assert_eq!(.base, "x.log")
+        |        assert_eq!(.dir, "/var/log/app")
+        |        assert_eq!(.m, 1)
+        |        assert_eq!(.crc, "2666930069")
+        |        assert_eq!(.gz, "foobar")
+        |        assert_eq!(.ct, "foobar")
+        |        assert_eq!(.ipn, 16909060)
+        |        assert_eq!(.ips, "1.2.3.4")
+        |        assert!(.ri >= 0 && .ri < 10)
+        |        assert!(.s_ok && .i_ok && .e_ok && .ip4)
+        |        assert_eq!(.tagged, "{\"integer\":7}")
+        |        assert_eq!(.pi, 42)
+        |        assert_eq!(.pib, 9)
+        |        assert_eq!(.pf, -1.5)
+        |        assert_eq!(.g, "baz")
+        |        assert_eq!(.s2.foo, "baz")
+        |        assert_eq!(.r2.qux, 1)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
+  test("collection + parser stdlib wires from config") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .csv = parse_csv!(.csvline)
+        |    .lf = parse_logfmt!("lvl=info msg=hello")
+        |    .qs = parse_query_string!("foo=bar&baz=qux")
+        |    .cef = parse_cef!(.cefline)
+        |    .ifx = parse_influxdb!(.influx)
+        |    .ap = parse_apache_log!(.apache, format: "common")
+        |    .kl = parse_klog!(.klog)
+        |    .gk = parse_groks!(.txt, patterns: ["%{INT:num}", "%{WORD:w}"])
+        |    .vpc = parse_aws_vpc_flow_log!(.flow, format: "srcaddr dstaddr")
+        |    .uniq = unique(["a", "b", "a", "c"])
+        |    .inc = includes(["a", "b"], "b")
+        |    .ca = contains_all("The Needle In The Haystack", ["Needle", "Haystack"])
+        |    .ma = match_any("I'm a little teapot", [r'frying pan', r'teapot'])
+        |    .mr = match_array(["foobar", "bazqux"], r'foo')
+        |    .mall = match_array(["foo", "foobar", "barfoo"], r'foo', all: true)
+        |    .ks = keys({"key1": "val1", "key2": "val2"})
+        |    .vs = values({"key1": "val1", "key2": "val2"})
+        |    .z = zip([1, 2, 3], [4, 5, 6, 7])
+        |    .ofa = object_from_array([["one", "1"], ["two", "3"]])
+        |    .popped = pop(["a", "b", "c"])
+        |    .flat = flatten([[1, 2], [3, 4]])
+        |    .elf = encode_logfmt!({"msg": "hello world", "lvl": "info"})
+        |    .dd = match_datadog_query({"message": "timeout error", "status": "500"}, "status:500 timeout")
+        |  '''
+        |[[tests]]
+        |  name = "stdlib_collections"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      txt = "hello"
+        |      csvline = "foo,bar,\"foo \"\", bar\""
+        |      cefline = "Sep 29 08:26:10 host CEF:1|Security|threatmanager|1.0|100|worm stopped|10|src=10.0.0.1 dst=2.1.2.2 spt=1232"
+        |      influx = "cpu,host=a usage=0.5 1556813561098000000"
+        |      apache = "127.0.0.1 bob frank [10/Oct/2000:13:55:36 -0700] \"GET /apache_pb.gif HTTP/1.0\" 200 2326"
+        |      klog = "I0817 02:34:56.789012 408 reactor.cc:123] event handled"
+        |      flow = "10.0.0.1 10.0.0.2"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.csv, ["foo", "bar", "foo \", bar"])
+        |        assert_eq!(.lf.lvl, "info")
+        |        assert_eq!(.qs.baz, "qux")
+        |        assert_eq!(.cef.cefVersion, "1")
+        |        assert_eq!(.cef.deviceVendor, "Security")
+        |        assert_eq!(.cef.extension.src, "10.0.0.1")
+        |        assert_eq!(.ifx.measurement, "cpu")
+        |        assert_eq!(.ifx.tags.host, "a")
+        |        assert_eq!(.ifx.timestamp, 1556813561098000000)
+        |        assert_eq!(.ap.client, "127.0.0.1")
+        |        assert_eq!(.ap.status, "200")
+        |        assert_eq!(.kl.message, "event handled")
+        |        assert_eq!(.kl.level, "info")
+        |        assert_eq!(.gk.w, "hello")
+        |        assert_eq!(.vpc.srcaddr, "10.0.0.1")
+        |        assert_eq!(.uniq, ["a", "b", "c"])
+        |        assert!(.inc && .ca && .ma && .mr && .mall)
+        |        assert_eq!(.ks, ["key1", "key2"])
+        |        assert_eq!(.vs, ["val1", "val2"])
+        |        assert_eq!(.z, [[1, 4], [2, 5], [3, 6]])
+        |        assert_eq!(.ofa.two, "3")
+        |        assert_eq!(.popped, ["a", "b"])
+        |        assert_eq!(.flat, [1, 2, 3, 4])
+        |        assert_eq!(.elf, "lvl=info msg=\"hello world\"")
+        |        assert!(.dd)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("unsupported VRL features surface as documented skips") {
     val topo = Topology.load(
       """
         |[transforms.t]
         |  inputs = []
         |  type = "remap"
-        |  source = ".x = parse_cbor!(.payload)"
+        |  source = ".x = parse_dnstap!(.payload)"
         |[[tests]]
         |  name = "skip_me"
         |  [[tests.inputs]]
