@@ -126,6 +126,13 @@ object VrlFunctions {
       case _ => ()
     }
 
+    // --- enumeration functions with closures (filter.cue, map_keys.cue,
+    // map_values.cue, for_each.cue): `fn(value) -> |k, v| { body }`.
+    // Arrays/maps compile the body into a Spark lambda (HOF, stays in
+    // codegen); statically-typed objects and tuple arrays UNROLL the
+    // closure per field — a per-field column expression, zero UDFs.
+    if (c.closure.isDefined) return compileClosureFn(env, c)
+
     // --- ordinary functions: compile args, dispatch ------------------
     var envAcc = env
     def cx(e: Expr): XV = e match {
@@ -1213,6 +1220,80 @@ object VrlFunctions {
       case ("is_null", VNullT) => lit(true)
       case ("is_null", _) => v.cv.col.isNull
       case _ => lit(false)
+    }
+  }
+
+  // -------------------------------------------------- closures
+  private def compileClosureFn(env: Env, c: Call): (XV, Env) = {
+    val Some((params, body)) = c.closure: @unchecked
+    val (target0, env1) = compileExpr(env, valueArg(c))
+    // dynamic JSON arrays/objects read as native array-of-variant / map
+    val target = target0.cv.t match {
+      case VAny if c.name == "filter" || c.name == "for_each" =>
+        CV(try_variant_get(target0.cv.col, "$", "array<variant>"), VArrOf(VAny))
+      case _ => normArr(target0.cv)
+    }
+    def bound(vals: Seq[CV]): Env = {
+      if (params.length > vals.length)
+        throw VrlUnsupported(s"${c.name} closure with ${params.length} parameters")
+      env1.copy(locals = env1.locals ++ params.zip(vals))
+    }
+    // pure-expression body: event mutation inside an element-wise
+    // closure has no row-wise meaning, so the env is discarded
+    def bodyCv(vals: Seq[CV]): CV = compileExpr(bound(vals), body)._1.cv
+
+    def pass(cv: CV): (XV, Env) =
+      (XV(cv, target0.raise, lit(s"""function call error for "${c.name}"""")), env1)
+
+    (c.name, target.t) match {
+      case ("filter", VArrOf(e)) =>
+        // VRL closure order is |index, element|; Spark's is (element, index)
+        val f = (x: Column, i: Column) =>
+          coalesce(boolOf(bodyCv(Seq(CV(i.cast("bigint"), VInt), CV(x, e)))), lit(false))
+        pass(CV(filter(target.col, f), VArrOf(e)))
+      case ("filter", VMap) =>
+        val f = (k: Column, v: Column) =>
+          coalesce(boolOf(bodyCv(Seq(CV(k, VStr), CV(v, VStr)))), lit(false))
+        pass(CV(map_filter(target.col, f), VMap))
+      case ("filter", VObj(_)) =>
+        throw VrlUnsupported("filter closure over a statically-typed object")
+      case ("map_keys", VMap) =>
+        val f = (k: Column, _v: Column) => bodyCv(Seq(CV(k, VStr))).col.cast("string")
+        pass(CV(transform_keys(target.col, f), VMap))
+      case ("map_values", VMap) =>
+        val f = (_k: Column, v: Column) => bodyCv(Seq(CV(v, VStr))).col.cast("string")
+        pass(CV(transform_values(target.col, f), VMap))
+      case ("map_values", VObj(fts)) =>
+        // static object: unrolled per-field rewrite
+        val fields = ListMap(fts.keys.map { k =>
+          k -> bodyCv(Seq(CV(target.col.getField(k), fts(k))))
+        }.toSeq: _*)
+        pass(buildObj(fields))
+      case ("map_values", VArrOf(e)) =>
+        val outT = bodyCv(Seq(CV(lit(null), e))).t // type probe
+        pass(CV(transform(target.col, x => bodyCv(Seq(CV(x, e))).col), VArrOf(outT)))
+      case ("for_each", VObj(fts)) =>
+        // unrolled iteration: key is a literal per field, and the body's
+        // event/local mutations THREAD through the env (the VRL
+        // accumulate-into-a-count pattern, for_each.cue)
+        var envAcc = env1
+        fts.foreach { case (k, t) =>
+          val withParams = envAcc.copy(locals =
+            envAcc.locals ++ params.zip(Seq(CV(lit(k), VStr), CV(target.col.getField(k), t))))
+          val (_, after) = compileExpr(withParams, body)
+          envAcc = after.copy(locals = after.locals -- params)
+        }
+        (XV.pure(nullValue), envAcc)
+      case ("for_each", VHet(ts)) =>
+        var envAcc = env1
+        ts.zipWithIndex.foreach { case (t, i) =>
+          val withParams = envAcc.copy(locals =
+            envAcc.locals ++ params.zip(Seq(CV(lit(i.toLong), VInt), CV(target.col.getField(s"_$i"), t))))
+          val (_, after) = compileExpr(withParams, body)
+          envAcc = after.copy(locals = after.locals -- params)
+        }
+        (XV.pure(nullValue), envAcc)
+      case (fn, t) => throw VrlUnsupported(s"$fn closure over $t")
     }
   }
 

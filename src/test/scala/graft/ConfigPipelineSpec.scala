@@ -322,6 +322,54 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("enumeration closures: filter/map_keys/map_values/for_each (cue examples)") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .kept = filter(["foo", "bar", "baz"]) -> |_index, value| { value != "foo" }
+        |    .tags = map_keys(parse_key_value!("env=prod app=api")) -> |key| { upcase(key) }
+        |    .vals = map_values(.tags) -> |value| { upcase(value) }
+        |    .nums = map_values([1, 2, 3]) -> |value| { value * 2 }
+        |    count = 0
+        |    for_each({"a": 1, "b": 2, "c": 3}) -> |_key, value| { count = count + value }
+        |    .count = count
+        |    .names = ""
+        |    for_each({"x": "u", "y": "v"}) -> |key, _value| { .names = .names + key }
+        |    .dyn = filter(parse_json!(.arr)) -> |_index, value| { to_int!(value) > 1 }
+        |    .evens = filter([5, 10, 15, 20]) -> |index, _value| { mod(index, 2) == 0 }
+        |  '''
+        |[[tests]]
+        |  name = "closures"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      arr = "[1, 2, 3]"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.kept, ["bar", "baz"])
+        |        assert_eq!(.tags.ENV, "prod")
+        |        assert_eq!(.vals.ENV, "PROD")
+        |        assert_eq!(.nums, [2, 4, 6])
+        |        assert_eq!(.count, 6)
+        |        assert_eq!(.names, "xy")
+        |        assert_eq!(length(.dyn), 2)
+        |        assert_eq!(.evens, [5, 15])
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("unsupported VRL features surface as documented skips") {
     val topo = Topology.load(
       """
