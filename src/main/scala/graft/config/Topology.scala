@@ -49,6 +49,33 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
   def testDefs: Vector[TTab] = root.tabs("tests")
 
+  /** `[enrichment_tables.<name>]` blocks (reference
+    * src/enrichment_tables/file.rs config shape): CSV files loaded
+    * driver-side at topology build — lookup tables are in-memory data
+    * by contract, exposed to VRL via get_enrichment_table_record /
+    * find_enrichment_table_records.
+    */
+  val enrichmentTables: Map[String, EnrichTableData] =
+    root.tab("enrichment_tables") match {
+      case Some(t) => t.entries.toSeq.collect { case (n, tab: TTab) =>
+        tab.str("type") match {
+          case Some("file") =>
+            val file = tab.tab("file").getOrElse(
+              throw new IllegalArgumentException(s"enrichment table $n: no [file]"))
+            val path = file.str("path").getOrElse(
+              throw new IllegalArgumentException(s"enrichment table $n: no path"))
+            val delim = file.tab("encoding").flatMap(_.str("delimiter"))
+              .map(_.head).getOrElse(',')
+            val full = fileDir.map(d => java.nio.file.Paths.get(d, path).toString)
+              .getOrElse(path)
+            n -> loadCsvTable(full, delim)
+          case other =>
+            throw VrlUnsupported(s"enrichment table type ${other.getOrElse("?")}")
+        }
+      }.toMap
+      case None => Map.empty
+    }
+
   /** Evaluate the DAG. `injected` supplies an input batch per transform
     * name (the unit-test harness's insert_at, or a source mapping);
     * declared `inputs` naming other transforms wire internal edges;
@@ -101,18 +128,18 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           dropOnError = cfg.bool("drop_on_error").getOrElse(false),
           dropOnAbort = cfg.bool("drop_on_abort").getOrElse(true),
           rerouteDropped = cfg.bool("reroute_dropped").getOrElse(false))
-        val r = VrlCompile.remap(in.df, in.meta, prog, opts, Seq(SeqCol))
+        val r = VrlCompile.remap(in.df, in.meta, prog, opts, Seq(SeqCol), enrichmentTables)
         Seq("" -> Frame(r.df, r.meta)) ++
           r.dropped.map(d => "dropped" -> Frame(d, in.meta))
 
       case "filter" =>
-        Seq("" -> in.copy(df = in.df.filter(Conditions.compile(cfg.get("condition"), in))))
+        Seq("" -> in.copy(df = in.df.filter(Conditions.compile(cfg.get("condition"), in, enrichmentTables))))
 
       case "route" =>
         val routes = cfg.tab("route").getOrElse(
           throw new IllegalArgumentException(s"route $name: no route table"))
         val compiled = routes.entries.toSeq.map { case (port, v) =>
-          port -> Conditions.compile(Some(v), in)
+          port -> Conditions.compile(Some(v), in, enrichmentTables)
         }
         val anyMatch = compiled.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
         compiled.map { case (p, c) => p -> in.copy(df = in.df.filter(c)) } :+
@@ -123,7 +150,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val outs = cfg.tabs("routes").map { r =>
           val nm = r.str("name").getOrElse(
             throw new IllegalArgumentException(s"exclusive_route $name: route without name"))
-          val c = Conditions.compile(r.get("condition"), in)
+          val c = Conditions.compile(r.get("condition"), in, enrichmentTables)
           val keep = c && !prior
           prior = prior || c
           nm -> in.copy(df = in.df.filter(keep))
@@ -187,7 +214,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val env = envFromDf(in.df, in.meta)
     val groupPaths = cfg.strArr("group_by")
     val groupCols = groupPaths.map(p => resolveField(env, parsePathStr(p)).col)
-    val endsWhen = cfg.get("ends_when").map(v => Conditions.compile(Some(v), in))
+    val endsWhen = cfg.get("ends_when").map(v => Conditions.compile(Some(v), in, enrichmentTables))
     val maxEvents = cfg.long("max_events").map(_.toInt)
     val strategies: Map[String, String] = cfg.tab("merge_strategies") match {
       case Some(t) => t.entries.toSeq.collect { case (k, TStr(s)) => k -> s }.toMap
@@ -278,6 +305,37 @@ object Topology {
   private[config] def parsePathStr(p: String): Seq[VrlAst.PathSeg] =
     p.split('.').toSeq.map(SegName(_))
 
+  /** Minimal RFC-4180 CSV reader (driver-side, lookup-table-sized
+    * inputs): quoted fields, doubled-quote escapes, header row.
+    */
+  private[config] def loadCsvTable(path: String, delim: Char): EnrichTableData = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val lines = text.split("\r?\n").toVector.filter(_.nonEmpty)
+    if (lines.isEmpty) return EnrichTableData(Nil)
+    def fields(line: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      val sb = new StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < line.length) {
+        val ch = line.charAt(i)
+        if (inQ) {
+          if (ch == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { sb += '"'; i += 1 }
+          else if (ch == '"') inQ = false
+          else sb += ch
+        } else if (ch == '"') inQ = true
+        else if (ch == delim) { out += sb.result(); sb.clear() }
+        else sb += ch
+        i += 1
+      }
+      out += sb.result()
+      out.result()
+    }
+    val header = fields(lines.head)
+    EnrichTableData(lines.tail.map(l => ListMap(header.zip(fields(l)): _*)))
+  }
+
   // ------------------------------------------------- frame unification
   /** Union frames by field name: equal types keep their type, int/float
     * widens, struct-vs-struct unions fieldwise, anything else widens to
@@ -359,12 +417,13 @@ object Topology {
   * bare-string VRL shorthand (reference: src/conditions/mod.rs).
   */
 object Conditions {
-  def compile(v: Option[Toml.V], in: Frame): Column = v match {
-    case Some(TStr(src)) => vrl(src, in)
+  def compile(v: Option[Toml.V], in: Frame,
+              tables: Map[String, EnrichTableData] = Map.empty): Column = v match {
+    case Some(TStr(src)) => vrl(src, in, tables)
     case Some(t: TTab) =>
       t.str("type").getOrElse("vrl") match {
         case "vrl" => vrl(t.str("source").getOrElse(
-          throw new IllegalArgumentException("vrl condition without source")), in)
+          throw new IllegalArgumentException("vrl condition without source")), in, tables)
         case "is_log" => lit(true)
         case "is_metric" | "is_trace" => lit(false)
         case "datadog_search" =>
@@ -377,6 +436,7 @@ object Conditions {
     case _ => throw new IllegalArgumentException("missing condition")
   }
 
-  def vrl(src: String, in: Frame): Column =
-    VrlCompile.condition(in.df, in.meta, VrlAst.parse(src))
+  def vrl(src: String, in: Frame,
+          tables: Map[String, EnrichTableData] = Map.empty): Column =
+    VrlCompile.condition(in.df, in.meta, VrlAst.parse(src), tables)
 }

@@ -100,6 +100,12 @@ object VrlCompile {
   }
 
   // ------------------------------------------------------------- env
+  /** A driver-loaded enrichment table (reference enrichment_tables —
+    * in-memory lookup data by design, lib/enrichment/src/lib.rs:51-90);
+    * rows become broadcast-safe literal lookup maps at compile time.
+    */
+  final case class EnrichTableData(rows: Seq[ListMap[String, String]])
+
   final case class Env(
       fields: ListMap[String, CV],
       locals: Map[String, CV],
@@ -107,7 +113,8 @@ object VrlCompile {
       secrets: Map[String, Column],
       raise: Option[Column],
       abort: Option[Column],
-      fanout: Option[Seq[ListMap[String, CV]]]) {
+      fanout: Option[Seq[ListMap[String, CV]]],
+      tables: Map[String, EnrichTableData] = Map.empty) {
     def withRaise(r: Option[Column]): Env = copy(raise = orOpt(raise, r))
     def withAbort(a: Option[Column]): Env = copy(abort = orOpt(abort, a))
   }
@@ -121,13 +128,14 @@ object VrlCompile {
   private def guardOpt(cond: Column, r: Option[Column]): Option[Column] =
     r.map(x => cond && coalesce(x, lit(false)))
 
-  def envFromDf(df: DataFrame, meta: EventMeta): Env = meta.rootT match {
+  def envFromDf(df: DataFrame, meta: EventMeta,
+                tables: Map[String, EnrichTableData] = Map.empty): Env = meta.rootT match {
     case Some(rt) =>
       Env(ListMap.empty, Map.empty, Some(CV(df.col("__root"), rt)),
-        Map.empty, None, None, None)
+        Map.empty, None, None, None, tables)
     case None =>
       val fields = meta.types.map { case (n, t) => n -> CV(df.col(s"`$n`"), t) }
-      Env(fields, Map.empty, None, Map.empty, None, None, None)
+      Env(fields, Map.empty, None, Map.empty, None, None, None, tables)
   }
 
   // --------------------------------------------------- public surface
@@ -144,8 +152,9 @@ object VrlCompile {
     */
   def remap(df: DataFrame, meta: EventMeta, program: Program,
             opts: RemapOpts = RemapOpts(),
-            passthrough: Seq[String] = Nil): Remapped = {
-    val env0 = envFromDf(df, meta)
+            passthrough: Seq[String] = Nil,
+            tables: Map[String, EnrichTableData] = Map.empty): Remapped = {
+    val env0 = envFromDf(df, meta, tables)
     val env = program.stmts.foldLeft(env0)((e, s) => compileStmt(e, s))
 
     val raiseC = env.raise.map(c => coalesce(c, lit(false)))
@@ -172,9 +181,10 @@ object VrlCompile {
     * of the LAST statement (matching the reference engine's program
     * result), false when the program raises or resolves null.
     */
-  def condition(df: DataFrame, meta: EventMeta, program: Program): Column = {
+  def condition(df: DataFrame, meta: EventMeta, program: Program,
+                tables: Map[String, EnrichTableData] = Map.empty): Column = {
     require(program.stmts.nonEmpty, "empty condition program")
-    val env0 = envFromDf(df, meta)
+    val env0 = envFromDf(df, meta, tables)
     val env1 = program.stmts.init.foldLeft(env0)((e, s) => compileStmt(e, s))
     val (value, env2) = program.stmts.last match {
       case ExprStmt(e) =>

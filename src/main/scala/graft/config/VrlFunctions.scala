@@ -123,6 +123,69 @@ object VrlFunctions {
               (base.raise ++ data.raise).reduceOption(_ || _), base.msg), e3)
           case None => throw VrlUnsupported("set without data")
         }
+      // enrichment table lookups (get_enrichment_table_record.cue,
+      // find_enrichment_table_records.cue; exactly-one semantics from
+      // lib/enrichment/src/lib.rs:53-56): the driver-loaded table
+      // compiles into a literal lookup map keyed on the condition
+      // columns — a broadcast-hash-join-equivalent with zero shuffles.
+      case "get_enrichment_table_record" | "find_enrichment_table_records" =>
+        val tname = c.args.headOption match {
+          case Some(LitS(s)) => s
+          case _ => throw VrlUnsupported(s"$name without a literal table name")
+        }
+        val table = env.tables.getOrElse(tname,
+          throw VrlUnsupported(s"enrichment table $tname not configured"))
+        val condFields = c.args.lift(1).orElse(
+          c.named.collectFirst { case ("condition", e) => e }) match {
+          case Some(ObjLit(fs)) => fs
+          case _ => throw VrlUnsupported(s"$name without an object-literal condition")
+        }
+        if (c.named.exists(_._1 == "wildcard"))
+          throw VrlUnsupported(s"$name with wildcard (use the Enrich operator surface)")
+        val caseSensitive = c.named.collectFirst {
+          case ("case_sensitive", LitB(b)) => b }.getOrElse(true)
+        var envAcc = env
+        val probeCols = condFields.map { case (_, e) =>
+          val (xv, e2) = compileExpr(envAcc, e); envAcc = e2
+          val sc = xv.cv.col.cast("string")
+          if (caseSensitive) sc else lower(sc)
+        }
+        val probe = concat_ws("\u0001", probeCols: _*)
+        val keyNames = condFields.map(_._1)
+        def rowKey(r: ListMap[String, String]): String = {
+          val k = keyNames.map(n => r.getOrElse(n, "")).mkString("\u0001")
+          if (caseSensitive) k else k.toLowerCase
+        }
+        def rowJson(r: ListMap[String, String]): String = {
+          val fields = r.map { case (k, v) =>
+            "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":\"" +
+              v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          }
+          fields.mkString("{", ",", "}")
+        }
+        val grouped = table.rows.groupBy(rowKey)
+        if (name == "get_enrichment_table_record") {
+          val entries = grouped.toSeq.flatMap { case (k, rs) =>
+            // >1 match raises at lookup time, like find_table_row's
+            // exactly-one contract
+            Seq(lit(k), lit(if (rs.size == 1) rowJson(rs.head) else "MULTI"))
+          }
+          val hit =
+            if (entries.isEmpty) lit(null).cast("string")
+            else element_at(map(entries: _*), probe)
+          val value = try_parse_json(when(hit =!= "MULTI", hit))
+          return (XV(CV(value, VAny),
+            Some(hit.isNull || hit === "MULTI"),
+            lit(s"""function call error for "$name": no unique row matched""")), envAcc)
+        } else {
+          val entries = grouped.toSeq.flatMap { case (k, rs) =>
+            Seq(lit(k), lit(rs.map(rowJson).mkString("[", ",", "]")))
+          }
+          val hit =
+            if (entries.isEmpty) lit(null).cast("string")
+            else element_at(map(entries: _*), probe)
+          return (XV.pure(CV(try_parse_json(coalesce(hit, lit("[]"))), VAny)), envAcc)
+        }
       case _ => ()
     }
 
@@ -366,6 +429,13 @@ object VrlFunctions {
           case VArrOf(_) | VMap => out(CV(size(v.cv.col).cast("bigint"), VInt))
           case VHet(ts) => out(CV(lit(ts.length.toLong), VInt))
           case VObj(fs) => out(CV(lit(fs.size.toLong), VInt))
+          case VAny =>
+            val j = to_json(v.cv.col)
+            out(CV(when(j.startsWith("["),
+                size(try_variant_get(v.cv.col, "$", "array<variant>")))
+              .when(j.startsWith("{"), size(json_object_keys(j)))
+              .otherwise(length(try_variant_get(v.cv.col, "$", "string")))
+              .cast("bigint"), VInt))
           case _ => out(CV(length(asStr(v)).cast("bigint"), VInt))
         }
       case "redact" =>

@@ -370,6 +370,60 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("enrichment tables from config: get/find_enrichment_table_records") {
+    val dir = java.nio.file.Files.createTempDirectory("enrich").toFile
+    dir.deleteOnExit()
+    val csv = new java.io.File(dir, "users.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("firstname,surname,id")
+    w.println("Bob,Smith,1")
+    w.println("Fred,Smith,2")
+    w.println("Ann,\"Jones, Jr\",3")
+    w.close()
+    val topo = Topology.load(
+      s"""
+        |[enrichment_tables.users]
+        |  type = "file"
+        |  [enrichment_tables.users.file]
+        |    path = "${csv.getAbsolutePath}"
+        |    [enrichment_tables.users.file.encoding]
+        |      type = "csv"
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .rec = get_enrichment_table_record!("users", {"firstname": .fn}, case_sensitive: false)
+        |    .all = find_enrichment_table_records!("users", {"surname": "Smith"})
+        |    .quoted = get_enrichment_table_record!("users", {"firstname": "Ann"})
+        |    .miss, .err = get_enrichment_table_record("users", {"firstname": "Zed"})
+        |  '''
+        |[[tests]]
+        |  name = "enrich_lookup"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      fn = "bob"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.rec.surname, "Smith")
+        |        assert_eq!(.rec.id, "1")
+        |        assert_eq!(length(.all), 2)
+        |        assert_eq!(.all[0].firstname, "Bob")
+        |        assert_eq!(.quoted.surname, "Jones, Jr")
+        |        assert!(.err != null)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("unsupported VRL features surface as documented skips") {
     val topo = Topology.load(
       """
