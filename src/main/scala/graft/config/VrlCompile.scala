@@ -114,7 +114,8 @@ object VrlCompile {
       raise: Option[Column],
       abort: Option[Column],
       fanout: Option[Seq[ListMap[String, CV]]],
-      tables: Map[String, EnrichTableData] = Map.empty) {
+      tables: Map[String, EnrichTableData] = Map.empty,
+      unnest: Option[String] = None) {
     def withRaise(r: Option[Column]): Env = copy(raise = orOpt(raise, r))
     def withAbort(a: Option[Column]): Env = copy(abort = orOpt(abort, a))
   }
@@ -169,7 +170,25 @@ object VrlCompile {
 
     val kept = dropPred.map(p => df.filter(!coalesce(p, lit(false)))).getOrElse(df)
 
-    val (outDf, outMeta) = materialize(kept, env0, env, revertPred, passthrough)
+    val (outDf0, outMeta0) = materialize(kept, env0, env, revertPred, passthrough)
+    val (outDf, outMeta) = env.unnest match {
+      case Some(top) =>
+        val (arrCol, elemT) = outMeta0.types(top) match {
+          case VArrOf(e) => (outDf0.col(s"`$top`"), e)
+          case VHet(ts) =>
+            // tuple array: explode the positional struct fields
+            val c0 = outDf0.col(s"`$top`")
+            (array(ts.indices.map(i => c0.getField(s"_$i").cast("string")): _*), VStr)
+          case VAny => (try_variant_get(outDf0.col(s"`$top`"), "$", "array<variant>"), VAny)
+          case other => throw VrlUnsupported(s"unnest of $other")
+        }
+        val exploded = outDf0.withColumn(top, explode(arrCol))
+        val types = ListMap(outMeta0.types.toSeq.map { case (n, t) =>
+          n -> (if (n == top) elemT else t)
+        }: _*)
+        (exploded, EventMeta(types, None))
+      case None => (outDf0, outMeta0)
+    }
     val dropped =
       if (opts.rerouteDropped && dropPred.isDefined)
         Some(df.filter(coalesce(dropPred.get, lit(false))))
@@ -274,7 +293,24 @@ object VrlCompile {
 
   // -------------------------------------------------------- statements
   private def compileStmt(env: Env, stmt: Stmt): Env = stmt match {
+    case _ if env.unnest.isDefined =>
+      throw VrlUnsupported("statement after unnest (unnest must be last)")
+
     case AbortStmt(_) => env.withAbort(Some(lit(true)))
+
+    // `. = unnest!(.field)` (unnest.cue): one output event per array
+    // element, all other fields duplicated — compiles to a single
+    // `explode`, Spark's native generator (no shuffle, stays columnar).
+    // Supported as the program's FINAL statement over a top-level field.
+    case Assign(TWhole, _, c: Call) if c.name == "unnest" =>
+      val top = c.args.headOption match {
+        case Some(FieldRef(Seq(SegName(n)))) => n
+        case _ => throw VrlUnsupported("unnest of a non-top-level field")
+      }
+      resolve(env, Seq(SegName(top))).t match {
+        case VArrOf(_) | VHet(_) | VAny => env.copy(unnest = Some(top))
+        case other => throw VrlUnsupported(s"unnest of non-array field ($other)")
+      }
 
     case Assign(TWhole, _, expr) =>
       val (xv, env1) = compileExpr(env, expr)

@@ -873,6 +873,43 @@ object VrlFunctions {
         val v = a(0, "value").cv.col.cast("long")
         out(CV(graft.functions.Vrl.ipNtoa(v), VStr), Some(v.isNull), "invalid integer")
 
+      case "ip_pton" =>
+        val r = VrlKernels.ipPtonHex(asStr(str0))
+        out(CV(r, VStr), Some(r.isNull), "invalid ip address")
+      case "ip_ntop" =>
+        val r = VrlKernels.ipNtopHex(asStr(str0))
+        out(CV(r, VStr), Some(r.isNull), "invalid address bytes")
+
+      // --- find / parse_regex_all ---------------------------------------
+      case "find" =>
+        val v = asStr(a(0, "value"))
+        val pat = a.raw(1, "pattern") match {
+          case LitRegex(p) => p
+          case LitS(lits) => java.util.regex.Pattern.quote(lits)
+          case _ => throw VrlUnsupported("find with non-literal pattern")
+        }
+        val from = a.opt(2, "from").map(_.cv.col.cast("int")).getOrElse(lit(0))
+        val sub = substring(v, from + 1, length(v))
+        val idx = regexp_instr(sub, lit(pat), lit(0))
+        out(CV(when(idx > 0, (idx - 1 + from).cast("bigint"))
+          .otherwise(lit(-1L)), VInt))
+      case "parse_regex_all" =>
+        val v = asStr(a(0, "value"))
+        val pat = a.litStr(1, "pattern").getOrElse(
+          throw VrlUnsupported("parse_regex_all without literal pattern"))
+        val (javaPat, groups) = VrlKernels.namedGroups(pat)
+        val extracted = groups.zipWithIndex.map { case (g, i) =>
+          g -> regexp_extract_all(v, lit(javaPat), lit(i + 1))
+        }
+        val n = size(extracted.head._2)
+        val objT = VObj(ListMap(groups.map(_ -> VStr): _*))
+        val arr = when(n > 0, transform(sequence(lit(0), n - 1), i =>
+          struct(extracted.map { case (g, c) =>
+            nullif(element_at(c, i + 1), lit("")).as(g)
+          }: _*)))
+          .otherwise(array().cast(s"array<${structDdl(groups)}>"))
+        out(CV(arr, VArrOf(objT)), Some(v.isNull), "expected string")
+
       // --- type checks ---------------------------------------------------
       case "is_string" | "is_integer" | "is_float" | "is_boolean" |
            "is_array" | "is_object" | "is_null" | "is_timestamp" | "is_regex" =>
@@ -1376,6 +1413,9 @@ object VrlFunctions {
       CV(array(ts.indices.map(i => cv.col.getField(s"_$i")): _*), VArrOf(ts.head))
     case _ => cv
   }
+
+  private def structDdl(fields: Seq[String]): String =
+    fields.map(f => s"`$f` string").mkString("struct<", ",", ">")
 
   private def valueArg(c: Call): Expr =
     c.args.headOption.orElse(c.named.collectFirst { case ("value", e) => e })

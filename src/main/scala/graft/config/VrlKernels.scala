@@ -94,6 +94,20 @@ object VrlKernels {
 
   def ipSubnet(ip: Column, mask: Column): Column = ipSubnetUdf(ip, mask)
 
+  // ip_pton/ip_ntop (ip_pton.cue): the reference returns/consumes raw
+  // bytes; a raw-byte string is not a portable column value, so the
+  // TRANSPORT ENCODING here is lowercase hex (4-byte v4 / 16-byte v6).
+  private lazy val ipPtonUdf = udf((ip: String) =>
+    ipBytes(ip).map(_.map(b => f"${b & 0xff}%02x").mkString).orNull)
+  private lazy val ipNtopUdf = udf((hexs: String) =>
+    (try {
+      Option(hexs).filter(h => h.length == 8 || h.length == 32)
+        .map(_.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        .map(renderIp)
+    } catch { case _: Exception => None }).orNull)
+  def ipPtonHex(ip: Column): Column = ipPtonUdf(ip)
+  def ipNtopHex(hexs: Column): Column = ipNtopUdf(hexs)
+
   private lazy val cidrContainsUdf = udf((cidr: String, ip: String) => {
     if (cidr == null || ip == null || !cidr.contains("/")) null
     else {

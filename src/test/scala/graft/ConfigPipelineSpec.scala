@@ -424,6 +424,62 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("unnest fan-out, find, parse_regex_all, ip_pton/ip_ntop") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .f0 = find(.txt, "foo")
+        |    .f3 = find(.txt, r'b.r')
+        |    .fm = find(.txt, "baz")
+        |    .fo = find("foobarfoobarfoo", "bar", 4)
+        |    .pr = parse_regex_all!("apples and carrots, peaches and peas", r'(?P<fruit>[a-z]+) and (?P<veg>[a-z]+)')
+        |    .p4 = ip_pton!("192.168.0.1")
+        |    .r4 = ip_ntop!(.p4)
+        |    .r6 = ip_ntop!(ip_pton!("2001:db8::1"))
+        |    .messages = parse_json!(.raw)
+        |    . = unnest!(.messages)
+        |  '''
+        |[[tests]]
+        |  name = "tail_fns"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      txt = "foobar"
+        |      raw = "[\"m1\", \"m2\"]"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.f0, 0)
+        |        assert_eq!(.f3, 3)
+        |        assert_eq!(.fm, -1)
+        |        assert_eq!(.fo, 9)
+        |        assert_eq!(length(.pr), 2)
+        |        assert_eq!(.pr[0].fruit, "apples")
+        |        assert_eq!(.pr[1].veg, "peas")
+        |        assert_eq!(.p4, "c0a80001")
+        |        assert_eq!(.r4, "192.168.0.1")
+        |        assert_eq!(.r6, "2001:db8::1")
+        |        .messages == "m1"
+        |      '''
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '.messages == "m2"'
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("unsupported VRL features surface as documented skips") {
     val topo = Topology.load(
       """
