@@ -74,11 +74,75 @@ object ConfigQueries {
            WHERE NOT coalesce(level = 'error', false) AND NOT coalesce(latency_ms >= 800, false)
        )"""))
 
+  // ------------------------------------------------- enrichment + closure
+  /** Deterministic lookup CSV for the config enrichment table — the
+    * same rows the oracle inlines as VALUES (one source of truth: this
+    * constant).
+    */
+  private val RoleRows: Seq[(String, String, Int)] = Seq(
+    ("user", "ingress", 1), ("assistant", "model", 2),
+    ("tool", "runtime", 4), ("system", "control", 3))
+
+  private def rolesCsvPath(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_roles_lookup.csv")
+    val content = "role,team,weight\n" +
+      RoleRows.map { case (r, t, w) => s"$r,$t,$w" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  /** Enrichment-table lookup + an enumeration closure, end-to-end from
+    * config: `get_enrichment_table_record` compiles to a literal lookup
+    * map (broadcast-join-equivalent, zero shuffles) and the closure to a
+    * Spark HOF — the whole remap stays one narrow projection.
+    */
+  private def qConfigEnrich(s: SparkSession, dir: String): DataFrame = {
+    val topo = Topology.load(
+      s"""
+        |[enrichment_tables.roles]
+        |  type = "file"
+        |  [enrichment_tables.roles.file]
+        |    path = "${rolesCsvPath()}"
+        |    [enrichment_tables.roles.file.encoding]
+        |      type = "csv"
+        |[transforms.enrich]
+        |  inputs = ["transcript"]
+        |  type = "remap"
+        |  source = '''
+        |    .rec = get_enrichment_table_record!("roles", {"role": .role})
+        |    .team = string!(.rec.team)
+        |    .wscore = to_int!(string!(.rec.weight)) * strlen!(.text)
+        |    .nv = length(filter(chunks(downcase(.text), 1)) -> |_i, ch| { includes(["a", "e", "i", "o", "u"], ch) })
+        |  '''
+        |""".stripMargin)
+    val out = topo.run(Map("transcript" -> transcriptFrame(s, dir)))
+    out("enrich").df.select(
+      col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+      col("role"), col("team"),
+      col("wscore").cast("bigint").as("wscore"),
+      col("nv").cast("bigint").as("nv"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  private val oracleConfigEnrich: String = Oracle.q(
+    """SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, team,
+       CAST(weight * length(text) AS BIGINT) AS wscore,
+       CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT) AS nv
+       FROM transcript JOIN role_lookup USING (role)
+       ORDER BY conv_id, turn_idx""",
+    Seq(
+      "role_lookup AS (SELECT * FROM (VALUES " +
+        RoleRows.map { case (r, t, w) => s"('$r','$t',$w)" }.mkString(", ") +
+        ") AS t(role, team, weight))"))
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "q_config_pipeline" -> (qConfigPipeline _)
+    "q_config_pipeline" -> (qConfigPipeline _),
+    "q_config_enrich" -> (qConfigEnrich _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
-    "q_config_pipeline" -> oracleConfigPipeline
+    "q_config_pipeline" -> oracleConfigPipeline,
+    "q_config_enrich" -> oracleConfigEnrich
   )
 }
