@@ -1229,6 +1229,17 @@ object VrlFunctions {
         structuredXv(graft.functions.VrlParsers
           .parseAwsCloudwatchLogSubscriptionMessage(asStr(a(0, "value"))),
           prop, "not a cloudwatch subscription message")
+      case "parse_xml" =>
+        val v = asStr(a(0, "value"))
+        val j = VrlKernels.parseXml(v,
+          a.litBool(1, "include_attr").getOrElse(true),
+          a.litStr(2, "attr_prefix").getOrElse("@"),
+          a.litStr(3, "text_key").getOrElse("text"),
+          a.litBool(4, "always_use_text_key").getOrElse(false),
+          a.litBool(5, "parse_bool").getOrElse(true),
+          a.litBool(6, "parse_null").getOrElse(true),
+          a.litBool(7, "parse_number").getOrElse(true))
+        out(CV(try_parse_json(j), VAny), Some(v.isNull || j.isNull), "unable to parse xml")
       case "parse_cbor" =>
         // input carried base64 (raw-byte columns aren't portable strings)
         val r = try_parse_json(graft.functions.Vrl.parseCbor(unbase64(asStr(a(0, "value")))))
@@ -1391,6 +1402,47 @@ object VrlFunctions {
           envAcc = after.copy(locals = after.locals -- params)
         }
         (XV.pure(nullValue), envAcc)
+      case ("replace_with", _) =>
+        // replace_with.cue: rebuild = pieces[0] + Σ body(matchᵢ) +
+        // pieces[i+1], where `split` yields the between-match pieces and
+        // regexp_extract_all the match/capture arrays — all Spark HOFs,
+        // no per-row interpreter. Named-group fields are exposed when
+        // every group is named (mixed patterns keep `captures` only).
+        // Closure-body raises cannot hoist out of a lambda: a raising
+        // body yields a null replacement (documented divergence).
+        val v = target0.cv.col.cast("string")
+        val pat = c.args.lift(1).collect {
+          case LitRegex(p) => p
+        }.getOrElse(throw VrlUnsupported("replace_with without regex pattern"))
+        val count = c.named.collectFirst { case ("count", LitI(n)) => n.toInt }.getOrElse(-1)
+        val (javaPat, names) = VrlKernels.namedGroups(pat)
+        val total = java.util.regex.Pattern.compile(javaPat).matcher("").groupCount()
+        val whole = regexp_extract_all(v, lit(javaPat), lit(0))
+        val grpArrs = (1 to total).map(g => regexp_extract_all(v, lit(javaPat), lit(g)))
+        def matchObj(i: Column): CV = {
+          val base = ListMap(
+            "string" -> CV(element_at(whole, i + 1), VStr),
+            "captures" -> CV(
+              if (grpArrs.isEmpty) array().cast("array<string>")
+              else array(grpArrs.map(g => nullif(element_at(g, i + 1), lit(""))): _*),
+              VArrOf(VStr)))
+          val namedFields =
+            if (names.length == total)
+              names.zipWithIndex.map { case (nm, j) =>
+                nm -> CV(nullif(element_at(grpArrs(j), i + 1), lit("")), VStr)
+              }
+            else Nil
+          buildObj(base ++ namedFields)
+        }
+        val pieces = split(v, javaPat, if (count > 0) count + 1 else -1)
+        val nMatches = size(whole)
+        val nEff = if (count > 0) least(nMatches, lit(count)) else nMatches
+        val replaced = when(nMatches === 0, v).otherwise(
+          concat(element_at(pieces, 1),
+            array_join(transform(sequence(lit(0), nEff - 1), i =>
+              concat(bodyCv(Seq(matchObj(i))).col.cast("string"),
+                coalesce(element_at(pieces, i + 2), lit("")))), "")))
+        pass(CV(replaced, VStr))
       case ("for_each", VHet(ts)) =>
         var envAcc = env1
         ts.zipWithIndex.foreach { case (t, i) =>

@@ -108,6 +108,83 @@ object VrlKernels {
   def ipPtonHex(ip: Column): Column = ipPtonUdf(ip)
   def ipNtopHex(hexs: Column): Column = ipNtopUdf(hexs)
 
+  // ------------------------------------------------------- parse_xml
+  /** XML → JSON object text with the reference's conventions
+    * (parse_xml.cue): attributes under `attrPrefix`, text of mixed
+    * elements under `textKey`, text-only attribute-free elements
+    * collapse to scalars, repeated sibling tags become arrays, and
+    * scalar text optionally coerces to bool/null/number. A JVM DOM walk
+    * (driver-free, per-row) — dynamic XML has no static schema for a
+    * columnar decode, which is also why the typed xpath surface in
+    * graft.functions.Parsers is the preferred at-scale path.
+    */
+  private def xmlJson(xml: String, includeAttr: Boolean, attrPrefix: String,
+                      textKey: String, alwaysText: Boolean, parseBool: Boolean,
+                      parseNull: Boolean, parseNumber: Boolean): String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    def scalar(s: String): String =
+      if (parseBool && (s == "true" || s == "false")) s
+      else if (parseNull && s == "null") "null"
+      else if (parseNumber && s.matches("-?\\d+")) s
+      else if (parseNumber && s.matches("-?\\d+\\.\\d+")) s
+      else "\"" + esc(s) + "\""
+    def element(e: org.w3c.dom.Element): String = {
+      val attrs = if (!includeAttr) Seq.empty
+      else (0 until e.getAttributes.getLength).map { i =>
+        val a = e.getAttributes.item(i)
+        (attrPrefix + a.getNodeName) -> ("\"" + esc(a.getNodeValue) + "\"")
+      }
+      val kids = (0 until e.getChildNodes.getLength).map(e.getChildNodes.item(_))
+      val childElems = kids.collect { case c: org.w3c.dom.Element => c }
+      val text = kids.collect {
+        case t: org.w3c.dom.Text => t.getTextContent
+      }.mkString.trim
+      if (attrs.isEmpty && childElems.isEmpty && !alwaysText) scalar(text)
+      else {
+        val grouped = childElems.groupBy(_.getTagName)
+        // document order of first occurrence
+        val childFields = childElems.map(_.getTagName).distinct.map { n =>
+          val vs = grouped(n).map(element)
+          n -> (if (vs.length == 1) vs.head else vs.mkString("[", ",", "]"))
+        }
+        val textField =
+          if (text.nonEmpty || (alwaysText && childElems.isEmpty))
+            Seq(textKey -> scalar(text))
+          else Nil
+        (attrs ++ childFields ++ textField)
+          .map { case (k, v) => "\"" + esc(k) + "\":" + v }
+          .mkString("{", ",", "}")
+      }
+    }
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val doc = f.newDocumentBuilder()
+        .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+      val root = doc.getDocumentElement
+      "{\"" + esc(root.getTagName) + "\":" + element(root) + "}"
+    } catch { case _: Exception => null }
+  }
+
+  def parseXml(c: Column, includeAttr: Boolean, attrPrefix: String,
+               textKey: String, alwaysText: Boolean, parseBool: Boolean,
+               parseNull: Boolean, parseNumber: Boolean): Column = {
+    val u = udf((s: String) =>
+      Option(s).map(xmlJson(_, includeAttr, attrPrefix, textKey, alwaysText,
+        parseBool, parseNull, parseNumber)).orNull)
+    u(c)
+  }
+
   private lazy val cidrContainsUdf = udf((cidr: String, ip: String) => {
     if (cidr == null || ip == null || !cidr.contains("/")) null
     else {

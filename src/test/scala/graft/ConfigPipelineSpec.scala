@@ -439,6 +439,10 @@ class ConfigPipelineSpec extends SparkSpec {
         |    .p4 = ip_pton!("192.168.0.1")
         |    .r4 = ip_ntop!(.p4)
         |    .r6 = ip_ntop!(ip_pton!("2001:db8::1"))
+        |    .xml = parse_xml!(.doc, text_key: "value", parse_number: false)
+        |    .cap = replace_with("apples and bananas", r'\b(\w)(\w*)') -> |match| { upcase!(match.captures[0]) + string!(match.captures[1]) }
+        |    .pine = replace_with("Apples and Apples", r'(?i)apples|cones', count: 1) -> |match| { "Pine" + downcase(match.string) }
+        |    .named = replace_with(.lvl, r'level=(?P<level>[a-z]+)') -> |match| { upcase!(match.level) }
         |    .messages = parse_json!(.raw)
         |    . = unnest!(.messages)
         |  '''
@@ -450,6 +454,8 @@ class ConfigPipelineSpec extends SparkSpec {
         |    [tests.inputs.log_fields]
         |      txt = "foobar"
         |      raw = "[\"m1\", \"m2\"]"
+        |      lvl = "level=error A message"
+        |      doc = "<book category=\"CHILDREN\"><title lang=\"en\">Harry Potter</title><author>J K. Rowling</author><year>2005</year></book>"
         |  [[tests.outputs]]
         |    extract_from = "t"
         |    [[tests.outputs.conditions]]
@@ -465,6 +471,13 @@ class ConfigPipelineSpec extends SparkSpec {
         |        assert_eq!(.p4, "c0a80001")
         |        assert_eq!(.r4, "192.168.0.1")
         |        assert_eq!(.r6, "2001:db8::1")
+        |        assert_eq!(.xml.book."@category", "CHILDREN")
+        |        assert_eq!(.xml.book.title.value, "Harry Potter")
+        |        assert_eq!(.xml.book.author, "J K. Rowling")
+        |        assert_eq!(.xml.book.year, "2005")
+        |        assert_eq!(.cap, "Apples And Bananas")
+        |        assert_eq!(.pine, "Pineapples and Apples")
+        |        assert_eq!(.named, "ERROR A message")
         |        .messages == "m1"
         |      '''
         |  [[tests.outputs]]
