@@ -161,9 +161,12 @@ object TrainingQueries {
   /** The composed training-data-prep pipeline a real corpus job runs —
     * exact dedup → language filter → quality gate → token annotation →
     * deterministic shard sample — end-to-end in ONE plan: dedup's
-    * window shuffle is the only exchange; every later stage is a narrow
-    * filter/projection fused into the same whole-stage-codegen span, so
-    * at 100 TB the pipeline costs one shuffle + one scan.
+    * key-hash exchange is the only DATA shuffle (with a map-side
+    * WindowGroupLimit pruning each partition to rank-1 candidates
+    * before it); every later stage is a narrow filter/projection fused
+    * into the same whole-stage-codegen span. The trailing range
+    * exchange is the oracle-determinism orderBy, not pipeline work —
+    * at 100 TB the job is one scan + one shuffle.
     */
   private def qTrainingPrep(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).withColumn("key",
