@@ -513,4 +513,48 @@ class ConfigPipelineSpec extends SparkSpec {
     val rs = UnitTestHarness.run(spark, topo)
     assert(rs.length == 1 && rs.head.skipped.isDefined && rs.head.errors.isEmpty)
   }
+
+  final case class CfgEv(seq: Long, level: String, n: Long)
+
+  test("config topology runs unchanged over Structured Streaming (stateless subset)") {
+    // the compiled topology is ordinary Catalyst columns, so the same
+    // Topology.run applies to a readStream frame — the reference's
+    // stream-native execution with zero engine changes (stateful
+    // transforms go through StreamOps' watermarked/GroupState paths)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val topo = Topology.load(
+      """
+        |[transforms.shape]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  source = '''
+        |    .lvl = upcase!(.level)
+        |    .big = .n * 10
+        |  '''
+        |[transforms.split]
+        |  inputs = ["shape"]
+        |  type = "route"
+        |  [transforms.split.route]
+        |    errors = '.lvl == "ERROR"'
+        |""".stripMargin)
+    val input = MemoryStream[CfgEv](spark)
+    val df = input.toDF().withColumnRenamed("seq", Topology.SeqCol)
+    val frame = Frame(df,
+      EventMeta(ListMap("level" -> VStr, "n" -> VInt), None))
+    val out = topo.run(Map("events" -> frame))
+    assert(out("shape").df.isStreaming && out("split.errors").df.isStreaming)
+    val qe = out("split.errors").df.writeStream.format("memory")
+      .queryName("cfg_stream_err").outputMode("append").start()
+    val qu = out("split._unmatched").df.writeStream.format("memory")
+      .queryName("cfg_stream_rest").outputMode("append").start()
+    try {
+      input.addData(CfgEv(0, "error", 1), CfgEv(1, "info", 2), CfgEv(2, "error", 3))
+      qe.processAllAvailable(); qu.processAllAvailable()
+      val errs = spark.table("cfg_stream_err")
+        .select("lvl", "big").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(errs.toSeq == Seq(("ERROR", 10L), ("ERROR", 30L)))
+      assert(spark.table("cfg_stream_rest").count() == 1)
+    } finally { qe.stop(); qu.stop() }
+  }
 }
