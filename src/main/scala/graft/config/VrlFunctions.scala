@@ -959,6 +959,20 @@ object VrlFunctions {
         // regexes are carried as pattern strings (see `cx(LitRegex)`)
         out(CV(asStr(str0), VStr), Some(asStr(str0).isNull), "expected string")
 
+      case "validate_json_schema" =>
+        // schema_definition is a file PATH (validate_json_schema.cue);
+        // loaded + keyword-checked once at compile — the reference's
+        // compiled-schema cache made explicit
+        val path = a.litStr(1, "schema_definition").getOrElse(
+          throw VrlUnsupported("validate_json_schema without literal schema path"))
+        val ignoreUnknown = a.litBool(2, "ignore_unknown_formats").getOrElse(false)
+        val schemaJson = try new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        catch { case e: Exception =>
+          throw VrlUnsupported(s"schema_definition file $path: ${e.getMessage}") }
+        val r = VrlKernels.validateJsonSchema(asStr(str0), schemaJson, ignoreUnknown)
+        out(CV(coalesce(r, lit(false)), VBool), Some(r.isNull), "invalid json payload")
+
       // --- environment / misc -------------------------------------------
       case "get_env_var" =>
         val n = a.litStr(0, "name").getOrElse(

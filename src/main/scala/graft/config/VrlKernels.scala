@@ -108,6 +108,172 @@ object VrlKernels {
   def ipPtonHex(ip: Column): Column = ipPtonUdf(ip)
   def ipNtopHex(hexs: Column): Column = ipNtopUdf(hexs)
 
+  // --------------------------------------------- validate_json_schema
+  /** JSON-Schema core-keyword validator (validate_json_schema.cue): the
+    * schema file loads and sanity-checks ONCE at compile (the
+    * reference's compiled-schema cache, made explicit), then rows
+    * validate through a serializable kernel with an executor-local
+    * parsed schema. Supported: type/enum/const, properties/required/
+    * additionalProperties, items/minItems/maxItems/uniqueItems,
+    * minimum/maximum/exclusive*, minLength/maxLength/pattern/format
+    * (email, ipv4, ipv6, date-time, date, time, uri, hostname, uuid),
+    * allOf/anyOf/oneOf/not. Unsupported STRUCTURAL keywords ($ref,
+    * patternProperties, dependencies, if/then/else) raise
+    * VrlUnsupported at compile — never silently pass.
+    */
+  final class JsonSchemaValidator(schemaJson: String, ignoreUnknownFormats: Boolean)
+      extends Serializable {
+    import com.fasterxml.jackson.databind.JsonNode
+
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+    @transient private lazy val schema = mapper.readTree(schemaJson)
+
+    def validate(payload: String): java.lang.Boolean =
+      if (payload == null) null
+      else {
+        val v = try mapper.readTree(payload) catch { case _: Exception => null }
+        if (v == null) null else java.lang.Boolean.valueOf(check(schema, v))
+      }
+
+    private val formats: Map[String, String] = JsonSchemaValidator.Formats
+
+    private def check(s: JsonNode, v: JsonNode): Boolean = {
+      def f(name: String): Option[JsonNode] = Option(s.get(name))
+      val typeOk = f("type").forall { t =>
+        val wanted =
+          if (t.isArray) (0 until t.size).map(t.get(_).asText)
+          else Seq(t.asText)
+        wanted.exists {
+          case "string" => v.isTextual
+          case "integer" => v.isIntegralNumber
+          case "number" => v.isNumber
+          case "boolean" => v.isBoolean
+          case "object" => v.isObject
+          case "array" => v.isArray
+          case "null" => v.isNull
+          case _ => false
+        }
+      }
+      lazy val enumOk = f("enum").forall { e =>
+        (0 until e.size).exists(i => e.get(i) == v)
+      }
+      lazy val constOk = f("const").forall(_ == v)
+      lazy val numOk = !v.isNumber || {
+        val d = v.asDouble
+        f("minimum").forall(d >= _.asDouble) &&
+          f("maximum").forall(d <= _.asDouble) &&
+          f("exclusiveMinimum").forall(d > _.asDouble) &&
+          f("exclusiveMaximum").forall(d < _.asDouble)
+      }
+      lazy val strOk = !v.isTextual || {
+        val t = v.asText
+        f("minLength").forall(t.length >= _.asInt) &&
+          f("maxLength").forall(t.length <= _.asInt) &&
+          f("pattern").forall(p => java.util.regex.Pattern.compile(p.asText).matcher(t).find) &&
+          f("format").forall { fmt =>
+            formats.get(fmt.asText) match {
+              case Some(re) => t.matches(re)
+              case None => ignoreUnknownFormats
+            }
+          }
+      }
+      lazy val objOk = !v.isObject || {
+        val props = f("properties")
+        val propOk = props.forall { p =>
+          val names = p.fieldNames()
+          var ok = true
+          while (ok && names.hasNext) {
+            val n = names.next()
+            if (v.has(n)) ok = check(p.get(n), v.get(n))
+          }
+          ok
+        }
+        val reqOk = f("required").forall { r =>
+          (0 until r.size).forall(i => v.has(r.get(i).asText))
+        }
+        val addOk = f("additionalProperties").forall { ap =>
+          if (ap.isBoolean && !ap.asBoolean) {
+            val declared = props.map { p =>
+              val it = p.fieldNames(); val b = Set.newBuilder[String]
+              while (it.hasNext) b += it.next()
+              b.result()
+            }.getOrElse(Set.empty[String])
+            val names = v.fieldNames()
+            var ok = true
+            while (ok && names.hasNext) ok = declared.contains(names.next())
+            ok
+          } else true
+        }
+        propOk && reqOk && addOk
+      }
+      lazy val arrOk = !v.isArray || {
+        f("items").forall(is => (0 until v.size).forall(i => check(is, v.get(i)))) &&
+          f("minItems").forall(v.size >= _.asInt) &&
+          f("maxItems").forall(v.size <= _.asInt) &&
+          f("uniqueItems").forall(u => !u.asBoolean ||
+            (0 until v.size).map(v.get(_)).distinct.size == v.size)
+      }
+      lazy val combOk =
+        f("allOf").forall(a0 => (0 until a0.size).forall(i => check(a0.get(i), v))) &&
+          f("anyOf").forall(a0 => (0 until a0.size).exists(i => check(a0.get(i), v))) &&
+          f("oneOf").forall(a0 => (0 until a0.size).count(i => check(a0.get(i), v)) == 1) &&
+          f("not").forall(n => !check(n, v))
+      typeOk && enumOk && constOk && numOk && strOk && objOk && arrOk && combOk
+    }
+  }
+
+  object JsonSchemaValidator {
+    val Formats: Map[String, String] = Map(
+      "email" -> "^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$",
+      "ipv4" -> "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$",
+      "ipv6" -> "^[0-9A-Fa-f:]+$",
+      "date-time" -> "^\\d{4}-\\d{2}-\\d{2}[Tt ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?([Zz]|[+-]\\d{2}:?\\d{2})?$",
+      "date" -> "^\\d{4}-\\d{2}-\\d{2}$",
+      "time" -> "^\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$",
+      "uri" -> "^[a-zA-Z][a-zA-Z0-9+.-]*:.+$",
+      "hostname" -> "^[a-zA-Z0-9]([a-zA-Z0-9-]*[a-zA-Z0-9])?(\\.[a-zA-Z0-9]([a-zA-Z0-9-]*[a-zA-Z0-9])?)*$",
+      "uuid" -> "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+
+    private val Unsupported = Set(
+      "$ref", "patternProperties", "dependencies", "dependentSchemas",
+      "dependentRequired", "if", "then", "else", "propertyNames",
+      "unevaluatedProperties", "unevaluatedItems", "contains", "prefixItems")
+
+    /** Compile-time sanity scan: reject structural keywords the kernel
+      * does not implement, and unknown formats unless ignored.
+      */
+    def scan(schemaJson: String, ignoreUnknownFormats: Boolean): Unit = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = try mapper.readTree(schemaJson) catch {
+        case e: Exception =>
+          throw VrlAst.VrlUnsupported(s"invalid JSON Schema definition: ${e.getMessage}")
+      }
+      def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (n.isObject) {
+          val names = n.fieldNames()
+          while (names.hasNext) {
+            val k = names.next()
+            if (Unsupported.contains(k))
+              throw VrlAst.VrlUnsupported(s"JSON Schema keyword $k")
+            if (k == "format" && n.get(k).isTextual &&
+                !Formats.contains(n.get(k).asText) && !ignoreUnknownFormats)
+              throw VrlAst.VrlUnsupported(
+                s"JSON Schema format ${n.get(k).asText} (set ignore_unknown_formats)")
+            walk(n.get(k))
+          }
+        } else if (n.isArray) (0 until n.size).foreach(i => walk(n.get(i)))
+      walk(root)
+    }
+  }
+
+  def validateJsonSchema(c: Column, schemaJson: String,
+                         ignoreUnknownFormats: Boolean): Column = {
+    JsonSchemaValidator.scan(schemaJson, ignoreUnknownFormats)
+    val v = new JsonSchemaValidator(schemaJson, ignoreUnknownFormats)
+    udf((s: String) => v.validate(s)).apply(c)
+  }
+
   // ------------------------------------------------------- parse_xml
   /** XML → JSON object text with the reference's conventions
     * (parse_xml.cue): attributes under `attrPrefix`, text of mixed

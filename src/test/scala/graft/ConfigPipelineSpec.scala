@@ -514,6 +514,55 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.length == 1 && rs.head.skipped.isDefined && rs.head.errors.isEmpty)
   }
 
+  test("validate_json_schema: core keywords + email format (cue example)") {
+    val dir = java.nio.file.Files.createTempDirectory("schema").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "schema.json")
+    val w = new java.io.PrintWriter(f)
+    w.println(
+      """{"type": "object",
+        | "properties": {
+        |   "productUser": {"type": "string", "format": "email"},
+        |   "qty": {"type": "integer", "minimum": 0}
+        | },
+        | "required": ["productUser"]}""".stripMargin)
+    w.close()
+    val topo = Topology.load(
+      s"""
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .ok = validate_json_schema!(.good, "${f.getAbsolutePath}", false)
+        |    .bad_email = validate_json_schema!(.bad, "${f.getAbsolutePath}", false)
+        |    .bad_qty = validate_json_schema!(.badq, "${f.getAbsolutePath}", false)
+        |  '''
+        |[[tests]]
+        |  name = "schema"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      good = "{\\"productUser\\": \\"valid@email.com\\", \\"qty\\": 2}"
+        |      bad = "{\\"productUser\\": \\"invalidEmail\\"}"
+        |      badq = "{\\"productUser\\": \\"valid@email.com\\", \\"qty\\": -1}"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert!(.ok)
+        |        assert!(!.bad_email)
+        |        assert!(!.bad_qty)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   final case class CfgEv(seq: Long, level: String, n: Long)
 
   test("config topology runs unchanged over Structured Streaming (stateless subset)") {
