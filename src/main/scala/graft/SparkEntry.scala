@@ -96,7 +96,8 @@ object SparkEntry {
     "q1_agg"            -> (qLineitemAgg _)
   ) ++ graft.queries.TransformQueries.spark ++ graft.queries.TrainingQueries.spark ++
     graft.queries.ParserQueries.spark ++ graft.queries.StdlibQueries.spark ++
-    graft.queries.Stdlib2Queries.spark ++ graft.queries.ConfigQueries.spark
+    graft.queries.Stdlib2Queries.spark ++ graft.queries.ConfigQueries.spark ++
+    graft.queries.CodecQueries.spark
 
   // ---- DuckDB oracle -------------------------------------------------
 
@@ -145,6 +146,7 @@ object SparkEntry {
            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
     ) ++ graft.queries.TransformQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
       graft.queries.ParserQueries.oracle ++ graft.queries.StdlibQueries.oracle ++
-      graft.queries.Stdlib2Queries.oracle ++ graft.queries.ConfigQueries.oracle
+      graft.queries.Stdlib2Queries.oracle ++ graft.queries.ConfigQueries.oracle ++
+      graft.queries.CodecQueries.oracle
   }
 }
