@@ -163,7 +163,7 @@ object Bench {
     // does not break scaling) — interleaved pairs, min per level, after
     // one discarded warmup of the write path.
     writeRun(inputDir, Scale4N, 0)
-    val wPairs = (1 to 2).map { r =>
+    val wPairs = (1 to 3).map { r =>
       (writeRun(inputDir, ScaleN, r), writeRun(inputDir, Scale4N, r))
     }
     val wN = wPairs.map(_._1).min
@@ -222,8 +222,8 @@ object Bench {
          |materialized untimed) → grok parse → broadcast enrich → multicast
          |route → windowed aggregate → count. Same job, same input, two
          |parallelism levels (sandbox stand-in for N vs 4N executors per
-         |BASELINE.md). Levels run as INTERLEAVED (N, 4N) pairs — 3 for
-         |the compute job, 2 for the write-included job — with min per
+         |BASELINE.md). Levels run as INTERLEAVED (N, 4N) pairs — 3 each
+         |for the compute job and the write-included job — with min per
          |level, after a discarded global JIT warmup: this shared host
          |has multi-minute degraded windows, and back-to-back reps of one
          |level would let a single window poison that level's number (and
