@@ -138,12 +138,26 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case "route" =>
         val routes = cfg.tab("route").getOrElse(
           throw new IllegalArgumentException(s"route $name: no route table"))
-        val compiled = routes.entries.toSeq.map { case (port, v) =>
+        val compiled = ListMap(routes.entries.toSeq.map { case (port, v) =>
           port -> Conditions.compile(Some(v), in, enrichmentTables)
-        }
-        val anyMatch = compiled.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
-        compiled.map { case (p, c) => p -> in.copy(df = in.df.filter(c)) } :+
-          ("_unmatched" -> in.copy(df = in.df.filter(!anyMatch)))
+        }: _*)
+        // ONE tagged pass (Route.tagged: per-row matching-port array +
+        // explode), not one filter per port: a consumer reading all P
+        // ports (the normal sink fan-out) would otherwise re-execute the
+        // whole upstream P+1 times — the multicast scan amplification
+        // that kills at scale. Also fixes null-condition semantics: a
+        // condition erroring to NULL is a no-match -> `_unmatched`
+        // (route.rs check_all semantics), whereas filter(!anyMatch)
+        // dropped such rows from every port. The bare transform name
+        // exposes the tagged frame itself (`port` column — the
+        // partitionBy("port") sink shape); Vector has no bare-name route
+        // output, so this is a Spark-native extension, and the per-port
+        // names keep reference semantics.
+        val tagged = graft.operators.Route.tagged(in.df, compiled)
+        Seq("" -> in.copy(df = tagged)) ++
+          (compiled.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
+            p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
+          }
 
       case "exclusive_route" =>
         var prior: Column = lit(false)

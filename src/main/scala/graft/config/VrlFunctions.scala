@@ -555,12 +555,13 @@ object VrlFunctions {
         val pat = a.litStr(1, "pattern").getOrElse(
           throw VrlUnsupported("parse_regex without literal pattern"))
         val (javaPat, groups) = VrlKernels.namedGroups(pat)
-        val fields = ListMap(groups.zipWithIndex.map { case (g, i) =>
-          g -> CV(nullif(regexp_extract(v, javaPat, i + 1), lit("")), VStr)
+        val g = org.apache.spark.sql.graftvec.RegexExpressions.regexGroups(v, javaPat)
+        val fields = ListMap(groups.zipWithIndex.map { case (gn, i) =>
+          gn -> CV(nullif(element_at(g, i + 1), lit("")), VStr)
         }: _*)
         val obj = buildObj(fields)
-        out(CV(when(v.rlike(javaPat), obj.col), obj.t),
-          Some(v.isNull || !v.rlike(javaPat)), "regex did not match")
+        out(CV(when(g.isNotNull, obj.col), obj.t),
+          Some(v.isNull || g.isNull), "regex did not match")
       case "parse_grok" =>
         val v = asStr(a(0, "value"))
         val pat = a.litStr(1, "pattern").getOrElse(

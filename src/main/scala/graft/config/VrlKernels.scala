@@ -469,6 +469,16 @@ object VrlParsers {
   private def nn(c: Column): Column = nullif(c, lit(""))
   private def dash(c: Column): Column = nullif(nullif(c, lit("")), lit("-"))
 
+  /** One-pass group extraction: (match-array, regexp_extract-equivalent
+    * accessor). All accessors share the single RegexGroups subexpression,
+    * so a k-field parser costs one regex run per operator instead of k
+    * (and re-inlined struct fields stay free).
+    */
+  private def groupsOf(v: Column, re: String): (Column, Int => Column) = {
+    val gs = org.apache.spark.sql.graftvec.RegexExpressions.regexGroups(v, re)
+    (gs, i => when(v.isNotNull, coalesce(element_at(gs, i), lit(""))))
+  }
+
   private def obj(fields: (String, CV)*): XV = {
     val cv = VrlCompileAccess.buildObj(ListMap(fields: _*))
     XV(cv, None, lit("parse error"))
@@ -479,7 +489,7 @@ object VrlParsers {
     */
   def commonLog(v: Column, tsFormat: Option[String]): XV = {
     val re = """^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+)$"""
-    def g(i: Int) = regexp_extract(v, re, i)
+    val (gs, g) = groupsOf(v, re)
     val fmt = tsFormat.getOrElse("%d/%b/%Y:%H:%M:%S %z")
     val ts = VrlTime.parse(g(4), fmt)
     val x = obj(
@@ -493,7 +503,7 @@ object VrlParsers {
       "protocol" -> CV(g(7), VStr),
       "status" -> CV(nn(g(8)).cast("bigint"), VInt),
       "size" -> CV(nn(g(9)).cast("bigint"), VInt))
-    XV(CV(when(v.rlike(re), x.cv.col), x.cv.t), Some(v.isNull || !v.rlike(re)), x.msg)
+    XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
   }
 
   /** glog: `I20210131 14:48:54.411655 15520 main.c++:9] Hello world!` */
@@ -502,7 +512,7 @@ object VrlParsers {
     // (parse_klog.cue — year implied; pinned to 2024 for determinism,
     // same trade as parseLinuxAuthorization's year default)
     val re = """^([IWEF])(\d{8}|\d{4}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"""
-    def g(i: Int) = regexp_extract(v, re, i)
+    val (gs, g) = groupsOf(v, re)
     val level = when(g(1) === "I", "info").when(g(1) === "W", "warning")
       .when(g(1) === "E", "error").when(g(1) === "F", "fatal")
     val fullDate = when(length(g(2)) === 4, concat(lit("2024"), g(2))).otherwise(g(2))
@@ -514,7 +524,7 @@ object VrlParsers {
       "file" -> CV(g(5), VStr),
       "line" -> CV(nn(g(6)).cast("bigint"), VInt),
       "message" -> CV(g(7), VStr))
-    XV(CV(when(v.rlike(re), x.cv.col), x.cv.t), Some(v.isNull || !v.rlike(re)), x.msg)
+    XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
   }
 
   private val sevNames = Seq("emerg", "alert", "crit", "err", "warning",
@@ -527,7 +537,7 @@ object VrlParsers {
   /** RFC 5424: `<PRI>VER TS HOST APP PROCID MSGID SD MSG` */
   def syslog(v: Column): XV = {
     val re = """^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (?:(?:-|\[[^\]]*\]) )?(.*)$"""
-    def g(i: Int) = regexp_extract(v, re, i)
+    val (gs, g) = groupsOf(v, re)
     val pri = nn(g(1)).cast("int")
     val x = obj(
       "facility" -> CV(element_at(array(facNames.map(lit): _*), (pri / 8).cast("int") + 1), VStr),
@@ -539,7 +549,7 @@ object VrlParsers {
       "procid" -> CV(dash(g(6)).cast("bigint"), VInt),
       "msgid" -> CV(dash(g(7)), VStr),
       "message" -> CV(g(8), VStr))
-    XV(CV(when(v.rlike(re), x.cv.col), x.cv.t), Some(v.isNull || !v.rlike(re)), x.msg)
+    XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
   }
 
   /** parse_url → scheme/username/password/host/port/path/query/fragment */

@@ -49,14 +49,29 @@ object Grok {
 
   /** A compiled grok expression: anchored regex + ordered field names,
     * fields(i) corresponds to capture group i+1.
+    *
+    * Extraction is ONE `RegexGroups` run per row per operator, not k
+    * `regexp_extract` runs: every field (and `matches`) references the
+    * same array-valued subexpression, which codegen subexpression
+    * elimination evaluates once — so Catalyst re-inlining fields into
+    * filters/projections (SimplifyExtractValueOps, predicate pushdown)
+    * no longer multiplies regex work. Per-field semantics are exactly
+    * `regexp_extract(text, regex, i+1)`: null on null input, "" on
+    * no-match or a non-participating group.
     */
   final case class Compiled(regex: String, fields: Seq[String]) {
+    /** All capture groups in one pass; null when the pattern misses. */
+    def groups(text: Column): Column =
+      org.apache.spark.sql.graftvec.RegexExpressions.regexGroups(text, regex)
+
     /** Columns extracting every named field from `text` (string-typed). */
-    def columns(text: Column): Seq[(String, Column)] =
+    def columns(text: Column): Seq[(String, Column)] = {
+      val g = groups(text)
       fields.zipWithIndex.map { case (f, i) =>
-        f -> regexp_extract(text, regex, i + 1)
+        f -> when(text.isNotNull, coalesce(element_at(g, i + 1), lit("")))
       }
-    def matches(text: Column): Column = text.rlike(regex)
+    }
+    def matches(text: Column): Column = groups(text).isNotNull
   }
 
   private val Token = """%\{(\w+)(?::([\w.\[\]@]+))?\}""".r
@@ -106,15 +121,17 @@ object Grok {
     */
   def applySet(df: DataFrame, text: Column, set: Seq[Compiled]): DataFrame = {
     val allFields = set.flatMap(_.fields).distinct
-    val matchIdx = set.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((c, i), acc) => when(text.rlike(c.regex), lit(i)).otherwise(acc)
+    val gcols = set.map(_.groups(text)) // one shared run per pattern
+    val matchIdx = set.indices.foldRight(lit(-1): Column) {
+      case (i, acc) => when(gcols(i).isNotNull, lit(i)).otherwise(acc)
     }
     val withIdx = df.withColumn("_matched", matchIdx)
     allFields.foldLeft(withIdx) { (acc, f) =>
       val variants = set.zipWithIndex.flatMap { case (c, i) =>
         val gi = c.fields.indexOf(f)
         if (gi < 0) None
-        else Some(when(col("_matched") === i, regexp_extract(text, c.regex, gi + 1)))
+        else Some(when(col("_matched") === i,
+          coalesce(element_at(gcols(i), gi + 1), lit(""))))
       }
       acc.withColumn(f, coalesce(variants: _*))
     }
