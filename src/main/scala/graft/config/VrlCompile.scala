@@ -115,7 +115,8 @@ object VrlCompile {
       abort: Option[Column],
       fanout: Option[Seq[ListMap[String, CV]]],
       tables: Map[String, EnrichTableData] = Map.empty,
-      unnest: Option[String] = None) {
+      unnest: Option[String] = None,
+      meanings: Map[String, String] = Map.empty) {
     def withRaise(r: Option[Column]): Env = copy(raise = orOpt(raise, r))
     def withAbort(a: Option[Column]): Env = copy(abort = orOpt(abort, a))
   }
@@ -271,7 +272,11 @@ object VrlCompile {
                   }
                   when(coalesce(r, lit(false)), orig).otherwise(cv.col)
               }
-              blended.as(n)
+              env.meanings.get(n) match {
+                case Some(m) => blended.as(n, new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString("semantic_meaning", m).build())
+                case None => blended.as(n)
+              }
             }.toSeq
             val types = env.fields.map { case (n, cv) => n -> cv.t }
             (df.select(pass ++ cols: _*), EventMeta(types, None))

@@ -97,6 +97,25 @@ object VrlFunctions {
           case _ => throw VrlUnsupported("remove_secret with non-literal key")
         }
       case "log" => return (XV.pure(nullValue), env)
+      // set_semantic_meaning.cue: assigns meaning at STARTUP, no runtime
+      // behavior — the Spark analog is column metadata stamped on the
+      // output schema at compile/materialize time. Top-level event paths
+      // only (Spark metadata is per-column); returns null like the
+      // reference.
+      case "set_semantic_meaning" =>
+        val target = c.args.headOption
+          .orElse(c.named.collectFirst { case ("target", e) => e })
+        val meaning = c.args.lift(1)
+          .orElse(c.named.collectFirst { case ("meaning", e) => e }) match {
+            case Some(LitS(m)) => m
+            case _ => throw VrlUnsupported("set_semantic_meaning needs a literal meaning")
+          }
+        target match {
+          case Some(FieldRef(Seq(SegName(n)))) =>
+            return (XV.pure(nullValue), env.copy(meanings = env.meanings + (n -> meaning)))
+          case _ => throw VrlUnsupported(
+            "set_semantic_meaning target must be a top-level event path")
+        }
       // get/set/remove (get.cue/set.cue/remove.cue): path-array access
       // over values. The path must be a literal array — VRL's dynamic
       // path strings are a per-row interpreter feature with no
@@ -1259,6 +1278,48 @@ object VrlFunctions {
         // input carried base64 (raw-byte columns aren't portable strings)
         val r = try_parse_json(graft.functions.Vrl.parseCbor(unbase64(asStr(a(0, "value")))))
         out(CV(r, VAny), Some(r.isNull), "unable to parse cbor")
+      case "parse_proto" | "encode_proto" =>
+        // parse_proto.cue / encode_proto.cue: desc_file + message_type are
+        // literal strings; the descriptor set is read and compiled at PLAN
+        // time (same compile-once contract as the reference). Payload
+        // transport is base64 at this boundary, like parse_cbor; bytes
+        // fields inside the message are unsupported here (the
+        // ProtoCodec Column API carries them natively).
+        val descPath = a.litStr(1, "desc_file").getOrElse(
+          throw VrlUnsupported(s"$name without literal desc_file"))
+        val msgType = a.litStr(2, "message_type").getOrElse(
+          throw VrlUnsupported(s"$name without literal message_type"))
+        val descBytes =
+          try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(descPath))
+          catch { case _: java.io.IOException =>
+            throw new IllegalArgumentException(s"desc_file '$descPath' does not exist") }
+        val reg = graft.functions.ProtoDescriptor.parse(descBytes)
+        val md = reg.message(msgType)
+        val st = graft.functions.ProtoCodec.sparkType(md, reg)
+        def noBytes(dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+          case org.apache.spark.sql.types.BinaryType =>
+            throw VrlUnsupported(s"$name: bytes fields need the ProtoCodec Scala API")
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.foreach(f => noBytes(f.dataType))
+          case org.apache.spark.sql.types.ArrayType(e, _) => noBytes(e)
+          case org.apache.spark.sql.types.MapType(k, v2, _) => { noBytes(k); noBytes(v2) }
+          case _ => ()
+        }
+        noBytes(st)
+        if (name == "parse_proto") {
+          val v = asStr(a(0, "value"))
+          val parsed = graft.functions.ProtoCodec.parseProto(unbase64(v), descBytes, msgType)
+          out(CV(parsed, fromSpark(st)), Some(v.isNull || parsed.isNull),
+            "value is not a valid proto payload")
+        } else {
+          val v = a(0, "value")
+          val structCol = v.cv.t match {
+            case VObj(_) => v.cv.col
+            case other => throw VrlUnsupported(s"encode_proto over $other")
+          }
+          val enc = graft.functions.ProtoCodec.encodeProto(structCol, descBytes, msgType)
+          out(CV(base64(enc), VStr), Some(structCol.isNull), "unable to encode proto")
+        }
       case "encode_logfmt" | "encode_key_value" =>
         val v = a(0, "value")
         val kvSep = a.litStr(2, "key_value_delimiter").getOrElse("=")

@@ -239,25 +239,26 @@ object Parsers {
   def influxInt(fieldValue: Column): Column =
     regexp_replace(fieldValue, "i$", "").cast("long")
 
-  /** parse_avro / encode_avro (reference lib/codecs decoding/format/
-    * avro.rs): Spark 4 ships the from_avro/to_avro API in sql-api but
-    * gates evaluation on the spark-avro module jar — absent (as in this
-    * sandbox) any use raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at
-    * analysis time; present, these are the real binary codec. Jar-gated
-    * exactly like the Iceberg TableIO path (spec pins the error class).
+  /** parse_avro / encode_avro via Spark's sql-api binding: Spark 4 ships
+    * from_avro/to_avro in sql-api but gates evaluation on the spark-avro
+    * module jar — absent (as in this sandbox) any use raises
+    * AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at analysis time (spec pins
+    * the error class). The EXERCISABLE codec is [[AvroCodec]], built
+    * directly on avro-java (which IS on the Spark classpath) with the
+    * same datum semantics — oracle-gated by q_avro.
     */
   def fromAvro(c: Column, jsonSchema: String): Column =
     org.apache.spark.sql.avro.functions.from_avro(c, jsonSchema)
   def toAvro(c: Column): Column =
     org.apache.spark.sql.avro.functions.to_avro(c)
 
-  /** parse_protobuf / encode_protobuf (reference lib/codecs
-    * decoding/format/protobuf.rs; the otlp formats are protobuf
-    * messages over these) — same jar-gating as avro: the sql-api
+  /** parse_protobuf / encode_protobuf via Spark's sql-api binding — the
     * binding is always present, evaluation requires the spark-protobuf
     * module (PROTOBUF_NOT_LOADED error otherwise). `descFilePath` is
     * the compiled descriptor set, the analog of the reference's
-    * `desc_file` config.
+    * `desc_file` config. The EXERCISABLE codec is [[ProtoCodec]] — a
+    * self-contained wire-format + descriptor-set kernel (no protobuf
+    * jar), spec-pinned to the parse_proto.cue example.
     */
   def fromProtobuf(c: Column, messageName: String, descFilePath: String): Column =
     org.apache.spark.sql.protobuf.functions.from_protobuf(c, messageName, descFilePath)

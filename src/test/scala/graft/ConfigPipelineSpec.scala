@@ -606,4 +606,19 @@ class ConfigPipelineSpec extends SparkSpec {
       assert(spark.table("cfg_stream_rest").count() == 1)
     } finally { qe.stop(); qu.stop() }
   }
+
+  test("set_semantic_meaning stamps column metadata at compile time, no runtime effect (set_semantic_meaning.cue)") {
+    import spark.implicits._
+    val df = Seq(("u1", "hi")).toDF("user", "text")
+    val prog = VrlAst.parse(
+      """set_semantic_meaning(.user, "user_id")
+        |.norm = downcase!(.text)
+        |""".stripMargin)
+    val r = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema), prog)
+    val userField = r.df.schema("user")
+    assert(userField.metadata.getString("semantic_meaning") == "user_id")
+    // no runtime behavior: values unchanged, the call contributed no column
+    assert(r.df.columns.toSeq == Seq("user", "text", "norm"))
+    assert(r.df.head.getString(0) == "u1")
+  }
 }
