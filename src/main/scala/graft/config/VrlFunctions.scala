@@ -1278,6 +1278,14 @@ object VrlFunctions {
         // input carried base64 (raw-byte columns aren't portable strings)
         val r = try_parse_json(graft.functions.Vrl.parseCbor(unbase64(asStr(a(0, "value")))))
         out(CV(r, VAny), Some(r.isNull), "unable to parse cbor")
+      case "parse_dnstap" =>
+        // parse_dnstap.cue: value IS the base64 representation of the
+        // dnstap frame; typed struct out (Dnstap.schema)
+        val v = asStr(a(0, "value"))
+        val lower = a.litBool(1, "lowercase_hostnames").getOrElse(false)
+        val parsed = graft.functions.Dnstap.parseDnstap(unbase64(v), lower)
+        out(CV(parsed, fromSpark(graft.functions.Dnstap.schema)),
+          Some(v.isNull || parsed.isNull), "dnstap parsing failed for value")
       case "parse_proto" | "encode_proto" =>
         // parse_proto.cue / encode_proto.cue: desc_file + message_type are
         // literal strings; the descriptor set is read and compiled at PLAN

@@ -494,12 +494,16 @@ class ConfigPipelineSpec extends SparkSpec {
   }
 
   test("unsupported VRL features surface as documented skips") {
+    // dynamic (non-literal) paths are a per-row interpreter feature with
+    // no plan-time column equivalent — the canonical documented skip now
+    // that every stdlib FUNCTION is wired (parse_dnstap was the previous
+    // canary here until it landed)
     val topo = Topology.load(
       """
         |[transforms.t]
         |  inputs = []
         |  type = "remap"
-        |  source = ".x = parse_dnstap!(.payload)"
+        |  source = ".x = get!(., .payload)"
         |[[tests]]
         |  name = "skip_me"
         |  [[tests.inputs]]
