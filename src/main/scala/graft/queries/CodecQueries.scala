@@ -70,6 +70,88 @@ object CodecQueries {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------------------ q_proto
+
+  /** Event record for the protobuf round-trip: scalar coverage (string,
+    * int64 via zigzag, double, bool, enum) + a repeated message.
+    */
+  private val EventDesc: Array[Byte] = {
+    import graft.functions.ProtoWire.Writer
+    import graft.functions.ProtoDescriptor._
+    def utf8(s: String) = s.getBytes("UTF-8")
+    def fdp(name: String, number: Int, label: Int, tpe: Int, typeName: String = "") = {
+      val w = new Writer
+      w.writeLenDelim(1, utf8(name))
+      w.writeTag(3, 0).writeVarint(number.toLong)
+      w.writeTag(4, 0).writeVarint(label.toLong)
+      w.writeTag(5, 0).writeVarint(tpe.toLong)
+      if (typeName.nonEmpty) w.writeLenDelim(6, utf8(typeName))
+      w.toBytes
+    }
+    val tag = {
+      val w = new Writer
+      w.writeLenDelim(1, utf8("Tag"))
+      w.writeLenDelim(2, fdp("k", 1, 1, TString))
+      w.writeLenDelim(2, fdp("n", 2, 1, TSInt64))
+      w.toBytes
+    }
+    val kind = {
+      val w = new Writer
+      w.writeLenDelim(1, utf8("Kind"))
+      Seq(("CLICK", 0), ("VIEW", 1), ("ERROR", 2), ("PURCHASE", 3), ("SIGNUP", 4))
+        .foreach { case (n, num) =>
+          val ev = new Writer
+          ev.writeLenDelim(1, utf8(n)); ev.writeTag(2, 0).writeVarint(num.toLong)
+          w.writeLenDelim(2, ev.toBytes)
+        }
+      w.toBytes
+    }
+    val ev = {
+      val w = new Writer
+      w.writeLenDelim(1, utf8("Ev"))
+      w.writeLenDelim(2, fdp("etype", 1, 1, TString))
+      w.writeLenDelim(2, fdp("uid", 2, 1, TSInt64))
+      w.writeLenDelim(2, fdp("score", 3, 1, TDouble))
+      w.writeLenDelim(2, fdp("flag", 4, 1, TBool))
+      w.writeLenDelim(2, fdp("kind", 5, 1, TEnum, ".g.Kind"))
+      w.writeLenDelim(2, fdp("tags", 6, 3, TMessage, ".g.Ev.Tag"))
+      w.writeLenDelim(3, tag)
+      w.toBytes
+    }
+    val file = {
+      val w = new Writer
+      w.writeLenDelim(1, utf8("g.proto")); w.writeLenDelim(2, utf8("g"))
+      w.writeLenDelim(4, ev); w.writeLenDelim(5, kind)
+      w.toBytes
+    }
+    new Writer().writeLenDelim(1, file).toBytes
+  }
+
+  private def qProto(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ProtoCodec
+    val kindName = upper(col("event_type"))
+    val in = struct(
+      col("event_type").as("etype"),
+      col("user_id").as("uid"),
+      col("value").as("score"),
+      (e % 2 === 0).as("flag"),
+      kindName.as("kind"),
+      array(struct(lit("u").as("k"), col("user_id").as("n")),
+        struct(lit("e").as("k"), (-e).as("n"))).as("tags"))
+    val wire = ProtoCodec.encodeProto(in, EventDesc, "g.Ev")
+    val rt = ProtoCodec.parseProto(wire, EventDesc, "g.Ev")
+    events(s, dir).select(
+        e.as("event_id"),
+        length(wire).as("wire_len"),
+        rt.getField("etype").as("rt_etype"),
+        rt.getField("uid").as("rt_uid"),
+        rt.getField("score").as("rt_score"),
+        rt.getField("flag").cast("int").as("rt_flag"),
+        rt.getField("kind").as("rt_kind"),
+        element_at(rt.getField("tags"), 2).getField("n").as("rt_tag_n"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ q_arrow
 
   private def qArrow(s: SparkSession, dir: String): DataFrame = {
@@ -87,6 +169,7 @@ object CodecQueries {
 
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_avro"  -> (qAvro _),
+    "q_proto" -> (qProto _),
     "q_arrow" -> (qArrow _)
   )
 
@@ -106,6 +189,29 @@ object CodecQueries {
            CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS rt_flag,
            CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS rt_note
          FROM events ORDER BY event_id""",
+    "q_proto" ->
+      // wire_len reconstructs the proto wire SIZE independently: per-field
+      // tag bytes + varint lengths (3-tier CASE valid to 2^21, ids are
+      // far below) + fixed64 double + len-delimited strings/submessages:
+      //   etype (2+len) + uid (1+VL(2*uid)) + score 9 + flag 2 + kind 2
+      //   + tag1 (2+3+1+VL(2*uid)) + tag2 (2+3+1+VL(zigzag(-event_id)))
+      """WITH v AS (
+           SELECT *,
+             CASE WHEN 2*user_id < 128 THEN 1
+                  WHEN 2*user_id < 16384 THEN 2 ELSE 3 END AS vl_uid,
+             CASE WHEN (CASE WHEN event_id = 0 THEN 0 ELSE 2*event_id - 1 END) < 128 THEN 1
+                  WHEN (CASE WHEN event_id = 0 THEN 0 ELSE 2*event_id - 1 END) < 16384 THEN 2
+                  ELSE 3 END AS vl_neg
+           FROM events)
+         SELECT event_id,
+           CAST(28 + length(event_type) + 2 * vl_uid + vl_neg AS INT) AS wire_len,
+           event_type AS rt_etype,
+           user_id AS rt_uid,
+           "value" AS rt_score,
+           CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS rt_flag,
+           upper(event_type) AS rt_kind,
+           -event_id AS rt_tag_n
+         FROM v ORDER BY event_id""",
     "q_arrow" ->
       """SELECT event_id,
            strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
