@@ -152,6 +152,29 @@ object CodecQueries {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------------------ q_native
+
+  /** native (protobuf) round-trip: a native_json metric line -> proto
+    * EventArray frame -> back to the line. The oracle reconstructs the
+    * DECODED line independently (decodeMetric's deterministic key
+    * order: name, tags, kind, arm) and checks the frame length — tag
+    * bytes + varint sizes + fixed64 double, like q_proto.
+    */
+  private def qNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{NativeJson, NativeProto}
+    val vt = when(e % 2 === 0, "counter").otherwise("gauge")
+    val kind = when(e % 2 === 0, "incremental").otherwise("absolute")
+    val line = NativeJson.encodeMetric(concat(lit("m"), e % 5),
+      map(lit("tool"), col("event_type")), kind, vt, e + lit(0.5))
+    val frame = NativeProto.encodeNative(line)
+    val rt = element_at(NativeProto.decodeNative(frame), 1)
+    events(s, dir).select(
+        e.as("event_id"),
+        length(frame).as("frame_len"),
+        rt.as("rt_line"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ q_arrow
 
   private def qArrow(s: SparkSession, dir: String): DataFrame = {
@@ -168,9 +191,10 @@ object CodecQueries {
   }
 
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "q_avro"  -> (qAvro _),
-    "q_proto" -> (qProto _),
-    "q_arrow" -> (qArrow _)
+    "q_avro"   -> (qAvro _),
+    "q_proto"  -> (qProto _),
+    "q_native" -> (qNative _),
+    "q_arrow"  -> (qArrow _)
   )
 
   // ====================================================== DuckDB oracle
@@ -212,6 +236,21 @@ object CodecQueries {
            upper(event_type) AS rt_kind,
            -event_id AS rt_tag_n
          FROM v ORDER BY event_id""",
+    "q_native" ->
+      // frame_len from the wire rules: EventArray(2:len) > MetricArray
+      // (1:len) > Metric{name 1 (2+2B), kind (2B, absolute only),
+      // tags entry (2 + {2+4 tool, 2+len(T)}), counter|gauge (2 + 9)}
+      // = 29 + len(event_type) + 2*odd; rt_line reconstructs the
+      // decoder's deterministic rendering (name, tags, kind, arm)
+      """SELECT event_id,
+           CAST(29 + length(event_type)
+                + CASE WHEN event_id % 2 = 1 THEN 2 ELSE 0 END AS INT) AS frame_len,
+           '{"metric":{"name":"m' || (event_id % 5)
+             || '","tags":{"tool":"' || event_type || '"},"kind":'
+             || CASE WHEN event_id % 2 = 0 THEN '"incremental"' ELSE '"absolute"' END
+             || ',"' || CASE WHEN event_id % 2 = 0 THEN 'counter' ELSE 'gauge' END
+             || '":{"value":' || CAST(event_id + 0.5 AS VARCHAR) || '}}}' AS rt_line
+         FROM events ORDER BY event_id""",
     "q_arrow" ->
       """SELECT event_id,
            strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
