@@ -202,8 +202,13 @@ object Bench {
       val out = Files.createTempDirectory(s"graft-bench-sink-$cpus-$rep")
       val (_, sec) = timed {
         val st = Pipeline.buildFrom(spark, spark.read.parquet(inputDir))
+        // footerStats: lineage from parquet footers — the at-scale
+        // checkpoint (no second pass over the written data)
         graft.sinks.MultiSink.writeWithCheckpoint(
-          st.routed, s"$out/data", s"$out/manifest", s"bench-$cpus-$rep")
+          st.routed, s"$out/data", s"$out/manifest", s"bench-$cpus-$rep",
+          footerStats = true,
+          knownPorts = Some(Pipeline.routeConditions.keys.toSet +
+            graft.operators.Route.UnmatchedPort))
       }
       org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
       sec

