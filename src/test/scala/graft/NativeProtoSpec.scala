@@ -95,6 +95,37 @@ class NativeProtoSpec extends SparkSpec {
         failures.take(10).mkString("\n"))
   }
 
+  test("older proto generations (pre-v24/34/41) decode against their paired json — forward compatibility") {
+    assume(Files.isDirectory(protoDir), "reference corpus not present")
+    import scala.jdk.CollectionConverters._
+    Seq("pre-v24", "pre-v34", "pre-v41").foreach { gen =>
+      val pDir = protoDir.resolve(gen); val jDir = jsonDir.resolve(gen)
+      assume(Files.isDirectory(pDir) && Files.isDirectory(jDir), s"$gen absent")
+      val genPairs = Files.list(pDir).iterator().asScala
+        .filter(_.toString.endsWith(".pb"))
+        .map { p =>
+          val name = p.getFileName.toString.stripSuffix(".pb")
+          (s"$gen/$name", Files.readAllBytes(p),
+            new String(Files.readAllBytes(jDir.resolve(s"$name.json")), "UTF-8").trim)
+        }.toSeq
+      assert(genPairs.size >= 500, s"$gen: only ${genPairs.size} pairs")
+      val knownCorpusGap =
+        """.*\.metric\.sketch\.sketch\.AgentDDSketch\.(sum|avg): .*""".r
+      val failures = genPairs.flatMap { case (name, pb, jsonLine) =>
+        scala.util.Try(NativeProto.decodeToNode(pb))
+          .fold(e => Some(s"$name: threw ${e.getMessage}"),
+            node => sameTree(node, mapper.readTree(jsonLine), name))
+      }.filterNot(f => knownCorpusGap.pattern.matcher(f).matches())
+        // pre-v41/0000's .pb holds a METRIC while its .json holds a log —
+        // a generation artifact of the corpus itself (the .pb's first
+        // byte is an EventArray field-2 MetricArray tag); the reference
+        // #[ignore]s pre_v41_native_decoding_matches entirely
+        .filterNot(_.startsWith("pre-v41/0000: keys "))
+      assert(failures.isEmpty,
+        s"$gen: ${failures.size} diverged; first 5:\n" + failures.take(5).mkString("\n"))
+    }
+  }
+
   test("native proto encode round-trip: decode(encode(decode(pb))) over the corpus") {
     assume(Files.isDirectory(protoDir), "reference corpus not present")
     val failures = pairs.flatMap { case (name, pb, _) =>
