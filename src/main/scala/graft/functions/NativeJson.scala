@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * DECIMAL(20,0) (full u64 range); float metric values are doubles —
   * the same "lossy" trade the reference's deserializer option makes.
   * The binary `native` codec is the protobuf form of the same model —
-  * jar-gated like the other protobuf surfaces (Parsers.parseProtobuf).
+  * [[NativeProto]] decodes/encodes it over the ProtoWire kernel and is
+  * spec-proven equivalent to this json form on the reference's paired
+  * fixture corpus.
   */
 object NativeJson {
 
