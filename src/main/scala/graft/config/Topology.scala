@@ -160,16 +160,22 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           }
 
       case "exclusive_route" =>
-        var prior: Column = lit(false)
-        val outs = cfg.tabs("routes").map { r =>
+        // ONE first-match-wins pass (Route.exclusive's when-chain), not
+        // one filter per port: same multicast-scan-amplification fix as
+        // `route` above, and a condition erroring to NULL falls through
+        // to the next route / `_unmatched` (the filter-chain form's
+        // `!prior` went null and silently dropped such rows from every
+        // port). Bare name = the tagged frame, per-port names filter it.
+        val conds = ListMap(cfg.tabs("routes").map { r =>
           val nm = r.str("name").getOrElse(
             throw new IllegalArgumentException(s"exclusive_route $name: route without name"))
-          val c = Conditions.compile(r.get("condition"), in, enrichmentTables)
-          val keep = c && !prior
-          prior = prior || c
-          nm -> in.copy(df = in.df.filter(keep))
-        }
-        outs :+ ("_unmatched" -> in.copy(df = in.df.filter(!prior)))
+          nm -> Conditions.compile(r.get("condition"), in, enrichmentTables)
+        }: _*)
+        val tagged = graft.operators.Route.exclusive(in.df, conds)
+        Seq("" -> in.copy(df = tagged)) ++
+          (conds.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
+            p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
+          }
 
       case "dedupe" =>
         val fieldsTab = cfg.tab("fields")
