@@ -113,15 +113,24 @@ object TextDedup {
         // split postings at the cap: HOT shingles (df > cap) are the
         // few boilerplate ones; COLD carry the content
         val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        // persisted: cold feeds BOTH sides of the candidate self-join —
+        // without the persist each side recomputes the df agg + join
+        // over the full shingle set (2× the dominant scan). Same
+        // size-class as `sh` (it IS sh minus the few hot postings).
         val cold = sh.join(dfs.filter(col("__df") <= cap).select(col("h")), Seq("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hotSh = sh.join(dfs.filter(col("__df") > cap).select(col("h")), Seq("h"))
         // candidate pairs + their COLD intersection in one pass — the
         // cold self-join IS the intersection count (sh is distinct), no
-        // re-verification join needed
+        // re-verification join needed. Persisted: referenced by the
+        // hot-intersection build AND the final cold+hot merge; pair
+        // rows are few (true near-dup candidates), recompute is the
+        // whole self-join.
         val coldInter = cold.as("x").join(cold.as("y"),
             col("x.h") === col("y.h") && col("x.id") < col("y.id"))
           .groupBy(col("x.id").as("a"), col("y.id").as("b"))
           .agg(count(lit(1)).as("__inter_cold"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // HOT intersection only for the candidates: join each pair to
         // its two hot-posting lists (rows ~ |cand| × hot-shingles/doc —
         // zero when the corpus has no hot shingles). inter = cold + hot
@@ -165,7 +174,13 @@ object TextDedup {
     val minAggs = fam.map { case (i, a, b) =>
       min(PortableHash.perm(col("h"), a, b)).as(s"mh$i")
     }
+    // persisted: the band explode feeds BOTH sides of the candidate
+    // self-join, and without the persist each side re-runs the k-min
+    // aggregation over the full shingle set (the chain's dominant
+    // scan). Size is #docs × k longs — orders of magnitude smaller
+    // than the shingle set it summarizes.
     val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band j signature: ':'-concat of minhashes j*r .. j*r+r-1 (hash order)
     val bandStructs = (0 until k / r).map { j =>
       struct(lit(j).as("band"),
@@ -247,9 +262,13 @@ object TextDedup {
       struct(lit(j).as("blk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
     }
+    // persisted: feeds both sides of the block equi-join; without it
+    // each side re-runs the upstream simhash aggregation (a bit-sum agg
+    // over the full shingle set). nb×#docs rows — tiny.
     val exploded = fps
       .select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exploded.as("x").join(exploded.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
