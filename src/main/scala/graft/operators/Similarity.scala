@@ -131,7 +131,12 @@ object Similarity {
       .select(col("id"), col("v"), col("norm"), col("cid"),
         cosine(col("v"), col("cv"), col("norm"), col("cn")).as("csim"))
     val cw = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    // persisted: assignment (crank=1) and probing (crank<=nProbe) both
+    // derive from this ranked frame — without the cache each side
+    // re-runs the corpus×centroid cosine pass and its window sort.
     val ranked = centSims.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= math.max(nProbe, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("cid").as("cell"), col("id"), col("v"), col("norm"))
     val probes = ranked.filter(col("crank") <= nProbe)
@@ -237,7 +242,11 @@ object Similarity {
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
                   k: Int, b: Int, probeRadius: Int = 1,
                   confidenceBits: Int = 0): DataFrame = {
+    // persisted: `c` is both the corpus side of the bucket join and the
+    // base of the query-probe explode — one embedding scan + norm pass
+    // instead of two. One row per vector (narrower than the raw table).
     val c = prep(df, id, vec).withColumn("bucket", signBucket(col("v"), b))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maskArr =
       if (confidenceBits > 0) confidenceProbes(col("v"), b, confidenceBits)
       else array(probeMasks(b, probeRadius).map(lit): _*)
