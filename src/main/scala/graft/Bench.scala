@@ -46,6 +46,13 @@ object Bench {
       // byte-based coalescing would squeeze the post-shuffle stage into
       // 1-2 tasks and serialize the parse — keep the partition count
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // split sizing: the ~800 MB scaling input bin-packs to 6 (at N=4)
+      // / 16 (at 4N=16) coarse splits under the 128 MB default — one
+      // ragged wave, 25-36% slower at EACH level (measured). 16 MB
+      // pins it to 64 even file-splits at both levels. At real scale
+      // this knob is moot (100 TB / 128 MB ≈ 800k splits >> cores);
+      // the explicit value is the small-input sandbox analog.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -149,7 +156,12 @@ object Bench {
     // such window poison that level — and therefore the RATIO — while
     // alternation plus per-level min needs only one clean pair somewhere
     // in the sequence.
-    val pairs = (1 to 3).map { _ =>
+    // 5 pairs (vs 3 for the longer write job): the 4N level needs all
+    // 16 cores simultaneously free, so it lands a clean window less
+    // often than the N level — with too few pairs the N level catches
+    // one and the 4N level doesn't, and the min-per-level ratio reads
+    // artificially low. More pairs = more draws for the scarcer event.
+    val pairs = (1 to 5).map { _ =>
       (scaleRunOnce(inputDir, ScaleN), scaleRunOnce(inputDir, Scale4N))
     }
     val tN = pairs.map(_._1).min
@@ -256,26 +268,35 @@ object Bench {
          |  manifest — a metadata pass, no data re-read) in place of the
          |  aggregate count. The fan-out write is `partitionBy("port")`
          |  on the routed stream — NO added exchange (`.explain` shows
-         |  the write consuming the route stage directly). The ratio is
-         |  pinned by this sandbox's single shared virtual disk, and the
-         |  floor is MEASURED, not conjectured: `dd … conv=fdatasync`
-         |  sustains 32 MB/s (fully sys-bound in the virtio path), the
-         |  sink writes ~716 MB zstd at this scale, so ≥22 s of any
-         |  write-included wall is non-scaling disk time at EVERY core
-         |  count — at 4N that floor alone is ~2/3 of the whole job
-         |  (write stage throughput measures ~34 MB/s, i.e. the disk,
-         |  not the CPUs, is the binding resource). Back-of-envelope:
-         |  wall(4N) ≈ narrow-compute(4N) + 716 MB / 32 MB/s matches
-         |  the clean-window measurement within noise. zstd (vs
-         |  snappy's ~35% more bytes) is the right codec ON this disk —
-         |  it converts scarce bandwidth into abundant CPU. On a real
-         |  multi-executor cluster each executor writes to its own
-         |  disks/object-store shards (aggregate bandwidth ∝ executors),
-         |  so the floor term itself scales; the plan-shape evidence
-         |  (zero added exchange, metadata-only manifest) plus the
-         |  compute-side efficiency above is the scaling argument for
-         |  the sink stage. The north rule's ≥0.8 criterion is measured
-         |  on the pipeline job (the compute row above).
+         |  the write consuming the route stage directly). Two control
+         |  experiments (`tools/WriteBench`) locate what limits the
+         |  ratio: (a) pointing the sink at tmpfs
+         |  (`WB_OUT_BASE=/dev/shm`) reproduces the physical-disk walls
+         |  and ratio within noise, so the sink is CPU-bound (parquet
+         |  encode + zstd), NOT disk-bound — the raw disk sustains only
+         |  32 MB/s fdatasync, but Spark commits through the page cache
+         |  and never blocks on it at this scale; (b) input-split
+         |  granularity dominates both levels (the maxPartitionBytes
+         |  note below — 25-36% per-level once fixed). The residue is
+         |  this shared host's CPU-contention profile, which hits the
+         |  fully-occupied 4N run hardest. zstd stays the sink codec:
+         |  ~35% fewer bytes than snappy onto any real sink medium at
+         |  write-included walls that measure at-or-below snappy's in
+         |  like-for-like runs. On a real multi-executor cluster each
+         |  executor adds its own disks/object-store shards (sink
+         |  bandwidth ∝ executors); the plan-shape evidence (zero added
+         |  exchange, metadata-only manifest) plus the compute-side
+         |  efficiency above is the scaling argument for the sink
+         |  stage. The north rule's ≥0.8 criterion is measured on the
+         |  pipeline job (the compute row above).
+         |- split sizing: `spark.sql.files.maxPartitionBytes=16m` pins
+         |  the ~800 MB input to 64 even file-splits at BOTH levels;
+         |  the 128 MB default bin-packs it into 6 (N) / 16 (4N) coarse
+         |  splits — one ragged wave at 4N — measured 25-36% slower at
+         |  EACH level. At real scale the knob is moot (100 TB / 128 MB
+         |  ≈ 800k splits >> any executor count); the explicit value is
+         |  the small-input sandbox analog, applied identically to both
+         |  levels.
          |- config: AQE on, skew-join on, shuffle.partitions = 2×cores,
          |  broadcast enrich join (no shuffle), single event-time shuffle
          |  for the aggregate; reference throughput ballpark: Vector's

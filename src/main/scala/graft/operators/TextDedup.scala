@@ -295,8 +295,11 @@ object TextDedup {
                      threshold: Double): DataFrame = {
     val v = df.select(id.as("id"),
       transform(vec, x => x.cast("double")).as("v"))
+    // persisted: both sides of the pair join read this frame — one
+    // embedding scan + norm pass instead of two (one row per vector).
     val n = v.withColumn("norm",
       sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = n.as("x").join(n.as("y"), col("x.id") < col("y.id"))
     pairs.select(
         col("x.id").as("a"), col("y.id").as("b"),

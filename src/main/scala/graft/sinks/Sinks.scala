@@ -35,10 +35,12 @@ trait TableIO {
   */
 object ParquetIO extends TableIO {
   /** Sink compression: zstd — ~35% fewer bytes than snappy on this
-    * text-heavy payload (193 vs 294 MB at bench scale). A sink write is
-    * bandwidth-bound where scans are CPU-bound, so the archival codec
-    * belongs here even though scans default to snappy; measured
-    * write-included scaling 0.67 vs 0.53 at equal cores.
+    * text-heavy payload. Measured (tools/WriteBench, incl. a tmpfs
+    * control): the sandbox write path is CPU-bound, and zstd's extra
+    * compression CPU still lands at-or-below snappy's write-included
+    * walls in like-for-like runs — so the archival codec wins on bytes
+    * without losing wall. On a real cluster sink (object store / NVMe)
+    * the byte saving additionally buys back bandwidth.
     */
   val Compression = "zstd"
   def write(df: DataFrame, target: String, partitionBy: Seq[String],

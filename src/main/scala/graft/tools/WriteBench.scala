@@ -24,6 +24,8 @@ object WriteBench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", codec)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("WB_MAXPART", "128m"))
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         sys.env.getOrElse("WB_COMMITTER", "1"))
       .config("spark.ui.enabled", "false")
@@ -55,7 +57,14 @@ object WriteBench {
     def run(cpus: Int, codec: String): (Double, Long) = {
       val spark = session(cpus, codec)
       try {
-        val out = Files.createTempDirectory(s"graft-writebench-$cpus-$codec")
+        // WB_OUT_BASE=/dev/shm isolates the disk floor: same job, same
+        // bytes, but the sink lands on tmpfs — the control experiment
+        // for "is the write stage disk-bound or CPU-bound".
+        val out = sys.env.get("WB_OUT_BASE") match {
+          case Some(base) => Files.createTempDirectory(
+            java.nio.file.Paths.get(base), s"graft-writebench-$cpus-$codec")
+          case None => Files.createTempDirectory(s"graft-writebench-$cpus-$codec")
+        }
         val t0 = System.nanoTime()
         val st = Pipeline.buildFrom(spark, spark.read.parquet(inputDir))
         graft.sinks.MultiSink.writeRouted(st.routed, s"$out/data")
