@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink layer: table-format abstraction, route fan-out writes, and the
@@ -93,17 +93,30 @@ object MultiSink {
     * port PRESENCE, not counts), and the exact distinct's Expand +
     * second exchange would double the manifest pass over the committed
     * data for a number nobody consumes exactly.
+    *
+    * The stats columns are computed only when the frame carries them —
+    * the config front-end points this manifest at arbitrary sink
+    * schemas, where a missing `conv_id`/`turn_idx`/`ts` yields a null
+    * stat, not an analysis error. Resume keys off port presence, so
+    * nulls here cost nothing.
     */
-  def manifestFor(routed: DataFrame, jobId: String): DataFrame =
+  def manifestFor(routed: DataFrame, jobId: String): DataFrame = {
+    val cols = routed.columns.toSet
+    def ifHas(c: String)(agg: => Column, orElse: Column): Column =
+      if (cols.contains(c)) agg else orElse
     routed.groupBy(col("port"))
       .agg(
         count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("conv_id")).as("n_convs"),
-        min(col("turn_idx")).as("min_turn"),
-        max(col("turn_idx")).as("max_turn"),
-        date_format(min(col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("min_ts"),
-        date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("max_ts"))
+        ifHas("conv_id")(approx_count_distinct(col("conv_id")),
+          lit(null).cast("long")).as("n_convs"),
+        ifHas("turn_idx")(min(col("turn_idx")), lit(null).cast("int")).as("min_turn"),
+        ifHas("turn_idx")(max(col("turn_idx")), lit(null).cast("int")).as("max_turn"),
+        ifHas("ts")(date_format(min(col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit(null).cast("string")).as("min_ts"),
+        ifHas("ts")(date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit(null).cast("string")).as("max_ts"))
       .withColumn("job_id", lit(jobId))
+  }
 
   /** Footer-statistics manifest: the same per-port lineage row computed
     * from the committed files' PARQUET FOOTERS — row counts and column
@@ -163,16 +176,23 @@ object MultiSink {
           (port, n, minT, maxT, minTs, maxTs)
         } finally reader.close()
       }
+    // Sentinels survive when a file carries no turn_idx/ts stats at all
+    // (config-front-end sinks have arbitrary schemas) — null them out
+    // rather than let the int cast overflow under ANSI mode.
+    def defined(c: String, sentinel: Long): Column =
+      when(col(c) =!= sentinel, col(c))
     spark.createDataFrame(rows).toDF(
         "port", "n_rows", "min_t", "max_t", "min_us", "max_us")
       .groupBy(col("port"))
       .agg(
         sum(col("n_rows")).as("n_rows"),
         lit(null).cast("long").as("n_convs"),
-        min(col("min_t")).cast("int").as("min_turn"),
-        max(col("max_t")).cast("int").as("max_turn"),
-        date_format(timestamp_micros(min(col("min_us"))), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("min_ts"),
-        date_format(timestamp_micros(max(col("max_us"))), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("max_ts"))
+        min(defined("min_t", Long.MaxValue)).cast("int").as("min_turn"),
+        max(defined("max_t", Long.MinValue)).cast("int").as("max_turn"),
+        date_format(timestamp_micros(min(defined("min_us", Long.MaxValue))),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("min_ts"),
+        date_format(timestamp_micros(max(defined("max_us", Long.MinValue))),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("max_ts"))
       .withColumn("job_id", lit(jobId))
   }
 
