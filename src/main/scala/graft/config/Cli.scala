@@ -1,0 +1,70 @@
+package graft.config
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line entry points for the config front-end — the analog of
+  * the reference binary's two main verbs (SURVEY §3.1, §3.3):
+  *
+  *   `graft.config.Cli run <topology.toml>`  — load a TOML topology
+  *     (sources → transforms → sinks), execute it as one batch
+  *     evaluation, print rows written per sink. Mirrors `vector run`
+  *     (src/app.rs:171-243) with the lifecycle collapsed to a single
+  *     Spark job; exit 0 on success.
+  *
+  *   `graft.config.Cli test <topology.toml>`  — run the `[[tests]]`
+  *     blocks (insert_at / extract_from / no_outputs_from / VRL
+  *     conditions) through `UnitTestHarness` and print one line per
+  *     test. Mirrors `vector test` (src/config/unit_test/mod.rs:103);
+  *     exit 1 if any test fails (documented-skip results don't fail).
+  *
+  * Spark config comes from the environment when run via spark-submit;
+  * standalone runs get a local session sized by SPARK_GRAFT_CPUS.
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val builder = SparkSession.builder()
+      .appName("graft-config")
+      .config("spark.sql.session.timeZone", "UTC")
+    // only force a master when none is supplied (spark-submit sets one)
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+      builder.master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus * 2)
+        .config("spark.ui.enabled", "false")
+    }
+    val s = builder.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val usage = "usage: graft.config.Cli run|test <topology.toml>"
+    if (args.length != 2) { System.err.println(usage); sys.exit(2) }
+    val spark = session()
+    try {
+      args(0) match {
+        case "run" =>
+          val written = Topology.loadFile(args(1)).execute(spark)
+          written.foreach { case (sink, n) => println(s"sink $sink: $n rows") }
+        case "test" =>
+          val results = UnitTestHarness.runFile(spark, args(1))
+          var failed = 0
+          results.foreach { r =>
+            val status = r match {
+              case _ if r.passed           => "pass"
+              case _ if r.skipped.nonEmpty => s"skip (${r.skipped.get})"
+              case _                       => failed += 1; "FAIL"
+            }
+            println(s"test '${r.name}': $status")
+            r.errors.foreach(e => println(s"  $e"))
+          }
+          println(s"${results.count(_.passed)} passed, " +
+            s"${results.count(_.skipped.nonEmpty)} skipped, $failed failed")
+          if (failed > 0) sys.exit(1)
+        case other =>
+          System.err.println(s"unknown verb '$other'\n$usage"); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

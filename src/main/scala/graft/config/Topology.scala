@@ -40,6 +40,19 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
   import Topology._
 
+  /** Config paths resolve relative to the TOML file's directory (the
+    * reference's behavior for config-adjacent files); absolute paths
+    * pass through untouched — `Paths.get(dir, "/abs")` would silently
+    * RELATIVIZE them (Java joins the components), which broke any
+    * loadFile'd config pointing at an absolute data/output location.
+    */
+  private def resolvePath(p: String): String = {
+    val path = java.nio.file.Paths.get(p)
+    if (path.isAbsolute) p
+    else fileDir.map(d => java.nio.file.Paths.get(d).resolve(path).toString)
+      .getOrElse(p)
+  }
+
   val transforms: ListMap[String, TTab] =
     root.tab("transforms") match {
       case Some(t) =>
@@ -66,9 +79,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
               throw new IllegalArgumentException(s"enrichment table $n: no path"))
             val delim = file.tab("encoding").flatMap(_.str("delimiter"))
               .map(_.head).getOrElse(',')
-            val full = fileDir.map(d => java.nio.file.Paths.get(d, path).toString)
-              .getOrElse(path)
-            n -> loadCsvTable(full, delim)
+            n -> loadCsvTable(resolvePath(path), delim)
           case other =>
             throw VrlUnsupported(s"enrichment table type ${other.getOrElse("?")}")
         }
@@ -332,8 +343,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     sources.map { case (name, cfg) =>
       val path0 = cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"source $name: no path"))
-      val path = fileDir.map(d => java.nio.file.Paths.get(d, path0).toString)
-        .getOrElse(path0)
+      val path = resolvePath(path0)
       val frame = cfg.str("type") match {
         case Some("parquet") =>
           val df = spark.read.parquet(path)
@@ -371,8 +381,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       val df = in.df.drop(SeqCol)
       val path0 = cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"sink $name: no path"))
-      val path = fileDir.map(d => java.nio.file.Paths.get(d, path0).toString)
-        .getOrElse(path0)
+      val path = resolvePath(path0)
       val n = df.count()
       cfg.str("type") match {
         case Some("parquet") =>
@@ -419,8 +428,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
   }
 
   private def readRelative(p: String): String = {
-    val f = fileDir.map(d => java.nio.file.Paths.get(d, p))
-      .getOrElse(java.nio.file.Paths.get(p))
+    val f = java.nio.file.Paths.get(resolvePath(p))
     new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
   }
 }
