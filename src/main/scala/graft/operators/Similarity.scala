@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.VectorOps
+import org.apache.spark.sql.graftvec.CacheOps._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -136,7 +137,7 @@ object Similarity {
     // re-runs the corpus×centroid cosine pass and its window sort.
     val ranked = centSims.withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= math.max(nProbe, 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("cid").as("cell"), col("id"), col("v"), col("norm"))
     val probes = ranked.filter(col("crank") <= nProbe)
@@ -246,7 +247,7 @@ object Similarity {
     // base of the query-probe explode — one embedding scan + norm pass
     // instead of two. One row per vector (narrower than the raw table).
     val c = prep(df, id, vec).withColumn("bucket", signBucket(col("v"), b))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val maskArr =
       if (confidenceBits > 0) confidenceProbes(col("v"), b, confidenceBits)
       else array(probeMasks(b, probeRadius).map(lit): _*)

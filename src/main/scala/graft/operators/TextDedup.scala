@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.PortableHash
+import org.apache.spark.sql.graftvec.CacheOps._
 
 /** Document-corpus deduplication — the training-data-pipeline extension
   * of Vector's per-event `dedupe` transform (src/transforms/dedupe/) to
@@ -76,7 +77,7 @@ object TextDedup {
                                n: Int): DataFrame =
     shingles(df, id, text, n)
       .select(col("id"), PortableHash.h60(col("shingle")).as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
 
   /** Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
     * Output: (a, b, inter, na, nb, jaccard) with a < b.
@@ -118,7 +119,7 @@ object TextDedup {
         // over the full shingle set (2× the dominant scan). Same
         // size-class as `sh` (it IS sh minus the few hot postings).
         val cold = sh.join(dfs.filter(col("__df") <= cap).select(col("h")), Seq("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         val hotSh = sh.join(dfs.filter(col("__df") > cap).select(col("h")), Seq("h"))
         // candidate pairs + their COLD intersection in one pass — the
         // cold self-join IS the intersection count (sh is distinct), no
@@ -130,7 +131,7 @@ object TextDedup {
             col("x.h") === col("y.h") && col("x.id") < col("y.id"))
           .groupBy(col("x.id").as("a"), col("y.id").as("b"))
           .agg(count(lit(1)).as("__inter_cold"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         // HOT intersection only for the candidates: join each pair to
         // its two hot-posting lists (rows ~ |cand| × hot-shingles/doc —
         // zero when the corpus has no hot shingles). inter = cold + hot
@@ -180,7 +181,7 @@ object TextDedup {
     // scan). Size is #docs × k longs — orders of magnitude smaller
     // than the shingle set it summarizes.
     val sig = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // band j signature: ':'-concat of minhashes j*r .. j*r+r-1 (hash order)
     val bandStructs = (0 until k / r).map { j =>
       struct(lit(j).as("band"),
@@ -268,7 +269,7 @@ object TextDedup {
     val exploded = fps
       .select(col("id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.blk").as("blk"), col("b.bv").as("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     exploded.as("x").join(exploded.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
@@ -299,7 +300,7 @@ object TextDedup {
     // embedding scan + norm pass instead of two (one row per vector).
     val n = v.withColumn("norm",
       sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val pairs = n.as("x").join(n.as("y"), col("x.id") < col("y.id"))
     pairs.select(
         col("x.id").as("a"), col("y.id").as("b"),
