@@ -46,6 +46,30 @@ class SinkSpec extends SparkSpec {
       .filter(col("n_convs").isNotNull).count() == 0)
   }
 
+  test("manifests degrade to null stats on non-transcript schemas") {
+    // the config front-end points checkpointed sinks at arbitrary
+    // schemas: absent conv_id/turn_idx/ts must yield null stats, not an
+    // analysis error (exact path) or an ANSI sentinel overflow on the
+    // Long.MaxValue/MinValue footer accumulators (footer path)
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0))
+      .toDF("port", "value")
+    val exact = MultiSink.manifestFor(df, "j")
+      .orderBy("port").collect()
+    assert(exact.map(r => r.getAs[String]("port") -> r.getAs[Long]("n_rows")).toSeq
+      == Seq("a" -> 2L, "b" -> 1L))
+    assert(exact.forall(r => r.isNullAt(r.fieldIndex("min_turn"))
+      && r.isNullAt(r.fieldIndex("min_ts"))))
+    val dataDir = tmp(); val manifestDir = tmp()
+    MultiSink.writeWithCheckpoint(df, dataDir, manifestDir, "j2",
+      footerStats = true)
+    val footer = ParquetIO.read(spark, manifestDir).orderBy("port").collect()
+    assert(footer.map(r => r.getAs[String]("port") -> r.getAs[Long]("n_rows")).toSeq
+      == Seq("a" -> 2L, "b" -> 1L))
+    assert(footer.forall(r => r.isNullAt(r.fieldIndex("min_turn"))
+      && r.isNullAt(r.fieldIndex("min_ts"))))
+  }
+
   test("manifest carries per-port lineage + metrics") {
     val m = MultiSink.manifestFor(routed, "job1").collect()
       .map(r => r.getAs[String]("port") -> r.getAs[Long]("n_rows")).toMap
