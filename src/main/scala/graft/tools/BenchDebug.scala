@@ -20,6 +20,7 @@ object BenchDebug {
       .config("spark.sql.shuffle.partitions", cpus * 2)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,13 +39,19 @@ object BenchDebug {
         .agg(count(lit(1)), sum(col("latency_ms"))).count()
     }
     def full() = Pipeline.buildFrom(spark, in).aggregated.count()
-    // warmups
-    scanOnly(); parseOnly(); noDistinct(); full()
-    (1 to 2).foreach { i =>
-      t(s"scanOnly#$i")(scanOnly())
-      t(s"parseOnly#$i")(parseOnly())
-      t(s"noDistinct#$i")(noDistinct())
-      t(s"full#$i")(full())
+    val fullOnly = args.length > 2 && args(2) == "fullOnly"
+    if (fullOnly) {
+      full()
+      (1 to 2).foreach(i => t(s"full#$i")(full()))
+    } else {
+      // warmups
+      scanOnly(); parseOnly(); noDistinct(); full()
+      (1 to 2).foreach { i =>
+        t(s"scanOnly#$i")(scanOnly())
+        t(s"parseOnly#$i")(parseOnly())
+        t(s"noDistinct#$i")(noDistinct())
+        t(s"full#$i")(full())
+      }
     }
     spark.stop()
   }
