@@ -220,7 +220,7 @@ object Bench {
       try s.read.parquet(wFiles: _*).count() finally s.stop()
     }
     writeRun(wFiles, Scale4N, 0)
-    val wPairs = (1 to 2).map { r =>
+    val wPairs = (1 to 3).map { r =>
       (writeRun(wFiles, ScaleN, r), writeRun(wFiles, Scale4N, r))
     }
     val wN = wPairs.map(_._1).min
@@ -287,7 +287,7 @@ object Bench {
          |route → windowed aggregate → count. Same job, same input, two
          |parallelism levels (sandbox stand-in for N vs 4N executors per
          |BASELINE.md). Levels run as INTERLEAVED (N, 4N) pairs — 5 for
-         |the compute job, 2 for the longer write-included job — with min
+         |the compute job, 3 for the quarter-input write job — with min
          |per level, after a discarded global JIT warmup: this shared host
          |has multi-minute degraded windows, and back-to-back reps of one
          |level would let a single window poison that level's number (and
