@@ -257,16 +257,32 @@ object Toml {
         case '\'' => "'"
         case '\\' => "\\"
         case 'u' =>
-          val hex = text.substring(i, i + 4); i += 4
-          Integer.parseInt(hex, 16).toChar.toString
+          val hex = readHex(4)
+          hex.toChar.toString
         case 'U' =>
-          val hex = text.substring(i, i + 8); i += 8
-          new String(Character.toChars(Integer.parseInt(hex, 16)))
+          new String(Character.toChars(readHex(8)))
         case '\n' => // line-ending backslash: trim following whitespace
           while (!eof && (peek == ' ' || peek == '\t' || peek == '\n' || peek == '\r')) i += 1
           ""
         case other => err(s"unknown escape \\$other")
       }
+    }
+
+    /** `n` hex digits as a code point — positioned errors on a
+      * truncated or non-hex escape instead of raw substring/parseInt
+      * exceptions with no line context.
+      */
+    private def readHex(n: Int): Int = {
+      if (i + n > text.length) err(s"truncated unicode escape (needs $n hex digits)")
+      val hex = text.substring(i, i + n)
+      if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+        err(s"invalid unicode escape \\u$hex")
+      i += n
+      try {
+        val cp = Integer.parseInt(hex, 16)
+        if (!Character.isValidCodePoint(cp)) err(s"invalid code point \\u$hex")
+        cp
+      } catch { case _: NumberFormatException => err(s"invalid unicode escape \\u$hex") }
     }
   }
 }

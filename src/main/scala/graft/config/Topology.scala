@@ -165,7 +165,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         // output, so this is a Spark-native extension, and the per-port
         // names keep reference semantics.
         val tagged = graft.operators.Route.tagged(in.df, compiled)
-        Seq("" -> in.copy(df = tagged)) ++
+        // the bare-name frame physically carries `port`; its meta must
+        // say so, or downstream VRL resolves `.port` to null and (worse)
+        // a downstream remap's materialize silently drops the column
+        val taggedMeta = EventMeta(in.meta.types + ("port" -> VStr), in.meta.rootT)
+        Seq("" -> Frame(tagged, taggedMeta)) ++
           (compiled.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
             p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
           }
@@ -183,7 +187,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           nm -> Conditions.compile(r.get("condition"), in, enrichmentTables)
         }: _*)
         val tagged = graft.operators.Route.exclusive(in.df, conds)
-        Seq("" -> in.copy(df = tagged)) ++
+        val taggedMeta = EventMeta(in.meta.types + ("port" -> VStr), in.meta.rootT)
+        Seq("" -> Frame(tagged, taggedMeta)) ++
           (conds.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
             p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
           }
@@ -382,8 +387,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       val path0 = cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"sink $name: no path"))
       val path = resolvePath(path0)
-      val n = df.count()
-      cfg.str("type") match {
+      // rows-written is counted from the WRITTEN output, never by a
+      // df.count() before the write: the frame is an uncached
+      // source->transform plan, and a pre-count would execute the whole
+      // topology once per sink just to report a number (2× the compute
+      // and input I/O; 3× on the manifest branch). A read-back count of
+      // parquet scans zero columns (metadata-sized), and of the json
+      // text sink scans only the written bytes.
+      val n = cfg.str("type") match {
         case Some("parquet") =>
           val parts = cfg.strArr("partition_by")
           cfg.tab("checkpoint").flatMap(_.str("manifest")) match {
@@ -392,22 +403,31 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                 df, path, manifestDir, name,
                 footerStats = true,
                 knownPorts = None) // port set not static here: one collect over the written frame
+              // the manifest already carries per-port counts for this
+              // job — sum it instead of re-listing the data dir (which
+              // may hold other jobs' ports on a reused directory)
+              graft.sinks.ParquetIO.read(df.sparkSession, manifestDir)
+                .filter(col("job_id") === name)
+                .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
             case Some(manifestDir) =>
               graft.sinks.ParquetIO.write(df, path, parts,
                 org.apache.spark.sql.SaveMode.Overwrite)
+              val written = graft.sinks.ParquetIO.read(df.sparkSession, path)
               graft.sinks.ParquetIO.write(
-                graft.sinks.MultiSink.manifestFor(
-                  graft.sinks.ParquetIO.read(df.sparkSession, path), name),
+                graft.sinks.MultiSink.manifestFor(written, name),
                 manifestDir, Seq.empty, org.apache.spark.sql.SaveMode.Append)
+              written.count()
             case None =>
               graft.sinks.ParquetIO.write(df, path, parts,
                 org.apache.spark.sql.SaveMode.Overwrite)
+              graft.sinks.ParquetIO.read(df.sparkSession, path).count()
           }
         case Some("file") =>
           cfg.tab("encoding").flatMap(_.str("codec")) match {
             case Some("json") | None =>
               df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toSeq: _*)).as("value"))
                 .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+              df.sparkSession.read.text(path).count()
             case Some(other) =>
               throw VrlUnsupported(s"sink $name: encoding codec $other")
           }

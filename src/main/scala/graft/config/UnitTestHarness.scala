@@ -23,9 +23,11 @@ final case class TestResult(name: String, errors: Seq[String],
   * events each `[[tests.inputs]]` block declares (insert_at + raw /
   * log_fields / vrl forms), pushes them through the config topology,
   * and checks every `[[tests.outputs]]` block's conditions plus
-  * `no_outputs_from` — an output check passes when ANY event from the
-  * extract_from target satisfies ALL its conditions, matching the
-  * reference sink's clear-on-first-match loop
+  * `no_outputs_from` — an output check passes when EACH of its
+  * conditions is satisfied by at least one event from the
+  * extract_from target (conditions are checked independently; no
+  * single event needs to satisfy them all), matching the reference
+  * sink's per-condition clear-on-first-match loop
   * (src/config/unit_test/unit_test_components.rs:214-227; test schema
   * src/config/mod.rs:407-425, 550-599).
   */

@@ -288,7 +288,7 @@ object VrlCompile {
     case (a, b) if a == b => Some(cv.col)
     case (VInt, VFloat) => Some(cv.col.cast("double"))
     case (VFloat, VInt) => Some(cv.col.cast("bigint"))
-    case (_, VStr) if cv.t.isInstanceOf[VT] && scalar(cv.t) => Some(cv.col.cast("string"))
+    case (_, VStr) if scalar(cv.t) => Some(cv.col.cast("string"))
     case _ => None
   }
   private def scalar(t: VT): Boolean = t match {
@@ -317,10 +317,21 @@ object VrlCompile {
         case other => throw VrlUnsupported(s"unnest of non-array field ($other)")
       }
 
-    case Assign(TWhole, _, expr) =>
+    case Assign(TWhole, errTgt, expr) =>
       val (xv, env1) = compileExpr(env, expr)
+      // `., err = expr`: reference VRL binds err and leaves the event
+      // unchanged when expr errors on a row. A whole-event replace
+      // changes the SCHEMA, which cannot be row-conditional in
+      // columnar form, so the capture is supported only for
+      // infallible expressions (err bound to null after the replace);
+      // a fallible whole-event replace with capture raises
+      // VrlUnsupported rather than silently discarding the capture
+      // and dropping/reverting the event as if it were unhandled.
+      if (errTgt.isDefined && xv.raise.isDefined)
+        throw VrlUnsupported(
+          "error capture on a fallible whole-event replacement")
       val env2 = env1.withRaise(xv.raise)
-      expr match {
+      val replaced = expr match {
         case ArrLit(items) if items.nonEmpty && items.forall(_.isInstanceOf[ObjLit]) =>
           val objs = items.map { case o: ObjLit =>
             ListMap(o.fields.map { case (k, v) =>
@@ -340,6 +351,11 @@ object VrlCompile {
             case _ =>
               env2.copy(fields = ListMap("message" -> xv.cv), root = None, fanout = None)
           }
+      }
+      errTgt match {
+        case None => replaced
+        case Some(et) =>
+          setTarget(replaced, et, CV(lit(null).cast("string"), VStr))
       }
 
     case Assign(tgt, errTgt, expr) =>
@@ -380,28 +396,78 @@ object VrlCompile {
       }
   }
 
-  /** Functional nested update — rebuilds the struct/het tree. */
+  /** Functional nested update — rebuilds the struct/het tree.
+    *
+    * Base-value semantics mirror reference VRL path insertion: a
+    * scalar / null / type-mismatched base is REPLACED by a fresh
+    * object (or array, for an index segment) — VRL overwrites
+    * non-containers on insert — while a container base keeps its
+    * siblings: typed structs and tuples are rebuilt field-by-field,
+    * map<string,string> is updated in place (map_filter +
+    * map_concat), and a native array gets an in-place element
+    * overwrite with VRL's null-padding up to the index. The one base
+    * we cannot enumerate at plan time is a VARIANT (parse_json!
+    * without a schema): updating it would silently drop sibling
+    * fields, so that raises VrlUnsupported instead of corrupting.
+    */
   private def setIn(base: Option[CV], segs: Seq[PathSeg], v: CV): CV =
     if (segs.isEmpty) v
     else segs.head match {
       case SegName(n) =>
-        val fields = base match {
-          case Some(CV(c, VObj(fts))) =>
-            ListMap(fts.keys.map(k => k -> CV(c.getField(k), fts(k))).toSeq: _*)
-          case _ => ListMap.empty[String, CV]
+        base match {
+          case Some(CV(_, VAny)) =>
+            throw VrlUnsupported(
+              "path assignment into a variant value would drop its sibling fields")
+          case Some(CV(c, VMap)) =>
+            if (segs.tail.nonEmpty)
+              throw VrlUnsupported(
+                "nested path assignment through a map<string,string> value")
+            val vs = castTo(v, VStr).getOrElse(throw VrlUnsupported(
+              s"map<string,string> entry assignment from ${v.t}"))
+            val baseMap = coalesce(c, typedLit(Map.empty[String, String]))
+            CV(map_concat(
+                 map_filter(baseMap, (k, _) => k =!= lit(n)),
+                 map_from_arrays(array(lit(n)), array(vs))),
+               VMap)
+          case _ =>
+            val fields = base match {
+              case Some(CV(c, VObj(fts))) =>
+                ListMap(fts.keys.map(k => k -> CV(c.getField(k), fts(k))).toSeq: _*)
+              case _ => ListMap.empty[String, CV]
+            }
+            mkObj(fields + (n -> setIn(fields.get(n), segs.tail, v)))
         }
-        mkObj(fields + (n -> setIn(fields.get(n), segs.tail, v)))
       case SegIndex(i) =>
-        val elems: Vector[CV] = base match {
-          case Some(CV(c, VHet(ts))) =>
-            ts.zipWithIndex.map { case (t, j) => CV(c.getField(s"_$j"), t) }.toVector
-          case _ => Vector.empty
+        base match {
+          case Some(CV(_, VAny)) =>
+            throw VrlUnsupported(
+              "index assignment into a variant value would drop its sibling elements")
+          case Some(CV(c, VArrOf(et))) =>
+            if (segs.tail.nonEmpty)
+              throw VrlUnsupported(
+                "nested path assignment through a native array element")
+            val ve = castTo(v, et).orElse(
+              if (v.t == VNullT) Some(lit(null).cast(sparkTypeName(et))) else None
+            ).getOrElse(throw VrlUnsupported(
+              s"array<$et> element assignment from ${v.t}"))
+            val baseArr = coalesce(c, array().cast(s"array<${sparkTypeName(et)}>"))
+            val padded = concat(baseArr, array_repeat(
+              lit(null).cast(sparkTypeName(et)),
+              greatest(lit(0), lit(i + 1) - size(baseArr))))
+            CV(transform(padded, (x, j) => when(j === lit(i), ve).otherwise(x)),
+               VArrOf(et))
+          case _ =>
+            val elems: Vector[CV] = base match {
+              case Some(CV(c, VHet(ts))) =>
+                ts.zipWithIndex.map { case (t, j) => CV(c.getField(s"_$j"), t) }.toVector
+              case _ => Vector.empty
+            }
+            val padded =
+              if (i < elems.length) elems
+              else elems ++ Vector.fill(i + 1 - elems.length)(nullCV)
+            val existing = if (i < elems.length) Some(elems(i)) else None
+            mkHet(padded.updated(i, setIn(existing, segs.tail, v)))
         }
-        val padded =
-          if (i < elems.length) elems
-          else elems ++ Vector.fill(i + 1 - elems.length)(nullCV)
-        val existing = if (i < elems.length) Some(elems(i)) else None
-        mkHet(padded.updated(i, setIn(existing, segs.tail, v)))
     }
 
   private def mkObj(fields: ListMap[String, CV]): CV =

@@ -611,6 +611,111 @@ class ConfigPipelineSpec extends SparkSpec {
     } finally { qe.stop(); qu.stop() }
   }
 
+  test("path assignment preserves siblings in map and native-array bases") {
+    // reference VRL path insertion keeps the container's other
+    // entries/elements; the compiled form must too (a rebuilt-empty
+    // base silently loses data). Also: VRL's null-padding up to an
+    // out-of-range index.
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .m = parse_key_value!(.kv)
+        |    .m.c = "3"
+        |    .arr = split!(.csv, ",")
+        |    .arr[0] = "X"
+        |    .pad = split!(.csv, ",")
+        |    .pad[4] = "z"
+        |  '''
+        |[[tests]]
+        |  name = "container_set"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      kv = "a=1 b=2"
+        |      csv = "a,b,c"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.m.a, "1")
+        |        assert_eq!(.m.b, "2")
+        |        assert_eq!(.m.c, "3")
+        |        assert_eq!(join!(.arr, ","), "X,b,c")
+        |        assert_eq!(length!(.pad), 5)
+        |        assert_eq!(.pad[4], "z")
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
+  test("route bare-name output carries `port` in its event meta") {
+    // the tagged frame physically has the port column; downstream VRL
+    // over the bare route name must see it (a meta omission made
+    // `.port` resolve to null and silently dropped every row)
+    val topo = Topology.load(
+      """
+        |[transforms.r]
+        |  inputs = []
+        |  type = "route"
+        |  [transforms.r.route]
+        |    hot = '.x == 1'
+        |    cold = '.x != 1'
+        |[transforms.f]
+        |  inputs = ["r"]
+        |  type = "filter"
+        |  condition = '.port == "hot"'
+        |[[tests]]
+        |  name = "bare_route_port"
+        |  [[tests.inputs]]
+        |    insert_at = "r"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 1
+        |  [[tests.outputs]]
+        |    extract_from = "f"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = 'assert_eq!(.x, 1)'
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
+  test("whole-event replacement with error capture: infallible ok, fallible is a loud skip") {
+    import spark.implicits._
+    val df = Seq((7L, "x")).toDF("x", "junk")
+    val ok = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+      VrlAst.parse("., err = {\"a\": .x}\n.e = err\n"))
+    val row = ok.df.head
+    assert(row.getLong(row.fieldIndex("a")) == 7L)
+    assert(row.isNullAt(row.fieldIndex("e"))) // err bound (to null), not discarded
+    // fallible replacement: the capture cannot be honored row-wise
+    // (schema choice isn't row-conditional) — must raise, not silently
+    // drop the capture and treat the raise as unhandled
+    val thrown = intercept[VrlAst.VrlUnsupported] {
+      VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+        VrlAst.parse("., err = parse_json(.junk)\n"))
+    }
+    assert(thrown.getMessage.contains("whole-event"))
+  }
+
+  test("toml parser: truncated or non-hex unicode escapes get positioned errors") {
+    for (bad <- Seq("k = \"\\u12", "k = \"\\uzzzz\"")) {
+      val e = intercept[IllegalArgumentException](Toml.parse(bad))
+      assert(e.getMessage.toLowerCase.contains("escape"), e.getMessage)
+    }
+  }
+
   test("set_semantic_meaning stamps column metadata at compile time, no runtime effect (set_semantic_meaning.cue)") {
     import spark.implicits._
     val df = Seq(("u1", "hi")).toDF("user", "text")
