@@ -74,7 +74,11 @@ object ArrowCodec {
 
   private def micros(v: Any): Long = v match {
     case i: java.time.Instant  => Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
-    case t: java.sql.Timestamp => Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L), t.getNanos / 1000L)
+    // floorDiv, not truncating '/': pre-epoch timestamps with
+    // fractional seconds (getTime=-500, getNanos=500_000_000) would
+    // otherwise encode one full second late (the decode path already
+    // uses floorDiv)
+    case t: java.sql.Timestamp => Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L), t.getNanos / 1000L)
     case l: Long               => l // raw integer fallback, arrow.rs:303-306
     case d: java.time.LocalDateTime => // NTZ: micros since epoch of the wall-clock value
       Math.addExact(Math.multiplyExact(d.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
@@ -206,7 +210,12 @@ object ArrowCodec {
     val java8Time = blobs.sparkSession.conf
       .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
     blobs.mapPartitions { rows =>
-      rows.flatMap(r => decodeOne(r.getAs[Array[Byte]](idx), st, java8Time))
+      // null blob = dropped channel (the family convention: parseAvro /
+      // parseProto / decodeNative all null-check before decoding)
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](idx)
+        if (blob == null) Iterator.empty else decodeOne(blob, st, java8Time)
+      }
     }(Encoders.row(st))
   }
 }

@@ -59,11 +59,20 @@ object AvroCodec {
 
   /** The single non-null branch of a union (the reference resolves the
     * value against the union the same way: one concrete branch + null).
+    * Unions with MORE than one concrete branch have no single Spark
+    * column type — silently picking the first branch would let a datum
+    * written with another branch through decode and kill the job in
+    * the Catalyst conversion (outside the codec's null error channel),
+    * so they are rejected here with the other documented exclusions.
     */
   private def nonNull(s: Schema): Schema =
-    if (s.getType == Schema.Type.UNION)
-      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s.getTypes.get(0))
-    else s
+    if (s.getType == Schema.Type.UNION) {
+      val concrete = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      if (concrete.length > 1)
+        throw new IllegalArgumentException(
+          s"unsupported avro union with ${concrete.length} concrete branches: $s")
+      concrete.headOption.getOrElse(s.getTypes.get(0))
+    } else s
 
   /** Spark type for an avro schema — the analog of the reference handing
     * the decoded `apache_avro::types::Value` tree to VRL values

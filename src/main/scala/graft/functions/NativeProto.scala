@@ -490,11 +490,26 @@ object NativeProto {
     if (m.has("kind") && m.get("kind").asText() == "absolute") w.writeTag(4, 0).writeVarint(1L)
     if (m.has("namespace")) w.writeLenDelim(11, m.get("namespace").asText().getBytes(StandardCharsets.UTF_8))
     if (m.has("interval_ms")) w.writeTag(18, 0).writeVarint(m.get("interval_ms").asLong())
+    // mirror the reference encoder: EVERY tag goes to tags_v2 (bare
+    // tags as a TagValue with no value field — the tags_v1 string path
+    // would stamp the literal "null"), and string-valued tags are
+    // duplicated into tags_v1 for old decoders; the decode side takes
+    // tags_v2 wholesale when present, so v2 must be complete
     if (m.has("tags")) m.get("tags").properties().forEach { e =>
-      val entry = new Writer
-      entry.writeLenDelim(1, e.getKey.getBytes(StandardCharsets.UTF_8))
-      entry.writeLenDelim(2, e.getValue.asText().getBytes(StandardCharsets.UTF_8))
-      w.writeLenDelim(3, entry.toBytes)
+      val tv = new Writer
+      if (!e.getValue.isNull)
+        tv.writeLenDelim(1, e.getValue.asText().getBytes(StandardCharsets.UTF_8))
+      val tvs = new Writer; tvs.writeLenDelim(1, tv.toBytes)
+      val v2 = new Writer
+      v2.writeLenDelim(1, e.getKey.getBytes(StandardCharsets.UTF_8))
+      v2.writeLenDelim(2, tvs.toBytes)
+      w.writeLenDelim(20, v2.toBytes)
+      if (!e.getValue.isNull) {
+        val entry = new Writer
+        entry.writeLenDelim(1, e.getKey.getBytes(StandardCharsets.UTF_8))
+        entry.writeLenDelim(2, e.getValue.asText().getBytes(StandardCharsets.UTF_8))
+        w.writeLenDelim(3, entry.toBytes)
+      }
       ()
     }
     def dbl(field: Int, inner: Writer, v: JsonNode): Unit = {

@@ -324,8 +324,13 @@ object OtlpCodec {
           case WField(2, 0, x, _) => ("aggregationTemporality", F.numberNode(x))
         })): Unit
       case WField(11, 2, _, v) => o.set[JsonNode]("summary", dataPoints(v, summaryDataPoint)): Unit
-      case w if w.number <= 3 => bad(s"Metric: field ${w.number} wire ${w.wire}")
-      case _ => () // exponential_histogram(10)/metadata(12): out of subset
+      case WField(10, 2, _, _) => () // exponential_histogram: out of subset
+      case WField(12, 2, _, _) => () // metadata: out of subset
+      // reject the FULL known field range (Metric has no fields past
+      // 12), not just 1-3: a trace Span's kind(6,varint)/times(7-8,
+      // fixed64) would otherwise fall through and a trace frame could
+      // pass the metrics decoder, misclassifying the signal
+      case w => bad(s"Metric: field ${w.number} wire ${w.wire}")
     }
     o
   }

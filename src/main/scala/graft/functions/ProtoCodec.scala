@@ -29,7 +29,10 @@ import ProtoWire.{Reader, WField, Writer}
   * the external `vrl::protobuf::parse` crate):
   *   - singular scalar missing from the wire -> null (no proto3 default
   *     materialization);
-  *   - last occurrence wins for duplicate singular fields (proto spec);
+  *   - duplicate singular fields: last occurrence wins for scalars,
+  *     occurrences MERGE for embedded messages (both per the proto
+  *     encoding spec — merge is implemented as decoding the
+  *     concatenated occurrence bytes, the spec's canonical equivalent);
   *   - enum -> the value NAME as string (unknown number -> its decimal
   *     string); encode accepts both the name and a decimal string;
   *   - uint64 decodes into Spark's signed long (two's-complement bits)
@@ -103,6 +106,26 @@ object ProtoCodec {
     case t => throw new IllegalArgumentException(s"unsupported proto field type $t")
   }
 
+  /** proto3 default for an absent scalar (map keys are integral, bool,
+    * or string per the spec — wider scalars included for safety).
+    */
+  private def defaultOf(f: FieldD): Any = f.tpe match {
+    case TDouble => 0.0
+    case TFloat => 0.0f
+    case TInt64 | TUInt64 | TFixed64 | TSFixed64 | TSInt64 | TUInt32 | TFixed32 => 0L
+    case TInt32 | TSFixed32 | TSInt32 => 0
+    case TBool => false
+    case TString => ""
+    case t => throw new IllegalArgumentException(s"no default for proto field type $t")
+  }
+
+  /** Concatenated occurrence bytes — the spec-canonical merge form for
+    * duplicate singular embedded messages.
+    */
+  private def mergedBytes(occ: Seq[WField]): Array[Byte] =
+    if (occ.length == 1) occ.head.bytes
+    else Array.concat(occ.map(_.bytes): _*)
+
   /** Unpack a packed repeated primitive blob. */
   private def unpack(f: FieldD, bytes: Array[Byte], reg: Registry): Seq[Any] = {
     val r = new Reader(bytes)
@@ -143,16 +166,26 @@ object ProtoCodec {
           val vf = sub.fields.find(_.number == 2).get
           occ.map { e =>
             val entry = new Reader(e.bytes).readAll().groupBy(_.number)
-            val k = entry.get(1).map(ws => scalarOf(kf, ws.last, reg)).orNull
+            // proto3 encoders omit default-valued map keys from the
+            // synthetic entry message — an absent key is ""/0/false,
+            // never null (a null map key kills the Catalyst row
+            // conversion outside the codec's error channel)
+            val k = entry.get(1).map(ws => scalarOf(kf, ws.last, reg))
+              .getOrElse(defaultOf(kf))
             val v = entry.get(2).map { ws =>
               if (vf.tpe == TMessage)
-                decode(ws.last.bytes, reg.message(vf.typeName), reg, subStruct)
+                decode(mergedBytes(ws), reg.message(vf.typeName), reg, subStruct)
               else scalarOf(vf, ws.last, reg)
             }.orNull
             k -> v
           }.toMap
         } else if (f.repeated) occ.map(e => decode(e.bytes, sub, reg, subStruct))
-        else decode(occ.last.bytes, sub, reg, subStruct)
+        // singular embedded message: the spec says duplicate occurrences
+        // MERGE (concatenation of the serialized occurrences is the
+        // canonical equivalent — scalars take the last value, repeated
+        // fields concatenate, nested messages merge recursively);
+        // last-occurrence-wins applies to scalar fields only
+        else decode(mergedBytes(occ), sub, reg, subStruct)
       } else if (f.repeated) {
         occ.flatMap { w =>
           if (w.wire == 2 && !lenDelimited(f)) unpack(f, w.bytes, reg) // packed

@@ -52,8 +52,14 @@ object ProtoWire {
     }
 
     def readBytes(): Array[Byte] = {
-      val n = readVarint().toInt
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException("truncated bytes")
+      // bounds-check the LONG before narrowing: a length varint with
+      // bits above 2^31 would alias to a small int, pass the checks,
+      // and leave the reader misaligned — structurally-valid garbage
+      // instead of an error
+      val nl = readVarint()
+      if (nl < 0L || nl > (end - pos).toLong)
+        throw new IllegalArgumentException("truncated bytes")
+      val n = nl.toInt
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
       pos += n; out
     }

@@ -239,11 +239,14 @@ object CodecQueries {
     "q_native" ->
       // frame_len from the wire rules: EventArray(2:len) > MetricArray
       // (1:len) > Metric{name 1 (2+2B), kind (2B, absolute only),
-      // tags entry (2 + {2+4 tool, 2+len(T)}), counter|gauge (2 + 9)}
-      // = 29 + len(event_type) + 2*odd; rt_line reconstructs the
+      // tags_v1 entry (2 + {2+4 tool, 2+len(T)}), tags_v2 entry
+      // (2-byte field-20 tag + len + {2+4 tool, TagValues>TagValue>
+      // value = 6+len(T)} = 15+len(T) — the reference encoder writes
+      // BOTH forms), counter|gauge (2 + 9)}
+      // = 44 + 2*len(event_type) + 2*odd; rt_line reconstructs the
       // decoder's deterministic rendering (name, tags, kind, arm)
       """SELECT event_id,
-           CAST(29 + length(event_type)
+           CAST(44 + 2 * length(event_type)
                 + CASE WHEN event_id % 2 = 1 THEN 2 ELSE 0 END AS INT) AS frame_len,
            '{"metric":{"name":"m' || (event_id % 5)
              || '","tags":{"tool":"' || event_type || '"},"kind":'

@@ -124,6 +124,42 @@ class CodecBinarySpec extends SparkSpec {
     }
   }
 
+  test("avro: multi-branch unions are rejected at schema mapping, not narrowed to branch 1") {
+    // ["int","string"] has no single Spark column type; picking the
+    // first branch would let string-branch datums through decode and
+    // kill the job in the Catalyst conversion
+    val unionSchema =
+      """{"type":"record","name":"U","fields":[{"name":"v","type":["int","string"]}]}"""
+    val e = intercept[IllegalArgumentException] {
+      Seq(Array.empty[Byte]).toDF("b").select(AvroCodec.parseAvro(col("b"), unionSchema))
+    }
+    assert(e.getMessage.contains("union"))
+  }
+
+  test("arrow: pre-epoch fractional-second timestamps round-trip exactly") {
+    // truncating division on java.sql.Timestamp.getTime shifted
+    // 1969-12-31T23:59:59.5Z one full second late
+    val st = StructType(Seq(StructField("ts", TimestampType, nullable = true)))
+    val t = new java.sql.Timestamp(-500L) // -0.5 s from epoch
+    val blob = ArrowCodec.encodeOne(Seq(Row(t)), st)
+    val back = ArrowCodec.decodeOne(blob, st).toSeq
+    val micros = back.head.get(0) match {
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case x: java.sql.Timestamp =>
+        Math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000L
+    }
+    assert(micros == -500000L, s"got $micros µs")
+  }
+
+  test("arrow: null blobs are a dropped channel in decodeStream, not an NPE") {
+    val st = StructType(Seq(StructField("v", LongType, nullable = true)))
+    val good = ArrowCodec.encodeOne(Seq(Row(7L), Row(8L)), st)
+    val out = Seq(Some(good), None).toDF("b")
+      .select(col("b").cast("binary").as("b"))
+    val decoded = ArrowCodec.decodeStream(out, "b", st).collect()
+    assert(decoded.map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
+  }
+
   test("arrow: empty batch is an error (arrow.rs NoEvents)") {
     intercept[IllegalArgumentException] {
       ArrowCodec.encodeOne(Seq.empty, turnSchema)

@@ -140,6 +140,14 @@ class NativeProtoSpec extends SparkSpec {
       s"${failures.size} round-trip failures; first 5:\n" + failures.take(5).mkString("\n"))
   }
 
+  test("bare tags survive an encode round-trip as null, not the string \"null\"") {
+    val line = """{"metric":{"name":"m","kind":"absolute","tags":{"env":null,"region":"us"},"counter":{"value":1.0}}}"""
+    val rt = NativeProto.decodeToNode(NativeProto.encodeFromJson(line))
+    val tags = rt.get("metric").get("tags")
+    assert(tags.get("env").isNull, s"bare tag corrupted to ${tags.get("env")}")
+    assert(tags.get("region").asText() == "us")
+  }
+
   test("distributed Column API: native frames decode to classified native_json lines") {
     assume(Files.isDirectory(protoDir), "reference corpus not present")
     val df = pairs.take(200).map { case (n, pb, _) => (n, pb) }.toDF("name", "frame")

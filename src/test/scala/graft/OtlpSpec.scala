@@ -111,6 +111,25 @@ class OtlpSpec extends SparkSpec {
     assert(OtlpCodec.decode(tracesFrame, signals = Seq("traces"))._1 == "traces")
   }
 
+  test("a nameless span frame cannot pass the metrics decoder (full field-range guard)") {
+    // span fields 6 (kind, varint) / 7-8 (times, fixed64) sit beyond
+    // Metric's string fields 1-3; a guard that only rejected wrong-wire
+    // 1-3 let this frame decode as "metrics" with the binary trace id
+    // as the metric name
+    val span = new Writer
+    span.writeLenDelim(1, TraceId)
+    span.writeLenDelim(2, SpanId)
+    span.writeTag(6, 0).writeVarint(2L)
+    span.writeTag(7, 1).writeFixed64(1234567890L)
+    span.writeTag(8, 1).writeFixed64(1234567900L)
+    val scopeSpans = new Writer; scopeSpans.writeLenDelim(2, span.toBytes)
+    val resourceSpans = new Writer
+    resourceSpans.writeLenDelim(1, Array.empty[Byte])
+    resourceSpans.writeLenDelim(2, scopeSpans.toBytes)
+    val frame = new Writer().writeLenDelim(1, resourceSpans.toBytes).toBytes
+    assert(OtlpCodec.decode(frame)._1 == "traces")
+  }
+
   test("deserialize_invalid_otlp: garbage raises Invalid OTLP data (otlp.rs:383-395)") {
     val e = intercept[IllegalArgumentException] {
       OtlpCodec.decode("invalid protobuf data".getBytes("UTF-8"))

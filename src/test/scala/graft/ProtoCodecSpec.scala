@@ -148,6 +148,53 @@ class ProtoCodecSpec extends SparkSpec {
     assert(ProtoCodec.decode(w.toBytes, personMd, reg).getAs[String]("name") == "second")
   }
 
+  test("map entry with an omitted default key decodes to \"\" (proto3), not null") {
+    // conformant proto3 encoders omit default-valued map keys from the
+    // synthetic entry message; a null Scala map key would kill the
+    // Catalyst row conversion outside the codec's null error channel
+    val entry = new Writer; entry.writeTag(2, 0).writeVarint(9L)
+    val w = new Writer; w.writeLenDelim(7, entry.toBytes)
+    val r = ProtoCodec.decode(w.toBytes, personMd, reg)
+    assert(r.getAs[Map[String, Long]]("attrs") == Map("" -> 9L))
+  }
+
+  test("singular embedded message: duplicate occurrences MERGE (proto spec)") {
+    // last-wins applies to scalars only; message occurrences merge —
+    // scalars take the later value, repeated fields concatenate
+    val inner = message("Inner", Seq(
+      fdp("a", 1, 1, TString), fdp("b", 2, 1, TInt32), fdp("rep", 3, 3, TSInt64)))
+    val outer = message("Outer", Seq(
+      fdp("m", 1, 1, TMessage, ".t2.Outer.Inner")), nested = Seq(inner))
+    val file = {
+      val w = new Writer
+      w.writeLenDelim(1, utf8("t2.proto")); w.writeLenDelim(2, utf8("t2"))
+      w.writeLenDelim(4, outer); w.toBytes
+    }
+    val reg2 = ProtoDescriptor.parse(new Writer().writeLenDelim(1, file).toBytes)
+    val md = reg2.message("t2.Outer")
+    val m1 = new Writer
+    m1.writeLenDelim(1, utf8("first"))
+    m1.writeTag(2, 0).writeVarint(1L)
+    m1.writeTag(3, 0).writeVarint(ProtoWire.zigzagEncode(5L))
+    val m2 = new Writer
+    m2.writeLenDelim(1, utf8("second"))
+    m2.writeTag(3, 0).writeVarint(ProtoWire.zigzagEncode(6L))
+    val w = new Writer
+    w.writeLenDelim(1, m1.toBytes).writeLenDelim(1, m2.toBytes)
+    val m = ProtoCodec.decode(w.toBytes, md, reg2).getAs[Row]("m")
+    assert(m.getAs[String]("a") == "second")         // scalar: last wins
+    assert(m.getAs[Int]("b") == 1)                   // kept from occurrence 1
+    assert(m.getAs[Seq[Long]]("rep") == Seq(5L, 6L)) // repeated: concatenated
+  }
+
+  test("length varint with bits above 2^31 errors instead of aliasing to a small read") {
+    val w = new Writer
+    w.writeTag(1, 2).writeVarint(0x100000005L) // would alias to 5 after .toInt
+    val bytes = w.toBytes ++ Array.fill(5)(0x61.toByte)
+    val e = intercept[IllegalArgumentException](new ProtoWire.Reader(bytes).readAll())
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("distributed Column API: parse/encode through a DataFrame, malformed -> null") {
     val payload = Base64.getDecoder.decode("Cgdzb21lb25lIggKBjEyMzQ1Ng==")
     val df = Seq(("ok", payload), ("bad", Array[Byte](0x22, 0x7f)))
