@@ -288,7 +288,20 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             case "concat" => (Strategy.concat(v.cast("string"), ord), VStr)
             case "concat_newline" => (Strategy.concatNewline(v.cast("string"), ord), VStr)
             case "concat_raw" => (Strategy.concatRaw(v.cast("string"), ord, ""), VStr)
-            case "flat_unique" => (Strategy.flatUnique(v), VHetFromArray(t))
+            case "flat_unique" =>
+              // reference FlatUnique flattens nested values: an array
+              // field contributes its ELEMENTS to the distinct set, not
+              // the arrays themselves
+              def arrDepth(tt: VT): Int =
+                tt match { case VArrOf(e) => 1 + arrDepth(e); case _ => 0 }
+              def arrElem(tt: VT): VT =
+                tt match { case VArrOf(e) => arrElem(e); case e => e }
+              val d = arrDepth(t)
+              if (d == 0) (Strategy.flatUnique(v), VHetFromArray(t))
+              else {
+                val flatV = (1 until d).foldLeft(v)((c, _) => flatten(c))
+                (Strategy.flatUniqueArray(flatV), VHetFromArray(arrElem(t)))
+              }
             case "shortest_array" => (Strategy.shortestArray(v.cast("array<string>")), VArrOf(VStr))
             case "longest_array" => (Strategy.longestArray(v.cast("array<string>")), VArrOf(VStr))
             case other => throw VrlUnsupported(s"merge strategy $other")

@@ -195,13 +195,30 @@ object Dnstap {
       else (-1L, 0L)
 
     var error: String = null
+    // EVERY DNS-level decode (message bodies, addresses, query_zone,
+    // timestamp rendering) goes through this channel: the contract is
+    // that only protobuf-level failures null the frame, while DNS-level
+    // failures keep the envelope with error + rawData — a throw here
+    // would escape to the UDF's Try and lose the whole row
+    def dnsLevel[A](what: String)(f: => A): A =
+      try f catch { case e: Exception =>
+        if (error == null) error = s"$what failed: ${e.getMessage}"
+        null.asInstanceOf[A] // reference types only; erased to null
+      }
     def parseDns(bytes: Array[Byte]): Row =
       if (bytes == null) null
-      else try msgRow(DnsWire.parse(bytes, lowercaseHostnames))
-      catch { case e: Exception => error = s"DNS parse failed: ${e.getMessage}"; null }
+      else dnsLevel("DNS parse")(msgRow(DnsWire.parse(bytes, lowercaseHostnames)))
 
     val request = parseDns(qMsg)
     val response = parseDns(rMsg)
+    val qAddrStr =
+      if (qAddr != null && family != 0) dnsLevel("source address")(addr(qAddr, family)) else null
+    val rAddrStr =
+      if (rAddr != null && family != 0) dnsLevel("response address")(addr(rAddr, family)) else null
+    val zoneStr =
+      if (qZone != null) dnsLevel("query_zone")(DnsWire.readBareName(qZone, lowercaseHostnames)) else null
+    val tsIso =
+      if (tSec >= 0) dnsLevel("timestamp")(isoNanos(tSec, tNsec)) else null
 
     r(schema,
       identity, version, extra, dataType,
@@ -210,14 +227,14 @@ object Dnstap {
       if (mTypeId != 0) mTypeId else null,
       if (family != 0) SocketFamilies.getOrElse(family, null) else null,
       if (proto != 0) SocketProtocols.getOrElse(proto, null) else null,
-      if (qAddr != null && family != 0) addr(qAddr, family) else null,
+      qAddrStr,
       if (qPort >= 0) qPort else null,
-      if (rAddr != null && family != 0) addr(rAddr, family) else null,
+      rAddrStr,
       if (rPort >= 0) rPort else null,
-      if (qZone != null) DnsWire.readBareName(qZone, lowercaseHostnames) else null,
+      zoneStr,
       if (tSec >= 0) tSec * 1000000000L + tNsec else null,
       if (tSec >= 0) "ns" else null,
-      if (tSec >= 0) isoNanos(tSec, tNsec) else null,
+      tsIso,
       request, response, error,
       if (error != null) Base64.getEncoder.encodeToString(frame) else null)
   }

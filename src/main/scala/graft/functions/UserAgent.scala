@@ -85,11 +85,17 @@ object UserAgent {
     * the plan at build time, so the collect here is a config read, not
     * a data-path collect.
     */
-  def fromTable(rules: DataFrame): Seq[Rule] =
+  def fromTable(rules: DataFrame): Seq[Rule] = {
+    // uap-core rules routinely carry only a family_replacement with no
+    // version capture groups — a null group means "absent" (0), and
+    // must not NPE the ruleset load
+    def intOr0(r: org.apache.spark.sql.Row, i: Int): Int =
+      if (r.isNullAt(i)) 0 else r.getInt(i)
     rules.select(col("priority").cast("int"), col("regex"), col("family"),
         col("v1_group").cast("int"), col("v2_group").cast("int"))
       .collect()
-      .sortBy(_.getInt(0))
-      .map(r => Rule(r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .sortBy(intOr0(_, 0))
+      .map(r => Rule(r.getString(1), r.getString(2), intOr0(r, 3), intOr0(r, 4)))
       .toSeq
+  }
 }

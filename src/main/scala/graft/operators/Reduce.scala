@@ -44,9 +44,16 @@ object Reduce {
       array_join(array(v, ord), "\n")
     def concatRaw(v: Column, ord: Column, sep: String): Column =
       array_join(array(v, ord), sep)
-    /** distinct scalars from (possibly nested) values — reference
-      * FlatUnique; sorted for determinism. */
+    /** distinct SCALAR values — the scalar arm of reference FlatUnique;
+      * sorted for determinism. Array-typed fields must go through
+      * [[flatUniqueArray]] (collect_set over arrays would yield distinct
+      * ARRAYS, not distinct elements). */
     def flatUnique(v: Column): Column = array_sort(collect_set(v))
+    /** distinct elements across array values — the array arm of
+      * reference FlatUnique (deeper nesting pre-flattened by the
+      * caller); sorted for determinism. */
+    def flatUniqueArray(v: Column): Column =
+      array_sort(array_distinct(flatten(collect_list(v))))
     def shortestArray(v: Column): Column = ShortestLongest.shortest(v)
     def longestArray(v: Column): Column = ShortestLongest.longest(v)
   }

@@ -93,6 +93,11 @@ object Similarity {
     * deterministic and oracle-portable.
     */
   def confidenceProbes(v: Column, b: Int, q: Int): Column = {
+    // q > b would read past `ranked` (null probe buckets that silently
+    // vanish in the equi-join, eating recall with no error); b > 52
+    // breaks the pow-based bit math below (2^l exact only to 2^52)
+    require(q <= b, s"confidence bits q=$q must be <= hash bits b=$b")
+    require(b <= 52, s"hash bits b=$b must be <= 52 (pow-based bit math)")
     val ranked = array_sort(transform(sequence(lit(0), lit(b - 1)),
       j => struct(abs(element_at(v, j + 1)).as("a"), j.as("j"))))
     val ls = (0 until q).map(i => element_at(ranked, i + 1).getField("j"))

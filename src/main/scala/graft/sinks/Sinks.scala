@@ -142,14 +142,19 @@ object MultiSink {
           .map(st => (p, st.getPath.toString))
       else Seq.empty
     }
+    // ship the DRIVER's hadoop conf to the tasks: a bare task-local
+    // Configuration() drops every spark.hadoop.* setting (s3a
+    // credentials/endpoint, non-default fs.defaultFS), which would fail
+    // every footer read on a cluster whose sink FS is configured
+    // through Spark conf
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { case (port, path) =>
-        // task-local default Configuration: resolves the same default FS
-        // as the driver on local and default-configured clusters
-        val conf = new org.apache.hadoop.conf.Configuration()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(path), conf)
+          .fromPath(new Path(path), confBc.value.value)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           import scala.jdk.CollectionConverters._
@@ -237,8 +242,17 @@ object MultiSink {
           routed.select("port").distinct().collect().map(_.getString(0)).toSet)
         manifestFromFooters(routed.sparkSession, dataDir, ports, jobId)
       } else {
-        val committed = io.read(routed.sparkSession, dataDir)
-          .join(broadcast(routed.select("port").distinct()), Seq("port"), "left_semi")
+        // knownPorts short-circuits the semi-join here too: deriving the
+        // port set from the frame re-executes the whole upstream
+        // pipeline for a handful of static strings
+        val committed = knownPorts match {
+          case Some(ports) =>
+            io.read(routed.sparkSession, dataDir)
+              .filter(col("port").isin(ports.toSeq: _*))
+          case None =>
+            io.read(routed.sparkSession, dataDir)
+              .join(broadcast(routed.select("port").distinct()), Seq("port"), "left_semi")
+        }
         manifestFor(committed, jobId)
       }
     io.write(manifest, manifestDir, Seq.empty, SaveMode.Append)

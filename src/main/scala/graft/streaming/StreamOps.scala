@@ -60,14 +60,25 @@ object StreamOps {
 
   /** Keyed event with an event-time second — the throttle input shape. */
   final case class Keyed(key: String, epochSec: Long, payload: String)
-  /** Token bucket state: last refill window + tokens used. */
-  final case class Bucket(windowStart: Long, used: Long)
+  /** Token bucket state: tokens used per event-time window. */
+  final case class Bucket(used: Map[Long, Long])
 
   /** Token-bucket throttle: at most `threshold` events per key per
     * `windowSecs` (event-time tumbling refill — deterministic analog of
     * the reference's wall-clock quota). Emits kept events (append mode).
+    *
+    * State holds a per-WINDOW counter map, not just the newest window:
+    * with a single counter, a late event from an earlier window would be
+    * charged against the newest window's budget, and keep/drop would
+    * depend on micro-batch boundaries — per-window counts make the
+    * streaming result equal to the batch operator regardless of arrival
+    * order. State is bounded to the newest `retainWindows` windows per
+    * key; an event later than that horizon sees a fresh counter (the
+    * permissive direction — the reference's wall-clock bucket would
+    * also have refilled by then).
     */
-  def throttle(ds: Dataset[Keyed], threshold: Int, windowSecs: Long)(
+  def throttle(ds: Dataset[Keyed], threshold: Int, windowSecs: Long,
+               retainWindows: Int = 64)(
       implicit ek: Encoder[Keyed], eb: Encoder[Bucket]): Dataset[Keyed] = {
     ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[Bucket, Keyed](
@@ -75,17 +86,19 @@ object StreamOps {
         (_: String, events: Iterator[Keyed], state: GroupState[Bucket]) =>
           // order within the batch for determinism
           val sorted = events.toSeq.sortBy(e => (e.epochSec, e.payload))
-          var st = state.getOption.getOrElse(Bucket(Long.MinValue, 0L))
+          var used = state.getOption.map(_.used).getOrElse(Map.empty[Long, Long])
           val kept = Seq.newBuilder[Keyed]
           sorted.foreach { e =>
             val win = math.floorDiv(e.epochSec, windowSecs) * windowSecs
-            if (win > st.windowStart) st = Bucket(win, 0L)
-            if (st.used < threshold) {
-              st = st.copy(used = st.used + 1)
+            val u = used.getOrElse(win, 0L)
+            if (u < threshold) {
+              used += (win -> (u + 1L))
               kept += e
             }
           }
-          state.update(st)
+          if (used.size > retainWindows)
+            used = used.toSeq.sortBy(-_._1).take(retainWindows).toMap
+          state.update(Bucket(used))
           kept.result().iterator
       }
   }

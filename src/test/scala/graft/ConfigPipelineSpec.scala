@@ -656,6 +656,48 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("reduce flat_unique on an array field flattens to distinct ELEMENTS") {
+    // reference FlatUnique: [\"a\",\"b\"] + [\"b\",\"c\"] merge to
+    // [\"a\",\"b\",\"c\"] — collect_set of the arrays themselves would
+    // yield two distinct arrays (wrong shape and values)
+    val topo = Topology.load(
+      """
+        |[transforms.prep]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '.tags = split!(.csv, ",")'
+        |[transforms.agg]
+        |  inputs = ["prep"]
+        |  type = "reduce"
+        |  group_by = ["k"]
+        |  [transforms.agg.merge_strategies]
+        |    tags = "flat_unique"
+        |[[tests]]
+        |  name = "flat_unique_array"
+        |  [[tests.inputs]]
+        |    insert_at = "prep"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      k = "g"
+        |      csv = "a,b"
+        |  [[tests.inputs]]
+        |    insert_at = "prep"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      k = "g"
+        |      csv = "b,c"
+        |  [[tests.outputs]]
+        |    extract_from = "agg"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = 'assert_eq!(join!(.tags, ","), "a,b,c")'
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("route bare-name output carries `port` in its event meta") {
     // the tagged frame physically has the port column; downstream VRL
     // over the bare route name must see it (a meta omission made

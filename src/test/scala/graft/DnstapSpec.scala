@@ -176,4 +176,27 @@ class DnstapSpec extends SparkSpec {
     assert(m2.answers(0).rdata.contains("\"hey\""))
     assert(m2.answers(1).rdata.contains("10 mail.foo."))
   }
+
+  test("DNS-level failures outside the message bodies keep the envelope (error + rawData)") {
+    // corrupt query_zone (label length pointing past the buffer) and a
+    // truncated INET6 address: both are DNS-LEVEL failures and must ride
+    // the error channel with the envelope intact, not null the frame
+    import graft.functions.ProtoWire.Writer
+    val msg = new Writer
+    msg.writeTag(1, 0).writeVarint(3L)  // ResolverQuery
+    msg.writeTag(2, 0).writeVarint(2L)  // INET6
+    msg.writeLenDelim(4, Array[Byte](1, 2, 3)) // 3-byte "INET6" address
+    msg.writeLenDelim(11, Array[Byte](63.toByte, 'x'.toByte)) // zone: label len 63, 1 byte present
+    val frame = new Writer
+    frame.writeLenDelim(1, "srv".getBytes("UTF-8"))
+    frame.writeTag(15, 0).writeVarint(1L) // Message
+    frame.writeLenDelim(14, msg.toBytes)
+    val row = Dnstap.decode(frame.toBytes)
+    assert(row != null, "protobuf level is fine - frame must survive")
+    assert(row.getAs[String]("serverId") == "srv")
+    assert(row.getAs[String]("messageType") == "ResolverQuery")
+    assert(row.getAs[String]("error") != null)
+    assert(row.getAs[String]("rawData") != null)
+    assert(row.isNullAt(row.fieldIndex("queryZone")))
+  }
 }

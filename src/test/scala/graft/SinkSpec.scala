@@ -46,6 +46,19 @@ class SinkSpec extends SparkSpec {
       .filter(col("n_convs").isNotNull).count() == 0)
   }
 
+  test("exact-path checkpoint honors knownPorts (no pipeline re-execution for the port list)") {
+    import spark.implicits._
+    val dataDir = tmp(); val manifestDir = tmp()
+    val ports = routed.select("port").distinct().collect().map(_.getString(0)).toSet
+    MultiSink.writeWithCheckpoint(routed, dataDir, manifestDir, "jkp",
+      footerStats = false, knownPorts = Some(ports))
+    val m = ParquetIO.read(spark, manifestDir).filter(col("job_id") === "jkp")
+    assert(m.select("port").distinct().collect().map(_.getString(0)).toSet == ports)
+    val exact = MultiSink.manifestFor(ParquetIO.read(spark, dataDir), "jkp")
+      .select("port", "n_rows").orderBy("port").collect().toSeq
+    assert(m.select("port", "n_rows").orderBy("port").collect().toSeq == exact)
+  }
+
   test("manifests degrade to null stats on non-transcript schemas") {
     // the config front-end points checkpointed sinks at arbitrary
     // schemas: absent conv_id/turn_idx/ts must yield null stats, not an

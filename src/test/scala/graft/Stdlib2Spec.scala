@@ -334,6 +334,15 @@ class Stdlib2Spec extends SparkSpec {
     val got = Seq("MyAgent/3.7").toDF("ua")
       .select(UserAgent.parse(col("ua"), rules).as("p")).select("p.*").head
     assert((got.getString(0), got.getString(1), got.getString(2)) == ("MyAgent", "3", "7"))
+    // uap-core rules routinely have family-only entries (null version
+    // groups) — absent groups coalesce to 0, never NPE
+    val familyOnly = Seq((0, "SpecialBot", "SpecialBot",
+        null.asInstanceOf[Integer], null.asInstanceOf[Integer]))
+      .toDF("priority", "regex", "family", "v1_group", "v2_group")
+    val r2 = UserAgent.fromTable(familyOnly)
+    val g2 = Seq("SpecialBot/9.9").toDF("ua")
+      .select(UserAgent.parse(col("ua"), r2).as("p")).select("p.*").head
+    assert(g2.getString(0) == "SpecialBot" && g2.isNullAt(1) && g2.isNullAt(2))
   }
 
   test("native_json: decodes the reference's full 1027-event encoding corpus") {

@@ -110,6 +110,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming throttle: a late event is charged to ITS OWN window's budget") {
+    val input = MemoryStream[StreamOps.Keyed](spark)
+    val out = StreamOps.throttle(input.toDS(), threshold = 2, windowSecs = 10)
+    val q = out.writeStream.format("memory").queryName("s_throttle_late")
+      .outputMode("append").start()
+    try {
+      // window [10,20) fills its budget in batch 1
+      input.addData(StreamOps.Keyed("a", 15, "e1"), StreamOps.Keyed("a", 16, "e2"))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event for window [0,10), which consumed
+      // nothing — a single-counter state would charge it to window 10's
+      // exhausted budget and drop it, making keep/drop depend on
+      // micro-batch boundaries
+      input.addData(StreamOps.Keyed("a", 5, "late"),
+        StreamOps.Keyed("a", 17, "e3")) // window 10 stays capped
+      q.processAllAvailable()
+      val kept = spark.table("s_throttle_late").select("payload")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(kept == Seq("e1", "e2", "late"))
+    } finally q.stop()
+  }
+
   test("streaming session reduce: ends_when closes including the row; state spans batches") {
     val input = MemoryStream[StreamOps.SessionEvent](spark)
     val out = StreamOps.sessionReduce(input.toDS(), maxEvents = 10)
