@@ -296,7 +296,9 @@ object VrlFunctions {
           case VInt => v.cv.col.cast("double")
           case VBool => v.cv.col.cast("int").cast("double")
           case VAny => try_variant_get(v.cv.col, "$", "double")
-          case _ => v.cv.col.cast("string").cast("double")
+          // try_cast: ANSI-mode cast of an unparsable string must reach
+          // the coercion raise below, not abort the job
+          case _ => v.cv.col.cast("string").try_cast("double")
         }
         out(CV(value, VFloat), Some(v.cv.col.isNotNull && value.isNull), "unable to coerce to float")
       case "float" =>
@@ -692,7 +694,11 @@ object VrlFunctions {
           "news", "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
           "solaris-cron", "local0", "local1", "local2", "local3", "local4",
           "local5", "local6", "local7")
-        val r = element_at(array(names.map(lit): _*), code + 1)
+        // guard the index range: element_at throws under ANSI mode for
+        // out-of-range codes (and index 0 in all modes), which would make
+        // the "invalid facility code" raise below unreachable
+        val r = when(code.between(0, names.size - 1),
+          element_at(array(names.map(lit): _*), code + 1))
         out(CV(r, VStr), Some(r.isNull), "invalid facility code")
       case "to_syslog_severity" =>
         val lvl = lower(asStr(a(0, "value")))
@@ -1209,16 +1215,20 @@ object VrlFunctions {
             // prefix-dispatched base (parse_int.cue)
             val sign = when(v.startsWith("-"), lit(-1L)).otherwise(lit(1L))
             val u = regexp_replace(v, "^[+-]", "")
-            sign * (when(u.startsWith("0x"), conv(u.substr(lit(3), length(u)), 16, 10).cast("long"))
-              .when(u.startsWith("0b"), conv(u.substr(lit(3), length(u)), 2, 10).cast("long"))
-              .when(u.startsWith("0o"), conv(u.substr(lit(3), length(u)), 8, 10).cast("long"))
-              .when(u.rlike("^0[0-7]+$"), conv(u.substr(lit(2), length(u)), 8, 10).cast("long"))
+            // try_cast: conv() renders UNSIGNED 64-bit, so e.g.
+            // 0xffffffffffffffff exceeds Long and a plain ANSI cast aborts
+            sign * (when(u.startsWith("0x"), conv(u.substr(lit(3), length(u)), 16, 10).try_cast("long"))
+              .when(u.startsWith("0b"), conv(u.substr(lit(3), length(u)), 2, 10).try_cast("long"))
+              .when(u.startsWith("0o"), conv(u.substr(lit(3), length(u)), 8, 10).try_cast("long"))
+              .when(u.rlike("^0[0-7]+$"), conv(u.substr(lit(2), length(u)), 8, 10).try_cast("long"))
               .otherwise(try_cast_long(u)))
         }
         out(CV(r, VInt), Some(v.isNotNull && r.isNull), "unable to parse int")
       case "parse_float" =>
         val v = asStr(a(0, "value"))
-        val r = v.cast("double")
+        // try_cast: a plain cast aborts the job under ANSI mode instead
+        // of reaching the raise channel below
+        val r = v.try_cast("double")
         out(CV(r, VFloat), Some(v.isNotNull && r.isNull), "unable to parse float")
       case "parse_cef" =>
         val raw = asStr(a(0, "value"))
@@ -1617,9 +1627,10 @@ object VrlFunctions {
   private def expr_substr(t: Column): Column =
     t.substr(lit(2), length(t) - 2)
 
-  /** ANSI-safe string→long: null (a raise) instead of a cast error. */
-  private def try_cast_long(c: Column): Column = {
-    val s = c.cast("string")
-    when(s.rlike("^[+-]?\\d+$"), s.cast("long"))
-  }
+  /** ANSI-safe string→long: null (a raise) instead of a cast error.
+    * try_cast (not an rlike gate) so overflow-length digit runs are
+    * also null rather than an ANSI overflow abort.
+    */
+  private def try_cast_long(c: Column): Column =
+    c.cast("string").try_cast("long")
 }

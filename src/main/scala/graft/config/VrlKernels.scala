@@ -501,8 +501,8 @@ object VrlParsers {
       "method" -> CV(g(5), VStr),
       "path" -> CV(g(6), VStr),
       "protocol" -> CV(g(7), VStr),
-      "status" -> CV(nn(g(8)).cast("bigint"), VInt),
-      "size" -> CV(nn(g(9)).cast("bigint"), VInt))
+      "status" -> CV(nn(g(8)).try_cast("bigint"), VInt),
+      "size" -> CV(nn(g(9)).try_cast("bigint"), VInt))
     XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
   }
 
@@ -520,9 +520,9 @@ object VrlParsers {
     val x = obj(
       "level" -> CV(level, VStr),
       "timestamp" -> CV(ts, VTime),
-      "id" -> CV(nn(g(4)).cast("bigint"), VInt),
+      "id" -> CV(nn(g(4)).try_cast("bigint"), VInt),
       "file" -> CV(g(5), VStr),
-      "line" -> CV(nn(g(6)).cast("bigint"), VInt),
+      "line" -> CV(nn(g(6)).try_cast("bigint"), VInt),
       "message" -> CV(g(7), VStr))
     XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
   }
@@ -538,15 +538,19 @@ object VrlParsers {
   def syslog(v: Column): XV = {
     val re = """^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (?:(?:-|\[[^\]]*\]) )?(.*)$"""
     val (gs, g) = groupsOf(v, re)
-    val pri = nn(g(1)).cast("int")
+    // try_cast + try_element_at: a regex-matching but RFC-invalid PRI
+    // (e.g. <200>, or an overflow-length digit run) must degrade to null
+    // fields, not abort the job under ANSI mode.
+    val pri = nn(g(1)).try_cast("int")
     val x = obj(
-      "facility" -> CV(element_at(array(facNames.map(lit): _*), (pri / 8).cast("int") + 1), VStr),
-      "severity" -> CV(element_at(array(sevNames.map(lit): _*), (pri % 8).cast("int") + 1), VStr),
-      "version" -> CV(nn(g(2)).cast("bigint"), VInt),
+      "facility" -> CV(try_element_at(array(facNames.map(lit): _*), (pri / 8).cast("int") + 1), VStr),
+      "severity" -> CV(try_element_at(array(sevNames.map(lit): _*), (pri % 8).cast("int") + 1), VStr),
+      "version" -> CV(nn(g(2)).try_cast("bigint"), VInt),
       "timestamp" -> CV(VrlTime.parseIso(g(3)), VTime),
       "hostname" -> CV(dash(g(4)), VStr),
       "appname" -> CV(dash(g(5)), VStr),
-      "procid" -> CV(dash(g(6)).cast("bigint"), VInt),
+      // RFC 5424 PROCID is `\S+`, not necessarily numeric (try_cast, not cast)
+      "procid" -> CV(dash(g(6)).try_cast("bigint"), VInt),
       "msgid" -> CV(dash(g(7)), VStr),
       "message" -> CV(g(8), VStr))
     XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
@@ -560,7 +564,7 @@ object VrlParsers {
       "username" -> CV(coalesce(part("USERINFO"), lit("")), VStr),
       "password" -> CV(lit(""), VStr),
       "host" -> CV(regexp_replace(part("HOST"), ":\\d+$", ""), VStr),
-      "port" -> CV(nn(regexp_extract(part("HOST"), ":(\\d+)$", 1)).cast("bigint"), VInt),
+      "port" -> CV(nn(regexp_extract(part("HOST"), ":(\\d+)$", 1)).try_cast("bigint"), VInt),
       "path" -> CV(coalesce(part("PATH"), lit("")), VStr),
       "query" -> CV(coalesce(
         str_to_map(part("QUERY"), lit("&"), lit("=")),

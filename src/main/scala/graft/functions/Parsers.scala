@@ -145,7 +145,10 @@ object Parsers {
         "\f", "\\\\f")
     val rest = (0 until 32).filterNot(Set(8, 9, 10, 12, 13))
     rest.foldLeft(common) { (acc, code) =>
-      regexp_replace(acc, f"\\x$code%02x", f"\\\\\\\\u$code%04x")
+      // replacement backslashes halve through Java Matcher processing:
+      // 2 runtime backslashes → 1 in output, i.e. the JSON escape \u00XX
+      // (4 would emit a literal \\u00XX — corrupted round-trip)
+      regexp_replace(acc, f"\\x$code%02x", f"\\\\u$code%04x")
     }
   }
 
@@ -178,11 +181,15 @@ object Parsers {
       lit("|"), concat_ws(" ", ext: _*))
   }
 
-  /** parse_cef: header fields by position + extension as a map. */
+  /** parse_cef: header fields by position + extension as a map.
+    * try_element_at: a truncated CEF line (fewer than 8 header
+    * sections) yields null fields — the caller's raise channel —
+    * instead of an ANSI-mode array-index job abort.
+    */
   def cefHeader(c: Column, idx: Int): Column =
-    split(c, "\\|").getItem(idx)
+    try_element_at(split(c, "\\|"), lit(idx + 1))
   def cefExtension(c: Column): Column =
-    str_to_map(split(c, "\\|").getItem(7), lit(" "), lit("="))
+    str_to_map(try_element_at(split(c, "\\|"), lit(8)), lit(" "), lit("="))
 
   /** encode_logfmt: render (key, value-column) pairs as `k=v` logfmt,
     * quoting values containing spaces (reference encode_logfmt.cue).

@@ -49,11 +49,22 @@ object Vrl {
 
   // ------------------------------------------------------------ IP math
 
-  /** `ip_aton!("1.2.3.4")` → 16909060 (network-byte-order uint32). */
+  /** `ip_aton!("1.2.3.4")` → 16909060 (network-byte-order uint32).
+    * Null on anything that is not a dotted quad with octets 0-255 (the
+    * caller's raise channel) — the validity gate must come FIRST, since
+    * an unguarded getItem/cast on a malformed address aborts the job
+    * under ANSI mode instead of raising. CaseWhen evaluates the value
+    * branch only on matching rows, so the arithmetic below never sees a
+    * malformed address.
+    */
+  private val ipv4Re =
+    "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$"
+
   def ipAton(c: Column): Column = {
     val o = split(c, "\\.")
-    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
-      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+    when(c.rlike(ipv4Re),
+      o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+        o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long"))
   }
 
   /** `ip_ntoa!(16909060)` → "1.2.3.4". */
@@ -69,8 +80,10 @@ object Vrl {
     * (values < 2^32 << 2^53).
     */
   def ipCidrContains(cidr: Column, ip: Column): Column = {
-    val net = ipAton(split(cidr, "/").getItem(0))
-    val plen = split(cidr, "/").getItem(1).cast("int")
+    // try_element_at/try_cast: a CIDR without "/" (or a garbage prefix
+    // length) → null result, not an ANSI-mode job abort
+    val net = ipAton(try_element_at(split(cidr, "/"), lit(1)))
+    val plen = try_element_at(split(cidr, "/"), lit(2)).try_cast("int")
     val div = pow(lit(2.0), lit(32) - plen)
     floor(ipAton(ip) / div) === floor(net / div)
   }
@@ -222,9 +235,11 @@ object Vrl {
   /** chunks("abcdefgh", 4) → ["abcd","efgh"] (chunks.cue — STRING
     * chunking; byte-exactness caveat: Spark regex chunks by
     * CODEPOINTS, the reference by bytes — identical on ASCII).
+    * (?s) so `.` also matches line terminators — without it,
+    * newlines are silently dropped and chunk boundaries shift.
     */
   def chunks(c: Column, n: Int): Column =
-    regexp_extract_all(c, lit(s".{1,$n}"), lit(0))
+    regexp_extract_all(c, lit(s"(?s).{1,$n}"), lit(0))
 
   /** screamingsnakecase("fooBar") → "FOO_BAR". */
   def screamingsnakecase(c: Column): Column = upper(snakecase(c))

@@ -62,7 +62,7 @@ object VrlParsers {
       g(4).as("hostname"),
       g(7).as("message"),
       when(g(6) === "", lit(null).cast("long"))
-        .otherwise(g(6).cast("long")).as("procid"),
+        .otherwise(g(6).try_cast("long")).as("procid"),
       ts.as("timestamp")))
   }
 
@@ -82,13 +82,16 @@ object VrlParsers {
     val toks = regexp_extract_all(c, lit(albTokenRe), lit(0))
     // strip surrounding quotes; "-" and empty → null
     def tok(i: Int): Column = {
-      val raw = element_at(toks, i + 1)
+      // try_element_at + try_cast: a truncated/older-format line (fewer
+      // than 29 tokens, or garbage in a numeric slot) must yield null
+      // fields — the caller's raise channel — not an ANSI-mode job abort.
+      val raw = try_element_at(toks, lit(i + 1))
       val unq = when(raw.startsWith("\""),
         regexp_replace(raw, "^\"|\"$", "")).otherwise(raw)
       when(unq === "-" || unq === "", lit(null).cast("string")).otherwise(unq)
     }
-    def num(i: Int): Column = tok(i).cast("double")
-    def lng(i: Int): Column = tok(i).cast("long")
+    def num(i: Int): Column = tok(i).try_cast("double")
+    def lng(i: Int): Column = tok(i).try_cast("long")
     def lst(i: Int): Column =
       when(tok(i).isNull, array().cast("array<string>"))
         .otherwise(split(tok(i), " "))
@@ -131,9 +134,11 @@ object VrlParsers {
     val names = format.split(' ')
     val toks = split(c, " ")
     val fields = names.zipWithIndex.map { case (name, i) =>
-      val raw = element_at(toks, i + 1)
+      // try_element_at/try_cast: short or malformed lines → null fields,
+      // not an ANSI-mode array-index/cast job abort
+      val raw = try_element_at(toks, lit(i + 1))
       val v = when(raw === "-" || raw === "", lit(null).cast("string")).otherwise(raw)
-      (if (vpcIntFields(name)) v.cast("long") else v).as(name)
+      (if (vpcIntFields(name)) v.try_cast("long") else v).as(name)
     }
     struct(fields.toIndexedSeq: _*)
   }
@@ -196,8 +201,10 @@ object VrlParsers {
       .otherwise(num.cast("double") * mult / unitM)
   }
 
-  /** `parse_float!(s)` — null on unparsable (VRL fallible analog). */
-  def parseFloat(c: Column): Column = c.cast("double")
+  /** `parse_float!(s)` — null on unparsable (VRL fallible analog);
+    * try_cast, since a plain cast aborts the job under ANSI mode.
+    */
+  def parseFloat(c: Column): Column = c.try_cast("double")
 }
 
 /** parse_etld support data: a compact, commonly-hit subset of the
