@@ -763,11 +763,16 @@ object VrlFunctions {
         val r = graft.functions.Vrl.toSyslogFacilityCode(asStr(a(0, "value")))
         out(CV(r.cast("bigint"), VInt), Some(r.isNull), "unknown facility")
       case "community_id" =>
+        // cue positional order: source_ip, destination_ip, protocol,
+        // source_port, destination_port, seed; ports optional (absent →
+        // the spec's port-less layout)
+        def port(i: Int, n: String): Column =
+          a.opt(i, n).map(_.cv.col.try_cast("int")).getOrElse(lit(null).cast("int"))
         val r = graft.functions.Vrl.communityId(
           asStr(a(0, "source_ip")), asStr(a(1, "destination_ip")),
-          a(2, "source_port").cv.col.cast("int"),
-          a(3, "destination_port").cv.col.cast("int"),
-          a(4, "protocol").cv.col.cast("int"))
+          port(3, "source_port"), port(4, "destination_port"),
+          a(2, "protocol").cv.col.cast("int"),
+          a.litInt(5, "seed").getOrElse(0L).toInt)
         out(CV(r, VStr), Some(r.isNull), "invalid address")
 
       // --- string case family (camelcase.cue & siblings) --------------
@@ -827,16 +832,16 @@ object VrlFunctions {
         out(CV(graft.functions.Vrl.xxhash(asStr(str0)), VInt))
 
       // --- codecs -------------------------------------------------------
-      case "encode_gzip" => out(binCodec(a, asStr, graft.functions.Vrl.encodeGzip, encodeSide = true))
-      case "decode_gzip" => out(binCodec(a, asStr, graft.functions.Vrl.decodeGzip, encodeSide = false))
-      case "encode_zlib" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZlib, encodeSide = true))
-      case "decode_zlib" => out(binCodec(a, asStr, graft.functions.Vrl.decodeZlib, encodeSide = false))
-      case "encode_zstd" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZstd(_), encodeSide = true))
-      case "decode_zstd" => out(binCodec(a, asStr, graft.functions.Vrl.decodeZstd, encodeSide = false))
-      case "encode_lz4" => out(binCodec(a, asStr, graft.functions.Vrl.encodeLz4, encodeSide = true))
-      case "decode_lz4" => out(binCodec(a, asStr, graft.functions.Vrl.decodeLz4, encodeSide = false))
-      case "encode_snappy" => out(binCodec(a, asStr, graft.functions.Vrl.encodeSnappy, encodeSide = true))
-      case "decode_snappy" => out(binCodec(a, asStr, graft.functions.Vrl.decodeSnappy, encodeSide = false))
+      case "encode_gzip" => out(binCodec(a, asStr, graft.functions.Vrl.encodeGzip, encodeSide = true)._1)
+      case "decode_gzip" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeGzip, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_zlib" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZlib, encodeSide = true)._1)
+      case "decode_zlib" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeZlib, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_zstd" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZstd(_), encodeSide = true)._1)
+      case "decode_zstd" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeZstd, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_lz4" => out(binCodec(a, asStr, graft.functions.Vrl.encodeLz4, encodeSide = true)._1)
+      case "decode_lz4" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeLz4, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_snappy" => out(binCodec(a, asStr, graft.functions.Vrl.encodeSnappy, encodeSide = true)._1)
+      case "decode_snappy" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeSnappy, encodeSide = false); out(cv, rs, "unable to decode") }
       case "encode_charset" =>
         val cs = a.litStr(1, "to_charset", "charset").getOrElse(
           throw VrlUnsupported("encode_charset without literal charset"))
@@ -1392,11 +1397,18 @@ object VrlFunctions {
     * event model (a raw compressed byte string is not a valid UTF-8
     * column value).
     */
+  /** Returns (value, raise): decoders null out malformed input
+    * (CodecExpressions per-row degradation) — surfaced here as the VRL
+    * raise channel; encoders are total.
+    */
   private def binCodec(a: Args, asStr: XV => Column,
-                       f: Column => Column, encodeSide: Boolean): CV = {
+                       f: Column => Column, encodeSide: Boolean): (CV, Option[Column]) = {
     val v = asStr(a(0, "value"))
-    if (encodeSide) CV(base64(f(v)), VStr)
-    else CV(f(unbase64(v).cast("binary")).cast("string"), VStr)
+    if (encodeSide) (CV(base64(f(v)), VStr), None)
+    else {
+      val r = f(unbase64(v).cast("binary")).cast("string")
+      (CV(r, VStr), Some(v.isNotNull && r.isNull))
+    }
   }
 
   private def seedCol(a: Args, i: Int): Column =

@@ -105,7 +105,11 @@ object Grok {
     }
     sb ++= escapeLiteral(grok.substring(last))
     val core = sb.result()
-    Compiled(if (anchored) s"^$core$$" else core, fields.result())
+    // \z (end of input), not $: Java's $ also matches before a final
+    // line terminator, so "msg\n" would parse in Spark but not in the
+    // RE2 oracle (where $ is end-of-text) — \z means end-of-text in
+    // BOTH engines, keeping the shared-pattern contract exact
+    Compiled(if (anchored) s"^$core\\z" else core, fields.result())
   }
 
   /** parse_groks: first-matching pattern wins

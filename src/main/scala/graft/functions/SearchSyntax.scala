@@ -112,7 +112,11 @@ object SearchSyntax {
     }
 
     private def parseUnary(): Column = next() match {
-      case NotTok => !parseUnary()
+      // null-normalize under NOT: a missing/null facet makes the inner
+      // condition null, and Datadog semantics say such an event MATCHES
+      // the negation (`-level:error` includes events with no level) —
+      // raw !null would stay null and never match
+      case NotTok => !coalesce(parseUnary(), lit(false))
       case LParen =>
         val e = parseOr()
         require(peek.contains(RParen), "expected )"); next(); e
@@ -130,13 +134,12 @@ object SearchSyntax {
         value match {
           case _ if quoted => c === value
           case rangeRe(lo, hi) =>
-            (if (lo == "*") lit(true) else c >= castLike(c, lo)) &&
-              (if (hi == "*") lit(true) else c <= castLike(c, hi))
+            (if (lo == "*") lit(true) else cmp(c, lo, _ >= _)) &&
+              (if (hi == "*") lit(true) else cmp(c, hi, _ <= _))
           case cmpRe(op, n) =>
-            val v = castLike(c, n)
             op match {
-              case ">" => c > v; case ">=" => c >= v
-              case "<" => c < v; case "<=" => c <= v
+              case ">" => cmp(c, n, _ > _); case ">=" => cmp(c, n, _ >= _)
+              case "<" => cmp(c, n, _ < _); case "<=" => cmp(c, n, _ <= _)
             }
           case v if v.contains("*") =>
             // wildcard → anchored regex, everything else quoted
@@ -147,9 +150,16 @@ object SearchSyntax {
         }
     }
 
-    /** Numeric comparisons compare numerically, else lexically. */
-    private def castLike(c: Column, v: String): Column =
-      if (v.matches("-?[0-9]+(\\.[0-9]+)?")) lit(v.toDouble).cast("double")
-      else lit(v)
+    /** Numeric bounds compare numerically, else lexically. The column
+      * side goes through try_cast: under ANSI mode an implicit
+      * string→double coercion would abort the whole job on the first
+      * non-numeric row value — here such a row is simply not a match
+      * (null comparison → filtered), the Datadog behavior.
+      */
+    private def cmp(c: Column, v: String,
+                    op: (Column, Column) => Column): Column =
+      if (v.matches("-?[0-9]+(\\.[0-9]+)?"))
+        op(c.try_cast("double"), lit(v.toDouble))
+      else op(c, lit(v))
   }
 }

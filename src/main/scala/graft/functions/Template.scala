@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
 object Template {
 
   private val fieldRe = "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r
-  private val strftimeRe = "%[YmdHMSFjT%]".r
+  // tokenize EVERY %-specifier (not just the supported ones) so an
+  // unsupported one is a plan-time error below, never silent literal
+  // passthrough into partition keys / metric names
+  private val strftimeRe = "%[A-Za-z%]".r
 
   /** strftime → java.time format pattern (the subset the reference's
     * sink paths use; extend as needed).
     */
   private val strf: Map[String, String] = Map(
-    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss",
-    "%F" -> "yyyy-MM-dd", "%j" -> "DDD", "%T" -> "HH:mm:ss")
+    "%F" -> "yyyy-MM-dd", "%j" -> "DDD", "%T" -> "HH:mm:ss",
+    "%b" -> "MMM", "%B" -> "MMMM", "%a" -> "EEE", "%A" -> "EEEE",
+    "%I" -> "hh", "%p" -> "a", "%z" -> "Z")
 
   /** Compile `template` into a Column. `{{ field }}` → `fieldCol(field)`
     * (default `col`); strftime specifiers format `tsCol`; `%%` is a
@@ -44,6 +49,7 @@ object Template {
         val field = fieldRe.findFirstMatchIn(tok).get.group(1)
         parts += coalesce(fieldCol(field).cast("string"), lit(""))
       } else if (tok == "%%") parts += lit("%")
+      else if (tok == "%s") parts += unix_timestamp(tsCol).cast("string")
       else parts += date_format(tsCol, strf.getOrElse(tok,
         throw new IllegalArgumentException(s"unsupported strftime: $tok")))
       last = m.end

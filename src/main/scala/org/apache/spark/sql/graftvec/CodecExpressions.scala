@@ -27,6 +27,20 @@ object CodecExpressions {
     override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
     override def dataType: DataType = BinaryType
     override def nullIntolerant: Boolean = true
+
+    /** Malformed compressed input → null (the caller's raise channel):
+      * decoders face hostile bytes, and one bad blob must degrade that
+      * row, never abort the job.
+      *
+      * Declared nullable unconditionally: the default child-derived
+      * nullability would let the optimizer fold IsNull(decode(x)) to
+      * false over a non-null child, silently killing the raise channel
+      * built on it.
+      */
+    override def nullable: Boolean = true
+
+    protected def orNull(f: => Array[Byte]): Any =
+      try f catch { case scala.util.control.NonFatal(_) => null }
   }
 
   case class GzipCompress(child: Expression) extends BinaryCodec {
@@ -42,7 +56,7 @@ object CodecExpressions {
 
   case class GzipDecompress(child: Expression) extends BinaryCodec {
     override def prettyName: String = "decode_gzip"
-    override def nullSafeEval(v: Any): Any = {
+    override def nullSafeEval(v: Any): Any = orNull {
       val in = new GZIPInputStream(
         new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
       try in.readAllBytes() finally in.close()
@@ -66,13 +80,17 @@ object CodecExpressions {
 
   case class ZlibDecompress(child: Expression) extends BinaryCodec {
     override def prettyName: String = "decode_zlib"
-    override def nullSafeEval(v: Any): Any = {
+    override def nullSafeEval(v: Any): Any = orNull {
       val i = new Inflater()
       i.setInput(v.asInstanceOf[Array[Byte]])
       val bos = new ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
       while (!i.finished()) {
         val n = i.inflate(buf)
+        if (n == 0 && i.needsDictionary())
+          // FDICT streams: inflate() returns 0 with needsInput()=false —
+          // without this check the loop would spin forever
+          throw new java.util.zip.DataFormatException("zlib preset dictionary unsupported")
         if (n == 0 && i.needsInput()) throw new java.util.zip.DataFormatException("truncated zlib input")
         bos.write(buf, 0, n)
       }
@@ -92,14 +110,15 @@ object CodecExpressions {
 
   case class ZstdDecompress(child: Expression) extends BinaryCodec {
     override def prettyName: String = "decode_zstd"
-    override def nullSafeEval(v: Any): Any = {
+    override def nullSafeEval(v: Any): Any = orNull {
       val src = v.asInstanceOf[Array[Byte]]
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(src)
-      // Streaming-written frames report no content size (n < 0), and a
-      // single-allocation decompress can't hold >2GB — both fall back to
-      // a streaming inflate instead of failing/overflowing on valid
-      // external zstd input.
-      if (n >= 0 && n <= Int.MaxValue)
+      // Streaming-written frames report no content size (n < 0), a
+      // single-allocation decompress can't hold >2GB, and a hostile
+      // header can CLAIM up to 2GB to force an up-front allocation —
+      // all fall back to the streaming path, which allocates
+      // incrementally and fails naturally on garbage.
+      if (n >= 0 && n <= (1L << 28))
         com.github.luben.zstd.Zstd.decompress(src, n.toInt)
       else {
         val in = new com.github.luben.zstd.ZstdInputStream(
@@ -137,11 +156,16 @@ object CodecExpressions {
 
   case class Lz4Decompress(child: Expression) extends BinaryCodec {
     override def prettyName: String = "decode_lz4"
-    override def nullSafeEval(v: Any): Any = {
+    override def nullSafeEval(v: Any): Any = orNull {
       val src = v.asInstanceOf[Array[Byte]]
+      require(src.length >= 4, "lz4: missing length prefix")
       val n = java.nio.ByteBuffer.wrap(src, 0, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      require(n >= 0, s"lz4: negative length prefix $n")
+      // bound the attacker-controlled prefix before allocating: an LZ4
+      // block expands at most ~255x, so anything beyond that is a
+      // decompression bomb / garbage, not a valid frame
+      require(n >= 0 && n.toLong <= (src.length - 4).toLong * 255 + 16,
+        s"lz4: implausible length prefix $n for ${src.length} input bytes")
       val dst = new Array[Byte](n)
       net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
         .decompress(src, 4, dst, 0, n)
@@ -163,7 +187,7 @@ object CodecExpressions {
   case class SnappyDecompress(child: Expression) extends BinaryCodec {
     override def prettyName: String = "decode_snappy"
     override def nullSafeEval(v: Any): Any =
-      org.xerial.snappy.Snappy.uncompress(v.asInstanceOf[Array[Byte]])
+      orNull(org.xerial.snappy.Snappy.uncompress(v.asInstanceOf[Array[Byte]]))
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 

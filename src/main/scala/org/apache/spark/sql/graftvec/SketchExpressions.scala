@@ -83,23 +83,37 @@ object SketchExpressions {
       o.neg.foreach { case (k, c) => neg.update(k, neg.getOrElse(k, 0L) + c) }
     }
 
-    /** Collapse lowest-magnitude positive buckets once over budget —
-      * they hold the values with the smallest absolute contribution, so
-      * the absolute error introduced is the smallest available (paper
-      * §2.3; collapse breaks the relative-error bound only for the
-      * collapsed range).
+    /** Collapse lowest-magnitude buckets (either sign) once over
+      * budget — they hold the values with the smallest absolute
+      * contribution, so the absolute error introduced is the smallest
+      * available (paper §2.3; collapse breaks the relative-error bound
+      * only for the collapsed range). Each fold merges a bucket into
+      * its next-larger-magnitude neighbor of the SAME sign; the last
+      * bucket of a sign is never folded (so the floor is maxBins, +1
+      * only when both signs are down to their final bucket).
       */
     def collapseIfNeeded(maxBins: Int): Unit = {
       var over = pos.size + neg.size - maxBins
       if (over <= 0) return
-      val keys = pos.keys.toArray.sorted
-      var i = 0
-      var moved = 0L
-      // fold the (over+1) lowest buckets into the (over+1)-th
-      while (i <= over && i < keys.length) { moved += pos.remove(keys(i)).get; i += 1 }
-      if (moved > 0) {
-        val tgt = keys(math.min(over, keys.length - 1))
-        pos.update(tgt, pos.getOrElse(tgt, 0L) + moved)
+      // mirrored keys: sorted ascending = smallest |value| first for
+      // both maps (neg stores key(-x))
+      val pk = pos.keys.toArray.sorted
+      val nk = neg.keys.toArray.sorted
+      var pi = 0
+      var ni = 0
+      while (over > 0 && (pi < pk.length - 1 || ni < nk.length - 1)) {
+        val pKey = if (pi < pk.length - 1) pk(pi) else Int.MaxValue
+        val nKey = if (ni < nk.length - 1) nk(ni) else Int.MaxValue
+        if (pKey <= nKey) {
+          val c = pos.remove(pk(pi)).get
+          pos.update(pk(pi + 1), pos.getOrElse(pk(pi + 1), 0L) + c)
+          pi += 1
+        } else {
+          val c = neg.remove(nk(ni)).get
+          neg.update(nk(ni + 1), neg.getOrElse(nk(ni + 1), 0L) + c)
+          ni += 1
+        }
+        over -= 1
       }
     }
 

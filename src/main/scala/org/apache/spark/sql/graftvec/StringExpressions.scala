@@ -67,12 +67,15 @@ object StringExpressions {
 
   /** decode_mime_q (decode_mime_q.cue): RFC 2047 encoded-words, B
     * (base64) and Q (quoted-printable, `_` = space) forms, any JDK
-    * charset; non-encoded spans pass through untouched.
+    * charset; non-encoded spans pass through untouched. A malformed
+    * word (bad hex escape, unknown charset, invalid base64) is kept
+    * verbatim per RFC 2047 §6.3 — never a per-row exception that would
+    * abort the job.
     */
   case class MimeQDecode(child: Expression) extends StrMapper {
     override def prettyName: String = "decode_mime_q"
     override def mapStr(s: String): String =
-      mimeWordRe.replaceAllIn(s, m => {
+      mimeWordRe.replaceAllIn(s, m => try {
         val cs = java.nio.charset.Charset.forName(m.group(1))
         val bytes = m.group(2).toUpperCase match {
           case "B" => java.util.Base64.getDecoder.decode(m.group(3))
@@ -91,6 +94,9 @@ object StringExpressions {
             out.toByteArray
         }
         scala.util.matching.Regex.quoteReplacement(new String(bytes, cs))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          scala.util.matching.Regex.quoteReplacement(m.matched)
       })
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
@@ -169,14 +175,25 @@ object StringExpressions {
       else if (d == d.toLong && math.abs(d) < 1e15) sb.append(d.toLong)
       else sb.append(d)
 
-    /** Decode one item; `asKey` forces a JSON-string rendering. */
+    /** Decode one item; `asKey` forces a JSON-string rendering: RFC
+      * 8949 §6.1 permits any key type — a non-string key renders to its
+      * JSON text and is then quoted whole (so float / array / map keys
+      * still yield valid JSON, not bare `{1.5:...}`).
+      */
     private def decodeItem(buf: ByteBuffer, sb: java.lang.StringBuilder,
                            asKey: Boolean = false): Unit = {
+      if (asKey) {
+        val tmp = new java.lang.StringBuilder()
+        decodeItem(buf, tmp)
+        val s = tmp.toString
+        if (s.length > 0 && s.charAt(0) == '"') sb.append(s)
+        else jsonEscapeTo(sb, s)
+        return
+      }
       val ib = buf.get() & 0xff
       val major = ib >> 5
       val info = ib & 0x1f
-      def key(s: String): Unit =
-        if (asKey) jsonEscapeTo(sb, s) else sb.append(s)
+      def key(s: String): Unit = sb.append(s)
       major match {
         case 0 => key(java.lang.Long.toUnsignedString(readArg(buf, info)))
         case 1 =>
@@ -432,6 +449,13 @@ object StringExpressions {
     * max(endpoint) ++ proto:u8 ++ 0:u8 ++ ports (u16BE each, ordered
     * with their address), SHA-1, base64, "1:" prefix. IPv4 dotted-quad
     * addresses (IPv6 via InetAddress would extend the byte layout).
+    *
+    * Per the spec, the port segment applies only to TCP/UDP/SCTP and
+    * ICMP/ICMPv6; for ICMP the "ports" are (type, code) with the type
+    * mapped to its bidirectional peer (echo request↔reply, …) — an
+    * unmapped type makes the flow one-way (endpoint order preserved).
+    * Any other protocol, or absent ports, hashes without the port
+    * segment and orders endpoints by address alone.
     */
   case class CommunityId(children: IndexedSeq[Expression], seed: Int)
       extends Expression with CodegenFallback {
@@ -457,27 +481,56 @@ object StringExpressions {
       out
     }
 
+    /** ICMP / ICMPv6 type → bidirectional peer type (spec's port
+      * equivalents tables; an absent key means a one-way flow).
+      */
+    private val icmp4Peer = Map(8 -> 0, 0 -> 8, 13 -> 14, 14 -> 13,
+      15 -> 16, 16 -> 15, 9 -> 10, 10 -> 9, 17 -> 18, 18 -> 17)
+    private val icmp6Peer = Map(128 -> 129, 129 -> 128, 133 -> 134,
+      134 -> 133, 135 -> 136, 136 -> 135)
+
     override def eval(input: InternalRow): Any = {
       val vs = children.map(_.eval(input))
-      if (vs.exists(_ == null)) return null
+      // addresses and protocol are required; ports are optional
+      if (vs(0) == null || vs(1) == null || vs(4) == null) return null
       val saddr = vs(0).asInstanceOf[UTF8String].toString
       val daddr = vs(1).asInstanceOf[UTF8String].toString
-      val sport = vs(2).asInstanceOf[Number].intValue()
-      val dport = vs(3).asInstanceOf[Number].intValue()
       val proto = vs(4).asInstanceOf[Number].intValue()
       val sb = ipBytes(saddr); val db = ipBytes(daddr)
       if (sb == null || db == null) return null
-      // canonical order: smaller (addr, port) endpoint first
-      val cmp = {
-        val c = java.util.Arrays.compareUnsigned(sb, db)
-        if (c != 0) c else Integer.compare(sport, dport)
+      val spOpt = Option(vs(2)).map(_.asInstanceOf[Number].intValue())
+      val dpOpt = Option(vs(3)).map(_.asInstanceOf[Number].intValue())
+      // (port1, port2, oneWay): ICMP maps (type, code) → (type, peer);
+      // unmapped type = one-way. Non-port protocols carry no segment.
+      var oneWay = false
+      val ports: Option[(Int, Int)] = (proto, spOpt, dpOpt) match {
+        case (1, Some(t), Some(c)) => Some(icmp4Peer.get(t) match {
+          case Some(peer) => (t, peer)
+          case None => oneWay = true; (t, c)
+        })
+        case (58, Some(t), Some(c)) => Some(icmp6Peer.get(t) match {
+          case Some(peer) => (t, peer)
+          case None => oneWay = true; (t, c)
+        })
+        case (6 | 17 | 132, Some(sp), Some(dp)) => Some((sp, dp))
+        case _ => None
       }
-      val (a1, p1, a2, p2) =
-        if (cmp <= 0) (sb, sport, db, dport) else (db, dport, sb, sport)
-      val buf = ByteBuffer.allocate(2 + a1.length + a2.length + 2 + 2 + 2)
+      // canonical order: smaller (addr[, port]) endpoint first, except
+      // one-way flows which keep their original direction
+      val addrCmp = java.util.Arrays.compareUnsigned(sb, db)
+      val flip = !oneWay && (ports match {
+        case Some((sp, dp)) => addrCmp > 0 || (addrCmp == 0 && sp > dp)
+        case None => addrCmp > 0
+      })
+      val (a1, a2) = if (flip) (db, sb) else (sb, db)
+      val buf = ByteBuffer.allocate(
+        2 + a1.length + a2.length + 2 + (if (ports.isDefined) 4 else 0))
       buf.putShort(seed.toShort).put(a1).put(a2)
         .put(proto.toByte).put(0.toByte)
-        .putShort(p1.toShort).putShort(p2.toShort)
+      ports.foreach { case (sp, dp) =>
+        val (p1, p2) = if (flip) (dp, sp) else (sp, dp)
+        buf.putShort(p1.toShort).putShort(p2.toShort)
+      }
       val sha = java.security.MessageDigest.getInstance("SHA-1").digest(buf.array())
       UTF8String.fromString("1:" + java.util.Base64.getEncoder.encodeToString(sha))
     }

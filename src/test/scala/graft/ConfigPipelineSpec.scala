@@ -117,6 +117,7 @@ class ConfigPipelineSpec extends SparkSpec {
         |    .lvl = to_syslog_level!(5)
         |    .fh = format_int!(255, 16)
         |    .cid = community_id!(source_ip: .sip, destination_ip: .dip, source_port: 1122, destination_port: 3344, protocol: 6)
+        |    .cid2 = community_id!(.sip, .dip, 6, 1122, 3344)
         |  '''
         |[[tests]]
         |  name = "stdlib_round3"
@@ -144,6 +145,7 @@ class ConfigPipelineSpec extends SparkSpec {
         |        assert_eq!(.lvl, "notice")
         |        assert_eq!(.fh, "ff")
         |        assert_eq!(.cid, "1:wCb3OG7yAFWelaUydu0D+125CLM=")
+        |        assert_eq!(.cid2, "1:wCb3OG7yAFWelaUydu0D+125CLM=")
         |      '''
         |""".stripMargin)
     val rs = UnitTestHarness.run(spark, topo)

@@ -30,6 +30,15 @@ class GrokSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Grok.compile("%{NOPE:x}"))
   }
 
+  test("anchored pattern rejects a trailing newline (\\z end-of-text, RE2 parity)") {
+    val c = Grok.compile("%{WORD:a}")
+    val p = java.util.regex.Pattern.compile(c.regex)
+    assert(p.matcher("hello").find())
+    // Java $ would match before the final terminator and diverge from
+    // the DuckDB/RE2 oracle running the SAME pattern; \z must not
+    assert(!p.matcher("hello\n").find())
+  }
+
   test("log-line pattern parses the transcript format") {
     val line = "1998-03-03T00:00:00Z info tool=tool_6 latency_ms=190 msg=\"turn 0 of conv-0 by assistant\""
     val c = graft.plans.Pipeline.compiledGrok

@@ -82,6 +82,31 @@ class MalformedInputSpec extends SparkSpec {
     assert(r.getAs[Any]("packets") == null)
   }
 
+  test("decoders: hostile compressed blobs degrade to null — no abort, no hang") {
+    // zlib header with FDICT set (CMF=0x78, FLG=0x20: check bits valid,
+    // preset-dictionary flag on) — previously an infinite inflate loop
+    assert(one(Vrl.decodeZlib(unhex(lit("782000000001")))) == null)
+    assert(one(Vrl.decodeGzip(unhex(lit("deadbeef")))) == null)
+    assert(one(Vrl.decodeZstd(unhex(lit("00112233445566")))) == null)
+    // lz4: truncated (no 4-byte prefix) and decompression-bomb prefix
+    assert(one(Vrl.decodeLz4(unhex(lit("0102")))) == null)
+    assert(one(Vrl.decodeLz4(unhex(lit("ffffff7f0102030405")))) == null)
+    assert(one(Vrl.decodeSnappy(unhex(lit("ff00ff00ff")))) == null)
+    // valid round-trips still work after the guards
+    assert(one(Vrl.decodeZlib(Vrl.encodeZlib(lit("ok").cast("binary"))).cast("string")) == "ok")
+    assert(one(Vrl.decodeLz4(Vrl.encodeLz4(lit("ok").cast("binary"))).cast("string")) == "ok")
+  }
+
+  test("decode_mime_q: malformed encoded-words stay verbatim, never throw") {
+    assert(one(Vrl.decodeMimeQ(lit("x =?UTF-8?Q?=ZZ?= y"))) == "x =?UTF-8?Q?=ZZ?= y")
+    assert(one(Vrl.decodeMimeQ(lit("=?bogus-charset?B?Zm9v?="))) ==
+      "=?bogus-charset?B?Zm9v?=")
+    assert(one(Vrl.decodeMimeQ(lit("=?UTF-8?B?!!!notbase64?="))) ==
+      "=?UTF-8?B?!!!notbase64?=")
+    // a valid word still decodes
+    assert(one(Vrl.decodeMimeQ(lit("=?UTF-8?Q?hello_world?="))) == "hello world")
+  }
+
   // ------------------------------------------- config-dispatch raises
 
   test("fallible stdlib calls raise (error channel) on malformed input instead of aborting") {
@@ -96,6 +121,7 @@ class MalformedInputSpec extends SparkSpec {
         |    .f1, .e3 = parse_float("zzz")
         |    .f2, .e4 = to_float("zzz")
         |    .s1, .e5 = to_syslog_facility(99)
+        |    .dz, .e6 = decode_zlib("anVuaw==")
         |    .ok = parse_int!("0x2a")
         |    .sl = parse_syslog!("<200>1 2024-01-01T00:00:00Z host app proc-x mid - hello")
         |  '''
@@ -116,6 +142,7 @@ class MalformedInputSpec extends SparkSpec {
         |        assert!(.e3 != null)
         |        assert!(.e4 != null)
         |        assert!(.e5 != null)
+        |        assert!(.e6 != null)
         |        assert_eq!(.ok, 42)
         |        assert!(is_null(.sl.facility))
         |        assert_eq!(.sl.severity, "emerg")

@@ -383,4 +383,25 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(st.quantile(0.9) - exact9) / exact9 <= 0.011)
     assert(st.quantile(1.0) == 500.0)
   }
+
+  test("ddsketch: bucket budget holds for negative and mixed-sign data") {
+    import org.apache.spark.sql.graftvec.SketchExpressions.DDSketchState
+    // all-negative: collapse must fold neg buckets, not just pos
+    val neg = new DDSketchState(0.01)
+    (1 to 50000).foreach(i => { neg.insert(-i * 0.01); neg.collapseIfNeeded(64) })
+    assert(neg.pos.size + neg.neg.size <= 64,
+      s"neg-only sketch grew to ${neg.pos.size + neg.neg.size} buckets")
+    // collapse folds lowest-|v| buckets: the extreme (most negative)
+    // tail keeps its accuracy
+    assert(neg.quantile(0.0) == -500.0)
+    val exact1 = -0.01 * math.ceil(0.9 * 50000) // q=0.1 of negatives
+    assert(math.abs(neg.quantile(0.1) - exact1) / math.abs(exact1) <= 0.011)
+    // mixed signs: budget still holds
+    val mix = new DDSketchState(0.01)
+    (1 to 25000).foreach { i =>
+      mix.insert(i * 0.01); mix.insert(-i * 0.01); mix.collapseIfNeeded(64)
+    }
+    assert(mix.pos.size + mix.neg.size <= 64,
+      s"mixed sketch grew to ${mix.pos.size + mix.neg.size} buckets")
+  }
 }

@@ -173,6 +173,7 @@ class Stdlib2Spec extends SparkSpec {
     assert(cbor("fb3fc999999999999a") == "0.2")            // float64 0.2
     assert(cbor("f93c00") == "1")                          // half-float 1.0
     assert(cbor("a201020304") == """{"1":2,"3":4}""")      // int keys → strings
+    assert(cbor("a1f93e0001") == """{"1.5":1}""")          // float key → quoted
     assert(cbor("9f0102ff") == "[1,2]")                    // indefinite array
     assert(cbor("5f42010243030405ff") == "\"" +
       java.util.Base64.getEncoder.encodeToString(Array[Byte](1,2,3,4,5)) + "\"")
@@ -221,6 +222,31 @@ class Stdlib2Spec extends SparkSpec {
       lit(2), lit(6))) == null)
     assert(one(Vrl.communityId(lit("not-an-ip"), lit("5.6.7.8"), lit(1),
       lit(2), lit(6))) == null)
+  }
+
+  test("community_id: ICMP type/code mapping, one-way flows, port-less protocols (spec)") {
+    // vectors from an independent implementation of the Community ID
+    // v1 spec (corelight) — the same replica reproduces the cue's TCP
+    // vector, so these are authoritative
+    def cid(s: String, d: String, sp: org.apache.spark.sql.Column,
+            dp: org.apache.spark.sql.Column, proto: Int) =
+      one(Vrl.communityId(lit(s), lit(d), sp, dp, lit(proto)))
+    // ICMP echo request (8,0) and its reply (0,0) are the SAME flow
+    assert(cid("1.2.3.4", "5.6.7.8", lit(8), lit(0), 1) ==
+      "1:crodRHL2FEsHjbv3UkRrfbs4bZ0=")
+    assert(cid("5.6.7.8", "1.2.3.4", lit(0), lit(0), 1) ==
+      "1:crodRHL2FEsHjbv3UkRrfbs4bZ0=")
+    // unmapped ICMP type (11 = time exceeded) is one-way: direction preserved
+    assert(cid("1.2.3.4", "5.6.7.8", lit(11), lit(0), 1) ==
+      "1:f/YiSyWqczrTgfUCZlBUnvHRcPk=")
+    assert(cid("5.6.7.8", "1.2.3.4", lit(11), lit(0), 1) ==
+      "1:1Vae9INpTJ+fZaSmjhtK/hyOPac=")
+    // port-less protocol (47 = GRE): no port segment, symmetric by address
+    val nullPort = lit(null).cast("int")
+    assert(cid("1.2.3.4", "5.6.7.8", nullPort, nullPort, 47) ==
+      "1:+mluqz76jObh6dJLwnhX08n5St4=")
+    assert(cid("5.6.7.8", "1.2.3.4", nullPort, nullPort, 47) ==
+      "1:+mluqz76jObh6dJLwnhX08n5St4=")
   }
 
   test("encrypt_ip/decrypt_ip aes128 matches the reference vectors (encrypt_ip.cue)") {

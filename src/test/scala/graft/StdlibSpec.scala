@@ -69,6 +69,20 @@ class StdlibSpec extends SparkSpec {
     assert(Template.fields("x{{ a }}y{{ b.c }}{{ a }}") == Seq("a", "b.c"))
   }
 
+  test("template: %s/%b render; an unsupported specifier fails at compile, not silently") {
+    val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2026-03-05 10:20:30"))).toDF("ts")
+    val out = df.select(Template.compile("t-%s-%b.log", col("ts"))).head.getString(0)
+    assert(out.matches("t-\\d{9,}-Mar\\.log"), out)
+    // %Q is not a supported specifier: plan-time error, never a literal
+    // "%Q" leaking into partition keys
+    intercept[IllegalArgumentException] {
+      Template.compile("x-%Q", col("ts"))
+    }
+    // a bare % before a non-letter is still literal text
+    val pct = df.select(Template.compile("50% done", col("ts"))).head.getString(0)
+    assert(pct == "50% done")
+  }
+
   // ------------------------------------------------------------ LineAgg
 
   private val stack = Seq(
@@ -143,6 +157,23 @@ class StdlibSpec extends SparkSpec {
     assert(search("level:error -team:infra") == Set(1L))
     assert(search("NOT (level:error OR level:warn)") == Set(2L))
     assert(search("\"ok fast\"") == Set(2L))
+  }
+
+  test("search: NOT matches events missing the facet; numeric compares tolerate garbage (ANSI)") {
+    val mixed = Seq(
+      (1L, "a", Some("error"), "120"),
+      (2L, "b", None, "abc"),
+      (3L, "c", Some("info"), "80")
+    ).toDF("id", "message", "level", "latency")
+    def s(q: String): Set[Long] =
+      mixed.filter(SearchSyntax.compile(q, col("message")))
+        .select("id").as[Long].collect().toSet
+    // Datadog semantics: `-level:error` includes events with no level
+    assert(s("-level:error") == Set(2L, 3L))
+    assert(s("NOT level:error") == Set(2L, 3L))
+    // a non-numeric value in a numeric compare: not a match, not a job abort
+    assert(s("latency:>100") == Set(1L))
+    assert(s("latency:[100 TO 200]") == Set(1L))
   }
 
   test("search: wildcards, comparisons, ranges") {
