@@ -765,15 +765,27 @@ object VrlFunctions {
       case "community_id" =>
         // cue positional order: source_ip, destination_ip, protocol,
         // source_port, destination_port, seed; ports optional (absent →
-        // the spec's port-less layout)
-        def port(i: Int, n: String): Column =
-          a.opt(i, n).map(_.cv.col.try_cast("int")).getOrElse(lit(null).cast("int"))
+        // the spec's port-less layout). All numeric casts are try_cast:
+        // under ANSI mode a hard cast on one malformed value would abort
+        // the job — here it nulls the row and the raise below fires.
+        val sp = a.opt(3, "source_port").map(_.cv.col.try_cast("int"))
+        val dp = a.opt(4, "destination_port").map(_.cv.col.try_cast("int"))
+        if (sp.isDefined != dp.isDefined)
+          throw VrlUnsupported("community_id needs both ports or neither")
+        // seed must be a plan-time literal (it's baked into the hash
+        // layout): a non-literal silently hashing as 0 would mint wrong
+        // IDs with no error, so reject it like encode_charset does
+        val seed = a.opt(5, "seed") match {
+          case None => 0L
+          case Some(_) => a.litInt(5, "seed").getOrElse(
+            throw VrlUnsupported("community_id seed must be a literal"))
+        }
         val r = graft.functions.Vrl.communityId(
           asStr(a(0, "source_ip")), asStr(a(1, "destination_ip")),
-          port(3, "source_port"), port(4, "destination_port"),
-          a(2, "protocol").cv.col.cast("int"),
-          a.litInt(5, "seed").getOrElse(0L).toInt)
-        out(CV(r, VStr), Some(r.isNull), "invalid address")
+          sp.getOrElse(lit(null).cast("int")), dp.getOrElse(lit(null).cast("int")),
+          a(2, "protocol").cv.col.try_cast("int"),
+          seed.toInt, portsProvided = sp.isDefined)
+        out(CV(r, VStr), Some(r.isNull), "invalid arguments")
 
       // --- string case family (camelcase.cue & siblings) --------------
       case "camelcase" => out(withStrRaise(a, bang, graft.functions.Vrl.camelcase))

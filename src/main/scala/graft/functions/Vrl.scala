@@ -206,8 +206,9 @@ object Vrl {
   def hmacHex(data: Column, key: Column, algorithm: String = "SHA-256"): Column =
     lower(hex(hmacBytes(data, key, algorithm)))
   def communityId(saddr: Column, daddr: Column, sport: Column, dport: Column,
-                  proto: Column, seed: Int = 0): Column =
-    strExprs.communityId(saddr, daddr, sport, dport, proto, seed)
+                  proto: Column, seed: Int = 0,
+                  portsProvided: Boolean = true): Column =
+    strExprs.communityId(saddr, daddr, sport, dport, proto, seed, portsProvided)
   def uuidFromFriendlyId(c: Column): Column = strExprs.uuidFromFriendlyId(c)
   /** encrypt_ip/decrypt_ip aes128 (format-preserving, deterministic —
     * the cue's own vectors are spec-pinned); `pfx` mode not built.

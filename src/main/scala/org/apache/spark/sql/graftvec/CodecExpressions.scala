@@ -41,6 +41,29 @@ object CodecExpressions {
 
     protected def orNull(f: => Array[Byte]): Any =
       try f catch { case scala.util.control.NonFatal(_) => null }
+
+    /** Decompressed-output ceiling (256 MiB — same bound the zstd
+      * direct path uses). A small hostile frame can legally expand by
+      * orders of magnitude (~1000x gzip/zlib, unbounded chained zstd);
+      * without a cap the accumulation buffer OOMs the executor, an
+      * Error that orNull can NOT catch. Past the cap the blob is a
+      * bomb, not an event.
+      */
+    protected final val MaxOut: Long = 1L << 28
+
+    /** Drain `in` with the MaxOut cap (throws → orNull → null row). */
+    protected def readBounded(in: java.io.InputStream): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) {
+        bos.write(buf, 0, k)
+        if (bos.size() > MaxOut)
+          throw new java.io.IOException(s"$prettyName: output exceeds ${MaxOut}B cap")
+        k = in.read(buf)
+      }
+      bos.toByteArray
+    }
   }
 
   case class GzipCompress(child: Expression) extends BinaryCodec {
@@ -59,7 +82,7 @@ object CodecExpressions {
     override def nullSafeEval(v: Any): Any = orNull {
       val in = new GZIPInputStream(
         new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
-      try in.readAllBytes() finally in.close()
+      try readBounded(in) finally in.close()
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
@@ -82,20 +105,26 @@ object CodecExpressions {
     override def prettyName: String = "decode_zlib"
     override def nullSafeEval(v: Any): Any = orNull {
       val i = new Inflater()
-      i.setInput(v.asInstanceOf[Array[Byte]])
-      val bos = new ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      while (!i.finished()) {
-        val n = i.inflate(buf)
-        if (n == 0 && i.needsDictionary())
-          // FDICT streams: inflate() returns 0 with needsInput()=false —
-          // without this check the loop would spin forever
-          throw new java.util.zip.DataFormatException("zlib preset dictionary unsupported")
-        if (n == 0 && i.needsInput()) throw new java.util.zip.DataFormatException("truncated zlib input")
-        bos.write(buf, 0, n)
-      }
-      i.end()
-      bos.toByteArray
+      // end() in finally: hostile blobs are the expected input class
+      // here, and each abandoned Inflater pins native zlib state until
+      // finalization — a real leak over millions of bad rows
+      try {
+        i.setInput(v.asInstanceOf[Array[Byte]])
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!i.finished()) {
+          val n = i.inflate(buf)
+          if (n == 0 && i.needsDictionary())
+            // FDICT streams: inflate() returns 0 with needsInput()=false —
+            // without this check the loop would spin forever
+            throw new java.util.zip.DataFormatException("zlib preset dictionary unsupported")
+          if (n == 0 && i.needsInput()) throw new java.util.zip.DataFormatException("truncated zlib input")
+          bos.write(buf, 0, n)
+          if (bos.size() > MaxOut)
+            throw new java.io.IOException(s"decode_zlib: output exceeds ${MaxOut}B cap")
+        }
+        bos.toByteArray
+      } finally i.end()
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
@@ -123,12 +152,7 @@ object CodecExpressions {
       else {
         val in = new com.github.luben.zstd.ZstdInputStream(
           new java.io.ByteArrayInputStream(src))
-        val bos = new ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var k = in.read(buf)
-        while (k >= 0) { bos.write(buf, 0, k); k = in.read(buf) }
-        in.close()
-        bos.toByteArray
+        try readBounded(in) finally in.close()
       }
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)

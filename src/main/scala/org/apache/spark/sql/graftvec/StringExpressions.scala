@@ -108,20 +108,35 @@ object StringExpressions {
     * render as base64 strings (the JSON mapping RFC 8949 §6.1 suggests);
     * u64 beyond Long range renders unsigned; indefinite-length items and
     * tags (ignored) are handled.
+    *
+    * Malformed/hostile bytes (truncated containers, bad info bytes,
+    * nesting deeper than [[CborToJson.MaxDepth]] — which would otherwise
+    * overflow the executor stack) degrade the row to null; declared
+    * nullable unconditionally so the null survives the optimizer (same
+    * contract as the CodecExpressions decoders).
     */
+  object CborToJson {
+    /** Container-nesting bound: one JVM stack frame per level, so 512
+      * keeps hostile deep nesting far from StackOverflowError (an Error,
+      * uncatchable by the per-row guard) while admitting any real event.
+      */
+    val MaxDepth = 512
+  }
+
   case class CborToJson(child: Expression) extends UnaryExpression
       with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
     override def dataType: DataType = StringType
     override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
     override def prettyName: String = "parse_cbor"
 
-    override def nullSafeEval(v: Any): Any = {
+    override def nullSafeEval(v: Any): Any = try {
       val buf = ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       val sb = new java.lang.StringBuilder()
       decodeItem(buf, sb)
       UTF8String.fromString(sb.toString)
-    }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
     private def jsonEscapeTo(sb: java.lang.StringBuilder, s: String): Unit = {
       sb.append('"')
@@ -178,13 +193,16 @@ object StringExpressions {
     /** Decode one item; `asKey` forces a JSON-string rendering: RFC
       * 8949 §6.1 permits any key type — a non-string key renders to its
       * JSON text and is then quoted whole (so float / array / map keys
-      * still yield valid JSON, not bare `{1.5:...}`).
+      * still yield valid JSON, not bare `{1.5:...}`). `depth` bounds
+      * container nesting (each level is one JVM stack frame).
       */
     private def decodeItem(buf: ByteBuffer, sb: java.lang.StringBuilder,
-                           asKey: Boolean = false): Unit = {
+                           asKey: Boolean = false, depth: Int = 0): Unit = {
+      if (depth > CborToJson.MaxDepth)
+        throw new IllegalArgumentException("cbor: nesting too deep")
       if (asKey) {
         val tmp = new java.lang.StringBuilder()
-        decodeItem(buf, tmp)
+        decodeItem(buf, tmp, depth = depth)
         val s = tmp.toString
         if (s.length > 0 && s.charAt(0) == '"') sb.append(s)
         else jsonEscapeTo(sb, s)
@@ -193,13 +211,18 @@ object StringExpressions {
       val ib = buf.get() & 0xff
       val major = ib >> 5
       val info = ib & 0x1f
-      def key(s: String): Unit = sb.append(s)
       major match {
-        case 0 => key(java.lang.Long.toUnsignedString(readArg(buf, info)))
+        case 0 =>
+          // info 31 (indefinite) is illegal for ints — and must be
+          // caught by info, not by readArg's -1 sentinel, which is
+          // also a legitimate u64 0xFFFF... via info 27
+          if (info == 31) throw new IllegalArgumentException("cbor: indefinite int")
+          sb.append(java.lang.Long.toUnsignedString(readArg(buf, info)))
         case 1 =>
+          if (info == 31) throw new IllegalArgumentException("cbor: indefinite int")
           val n = readArg(buf, info)
-          if (n >= 0) key((-1L - n).toString)
-          else throw new IllegalArgumentException("cbor: indefinite int")
+          if (n >= 0) sb.append((-1L - n).toString)
+          else throw new IllegalArgumentException("cbor: negative int beyond i64")
         case 2 => // bytes → base64 string
           val b = strChunks(buf, info, major)
           jsonEscapeTo(sb, java.util.Base64.getEncoder.encodeToString(b))
@@ -214,7 +237,7 @@ object StringExpressions {
             if (n < 0 && peek(buf) == 0xff) { buf.get(); break = true }
             else {
               if (i > 0) sb.append(',')
-              decodeItem(buf, sb); i += 1
+              decodeItem(buf, sb, depth = depth + 1); i += 1
             }
           }
           sb.append(']')
@@ -227,23 +250,24 @@ object StringExpressions {
             if (n < 0 && peek(buf) == 0xff) { buf.get(); break = true }
             else {
               if (i > 0) sb.append(',')
-              decodeItem(buf, sb, asKey = true)
+              decodeItem(buf, sb, asKey = true, depth = depth + 1)
               sb.append(':')
-              decodeItem(buf, sb); i += 1
+              decodeItem(buf, sb, depth = depth + 1); i += 1
             }
           }
           sb.append('}')
-        case 6 => // tag: ignore, decode the tagged item
-          readArg(buf, info); decodeItem(buf, sb, asKey)
+        case 6 => // tag: ignore, decode the tagged item (asKey handled
+          // by the early-return path above, so it is always false here)
+          readArg(buf, info); decodeItem(buf, sb, depth = depth + 1)
         case 7 => info match {
-          case 20 => key("false")
-          case 21 => key("true")
-          case 22 | 23 => key("null")
+          case 20 => sb.append("false")
+          case 21 => sb.append("true")
+          case 22 | 23 => sb.append("null")
           case 25 => appendNum(sb, halfToDouble(buf.getShort() & 0xffff))
           case 26 => appendNum(sb, java.lang.Float.intBitsToFloat(buf.getInt()).toDouble)
           case 27 => appendNum(sb, java.lang.Double.longBitsToDouble(buf.getLong()))
-          case n if n < 24 => key(n.toString) // simple value
-          case 24 => key((buf.get() & 0xff).toString)
+          case n if n < 24 => sb.append(n.toString) // simple value
+          case 24 => sb.append((buf.get() & 0xff).toString)
           case n => throw new IllegalArgumentException(s"cbor: bad simple $n")
         }
       }
@@ -454,10 +478,18 @@ object StringExpressions {
     * ICMP/ICMPv6; for ICMP the "ports" are (type, code) with the type
     * mapped to its bidirectional peer (echo request↔reply, …) — an
     * unmapped type makes the flow one-way (endpoint order preserved).
-    * Any other protocol, or absent ports, hashes without the port
-    * segment and orders endpoints by address alone.
+    * Any other protocol hashes without the port segment and orders
+    * endpoints by address alone.
+    *
+    * `portsProvided` is the PLAN-TIME fact that the caller supplied port
+    * arguments (the cue signature marks them optional). With it set, a
+    * runtime-null port (malformed cast, missing field) nulls the row —
+    * the raise channel — rather than silently hashing the port-less
+    * layout, which would mint a valid-looking ID for a different flow
+    * key. Without it, the port-less layout is the contract.
     */
-  case class CommunityId(children: IndexedSeq[Expression], seed: Int)
+  case class CommunityId(children: IndexedSeq[Expression], seed: Int,
+                         portsProvided: Boolean = true)
       extends Expression with CodegenFallback {
     require(children.length == 5,
       "community_id(saddr, daddr, sport, dport, proto)")
@@ -487,12 +519,14 @@ object StringExpressions {
     private val icmp4Peer = Map(8 -> 0, 0 -> 8, 13 -> 14, 14 -> 13,
       15 -> 16, 16 -> 15, 9 -> 10, 10 -> 9, 17 -> 18, 18 -> 17)
     private val icmp6Peer = Map(128 -> 129, 129 -> 128, 133 -> 134,
-      134 -> 133, 135 -> 136, 136 -> 135)
+      134 -> 133, 135 -> 136, 136 -> 135, 130 -> 131, 131 -> 130,
+      139 -> 140, 140 -> 139, 144 -> 145, 145 -> 144)
 
     override def eval(input: InternalRow): Any = {
       val vs = children.map(_.eval(input))
-      // addresses and protocol are required; ports are optional
+      // addresses and protocol are required; ports only when provided
       if (vs(0) == null || vs(1) == null || vs(4) == null) return null
+      if (portsProvided && (vs(2) == null || vs(3) == null)) return null
       val saddr = vs(0).asInstanceOf[UTF8String].toString
       val daddr = vs(1).asInstanceOf[UTF8String].toString
       val proto = vs(4).asInstanceOf[Number].intValue()
@@ -763,9 +797,10 @@ object StringExpressions {
   def sha3(c: Column, variant: String = "SHA3-512"): Column =
     col(Sha3Hex(expr(c), variant))
   def communityId(saddr: Column, daddr: Column, sport: Column, dport: Column,
-                  proto: Column, seed: Int = 0): Column =
+                  proto: Column, seed: Int = 0,
+                  portsProvided: Boolean = true): Column =
     col(CommunityId(IndexedSeq(expr(saddr), expr(daddr), expr(sport),
-      expr(dport), expr(proto)), seed))
+      expr(dport), expr(proto)), seed, portsProvided))
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
   def flattenObject(c: Column): Column = col(JsonFlatten(expr(c)))
   def unflattenObject(c: Column): Column = col(JsonUnflatten(expr(c)))

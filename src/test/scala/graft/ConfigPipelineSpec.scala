@@ -753,6 +753,29 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(thrown.getMessage.contains("whole-event"))
   }
 
+  test("community_id config checks: lone port and non-literal seed are plan-time errors") {
+    import spark.implicits._
+    val df = Seq(("1.2.3.4", "5.6.7.8", 7L)).toDF("sip", "dip", "s")
+    def compile(call: String) =
+      VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+        VrlAst.parse(s".cid = $call\n"))
+    // one port without the other: a config mistake, not a row condition
+    val lone = intercept[VrlAst.VrlUnsupported] {
+      compile("""community_id!(.sip, .dip, 6, source_port: 80)""")
+    }
+    assert(lone.getMessage.contains("both ports"))
+    // seed is baked into the hash layout — a non-literal silently
+    // hashing as 0 would mint wrong IDs with no error
+    val seed = intercept[VrlAst.VrlUnsupported] {
+      compile("""community_id!(.sip, .dip, 6, 80, 443, seed: .s)""")
+    }
+    assert(seed.getMessage.contains("seed"))
+    // the well-formed call still compiles and runs
+    val ok = compile("""community_id!(.sip, .dip, 6, 1122, 3344)""")
+    assert(ok.df.head.getString(ok.df.schema.fieldIndex("cid")) ==
+      "1:wCb3OG7yAFWelaUydu0D+125CLM=")
+  }
+
   test("toml parser: truncated or non-hex unicode escapes get positioned errors") {
     for (bad <- Seq("k = \"\\u12", "k = \"\\uzzzz\"")) {
       val e = intercept[IllegalArgumentException](Toml.parse(bad))

@@ -97,6 +97,46 @@ class MalformedInputSpec extends SparkSpec {
     assert(one(Vrl.decodeLz4(Vrl.encodeLz4(lit("ok").cast("binary"))).cast("string")) == "ok")
   }
 
+  test("parse_cbor: hostile bytes degrade to null — truncation, bad info, deep nesting") {
+    // array header claiming 2 items, body truncated (BufferUnderflow)
+    assert(one(Vrl.parseCbor(unhex(lit("82")))) == null)
+    // major 0 with indefinite info byte (illegal for ints)
+    assert(one(Vrl.parseCbor(unhex(lit("1f")))) == null)
+    // declared byte-string length far beyond the buffer
+    assert(one(Vrl.parseCbor(unhex(lit("5bffffffffffffffff00")))) == null)
+    // 10k nested single-element arrays: depth cap, not StackOverflowError
+    assert(one(Vrl.parseCbor(unhex(lit("81" * 10000)))) == null)
+    // a valid document still parses after the guards
+    assert(one(Vrl.parseCbor(unbase64(lit("oWVmaWVsZGV2YWx1ZQ=="))))
+      == """{"field":"value"}""")
+  }
+
+  test("decoders: decompression bombs hit the output cap and null out, not OOM") {
+    // 300 MiB of zeros compresses to ~300 KB; inflating it would cross
+    // the 256 MiB output cap — the row must degrade, never OOM the
+    // executor (an Error the per-row guard cannot catch)
+    val big = new Array[Byte](300 * 1024 * 1024)
+    def deflate(wrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, !wrap)
+      d.setInput(big); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val zbomb = deflate(wrap = true)
+    val gbomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(big); g.close(); bos.toByteArray
+    }
+    val sbomb = com.github.luben.zstd.Zstd.compress(big, 3)
+    val df = Seq((zbomb, gbomb, sbomb)).toDF("z", "g", "s")
+    val r = df.select(Vrl.decodeZlib(col("z")).as("z"),
+      Vrl.decodeGzip(col("g")).as("g"), Vrl.decodeZstd(col("s")).as("s")).head()
+    assert(r.get(0) == null && r.get(1) == null && r.get(2) == null)
+  }
+
   test("decode_mime_q: malformed encoded-words stay verbatim, never throw") {
     assert(one(Vrl.decodeMimeQ(lit("x =?UTF-8?Q?=ZZ?= y"))) == "x =?UTF-8?Q?=ZZ?= y")
     assert(one(Vrl.decodeMimeQ(lit("=?bogus-charset?B?Zm9v?="))) ==
@@ -122,6 +162,7 @@ class MalformedInputSpec extends SparkSpec {
         |    .f2, .e4 = to_float("zzz")
         |    .s1, .e5 = to_syslog_facility(99)
         |    .dz, .e6 = decode_zlib("anVuaw==")
+        |    .c1, .e7 = community_id("1.2.3.4", "5.6.7.8", "junk")
         |    .ok = parse_int!("0x2a")
         |    .sl = parse_syslog!("<200>1 2024-01-01T00:00:00Z host app proc-x mid - hello")
         |  '''
@@ -143,6 +184,7 @@ class MalformedInputSpec extends SparkSpec {
         |        assert!(.e4 != null)
         |        assert!(.e5 != null)
         |        assert!(.e6 != null)
+        |        assert!(.e7 != null)
         |        assert_eq!(.ok, 42)
         |        assert!(is_null(.sl.facility))
         |        assert_eq!(.sl.severity, "emerg")

@@ -241,12 +241,29 @@ class Stdlib2Spec extends SparkSpec {
       "1:f/YiSyWqczrTgfUCZlBUnvHRcPk=")
     assert(cid("5.6.7.8", "1.2.3.4", lit(11), lit(0), 1) ==
       "1:1Vae9INpTJ+fZaSmjhtK/hyOPac=")
-    // port-less protocol (47 = GRE): no port segment, symmetric by address
+    // ICMPv6 MLD listener query (130) and report (131) are a mapped
+    // bidirectional pair in the spec table — same flow both directions
+    assert(cid("1.2.3.4", "5.6.7.8", lit(130), lit(0), 58) ==
+      "1:hISfHX7FaxMZ+OqY8oRBouiIAGc=")
+    assert(cid("5.6.7.8", "1.2.3.4", lit(131), lit(0), 58) ==
+      "1:hISfHX7FaxMZ+OqY8oRBouiIAGc=")
+    // port-less protocol (47 = GRE): no port segment, symmetric by
+    // address — ports ABSENT is a plan-time fact (portsProvided=false)
     val nullPort = lit(null).cast("int")
-    assert(cid("1.2.3.4", "5.6.7.8", nullPort, nullPort, 47) ==
+    def cidNoPorts(s: String, d: String, proto: Int) =
+      one(Vrl.communityId(lit(s), lit(d), nullPort, nullPort, lit(proto),
+        portsProvided = false))
+    assert(cidNoPorts("1.2.3.4", "5.6.7.8", 47) ==
       "1:+mluqz76jObh6dJLwnhX08n5St4=")
-    assert(cid("5.6.7.8", "1.2.3.4", nullPort, nullPort, 47) ==
+    assert(cidNoPorts("5.6.7.8", "1.2.3.4", 47) ==
       "1:+mluqz76jObh6dJLwnhX08n5St4=")
+    // ports PROVIDED but null at runtime (malformed cast upstream):
+    // null result — never a silent fall-back to the port-less layout,
+    // which would mint a valid-looking ID for a different flow key
+    assert(cid("1.2.3.4", "5.6.7.8", nullPort, lit(3344), 6) == null)
+    // non-zero seed changes the hash (replica-verified vector)
+    assert(one(Vrl.communityId(lit("1.2.3.4"), lit("5.6.7.8"), lit(1122),
+      lit(3344), lit(6), seed = 1)) == "1:HhA1B+6CoLbiKPEs5nhNYN4XWfk=")
   }
 
   test("encrypt_ip/decrypt_ip aes128 matches the reference vectors (encrypt_ip.cue)") {
