@@ -26,6 +26,10 @@ object Toml {
     def str(key: String): Option[String] = entries.get(key).collect { case TStr(s) => s }
     def bool(key: String): Option[Boolean] = entries.get(key).collect { case TBool(b) => b }
     def long(key: String): Option[Long] = entries.get(key).collect { case TInt(n) => n }
+    def dbl(key: String): Option[Double] = entries.get(key).collect {
+      case TFloat(d) => d
+      case TInt(n)   => n.toDouble
+    }
     def arr(key: String): Vector[V] = entries.get(key) match {
       case Some(TArr(xs)) => xs
       case _              => Vector.empty

@@ -209,12 +209,26 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case "reduce" => Seq("" -> reduce(name, cfg, in))
 
       case "sample" =>
-        val rate = cfg.long("rate").getOrElse(10L).toInt
+        val rateOpt = cfg.long("rate")
+        val ratioOpt = cfg.dbl("ratio")
+        // exactly-one-of, mirroring SampleError::InvalidConfiguration
+        // (sample/config.rs:31-35); `rate` absent defaults to 10 for
+        // backward compatibility with earlier graft configs.
+        if (rateOpt.isDefined && ratioOpt.isDefined)
+          throw new IllegalArgumentException(
+            s"sample $name: provide either 'rate' or 'ratio', not both (sample/config.rs:31-35)")
         val env = envFromDf(in.df, in.meta)
         val group = cfg.str("group_by").map(p =>
           resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
-        val out = graft.operators.Sample.counter(in.df, Seq(group), Seq(col(SeqCol)), rate)
-        Seq("" -> Frame(out, EventMeta(in.meta.types + ("sample_rate" -> VInt), in.meta.rootT)))
+        ratioOpt match {
+          case Some(r) =>
+            val out = graft.operators.Sample.byRatio(in.df, Seq(group), Seq(col(SeqCol)), r)
+            Seq("" -> Frame(out, EventMeta(in.meta.types + ("sample_rate" -> VFloat), in.meta.rootT)))
+          case None =>
+            val out = graft.operators.Sample.counter(in.df, Seq(group), Seq(col(SeqCol)),
+              rateOpt.getOrElse(10L).toInt)
+            Seq("" -> Frame(out, EventMeta(in.meta.types + ("sample_rate" -> VInt), in.meta.rootT)))
+        }
 
       case "throttle" =>
         val threshold = cfg.long("threshold").getOrElse(

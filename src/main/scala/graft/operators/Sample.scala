@@ -40,6 +40,57 @@ object Sample {
     df.filter(pmod(xxhash64(key), lit(rate)) === 0)
       .withColumn("sample_rate", lit(rate))
 
+  /** Reference-exact keyed rate sampling: keep rows whose seahash of the
+    * key is an exact (unsigned) multiple of `rate`
+    * (sample/transform.rs:82-90 `hash_within_ratio`, Rate arm —
+    * `seahash::hash(value).is_multiple_of(rate)`). Our [[graft.functions.Vrl.seahash]]
+    * returns the u64 in signed-long bits; the unsigned modulo is computed
+    * as `u = 2*(h>>>1) + (h&1)`, so
+    * `u mod n = (2*((h>>>1) mod n) + (h&1)) mod n` — pure long math, no
+    * BigInt, stays in codegen. Not DuckDB-oracle-portable (seahash is not
+    * a DuckDB builtin) — spec-verified against `Long.remainderUnsigned`.
+    */
+  def byKeySeahash(df: DataFrame, key: Column, rate: Int,
+                   exclude: Option[Column] = None): DataFrame = {
+    val h = graft.functions.Vrl.seahash(key)
+    val keep = pmod(
+      pmod(shiftrightunsigned(h, 1), lit(rate.toLong)) * 2 + h.bitwiseAND(lit(1L)),
+      lit(rate.toLong)) === 0
+    val cond = exclude.map(e => e || keep).getOrElse(keep)
+    df.filter(cond).withColumn("sample_rate", lit(rate))
+  }
+
+  /** Reference-exact keyed ratio sampling (sample/transform.rs:41-54,
+    * `new_ratio` + Ratio arm of `hash_within_ratio`): keep rows whose
+    * seahash of the key is `<=` (unsigned) the threshold
+    * `(ratio * u64::MAX as f64) as u64`. Unsigned `<=` over signed-long
+    * bits is the standard sign-bit flip. Spec-verified against
+    * `Long.compareUnsigned`; equal keys always sample together, and the
+    * kept fraction approaches `ratio` on uniformly-hashed keys.
+    */
+  def byKeyRatio(df: DataFrame, key: Column, ratio: Double,
+                 exclude: Option[Column] = None): DataFrame = {
+    val thr = ratioThresholdBits(ratio)
+    val keep = graft.functions.Vrl.seahash(key).bitwiseXOR(lit(Long.MinValue)) <=
+      lit(thr ^ Long.MinValue)
+    val cond = exclude.map(e => e || keep).getOrElse(keep)
+    df.filter(cond).withColumn("sample_rate", lit(ratio))
+  }
+
+  /** Rust `(ratio * (u64::MAX as u128) as f64) as u64`
+    * (sample/transform.rs:52): f64→u64 truncates toward zero and
+    * SATURATES at the type bounds, returned here in signed-long bits.
+    * `u64::MAX as f64` rounds up to 2^64 exactly, hence the constant.
+    */
+  private[graft] def ratioThresholdBits(ratio: Double): Long = {
+    val two63 = 9.223372036854775808e18 // 2^63 exact
+    val d = ratio * 1.8446744073709551616e19 // ratio * 2^64
+    if (d.isNaN || d <= 0.0) 0L
+    else if (d >= 1.8446744073709551616e19) -1L // saturate to u64::MAX
+    else if (d >= two63) (d - two63).toLong | Long.MinValue
+    else d.toLong
+  }
+
   /** Counter mode: keep every `rate`-th row per group in `order` order.
     * Matches the reference's per-group independent counters
     * (sample/transform.rs group_by).
@@ -51,5 +102,39 @@ object Sample {
       .filter(pmod(col("__rn") - 1, lit(rate)) === 0)
       .drop("__rn")
       .withColumn("sample_rate", lit(rate))
+  }
+
+  /** Ratio counter mode (sample/transform.rs:64-73, Ratio arm of
+    * `increment`): the reference runs a per-group error accumulator —
+    * start at `1 - ratio`, add `ratio` per event, emit on crossing 1.0 —
+    * i.e. Bresenham sampling that keeps `1 + floor((k-1)·ratio)` of the
+    * first `k` events, evenly spaced, for ANY ratio including > 1/2
+    * (which 1-in-N `rate` cannot express). The batch analog is the
+    * closed form over the group row_number `k`:
+    * keep iff `floor((1-r) + k·r) > floor((1-r) + (k-1)·r)`.
+    * All arithmetic is plain IEEE double on both engines, so the row set
+    * is DuckDB-oracle-portable. Divergence contract vs the reference:
+    * at ratios whose keep boundary lands within an ulp of an integer
+    * (e.g. 0.3 at k=11: the exact rational crossing is 0.7+11·0.3=4.0),
+    * the reference's RUNNING float accumulator drifts off the exact
+    * crossing and keeps k=12 where the closed form keeps k=11 — a
+    * one-position shift; prefix keep-COUNTS (`1+floor((k-1)·r)`) agree
+    * everywhere, and at ratios without such boundary hits (0.13, 0.25,
+    * 0.5, 0.77, 1.0, …) the row sets are identical (pinned by the
+    * replay test in OperatorSpec). Stamps `sample_rate` with
+    * the ratio (the reference stamps `rate.to_string()` — same value,
+    * numeric column here like the rate modes).
+    */
+  def byRatio(df: DataFrame, groupBy: Seq[Column], order: Seq[Column],
+              ratio: Double): DataFrame = {
+    require(ratio > 0.0 && ratio <= 1.0,
+      s"sample ratio must be in (0, 1], got $ratio") // InvalidRatio, config.rs:25-28
+    val w = Window.partitionBy(groupBy: _*).orderBy(order: _*)
+    val k = row_number().over(w).cast("double")
+    val base = lit(1.0) - lit(ratio) // runtime subtraction: same IEEE op the oracle SQL performs
+    df.withColumn("__keep",
+        floor(base + k * lit(ratio)) > floor(base + (k - lit(1.0)) * lit(ratio)))
+      .filter(col("__keep")).drop("__keep")
+      .withColumn("sample_rate", lit(ratio))
   }
 }

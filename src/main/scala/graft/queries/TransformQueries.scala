@@ -47,6 +47,17 @@ object TransformQueries {
       .select(col("conv_id"), col("turn_idx"), col("sample_rate"))
       .orderBy("conv_id", "turn_idx")
 
+  /** Ratio counter sampling (sample/transform.rs:64-73): Bresenham
+    * accumulator per conv — 0.3 keeps 3 of every 10 turns, evenly
+    * spaced, a rate > the 1-in-N mode can't express. Closed-form IEEE
+    * double arithmetic on both engines (see Sample.byRatio doc).
+    */
+  private def qSampleRatio(s: SparkSession, dir: String): DataFrame =
+    Sample.byRatio(Tables.transcript(s, dir),
+        Seq(col("conv_id")), Seq(col("turn_idx")), 0.3)
+      .select(col("conv_id"), col("turn_idx"), col("sample_rate"))
+      .orderBy("conv_id", "turn_idx")
+
   // ---------------------------------------------------------- throttle
   private def qThrottle(s: SparkSession, dir: String): DataFrame =
     Throttle(parsed(s, dir), col("tool_p"), col("ts"),
@@ -363,6 +374,7 @@ object TransformQueries {
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_filter"         -> (qFilter _),
     "q_sample"         -> (qSample _),
+    "q_sample_ratio"   -> (qSampleRatio _),
     "q_throttle"       -> (qThrottle _),
     "q_dedupe"         -> (qDedupe _),
     "q_dedupe_lru"     -> (qDedupeLru _),
@@ -412,6 +424,17 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
       Seq(Oracle.parsedCte)),
     "q_sample" -> Oracle.q(
       "SELECT conv_id, turn_idx, 10 AS sample_rate FROM transcript WHERE CAST(substring(conv_id, 6) AS BIGINT) % 10 = 0 ORDER BY conv_id, turn_idx"),
+    // same IEEE double ops as Sample.byRatio: (1 - r) folded at plan
+    // time, k promoted bigint->double exactly, one multiply + add +
+    // floor per side — the engines agree bit-for-bit.
+    "q_sample_ratio" -> Oracle.q(
+      """SELECT conv_id, turn_idx, CAST(0.3 AS DOUBLE) AS sample_rate FROM (
+         SELECT conv_id, turn_idx,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS k
+         FROM transcript) t
+         WHERE floor((1 - CAST(0.3 AS DOUBLE)) + k * CAST(0.3 AS DOUBLE))
+             > floor((1 - CAST(0.3 AS DOUBLE)) + (k - 1) * CAST(0.3 AS DOUBLE))
+         ORDER BY conv_id, turn_idx"""),
     "q_throttle" -> Oracle.q(
       s"""SELECT conv_id, turn_idx, tool_p FROM (
          SELECT conv_id, turn_idx, tool_p,

@@ -58,6 +58,36 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(t.str("ml").contains("line1\nline2"))
   }
 
+  test("sample transform from config: ratio mode + exactly-one-of rate/ratio (sample/config.rs:31-35)") {
+    val topo = Topology.load(
+      """
+        |[transforms.keep_some]
+        |  inputs = ["src"]
+        |  type = "sample"
+        |  ratio = 0.5
+        |""".stripMargin)
+    val df = spark.range(20).select(
+      col("id").as(Topology.SeqCol), col("id").as("n"))
+    val in = Frame(df, EventMeta(ListMap("n" -> VInt), None))
+    val out = topo.run(Map("src" -> in))("keep_some").df
+    val kept = out.select("n").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L, 18L)) // every 2nd, first kept
+    assert(out.columns.contains("sample_rate"))
+    assert(out.select("sample_rate").head.getDouble(0) == 0.5)
+
+    val err = intercept[IllegalArgumentException] {
+      Topology.load(
+        """
+          |[transforms.bad]
+          |  inputs = ["src"]
+          |  type = "sample"
+          |  rate = 10
+          |  ratio = 0.5
+          |""".stripMargin).run(Map("src" -> in))
+    }
+    assert(err.getMessage.contains("not both"))
+  }
+
   test("topology DAG wires transform chains and skips unknown sources") {
     val topo = Topology.load(
       """

@@ -68,6 +68,84 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() == 6) // 15 per group -> 3 each
   }
 
+  /** The reference's Ratio accumulator (sample/transform.rs:64-73):
+    * per-group value starts at 1-ratio, += ratio per event, keep on
+    * crossing 1.0 (then -= 1.0). Returns kept 1-based positions.
+    */
+  private def ratioReplay(n: Int, ratio: Double): Seq[Int] = {
+    var value = 1.0 - ratio
+    (1 to n).filter { _ =>
+      val inc = value + ratio
+      value = if (inc >= 1.0) inc - 1.0 else inc
+      inc >= 1.0
+    }
+  }
+
+  test("sample.byRatio matches the reference accumulator replay (sample/transform.rs:64-73)") {
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 200) yield (g, i)).toDF("g", "i")
+    // ratios whose crossings stay clear of ulp boundaries: closed form
+    // == running accumulator exactly (see Sample.byRatio divergence doc)
+    for (r <- Seq(0.13, 0.25, 0.5, 0.77, 1.0)) {
+      val kept = Sample.byRatio(df, Seq(col("g")), Seq(col("i")), r)
+        .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq).toMap
+      val expect = ratioReplay(200, r)
+      assert(kept.getOrElse("a", Nil) == expect, s"ratio $r group a")
+      assert(kept.getOrElse("b", Nil) == expect, s"ratio $r group b")
+      assert(kept.values.forall(_.nonEmpty == expect.nonEmpty))
+    }
+    // ulp-boundary ratios: positions may shift by one at integer
+    // crossings, but per-prefix keep counts equal the Bresenham count
+    for (r <- Seq(0.3, 0.9)) {
+      val kept = Sample.byRatio(df.filter(col("g") === "a"), Seq(col("g")), Seq(col("i")), r)
+        .collect().map(_.getInt(1)).sorted
+      assert(kept.length == ratioReplay(200, r).length, s"ratio $r count")
+      assert(kept.head == 1 || kept.head == 2) // first crossing at/next to k=1
+      // evenly spaced: gaps differ by at most 1
+      val gaps = kept.sliding(2).collect { case Array(x, y) => y - x }.toSeq
+      if (gaps.nonEmpty) assert(gaps.max - gaps.min <= 1, s"ratio $r spacing")
+    }
+  }
+
+  test("sample.byKeyRatio: seahash-threshold selection, unsigned compare (sample/transform.rs:41-54,82-90)") {
+    val df = (0 until 512).map(i => (s"key$i", i)).toDF("k", "i")
+    val hashes = df.select(col("k"), graft.functions.Vrl.seahash(col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (ratio <- Seq(0.1, 0.5, 0.9)) {
+      val thr = Sample.ratioThresholdBits(ratio)
+      val kept = Sample.byKeyRatio(df, col("k"), ratio)
+        .collect().map(_.getString(0)).toSet
+      val expect = hashes.collect {
+        case (k, h) if java.lang.Long.compareUnsigned(h, thr) <= 0 => k
+      }.toSet
+      assert(kept == expect, s"ratio $ratio")
+      // uniform hash => kept fraction near ratio
+      assert(math.abs(kept.size / 512.0 - ratio) < 0.08, s"ratio $ratio fraction ${kept.size}")
+    }
+    // monotone: smaller ratio's kept set is a subset of larger's
+    val k1 = Sample.byKeyRatio(df, col("k"), 0.1).collect().map(_.getString(0)).toSet
+    val k5 = Sample.byKeyRatio(df, col("k"), 0.5).collect().map(_.getString(0)).toSet
+    assert(k1.subsetOf(k5))
+  }
+
+  test("sample.byKeySeahash: unsigned multiple-of-rate selection (sample/transform.rs:82-90)") {
+    val df = (0 until 400).map(i => (s"key$i", i)).toDF("k", "i")
+    val hashes = df.select(col("k"), graft.functions.Vrl.seahash(col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sample.byKeySeahash(df, col("k"), 7).collect().map(_.getString(0)).toSet
+    val expect = hashes.collect {
+      case (k, h) if java.lang.Long.remainderUnsigned(h, 7L) == 0L => k
+    }.toSet
+    assert(kept == expect)
+  }
+
+  test("sample.ratioThresholdBits matches Rust f64-as-u64 saturation (sample/transform.rs:52)") {
+    assert(Sample.ratioThresholdBits(1.0) == -1L)             // saturates to u64::MAX
+    assert(Sample.ratioThresholdBits(0.0) == 0L)
+    assert(Sample.ratioThresholdBits(0.5) == Long.MinValue)   // 2^63 in u64 bits
+    // 0.25 * 2^64 = 2^62, below the sign bit: plain truncation
+    assert(Sample.ratioThresholdBits(0.25) == (1L << 62))
+  }
+
   test("throttle caps events per key-window, first wins (throttle/transform.rs:36-53)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = (0 until 10).map { i =>
