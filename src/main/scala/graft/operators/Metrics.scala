@@ -64,6 +64,58 @@ object Metrics {
         (col("ts") +: passthrough.map { case (n, _) => col(n) }): _*)
   }
 
+  /** `all_metrics` mode (log_to_metric.rs:77 config knob, :861-905
+    * dispatch, `to_metrics` :783-859): the log IS the metric — it
+    * carries `name`, `kind`, optional `namespace`/`tags`, and one value
+    * arm (`counter.value`, `gauge.value`, …) — and converts 1:1 with no
+    * per-rule templates. Malformed rows are DROPPED, mirroring the
+    * reference's emit-error-produce-nothing path: null name or kind
+    * (PathNotFound), kind outside absolute|incremental
+    * (MetricValueError), no arm present (MetricDetailsNotFound), or an
+    * unparseable arm value (ParseError → try_cast null).
+    *
+    * `arms` are (value_type, raw column) in precedence order — the
+    * reference scans the log's root keys and takes the FIRST recognized
+    * arm (:830-846); here the first arm whose raw column is non-null
+    * wins, and if its value then fails the float parse the row drops
+    * (same outcome as the reference's early error). Scalar arms
+    * (counter/gauge) map onto the flat MetricRow; the collection arms
+    * (set/distribution/histogram/summary samples) don't fit a flat
+    * double row — their merge semantics live on the aggregation side
+    * ([[aggregateMetrics]]/[[histogramAgg]]/[[summaryAgg]]).
+    *
+    * `tags` is a map column canonicalized to the sorted `k=v,k=v`
+    * string of the flat model (the reference preserves object key
+    * order; map columns have none, so sorted is the deterministic
+    * choice). Pure narrow projection + filter — no shuffle, codegen'd.
+    */
+  def logToMetricAll(logs: DataFrame, ts: Column, name: Column, kind: Column,
+                     arms: Seq[(String, Column)],
+                     tags: Option[Column] = None,
+                     namespace: Column = lit(null).cast("string"),
+                     passthrough: Seq[(String, Column)] = Nil): DataFrame = {
+    require(arms.nonEmpty, "all_metrics needs at least one value arm")
+    val tagStr = tags.map { m =>
+      array_join(transform(sort_array(map_entries(m)),
+        e => concat_ws("=", e.getField("key"), e.getField("value"))), ",")
+    }.getOrElse(lit(null).cast("string"))
+    val arm = coalesce(arms.map { case (t, c) =>
+      when(c.isNotNull, struct(lit(t).as("value_type"), c.cast("string").as("raw")))
+    }: _*)
+    logs
+      .select(Seq(
+        name.cast("string").as("name"), namespace.as("namespace"),
+        tagStr.as("tags"), kind.cast("string").as("kind"), arm.as("__arm"),
+        ts.as("ts")) ++ passthrough.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("value_type", col("__arm.value_type"))
+      .withColumn("value", expr("try_cast(__arm.raw AS DOUBLE)"))
+      .filter(col("name").isNotNull &&
+        col("kind").isin("absolute", "incremental") &&
+        col("value").isNotNull)
+      .select(Seq("name", "namespace", "tags", "kind", "value_type", "value")
+        .map(col) ++ (col("ts") +: passthrough.map { case (n, _) => col(n) }): _*)
+  }
+
   /** Downstream aggregation of log_to_metric output per series×window:
     * counter → sum, gauge → last, set → distinct count, distribution →
     * count+sum (+ percentiles out of verifiable scope).

@@ -139,6 +139,31 @@ object TransformQueries {
         col("value"), col("seq"))
       .orderBy("name", "seq")
 
+  /** all_metrics mode: the log IS the metric (log_to_metric.rs:783-859).
+    * Shapes metric-formed rows from `parsed` with deliberate malformed
+    * rows on every drop path — null name (info turns), invalid kind
+    * (roles beyond user/assistant), absent arms (null latency) — and
+    * converts 1:1.
+    */
+  private def qLogToMetricAll(s: SparkSession, dir: String): DataFrame = {
+    val p = parsed(s, dir)
+    Metrics.logToMetricAll(p,
+        ts = col("ts"),
+        name = when(col("level") === "info", lit(null))
+          .otherwise(concat(lit("turn."), col("level"))),
+        kind = when(col("role") === "user", lit("incremental"))
+          .when(col("role") === "assistant", lit("absolute"))
+          .otherwise(lit("bogus")),
+        arms = Seq(
+          "counter" -> when(col("tool_p") =!= "none", col("latency_ms")),
+          "gauge"   -> col("latency_ms")),
+        tags = Some(map(lit("lvl"), col("level"), lit("role"), col("role"))),
+        passthrough = Seq("seq" -> seqCol))
+      .select(col("name"), col("tags"), col("kind"), col("value_type"),
+        col("value"), col("seq"))
+      .orderBy("name", "seq")
+  }
+
   private def qMetricAgg(s: SparkSession, dir: String): DataFrame =
     Metrics.aggregateMetrics(metricRowsDirect(s, dir), windowSecs = 86400,
         ord = col("seq"))
@@ -382,6 +407,7 @@ object TransformQueries {
     "q_sessions"       -> (qSessions _),
     "q_context_window" -> (qContextWindow _),
     "q_log_to_metric"  -> (qLogToMetric _),
+    "q_log_to_metric_all" -> (qLogToMetricAll _),
     "q_metric_agg"     -> (qMetricAgg _),
     "q_metric_to_log"  -> (qMetricToLog _),
     "q_metric_hist"    -> (qMetricHist _),
@@ -496,6 +522,25 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
     "q_log_to_metric" -> Oracle.q(
       "SELECT name, tags, kind, value_type, value, seq FROM metrics ORDER BY name, seq",
       Seq(Oracle.parsedCte, metricsCte)),
+    // all_metrics drop paths mirrored: null name, kind outside the two
+    // valid values, no parseable arm. First-non-null-arm precedence:
+    // counter when tool_p set, else gauge.
+    "q_log_to_metric_all" -> Oracle.q(
+      s"""SELECT name, tags, kind, value_type, value, seq FROM (
+         SELECT CASE WHEN level = 'info' THEN NULL ELSE 'turn.' || level END AS name,
+           'lvl=' || level || ',role=' || role AS tags,
+           CASE WHEN role = 'user' THEN 'incremental'
+                WHEN role = 'assistant' THEN 'absolute'
+                ELSE 'bogus' END AS kind,
+           CASE WHEN tool_p <> 'none' AND latency_ms IS NOT NULL THEN 'counter'
+                WHEN latency_ms IS NOT NULL THEN 'gauge' END AS value_type,
+           CAST(latency_ms AS DOUBLE) AS value,
+           $seqSql AS seq
+         FROM parsed) t
+         WHERE name IS NOT NULL AND kind IN ('absolute','incremental')
+           AND value IS NOT NULL
+         ORDER BY name, seq""",
+      Seq(Oracle.parsedCte)),
     "q_metric_agg" -> Oracle.q(
       s"""SELECT name, tags, value_type, ${winSql("ts", 86400)} AS win,
          CAST(count(*) AS BIGINT) AS n,

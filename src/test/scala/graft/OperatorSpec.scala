@@ -146,6 +146,28 @@ class OperatorSpec extends SparkSpec {
     assert(Sample.ratioThresholdBits(0.25) == (1L << 62))
   }
 
+  test("log_to_metric all_metrics: log-shaped metric converts 1:1, malformed rows drop (log_to_metric.rs:783-905)") {
+    val rows = Seq(
+      // the reference's transform_all_metrics_optional_namespace vector
+      ("test.transform.counter", "incremental", "10.0", null, "test_env", "localhost"),
+      ("bad.kind", "bogus", "5", null, "e", "h"),                 // MetricValueError -> drop
+      (null, "incremental", "5", null, "e", "h"),                 // PathNotFound(name) -> drop
+      ("no.arm", "incremental", null, null, "e", "h"),            // MetricDetailsNotFound -> drop
+      ("bad.value", "incremental", "not_a_number", null, "e", "h"), // ParseError -> drop
+      ("gauge.arm", "absolute", null, "2.5", "e", "h"))           // second arm wins
+      .toDF("name", "kind", "counter_v", "gauge_v", "env", "host")
+    val out = Metrics.logToMetricAll(rows,
+        ts = to_timestamp(lit("2024-01-01 00:00:00")),
+        name = col("name"), kind = col("kind"),
+        arms = Seq("counter" -> col("counter_v"), "gauge" -> col("gauge_v")),
+        tags = Some(map(lit("env"), col("env"), lit("host"), col("host"))))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3),
+        r.getString(4), r.getDouble(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("gauge.arm", "env=e,host=h", "absolute", "gauge", 2.5),
+      ("test.transform.counter", "env=test_env,host=localhost", "incremental", "counter", 10.0)))
+  }
+
   test("throttle caps events per key-window, first wins (throttle/transform.rs:36-53)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = (0 until 10).map { i =>
