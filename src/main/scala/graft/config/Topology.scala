@@ -199,9 +199,17 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val keys: Seq[Column] = fieldsTab.flatMap(_.get("match")) match {
           case Some(TArr(paths)) =>
             paths.collect { case TStr(p) => dedupeKey(env, p) }
-          case _ =>
+          case _ if fieldsTab.isDefined =>
+            // ignore semantics: every event field except the listed ones
             val ignore = fieldsTab.map(_.strArr("ignore")).getOrElse(Vector.empty).toSet
             in.meta.types.keys.filterNot(ignore).map(p => dedupeKey(env, p)).toSeq
+          case _ =>
+            // no [fields] table at all: the reference defaults to
+            // MatchFields on the log-schema triple (dedupe/common.rs:88,
+            // default_match_fields :106-118) — NOT all fields; events
+            // missing one of the three compare on null there, same as a
+            // log without the key
+            Seq("message", "host", "timestamp").map(p => dedupeKey(env, p))
         }
         Seq("" -> in.copy(df =
           graft.operators.Dedupe.keepFirst(in.df, keys, Seq(col(SeqCol)))))
@@ -426,15 +434,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val parts = cfg.strArr("partition_by")
           cfg.tab("checkpoint").flatMap(_.str("manifest")) match {
             case Some(manifestDir) if parts == Seq("port") =>
+              // sum THIS run's manifest batch (the returned frame) — a
+              // dir-wide sum over job_id would double-count on re-runs
+              // against a persistent manifest dir, since every run
+              // APPENDS a batch while the data is partition-overwritten
               graft.sinks.MultiSink.writeWithCheckpoint(
                 df, path, manifestDir, name,
                 footerStats = true,
                 knownPorts = None) // port set not static here: one collect over the written frame
-              // the manifest already carries per-port counts for this
-              // job — sum it instead of re-listing the data dir (which
-              // may hold other jobs' ports on a reused directory)
-              graft.sinks.ParquetIO.read(df.sparkSession, manifestDir)
-                .filter(col("job_id") === name)
                 .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
             case Some(manifestDir) =>
               graft.sinks.ParquetIO.write(df, path, parts,

@@ -108,6 +108,12 @@ object UnitTestHarness {
       TestResult(name, errors.toSeq)
     } catch {
       case VrlUnsupported(f) => TestResult(name, Nil, Some(f))
+      // any other per-test failure (VRL syntax error, bad config shape,
+      // analysis error) fails THAT test and lets the rest of the file
+      // run — `vector test` reports per-test errors, it doesn't abort
+      // the harness
+      case scala.util.control.NonFatal(e) =>
+        TestResult(name, Seq(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
   }
 

@@ -500,7 +500,10 @@ object VrlCompile {
     case (VHet(ts), SegIndex(i)) =>
       if (i < ts.length) CV(cv.col.getField(s"_$i"), ts(i)) else nullCV
     case (VArrOf(e), SegIndex(i)) => CV(get(cv.col, lit(i)), e)
-    case (VMap, SegName(n)) => CV(element_at(cv.col, n), VStr)
+    // try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    // a missing map key must resolve null per row — VRL path semantics —
+    // not throw MAP_KEY_DOES_NOT_EXIST for the whole batch
+    case (VMap, SegName(n)) => CV(try_element_at(cv.col, lit(n)), VStr)
     case (VAny, _) => walkDynamic(cv, Seq(seg))
     case (VNullT, _) => nullCV
     case (t, s) => throw VrlUnsupported(s"path step $s into $t")
@@ -515,7 +518,7 @@ object VrlCompile {
       CV(try_variant_get(cv.col, p, "variant"), VAny)
     case VMap =>
       path match {
-        case Seq(SegName(n)) => CV(element_at(cv.col, n), VStr)
+        case Seq(SegName(n)) => CV(try_element_at(cv.col, lit(n)), VStr)
         case _ => throw VrlUnsupported(s"path $path into map event")
       }
     case t => throw VrlUnsupported(s"dynamic path into $t")
@@ -654,10 +657,20 @@ object VrlCompile {
           else (la.col, ra.col)
         val v = op match {
           case "+" => lc + rc; case "-" => lc - rc
-          case "*" => lc * rc; case _ => lc % rc
+          case "*" => lc * rc
+          // `% 0` raises in VRL ("can't divide by zero") — guard the
+          // evaluation too: under ANSI mode an integer `x % 0` throws
+          // for the whole batch, and the float path would yield NaN
+          // without ever tripping the raise (CaseWhen evaluates the
+          // otherwise branch lazily, so the guarded rows never run %)
+          case _ => when(rc === 0, lit(null)).otherwise(lc % rc)
         }
-        val nullRaise = Some(lc.isNull || rc.isNull)
-        (XV(CV(v, t), orOpt(prop, nullRaise), msg("arithmetic on null")), e3)
+        val nullRaise =
+          if (op == "%") Some(lc.isNull || rc.isNull || rc === 0)
+          else Some(lc.isNull || rc.isNull)
+        (XV(CV(v, t), orOpt(prop, nullRaise),
+          msg(if (op == "%") "arithmetic on null or modulo by zero"
+              else "arithmetic on null")), e3)
       case "/" =>
         val la = num(lx.cv).col.cast("double")
         val ra = num(rx.cv).col.cast("double")
@@ -724,7 +737,9 @@ object VrlCompile {
     case (VMap, VObj(fb)) =>
       if (fb.isEmpty) size(a.col) === 0
       else (size(a.col) === fb.size) && fb.keys.map { k =>
-        eq(CV(element_at(a.col, k), VStr), CV(b.col.getField(k), fb(k)))
+        // try_element_at: a map missing key k must compare unequal, not
+        // throw MAP_KEY_DOES_NOT_EXIST under ANSI mode
+        eq(CV(try_element_at(a.col, lit(k)), VStr), CV(b.col.getField(k), fb(k)))
       }.reduce(_ && _)
     case (VObj(_), VMap) => eq(b, a)
     case _ => lit(false)

@@ -191,7 +191,10 @@ object VrlFunctions {
           }
           val hit =
             if (entries.isEmpty) lit(null).cast("string")
-            else element_at(map(entries: _*), probe)
+            // try_element_at: a probe with no matching row must surface
+            // as the per-row "no unique row matched" raise below, not an
+            // ANSI MAP_KEY_DOES_NOT_EXIST job abort
+            else try_element_at(map(entries: _*), probe)
           val value = try_parse_json(when(hit =!= "MULTI", hit))
           return (XV(CV(value, VAny),
             Some(hit.isNull || hit === "MULTI"),
@@ -202,7 +205,8 @@ object VrlFunctions {
           }
           val hit =
             if (entries.isEmpty) lit(null).cast("string")
-            else element_at(map(entries: _*), probe)
+            // try_element_at: no-match probes default to [] per row
+            else try_element_at(map(entries: _*), probe)
           return (XV.pure(CV(try_parse_json(coalesce(hit, lit("[]"))), VAny)), envAcc)
         }
       case _ => ()
@@ -626,13 +630,30 @@ object VrlFunctions {
       case "merge" =>
         val l = a(0, "to")
         val r = a(1, "from")
+        // deep: true recurses into keys whose values are objects on
+        // BOTH sides (merge.cue "deep" named arg); everywhere else the
+        // right side replaces wholesale — exactly VRL's shallow rule
+        val deep = a.litBool(2, "deep").getOrElse(false)
+        def mergeObjs(lc: CV, rc: CV): CV = (lc.t, rc.t) match {
+          case (VObj(fa), VObj(fb)) =>
+            val keys = (fa.keys ++ fb.keys).toSeq.distinct
+            buildObj(ListMap(keys.map { k =>
+              (fa.get(k), fb.get(k)) match {
+                case (Some(ta: VObj), Some(tb: VObj)) if deep =>
+                  k -> mergeObjs(CV(lc.col.getField(k), ta),
+                                 CV(rc.col.getField(k), tb))
+                case (_, Some(tb)) => k -> CV(rc.col.getField(k), tb)
+                case (Some(ta), None) => k -> CV(lc.col.getField(k), ta)
+                case (None, None) => k -> CV(lit(null), VNullT) // unreachable
+              }
+            }: _*))
+          case _ => rc
+        }
         (l.cv.t, r.cv.t) match {
-          case (VObj(fa), VObj(_)) =>
-            val la = fa.keys.map(k => k -> CV(l.cv.col.getField(k), fa(k)))
-            val rObj = r.cv.t.asInstanceOf[VObj]
-            val ra = rObj.fields.keys.map(k => k -> CV(r.cv.col.getField(k), rObj.fields(k)))
-            out(buildObj(ListMap((la ++ ra).toSeq: _*)))
+          case (VObj(_), VObj(_)) =>
+            out(mergeObjs(l.cv, r.cv))
           case (VAny, VAny) =>
+            if (deep) throw VrlUnsupported("merge deep:true on dynamic (variant) objects")
             // shallow JSON splice: {"a":1} + {"b":2} -> {"a":1,"b":2}
             val lj = to_json(l.cv.col); val rj = to_json(r.cv.col)
             val spliced = when(rj === "{}", lj).when(lj === "{}", rj)

@@ -48,15 +48,19 @@ object VrlKernels {
   private def maskBytes(mask: String, len: Int): Option[Array[Byte]] =
     if (mask == null) None
     else if (mask.startsWith("/")) {
-      val bits = mask.drop(1).toInt
-      val out = new Array[Byte](len)
-      var i = 0
-      var rem = bits
-      while (i < len) {
-        out(i) = (if (rem >= 8) 0xff else if (rem <= 0) 0 else (0xff << (8 - rem)) & 0xff).toByte
-        rem -= 8; i += 1
+      // per-row degradation contract: a malformed or out-of-range prefix
+      // ("/xy", "/999…") yields None (row-level error), never a
+      // NumberFormatException that kills the task
+      mask.drop(1).toIntOption.filter(b => b >= 0 && b <= len * 8).map { bits =>
+        val out = new Array[Byte](len)
+        var i = 0
+        var rem = bits
+        while (i < len) {
+          out(i) = (if (rem >= 8) 0xff else if (rem <= 0) 0 else (0xff << (8 - rem)) & 0xff).toByte
+          rem -= 8; i += 1
+        }
+        out
       }
-      Some(out)
     } else ipBytes(mask).filter(_.length == len)
 
   private def renderIp(bytes: Array[Byte]): String =
@@ -488,7 +492,10 @@ object VrlParsers {
     * path/protocol/status/size (vrl: parse_common_log.cue).
     */
   def commonLog(v: Column, tsFormat: Option[String]): XV = {
-    val re = """^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+)$"""
+    // size accepts the CLF '-' placeholder (204/304/zero-byte responses
+    // log '-'); try_cast('-') below reads it back as null, matching the
+    // reference's omitted-size behavior
+    val re = """^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+|-)$"""
     val (gs, g) = groupsOf(v, re)
     val fmt = tsFormat.getOrElse("%d/%b/%Y:%H:%M:%S %z")
     val ts = VrlTime.parse(g(4), fmt)

@@ -31,6 +31,9 @@ object Grok {
     "DATA"              -> """.*?""",
     "GREEDYDATA"        -> """.*""",
     "INT"               -> """(?:[+-]?\d+)""",
+    // CLF size field: digits or the '-' placeholder Apache writes for
+    // 204/304/zero-byte responses — callers nullif("-") before casting
+    "CLFSIZE"           -> """(?:-|\d+)""",
     "NUMBER"            -> """(?:[+-]?\d+(?:\.\d+)?)""",
     "BASE16NUM"         -> """(?:0[xX])?[0-9a-fA-F]+""",
     "LOGLEVEL"          -> """(?:trace|debug|info|notice|warn(?:ing)?|error|err|crit(?:ical)?|fatal|severe|emerg(?:ency)?|TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|ERR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)""",

@@ -68,7 +68,7 @@ object Parsers {
   val ApacheCommonGrok: String =
     "%{NOTSPACE:client} %{NOTSPACE:ident} %{NOTSPACE:auth} [%{DATA:atime}]" +
       " \"%{WORD:method} %{NOTSPACE:apath} HTTP/%{NUMBER:http_version}\"" +
-      " %{INT:status} %{INT:bytes}"
+      " %{INT:status} %{CLFSIZE:bytes}"
 
   lazy val apacheCommon: Grok.Compiled = Grok.compile(ApacheCommonGrok)
   /** parse_common_log — same format, reference parse_common_log.cue. */
@@ -82,7 +82,7 @@ object Parsers {
   val NginxCombinedGrok: String =
     "%{NOTSPACE:remote_addr} - %{NOTSPACE:remote_user} [%{DATA:time_local}]" +
       " \"%{WORD:method} %{NOTSPACE:request_path} HTTP/%{NUMBER}\"" +
-      " %{INT:status} %{INT:body_bytes} \"%{DATA:referer}\" \"%{DATA:agent}\""
+      " %{INT:status} %{CLFSIZE:body_bytes} \"%{DATA:referer}\" \"%{DATA:agent}\""
   // http_version is matched but uncaptured: the oracle engine's
   // regexp_extract only addresses groups 1-9, and 9 named fields is the
   // budget (version is recoverable from the matched text if needed)

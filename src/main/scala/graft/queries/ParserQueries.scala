@@ -118,7 +118,9 @@ object ParserQueries {
         cols("method").as("method"),
         cols("apath").as("apath"),
         cols("status").cast("int").as("status"),
-        cols("bytes").cast("long").as("bytes"))
+        // nullif before the cast: CLFSIZE admits the '-' placeholder,
+        // which must read as null, not an ANSI cast error
+        nullif(cols("bytes"), lit("-")).cast("long").as("bytes"))
       .orderBy("event_id")
   }
 
@@ -143,7 +145,7 @@ object ParserQueries {
         cols("method").as("method"),
         cols("request_path").as("request_path"),
         cols("status").cast("int").as("status"),
-        cols("body_bytes").cast("long").as("body_bytes"),
+        nullif(cols("body_bytes"), lit("-")).cast("long").as("body_bytes"),
         cols("referer").as("referer"),
         cols("agent").as("agent"))
       .orderBy("event_id")

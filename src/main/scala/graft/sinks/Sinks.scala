@@ -224,11 +224,18 @@ object MultiSink {
     * Partition pruning turns the semi-join into a pruned scan: only
     * this run's port directories are read.
     */
+  /** Returns THIS run's manifest frame (already appended to
+    * `manifestDir`). Callers needing "rows written by this run" must
+    * aggregate the returned frame, not re-read the manifest dir: the
+    * dir accumulates one batch per run (append), so a dir-wide
+    * sum(n_rows) for a job_id double-counts on every re-run even though
+    * the data itself was partition-overwritten.
+    */
   def writeWithCheckpoint(routed: DataFrame, dataDir: String,
                           manifestDir: String, jobId: String,
                           io: TableIO = ParquetIO,
                           footerStats: Boolean = false,
-                          knownPorts: Option[Set[String]] = None): Unit = {
+                          knownPorts: Option[Set[String]] = None): DataFrame = {
     writeRouted(routed, dataDir, io)
     val manifest =
       if (footerStats && (io eq ParquetIO)) {
@@ -255,7 +262,16 @@ object MultiSink {
         }
         manifestFor(committed, jobId)
       }
-    io.write(manifest, manifestDir, Seq.empty, SaveMode.Append)
+    // one compute: persist over the write + snapshot, then return a
+    // LOCAL copy (one row per port — driver-sized by construction) so
+    // the caller's aggregation neither re-runs the manifest plan nor
+    // pins executor storage
+    manifest.persist()
+    try {
+      io.write(manifest, manifestDir, Seq.empty, SaveMode.Append)
+      routed.sparkSession.createDataFrame(
+        java.util.Arrays.asList(manifest.collect(): _*), manifest.schema)
+    } finally { manifest.unpersist(); () }
   }
 
   /** Ports already committed for `jobId` according to the manifest. */

@@ -88,6 +88,15 @@ class ConfigIOSpec extends SparkSpec {
     assert(node.get("lat").asLong() == 900L)
     assert(node.get("conv_id").asText() == "c1")
 
+    // re-run against the SAME dirs: the manifest dir now holds two
+    // appended batches, but rows-written must report THIS run's batch
+    // (the data was partition-overwritten, not duplicated) — a dir-wide
+    // job_id sum would say 8
+    val written2 = topo.execute(spark)
+    assert(written2("routed") == 4L, s"re-run double-counted: $written2")
+    assert(spark.read.parquet(s"$dir/out").count() == 4)
+    assert(spark.read.parquet(s"$dir/manifest").count() == 6) // 3 ports x 2 batches
+
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 

@@ -88,6 +88,152 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("not both"))
   }
 
+  // ------------------------------------------------ fifth review pass
+
+  test("modulo by zero raises per row, never an ANSI job abort") {
+    import spark.implicits._
+    val df = Seq((7L, 2L, 1L), (7L, 0L, 2L)).toDF("a", "b", Topology.SeqCol)
+    val r = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+      VrlAst.parse(".r, .err = .a % .b\n"))
+    val rows = r.df.orderBy(Topology.SeqCol).collect()
+    assert(rows(0).getLong(rows(0).fieldIndex("r")) == 1L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("err")))
+    // VRL capture convention: on error the target gets the type's zero
+    // value and err carries the message (the job must NOT abort)
+    assert(rows(1).getLong(rows(1).fieldIndex("r")) == 0L)
+    assert(rows(1).getString(rows(1).fieldIndex("err")).contains("modulo"))
+  }
+
+  test("harness isolates a broken test: bad VRL fails that test, the rest run") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = ".y = 1"
+        |[[tests]]
+        |  name = "broken"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 1
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = ".y =="
+        |[[tests]]
+        |  name = "good"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 1
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = "assert_eq!(.y, 1)"
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 2)
+    assert(!rs(0).passed && rs(0).errors.nonEmpty) // broken reports, doesn't crash the harness
+    assert(rs(1).passed, (rs(1).errors ++ rs(1).skipped).mkString("; "))
+  }
+
+  test("parse_common_log: CLF '-' size placeholder parses with size null") {
+    import spark.implicits._
+    val df = Seq(
+      ("""127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 304 -""", 1L),
+      ("""127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326""", 2L))
+      .toDF("line", Topology.SeqCol)
+    val r = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+      VrlAst.parse(".p = parse_common_log!(.line)\n"))
+    val rows = r.df.orderBy(Topology.SeqCol).select("p.host", "p.status", "p.size").collect()
+    assert(rows(0).getString(0) == "127.0.0.1")
+    assert(rows(0).getLong(1) == 304L)
+    assert(rows(0).isNullAt(2)) // '-' reads as omitted size
+    assert(rows(1).getLong(2) == 2326L)
+  }
+
+  test("dedupe with no [fields] table defaults to message/host/timestamp (dedupe/common.rs:106-118)") {
+    val rs = UnitTestHarness.run(spark, Topology.load(
+      """
+        |[transforms.d]
+        |  inputs = []
+        |  type = "dedupe"
+        |[[tests]]
+        |  name = "default_triple"
+        |  [[tests.inputs]]
+        |    insert_at = "d"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      message = "m"
+        |      host = "h"
+        |      timestamp = "2024-01-01T00:00:00Z"
+        |      request_id = "r1"
+        |  [[tests.inputs]]
+        |    insert_at = "d"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      message = "m"
+        |      host = "h"
+        |      timestamp = "2024-01-01T00:00:00Z"
+        |      request_id = "r2"
+        |  [[tests.outputs]]
+        |    extract_from = "d"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = 'assert_eq!(.request_id, "r1")'
+        |""".stripMargin))
+    assert(rs.head.passed && rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+  }
+
+  test("merge deep: true recurses into object-valued keys (merge.cue deep arg)") {
+    import spark.implicits._
+    val df = Seq(Tuple1(1L)).toDF(Topology.SeqCol)
+    val r = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+      VrlAst.parse(
+        """.deep = merge({"a": {"x": 1, "y": 2}, "k": 1}, {"a": {"y": 3}}, deep: true)
+          |.shallow = merge({"a": {"x": 1, "y": 2}, "k": 1}, {"a": {"y": 3}})
+          |""".stripMargin))
+    val row = r.df.select("deep.a.x", "deep.a.y", "deep.k", "shallow.a.y").head
+    assert(row.getLong(0) == 1L)  // left-only nested key survives
+    assert(row.getLong(1) == 3L)  // right wins on conflict
+    assert(row.getLong(2) == 1L)
+    assert(row.getLong(3) == 3L)
+    // shallow replaced .a wholesale: x is gone from the struct
+    assert(!r.df.select("shallow.a.*").columns.contains("x"))
+  }
+
+  test("invalid string escape is a program error, not silent corruption") {
+    val err = intercept[VrlAst.VrlParseError] { VrlAst.parse(""".x = "C:\dir"""") }
+    assert(err.getMessage.contains("\\d"))
+    // the supported set still round-trips
+    VrlAst.parse(""".x = "a\nb\tc\0d\\e\"f"""")
+  }
+
+  test("ip_cidr_contains (config kernel): malformed mask degrades per row") {
+    import spark.implicits._
+    val df = Seq(("10.0.0.0/xy", "10.1.2.3", 1L), ("10.0.0.0/8", "10.1.2.3", 2L),
+        ("10.0.0.0/999999999999", "10.1.2.3", 3L))
+      .toDF("cidr", "ip", Topology.SeqCol)
+    val r = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+      VrlAst.parse(".c, .err = ip_cidr_contains(.cidr, .ip)\n"))
+    val rows = r.df.orderBy(Topology.SeqCol).collect()
+    // error rows: captured zero value (false) + err set; the valid row
+    // is a real true — and no row kills the task with a
+    // NumberFormatException from the mask parse
+    assert(!rows(0).getBoolean(rows(0).fieldIndex("c")))
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("err")))
+    assert(rows(1).getBoolean(rows(1).fieldIndex("c")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("err")))
+    assert(!rows(2).getBoolean(rows(2).fieldIndex("c")))
+    assert(!rows(2).isNullAt(rows(2).fieldIndex("err")))
+  }
+
   test("topology DAG wires transform chains and skips unknown sources") {
     val topo = Topology.load(
       """
