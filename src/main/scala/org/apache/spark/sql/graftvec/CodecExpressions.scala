@@ -210,8 +210,16 @@ object CodecExpressions {
 
   case class SnappyDecompress(child: Expression) extends BinaryCodec {
     override def prettyName: String = "decode_snappy"
-    override def nullSafeEval(v: Any): Any =
-      orNull(org.xerial.snappy.Snappy.uncompress(v.asInstanceOf[Array[Byte]]))
+    override def nullSafeEval(v: Any): Any = orNull {
+      val src = v.asInstanceOf[Array[Byte]]
+      // the length preamble is attacker-controlled and allocated up
+      // front — validate against MaxOut BEFORE uncompress, or a 6-byte
+      // blob claiming 2GB OOMs the executor (an Error orNull can't catch)
+      val n = org.xerial.snappy.Snappy.uncompressedLength(src)
+      require(n >= 0 && n.toLong <= MaxOut,
+        s"snappy: implausible length preamble $n")
+      org.xerial.snappy.Snappy.uncompress(src)
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 

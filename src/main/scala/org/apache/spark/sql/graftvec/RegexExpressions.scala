@@ -46,10 +46,21 @@ object RegexExpressions {
     * would give each clone its own empty memo and no sharing. One
     * HashMap get (cached String hash) replaces a regex run for every
     * duplicate reference to the same (pattern, row input).
+    *
+    * Access-order LRU capped at 64 patterns: a long-lived executor
+    * thread evaluating many distinct configs over its lifetime must not
+    * pin one (cloned input + group array) entry per pattern forever.
+    * Within one query the working set is the handful of patterns in
+    * the plan, far under the cap, so the memo hit rate is unaffected.
     */
-  private val memoTL = new ThreadLocal[java.util.HashMap[String, Array[AnyRef]]] {
-    override def initialValue(): java.util.HashMap[String, Array[AnyRef]] =
-      new java.util.HashMap()
+  private val MemoMaxPatterns = 64
+  private val memoTL = new ThreadLocal[java.util.LinkedHashMap[String, Array[AnyRef]]] {
+    override def initialValue(): java.util.LinkedHashMap[String, Array[AnyRef]] =
+      new java.util.LinkedHashMap[String, Array[AnyRef]](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[AnyRef]]): Boolean =
+          size() > MemoMaxPatterns
+      }
   }
 
   case class RegexGroups(subject: Expression, regexp: Expression)

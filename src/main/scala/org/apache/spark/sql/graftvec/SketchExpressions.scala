@@ -61,6 +61,8 @@ object SketchExpressions {
     val pos: mutable.HashMap[Int, Long] = mutable.HashMap.empty
     val neg: mutable.HashMap[Int, Long] = mutable.HashMap.empty
 
+    def binCount: Int = pos.size + neg.size
+
     private def key(mag: Double): Int =
       math.ceil(math.log(mag) / logGamma).toInt
     private def value(k: Int): Double = 2.0 * math.pow(gamma, k) / (gamma + 1)
@@ -199,21 +201,42 @@ object SketchExpressions {
 
     override def createAggregationBuffer(): DDSketchState = new DDSketchState(alpha)
 
+    /** Collapse slack: a sketch sitting exactly at maxBins would pay a
+      * full key-sort per NEW bucket (monotone counters opening a bucket
+      * per row are the common worst case). Letting it overshoot by
+      * maxBins/8 before folding back to maxBins amortizes one
+      * O(B log B) collapse over B/8 inserts; the hard bound is restored
+      * at every serialize/eval, so shuffle size and the answer see
+      * maxBins exactly.
+      */
+    private val slackBins = maxBins + math.max(2, maxBins / 8)
+
     override def update(b: DDSketchState, input: InternalRow): DDSketchState = {
       val v = child.eval(input)
-      if (v != null) { b.insert(v.asInstanceOf[Double]); b.collapseIfNeeded(maxBins) }
+      if (v != null) {
+        b.insert(v.asInstanceOf[Double])
+        if (b.binCount > slackBins) b.collapseIfNeeded(maxBins)
+      }
       b
     }
 
     override def merge(b: DDSketchState, o: DDSketchState): DDSketchState = {
-      b.mergeWith(o); b.collapseIfNeeded(maxBins); b
+      b.mergeWith(o)
+      if (b.binCount > slackBins) b.collapseIfNeeded(maxBins)
+      b
     }
 
     override def eval(b: DDSketchState): Any =
       if (b.total == 0) null
-      else new GenericArrayData(quantiles.map(b.quantile).toArray)
+      else {
+        b.collapseIfNeeded(maxBins)
+        new GenericArrayData(quantiles.map(b.quantile).toArray)
+      }
 
-    override def serialize(b: DDSketchState): Array[Byte] = b.serialize()
+    override def serialize(b: DDSketchState): Array[Byte] = {
+      b.collapseIfNeeded(maxBins)
+      b.serialize()
+    }
     override def deserialize(bytes: Array[Byte]): DDSketchState =
       DDSketchState.deserialize(bytes)
 

@@ -27,15 +27,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringExpressions {
 
-  /** string → string helpers share this skeleton. */
+  /** string → string helpers share this skeleton. Declared nullable
+    * unconditionally: mapStr returning null is the per-row raise
+    * channel, and the default child-derived nullability would let the
+    * optimizer fold `IsNull(f(x))` to false over a non-null child,
+    * silently disabling that channel (same hazard the binary codecs
+    * document). A thrown exception from mapStr also degrades to null —
+    * hostile log data must never abort the job.
+    */
   abstract class StrMapper extends UnaryExpression
       with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = StringType
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
     def mapStr(s: String): String
     override def nullSafeEval(v: Any): Any = {
-      val r = mapStr(v.asInstanceOf[UTF8String].toString)
+      val r = try mapStr(v.asInstanceOf[UTF8String].toString)
+              catch { case scala.util.control.NonFatal(_) => null }
       if (r == null) null else UTF8String.fromString(r)
     }
   }
@@ -303,6 +312,24 @@ object StringExpressions {
     */
   case class RubyHashToJson(child: Expression) extends StrMapper {
     override def prettyName: String = "parse_ruby_hash"
+
+    /** One string-content char → valid JSON string content. Quoted ruby
+      * strings carry raw control chars (a multi-line message inspected
+      * into a log) that strict JSON parsers reject unescaped.
+      */
+    private def appendJsonChar(sb: java.lang.StringBuilder, ch: Char): Unit =
+      ch match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+
     override def mapStr(s: String): String = {
       val sb = new java.lang.StringBuilder(s.length)
       var i = 0
@@ -311,25 +338,79 @@ object StringExpressions {
       while (i < n) {
         val c = s.charAt(i)
         c match {
-          case '"' => // double-quoted: copy, preserving escapes
+          case '"' => // double-quoted: decode ruby escapes, re-escape as JSON
             sb.append('"'); i += 1
             while (i < n && s.charAt(i) != '"') {
-              if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
-              else { sb.append(s.charAt(i)); i += 1 }
+              if (s.charAt(i) == '\\' && i + 1 < n) {
+                // ruby's escape set is wider than JSON's (\e \a \v \0
+                // \s...); decode to the char, then re-encode JSON-safely
+                s.charAt(i + 1) match {
+                  case 'n' => sb.append("\\n")
+                  case 'r' => sb.append("\\r")
+                  case 't' => sb.append("\\t")
+                  case 'b' => sb.append("\\b")
+                  case 'f' => sb.append("\\f")
+                  case 'a' => sb.append("\\u0007")
+                  case 'e' => sb.append("\\u001b")
+                  case 'v' => sb.append("\\u000b")
+                  case '0' => sb.append("\\u0000")
+                  case 's' => sb.append(' ')
+                  case 'u' if i + 5 < n => sb.append('\\').append('u')
+                    .append(s, i + 2, i + 6); i += 4
+                  case 'x' if i + 3 < n => sb.append("\\u00")
+                    .append(s, i + 2, i + 4); i += 2
+                  case other => appendJsonChar(sb, other)
+                }
+                i += 2
+              }
+              else { appendJsonChar(sb, s.charAt(i)); i += 1 }
             }
             sb.append('"'); i += 1
-          case '\'' => // single-quoted: to double-quoted JSON
+          case '\'' => // single-quoted: only \' and \\ are escapes in ruby
             sb.append('"'); i += 1
             while (i < n && s.charAt(i) != '\'') {
               s.charAt(i) match {
                 case '\\' if i + 1 < n && (s.charAt(i + 1) == '\'' || s.charAt(i + 1) == '\\') =>
                   if (s.charAt(i + 1) == '\\') sb.append("\\\\") else sb.append('\'')
                   i += 2
-                case '"' => sb.append("\\\""); i += 1
-                case ch => sb.append(ch); i += 1
+                case ch => appendJsonChar(sb, ch); i += 1
               }
             }
             sb.append('"'); i += 1
+          case d if d.isDigit || (d == '-' && i + 1 < n && s.charAt(i + 1).isDigit) =>
+            // numeric literal: ruby prints wide-range floats in
+            // scientific notation ("1.0e+20") and allows 1_000 /
+            // 0x1f forms; char-by-char passthrough would split the
+            // exponent into a bareword and emit unparseable JSON
+            val start = i
+            if (d == '-') i += 1
+            if (i + 1 < n && s.charAt(i) == '0' &&
+                (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
+              i += 2
+              val hs = i
+              while (i < n && (s.charAt(i).isDigit || "abcdefABCDEF_".indexOf(s.charAt(i)) >= 0)) i += 1
+              val hex = s.substring(hs, i).replace("_", "")
+              val neg = d == '-'
+              sb.append(if (neg) "-" else "").append(
+                if (hex.isEmpty) "0" else new java.math.BigInteger(hex, 16).toString)
+            } else {
+              while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '_')) i += 1
+              if (i + 1 < n && s.charAt(i) == '.' && s.charAt(i + 1).isDigit) {
+                i += 1
+                while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '_')) i += 1
+              }
+              if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+                var j = i + 1
+                if (j < n && (s.charAt(j) == '+' || s.charAt(j) == '-')) j += 1
+                if (j < n && s.charAt(j).isDigit) {
+                  i = j
+                  while (i < n && s.charAt(i).isDigit) i += 1
+                }
+              }
+              // JSON has no '+' exponent sign restriction ("1e+20" is
+              // valid) but no underscores
+              sb.append(s.substring(start, i).replace("_", ""))
+            }
           case '=' if i + 1 < n && s.charAt(i + 1) == '>' =>
             sb.append(':'); i += 2
           case ':' if i + 1 < n && (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_') =>
@@ -385,8 +466,13 @@ object StringExpressions {
       var i = 0
       val full = bytes.length - (bytes.length % 8)
       while (i < full) {
-        val n = ByteBuffer.wrap(bytes, i, 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        // manual little-endian read: this sits on Sample's per-row hot
+        // path, and a ByteBuffer wrapper per 8-byte chunk is ~128
+        // allocations per KB of message
+        val n = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24) |
+          ((bytes(i + 4) & 0xffL) << 32) | ((bytes(i + 5) & 0xffL) << 40) |
+          ((bytes(i + 6) & 0xffL) << 48) | ((bytes(i + 7) & 0xffL) << 56)
         val t = diffuse(a ^ n)
         a = b; b = c; c = d; d = t
         i += 8
@@ -581,13 +667,19 @@ object StringExpressions {
     override def prettyName: String = "uuid_from_friendly_id"
     private val alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     override def mapStr(s: String): String = {
+      // a non-base62 char or a value past 2^128 is a malformed id:
+      // null (the raise channel), never a thrown per-row error and
+      // never a silent mod-2^128 truncation to a wrong-but-valid UUID
       var v = java.math.BigInteger.ZERO
       val base = java.math.BigInteger.valueOf(62)
-      s.foreach { c =>
-        val d = alphabet.indexOf(c)
-        require(d >= 0, s"invalid base62 char '$c'")
+      var i = 0
+      while (i < s.length) {
+        val d = alphabet.indexOf(s.charAt(i))
+        if (d < 0) return null
         v = v.multiply(base).add(java.math.BigInteger.valueOf(d))
+        i += 1
       }
+      if (v.bitLength > 128) return null
       val hex = ("0" * 32 + v.toString(16)).takeRight(32)
       s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}"
     }
@@ -620,7 +712,11 @@ object StringExpressions {
       case s if s.startsWith("!") => s.drop(1) }.toSet
 
     override def nullSafeEval(v: Any): Any = {
-      val host = v.asInstanceOf[UTF8String].toString.toLowerCase.stripSuffix(".")
+      // Locale.ROOT: a tr_TR executor's default-locale lowercase maps
+      // 'I' to dotless 'ı', un-matching ASCII suffixes — results must
+      // not depend on the executor's JVM locale
+      val host = v.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
       val labels = host.split('.')
       // walk suffix candidates longest-first; first match wins, with
       // exception rules (!x) overriding wildcard rules (*.x) per the
@@ -642,6 +738,11 @@ object StringExpressions {
       }
       if (suffixLen == 0) suffixLen = 1 // unknown: last label
       val etld = labels.takeRight(suffixLen).mkString(".")
+      // clamped to the whole host when the host IS a suffix (e.g.
+      // plus_parts=1 on bare "com"): the reference's take-N-labels
+      // construction clamps the same way, so etld_plus degrades to the
+      // suffix itself rather than nulling — strict-PSL callers gate on
+      // known_suffix && etld_plus != etld
       val plusLen = math.min(labels.length, suffixLen + plusParts)
       val etldPlus = labels.takeRight(plusLen).mkString(".")
       InternalRow(UTF8String.fromString(etld), UTF8String.fromString(etldPlus),
@@ -664,20 +765,52 @@ object StringExpressions {
       with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
     override def dataType: DataType = StringType
+    // null is the raise channel ("invalid ip or key"): unconditional, or
+    // the optimizer folds IsNull away over non-null children
+    override def nullable: Boolean = true
     override def nullIntolerant: Boolean = true
+    /** null (not an exception) on a wrong-length key. */
     protected def cipher(key: Array[Byte], mode: Int): javax.crypto.Cipher = {
-      require(key.length == 16, "aes128 needs a 16-byte key")
+      if (key.length != 16) return null // aes128 needs a 16-byte key
       val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
       c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"))
       c
     }
+    /** LITERAL-only address parse, null on anything else. Never hands
+      * the string to a resolver: `InetAddress.getByName` falls back to
+      * per-row (blocking) DNS for any input it can't read as a literal
+      * — e.g. "999.1.1.1" or plain garbage — which both leaks log data
+      * to the resolver and throws instead of degrading the row.
+      * Dotted-quad is parsed by hand; a string containing ':' can only
+      * be an IPv6 literal to the JDK (hostnames cannot contain ':'),
+      * so getByName is resolver-free on that branch.
+      */
     protected def addrBytes(s: String): Array[Byte] = {
-      val a = java.net.InetAddress.getByName(s).getAddress
-      if (a.length == 16) a
-      else { // IPv4 → IPv4-mapped IPv6
-        val out = new Array[Byte](16)
+      val raw: Array[Byte] =
+        if (s.indexOf(':') >= 0) {
+          // the JDK collapses "::ffff:a.b.c.d" to an Inet4Address —
+          // both branches can yield 4 bytes, mapped below
+          try java.net.InetAddress.getByName(s).getAddress
+          catch { case scala.util.control.NonFatal(_) => return null }
+        } else {
+          val parts = s.split('.')
+          if (parts.length != 4) return null
+          val v4 = new Array[Byte](4)
+          var i = 0
+          while (i < 4) {
+            val p = parts(i)
+            if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return null
+            val o = p.toInt
+            if (o > 255) return null
+            v4(i) = o.toByte; i += 1
+          }
+          v4
+        }
+      if (raw.length == 16) raw
+      else {
+        val out = new Array[Byte](16) // IPv4 → IPv4-mapped IPv6
         out(10) = 0xff.toByte; out(11) = 0xff.toByte
-        System.arraycopy(a, 0, out, 12, 4)
+        System.arraycopy(raw, 0, out, 12, 4)
         out
       }
     }
@@ -686,9 +819,11 @@ object StringExpressions {
   case class EncryptIp(left: Expression, right: Expression) extends IpCryptBase {
     override def prettyName: String = "encrypt_ip"
     override def nullSafeEval(ip: Any, key: Any): Any = {
-      val enc = cipher(key.asInstanceOf[UTF8String].getBytes,
+      val c = cipher(key.asInstanceOf[UTF8String].getBytes,
         javax.crypto.Cipher.ENCRYPT_MODE)
-        .doFinal(addrBytes(ip.asInstanceOf[UTF8String].toString))
+      val addr = addrBytes(ip.asInstanceOf[UTF8String].toString)
+      if (c == null || addr == null) return null
+      val enc = c.doFinal(addr)
       UTF8String.fromString(
         java.net.InetAddress.getByAddress(enc).getHostAddress)
     }
@@ -699,9 +834,11 @@ object StringExpressions {
   case class DecryptIp(left: Expression, right: Expression) extends IpCryptBase {
     override def prettyName: String = "decrypt_ip"
     override def nullSafeEval(ip: Any, key: Any): Any = {
-      val dec = cipher(key.asInstanceOf[UTF8String].getBytes,
+      val c = cipher(key.asInstanceOf[UTF8String].getBytes,
         javax.crypto.Cipher.DECRYPT_MODE)
-        .doFinal(addrBytes(ip.asInstanceOf[UTF8String].toString))
+      val addr = addrBytes(ip.asInstanceOf[UTF8String].toString)
+      if (c == null || addr == null) return null
+      val dec = c.doFinal(addr)
       // IPv4-mapped → dotted quad, else IPv6 text
       val isV4 = dec.take(10).forall(_ == 0) && dec(10) == 0xff.toByte &&
         dec(11) == 0xff.toByte

@@ -425,6 +425,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ddsketch: collapse under a tight bin budget keeps the sketch bounded and the tail accurate") {
+    import org.apache.spark.sql.graftvec.SketchExpressions
+    // monotone wide-dynamic-range stream: every few rows open a NEW
+    // bucket, the worst case for per-insert collapse cost (the slack
+    // window amortizes it); maxBins=24 forces heavy folding
+    val xs = (1 to 6000).map(i => math.exp(i / 300.0)) // e^0 .. e^20
+    val df = xs.toDF("v")
+    val row = df.repartition(4).agg(
+      SketchExpressions.ddQuantiles(col("v"), Seq(0.5, 0.99), alpha = 0.01,
+        maxBins = 24).as("qs")).head
+    val Seq(p50, p99) = row.getSeq[Double](0).toSeq
+    val sorted = xs.sorted
+    val exact99 = sorted((0.99 * (xs.length - 1)).toInt)
+    // the top of the range is never folded: tail quantile keeps the
+    // alpha bound even at 24 bins
+    assert(math.abs(p99 - exact99) / exact99 <= 0.01 + 1e-9, s"p99=$p99 exact=$exact99")
+    // collapse folds low-magnitude mass UPWARD: p50 can only sit at or
+    // above the exact rank (within alpha), and never outside the range
+    val exact50 = sorted((0.5 * (xs.length - 1)).toInt)
+    assert(p50 >= exact50 * (1 - 0.01) && p50 <= sorted.last, s"p50=$p50 exact=$exact50")
+  }
+
   test("ddsketch: merge is order- and partitioning-invariant") {
     import org.apache.spark.sql.graftvec.SketchExpressions.DDSketchState
     val rnd = new scala.util.Random(7)

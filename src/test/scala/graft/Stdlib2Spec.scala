@@ -584,4 +584,71 @@ class Stdlib2Spec extends SparkSpec {
     assert(one(Vrl.ipv6ToIpv4(lit("::ffff:1.2.3.4"))) == "1.2.3.4")
     assert(one(Vrl.ipv6ToIpv4(lit("2001:db8::1"))) == null)
   }
+
+  // ------------------------------------------ hostile-input hardening
+
+  test("encrypt_ip: malformed address or key nulls the row, never resolves or throws") {
+    val key = lit("sixteen byte key")
+    // a hostname-shaped value must NOT reach a resolver (per-row DNS +
+    // data leak) — literal-or-null only
+    assert(one(Vrl.encryptIp(lit("not-an-ip"), key)) == null)
+    assert(one(Vrl.encryptIp(lit("999.1.1.1"), key)) == null)
+    assert(one(Vrl.encryptIp(lit("1.2.3.4.5"), key)) == null)
+    assert(one(Vrl.encryptIp(lit(""), key)) == null)
+    assert(one(Vrl.encryptIp(lit("1.2.3.4"), lit("short key"))) == null)
+    assert(one(Vrl.decryptIp(lit("zzzz::1"), key)) == null)
+    // the mapped-v6 spelling of a v4 address hits the same block as the
+    // dotted quad (the JDK collapses it to an Inet4Address)
+    assert(one(Vrl.encryptIp(lit("::ffff:192.168.1.1"), key)) ==
+      one(Vrl.encryptIp(lit("192.168.1.1"), key)))
+  }
+
+  test("uuid_from_friendly_id: non-base62 or >128-bit input nulls the row") {
+    assert(one(Vrl.uuidFromFriendlyId(lit("3s87y-vnmkiPBMHsj8bwwc"))) == null)
+    assert(one(Vrl.uuidFromFriendlyId(lit("z" * 22))) == null) // 62^22 > 2^128
+    assert(one(Vrl.uuidFromFriendlyId(lit("3" + "z" * 21))) != null) // 4*62^21-1 < 2^128
+  }
+
+  test("encode_punycode: RFC-3490-invalid labels null the row (raise channel)") {
+    assert(one(Vrl.encodePunycode(lit("a..b"))) == null)     // empty label
+    assert(one(Vrl.encodePunycode(lit("a" * 64 + ".com"))) == null) // >63-char label
+    assert(one(Vrl.encodePunycode(lit("ok.example.com"))) == "ok.example.com")
+  }
+
+  test("decode_snappy: hostile length preamble nulls the row (no up-front allocation)") {
+    // varint preamble claiming ~2GB on a 6-byte blob
+    val bomb = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x07, 0x00)
+    assert(one(Vrl.decodeSnappy(lit(bomb))) == null)
+    assert(one(Vrl.decodeSnappy(lit(Array[Byte](1, 2, 3)))) == null) // garbage
+  }
+
+  test("parse_etld is locale-independent: uppercase hosts match ASCII suffixes") {
+    // tr_TR default-locale lowercase would map 'I' to dotless 'ı' and
+    // un-match the suffix — Locale.ROOT pins the result
+    val r = Seq("WWW.EXAMPLE.AC.UK").toDF("h")
+      .select(Etld.parseEtld(col("h"), 1).as("p")).select("p.*").head
+    assert((r.getString(0), r.getString(1), r.getBoolean(2)) ==
+      ("ac.uk", "example.ac.uk", true))
+  }
+
+  test("parse_ruby_hash: scientific/hex/underscore numbers and control chars stay valid JSON") {
+    assert(one(Vrl.parseRubyHash(lit("""{"a" => 1.5e3}"""))) == """{"a":1.5e3}""")
+    assert(one(Vrl.parseRubyHash(lit("""{"a" => 1.0e+20, "b" => -2.5E-3}"""))) ==
+      """{"a":1.0e+20,"b":-2.5E-3}""")
+    assert(one(Vrl.parseRubyHash(lit("""{"a" => 0x1f, "b" => 1_000}"""))) ==
+      """{"a":31,"b":1000}""")
+    assert(one(Vrl.parseRubyHash(lit("{\"a\" => \"x\ny\"}"))) ==
+      """{"a":"x\ny"}""")
+    // expected built without \uXXXX in the literal: the Scala lexer
+    // translates unicode escapes even inside triple quotes
+    assert(one(Vrl.parseRubyHash(lit("{\"a\" => \"\\e[0m\u0001\"}"))) ==
+      "{\"a\":\"\\u001b[0m\\u0001\"}")
+    // every emitted value above must round-trip through a strict parser
+    for (rb <- Seq("""{"a" => 1.5e3}""", """{"a" => 0x1f}""", "{\"a\" => \"x\ny\"}")) {
+      val js = one(Vrl.parseRubyHash(lit(rb))).asInstanceOf[String]
+      assert(one(from_json(lit(js), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))) != null, s"unparseable: $js")
+    }
+  }
 }
