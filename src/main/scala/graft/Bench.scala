@@ -160,10 +160,18 @@ object Bench {
       if (skipQueries) Seq.empty
       else {
         val names = SparkEntry.queries.toSeq
+        // a failing query must surface as a FAILURE (-1 in the JSON),
+        // never as its fast time-to-throw — swallowing the exception
+        // inside the timing made a breaking regression look like a
+        // speedup
         def onePass(): Seq[(String, Double)] = names.map { case (name, fn) =>
-          name -> timed {
-            try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
-          }._2
+          name -> (try timed(fn(spark0, sfDir).count())._2
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] FAIL $name: " +
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                Double.PositiveInfinity
+            })
         }
         val passes = Seq(onePass(), onePass())
         names.map { case (name, _) =>
@@ -230,12 +238,17 @@ object Bench {
 
     writeBenchMd(sfDir, turns, tN, t4N, thrN, thr4N, eff, wTurns, wN, w4N, weff)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (infinite min = threw in BOTH passes) report -1 and
+    // are listed; total covers the finite ones only
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isInfinity) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v.isInfinity => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(!_.isInfinity).sum
     val json =
       s"""{"metric":"pipeline_turns_per_sec_at_4N","value":${f"$thr4N%.0f"},"unit":"turns/sec",""" +
-      s""""queries":$qs,"total_query_sec":${f"$total%.1f"},""" +
+      s""""queries":$qs,"failed":${failed.mkString("[", ",", "]")},""" +
+      s""""total_query_sec":${f"$total%.1f"},""" +
       s""""scaling":{"cores_n":$ScaleN,"cores_4n":$Scale4N,"turns":$turns,""" +
       s""""sec_n":${f"$tN%.2f"},"sec_4n":${f"$t4N%.2f"},""" +
       s""""turns_per_sec_n":${f"$thrN%.0f"},"turns_per_sec_4n":${f"$thr4N%.0f"},""" +

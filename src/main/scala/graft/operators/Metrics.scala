@@ -45,8 +45,14 @@ object Metrics {
   def logToMetric(logs: DataFrame, rules: Seq[MetricRule], ts: Column,
                   passthrough: Seq[(String, Column)] = Nil): DataFrame = {
     val structs = rules.map { r =>
+      // a tag whose template renders null is DROPPED from the set (the
+      // reference's per-tag TemplateRenderingError keeps the event,
+      // log_to_metric.rs render_tags) — `when` nulls the k=v pair and
+      // concat_ws skips it, so no dangling bare "k" reaches the
+      // canonical string
       val tagStr = concat_ws(",",
-        r.tags.map { case (k, v) => concat_ws("=", lit(k), v) }: _*)
+        r.tags.map { case (k, v) =>
+          when(v.isNotNull, concat_ws("=", lit(k), v)) }: _*)
       struct(
         r.name.cast("string").as("name"),
         r.namespace.as("namespace"),
@@ -58,7 +64,9 @@ object Metrics {
     logs
       .select(explode(array(structs: _*)).as("m") +: ts.as("ts") +:
         passthrough.map { case (n, c) => c.as(n) }: _*)
-      .filter(col("m.value").isNotNull)
+      // null name = the reference's name TemplateRenderingError (skip
+      // the event), same as the null-value FieldNotFound skip
+      .filter(col("m.value").isNotNull && col("m.name").isNotNull)
       .select(Seq("name", "namespace", "tags", "kind", "value_type", "value")
         .map(f => col(s"m.$f").as(f)) ++
         (col("ts") +: passthrough.map { case (n, _) => col(n) }): _*)
@@ -96,7 +104,10 @@ object Metrics {
                      passthrough: Seq[(String, Column)] = Nil): DataFrame = {
     require(arms.nonEmpty, "all_metrics needs at least one value arm")
     val tagStr = tags.map { m =>
-      array_join(transform(sort_array(map_entries(m)),
+      // null-valued entries are dropped, not rendered as a bare key
+      // (same per-tag skip as logToMetric's rule tags)
+      array_join(transform(
+        filter(sort_array(map_entries(m)), e => e.getField("value").isNotNull),
         e => concat_ws("=", e.getField("key"), e.getField("value"))), ",")
     }.getOrElse(lit(null).cast("string"))
     val arm = coalesce(arms.map { case (t, c) =>
@@ -132,14 +143,21 @@ object Metrics {
     * exact vs 1 approx.
     */
   def aggregateMetrics(metrics: DataFrame, windowSecs: Long, ord: Column,
-                       approxDistinct: Boolean = false): DataFrame = {
+                       approxDistinct: Boolean = false,
+                       extraKeys: Seq[Column] = Nil): DataFrame = {
     val win = Aggregate.windowStart(col("ts"), windowSecs).as("win")
     val setVal = when(col("value_type") === "set", col("value"))
     val distinctAgg =
       if (approxDistinct) approx_count_distinct(setVal)
       else countDistinct(setVal)
     metrics
-      .groupBy(col("name"), col("tags"), col("value_type"), win)
+      // `kind` is part of the series identity here: summing an absolute
+      // gauge snapshot into an incremental counter's delta stream would
+      // silently corrupt the aggregate (the reference dispatches merge
+      // behavior ON kind, aggregate.rs Auto). `extraKeys` carries
+      // namespace when the input frame has one.
+      .groupBy(Seq(col("name"), col("tags"), col("kind"),
+        col("value_type"), win) ++ extraKeys: _*)
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("value_type") === "counter" || col("value_type") === "distribution",
@@ -178,11 +196,23 @@ object Metrics {
     * scale; the production swap at 100 TB is `summarySketchAgg` below —
     * same plan shape, mergeable DDSketch agg buffers.
     */
+  /** q → column label: integer percents stay `q_50`-style; fractional
+    * ones keep their digits (`0.999` → `q_99_9`) — `(q*100).round`
+    * would alias 0.999 and 1.0 to the SAME `q_100` column (a duplicate
+    * name the very first `col("q_100")` reference trips over) and
+    * mislabel the common p999.
+    */
+  private[graft] def qLabel(q: Double): String = {
+    val p = q * 100
+    if (p == math.floor(p)) s"q_${p.toLong}"
+    else s"q_${p.toString.replace('.', '_').replaceAll("_?0+$", "")}"
+  }
+
   def summaryAgg(df: DataFrame, value: Column, quantiles: Seq[Double],
                  keys: Seq[Column]): DataFrame = {
     val qCols = quantiles.map { q =>
       round(percentile(value, lit(q)), 6)
-        .as(s"q_${(q * 100).round.toInt}")
+        .as(qLabel(q))
     }
     val aggs = qCols ++ Seq(
       count(value).as("n"), sum(value).cast("double").as("sum_value"))
@@ -205,7 +235,7 @@ object Metrics {
       count(value).as("n"), sum(value).cast("double").as("sum_value"))
     val g = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     quantiles.zipWithIndex.foldLeft(g) { case (d, (q, i)) =>
-      d.withColumn(s"q_${(q * 100).round.toInt}", col("__qs").getItem(i))
+      d.withColumn(qLabel(q), col("__qs").getItem(i))
     }.drop("__qs")
   }
 
@@ -221,7 +251,10 @@ object Metrics {
         lit("metric name="), col("name"),
         lit(" kind="), col("kind"),
         lit(" type="), col("value_type"),
-        lit(" tags={"), col("tags"), lit("}"),
+        // a tag-less metric (null tags) renders as tags={} — plain
+        // concat would null the WHOLE message (the reference always
+        // serializes; it just omits the tags key)
+        lit(" tags={"), coalesce(col("tags"), lit("")), lit("}"),
         lit(" value="), col("value").cast("string")))
 
   // ---- incremental_to_absolute ----------------------------------------
@@ -232,11 +265,25 @@ object Metrics {
     * cumulative frame is per-series ordered — at 100 TB the series
     * cardinality (not event count) bounds the window state.
     */
+  /** `kind`: pass the kind column for MIXED frames — the reference
+    * accumulates ONLY incremental metrics and forwards absolute ones
+    * unchanged (its per-series cache never sees them); the running sum
+    * here then covers incremental rows only and absolute rows keep
+    * their value. Omit it (None) only when the input is all-incremental.
+    */
   def incrementalToAbsolute(df: DataFrame, series: Seq[Column], ord: Column,
-                            value: Column): DataFrame = {
+                            value: Column,
+                            kind: Option[Column] = None): DataFrame = {
     val w = Window.partitionBy(series: _*).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("abs_value", sum(value).over(w))
+    val absValue = kind match {
+      case None => sum(value).over(w)
+      case Some(k) =>
+        when(k === "incremental",
+          sum(when(k === "incremental", value)).over(w))
+          .otherwise(value)
+    }
+    df.withColumn("abs_value", absValue)
       .withColumn("kind", lit("absolute"))
   }
 
@@ -267,13 +314,17 @@ object Metrics {
       ord: Column,
       valueLimit: Int,
       dropEvent: Boolean): DataFrame = {
-    val firstSeen = df.groupBy(col(tag).as("__v"))
+    // events NOT carrying the tag are never constrained by it (the
+    // reference checks only tags present on the event): null must not
+    // consume a limit slot, and dropEvent must pass tag-less rows through
+    val firstSeen = df.filter(col(tag).isNotNull)
+      .groupBy(col(tag).as("__v"))
       .agg(min(ord).as("__first"))
       .orderBy(col("__first"), col("__v"))
       .limit(valueLimit)
       .select(col("__v"))
     val joined = df.join(broadcast(firstSeen), df(tag) === firstSeen("__v"), "left")
-    if (dropEvent) joined.filter(col("__v").isNotNull).drop("__v")
+    if (dropEvent) joined.filter(col(tag).isNull || col("__v").isNotNull).drop("__v")
     else joined.withColumn(tag,
       when(col("__v").isNotNull, col(tag)).otherwise(lit(null).cast("string")))
       .drop("__v")

@@ -28,17 +28,41 @@ object Sample {
     */
   def byKey(df: DataFrame, keyNum: Column, rate: Int,
             exclude: Option[Column] = None): DataFrame = {
+    requireRate(rate)
     val keep = pmod(keyNum, lit(rate)) === 0
-    val cond = exclude.map(e => e || keep).getOrElse(keep)
-    df.filter(cond).withColumn("sample_rate", lit(rate))
+    stampKept(df, keep, exclude, lit(rate))
   }
+
+  /** rate >= 1, validated at PLAN time: pmod(x, 0) is null under
+    * non-ANSI evaluation, so an unvalidated rate=0 (a config typo)
+    * would silently drop every row instead of failing like the
+    * reference's config check.
+    */
+  private def requireRate(rate: Int): Unit =
+    require(rate >= 1, s"sample rate must be >= 1, got $rate")
+
+  /** Keep `keep || exclude` rows; stamp sample_rate ONLY on rows kept by
+    * sampling — the reference's exclude branch emits the event BEFORE
+    * the stamp (transform.rs:147-155), so excluded events carry no
+    * sample_rate (null here, the columnar analog of an absent field).
+    */
+  private def stampKept(df: DataFrame, keep: Column,
+                        exclude: Option[Column], rate: Column): DataFrame =
+    exclude match {
+      case None => df.filter(keep).withColumn("sample_rate", rate)
+      case Some(e) =>
+        df.filter(e || keep).withColumn("sample_rate",
+          when(e, lit(null)).otherwise(rate))
+    }
 
   /** Hash-of-key variant (xxhash64) — the scale path when no numeric key
     * exists. Not oracle-verifiable (engine-specific hash) but ratio-tested.
     */
-  def byKeyHash(df: DataFrame, key: Column, rate: Int): DataFrame =
+  def byKeyHash(df: DataFrame, key: Column, rate: Int): DataFrame = {
+    requireRate(rate)
     df.filter(pmod(xxhash64(key), lit(rate)) === 0)
       .withColumn("sample_rate", lit(rate))
+  }
 
   /** Reference-exact keyed rate sampling: keep rows whose seahash of the
     * key is an exact (unsigned) multiple of `rate`
@@ -52,12 +76,12 @@ object Sample {
     */
   def byKeySeahash(df: DataFrame, key: Column, rate: Int,
                    exclude: Option[Column] = None): DataFrame = {
+    requireRate(rate)
     val h = graft.functions.Vrl.seahash(key)
     val keep = pmod(
       pmod(shiftrightunsigned(h, 1), lit(rate.toLong)) * 2 + h.bitwiseAND(lit(1L)),
       lit(rate.toLong)) === 0
-    val cond = exclude.map(e => e || keep).getOrElse(keep)
-    df.filter(cond).withColumn("sample_rate", lit(rate))
+    stampKept(df, keep, exclude, lit(rate))
   }
 
   /** Reference-exact keyed ratio sampling (sample/transform.rs:41-54,
@@ -73,8 +97,7 @@ object Sample {
     val thr = ratioThresholdBits(ratio)
     val keep = graft.functions.Vrl.seahash(key).bitwiseXOR(lit(Long.MinValue)) <=
       lit(thr ^ Long.MinValue)
-    val cond = exclude.map(e => e || keep).getOrElse(keep)
-    df.filter(cond).withColumn("sample_rate", lit(ratio))
+    stampKept(df, keep, exclude, lit(ratio))
   }
 
   /** Rust `(ratio * (u64::MAX as u128) as f64) as u64`
@@ -97,6 +120,7 @@ object Sample {
     */
   def counter(df: DataFrame, groupBy: Seq[Column], order: Seq[Column],
               rate: Int): DataFrame = {
+    requireRate(rate)
     val w = Window.partitionBy(groupBy: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(pmod(col("__rn") - 1, lit(rate)) === 0)

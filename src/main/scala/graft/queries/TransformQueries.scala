@@ -542,12 +542,12 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
          ORDER BY name, seq""",
       Seq(Oracle.parsedCte)),
     "q_metric_agg" -> Oracle.q(
-      s"""SELECT name, tags, value_type, ${winSql("ts", 86400)} AS win,
+      s"""SELECT name, tags, kind, value_type, ${winSql("ts", 86400)} AS win,
          CAST(count(*) AS BIGINT) AS n,
          sum(CASE WHEN value_type IN ('counter','distribution') THEN value END) AS sum_value,
          max_by(CASE WHEN value_type = 'gauge' THEN value END, seq) AS last_value,
          CAST(count(DISTINCT CASE WHEN value_type = 'set' THEN value END) AS BIGINT) AS distinct_values
-         FROM metrics GROUP BY 1, 2, 3, 4 ORDER BY name, tags, win""",
+         FROM metrics GROUP BY 1, 2, 3, 4, 5 ORDER BY name, tags, win""",
       Seq(Oracle.parsedCte, metricsCte)),
     "q_metric_to_log" -> Oracle.q(
       """SELECT name, tags,

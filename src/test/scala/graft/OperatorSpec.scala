@@ -60,6 +60,13 @@ class OperatorSpec extends SparkSpec {
     val df = (0 until 100).map(i => (i.toLong, s"m$i")).toDF("k", "m")
     val out = Sample.byKey(df, col("k"), 10, exclude = Some(col("k") < 5))
     assert(out.count() == 10 + 4) // 0 is in both
+    // excluded rows carry NO sample_rate (the reference emits them before
+    // the stamp, transform.rs:147-155); sampled-kept rows are stamped
+    val byK = out.collect().map(r => r.getLong(0) -> r.get(r.fieldIndex("sample_rate"))).toMap
+    assert(byK(1L) == null && byK(4L) == null) // excluded only
+    assert(byK(10L) == 10 && byK(0L) == null)  // 0 is excluded AND in-bucket: exclude wins
+    // rate=0 is a config error, not a silent drop-everything
+    intercept[IllegalArgumentException] { Sample.byKey(df, col("k"), 0) }
   }
 
   test("sample.counter keeps every Nth per group") {
@@ -293,6 +300,54 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("log_to_metric: null name skips the event; null tag value drops the tag, keeps the event") {
+    val logs = Seq(
+      (Some("n1"), Some("t1"), 1.0), // full row
+      (Some("n2"), None, 2.0),       // tag render fails -> tag dropped
+      (None, Some("t3"), 3.0))       // name render fails -> event skipped
+      .toDF("n", "t", "v").withColumn("ts", current_timestamp())
+    val rules = Seq(Metrics.MetricRule("counter", col("n"), col("v"),
+      tags = Seq("env" -> lit("prod"), "t" -> col("t"))))
+    val out = Metrics.logToMetric(logs, rules, col("ts"))
+      .orderBy("name").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("tags")).toSeq ==
+      Seq("env=prod,t=t1", "env=prod")) // no dangling bare "t"
+  }
+
+  test("metric_to_log renders tag-less metrics (null tags must not null the message)") {
+    val m = Seq(("m1", "incremental", "counter", 2.0))
+      .toDF("name", "kind", "value_type", "value")
+      .withColumn("tags", lit(null).cast("string"))
+    val msg = Metrics.metricToLog(m).head.getAs[String]("message")
+    assert(msg == "metric name=m1 kind=incremental type=counter tags={} value=2.0")
+  }
+
+  test("aggregate_metrics keeps kind in the series identity (no absolute/incremental merge)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // same (name, tags, value_type): a delta stream AND a snapshot stream
+    val df = Seq(
+      ("x", "a=1", "incremental", "counter", 1.0, 1L),
+      ("x", "a=1", "incremental", "counter", 2.0, 2L),
+      ("x", "a=1", "absolute", "counter", 100.0, 3L))
+      .toDF("name", "tags", "kind", "value_type", "value", "ord")
+      .withColumn("ts", lit(base))
+    val out = Metrics.aggregateMetrics(df, 3600, $"ord")
+      .orderBy("kind").collect()
+    assert(out.length == 2) // one row per kind, not one merged row
+    assert(out.map(r => (r.getAs[String]("kind"), r.getAs[Double]("sum_value"))).toSeq ==
+      Seq(("absolute", 100.0), ("incremental", 3.0)))
+  }
+
+  test("summary quantile labels: fractional percents don't collide (0.999 vs 1.0)") {
+    assert(Metrics.qLabel(0.5) == "q_50" && Metrics.qLabel(0.99) == "q_99")
+    assert(Metrics.qLabel(0.999) == "q_99_9" && Metrics.qLabel(1.0) == "q_100")
+    assert(Metrics.qLabel(0.999) != Metrics.qLabel(1.0))
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Metrics.summaryAgg(df, $"v", Seq(0.999, 1.0), Seq(lit(1).as("g"))).head
+    assert(r.getAs[Double]("q_99_9") <= r.getAs[Double]("q_100"))
+  }
+
   test("incremental_to_absolute is a per-series running sum (incremental_to_absolute.rs:68-90)") {
     val df = Seq(("s1", 1, 1.0), ("s1", 2, 2.0), ("s1", 3, 4.0), ("s2", 1, 10.0))
       .toDF("series", "o", "v")
@@ -300,6 +355,20 @@ class OperatorSpec extends SparkSpec {
       .orderBy($"series", $"o")
       .collect().map(_.getAs[Double]("abs_value")).toSeq
     assert(out == Seq(1.0, 3.0, 7.0, 10.0))
+  }
+
+  test("incremental_to_absolute: mixed kinds — absolute rows forward unchanged, never summed") {
+    // an absolute snapshot (100.0) interleaved in the series must not
+    // enter the running sum (the reference's cache sees only incrementals)
+    val df = Seq(
+      ("s1", 1, 1.0, "incremental"), ("s1", 2, 100.0, "absolute"),
+      ("s1", 3, 2.0, "incremental"), ("s1", 4, 4.0, "incremental"))
+      .toDF("series", "o", "v", "k")
+    val out = Metrics.incrementalToAbsolute(df, Seq($"series"), $"o", $"v",
+        kind = Some($"k"))
+      .orderBy($"o").collect()
+    assert(out.map(_.getAs[Double]("abs_value")).toSeq == Seq(1.0, 100.0, 3.0, 7.0))
+    assert(out.forall(_.getAs[String]("kind") == "absolute"))
   }
 
   test("tag_cardinality_limit drop_tag nulls the overflow values (tag_cardinality_limit)") {
@@ -310,6 +379,20 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() == 20)
     val dropped = Metrics.tagCardinalityLimit(df, "tag", $"ord", 3, dropEvent = true)
     assert(dropped.count() == 6)
+  }
+
+  test("tag_cardinality_limit: events without the tag pass through and consume no slot") {
+    // nulls interleaved FIRST by ord: they must not win a limit slot
+    val df = ((0 until 4).map(i => (i, null: String)) ++
+      (4 until 24).map(i => (i, s"v${(i - 4) / 2}"))).toDF("ord", "tag")
+    // dropEvent: the reference only constrains events that CARRY the tag
+    val dropped = Metrics.tagCardinalityLimit(df, "tag", $"ord", 3, dropEvent = true)
+    assert(dropped.count() == 4 + 6) // all null-tag rows + 3 values x 2
+    assert(dropped.filter($"tag".isNull).count() == 4)
+    // dropTag: kept values are the first 3 NON-NULL values (v0,v1,v2)
+    val out = Metrics.tagCardinalityLimit(df, "tag", $"ord", 3, dropEvent = false)
+    assert(out.filter($"tag".isNotNull).count() == 6)
+    assert(out.filter($"tag".isin("v0", "v1", "v2")).count() == 6)
   }
 
   test("aggregate modes over event-time windows (aggregate.rs:131-322)") {
@@ -357,6 +440,7 @@ class OperatorSpec extends SparkSpec {
         new java.sql.Timestamp(base.getTime + i * 1000L), i.toLong)
     }
     val df = rows.toDF("name", "tags", "value_type", "value", "ts", "ord")
+      .withColumn("kind", lit("incremental"))
     val exact = Metrics.aggregateMetrics(df, 3600, $"ord")
     val approx = Metrics.aggregateMetrics(df, 3600, $"ord", approxDistinct = true)
     // the exact countDistinct plans a partial-distinct: an EXTRA full
