@@ -333,7 +333,7 @@ object VrlCompile {
       val env2 = env1.withRaise(xv.raise)
       val replaced = expr match {
         case ArrLit(items) if items.nonEmpty && items.forall(_.isInstanceOf[ObjLit]) =>
-          val objs = items.map { case o: ObjLit =>
+          val objs = items.collect { case o: ObjLit => // total: forall guard above
             ListMap(o.fields.map { case (k, v) =>
               k -> compileExpr(env1, v)._1.cv
             }: _*)

@@ -87,15 +87,20 @@ object Aggregate {
           .groupBy(keys :+ win: _*)
           .agg(sum(value).as("value"))
       case Sum    => grouped.agg(sum(value).as("value"))
-      case Count  => grouped.agg(count(value).as("value"))
+      // one per EVENT (record_count emits Counter{1} per metric,
+      // aggregate.rs:173-185) — count(value) would skip null-valued rows
+      case Count  => grouped.agg(count(lit(1)).as("value"))
       case Max    => grouped.agg(max(value).as("value"))
       case Min    => grouped.agg(min(value).as("value"))
       case Mean   => grouped.agg((sum(value) / count(value)).as("value"))
       case Stdev  =>
-        grouped.agg(
-          sqrt(
-            (sum(value * value) * count(value) - sum(value) * sum(value)) /
-              (count(value) * count(value))).as("value"))
+        // stddev_pop's central-moment accumulation, NOT the naive
+        // sqrt((nΣx² − (Σx)²)/n²): on large-magnitude low-variance
+        // series the naive radicand cancels catastrophically (measured
+        // 0.12 "stdev" — or NaN from sqrt(−ulp) — for a CONSTANT
+        // series). Exact-decimal callers needing the oracle-portable
+        // naive form keep it inline (q_agg_modes).
+        grouped.agg(stddev_pop(value).as("value"))
       case Latest => grouped.agg(max_by(value, ord).as("value"))
       case Diff   =>
         val latest = grouped.agg(max_by(value, ord).as("value"))

@@ -28,10 +28,22 @@ object ContextWindow {
       numBefore: Int,
       numAfter: Int,
       forwardWhen: Option[Column] = None): DataFrame = {
-    val w = Window.partitionBy(key: _*).orderBy(ord)
-      .rowsBetween(-numAfter.toLong, numBefore.toLong)
-    val nearMatch = max(when(flushWhen, 1).otherwise(0)).over(w) === 1
-    val keep = forwardWhen.map(f => f || nearMatch).getOrElse(nearMatch)
-    df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
+    def frameKeep(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(key: _*).orderBy(ord)
+        .rowsBetween(-numAfter.toLong, numBefore.toLong)
+      val nearMatch = max(when(flushWhen, 1).otherwise(0)).over(w) === 1
+      d.withColumn("__keep", nearMatch).filter(col("__keep")).drop("__keep")
+    }
+    forwardWhen match {
+      case None => frameKeep(df)
+      case Some(f) =>
+        // the reference checks forward_when FIRST (transform.rs:51-66):
+        // a forwarded event bypasses the ring buffer — it consumes no
+        // before/after context slot and never acts as a flush match
+        // (even if flush_when also matches it). So the frame runs over
+        // the NON-forwarded rows only, and forwarded rows union back in.
+        val fwd = coalesce(f, lit(false))
+        frameKeep(df.filter(!fwd)).unionByName(df.filter(fwd))
+    }
   }
 }

@@ -39,13 +39,17 @@ object Enrich {
       table: DataFrame,
       keys: Seq[String],
       caseInsensitive: Boolean = false): DataFrame = {
-    val t = validateUnique(table, keys)
-    if (!caseInsensitive) events.join(broadcast(t), keys, "left")
+    if (!caseInsensitive)
+      events.join(broadcast(validateUnique(table, keys)), keys, "left")
     else {
       val fold = (df: DataFrame) => keys.foldLeft(df)((d, k) =>
         d.withColumn(s"__k_$k", lower(col(k))))
+      // uniqueness must be checked on the FOLDED keys: 'ABC' and 'abc'
+      // are distinct raw keys but collide after lower(), and a probe
+      // would silently match (and duplicate the event on) both rows
+      val lt = validateUnique(fold(table), keys.map(k => s"__k_$k"))
+        .drop(keys: _*)
       val le = fold(events)
-      val lt = fold(t).drop(keys: _*)
       val cond = keys.map(k => le(s"__k_$k") === lt(s"__k_$k")).reduce(_ && _)
       le.join(broadcast(lt), cond, "left")
         .drop(keys.map(k => s"__k_$k"): _*)
@@ -111,8 +115,15 @@ object Enrich {
       bucketBits: Int = 16): DataFrame = {
     import graft.functions.Vrl
     val shift = 1L << (32 - bucketBits)
-    val net = Vrl.ipAton(split(col(cidrCol), "/").getItem(0))
-    val plen = split(col(cidrCol), "/").getItem(1).cast("int")
+    // try_element_at/try_cast + the 0..32 prefix gate (the ipCidrContains
+    // pattern): a malformed table row — no "/", garbage or out-of-range
+    // prefix — degrades to null __start/__end, and explode(sequence(null,
+    // null)) drops it, instead of an ANSI-mode job abort or a
+    // 2^(32-plen) sequence bomb from a bogus prefix
+    val parts = split(col(cidrCol), "/")
+    val net = Vrl.ipAton(try_element_at(parts, lit(1)))
+    val plenRaw = try_element_at(parts, lit(2)).try_cast("int")
+    val plen = when(plenRaw.between(0, 32), plenRaw)
     val size = pow(lit(2.0), lit(32) - plen).cast("long")
     val t = table
       .withColumn("__start", floor(net / size).cast("long") * size)
@@ -143,6 +154,18 @@ object Enrich {
       ts: Column,
       validFrom: String,
       validTo: String): DataFrame = {
+    // the exactly-one-match contract every other variant enforces via
+    // validateUnique: for ranges, per-key intervals must not overlap, or
+    // an event in the overlap joins (and duplicates into) BOTH rows.
+    // Cheap — sort-check on the small lookup side only.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(validFrom))
+    val bad = table
+      .withColumn("__prev_end", lag(col(validTo), 1).over(w))
+      .filter(col("__prev_end").isNotNull && col(validFrom) <= col("__prev_end"))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"enrichment table ranges overlap on ${keys.mkString("(", ",", ")")}: ${bad.mkString}")
     val t = broadcast(table)
     val cond = keys.map(k => events(k) === t(k)).reduce(_ && _) &&
       ts >= t(validFrom) && ts <= t(validTo)

@@ -170,6 +170,11 @@ object TextDedup {
     */
   def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
                  k: Int, r: Int, threshold: Double): DataFrame = {
+    // k = bands × r exactly: integer-division bands would silently waste
+    // the trailing k % r minhashes (recall lower than the k paid for),
+    // and r > k would build ZERO bands — an empty result, not an error
+    require(r >= 1 && k >= r && k % r == 0,
+      s"minhash k ($k) must be a positive multiple of band rows r ($r)")
     val fam = PortableHash.family(k)
     val sh = distinctShingles(df, id, text, n)
     val minAggs = fam.map { case (i, a, b) =>
@@ -298,8 +303,13 @@ object TextDedup {
       transform(vec, x => x.cast("double")).as("v"))
     // persisted: both sides of the pair join read this frame — one
     // embedding scan + norm pass instead of two (one row per vector).
+    // zero-norm vectors (padding / failed embeds) are excluded: their
+    // cosine is 0/0, which under ANSI mode is a DIVIDE_BY_ZERO job
+    // abort, not a null — and no defined cosine can pass the gate
+    // anyway. NaN norms (corrupt input) fail the > 0 gate too.
     val n = v.withColumn("norm",
       sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
+      .filter(col("norm") > 0)
       .persistOnce()
     val pairs = n.as("x").join(n.as("y"), col("x.id") < col("y.id"))
     pairs.select(
@@ -348,10 +358,17 @@ object TextDedup {
           val vj = vecs(j)
           var s = 0.0; var k = 0
           while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
-          val c = BigDecimal(s / (ni * norms(j)))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (c >= threshold) Iterator.single((ids(i), ids(j), c))
-          else Iterator.empty
+          // zero-norm vectors (padding/failed embeds): 0/0 is NaN and
+          // BigDecimal(NaN) THROWS — skip the pair, matching the
+          // distributed path where the null cosine fails the >= gate
+          val denom = ni * norms(j)
+          if (denom == 0.0) Iterator.empty
+          else {
+            val c = BigDecimal(s / denom)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c >= threshold) Iterator.single((ids(i), ids(j), c))
+            else Iterator.empty
+          }
         }
       }
       .toDF("a", "b", "cosine")

@@ -28,10 +28,21 @@ object Throttle {
       exclude: Option[Column] = None): DataFrame = {
     val win = Aggregate.windowStart(ts, windowSecs)
     val w = Window.partitionBy(key, win).orderBy(order: _*)
-    val kept = col("__rank") <= threshold
-    val cond = exclude.map(e => e || kept).getOrElse(kept)
-    df.withColumn("__rank", row_number().over(w))
-      .filter(cond)
-      .drop("__rank")
+    exclude match {
+      case None =>
+        df.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= threshold)
+          .drop("__rank")
+      case Some(e) =>
+        // excluded events BYPASS the limiter without consuming quota
+        // (transform.rs:102-130: the exclude check happens before
+        // limiter.check_key) — so the rank counts non-excluded rows
+        // only; a plain row_number would let excluded rows push later
+        // events over the threshold
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__rank", sum(when(e, 0).otherwise(1)).over(wRun))
+          .filter(e || col("__rank") <= threshold)
+          .drop("__rank")
+    }
   }
 }

@@ -188,6 +188,20 @@ class OperatorSpec extends SparkSpec {
     assert(out.collect().map(_.getInt(2)).sorted.toSeq == Seq(0, 1, 2, 3))
   }
 
+  test("throttle: excluded events bypass WITHOUT consuming quota (transform.rs:102-130)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // one key-window, ordered: e0(excluded), e1, e2, e3 — threshold 2
+    val df = (0 until 4).map(i =>
+      ("k", new java.sql.Timestamp(base.getTime + i * 1000L), i))
+      .toDF("key", "ts", "i")
+    val out = Throttle(df, col("key"), col("ts"), threshold = 2,
+      windowSecs = 3600, order = Seq(col("i")),
+      exclude = Some(col("i") === 0))
+    // e0 passes via exclude; e1, e2 fill the quota; e3 dropped. A rank
+    // over ALL rows would have let e0 push e2 out.
+    assert(out.collect().map(_.getInt(2)).sorted.toSeq == Seq(0, 1, 2))
+  }
+
   test("dedupe keeps first by order; typed columns never cross-dedupe (dedupe/transform.rs:54-65)") {
     val df = Seq(("x", 1, "first"), ("x", 1, "second"), ("x", 2, "other"))
       .toDF("a", "b", "tag")
@@ -412,6 +426,41 @@ class OperatorSpec extends SparkSpec {
     assert(run(Aggregate.Mean) == Seq(2.0, 7.0))
     assert(run(Aggregate.Latest) == Seq(3.0, 4.0))
     assert(run(Aggregate.Diff) == Seq(3.0, 1.0)) // 3-0, 4-3
+  }
+
+  test("aggregate Count counts EVENTS (null values included); Stdev never NaNs on constants") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    // reference record_count emits Counter{1} per metric regardless of value
+    val withNulls = Seq(("s", t(0), Some(1.0)), ("s", t(2), None), ("s", t(4), Some(2.0)))
+      .toDF("series", "ts", "v")
+    val c = Aggregate.tumbling(withNulls, Seq($"series"), $"ts", $"v",
+      Aggregate.Count, 10L).head.getAs[Long]("value")
+    assert(c == 3L)
+    // constant large-magnitude series: the naive radicand cancels to a
+    // tiny NEGATIVE double; unclamped sqrt would return NaN for a true 0
+    val flat = Seq.fill(3)(("s", t(0), 10000000.1)).toDF("series", "ts", "v")
+    val sd = Aggregate.tumbling(flat, Seq($"series"), $"ts", $"v",
+      Aggregate.Stdev, 10L).head.getAs[Double]("value")
+    assert(!sd.isNaN && sd >= 0.0 && sd < 1e-3, s"stdev=$sd")
+  }
+
+  test("context window: forwarded events bypass the buffer and consume no context slot") {
+    // before=1, after=0: e2 is forwarded; e1's single before-slot must
+    // still reach the flush at e3 (the reference never buffers forwarded
+    // events, transform.rs:51-66)
+    val df = Seq((1, false, false), (2, true, false), (3, false, true))
+      .toDF("o", "fwd", "flush").withColumn("k", lit("g"))
+    val out = ContextWindow(df, Seq($"k"), $"o", $"flush",
+      numBefore = 1, numAfter = 0, forwardWhen = Some($"fwd"))
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // a row matching BOTH forward and flush is forwarded, NOT a flush
+    // match: its neighbors get no context from it
+    val df2 = Seq((1, false, false), (2, true, true), (3, false, false))
+      .toDF("o", "fwd", "flush").withColumn("k", lit("g"))
+    val out2 = ContextWindow(df2, Seq($"k"), $"o", $"flush",
+      numBefore = 1, numAfter = 1, forwardWhen = Some($"fwd"))
+    assert(out2.collect().map(_.getInt(0)).sorted.toSeq == Seq(2))
   }
 
   test("aggregate Auto: last absolute replaces, later incrementals add (aggregate.rs:134-140)") {

@@ -114,6 +114,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("case-insensitive lookup validates uniqueness on the FOLDED keys") {
+    import spark.implicits._
+    // 'ABC' and 'abc' are distinct raw keys but collide after lower():
+    // a probe on 'Abc' would match both rows and duplicate the event
+    val caseDup = Seq(("ABC", 1), ("abc", 2)).toDF("k", "v")
+    val events = Seq("Abc").toDF("k")
+    assertThrows[IllegalArgumentException] {
+      Enrich.lookup(events, caseDup, Seq("k"), caseInsensitive = true).count()
+    }
+    // genuinely unique post-fold still joins case-insensitively
+    val ok = Enrich.lookup(events, Seq(("ABC", 1)).toDF("k", "v"),
+      Seq("k"), caseInsensitive = true).collect()
+    assert(ok.length == 1 && ok.head.getAs[Int]("v") == 1)
+  }
+
+  test("lookupBetween rejects overlapping validity ranges (exactly-one contract)") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val events = Seq(("K", d("2024-03-01"))).toDF("k", "ts")
+    val overlapping = Seq(
+      ("K", d("2024-01-01"), d("2024-06-30"), "first"),
+      ("K", d("2024-03-01"), d("2024-12-31"), "second")).toDF("k", "from", "to", "tag")
+    assertThrows[IllegalArgumentException] {
+      Enrich.lookupBetween(events, overlapping, Seq("k"), col("ts"), "from", "to").count()
+    }
+    // adjacent, non-overlapping ranges pass and match exactly one row
+    val disjoint = Seq(
+      ("K", d("2024-01-01"), d("2024-02-29"), "q1"),
+      ("K", d("2024-03-01"), d("2024-12-31"), "rest")).toDF("k", "from", "to", "tag")
+    val out = Enrich.lookupBetween(events, disjoint, Seq("k"), col("ts"), "from", "to")
+      .collect()
+    assert(out.length == 1 && out.head.getAs[String]("tag") == "rest")
+  }
+
+  test("lookupCidr drops malformed table rows instead of aborting (ANSI-safe parse)") {
+    import spark.implicits._
+    val events = Seq("10.1.2.3").toDF("ip")
+    val lut = Seq(
+      ("10.1.0.0/16", "good"),
+      ("10.1.0.0", "no-slash"),       // missing prefix
+      ("10.1.0.0/abc", "bad-prefix"), // unparseable prefix
+      ("10.1.0.0/40", "oob-prefix"))  // out-of-range prefix
+      .toDF("cidr", "net_tag")
+    val out = Enrich.lookupCidr(events, col("ip"), lut).collect()
+    assert(out.length == 1 && out.head.getAs[String]("net_tag") == "good")
+  }
+
   test("wildcard enrich: exact hit wins, miss falls back per-row (file.rs:337-346)") {
     import spark.implicits._
     val events = Seq("a", "b", "zz", null).toDF("k")

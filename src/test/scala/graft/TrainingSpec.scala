@@ -248,6 +248,29 @@ class TrainingSpec extends SparkSpec {
     assert(kern.count() > 0)
   }
 
+  test("embedding pairing tolerates zero-norm vectors (padding rows) on both paths") {
+    import spark.implicits._
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    val withZero = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((-1L, Array.fill(dim)(0.0)))
+        .toDF("vec_id", "embedding"))
+    // 0/0 cosine: the kernel once threw NumberFormatException via
+    // BigDecimal(NaN); both paths must simply exclude the zero vector
+    val kern = TextDedup.embeddingPairsKernel(withZero, col("vec_id"), col("embedding"), 0.3)
+    val decl = TextDedup.embeddingPairs(withZero, col("vec_id"), col("embedding"), 0.3)
+    assert(kern.filter(col("a") === -1L || col("b") === -1L).count() == 0)
+    assert(decl.exceptAll(kern).count() == 0 && kern.exceptAll(decl).count() == 0)
+  }
+
+  test("minhashLsh rejects a k that is not a multiple of r") {
+    intercept[IllegalArgumentException] {
+      TextDedup.minhashLsh(docs, col("doc_id"), col("text"), 3, 12, 5, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.minhashLsh(docs, col("doc_id"), col("text"), 3, 12, 16, 0.5)
+    }
+  }
+
   test("blocked simhash pairing equals brute force (pigeonhole exactness)") {
     val fps = TextDedup.simhash(docs, col("doc_id"), col("text"), 32, 3)
     val brute = TextDedup.simhashPairs(fps, 4).select("a", "b", "hamming")
