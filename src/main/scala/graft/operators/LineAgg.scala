@@ -77,6 +77,5 @@ object LineAgg {
             array_sort(collect_list(struct(lineNo.as("n"), line.as("l")))),
             s => s.getField("l")),
           "\n").as("text"))
-      .drop("__grp")
   }
 }

@@ -46,14 +46,32 @@ object Multimodal {
         lit(16000).as("sample_rate_hz")).as("meta"),
       col("text").cast("binary").as("bytes"))
 
-  /** Bound per-partition payload volume: repartition so each task sees
-    * ~targetBytes of media. Uses a range partition on a size-prefix-sum
-    * proxy (hash partition on id with a computed partition count —
-    * cheap, deterministic, no sampling pass).
+  /** Bound per-partition payload volume: hash-repartition on id with a
+    * partition count derived from the total payload size.
+    *
+    * Sizing source, cheapest first: `estimatedTotalBytes` if the caller
+    * knows it (catalog stats, manifest) — fully lazy; else the frame's
+    * input FILES (driver-side metadata sum, no data read) when it maps
+    * to files; else one counting aggregation over the payload column —
+    * an EXTRA pass over the lineage, paid only in this last-resort
+    * branch (it cannot be made lazy: the partition count is a plan
+    * parameter).
     */
-  def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
-    val stats = media.agg(sum(length(col("bytes")))).collect()(0)
-    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+  def repartitionBySize(media: DataFrame, targetBytes: Long,
+                        estimatedTotalBytes: Option[Long] = None): DataFrame = {
+    val total = estimatedTotalBytes.getOrElse {
+      val files = media.inputFiles
+      if (files.nonEmpty) {
+        val conf = media.sparkSession.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(conf).getFileStatus(path).getLen
+        }.sum
+      } else {
+        val stats = media.agg(sum(length(col("bytes")))).collect()(0)
+        if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      }
+    }
     val parts = math.max(1, math.min(10000, (total / math.max(1, targetBytes)).toInt))
     media.repartition(parts, col("id"))
   }
@@ -92,7 +110,10 @@ object Multimodal {
       col("id"),
       col("meta.media_type").as("media_type"),
       length(col("bytes")).cast("long").as("n_bytes"),
-      substring(hex(col("bytes")), 1, 16).as("head_hex"),
+      // hex of the FIRST 8 BYTES — hex()ing the whole payload doubles it
+      // into a transient string (a 500MB video -> ~1GB string) just to
+      // keep 16 chars; identical output incl. short payloads
+      hex(col("bytes").substr(lit(1), lit(8))).as("head_hex"),
       col("meta.width").as("width"),
       col("meta.height").as("height"))
 
@@ -106,11 +127,13 @@ object Multimodal {
     media
       .select(col("id"), col("bytes"), nFrames.as("n_frames"))
       .select(col("id"),
+        // step the sequence by stride: exploding every index and then
+        // filtering would materialize stride x the final rows, each
+        // carrying the full bytes column
         explode(when(col("n_frames") > 0,
-          sequence(lit(0), col("n_frames") - 1))
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .otherwise(array().cast("array<int>"))).as("frame_idx"),
         col("bytes"))
-      .filter(col("frame_idx") % stride === 0)
       .select(col("id"), col("frame_idx"),
         hex(col("bytes").substr(
           (col("frame_idx") * frameBytes + 1).cast("int"),

@@ -12,15 +12,23 @@ import graft.functions.Grok
   * (remap.rs:494-553); the primary port carries only successfully
   * transformed events.
   *
-  * Spark-first shape: the two ports are two PROJECTIONS of one scan —
-  * a match predicate splits the frame; both sides stay inside
-  * whole-stage codegen (regexp_extract / rlike are codegen'd), the parquet
-  * scan is shared, and nothing is collected to the driver. At cluster
-  * scale the split is a narrow transformation: no shuffle.
+  * Spark-first shape: both ports FILTER one shared `tagged` frame
+  * (raw columns + extracted columns + `__parse_ok`). The split is a
+  * narrow transformation (codegen'd regex, no shuffle, nothing
+  * collected), and because the ports are filters of the SAME parent,
+  * persisting `tagged` at a fan-out point serves BOTH ports from one
+  * scan + one regex pass — two independent plans would each re-scan
+  * the input when the dropped channel is consumed.
   */
 object Parse {
 
-  final case class Ports(primary: DataFrame, dropped: DataFrame)
+  /** `tagged` is the shared parent: persist IT (not the ports) when
+    * both channels are consumed.
+    */
+  final case class Ports(primary: DataFrame, dropped: DataFrame,
+                         tagged: DataFrame)
+
+  private val OkCol = "__parse_ok"
 
   /** Parse `textCol` with a compiled grok pattern; typed post-projection
     * `typing` maps extracted string fields to typed columns.
@@ -31,16 +39,24 @@ object Parse {
       compiled: Grok.Compiled,
       componentId: String = "parse",
       typing: Map[String, Column => Column] = Map.empty): Ports = {
-    val ok = compiled.matches(textCol)
-    val extracted = compiled.columns(textCol).foldLeft(df.filter(ok)) {
-      case (acc, (name, c)) =>
-        val typedC = typing.get(name).map(f => f(c)).getOrElse(c)
-        acc.withColumn(name, typedC)
-    }
-    val dropped = df.filter(!ok)
+    val extractedNames = compiled.columns(textCol).map(_._1)
+    val tagged = compiled.columns(textCol)
+      .foldLeft(df.withColumn(OkCol, compiled.matches(textCol))) {
+        case (acc, (name, c)) =>
+          // extraction and typing run ONLY on matched rows (unmatched
+          // extraction yields '' — an ANSI-mode cast abort); unmatched
+          // rows carry null, and the dropped port drops the column
+          val typedC = typing.get(name).map(f => f(c)).getOrElse(c)
+          acc.withColumn(name, when(col(OkCol), typedC))
+      }
+    val primary = tagged.filter(col(OkCol)).drop(OkCol)
+    // the dropped port forwards the ORIGINAL pre-transform event
+    // (remap.rs:494-553): the (all-null) extracted columns are dropped
+    val dropped = tagged.filter(!col(OkCol))
+      .drop(OkCol +: extractedNames: _*)
       .withColumn("dropped_reason", lit("source must match exactly one pattern"))
       .withColumn("dropped_component_id", lit(componentId))
       .withColumn("dropped_component_kind", lit("transform"))
-    Ports(extracted, dropped)
+    Ports(primary, dropped, tagged)
   }
 }

@@ -42,8 +42,11 @@ object Skew {
     */
   def saltedRepartition(df: DataFrame, key: Column, saltBy: Column,
                         saltBuckets: Int, numPartitions: Int): DataFrame =
+    // the helper column is dropped after the exchange (the physical row
+    // spread survives the projection) — callers keep their schema
     df.withColumn("__salt", salt(saltBy, saltBuckets))
       .repartition(numPartitions, key, col("__salt"))
+      .drop("__salt")
 
   /** Two-phase salted aggregation: phase 1 aggregates per
     * (key, salt) — the hot key's load spreads across saltBuckets

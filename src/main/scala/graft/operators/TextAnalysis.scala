@@ -113,7 +113,18 @@ object TextAnalysis {
       .select(col("id"), col("pos"), PortableHash.h60(col("shingle")).as("h"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
+    // FULL windows only (pos <= nShingles-w+1): the trailing truncated
+    // frames select hashes the winnowing scheme never emits — the last
+    // shingle unconditionally, and an ascending tail wholesale —
+    // inflating density past the ~2·len/w contract and colliding
+    // documents on non-fingerprints. A doc shorter than w keeps its one
+    // whole-doc window (pos 1): the global minimum, per the paper's
+    // short-document degenerate case. Same partition shuffle: the count
+    // rides the existing per-doc window.
+    val nSh = count(lit(1)).over(Window.partitionBy(col("id")))
     sh.withColumn("fp", min(col("h")).over(win))
+      .withColumn("__n", nSh)
+      .filter(col("pos") <= greatest(col("__n") - (w - 1), lit(1)))
       .select(col("id"), col("fp")).distinct()
   }
 }

@@ -519,10 +519,13 @@ cand AS (SELECT DISTINCT x.id AS a, y.id AS b
     "q_fingerprint" -> w(Seq(shinglesCte(WinnowN),
       s"""sh2 AS (SELECT id, pos, ${h60("shingle")} AS h FROM sh),
          fps AS (
-           SELECT DISTINCT id AS doc_id,
-             min(h) OVER (PARTITION BY id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
-           FROM sh2)"""),
+           SELECT DISTINCT doc_id, fp FROM (
+             SELECT id AS doc_id, pos,
+               min(h) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY id) AS n
+             FROM sh2) t
+           WHERE pos <= greatest(n - ${WinnowW - 1}, 1))"""),
       "SELECT doc_id, fp FROM fps ORDER BY doc_id, fp")
   )
 }

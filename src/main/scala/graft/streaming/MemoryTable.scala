@@ -26,8 +26,13 @@ final class MemoryTable(spark: SparkSession, schema: StructType,
                         keyCols: Seq[String], tsCol: String,
                         ttlSecs: Option[Long] = None) {
 
-  // internal generation stamp: breaks ts ties deterministically in favor
-  // of the NEWER write (true last-write-wins even for same-ts upserts)
+  // internal generation stamp: breaks ts ties ACROSS upserts in favor of
+  // the newer write (true last-write-wins for same-ts rows in different
+  // micro-batches). WITHIN one micro-batch two same-key same-ts rows
+  // share a gen and a DataFrame carries no write order, so that last tie
+  // is broken deterministically on the value columns below — a stable
+  // pick across runs rather than whichever row the shuffle delivers
+  // first (fully identical rows are indistinguishable either way).
   private val genCol = "__gen"
   @volatile private var gen = 0L
 
@@ -36,8 +41,11 @@ final class MemoryTable(spark: SparkSession, schema: StructType,
       .withColumn(genCol, lit(0L))
 
   private def latestPerKey(df: DataFrame): DataFrame = {
+    val valueTiebreak = schema.fieldNames
+      .filterNot(f => keyCols.contains(f) || f == tsCol)
+      .map(f => col(f).desc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).desc, col(genCol).desc)
+      .orderBy(col(tsCol).desc +: col(genCol).desc +: valueTiebreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -69,10 +69,14 @@ object StreamOps {
     *
     * State holds a per-WINDOW counter map, not just the newest window:
     * with a single counter, a late event from an earlier window would be
-    * charged against the newest window's budget, and keep/drop would
-    * depend on micro-batch boundaries — per-window counts make the
-    * streaming result equal to the batch operator regardless of arrival
-    * order. State is bounded to the newest `retainWindows` windows per
+    * charged against the newest window's budget. Per-window counters
+    * make the per-window KEPT COUNT equal to the batch operator
+    * regardless of arrival order; WHICH events fill a window's quota
+    * still follows arrival order across micro-batches (a late early-ts
+    * event finds its window already full where the batch operator,
+    * sorting by event time, would have kept it) — the same
+    * arrival-order semantics as the reference's wall-clock token
+    * bucket. State is bounded to the newest `retainWindows` windows per
     * key; an event later than that horizon sees a fresh counter (the
     * permissive direction — the reference's wall-clock bucket would
     * also have refilled by then).
@@ -135,12 +139,19 @@ object StreamOps {
         OutputMode.Append, timeoutConf) {
         (key: String, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // inactivity flush: emit the open session (if any) unchanged
+            // inactivity flush: emit the open session (if any) unchanged.
+            // The state KEEPS the advanced sessionId counter — removing
+            // it would restart numbering at 0 on the key's next event
+            // and mint duplicate (key, sessionId) pairs. Same
+            // empty-buffer-no-timer shape as the normal close path.
             val st = state.get
-            state.remove()
-            if (st.n > 0)
+            if (st.n > 0) {
+              state.update(SessionState(st.sessionId + 1, 0L, Vector.empty))
               Iterator.single(SessionOut(key, st.sessionId, st.n, st.buffer.mkString("\n")))
-            else Iterator.empty
+            } else {
+              state.update(st)
+              Iterator.empty
+            }
           } else {
             val sorted = events.toSeq.sortBy(_.seq)
             var st = state.getOption.getOrElse(SessionState(0L, 0L, Vector.empty))

@@ -187,12 +187,19 @@ class StreamingSpec extends SparkSpec {
       assert(flushed.getAs[String]("key") == "c")
       assert(flushed.getAs[String]("merged") == "t0\nt1")
       assert(flushed.getAs[Long]("n") == 2L)
-      // state was dropped: a later event for c starts a FRESH session
+      // a later event for c starts a FRESH session whose sessionId
+      // CONTINUES the numbering — a timeout flush that reset the counter
+      // would mint a duplicate (key, sessionId) pair
       input.addData(StreamOps.SessionEvent("c", 9, endsWhen = true, "t9"))
       awaitRows("s_sess_expire", 2)
       val again = spark.table("s_sess_expire")
         .filter($"key" === "c" && $"merged" === "t9").collect()
       assert(again.length == 1 && again(0).getAs[Long]("n") == 1L)
+      assert(again(0).getAs[Long]("sessionId") >
+        flushed.getAs[Long]("sessionId"))
+      val ids = spark.table("s_sess_expire").filter($"key" === "c")
+        .collect().map(_.getAs[Long]("sessionId"))
+      assert(ids.distinct.length == ids.length, s"duplicate sessionIds: ${ids.toSeq}")
     } finally q.stop()
   }
 

@@ -240,6 +240,31 @@ class TrainingSpec extends SparkSpec {
     assert(byDoc(1L).size <= 8) // 8 shingles -> <= 8 window minima
   }
 
+  test("winnowing selects FULL-window minima only (Schleimer scheme, no truncated tails)") {
+    import spark.implicits._
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val (n, w) = (3, 4)
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    // replay the scheme in plain Scala over the SAME shingle hashes
+    val toks = text.split(" ")
+    val shingleStrs = toks.sliding(n).map(_.mkString(" ")).toSeq
+    val hashes = shingleStrs.toDF("s")
+      .select(graft.functions.PortableHash.h60(col("s"))).collect().map(_.getLong(0))
+    val expected = hashes.sliding(w).map(_.min).toSet // full windows only
+    val got = TextAnalysis.winnowingFingerprints(df, col("doc_id"), col("text"), n, w)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    // a doc shorter than w keeps its single whole-doc window: the global min
+    val short = Seq((8L, "a b c d")).toDF("doc_id", "text") // 2 shingles < w
+    val gotShort = TextAnalysis.winnowingFingerprints(short, col("doc_id"), col("text"), n, w)
+      .collect().map(_.getLong(1)).toSet
+    val shortHashes = "a b c d".split(" ").sliding(n).map(_.mkString(" ")).toSeq
+      .toDF("s").select(graft.functions.PortableHash.h60(col("s")))
+      .collect().map(_.getLong(0))
+    assert(gotShort == Set(shortHashes.min))
+  }
+
   test("embedding kernel pairing equals declarative form") {
     val decl = TextDedup.embeddingPairs(embs, col("vec_id"), col("embedding"), 0.3)
     val kern = TextDedup.embeddingPairsKernel(embs, col("vec_id"), col("embedding"), 0.3)
