@@ -360,7 +360,10 @@ object VrlFunctions {
         val ts = unit match {
           case "seconds" => timestamp_seconds(n)
           case "milliseconds" => timestamp_millis(n)
-          case "nanoseconds" => timestamp_micros((n / 1000L))
+          // decimal division — long/long promotes to double whose ulp
+          // at epoch-ns magnitude is 256ns (off-by-one-us results)
+          case "nanoseconds" => timestamp_micros(
+            (v.cv.col.cast("decimal(38,0)") / 1000).cast("long"))
           case u => throw VrlUnsupported(s"from_unix_timestamp unit $u")
         }
         out(CV(ts, VTime), Some(v.cv.col.isNotNull && ts.isNull), "bad unix timestamp")
@@ -507,7 +510,9 @@ object VrlFunctions {
         out(CV(base64(asStr(str0).cast("binary")), VStr))
       case "decode_base64" =>
         val v = asStr(str0)
-        val d = unbase64(v).cast("string")
+        // try_to_binary: bare unbase64 THROWS on malformed input, which
+        // would kill the raise channel below with a job abort
+        val d = try_to_binary(v, lit("base64")).cast("string")
         out(CV(d, VStr), Some(v.isNotNull && d.isNull), "unable to decode base64")
 
       // --------------------------------------------------- numeric

@@ -128,11 +128,18 @@ object Grok {
     */
   def applySet(df: DataFrame, text: Column, set: Seq[Compiled]): DataFrame = {
     val allFields = set.flatMap(_.fields).distinct
-    val gcols = set.map(_.groups(text)) // one shared run per pattern
+    // the source text is stashed under a private name and every group
+    // expression rebinds to it: a grok FIELD named like the text column
+    // (e.g. %{WORD:message} over col("message")) would otherwise
+    // overwrite the column mid-fold and later fields would re-extract
+    // from the overwritten value
+    val tmp = "__grok_text"
+    val src = df.withColumn(tmp, text)
+    val gcols = set.map(_.groups(col(tmp))) // one shared run per pattern
     val matchIdx = set.indices.foldRight(lit(-1): Column) {
       case (i, acc) => when(gcols(i).isNotNull, lit(i)).otherwise(acc)
     }
-    val withIdx = df.withColumn("_matched", matchIdx)
+    val withIdx = src.withColumn("_matched", matchIdx)
     allFields.foldLeft(withIdx) { (acc, f) =>
       val variants = set.zipWithIndex.flatMap { case (c, i) =>
         val gi = c.fields.indexOf(f)
@@ -141,6 +148,6 @@ object Grok {
           coalesce(element_at(gcols(i), gi + 1), lit(""))))
       }
       acc.withColumn(f, coalesce(variants: _*))
-    }
+    }.drop(tmp)
   }
 }

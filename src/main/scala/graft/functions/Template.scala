@@ -17,8 +17,11 @@ object Template {
   private val fieldRe = "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r
   // tokenize EVERY %-specifier (not just the supported ones) so an
   // unsupported one is a plan-time error below, never silent literal
-  // passthrough into partition keys / metric names
-  private val strftimeRe = "%[A-Za-z%]".r
+  // passthrough into partition keys / metric names. The optional
+  // [-_0^#][width] part covers chrono's flag/padding forms (%-d, %_H,
+  // %03S): valid in the reference, unsupported here — they must hit the
+  // error path, not slide through as literals.
+  private val strftimeRe = "%[-_0^#]?[0-9]*[A-Za-z%]".r
 
   /** strftime → java.time format pattern (the subset the reference's
     * sink paths use; extend as needed).

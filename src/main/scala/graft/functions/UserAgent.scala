@@ -66,13 +66,19 @@ object UserAgent {
     val noMatch = struct(lit("Other").as("family"),
       lit(null).cast("string").as("major"), lit(null).cast("string").as("minor"))
     rules.foldRight(noMatch: Column) { (r, fallback) =>
+      // ONE RegexGroups run per rule per row (null array = no match):
+      // the rlike + regexp_extract x2 form executed the same regex up
+      // to 3 times per rule — with the full ~1200-rule uap-core set
+      // that's the difference between 1x and 3x regex work on every row
+      val g = org.apache.spark.sql.graftvec.RegexExpressions
+        .regexGroups(ua, r.regex)
       def grp(i: Int): Column =
         if (i == 0) lit(null).cast("string")
         else {
-          val g = regexp_extract(ua, r.regex, i)
-          when(g === "", lit(null).cast("string")).otherwise(g)
+          val x = element_at(g, i)
+          when(x === "", lit(null).cast("string")).otherwise(x)
         }
-      when(ua.rlike(r.regex), struct(lit(r.family).as("family"),
+      when(g.isNotNull, struct(lit(r.family).as("family"),
         grp(r.v1Group).as("major"), grp(r.v2Group).as("minor")))
         .otherwise(fallback)
     }

@@ -38,14 +38,52 @@ object Vrl {
     secs / div
   }
 
-  /** `parse_int!(s, base)` — e.g. base 16 "ff" → 255. */
-  def parseInt(c: Column, base: Int): Column = conv(c, base, 10).cast("long")
+  /** `parse_int!(s, base)` — e.g. base 16 "ff" → 255. Null (the raise
+    * channel) on input with digits outside the base — `conv` alone
+    * renders garbage as '0', parsing junk as 0 where VRL raises — and
+    * on values past Long.MaxValue (conv wraps to the u64 rendering,
+    * whose plain cast is an ANSI-mode job abort; try_cast nulls it).
+    */
+  def parseInt(c: Column, base: Int): Column = {
+    require(base >= 2 && base <= 36, s"parse_int base out of range: $base")
+    val digits =
+      if (base <= 10) s"[0-${base - 1}]"
+      else {
+        val hi = ('a' + (base - 11)).toChar
+        s"[0-9a-${hi}A-${hi.toUpper}]"
+      }
+    // sign handled OUTSIDE conv: conv('-ff',16,10) wraps through the
+    // unsigned two's-complement rendering instead of negating
+    val sign = when(c.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val mag = regexp_replace(c, "^[+-]", "")
+    when(c.rlike(s"^[+-]?${digits}+$$"),
+      sign * conv(mag, base, 10).try_cast("long"))
+  }
 
   /** `parse_query_string!("a=1&b=2")` → map. Decoding of %-escapes is
     * NOT applied (use urlQueryParam for single decoded keys).
+    *
+    * Repeated keys ('tag=a&tag=b') keep the LAST value: str_to_map under
+    * the default mapKeyDedupPolicy=EXCEPTION would abort the whole job
+    * on them (and real query strings repeat keys all the time).
+    * Documented divergence: the reference returns an ARRAY of the
+    * values, which a Map[String,String] column cannot carry.
     */
-  def parseQueryString(c: Column): Column =
-    str_to_map(regexp_replace(c, "^\\?", ""), lit("&"), lit("="))
+  def parseQueryString(c: Column): Column = {
+    val pairs = filter(split(regexp_replace(c, "^\\?", ""), "&"),
+      p => p =!= "")
+    // get(): a value-less param ("flag") splits to ONE element, and
+    // getItem(1) on it is an ANSI index abort; get() nulls -> ""
+    val entries = transform(pairs, p => struct(
+      get(split(p, "=", 2), lit(0)).as("key"),
+      coalesce(get(split(p, "=", 2), lit(1)), lit("")).as("value")))
+    // keep an entry only if no LATER entry shares its key (last wins);
+    // O(n^2) over a per-row array of a handful of params
+    val deduped = filter(entries, (e, i) =>
+      !exists(slice(entries, i + lit(2), size(entries)),
+        e2 => e2.getField("key") === e.getField("key")))
+    map_from_entries(deduped)
+  }
 
   // ------------------------------------------------------------ IP math
 
@@ -57,8 +95,12 @@ object Vrl {
     * branch only on matching rows, so the arithmetic below never sees a
     * malformed address.
     */
-  private val ipv4Re =
-    "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$"
+  // octet: 0-255 with NO leading zeros — Rust's std parser (what VRL
+  // uses) rejects '01.2.3.4' since 1.46; shared by ipAton and isIpv4 so
+  // a pipeline guarding ip_aton! with is_ipv4() never hits a surprise
+  // raise
+  private val ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+  private val ipv4Re = s"^($ipv4Octet\\.){3}$ipv4Octet$$"
 
   def ipAton(c: Column): Column = {
     val o = split(c, "\\.")
@@ -68,11 +110,14 @@ object Vrl {
   }
 
   /** `ip_ntoa!(16909060)` → "1.2.3.4". */
-  def ipNtoa(c: Column): Column = concat_ws(".",
-    (c / 16777216L).cast("long") % 256L,
-    (c / 65536L).cast("long") % 256L,
-    (c / 256L).cast("long") % 256L,
-    c.cast("long") % 256L)
+  def ipNtoa(c: Column): Column =
+    // null-gated: concat_ws silently SKIPS nulls, so a null input would
+    // render "" instead of propagating the raise channel
+    when(c.isNotNull, concat_ws(".",
+      (c / 16777216L).cast("long") % 256L,
+      (c / 65536L).cast("long") % 256L,
+      (c / 256L).cast("long") % 256L,
+      c.cast("long") % 256L))
 
   /** `ip_cidr_contains!("10.128.0.0/9", ip)`. `cidr` may be a column
     * (per-row CIDRs) or a literal. Compares the two addresses shifted
@@ -124,9 +169,13 @@ object Vrl {
 
   // ------------------------------------------------------------ codecs / hashes
 
-  /** `encode_base64(s)` / `decode_base64!(s)`. */
+  /** `encode_base64(s)` / `decode_base64!(s)`. decode uses try_to_binary:
+    * bare unbase64 THROWS on some malformed input (verified: trailing
+    * partial units), killing the raise channel built on isNull.
+    */
   def encodeBase64(c: Column): Column = base64(c.cast("binary"))
-  def decodeBase64(c: Column): Column = unbase64(c).cast("string")
+  def decodeBase64(c: Column): Column =
+    try_to_binary(c, lit("base64")).cast("string")
 
   /** md5 / sha2-256 hex digests (VRL `md5`, `sha2`), plus the fast
     * non-cryptographic hashes used for sampling/sharding keys.
@@ -182,7 +231,9 @@ object Vrl {
   def encodePercent(c: Column): Column =
     regexp_replace(url_encode(c), "\\+", "%20")
   def decodePercent(c: Column): Column =
-    url_decode(regexp_replace(c, "\\+", "%2B"))
+    // try_url_decode: url_decode THROWS on malformed escapes ('%zz',
+    // trailing '%') — null raise channel, not a job abort
+    try_url_decode(regexp_replace(c, "\\+", "%2B"))
 
   /** encode_punycode/decode_punycode, decode_mime_q, parse_cbor,
     * parse_ruby_hash, seahash, shannon_entropy, sha3, hmac,
@@ -264,8 +315,7 @@ object Vrl {
   def isJson(c: Column): Column = try_parse_json(c).isNotNull
 
   /** is_ipv4 / is_ipv6 (is_ipv4.cue) — syntactic checks. */
-  def isIpv4(c: Column): Column =
-    c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$")
+  def isIpv4(c: Column): Column = c.rlike(ipv4Re)
   def isIpv6(c: Column): Column =
     c.rlike("^[0-9A-Fa-f:]+(:(\\d{1,3}\\.){3}\\d{1,3})?$") && c.contains(":")
 
@@ -380,7 +430,11 @@ object Vrl {
   /** from_unix_timestamp!(n, unit) / to_unix_timestamp(ts, unit). */
   def fromUnixTimestamp(c: Column, unit: String = "seconds"): Column = unit match {
     case "milliseconds" => timestamp_millis(c.cast("long"))
-    case "nanoseconds" => timestamp_micros((c.cast("long") / 1000L).cast("long"))
+    // decimal division: long/long promotes to DOUBLE, whose ulp at
+    // epoch-nanosecond magnitude (~1.7e18) is 256ns — off-by-one-us
+    // timestamps. Decimal is exact, truncated toward zero by the cast.
+    case "nanoseconds" => timestamp_micros(
+      (c.cast("decimal(38,0)") / 1000).cast("long"))
     case _ => timestamp_seconds(c.cast("long"))
   }
   def toUnixTimestamp(c: Column, unit: String = "seconds"): Column = unit match {
@@ -424,8 +478,12 @@ object Vrl {
 
   /** ip_subnet!(ip, mask) — IPv4, mask as "255.255.255.0" or "/24". */
   def ipSubnet(ip: Column, mask: Column): Column = {
-    val bits = when(mask.startsWith("/"),
-      substring(mask, 2, 2).cast("int")).otherwise(lit(null).cast("int"))
+    // try_cast + full-suffix parse + 0..32 gate: a garbage '/ab' mask is
+    // an ANSI cast abort with plain cast, and substring(_,2,2) silently
+    // TRUNCATED '/123' to 12 and computed a wrong subnet
+    val bitsRaw = when(mask.startsWith("/"),
+      substring(mask, 2, 1000).try_cast("int")).otherwise(lit(null).cast("int"))
+    val bits = when(bitsRaw.between(0, 32), bitsRaw)
     val maskNum = when(bits.isNotNull,
       when(bits === 0, 0L).otherwise(
         lit(4294967295L) - (pow(lit(2.0), lit(32) - bits).cast("long") - 1L)))

@@ -587,6 +587,46 @@ class Stdlib2Spec extends SparkSpec {
 
   // ------------------------------------------ hostile-input hardening
 
+  test("stdlib scalars degrade per-row on hostile input (no ANSI job aborts)") {
+    // duplicate query-string keys: str_to_map would abort the JOB under
+    // mapKeyDedupPolicy=EXCEPTION; last value wins (documented
+    // divergence: VRL returns an array for repeats)
+    assert(one(element_at(Vrl.parseQueryString(lit("tag=a&tag=b&x=1")), "tag")) == "b")
+    assert(one(element_at(Vrl.parseQueryString(lit("a=1&b=two")), "b")) == "two")
+    assert(one(element_at(Vrl.parseQueryString(lit("flag&b=2")), "flag")) == "")
+    // malformed percent escapes / base64: url_decode and unbase64 throw
+    assert(one(Vrl.decodePercent(lit("%zz"))) == null)
+    assert(one(Vrl.decodePercent(lit("trailing%"))) == null)
+    assert(one(Vrl.decodeBase64(lit("!!not base64!!"))) == null)
+    assert(one(Vrl.decodeBase64(Vrl.encodeBase64(lit("round trip")))) == "round trip")
+    // parse_int: garbage must RAISE (null), not parse as 0; u64-range
+    // hex must not ANSI-abort the cast
+    assert(one(Vrl.parseInt(lit("zz"), 16)) == null)
+    assert(one(Vrl.parseInt(lit("ffffffffffffffff"), 16)) == null)
+    assert(one(Vrl.parseInt(lit("ff"), 16)) == 255L)
+    assert(one(Vrl.parseInt(lit("-ff"), 16)) == -255L)
+    // ip_subnet: garbage or out-of-range masks null, never abort or
+    // silently truncate '/123' to '/12'
+    assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("/ab"))) == null)
+    assert(one(Vrl.ipSubnet(lit("10.1.2.3"), lit("/123"))) == null)
+  }
+
+  test("epoch-nanosecond conversion is exact (double division loses 256ns at 1.7e18)") {
+    assert(one(unix_micros(Vrl.fromUnixTimestamp(lit(1700000000123472000L), "nanoseconds")))
+      == 1700000000123472L)
+  }
+
+  test("is_ipv4 and ip_aton agree: no leading-zero octets (Rust std parser semantics)") {
+    assert(one(Vrl.isIpv4(lit("011.1.1.1"))) == false)
+    assert(one(Vrl.isIpv4(lit("01.2.3.4"))) == false)
+    assert(one(Vrl.isIpv4(lit("255.0.10.99"))) == true)
+    assert(one(Vrl.ipAton(lit("01.2.3.4"))) == null)
+    assert(one(Vrl.ipAton(lit("1.2.3.4"))) == 16909060L)
+    // the guard invariant: is_ipv4 true implies ip_aton parses
+    for (s <- Seq("0.0.0.0", "255.255.255.255", "10.0.0.1", "192.168.100.200"))
+      assert(one(Vrl.isIpv4(lit(s))) == true && one(Vrl.ipAton(lit(s))) != null, s)
+  }
+
   test("encrypt_ip: malformed address or key nulls the row, never resolves or throws") {
     val key = lit("sixteen byte key")
     // a hostname-shaped value must NOT reach a resolver (per-row DNS +

@@ -81,6 +81,29 @@ class StdlibSpec extends SparkSpec {
     // a bare % before a non-letter is still literal text
     val pct = df.select(Template.compile("50% done", col("ts"))).head.getString(0)
     assert(pct == "50% done")
+    // chrono flag/padding forms (%-d, %_H, %03S) are valid in the
+    // reference but unsupported here: plan-time error, never a literal
+    // '%-d' sliding into partition keys
+    intercept[IllegalArgumentException] {
+      Template.compile("x-%Y-%-d", col("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      Template.compile("x-%03S", col("ts"))
+    }
+  }
+
+  test("grok applySet: a field named like the source column doesn't corrupt later fields") {
+    import graft.functions.Grok
+    val df = Seq("1.2.3.4 hello the rest of it").toDF("message")
+    val set = Grok.compileSet(Seq(
+      "%{IP:client} %{WORD:message} %{GREEDYDATA:detail}"))
+    val r = Grok.applySet(df, col("message"), set).head
+    // the 'message' FIELD overwrites the source column mid-fold; 'detail'
+    // (extracted after it) must still come from the ORIGINAL text
+    assert(r.getAs[String]("client") == "1.2.3.4")
+    assert(r.getAs[String]("message") == "hello")
+    assert(r.getAs[String]("detail") == "the rest of it")
+    assert(r.getAs[Int]("_matched") == 0)
   }
 
   // ------------------------------------------------------------ LineAgg
