@@ -397,6 +397,16 @@ object VrlFunctions {
         }
         val r = if (bang) Some(a(0, "value").cv.col.isNull) else None
         out(CV(coalesce(value, lit(false)), VBool), r, "expected string")
+      case "split_path" =>
+        // split_path.cue: "/home/user/" -> ["/","home","user"], "/" ->
+        // ["/"], "" -> []. The root is its OWN leading component for
+        // absolute paths; empty segments (doubled or trailing slashes)
+        // are dropped.
+        val v = asStr(str0)
+        val parts = filter(split(v, "/"), x => x =!= "")
+        val value = when(v.startsWith("/"),
+          concat(array(lit("/")), parts)).otherwise(parts)
+        out(CV(value, VArrOf(VStr)))
       case "match" =>
         val v = asStr(a(0, "value"))
         val pat = a.litStr(1, "pattern").getOrElse(

@@ -834,6 +834,44 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("split_path: root is its own leading component (split_path.cue examples)") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .a = split_path!("/home/user/")
+        |    .b = split_path!("/home/user")
+        |    .c = split_path!("/")
+        |    .d = split_path!("")
+        |    .e = split_path!("rel/a//b")
+        |  '''
+        |[[tests]]
+        |  name = "split_path"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = "1"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(join!(.a, "|"), "/|home|user")
+        |        assert_eq!(join!(.b, "|"), "/|home|user")
+        |        assert_eq!(join!(.c, "|"), "/")
+        |        assert_eq!(length!(.d), 0)
+        |        assert_eq!(join!(.e, "|"), "rel|a|b")
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("reduce flat_unique on an array field flattens to distinct ELEMENTS") {
     // reference FlatUnique: [\"a\",\"b\"] + [\"b\",\"c\"] merge to
     // [\"a\",\"b\",\"c\"] — collect_set of the arrays themselves would
