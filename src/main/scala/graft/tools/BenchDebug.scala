@@ -39,7 +39,50 @@ object BenchDebug {
         .agg(count(lit(1)), sum(col("latency_ms"))).count()
     }
     def full() = Pipeline.buildFrom(spark, in).aggregated.count()
+    // finer separations: where between parse and aggregate does the
+    // wall go? enriched/routed counts are narrow (no shuffle); aggNoTel
+    // rebuilds the aggregate over a telemetry-free routed frame
+    def enrichedCount() = Pipeline.buildFrom(spark, in).enriched.count()
+    def routedCount() = Pipeline.buildFrom(spark, in).routed.count()
     val fullOnly = args.length > 2 && args(2) == "fullOnly"
+    val stages = args.length > 2 && args(2) == "stages"
+    if (stages) {
+      enrichedCount(); routedCount()
+      (1 to 2).foreach { i =>
+        t(s"enrichedCount#$i")(enrichedCount())
+        t(s"routedCount#$i")(routedCount())
+      }
+      spark.stop(); return
+    }
+    // route-stage A/B: HOF-filter array vs codegen concat; with and
+    // without the observe() CollectMetrics node
+    if (args.length > 2 && args(2) == "route") {
+      import graft.operators.Route
+      import scala.collection.immutable.ListMap
+      def base() = Pipeline.buildFrom(spark, in).enriched
+      val conds = Pipeline.routeConditions
+      def hofNoTel() = Route.tagged(base(), conds).count()
+      def concatNoTel() = {
+        val arrays = conds.map { case (n, c) =>
+          when(coalesce(c, lit(false)), array(lit(n)))
+            .otherwise(array().cast("array<string>"))
+        }.toSeq
+        val matched = concat(arrays: _*)
+        val ports = when(size(matched) === 0,
+          array(lit(Route.UnmatchedPort))).otherwise(matched)
+        base().withColumn("port", explode(ports)).count()
+      }
+      def hofTel() = graft.operators.Telemetry.routedSent(
+        Route.tagged(base(), conds),
+        conds.keys.toSeq :+ Route.UnmatchedPort).count()
+      hofNoTel(); concatNoTel(); hofTel()
+      (1 to 2).foreach { i =>
+        t(s"hofNoTel#$i")(hofNoTel())
+        t(s"concatNoTel#$i")(concatNoTel())
+        t(s"hofTel#$i")(hofTel())
+      }
+      spark.stop(); return
+    }
     if (fullOnly) {
       full()
       (1 to 2).foreach(i => t(s"full#$i")(full()))
