@@ -23,11 +23,21 @@ object PlanAudit {
       val single = "Exchange SinglePartition".r.findAllIn(plan).size
       val cart = "CartesianProduct".r.findAllIn(plan).size
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      // higher-order functions (lambdafunction in the plan) are
+      // CodegenFallback: the lambda runs interpreted per row and fences
+      // the projection out of whole-stage codegen — exactly the shape
+      // that cost the route stage 50% before the concat rewrite.
+      // Allowed on per-row small-array paths (token lists, band
+      // signatures); a NOTE here is the checklist of where that
+      // trade-off was made.
+      val hof = "lambdafunction".r.findAllIn(plan).size
       if (single > 0 || cart > 0) {
         bad += 1
         println(s"BAD  $name: singlePartitionExchanges=$single cartesian=$cart")
       } else if (bnlj > 0) {
         println(s"NOTE $name: broadcastNestedLoop=$bnlj (allowed iff all-pairs is the contract)")
+      } else if (hof > 0) {
+        println(s"NOTE $name: interpretedLambdas=$hof (codegen fallback on a small-array path)")
       }
     }
     println(s"audit done, bad=$bad of ${graft.SparkEntry.queries.size}")

@@ -99,6 +99,16 @@ class PipelineSpec extends SparkSpec {
     assert(um.filter(coalesce(anyCond, lit(false))).count() == 0)
   }
 
+  test("route plan stays inside whole-stage codegen (no interpreted lambdas)") {
+    // ArrayFilter/ArrayTransform are CodegenFallback: a lambdafunction
+    // in the routed plan means the port-list build went back to the
+    // HOF form, which ran the lambda interpreted per row and cost the
+    // 76.8M-turn headline pipeline ~40% (46s -> 27s at 8 cores)
+    val plan = st.routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"),
+      "route multicast plan regressed to a higher-order-function port list")
+  }
+
   test("reserved port name is rejected") {
     assertThrows[IllegalArgumentException] {
       Route.tagged(st.enriched, ListMap("_unmatched" -> lit(true)))
