@@ -47,10 +47,15 @@ object Bench {
     * W/c + F over two levels at ×32): at ×32 the higher level ran ~12 s
     * — half fixed cost — and the ratio measured the constant, not the
     * scaling. A real 100 TB run is hours long against the same ~6 s
-    * constant; ×128 (≈77 M turns, 4N=8 cores ≈ 37 s) is the sandbox
-    * analog of that regime, applied identically to both levels.
+    * constant; ×128 (≈77 M turns, 4N=8 cores ≈ 37 s) was the sandbox
+    * analog of that regime, applied identically to both levels. After
+    * the route-stage codegen rewrite cut the pipeline ~40%, the 4N wall
+    * at ×128 fell to ~31 s — the ~6 s constant back up to a fifth of
+    * it, re-depressing the measured ratio (0.94 → 0.84 with the same
+    * per-level compute scaling) — so the input is ×256 now, restoring
+    * the long-job regime the knob exists to hold.
     */
-  val Replicas = sys.env.get("SPARK_GRAFT_SCALE_REPLICAS").map(_.toInt).getOrElse(128)
+  val Replicas = sys.env.get("SPARK_GRAFT_SCALE_REPLICAS").map(_.toInt).getOrElse(256)
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -191,15 +196,17 @@ object Bench {
     // such window poison that level — and therefore the RATIO — while
     // alternation plus per-level min needs only one clean pair somewhere
     // in the sequence.
-    // 5 pairs (2 for the longer write job): degraded windows here are
+    // 4 pairs (2 for the longer write job): degraded windows here are
     // not only multi-minute but sometimes multi-TEN-minute (one
     // observed window inflated every rep of a 15-minute bench section
     // 25-60%, hitting the wider level hardest — it needs more free
     // host cores), so the draw sequence must outlast a whole window,
-    // not just separate two reps; 5 pairs spread the compute draws
-    // over ~20 minutes. Per-rep walls go to stderr ([scale] lines) so
-    // a post-hoc reader can see which draws a min came from.
-    val pairs = (1 to 5).map { _ =>
+    // not just separate two reps. At ×256 each (N, 4N) pair runs
+    // ~4.5 min, so 4 pairs spread the compute draws over the same
+    // ~20 minutes that 5 pairs covered at ×128. Per-rep walls go to
+    // stderr ([scale] lines) so a post-hoc reader can see which draws
+    // a min came from.
+    val pairs = (1 to 4).map { _ =>
       (scaleRunOnce(inputDir, ScaleN), scaleRunOnce(inputDir, Scale4N))
     }
     val tN = pairs.map(_._1).min
@@ -228,7 +235,8 @@ object Bench {
       try s.read.parquet(wFiles: _*).count() finally s.stop()
     }
     writeRun(wFiles, Scale4N, 0)
-    val wPairs = (1 to 3).map { r =>
+    // 2 pairs at ×256 ≈ the wall-time the 3 pairs covered at ×128
+    val wPairs = (1 to 2).map { r =>
       (writeRun(wFiles, ScaleN, r), writeRun(wFiles, Scale4N, r))
     }
     val wN = wPairs.map(_._1).min

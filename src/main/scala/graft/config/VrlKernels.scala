@@ -38,11 +38,70 @@ object VrlKernels {
   }
 
   // ------------------------------------------------------------- ip
+  // ------------------------------------------------------------------
+  // Strict textual-literal validation BEFORE InetAddress.getByName:
+  // getByName falls back to a RESOLVER lookup for anything that is not
+  // a valid numeric literal — and the old hex-charset guard admitted
+  // hostname-shaped values built of hex letters ("abc.def",
+  // "cafe.babe"), i.e. per-row DNS on hostile input — and it accepts
+  // classful v4 shorthand ("123" -> 0.0.0.123, "1.2.3" -> 1.2.0.3)
+  // that the reference's Rust parser rejects. The guard admits exactly
+  // the literals the reference admits: full dotted-quad v4 (0-255, no
+  // leading zeros, matching graft.functions.Vrl.ipv4Re) and
+  // structurally valid v6 (at most one "::", <=4 hex digits per group,
+  // 8 units exactly / <=7 with compression, optional embedded v4
+  // tail). getByName then never sees a resolvable name.
+  private val v4Octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+  private val v4Re = s"$v4Octet\\.$v4Octet\\.$v4Octet\\.$v4Octet".r
+  private def isV4Literal(s: String): Boolean = v4Re.matches(s)
+  private def isV6Literal(s: String): Boolean = {
+    if (!s.contains(":") || !s.matches("[0-9a-fA-F:.]+")) return false
+    val parts = s.split("::", -1)
+    if (parts.length > 2) return false
+    def groups(side: String): Option[Seq[String]] =
+      if (side.isEmpty) Some(Nil)
+      else {
+        val gs = side.split(":", -1).toSeq
+        if (gs.exists(_.isEmpty)) None else Some(gs)
+      }
+    val compressed = parts.length == 2
+    (for {
+      l <- groups(parts(0))
+      r <- if (compressed) groups(parts(1)) else Some(Seq.empty[String])
+    } yield {
+      val all = l ++ r
+      if (all.isEmpty) compressed // bare "::"
+      else {
+        val (hexGroups, v4Tail) =
+          if (all.last.contains(".")) (all.init, Some(all.last))
+          else (all, None)
+        val units = hexGroups.length + (if (v4Tail.isDefined) 2 else 0)
+        hexGroups.forall(g =>
+          g.length >= 1 && g.length <= 4 && !g.contains(".")) &&
+          v4Tail.forall(isV4Literal) &&
+          (if (compressed) units <= 7 else units == 8)
+      }
+    }).getOrElse(false)
+  }
+
   private def ipBytes(ip: String): Option[Array[Byte]] =
     try {
-      // getByName on a literal does no DNS lookup
-      if (ip == null || !ip.matches("[0-9a-fA-F:.]+")) None
-      else Some(java.net.InetAddress.getByName(ip).getAddress)
+      if (ip == null) None
+      else if (isV4Literal(ip))
+        Some(java.net.InetAddress.getByName(ip).getAddress)
+      else if (isV6Literal(ip)) {
+        val b = java.net.InetAddress.getByName(ip).getAddress
+        if (b.length == 16) Some(b)
+        else {
+          // Java collapses v4-MAPPED v6 ("::ffff:1.2.3.4") to an
+          // Inet4Address; the reference's parser keeps the 16-byte v6
+          // form — re-expand so a v6-spelled input stays v6
+          val out = new Array[Byte](16)
+          out(10) = 0xff.toByte; out(11) = 0xff.toByte
+          System.arraycopy(b, 0, out, 12, 4)
+          Some(out)
+        }
+      } else None
     } catch { case _: Exception => None }
 
   private def maskBytes(mask: String, len: Int): Option[Array[Byte]] =

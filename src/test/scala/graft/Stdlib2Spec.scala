@@ -627,6 +627,26 @@ class Stdlib2Spec extends SparkSpec {
       assert(one(Vrl.isIpv4(lit(s))) == true && one(Vrl.ipAton(lit(s))) != null, s)
   }
 
+  test("ip kernels admit only strict literals: no resolver, no classful shorthand") {
+    import graft.config.VrlKernels
+    // hostname-shaped hex values ("cafe.babe") passed the old charset
+    // guard and went to InetAddress.getByName -> a per-row DNS lookup;
+    // classful shorthand ("123" -> 0.0.0.123, "1.2.3" -> 1.2.0.3) is
+    // Java leniency the reference's Rust parser rejects
+    for (bad <- Seq("cafe.babe", "abc.def", "123", "1.2.3", "1.2.3.4.5",
+                    "01.2.3.4", "999.1.1.1", "1::2::3", ":", "12345::1"))
+      assert(one(VrlKernels.ipPtonHex(lit(bad))) == null, bad)
+    assert(one(VrlKernels.ipPtonHex(lit("1.2.3.4"))) == "01020304")
+    assert(one(VrlKernels.ipPtonHex(lit("::1"))) ==
+      "00000000000000000000000000000001")
+    assert(one(VrlKernels.ipPtonHex(lit("::ffff:1.2.3.4"))) ==
+      "00000000000000000000ffff01020304")
+    assert(one(VrlKernels.ipSubnet(lit("2001:db8::8:1"), lit("/32"))) == "2001:db8::")
+    assert(one(VrlKernels.ipSubnet(lit("1.2.3"), lit("/24"))) == null)
+    assert(one(VrlKernels.cidrContains(lit("2001:db8::/32"), lit("2001:db8::99"))) == true)
+    assert(one(VrlKernels.cidrContains(lit("2001:db8::/32"), lit("cafe.babe"))) == null)
+  }
+
   test("encrypt_ip: malformed address or key nulls the row, never resolves or throws") {
     val key = lit("sixteen byte key")
     // a hostname-shaped value must NOT reach a resolver (per-row DNS +
