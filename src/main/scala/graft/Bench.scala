@@ -307,8 +307,8 @@ object Bench {
          |materialized untimed) → grok parse → broadcast enrich → multicast
          |route → windowed aggregate → count. Same job, same input, two
          |parallelism levels (sandbox stand-in for N vs 4N executors per
-         |BASELINE.md). Levels run as INTERLEAVED (N, 4N) pairs — 5 for
-         |the compute job, 3 for the quarter-input write job — with min
+         |BASELINE.md). Levels run as INTERLEAVED (N, 4N) pairs — 4 for
+         |the compute job, 2 for the quarter-input write job — with min
          |per level, after a discarded global JIT warmup: this shared host
          |has multi-minute degraded windows, and back-to-back reps of one
          |level would let a single window poison that level's number (and

@@ -413,12 +413,29 @@ object VrlFunctions {
           throw VrlUnsupported("match without literal pattern"))
         out(CV(coalesce(v.rlike(pat), lit(false)), VBool))
       case "slice" =>
-        val v = asStr(a(0, "value"))
-        val len = length(v)
-        def norm(x: Column) = when(x < 0, len + x).otherwise(x)
-        val st = norm(a.opt(1, "start").map(_.cv.col.cast("int")).getOrElse(lit(0)))
-        val en = norm(a.opt(2, "end").map(_.cv.col.cast("int")).getOrElse(len))
-        out(CV(substring(v, (st + 1).cast("int"), (en - st).cast("int")), VStr))
+        // slice.cue: value may be a STRING or an ARRAY; negative
+        // start/end count from the right; out-of-range clamps (end >
+        // len -> len, and a negative index further left than the start
+        // clamps to 0 — unclamped it would reach Spark's
+        // negative-substring path, which counts from the END again)
+        val v0 = a(0, "value")
+        val stRaw = a.opt(1, "start").map(_.cv.col.cast("int")).getOrElse(lit(0))
+        val enOpt = a.opt(2, "end").map(_.cv.col.cast("int"))
+        def bounds(len: Column): (Column, Column) = {
+          def norm(x: Column) = greatest(when(x < 0, len + x).otherwise(x), lit(0))
+          val st = norm(stRaw)
+          val en = least(norm(enOpt.getOrElse(len)), len)
+          (st, greatest(en - st, lit(0)))
+        }
+        v0.cv.t match {
+          case VArrOf(e) =>
+            val (st, n) = bounds(size(v0.cv.col))
+            out(CV(slice(v0.cv.col, st + 1, n), VArrOf(e)))
+          case _ =>
+            val v = asStr(v0)
+            val (st, n) = bounds(length(v))
+            out(CV(substring(v, (st + 1).cast("int"), n.cast("int")), VStr))
+        }
       case "split" =>
         val v = asStr(a(0, "value"))
         val patRaw = a.raw(1, "pattern")
@@ -449,7 +466,14 @@ object VrlFunctions {
         val withS = asStr(a(2, "with"))
         val count = a.litInt(3, "count").getOrElse(-1L)
         a.raw(1, "pattern") match {
-          case LitRegex(p) => out(CV(regexp_replace(v, lit(p), withS), VStr))
+          case LitRegex(p) =>
+            // regexp_replace replaces EVERY occurrence; a bounded count
+            // over a regex has no Spark-native form — refuse rather
+            // than silently replace all (replace.cue: count bounds the
+            // number of replacements)
+            if (count != -1L)
+              throw VrlUnsupported("replace with regex pattern and bounded count")
+            out(CV(regexp_replace(v, lit(p), withS), VStr))
           case LitS(s) if count == 1L =>
             val pos = instr(v, s)
             out(CV(when(pos > 0,

@@ -834,6 +834,46 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("slice: arrays slice as arrays; out-of-range indexes clamp (slice.cue)") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .s1 = slice!("Supercalifragilisticexpialidocious", start: 5, end: 13)
+        |    .s2 = slice!("Supercalifragilisticexpialidocious", start: 5, end: -14)
+        |    .s3 = slice!("abc", start: -100)
+        |    .s4 = slice!("abc", start: 1, end: 100)
+        |    .arr = slice!(split!("1,2,3,4,5", ","), start: 1, end: 3)
+        |    .arr2 = slice!(split!("a,b,c", ","), start: -2)
+        |  '''
+        |[[tests]]
+        |  name = "slice"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = "1"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.s1, "califrag")
+        |        assert_eq!(.s2, "califragilistic")
+        |        assert_eq!(.s3, "abc")
+        |        assert_eq!(.s4, "bc")
+        |        assert_eq!(join!(.arr, "|"), "2|3")
+        |        assert_eq!(join!(.arr2, "|"), "b|c")
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("split_path: root is its own leading component (split_path.cue examples)") {
     val topo = Topology.load(
       """
