@@ -467,22 +467,35 @@ object VrlFunctions {
         val count = a.litInt(3, "count").getOrElse(-1L)
         a.raw(1, "pattern") match {
           case LitRegex(p) =>
-            // regexp_replace replaces EVERY occurrence; a bounded count
-            // over a regex has no Spark-native form — refuse rather
-            // than silently replace all (replace.cue: count bounds the
-            // number of replacements)
-            if (count != -1L)
-              throw VrlUnsupported("replace with regex pattern and bounded count")
-            out(CV(regexp_replace(v, lit(p), withS), VStr))
-          case LitS(s) if count == 1L =>
+            // unbounded: codegen'd regexp_replace; bounded: Matcher
+            // kernel with the same $-group replacement semantics
+            // (replace.cue: count bounds the number of replacements)
+            if (count < 0L) out(CV(regexp_replace(v, lit(p), withS), VStr))
+            else out(CV(VrlKernels.regexReplaceN(v, p, withS, count), VStr))
+          case LitS(s) if count == 1L && s.nonEmpty =>
             val pos = instr(v, s)
             out(CV(when(pos > 0,
               concat(v.substr(lit(1), pos - 1), withS,
                 v.substr(pos + s.length, length(v))))
               .otherwise(v), VStr))
+          case LitS(s) if count < 0L && s.nonEmpty =>
+            // string patterns replace LITERALLY (Rust str::replace) —
+            // `replace` does no $-group or backslash processing in
+            // `with`, unlike the quoted-regexp form this used to be
+            out(CV(replace(v, lit(s), withS), VStr))
           case LitS(s) =>
-            out(CV(regexp_replace(v, lit(java.util.regex.Pattern.quote(s)), withS), VStr))
-          case _ => throw VrlUnsupported("replace with non-literal pattern")
+            // bounded count, or the empty-pattern boundary-insertion
+            // edge — cold-path kernel
+            out(CV(VrlKernels.literalReplaceN(v, lit(s), withS,
+              if (count < 0L) Long.MaxValue else count), VStr))
+          case _ =>
+            // only the regex arm needs plan-time pattern compilation;
+            // a runtime STRING pattern replaces literally
+            val p = a(1, "pattern")
+            if (p.cv.t != VStr)
+              throw VrlUnsupported("replace with non-literal regex pattern")
+            out(CV(VrlKernels.literalReplaceN(v, p.cv.col, withS,
+              if (count < 0L) Long.MaxValue else count), VStr))
         }
       case "length" =>
         val v = a(0, "value")

@@ -37,6 +37,71 @@ object VrlKernels {
     case v => throw VrlAst.VrlUnsupported(s"sha3 variant $v")
   }
 
+  // -------------------------------------------- bounded replace
+  // ------------------------------------------------------------------
+  // replace(value, pattern, with, count >= 0) — at most `count`
+  // replacements (replace.cue: "The maximum number of replacements to
+  // perform. -1 means replace all matches"). The unbounded forms stay
+  // on the codegen'd regexp_replace / replace expressions in
+  // VrlFunctions; these kernels are built only when a config asks for
+  // a bounded count, so they never enter the hot path of counts-free
+  // pipelines. Regex form keeps Java Matcher replacement semantics
+  // ($1/${name}, backslash escapes) — the same semantics the unbounded
+  // regexp_replace path applies to `with`.
+  def regexReplaceN(value: Column, pattern: String, withC: Column, n: Long): Column = {
+    val p = java.util.regex.Pattern.compile(pattern)
+    val f = udf((s: String, rep: String) =>
+      if (s == null || rep == null) null
+      else {
+        val m = p.matcher(s)
+        val sb = new java.lang.StringBuilder
+        var i = 0L
+        while (i < n && m.find()) { m.appendReplacement(sb, rep); i += 1 }
+        m.appendTail(sb)
+        sb.toString
+      })
+    f(value, withC)
+  }
+
+  /** Literal (non-regex) bounded replace: plain substring scan, no
+    * escape processing in `with` — the reference's string-pattern arm
+    * is Rust `str` replacement, which is literal.
+    */
+  def literalReplaceN(value: Column, target: Column, withC: Column, n: Long): Column = {
+    val f = udf((s: String, t: String, rep: String) =>
+      if (s == null || t == null || rep == null) null
+      else if (n <= 0) s
+      else if (t.isEmpty) {
+        // empty pattern matches at every char boundary (Rust
+        // str::replacen semantics): "abc" -> "-a-b-c-"
+        val sb = new java.lang.StringBuilder
+        var pos = 0
+        var i = 0L
+        while (i < n && pos <= s.length) {
+          sb.append(rep)
+          if (pos < s.length) sb.append(s.charAt(pos))
+          pos += 1
+          i += 1
+        }
+        if (pos <= s.length) sb.append(s, pos, s.length)
+        sb.toString
+      } else {
+        val sb = new java.lang.StringBuilder
+        var from = 0
+        var i = 0L
+        var idx = s.indexOf(t, from)
+        while (i < n && idx >= 0) {
+          sb.append(s, from, idx).append(rep)
+          from = idx + t.length
+          i += 1
+          idx = s.indexOf(t, from)
+        }
+        sb.append(s, from, s.length)
+        sb.toString
+      })
+    f(value, target, withC)
+  }
+
   // ------------------------------------------------------------- ip
   // ------------------------------------------------------------------
   // Strict textual-literal validation BEFORE InetAddress.getByName:

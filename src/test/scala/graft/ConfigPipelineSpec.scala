@@ -874,6 +874,47 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("replace: bounded counts, literal $ in with, runtime string pattern (replace.cue)") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .r1 = replace!("Bananas and Bananas", "Bananas", "Pineapples", count: 1)
+        |    .r2 = replace!("a-b-c-d", "-", "+", count: 2)
+        |    .r3 = replace!("a-b-c", "-", "+", count: 0)
+        |    .r4 = replace!("cost", "o", "$5")
+        |    .r5 = replace!("foo123bar foo456bar", r'foo(\d+)bar', "<$1>", count: 1)
+        |    .r6 = replace!(.x, .sep, "_")
+        |  '''
+        |[[tests]]
+        |  name = "replace"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = "p|q|r"
+        |      sep = "|"
+        |[[tests.outputs]]
+        |  extract_from = "t"
+        |  [[tests.outputs.conditions]]
+        |    type = "vrl"
+        |    source = '''
+        |      assert_eq!(.r1, "Pineapples and Bananas")
+        |      assert_eq!(.r2, "a+b+c-d")
+        |      assert_eq!(.r3, "a-b-c")
+        |      assert_eq!(.r4, "c$5st")
+        |      assert_eq!(.r5, "<123> foo456bar")
+        |      assert_eq!(.r6, "p_q_r")
+        |    '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("split_path: root is its own leading component (split_path.cue examples)") {
     val topo = Topology.load(
       """
