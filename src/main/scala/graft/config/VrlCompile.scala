@@ -116,7 +116,15 @@ object VrlCompile {
       fanout: Option[Seq[ListMap[String, CV]]],
       tables: Map[String, EnrichTableData] = Map.empty,
       unnest: Option[String] = None,
-      meanings: Map[String, String] = Map.empty) {
+      meanings: Map[String, String] = Map.empty,
+      /** Variables bound to plan-time literals (`pat = r'\d+'`,
+        * `fmt = "%+"`), tracked as raw AST for substitution into
+        * function arguments that require literals. Regex bindings live
+        * ONLY here (a regex has no runtime column form); scalar
+        * literals live here AND in `locals`. Reassignment through
+        * `setTarget` invalidates the entry.
+        */
+      consts: Map[String, Expr] = Map.empty) {
     def withRaise(r: Option[Column]): Env = copy(raise = orOpt(raise, r))
     def withAbort(a: Option[Column]): Env = copy(abort = orOpt(abort, a))
   }
@@ -358,11 +366,25 @@ object VrlCompile {
           setTarget(replaced, et, CV(lit(null).cast("string"), VStr))
       }
 
+    case Assign(TLocal(n), None, r @ LitRegex(_)) =>
+      // plan-time regex binding: usable wherever a literal regex
+      // argument is required (match/split/replace/parse_regex …);
+      // regexes have no runtime column form, so no `locals` entry
+      env.copy(consts = env.consts + (n -> r), locals = env.locals - n)
+
     case Assign(tgt, errTgt, expr) =>
       val (xv, env1) = compileExpr(env, expr)
+      // scalar-literal locals are ALSO tracked as consts (usable where
+      // a literal argument is required, e.g. a timestamp format)
+      val constAdd: Map[String, Expr] = (tgt, errTgt, expr) match {
+        case (TLocal(n), None, e @ (LitS(_) | LitI(_) | LitF(_) | LitB(_))) =>
+          Map(n -> e)
+        case _ => Map.empty
+      }
       errTgt match {
         case None =>
-          setTarget(env1.withRaise(xv.raise), tgt, xv.cv)
+          val set = setTarget(env1.withRaise(xv.raise), tgt, xv.cv)
+          if (constAdd.isEmpty) set else set.copy(consts = set.consts ++ constAdd)
         case Some(et) =>
           val okCv = xv.raise match {
             case None => xv.cv
@@ -383,7 +405,9 @@ object VrlCompile {
   }
 
   private def setTarget(env: Env, t: Target, cv: CV): Env = t match {
-    case TLocal(n) => env.copy(locals = env.locals + (n -> cv))
+    // reassignment invalidates any plan-time const binding of the name
+    case TLocal(n) => env.copy(locals = env.locals + (n -> cv),
+      consts = env.consts - n)
     case TWhole => throw VrlUnsupported("whole-event target in this position")
     case TField(path) =>
       if (env.root.isDefined)
@@ -556,6 +580,10 @@ object VrlCompile {
     case LocalRef(n) =>
       env.locals.get(n) match {
         case Some(cv) => (XV.pure(cv), env)
+        case None if env.consts.contains(n) =>
+          // a regex-bound variable read outside a function argument —
+          // regexes have no runtime column form
+          throw VrlUnsupported(s"regex variable $n outside function argument")
         case None => throw VrlUnsupported(s"undefined variable $n")
       }
     case PathOn(base, path) =>
@@ -771,9 +799,14 @@ object VrlCompile {
     val mergedAbort = orOpt(orOpt(base.abort,
       guardOpt(c, tEnv.abort)), guardOpt(!c, eEnv.abort))
 
+    // a const survives the if only when NEITHER branch rebound it —
+    // conditional rebinding has no single plan-time value
+    val mergedConsts = base.consts.filter { case (k, v) =>
+      tEnv.consts.get(k).contains(v) && eEnv.consts.get(k).contains(v)
+    }
     val outEnv = base.copy(fields = mergedFields, locals = mergedLocals.toMap,
       raise = mergedRaise, abort = mergedAbort,
-      secrets = tEnv.secrets ++ eEnv.secrets)
+      secrets = tEnv.secrets ++ eEnv.secrets, consts = mergedConsts)
     val value =
       if (tv.cv.t == VNullT && ev.cv.t == VNullT) XV.pure(nullCV)
       else {

@@ -54,7 +54,22 @@ object VrlFunctions {
       (args ++ named.values).flatMap(_.raise).reduceOption(_ || _)
   }
 
-  def call(env: Env, c: Call): (XV, Env) = {
+  def call(env: Env, c0: Call): (XV, Env) = {
+    // const substitution: a variable bound to a plan-time literal
+    // (`pat = r'\d+'`, `fmt = "%+"`) is usable anywhere a literal
+    // argument is required — match/split/replace patterns, timestamp
+    // formats, enrichment table names — the common bind-once VRL idiom
+    val c =
+      if (env.consts.isEmpty) c0
+      else {
+        def sub(e: Expr): Expr = e match {
+          case LocalRef(n) => env.consts.getOrElse(n, e)
+          case ArrLit(items) => ArrLit(items.map(sub))
+          case other => other
+        }
+        c0.copy(args = c0.args.map(sub),
+          named = c0.named.map { case (k, v) => (k, sub(v)) })
+      }
     val name = c.name
 
     // --- special forms that read/modify the env or need raw AST -----

@@ -915,6 +915,76 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("const propagation: regex/format bound to a variable used as literal args") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    pat = r'(\d+)'
+        |    fmt = "%Y-%m-%d"
+        |    .m = match!(.x, pat)
+        |    .r = replace!(.x, pat, "<$1>")
+        |    .y = format_timestamp!(parse_timestamp!(.d, fmt), "%Y")
+        |  '''
+        |[[tests]]
+        |  name = "consts"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = "abc123def"
+        |      d = "2024-03-09"
+        |[[tests.outputs]]
+        |  extract_from = "t"
+        |  [[tests.outputs.conditions]]
+        |    type = "vrl"
+        |    source = '''
+        |      assert_eq!(.m, true)
+        |      assert_eq!(.r, "abc<123>def")
+        |      assert_eq!(.y, "2024")
+        |    '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
+  test("const propagation: conditional rebinding invalidates the plan-time value") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    pat = r'a'
+        |    if .x == "1" {
+        |      pat = r'b'
+        |    }
+        |    .m = match!(.x, pat)
+        |  '''
+        |[[tests]]
+        |  name = "rebind"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = "1"
+        |[[tests.outputs]]
+        |  extract_from = "t"
+        |  [[tests.outputs.conditions]]
+        |    type = "vrl"
+        |    source = 'assert_eq!(.m, false)'
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    // a conditionally-rebound regex var has no single plan-time value:
+    // the program must be a LOUD skip, never a silently-wrong pattern
+    assert(rs.head.skipped.nonEmpty || rs.head.errors.nonEmpty,
+      "conditional regex rebinding must not compile silently")
+  }
+
   test("split_path: root is its own leading component (split_path.cue examples)") {
     val topo = Topology.load(
       """
