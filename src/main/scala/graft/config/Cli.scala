@@ -39,14 +39,23 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.config.Cli run|test <topology.toml>"
-    if (args.length != 2) { System.err.println(usage); sys.exit(2) }
+    val usage =
+      "usage: graft.config.Cli run|test <topology.toml> | run-stream <topology.toml> <checkpointDir>"
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val spark = session()
     try {
       args(0) match {
         case "run" =>
           val written = Topology.loadFile(args(1)).execute(spark)
           written.foreach { case (sink, n) => println(s"sink $sink: $n rows") }
+        case "run-stream" =>
+          // the reference's continuous lifecycle, drained with
+          // Trigger.AvailableNow: each invocation processes exactly the
+          // source files not yet in the checkpoint, then exits — rerun
+          // after new files land to process only those
+          if (args.length != 3) { System.err.println(usage); sys.exit(2) }
+          val processed = Topology.loadFile(args(1)).executeStreaming(spark, args(2))
+          processed.foreach { case (sink, n) => println(s"sink $sink: $n rows this run") }
         case "test" =>
           val results = UnitTestHarness.runFile(spark, args(1))
           var failed = 0

@@ -196,7 +196,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case "dedupe" =>
         val fieldsTab = cfg.tab("fields")
         val env = envFromDf(in.df, in.meta)
-        val keys: Seq[Column] = fieldsTab.flatMap(_.get("match")) match {
+        val dedupeKeys: Seq[Column] = fieldsTab.flatMap(_.get("match")) match {
           case Some(TArr(paths)) =>
             paths.collect { case TStr(p) => dedupeKey(env, p) }
           case _ if fieldsTab.isDefined =>
@@ -211,12 +211,24 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             // log without the key
             Seq("message", "host", "timestamp").map(p => dedupeKey(env, p))
         }
-        Seq("" -> in.copy(df =
-          graft.operators.Dedupe.keepFirst(in.df, keys, Seq(col(SeqCol)))))
+        if (in.df.isStreaming) {
+          // streaming: arrival-order first-wins via dropDuplicates —
+          // the semantics the reference's LRU cache approximates, with
+          // exact (unbounded) state instead of a bounded cache
+          val tmp = dedupeKeys.zipWithIndex.map { case (k, i) => (s"__dk$i", k) }
+          val withK = tmp.foldLeft(in.df) { case (d, (n, c)) => d.withColumn(n, c) }
+          Seq("" -> in.copy(df =
+            withK.dropDuplicates(tmp.map(_._1)).drop(tmp.map(_._1): _*)))
+        } else
+          Seq("" -> in.copy(df =
+            graft.operators.Dedupe.keepFirst(in.df, dedupeKeys, Seq(col(SeqCol)))))
 
-      case "reduce" => Seq("" -> reduce(name, cfg, in))
+      case "reduce" =>
+        requireBatch(in, "reduce")
+        Seq("" -> reduce(name, cfg, in))
 
       case "sample" =>
+        requireBatch(in, "sample")
         val rateOpt = cfg.long("rate")
         val ratioOpt = cfg.dbl("ratio")
         // exactly-one-of, mirroring SampleError::InvalidConfiguration
@@ -239,6 +251,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         }
 
       case "throttle" =>
+        requireBatch(in, "throttle")
         val threshold = cfg.long("threshold").getOrElse(
           throw new IllegalArgumentException(s"throttle $name: no threshold")).toInt
         val windowSecs = cfg.long("window_secs").getOrElse(60L)
@@ -251,6 +264,18 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
       case other => throw VrlUnsupported(s"transform type $other")
     }
+
+  /** Transforms whose batch form depends on a global arrival order
+    * (window over `__seq`) refuse on a streaming frame rather than
+    * compile a plan Spark would reject at query start with an opaque
+    * error; their cross-batch stateful forms live in
+    * `graft.streaming.StreamOps` (token-bucket throttle, session
+    * reduce, watermarked dedupe) for callers on the library surface.
+    */
+  private def requireBatch(in: Frame, t: String): Unit =
+    if (in.df.isStreaming)
+      throw VrlUnsupported(s"transform type '$t' on a streaming source " +
+        "(cross-batch ordered state: use graft.streaming.StreamOps)")
 
   /** Type-tagged portable dedupe key for one match path: JSON encoding
     * distinguishes `1` / `"1"` / `{"c":"d"}` the way the reference's
@@ -481,6 +506,119 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     writeSinks(src ++ run(src))
   }
 
+  // ------------------------------------------------------- streaming
+
+  /** Streaming sources: the same `[sources]` blocks as file-watching
+    * streams (the reference's continuous source lifecycle,
+    * src/sources/file/). Parquet needs an explicit schema on a
+    * streaming scan — probed from a metadata-only batch read of the
+    * same path. `__seq` is the same content hash as the batch path: a
+    * deterministic tiebreak, not an arrival counter.
+    */
+  def loadStreamingSources(spark: org.apache.spark.sql.SparkSession): Map[String, Frame] =
+    sources.map { case (name, cfg) =>
+      val path0 = cfg.str("path").getOrElse(
+        throw new IllegalArgumentException(s"source $name: no path"))
+      val path = resolvePath(path0)
+      // a streaming file source watches a DIRECTORY; a config pointing
+      // at one file (the batch form accepts both) becomes the parent
+      // dir + an exact-name glob filter
+      val f = new java.io.File(path)
+      val (dir, globFilter) =
+        if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
+      def filtered[R](r: org.apache.spark.sql.streaming.DataStreamReader) =
+        globFilter.fold(r)(g => r.option("pathGlobFilter", g))
+      val frame = cfg.str("type") match {
+        case Some("parquet") =>
+          val schema = spark.read.parquet(path).schema
+          val df = filtered(spark.readStream.schema(schema)).parquet(dir)
+          val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
+          Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(schema))
+        case Some("file") =>
+          cfg.tab("decoding").flatMap(_.str("codec")).foreach {
+            case "bytes" => ()
+            case other => throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
+          }
+          val df = filtered(spark.readStream).text(dir)
+            .withColumnRenamed("value", "message")
+          Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
+            EventMeta(ListMap("message" -> VStr), None))
+        case other =>
+          throw VrlUnsupported(s"source $name: type ${other.getOrElse("?")}")
+      }
+      name -> frame
+    }
+
+  /** Start every sink as its own checkpointed streaming query.
+    * Per-sink query isolation is Structured Streaming's multi-sink
+    * contract — each query tracks its own offsets under
+    * `<checkpointRoot>/<sink>`, so one slow sink never stalls another
+    * and a killed job resumes each sink from ITS recorded position.
+    * The `[checkpoint] manifest` option is batch-only here: the
+    * streaming checkpoint already IS the lineage record (offsets +
+    * file manifest), so a second manifest would be a divergent copy.
+    */
+  def startStreamingSinks(outputs: Map[String, Frame], checkpointRoot: String)
+      : Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] =
+    sinkDefs.toSeq.map { case (name, cfg) =>
+      val inputIds = cfg.strArr("inputs")
+      require(inputIds.nonEmpty, s"sink $name: no inputs")
+      val frames = inputIds.map(id => outputs.getOrElse(id,
+        throw new IllegalArgumentException(s"sink $name: unknown input $id")))
+      val in = unionFrames(frames)
+      val df = in.df.drop(SeqCol)
+      val path0 = cfg.str("path").getOrElse(
+        throw new IllegalArgumentException(s"sink $name: no path"))
+      val path = resolvePath(path0)
+      if (cfg.tab("checkpoint").flatMap(_.str("manifest")).isDefined)
+        throw VrlUnsupported(
+          s"sink $name: [checkpoint] manifest in streaming mode (the query checkpoint is the lineage)")
+      val trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      val q = cfg.str("type") match {
+        case Some("parquet") =>
+          val parts = cfg.strArr("partition_by")
+          val w = df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(trigger)
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).start()
+        case Some("file") =>
+          cfg.tab("encoding").flatMap(_.str("codec")) match {
+            case Some("json") | None =>
+              df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toSeq: _*)).as("value"))
+                .writeStream.format("text")
+                .option("path", path)
+                .option("checkpointLocation", s"$checkpointRoot/$name")
+                .trigger(trigger)
+                .start()
+            case Some(other) =>
+              throw VrlUnsupported(s"sink $name: encoding codec $other")
+          }
+        case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
+      }
+      name -> q
+    }
+
+  /** Whole-config STREAMING execution: the reference's continuous
+    * `vector run` lifecycle, drained with Trigger.AvailableNow — each
+    * invocation processes exactly the source files not yet recorded in
+    * the checkpoint, then stops. Re-running with the same
+    * `checkpointRoot` after new files land processes ONLY the new
+    * files (resume-from-checkpoint at the topology level). Returns
+    * sink -> input rows processed THIS run (0 on a fully-caught-up
+    * re-run), which is why it reports progress counts rather than a
+    * read-back count of the (cumulative, append-mode) sink directory.
+    */
+  def executeStreaming(spark: org.apache.spark.sql.SparkSession,
+                       checkpointRoot: String): Map[String, Long] = {
+    val src = loadStreamingSources(spark)
+    val queries = startStreamingSinks(src ++ run(src), checkpointRoot)
+    queries.map { case (name, q) =>
+      q.awaitTermination()
+      name -> q.recentProgress.map(_.numInputRows).sum
+    }.toMap
+  }
+
   private def readRelative(p: String): String = {
     val f = java.nio.file.Paths.get(resolvePath(p))
     new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
@@ -503,8 +641,16 @@ object Topology {
 
   private def rootOf(id: String): String = id.split('.').head
 
-  private[config] def parsePathStr(p: String): Seq[VrlAst.PathSeg] =
-    p.split('.').toSeq.map(SegName(_))
+  private[config] def parsePathStr(p: String): Seq[VrlAst.PathSeg] = {
+    // accept the VRL-style `.field` spelling of a config path: without
+    // the strip, ".k" split to ["", "k"] and the empty head resolved to
+    // a MISSING field — turning e.g. a dedupe key constant (one
+    // survivor from the whole stream) instead of failing
+    val norm = if (p.startsWith(".")) p.drop(1) else p
+    val segs = norm.split('.').toSeq
+    require(norm.nonEmpty && segs.forall(_.nonEmpty), s"bad field path '$p'")
+    segs.map(SegName(_))
+  }
 
   /** Minimal RFC-4180 CSV reader (driver-side, lookup-table-sized
     * inputs): quoted fields, doubled-quote escapes, header row.

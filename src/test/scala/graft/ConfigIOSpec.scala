@@ -128,4 +128,126 @@ class ConfigIOSpec extends SparkSpec {
     assert(lines.head.contains("\"a\":\"1\"") || lines.head.contains("\"a\": \"1\""))
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
+
+  test("streaming execute: same topology continuously; checkpoint resume processes only new files") {
+    val dir = Files.createTempDirectory("graft-configstream")
+    Seq(
+      ("c1", 0, "2024-01-01T00:00:00Z info tool=search latency_ms=12 msg=\"ok\""),
+      ("c1", 1, "2024-01-01T00:00:01Z error tool=search latency_ms=900 msg=\"boom\""),
+      ("c2", 0, "2024-01-01T00:00:02Z warn tool=code latency_ms=850 msg=\"slow\""),
+      ("c2", 1, "not a log line at all"))
+      .toDF("conv_id", "turn_idx", "text")
+      .write.parquet(s"$dir/in")
+
+    val topo = Topology.load(
+      s"""
+        |[sources.events]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.parse]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  drop_on_error = true
+        |  source = '''
+        |    p = parse_grok!(.text, "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} tool=%{NOTSPACE:tool} latency_ms=%{INT:lat} msg=\\"%{DATA:msg}\\"")
+        |    .level = string!(p.level)
+        |    .lat = to_int!(p.lat)
+        |  '''
+        |[transforms.split]
+        |  inputs = ["parse"]
+        |  type = "route"
+        |  [transforms.split.route]
+        |    errors = '.level == "error"'
+        |    slow = '.lat >= 800'
+        |[sinks.routed]
+        |  inputs = ["split"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |  partition_by = ["port"]
+        |[sinks.errors_jsonl]
+        |  inputs = ["split.errors"]
+        |  type = "file"
+        |  path = "$dir/errors"
+        |  [sinks.errors_jsonl.encoding]
+        |    codec = "json"
+        |""".stripMargin)
+
+    // run 1: drains the 4 available raw rows per sink query (each sink
+    // is its own source scan; the counts are SOURCE rows ingested)
+    val run1 = topo.executeStreaming(spark, s"$dir/ckpt")
+    assert(run1 == Map("routed" -> 4L, "errors_jsonl" -> 4L), s"run1: $run1")
+
+    // output identical to the batch run of the same topology: parse
+    // drops the garbage line, route multicasts error->errors+slow
+    val byPort = spark.read.parquet(s"$dir/out").groupBy("port").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPort == Map("errors" -> 1L, "slow" -> 2L, "_unmatched" -> 1L), s"ports: $byPort")
+    assert(spark.read.text(s"$dir/errors").count() == 1)
+
+    // run 2, nothing new: caught-up checkpoint processes zero rows
+    val run2 = topo.executeStreaming(spark, s"$dir/ckpt")
+    assert(run2.values.forall(_ == 0L), s"caught-up run reprocessed: $run2")
+
+    // new file lands; run 3 processes ONLY it (resume-from-checkpoint)
+    Seq(("c3", 0, "2024-01-01T00:00:03Z error tool=web latency_ms=950 msg=\"again\""))
+      .toDF("conv_id", "turn_idx", "text")
+      .write.mode("append").parquet(s"$dir/in")
+    val run3 = topo.executeStreaming(spark, s"$dir/ckpt")
+    assert(run3 == Map("routed" -> 1L, "errors_jsonl" -> 1L), s"run3: $run3")
+    val byPort3 = spark.read.parquet(s"$dir/out").groupBy("port").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPort3 == Map("errors" -> 2L, "slow" -> 3L, "_unmatched" -> 1L), s"ports: $byPort3")
+    assert(spark.read.text(s"$dir/errors").count() == 2)
+
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("streaming execute: order-dependent transforms refuse loudly; dedupe streams first-wins") {
+    val dir = Files.createTempDirectory("graft-configstream2")
+    Seq(("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("k", "v").write.parquet(s"$dir/in")
+
+    // sample depends on a global arrival order: must refuse on a stream
+    val bad = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.s]
+        |  inputs = ["ev"]
+        |  type = "sample"
+        |  rate = 2
+        |[sinks.out]
+        |  inputs = ["s"]
+        |  type = "parquet"
+        |  path = "$dir/bad"
+        |""".stripMargin)
+    val ex = intercept[graft.config.VrlAst.VrlUnsupported] {
+      bad.executeStreaming(spark, s"$dir/badckpt")
+    }
+    assert(ex.getMessage.contains("streaming"), ex.getMessage)
+
+    // dedupe maps to arrival-order dropDuplicates on the match keys
+    val dd = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.d]
+        |  inputs = ["ev"]
+        |  type = "dedupe"
+        |  [transforms.d.fields]
+        |    match = [".k"]
+        |[sinks.out]
+        |  inputs = ["d"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin)
+    dd.executeStreaming(spark, s"$dir/ckpt")
+    val ks = spark.read.parquet(s"$dir/out").select("k")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ks == Seq("a", "b"), s"dedupe kept: $ks")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
 }
