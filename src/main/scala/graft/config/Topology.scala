@@ -17,7 +17,8 @@ import VrlCompile._
   * order-sensitive transforms (dedupe first-wins, reduce sessions,
   * sample counters); it is never visible to VRL programs.
   */
-final case class Frame(df: DataFrame, meta: EventMeta) {
+final case class Frame(df: DataFrame, meta: EventMeta,
+                       metric: Boolean = false) {
   def isEmpty: Boolean = df.isEmpty
 }
 
@@ -28,13 +29,21 @@ final case class Frame(df: DataFrame, meta: EventMeta) {
   * interpreted per event: each transform's config compiles once into
   * Catalyst columns.
   *
-  * Supported transform types mirror the reference's behavior-test
-  * corpus: remap (VRL program via `source`/`file`, drop_on_error /
-  * drop_on_abort / reroute_dropped with a `.dropped` port —
-  * src/transforms/remap.rs:58-135), filter, route (multicast ports +
-  * `_unmatched`), exclusive_route (first-match ports), dedupe
+  * Supported transform types cover the reference's registry
+  * (src/transforms/mod.rs): remap (VRL program via `source`/`file`,
+  * drop_on_error / drop_on_abort / reroute_dropped with a `.dropped`
+  * port — src/transforms/remap.rs:58-135), filter, route (multicast
+  * ports + `_unmatched`), exclusive_route (first-match ports), dedupe
   * (fields.match / fields.ignore), reduce (group_by, ends_when,
-  * max_events, merge_strategies), sample, throttle.
+  * max_events, merge_strategies), sample, throttle, log_to_metric
+  * ([[metrics]] rules + all_metrics), metric_to_log, aggregate (all 9
+  * modes over event-time windows), incremental_to_absolute,
+  * tag_cardinality_limit (exact mode), window (with the group_by
+  * sharding extension), trace_to_log, aws_ec2_metadata (mock_values
+  * record). `lua` has no config form here — per-event scripting is the
+  * typed Script harness on the library surface (operators/Script).
+  * Metric-shaped frames carry `metric = true` so the is_log/is_metric
+  * conditions and the metric-only transforms type-check at plan time.
   */
 final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
@@ -262,8 +271,336 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         Seq("" -> in.copy(df = graft.operators.Throttle(
           in.df, key, ts, threshold, windowSecs, Seq(col(SeqCol)))))
 
+      case "log_to_metric" =>
+        Seq("" -> logToMetricConfig(name, cfg, in))
+
+      case "metric_to_log" =>
+        // metric → structured log (src/transforms/metric_to_log.rs):
+        // the flat metric columns stay addressable as log fields and a
+        // canonical rendered `message` line is added. Narrow — streams.
+        requireMetricFrame(name, "metric_to_log", in)
+        Seq("" -> Frame(graft.operators.Metrics.metricToLog(in.df),
+          EventMeta(in.meta.types + ("message" -> VStr), None)))
+
+      case "aggregate" =>
+        // streaming aggregate needs a watermark + output-mode contract
+        // the TOML doesn't express; the watermarked window agg lives on
+        // graft.streaming.StreamOps for library callers
+        requireBatch(in, "aggregate")
+        Seq("" -> aggregateConfig(name, cfg, in))
+
+      case "incremental_to_absolute" =>
+        requireBatch(in, "incremental_to_absolute")
+        requireMetricFrame(name, "incremental_to_absolute", in)
+        val out = graft.operators.Metrics.incrementalToAbsolute(
+            in.df,
+            series = Seq(col("name"), col("namespace"), col("tags"),
+              col("value_type")),
+            ord = struct(col("ts"), col(SeqCol)),
+            value = col("value"), kind = Some(col("kind")))
+          .withColumn("value", col("abs_value"))
+          .select(col(SeqCol) +:
+            in.meta.types.keys.toSeq.map(n => col(s"`$n`")): _*)
+        Seq("" -> in.copy(df = out))
+
+      case "tag_cardinality_limit" =>
+        requireBatch(in, "tag_cardinality_limit")
+        requireMetricFrame(name, "tag_cardinality_limit", in)
+        Seq("" -> in.copy(df = tagLimitConfig(name, cfg, in.df)))
+
+      case "window" =>
+        requireBatch(in, "window")
+        val flush = Conditions.compile(Some(cfg.get("flush_when").getOrElse(
+          throw new IllegalArgumentException(s"window $name: no flush_when"))),
+          in, enrichmentTables)
+        val fwd = cfg.get("forward_when")
+          .map(v => Conditions.compile(Some(v), in, enrichmentTables))
+        val before = cfg.long("num_events_before").getOrElse(100L).toInt
+        val after = cfg.long("num_events_after").getOrElse(0L).toInt
+        // the reference buffers ONE global ring (window/transform.rs) —
+        // a total-order scan, i.e. a single partition at any scale. The
+        // distributed form shards the buffer per key; require the
+        // (graft-extension) group_by rather than silently planning a
+        // single-partition window.
+        val groupBy = cfg.strArr("group_by")
+        if (groupBy.isEmpty) throw VrlUnsupported(
+          "window without group_by: the reference's single global ring " +
+            "buffer is a one-partition total-order scan; declare " +
+            "group_by = [\"<key>\"] to shard it (graft extension)")
+        val wEnv = envFromDf(in.df, in.meta)
+        val keys = groupBy.map(p => resolveField(wEnv, parsePathStr(p)).col)
+        Seq("" -> in.copy(df = graft.operators.ContextWindow(
+          in.df, keys, col(SeqCol), flush, before, after, fwd)))
+
+      case "trace_to_log" =>
+        // envelope-drop projection (src/transforms/trace_to_log.rs);
+        // absent envelope fields are a no-op, as in the reference
+        val envelope = Seq("trace_id", "span_id", "parent_span_id")
+          .filter(in.meta.types.contains)
+        Seq("" -> Frame(graft.operators.Stamp.traceToLog(in.df, envelope),
+          EventMeta(in.meta.types -- envelope, in.meta.rootT)))
+
+      case "aws_ec2_metadata" =>
+        // the reference polls IMDS on a refresh interval
+        // (aws_ec2_metadata.rs:98-140) and stamps the current record on
+        // every event; a batch cluster has no IMDS endpoint, so the
+        // record arrives inline as [transforms.<n>.mock_values] (the
+        // graft analog of the driver-side refresh loop's one-row state)
+        // and `fields` filters it exactly like the reference's knob.
+        val values: Seq[(String, String)] = cfg.tab("mock_values") match {
+          case Some(t) => t.entries.toSeq.collect { case (k, TStr(v)) => k -> v }
+          case None => throw VrlUnsupported(
+            "aws_ec2_metadata without [transforms.<n>.mock_values] " +
+              "(no IMDS on a batch cluster; supply the metadata record " +
+              "inline or use graft.operators.Stamp.withMetadata)")
+        }
+        if (cfg.str("namespace").exists(_.nonEmpty))
+          throw VrlUnsupported("aws_ec2_metadata namespace prefix (flat field model)")
+        val fieldsFilter = cfg.strArr("fields")
+        val kept =
+          if (fieldsFilter.isEmpty) values
+          else values.filter(v => fieldsFilter.contains(v._1))
+        Seq("" -> Frame(
+          graft.operators.Stamp.withMetadata(in.df, ListMap(kept: _*)),
+          EventMeta(in.meta.types ++ kept.map(_._1 -> VStr), in.meta.rootT),
+          in.metric))
+
       case other => throw VrlUnsupported(s"transform type $other")
     }
+
+  // ----------------------------------------------------------- metrics
+
+  /** The flat metric-event schema every metric-side transform exchanges
+    * (SURVEY §1.3; reference lib/vector-core/src/event/metric/): name,
+    * namespace, tags (canonical `k=v,k=v` string), kind
+    * (absolute|incremental), value_type (counter|gauge|set|
+    * distribution), value, ts.
+    */
+  private val MetricMeta: EventMeta = EventMeta(ListMap(
+    "name" -> VStr, "namespace" -> VStr, "tags" -> VStr, "kind" -> VStr,
+    "value_type" -> VStr, "value" -> VFloat, "ts" -> VTime), None)
+
+  private def requireMetricFrame(name: String, t: String, in: Frame): Unit = {
+    val missing = MetricMeta.types.keys.filterNot(in.meta.types.contains)
+    if (!in.metric || missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$t $name: input is not a metric stream" +
+          (if (missing.nonEmpty) s" (missing: ${missing.mkString(", ")})" else "") +
+          " — put a log_to_metric transform upstream")
+  }
+
+  /** Config-driven log_to_metric (src/transforms/log_to_metric.rs config
+    * shape): `[[metrics]]` rules — counter (kind/increment_by_value),
+    * gauge (absolute), set, histogram/summary (per-event distribution
+    * samples, value.rs) — with templated name/namespace/tags, or
+    * `all_metrics = true` (the log IS the metric). Output is the flat
+    * [[MetricMeta]] frame; set members ride the numeric `value` column
+    * (string sets need the library surface, Metrics.logToMetric).
+    * Missing-field / unparseable-value rows are skipped per rule, the
+    * reference's FieldNotFound / ParseFloatError skip semantics.
+    */
+  private def logToMetricConfig(name: String, cfg: TTab, in: Frame): Frame = {
+    val env = envFromDf(in.df, in.meta)
+    val tsCol: Column =
+      Seq("timestamp", "ts").find(f => in.meta.types.get(f).contains(VTime))
+        .map(f => in.df.col(s"`$f`"))
+        .getOrElse(lit(null).cast("timestamp"))
+    if (cfg.bool("all_metrics").getOrElse(false)) {
+      Seq("set", "distribution", "histogram", "summary").foreach { arm =>
+        if (in.meta.types.contains(arm)) throw VrlUnsupported(
+          s"all_metrics $arm arm (collection values live on the " +
+            "aggregation side: Metrics.histogramAgg/summaryAgg)")
+      }
+      val arms = Seq("counter", "gauge").flatMap { arm =>
+        in.meta.types.get(arm).map(_ =>
+          arm -> resolveField(env, parsePathStr(s"$arm.value")).col)
+      }
+      if (arms.isEmpty) throw new IllegalArgumentException(
+        s"log_to_metric $name: all_metrics with no counter/gauge arm fields")
+      val tags: Option[Column] = in.meta.types.get("tags").map {
+        case VMap => in.df.col("tags")
+        case VObj(fs) => map(fs.keys.toSeq.flatMap(k =>
+          Seq(lit(k), in.df.col("tags").getField(k).cast("string"))): _*)
+        case other => throw VrlUnsupported(s"all_metrics tags of type $other")
+      }
+      val ns = in.meta.types.get("namespace")
+        .map(_ => in.df.col("namespace").cast("string"))
+        .getOrElse(lit(null).cast("string"))
+      val out = graft.operators.Metrics.logToMetricAll(in.df, ts = tsCol,
+        name = in.df.col("name"), kind = in.df.col("kind"),
+        arms = arms, tags = tags, namespace = ns,
+        passthrough = Seq(SeqCol -> col(SeqCol)))
+      Frame(out, MetricMeta, metric = true)
+    } else {
+      val rules = cfg.tabs("metrics")
+      if (rules.isEmpty) throw new IllegalArgumentException(
+        s"log_to_metric $name: no [[metrics]] rules (or all_metrics = true)")
+      def template(t: String): Column = graft.functions.Template.compile(
+        t, tsCol, f => resolveField(env, parsePathStr(f)).col.cast("string"))
+      import graft.operators.Metrics.MetricRule
+      val compiled = rules.map { m =>
+        val mtype = m.str("type").getOrElse(throw new IllegalArgumentException(
+          s"log_to_metric $name: rule without type"))
+        val fieldPath = m.str("field").getOrElse(
+          throw new IllegalArgumentException(s"log_to_metric $name: rule without field"))
+        if (fieldPath.contains("{{")) throw VrlUnsupported("templated metric field path")
+        val v = resolveField(env, parsePathStr(fieldPath)).col
+        val nameCol = m.str("name").map(template).getOrElse(lit(fieldPath))
+        val nsCol = m.str("namespace").map(template)
+          .getOrElse(lit(null)).cast("string")
+        val tags: Seq[(String, Column)] = m.tab("tags").map(_.entries.toSeq.map {
+          case (k, _) if k.contains("{{") => throw VrlUnsupported("templated tag key")
+          case (k, TStr(t)) => k -> template(t)
+          case (k, _) => throw VrlUnsupported(s"multi-valued tag $k (flat k=v model)")
+        }).getOrElse(Nil)
+        val numV = v.cast("string").try_cast("double")
+        mtype match {
+          case "counter" =>
+            val kind = m.str("kind").getOrElse("incremental")
+            if (m.bool("increment_by_value").getOrElse(false))
+              MetricRule("counter", nameCol, numV, tags, kind, nsCol)
+            else // the field must still be PRESENT: 1-per-event counts
+                 // skip rows missing it (FieldNotFound, :432)
+              MetricRule("counter", nameCol, when(v.isNotNull, lit(1.0)), tags, kind, nsCol)
+          case "gauge" => MetricRule("gauge", nameCol, numV, tags, "absolute", nsCol)
+          case "set" => MetricRule("set", nameCol, numV, tags, "incremental", nsCol)
+          case "histogram" | "summary" =>
+            MetricRule("distribution", nameCol, numV, tags, "incremental", nsCol)
+          case other => throw VrlUnsupported(s"metric type $other")
+        }
+      }
+      val out = graft.operators.Metrics.logToMetric(in.df, compiled, ts = tsCol,
+        passthrough = Seq(SeqCol -> col(SeqCol)))
+      Frame(out, MetricMeta, metric = true)
+    }
+  }
+
+  /** Config-driven aggregate (src/transforms/aggregate.rs): tumbling
+    * EVENT-time windows of `interval_ms` per metric series, one mode
+    * (the processing-time flush divergence is documented on
+    * [[graft.operators.Aggregate]]). Series identity here includes
+    * `value_type` (and for Count, `kind`): the reference keys on
+    * (name, namespace, tags) and errors conflicting updates away
+    * (AggregateUpdateFailed) when one series mixes kinds or value
+    * types; grouping on the full identity is the deterministic batch
+    * analog — identical output on well-formed streams, no
+    * order-dependent error path on mixed ones. Mode ↔ kind filters
+    * follow aggregate.rs record(): sum = incremental only; latest/diff/
+    * max/min = absolute only; mean/stdev = absolute gauges only;
+    * count = both kinds, emitting counters; auto = sum-incremental /
+    * last-absolute.
+    */
+  private def aggregateConfig(name: String, cfg: TTab, in: Frame): Frame = {
+    requireMetricFrame(name, "aggregate", in)
+    val intervalMs = cfg.long("interval_ms").getOrElse(10000L)
+    if (intervalMs <= 0 || intervalMs % 1000 != 0) throw VrlUnsupported(
+      s"aggregate interval_ms $intervalMs (event-time windows are whole seconds here)")
+    val secs = intervalMs / 1000
+    import graft.operators.Aggregate
+    val df = in.df
+    val series = Seq(col("name"), col("namespace"), col("tags"), col("value_type"))
+    val ord = struct(col("ts"), col(SeqCol))
+    def run(d: DataFrame, m: Aggregate.Mode, kindOut: String): DataFrame =
+      Aggregate.tumbling(d, series, col("ts"), col("value"), m, secs, Some(ord))
+        .withColumn("kind", lit(kindOut))
+    val absOnly = df.filter(col("kind") === "absolute")
+    val agg = cfg.str("mode").getOrElse("auto").toLowerCase match {
+      case "auto" =>
+        Aggregate.tumblingAutoKind(df, series, col("ts"), col("value"),
+          secs, ord, col("kind"))
+      case "sum" => run(df.filter(col("kind") === "incremental"), Aggregate.Sum, "incremental")
+      case "latest" => run(absOnly, Aggregate.Latest, "absolute")
+      case "diff" => run(absOnly, Aggregate.Diff, "absolute")
+      case "count" =>
+        Aggregate.tumbling(df,
+            Seq(col("name"), col("namespace"), col("tags"), col("kind")),
+            col("ts"), col("value"), Aggregate.Count, secs, Some(ord))
+          .withColumn("value_type", lit("counter"))
+      case "max" => run(absOnly, Aggregate.Max, "absolute")
+      case "min" => run(absOnly, Aggregate.Min, "absolute")
+      case "mean" =>
+        run(absOnly.filter(col("value_type") === "gauge"), Aggregate.Mean, "absolute")
+      case "stdev" =>
+        run(absOnly.filter(col("value_type") === "gauge"), Aggregate.Stdev, "absolute")
+      case other => throw VrlUnsupported(s"aggregate mode $other")
+    }
+    // window start becomes the flushed metric's event time; a content
+    // hash re-seeds `__seq` (an aggregated row has no arrival identity)
+    val shaped = agg
+      .withColumn("ts", col("win").cast("timestamp"))
+      .withColumn("value", col("value").cast("double"))
+      .drop("win")
+    val cols = MetricMeta.types.keys.toSeq
+    val out = shaped
+      .withColumn(SeqCol, xxhash64(cols.map(c => col(s"`$c`")): _*))
+      .select(col(SeqCol) +: cols.map(c => col(s"`$c`")): _*)
+    Frame(out, MetricMeta, metric = true)
+  }
+
+  /** Config-driven tag_cardinality_limit
+    * (src/transforms/tag_cardinality_limit/config.rs): per tag KEY, the
+    * first `value_limit` distinct values (first-seen = min `__seq`, the
+    * deterministic batch analog of arrival order) are accepted; beyond
+    * that, drop_tag strips the offending tag and drop_event drops the
+    * row. Runs over the flat frame's canonical tags string: parse to a
+    * map, judge per entry, rebuild (sorted — the canonical form). Tag
+    * values containing '=' or ',' are outside the canonical string form
+    * (the typed-column operator Metrics.tagCardinalityLimit is the
+    * general path).
+    *
+    * Shuffle shape: first-seen is one map-side-combined (key, value)
+    * hash agg; the per-key rank window partitions on the tag key, so no
+    * value domain funnels through one partition. Only the KEPT pairs —
+    * ≤ |keys| × value_limit, the same bounded state the reference's
+    * per-key HashSet holds in one process — reach the driver, becoming
+    * a broadcast-literal lookup map.
+    */
+  private def tagLimitConfig(name: String, cfg: TTab, df: DataFrame): DataFrame = {
+    if (cfg.tab("per_metric_limits").isDefined)
+      throw VrlUnsupported("tag_cardinality_limit per_metric_limits")
+    cfg.str("mode").foreach {
+      case "exact" => ()
+      case other => throw VrlUnsupported(s"tag_cardinality_limit mode $other " +
+        "(exact tracking is strictly tighter than the bloom cache)")
+    }
+    val valueLimit = cfg.long("value_limit").getOrElse(500L).toInt
+    val dropEvent = cfg.str("limit_exceeded_action").getOrElse("drop_tag") match {
+      case "drop_tag" => false
+      case "drop_event" => true
+      case other => throw new IllegalArgumentException(s"limit_exceeded_action $other")
+    }
+    val hasTags = col("tags").isNotNull && col("tags") =!= ""
+    val entries = expr("str_to_map(tags, ',', '=')")
+    val firstSeen = df.filter(hasTags)
+      .select(explode(entries).as(Seq("__k", "__v")), col(SeqCol).as("__ord"))
+      .groupBy(col("__k"), col("__v"))
+      .agg(min(col("__ord")).as("__first"))
+    val ranked = firstSeen.withColumn("__rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__k")).orderBy(col("__first"), col("__v"))))
+    val keptRows = ranked.filter(col("__rank") <= valueLimit)
+      .select(col("__k"), col("__v")).limit(1000001).collect()
+    if (keptRows.length > 1000000) throw VrlUnsupported(
+      "tag_cardinality_limit kept set beyond 1e6 pairs " +
+        "(use Metrics.tagCardinalityLimit per tag column)")
+    val kept: Map[String, Seq[String]] =
+      keptRows.map(r => (r.getString(0), r.getString(1))).toSeq
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val keptLit = typedLit(kept)
+    def allowed(k: Column, v: Column): Column =
+      array_contains(coalesce(element_at(keptLit, k),
+        typedLit(Seq.empty[String])), v)
+    if (dropEvent)
+      df.filter(!hasTags || forall(map_entries(entries),
+        e => allowed(e.getField("key"), e.getField("value"))))
+    else {
+      val rebuilt = array_join(transform(
+        filter(sort_array(map_entries(entries)),
+          e => allowed(e.getField("key"), e.getField("value"))),
+        e => concat_ws("=", e.getField("key"), e.getField("value"))), ",")
+      df.withColumn("tags", when(hasTags, rebuilt).otherwise(col("tags")))
+    }
+  }
 
   /** Transforms whose batch form depends on a global arrival order
     * (window over `__seq`) refuse on a streaming frame rather than
@@ -704,7 +1041,8 @@ object Topology {
       }.toSeq
       f.df.select(col(SeqCol) +: cols: _*)
     }
-    Frame(dfs.reduce(_ union _), EventMeta(unified, None))
+    Frame(dfs.reduce(_ union _), EventMeta(unified, None),
+      metric = frames.forall(_.metric))
   }
 
   private[config] def unifyT(a: VT, b: VT): VT =
@@ -771,8 +1109,9 @@ object Conditions {
       t.str("type").getOrElse("vrl") match {
         case "vrl" => vrl(t.str("source").getOrElse(
           throw new IllegalArgumentException("vrl condition without source")), in, tables)
-        case "is_log" => lit(true)
-        case "is_metric" | "is_trace" => lit(false)
+        case "is_log" => lit(!in.metric)
+        case "is_metric" => lit(in.metric)
+        case "is_trace" => lit(false)
         case "datadog_search" =>
           val q = t.str("source").getOrElse(
             throw new IllegalArgumentException("datadog_search condition without source"))

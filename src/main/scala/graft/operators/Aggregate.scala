@@ -68,24 +68,9 @@ object Aggregate {
     val ord = orderCol.getOrElse(ts)
     mode match {
       case Auto =>
-        // One window pass to find each (series, win)'s last absolute
-        // event, then a single hash aggregate over the surviving rows:
-        // the last absolute plus every incremental after it. The window
-        // and the groupBy share the same (keys, win) partitioning, so
-        // AQE plans ONE exchange, not two. `orderCol` must be unique
-        // within a (series, window) for the last-absolute row pick.
         val kc = kind.getOrElse(throw new IllegalArgumentException(
           "Aggregate.Auto needs a kind column ('absolute'|'incremental')"))
-        val winPlain = windowStart(ts, windowSecs)
-        val w = Window.partitionBy(keys :+ winPlain: _*)
-        val lastAbs = max(when(kc === "absolute", ord)).over(w)
-        df.withColumn("__last_abs", lastAbs)
-          .filter(
-            (kc === "absolute" && ord === col("__last_abs")) ||
-            (kc === "incremental" &&
-              (col("__last_abs").isNull || ord > col("__last_abs"))))
-          .groupBy(keys :+ win: _*)
-          .agg(sum(value).as("value"))
+        tumblingAutoKind(df, keys, ts, value, windowSecs, ord, kc).drop("kind")
       case Sum    => grouped.agg(sum(value).as("value"))
       // one per EVENT (record_count emits Counter{1} per metric,
       // aggregate.rs:173-185) — count(value) would skip null-valued rows
@@ -109,5 +94,36 @@ object Aggregate {
         latest.withColumn("value",
           col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)))
     }
+  }
+
+  /** `Auto` with the flushed entry's `kind` in the output — what the
+    * reference emits on flush (its map entry keeps the kind of the
+    * event that seeded it, aggregate.rs:134-140): `absolute` when the
+    * window recorded an absolute metric (it seeds the sum), else
+    * `incremental`.
+    *
+    * One window pass to find each (series, win)'s last absolute event,
+    * then a single hash aggregate over the surviving rows: the last
+    * absolute plus every incremental after it. The window and the
+    * groupBy share the same (keys, win) partitioning, so AQE plans ONE
+    * exchange, not two. `ord` must be unique within a (series, window)
+    * for the last-absolute row pick. Returns keys..., win, value, kind.
+    */
+  def tumblingAutoKind(df: DataFrame, keys: Seq[Column], ts: Column,
+                       value: Column, windowSecs: Long, ord: Column,
+                       kind: Column): DataFrame = {
+    val win = windowStart(ts, windowSecs).as("win")
+    val winPlain = windowStart(ts, windowSecs)
+    val w = Window.partitionBy(keys :+ winPlain: _*)
+    val lastAbs = max(when(kind === "absolute", ord)).over(w)
+    df.withColumn("__last_abs", lastAbs)
+      .filter(
+        (kind === "absolute" && ord === col("__last_abs")) ||
+        (kind === "incremental" &&
+          (col("__last_abs").isNull || ord > col("__last_abs"))))
+      .groupBy(keys :+ win: _*)
+      // min over the SURVIVORS: the absolute seed row survives exactly
+      // when the window had one, and "absolute" < "incremental"
+      .agg(sum(value).as("value"), min(kind).as("kind"))
   }
 }

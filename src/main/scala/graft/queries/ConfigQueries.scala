@@ -141,13 +141,88 @@ object ConfigQueries {
         RoleRows.map { case (r, t, w) => s"('$r','$t',$w)" }.mkString(", ") +
         ") AS t(role, team, weight))"))
 
+  // ------------------------------------------- metric pipeline from config
+  /** log_to_metric ([[metrics]] rules: 1-per-event counter + gauge,
+    * templated tags) → aggregate (mode auto, daily event-time windows),
+    * both built FROM TOML — the reference's flagship metric topology
+    * (log_to_metric.rs + aggregate.rs) driven by config. `__seq` is
+    * `event_id` (unique), so the auto mode's last-absolute pick is
+    * deterministic and the oracle can mirror it with a window rank.
+    */
+  private def qConfigMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.config.VrlCompile.{VFloat, VStr, VTime}
+    val e = Tables.table(s, dir, "events")
+    val frame = Frame(
+      e.select(col("event_type"), col("value").cast("double").as("value"),
+        col("ts"), col("event_id").cast("long").as(Topology.SeqCol)),
+      EventMeta(ListMap("event_type" -> VStr, "value" -> VFloat, "ts" -> VTime), None))
+    val topo = Topology.load(
+      """
+        |[transforms.l2m]
+        |  inputs = ["events"]
+        |  type = "log_to_metric"
+        |  [[transforms.l2m.metrics]]
+        |    type = "counter"
+        |    field = "event_type"
+        |    name = "ev_total"
+        |    [transforms.l2m.metrics.tags]
+        |      type = "{{event_type}}"
+        |  [[transforms.l2m.metrics]]
+        |    type = "gauge"
+        |    field = "value"
+        |    name = "val"
+        |    [transforms.l2m.metrics.tags]
+        |      type = "{{event_type}}"
+        |[transforms.agg]
+        |  inputs = ["l2m"]
+        |  type = "aggregate"
+        |  interval_ms = 86400000
+        |  mode = "auto"
+        |""".stripMargin)
+    topo.run(Map("events" -> frame))("agg").df
+      .select(col("name"), col("tags"), col("kind"), col("value_type"),
+        col("value"), unix_timestamp(col("ts")).as("win"))
+      .orderBy("name", "tags", "win")
+  }
+
+  private val oracleConfigMetrics: String = {
+    val win = "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
+    s"""WITH m AS (
+         SELECT 'ev_total' AS name, 'type=' || event_type AS tags,
+           'incremental' AS kind, 'counter' AS value_type,
+           1.0 AS value, ts, event_id, $win AS win
+         FROM events
+         UNION ALL
+         SELECT 'val', 'type=' || event_type, 'absolute', 'gauge',
+           CAST(value AS DOUBLE), ts, event_id, $win
+         FROM events WHERE value IS NOT NULL
+       ),
+       counters AS (
+         SELECT name, tags, kind, value_type,
+           CAST(sum(value) AS DOUBLE) AS value, win
+         FROM m WHERE kind = 'incremental'
+         GROUP BY name, tags, kind, value_type, win
+       ),
+       gauges AS (
+         SELECT name, tags, kind, value_type, value, win FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY name, tags, value_type, win
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM m WHERE kind = 'absolute') WHERE rn = 1
+       )
+       SELECT * FROM counters UNION ALL SELECT * FROM gauges
+       ORDER BY name, tags, win"""
+  }
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
-    "q_config_enrich" -> (qConfigEnrich _)
+    "q_config_enrich" -> (qConfigEnrich _),
+    "q_config_metrics" -> (qConfigMetrics _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "q_config_pipeline" -> oracleConfigPipeline,
-    "q_config_enrich" -> oracleConfigEnrich
+    "q_config_enrich" -> oracleConfigEnrich,
+    "q_config_metrics" -> oracleConfigMetrics
   )
 }
