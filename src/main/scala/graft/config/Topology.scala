@@ -542,63 +542,101 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * first `value_limit` distinct values (first-seen = min `__seq`, the
     * deterministic batch analog of arrival order) are accepted; beyond
     * that, drop_tag strips the offending tag and drop_event drops the
-    * row. Runs over the flat frame's canonical tags string: parse to a
-    * map, judge per entry, rebuild (sorted — the canonical form). Tag
+    * row. `per_metric_limits` overrides follow the reference's tracking
+    * partition (mod.rs:30-56, 130-141): a metric matching an override's
+    * name (+ optional namespace) tracks its tag sets under its OWN
+    * group with its own limit/action; everything else shares the global
+    * group. Runs over the flat frame's canonical tags string: parse to
+    * a map, judge per entry, rebuild (sorted — the canonical form). Tag
     * values containing '=' or ',' are outside the canonical string form
     * (the typed-column operator Metrics.tagCardinalityLimit is the
     * general path).
     *
-    * Shuffle shape: first-seen is one map-side-combined (key, value)
-    * hash agg; the per-key rank window partitions on the tag key, so no
-    * value domain funnels through one partition. Only the KEPT pairs —
-    * ≤ |keys| × value_limit, the same bounded state the reference's
-    * per-key HashSet holds in one process — reach the driver, becoming
-    * a broadcast-literal lookup map.
+    * Shuffle shape: first-seen is one map-side-combined (group, key,
+    * value) hash agg; the rank window partitions on (group, tag key),
+    * so no value domain funnels through one partition. Only the KEPT
+    * pairs — ≤ |groups| × |keys| × value_limit, the same bounded state
+    * the reference's per-key HashSets hold in one process — reach the
+    * driver, becoming a broadcast-literal lookup map.
     */
   private def tagLimitConfig(name: String, cfg: TTab, df: DataFrame): DataFrame = {
-    if (cfg.tab("per_metric_limits").isDefined)
-      throw VrlUnsupported("tag_cardinality_limit per_metric_limits")
-    cfg.str("mode").foreach {
+    def modeOf(t: TTab): Unit = t.str("mode").foreach {
       case "exact" => ()
       case other => throw VrlUnsupported(s"tag_cardinality_limit mode $other " +
         "(exact tracking is strictly tighter than the bloom cache)")
     }
-    val valueLimit = cfg.long("value_limit").getOrElse(500L).toInt
-    val dropEvent = cfg.str("limit_exceeded_action").getOrElse("drop_tag") match {
-      case "drop_tag" => false
-      case "drop_event" => true
-      case other => throw new IllegalArgumentException(s"limit_exceeded_action $other")
+    def limitOf(t: TTab): Int = t.long("value_limit").getOrElse(500L).toInt
+    def dropEventOf(t: TTab): Boolean =
+      t.str("limit_exceeded_action").getOrElse("drop_tag") match {
+        case "drop_tag" => false
+        case "drop_event" => true
+        case other => throw new IllegalArgumentException(s"limit_exceeded_action $other")
+      }
+    modeOf(cfg)
+    // per-override groups "g0","g1",… + the shared global group ""
+    final case class Grp(id: String, limit: Int, dropEvent: Boolean)
+    val overrides: Seq[(Column, Grp)] =
+      cfg.tab("per_metric_limits").map(_.entries.toSeq.collect {
+        case (mName, t: TTab) => (mName, t)
+      }).getOrElse(Nil).zipWithIndex.map { case ((mName, t), i) =>
+        modeOf(t)
+        val cond = t.str("namespace") match {
+          case Some(ns) => col("name") === mName && col("namespace") === ns
+          case None => col("name") === mName
+        }
+        cond -> Grp(s"g$i", limitOf(t), dropEventOf(t))
+      }
+    val global = Grp("", limitOf(cfg), dropEventOf(cfg))
+    val grps = overrides.map(_._2) :+ global
+    val grpCol: Column = overrides.foldRight(lit(global.id)) {
+      case ((cond, g), rest) => when(cond, lit(g.id)).otherwise(rest)
     }
+    val limitLit = typedLit(grps.map(g => g.id -> g.limit).toMap)
+
     val hasTags = col("tags").isNotNull && col("tags") =!= ""
     val entries = expr("str_to_map(tags, ',', '=')")
     val firstSeen = df.filter(hasTags)
-      .select(explode(entries).as(Seq("__k", "__v")), col(SeqCol).as("__ord"))
-      .groupBy(col("__k"), col("__v"))
+      .select(grpCol.as("__g"), explode(entries).as(Seq("__k", "__v")),
+        col(SeqCol).as("__ord"))
+      .groupBy(col("__g"), col("__k"), col("__v"))
       .agg(min(col("__ord")).as("__first"))
     val ranked = firstSeen.withColumn("__rank",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__k")).orderBy(col("__first"), col("__v"))))
-    val keptRows = ranked.filter(col("__rank") <= valueLimit)
-      .select(col("__k"), col("__v")).limit(1000001).collect()
+        .partitionBy(col("__g"), col("__k")).orderBy(col("__first"), col("__v"))))
+    val keptRows = ranked
+      .filter(col("__rank") <= element_at(limitLit, col("__g")))
+      .select(col("__g"), col("__k"), col("__v")).limit(1000001).collect()
     if (keptRows.length > 1000000) throw VrlUnsupported(
       "tag_cardinality_limit kept set beyond 1e6 pairs " +
         "(use Metrics.tagCardinalityLimit per tag column)")
+    // composite (group, key) literal-map key; '=' can never appear
+    // in a canonical tag key (it terminates the key)
     val kept: Map[String, Seq[String]] =
-      keptRows.map(r => (r.getString(0), r.getString(1))).toSeq
+      keptRows.map(r => (r.getString(0) + "=" + r.getString(1), r.getString(2))).toSeq
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
     val keptLit = typedLit(kept)
-    def allowed(k: Column, v: Column): Column =
-      array_contains(coalesce(element_at(keptLit, k),
+    def allowed(g: Column, k: Column, v: Column): Column =
+      array_contains(coalesce(
+        element_at(keptLit, concat(g, lit("="), k)),
         typedLit(Seq.empty[String])), v)
-    if (dropEvent)
-      df.filter(!hasTags || forall(map_entries(entries),
-        e => allowed(e.getField("key"), e.getField("value"))))
+
+    val dropEventIds = grps.filter(_.dropEvent).map(_.id)
+    val g = grpCol
+    val violates = hasTags && exists(map_entries(entries),
+      e => !allowed(g, e.getField("key"), e.getField("value")))
+    val filtered =
+      if (dropEventIds.isEmpty) df
+      else df.filter(!(g.isin(dropEventIds.map(x => x: Any): _*) && violates))
+    val dropTagIds = grps.filterNot(_.dropEvent).map(_.id)
+    if (dropTagIds.isEmpty) filtered
     else {
       val rebuilt = array_join(transform(
         filter(sort_array(map_entries(entries)),
-          e => allowed(e.getField("key"), e.getField("value"))),
+          e => allowed(g, e.getField("key"), e.getField("value"))),
         e => concat_ws("=", e.getField("key"), e.getField("value"))), ",")
-      df.withColumn("tags", when(hasTags, rebuilt).otherwise(col("tags")))
+      filtered.withColumn("tags",
+        when(hasTags && g.isin(dropTagIds.map(x => x: Any): _*), rebuilt)
+          .otherwise(col("tags")))
     }
   }
 
@@ -635,6 +673,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val groupPaths = cfg.strArr("group_by")
     val groupCols = groupPaths.map(p => resolveField(env, parsePathStr(p)).col)
     val endsWhen = cfg.get("ends_when").map(v => Conditions.compile(Some(v), in, enrichmentTables))
+    val startsWhen = cfg.get("starts_when").map(v => Conditions.compile(Some(v), in, enrichmentTables))
+    // reference reduce/config.rs build(): setting both is a config error
+    if (endsWhen.isDefined && startsWhen.isDefined)
+      throw new IllegalArgumentException(
+        s"reduce $name: ends_when and starts_when are mutually exclusive")
     val maxEvents = cfg.long("max_events").map(_.toInt)
     val strategies: Map[String, String] = cfg.tab("merge_strategies") match {
       case Some(t) => t.entries.toSeq.collect { case (k, TStr(s)) => k -> s }.toMap
@@ -644,7 +687,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     // group keys materialized under reserved names so the post-agg
     // projection can't collide with same-named event fields
     val cut = graft.operators.Reduce.sessionIds(
-        in.df, groupCols, col(SeqCol), endsWhen, maxEvents)
+        in.df, groupCols, col(SeqCol), endsWhen, maxEvents, startsWhen)
       .withColumns(groupPaths.indices.map(i => s"__g$i" -> groupCols(i)).toMap)
     val gKeys = groupPaths.indices.map(i => col(s"__g$i")) :+ col("session_id")
     val ord = col(SeqCol)

@@ -333,6 +333,70 @@ class ConfigMetricsSpec extends SparkSpec {
       ("g1", "", "absolute", "gauge", 7.5)), rows.toString)
   }
 
+  test("tag_cardinality_limit per_metric_limits: override tracks its own group with its own limit/action") {
+    // global limit 1 (drop_tag); metric "special" overrides to limit 2
+    // with drop_event. Reference mod.rs:130-141: overridden metrics
+    // track tag sets under their own key, everything else shares one
+    // global pool — so special's env values don't consume global slots.
+    val in = metricFrame(Seq(
+      ("plain", "ns", "env=a", "incremental", "counter", 1.0, "2024-01-01T00:00:01", 1L),
+      ("plain", "ns", "env=b", "incremental", "counter", 1.0, "2024-01-01T00:00:02", 2L),
+      ("special", "ns", "env=x", "incremental", "counter", 1.0, "2024-01-01T00:00:03", 3L),
+      ("special", "ns", "env=y", "incremental", "counter", 1.0, "2024-01-01T00:00:04", 4L),
+      ("special", "ns", "env=z", "incremental", "counter", 1.0, "2024-01-01T00:00:05", 5L)))
+    val out = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = ["src"]
+        |  type = "tag_cardinality_limit"
+        |  value_limit = 1
+        |  limit_exceeded_action = "drop_tag"
+        |  [transforms.t.per_metric_limits.special]
+        |    value_limit = 2
+        |    limit_exceeded_action = "drop_event"
+        |""".stripMargin).run(Map("src" -> in))("t").df
+      .orderBy(Topology.SeqCol).select("name", "tags")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // plain: env=b is past the global limit -> tag dropped;
+    // special: env=z is its THIRD distinct value (limit 2) -> row dropped
+    assert(out == Seq(
+      ("plain", "env=a"), ("plain", ""),
+      ("special", "env=x"), ("special", "env=y")), out.toString)
+  }
+
+  test("reduce starts_when from config cuts a new session AT the matching event; exclusive with ends_when") {
+    val df = Seq(
+      ("k", "begin", "a", 1L), ("k", "line", "b", 2L),
+      ("k", "begin", "c", 3L), ("k", "line", "d", 4L))
+      .toDF("g", "marker", "payload", Topology.SeqCol)
+    val in = Frame(df, EventMeta(ListMap(
+      "g" -> VStr, "marker" -> VStr, "payload" -> VStr), None))
+    val out = Topology.load(
+      """
+        |[transforms.r]
+        |  inputs = ["src"]
+        |  type = "reduce"
+        |  group_by = ["g"]
+        |  starts_when = '.marker == "begin"'
+        |  [transforms.r.merge_strategies]
+        |    payload = "concat"
+        |""".stripMargin).run(Map("src" -> in))("r").df
+      .orderBy(Topology.SeqCol).select("payload").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a b", "c d"), out.toString)
+
+    val both = intercept[IllegalArgumentException] {
+      Topology.load(
+        """
+          |[transforms.r]
+          |  inputs = ["src"]
+          |  type = "reduce"
+          |  starts_when = '.marker == "begin"'
+          |  ends_when = '.marker == "end"'
+          |""".stripMargin).run(Map("src" -> in))
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
   test("is_metric / is_log route conditions see the frame's event type") {
     val in = metricFrame(Seq(
       ("m", "ns", "", "incremental", "counter", 1.0, "2024-01-01T00:00:01", 1L)))
