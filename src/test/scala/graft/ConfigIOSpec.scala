@@ -202,6 +202,59 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("streaming execute: log_to_metric streams (narrow metric transform); aggregate refuses") {
+    val dir = Files.createTempDirectory("graft-configstream3")
+    Seq(("200", 12.5, "2024-01-01T00:00:01"), ("500", 80.0, "2024-01-01T00:00:02"))
+      .toDF("status", "duration", "ts_str")
+      .select(col("status"), col("duration"), to_timestamp(col("ts_str")).as("timestamp"))
+      .write.parquet(s"$dir/in")
+    val l2m =
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.m]
+        |  inputs = ["ev"]
+        |  type = "log_to_metric"
+        |  [[transforms.m.metrics]]
+        |    type = "counter"
+        |    field = "status"
+        |    name = "status_total"
+        |    [transforms.m.metrics.tags]
+        |      status = "{{status}}"
+        |""".stripMargin
+    Topology.load(
+      l2m +
+      s"""
+        |[sinks.out]
+        |  inputs = ["m"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin).executeStreaming(spark, s"$dir/ckpt")
+    val metrics = spark.read.parquet(s"$dir/out")
+      .select("name", "tags", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(metrics == Set(("status_total", "status=200", 1.0),
+      ("status_total", "status=500", 1.0)), metrics.toString)
+
+    // aggregate needs cross-batch windowed state -> refuses on a stream
+    val ex = intercept[graft.config.VrlAst.VrlUnsupported] {
+      Topology.load(
+        l2m +
+        s"""
+          |[transforms.agg]
+          |  inputs = ["m"]
+          |  type = "aggregate"
+          |[sinks.out]
+          |  inputs = ["agg"]
+          |  type = "parquet"
+          |  path = "$dir/out2"
+          |""".stripMargin).executeStreaming(spark, s"$dir/ckpt2")
+    }
+    assert(ex.getMessage.contains("streaming"), ex.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: order-dependent transforms refuse loudly; dedupe streams first-wins") {
     val dir = Files.createTempDirectory("graft-configstream2")
     Seq(("a", "x"), ("a", "y"), ("b", "z"))
