@@ -283,11 +283,20 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           EventMeta(in.meta.types + ("message" -> VStr), None)))
 
       case "aggregate" =>
-        // streaming aggregate needs a watermark + output-mode contract
-        // the TOML doesn't express; the watermarked window agg lives on
-        // graft.streaming.StreamOps for library callers
-        requireBatch(in, "aggregate")
-        Seq("" -> aggregateConfig(name, cfg, in))
+        if (in.df.isStreaming) {
+          // graft extension: `watermark = "<delay>"` turns the same
+          // tumbling event-time windows into a Structured Streaming
+          // aggregation (append mode — a window flushes once the
+          // watermark passes its end, the reference's interval flush
+          // re-expressed in event time). Without it, refuse with the
+          // contract spelled out rather than let the sink start fail.
+          val delay = cfg.str("watermark").getOrElse(throw VrlUnsupported(
+            "aggregate on a streaming source needs watermark = \"<delay>\" " +
+              "(e.g. \"30 seconds\"): event-time windows flush when the " +
+              "watermark passes (graft extension)"))
+          Seq("" -> aggregateStreamingConfig(name, cfg, in, delay))
+        } else
+          Seq("" -> aggregateConfig(name, cfg, in))
 
       case "incremental_to_absolute" =>
         requireBatch(in, "incremental_to_absolute")
@@ -530,6 +539,63 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       .withColumn("ts", col("win").cast("timestamp"))
       .withColumn("value", col("value").cast("double"))
       .drop("win")
+    val cols = MetricMeta.types.keys.toSeq
+    val out = shaped
+      .withColumn(SeqCol, xxhash64(cols.map(c => col(s"`$c`")): _*))
+      .select(col(SeqCol) +: cols.map(c => col(s"`$c`")): _*)
+    Frame(out, MetricMeta, metric = true)
+  }
+
+  /** [[aggregateConfig]]'s streaming form: the same per-series tumbling
+    * windows as a watermarked Structured Streaming aggregation (append
+    * mode). State per (series, window) is one agg buffer, dropped once
+    * the watermark passes — bounded by live series × in-flight windows
+    * regardless of throughput. Modes needing cross-window or in-window
+    * ORDER state beyond an aggregate buffer (auto's last-absolute
+    * scan, diff's previous-window lag) refuse; sum/count/max/min/mean/
+    * stdev/latest map 1:1 onto streaming-safe aggregates (latest =
+    * max_by on the (ts, __seq) struct — a plain agg buffer).
+    */
+  private def aggregateStreamingConfig(name: String, cfg: TTab, in: Frame,
+                                       delay: String): Frame = {
+    requireMetricFrame(name, "aggregate", in)
+    val intervalMs = cfg.long("interval_ms").getOrElse(10000L)
+    if (intervalMs <= 0 || intervalMs % 1000 != 0) throw VrlUnsupported(
+      s"aggregate interval_ms $intervalMs (event-time windows are whole seconds here)")
+    val secs = intervalMs / 1000
+    val dfw = in.df.withWatermark("ts", delay)
+    val winCol = window(col("ts"), s"$secs seconds")
+    val series = Seq(col("name"), col("namespace"), col("tags"), col("value_type"))
+    val ord = struct(col("ts"), col(SeqCol))
+    def grouped(d: DataFrame, keys: Seq[Column]) = d.groupBy(keys :+ winCol.as("__w"): _*)
+    val absOnly = dfw.filter(col("kind") === "absolute")
+    def withKind(d: DataFrame, k: String) = d.withColumn("kind", lit(k))
+    val agg = cfg.str("mode").getOrElse("auto").toLowerCase match {
+      case "sum" => withKind(
+        grouped(dfw.filter(col("kind") === "incremental"), series)
+          .agg(sum(col("value")).as("value")), "incremental")
+      case "count" =>
+        grouped(dfw, Seq(col("name"), col("namespace"), col("tags"), col("kind")))
+          .agg(count(lit(1)).as("value"))
+          .withColumn("value_type", lit("counter"))
+      case "latest" => withKind(
+        grouped(absOnly, series).agg(max_by(col("value"), ord).as("value")), "absolute")
+      case "max" => withKind(grouped(absOnly, series).agg(max(col("value")).as("value")), "absolute")
+      case "min" => withKind(grouped(absOnly, series).agg(min(col("value")).as("value")), "absolute")
+      case "mean" => withKind(
+        grouped(absOnly.filter(col("value_type") === "gauge"), series)
+          .agg((sum(col("value")) / count(col("value"))).as("value")), "absolute")
+      case "stdev" => withKind(
+        grouped(absOnly.filter(col("value_type") === "gauge"), series)
+          .agg(stddev_pop(col("value")).as("value")), "absolute")
+      case other => throw VrlUnsupported(
+        s"aggregate mode $other on a streaming source (auto/diff need " +
+          "order state beyond an aggregate buffer)")
+    }
+    val shaped = agg
+      .withColumn("ts", col("__w.start"))
+      .withColumn("value", col("value").cast("double"))
+      .drop("__w")
     val cols = MetricMeta.types.keys.toSeq
     val out = shaped
       .withColumn(SeqCol, xxhash64(cols.map(c => col(s"`$c`")): _*))

@@ -255,6 +255,55 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("streaming execute: watermarked aggregate flushes closed windows and resumes from checkpoint") {
+    val dir = Files.createTempDirectory("graft-configstream4")
+    def write(rows: Seq[(String, Double, String)], mode: String): Unit =
+      rows.toDF("status", "duration", "ts_str")
+        .select(col("status"), col("duration"), to_timestamp(col("ts_str")).as("timestamp"))
+        .write.mode(mode).parquet(s"$dir/in")
+    // window [0,10): two events; window [10,20): one event that pushes
+    // the watermark past the first window's end
+    write(Seq(("200", 12.5, "2024-01-01T00:00:01"),
+      ("200", 3.0, "2024-01-01T00:00:02"),
+      ("500", 9.0, "2024-01-01T00:00:11")), "overwrite")
+    val topo = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.m]
+        |  inputs = ["ev"]
+        |  type = "log_to_metric"
+        |  [[transforms.m.metrics]]
+        |    type = "counter"
+        |    field = "status"
+        |    name = "hits"
+        |[transforms.agg]
+        |  inputs = ["m"]
+        |  type = "aggregate"
+        |  interval_ms = 10000
+        |  mode = "sum"
+        |  watermark = "0 seconds"
+        |[sinks.out]
+        |  inputs = ["agg"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin)
+    topo.executeStreaming(spark, s"$dir/ckpt")
+    def flushed(): Set[(Long, Double)] = spark.read.parquet(s"$dir/out")
+      .select(unix_timestamp(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // only the CLOSED window flushed (append mode): [0,10) with 2 hits
+    assert(flushed() == Set((1704067200L, 2.0)), flushed().toString)
+
+    // a later event lands -> re-run advances the checkpointed watermark
+    // past [10,20), flushing its 1-hit row
+    write(Seq(("200", 1.0, "2024-01-01T00:00:25")), "append")
+    topo.executeStreaming(spark, s"$dir/ckpt")
+    assert(flushed() == Set((1704067200L, 2.0), (1704067210L, 1.0)), flushed().toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: order-dependent transforms refuse loudly; dedupe streams first-wins") {
     val dir = Files.createTempDirectory("graft-configstream2")
     Seq(("a", "x"), ("a", "y"), ("b", "z"))
