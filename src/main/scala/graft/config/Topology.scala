@@ -444,8 +444,22 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       val rules = cfg.tabs("metrics")
       if (rules.isEmpty) throw new IllegalArgumentException(
         s"log_to_metric $name: no [[metrics]] rules (or all_metrics = true)")
-      def template(t: String): Column = graft.functions.Template.compile(
-        t, tsCol, f => resolveField(env, parsePathStr(f)).col.cast("string"))
+      // render-STRICT template: null referenced fields make the whole
+      // render null — the reference's TemplateRenderingError (a failed
+      // name render skips the event via the operator's name filter; a
+      // failed tag render drops that tag; a failed namespace render
+      // leaves the metric namespace-less). Template.compile alone
+      // coalesces null fields to "", which would emit `k=` tags the
+      // reference never produces.
+      def template(t: String): Column = {
+        val rendered = graft.functions.Template.compile(
+          t, tsCol, f => resolveField(env, parsePathStr(f)).col.cast("string"))
+        graft.functions.Template.fields(t) match {
+          case Seq() => rendered
+          case refs => when(refs.map(f =>
+            resolveField(env, parsePathStr(f)).col.isNotNull).reduce(_ && _), rendered)
+        }
+      }
       import graft.operators.Metrics.MetricRule
       val compiled = rules.map { m =>
         val mtype = m.str("type").getOrElse(throw new IllegalArgumentException(
@@ -466,6 +480,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         mtype match {
           case "counter" =>
             val kind = m.str("kind").getOrElse("incremental")
+            if (kind != "incremental" && kind != "absolute")
+              throw new IllegalArgumentException(
+                s"log_to_metric $name: counter kind $kind (absolute|incremental)")
             if (m.bool("increment_by_value").getOrElse(false))
               MetricRule("counter", nameCol, numV, tags, kind, nsCol)
             else // the field must still be PRESENT: 1-per-event counts
@@ -878,8 +895,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     *   - `type = "parquet"`: optional `partition_by` columns; an
     *     optional `[sinks.<n>.checkpoint] manifest = <dir>` adds the
     *     lineage manifest (footer-statistics when partitioned by port);
-    *   - `type = "file"` with `encoding.codec = "json"`: one JSON
-    *     object per line (the reference's file sink + json encoder).
+    *   - `type = "file"`: one encoded line per event; `encoding.codec`
+    *     picks json (default) / logfmt / csv / text / gelf /
+    *     native_json — see [[encodedLine]].
     * Returns sink name -> rows written.
     */
   def writeSinks(outputs: Map[String, Frame]): Map[String, Long] =
@@ -928,18 +946,63 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
               graft.sinks.ParquetIO.read(df.sparkSession, path).count()
           }
         case Some("file") =>
-          cfg.tab("encoding").flatMap(_.str("codec")) match {
-            case Some("json") | None =>
-              df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toSeq: _*)).as("value"))
-                .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
-              df.sparkSession.read.text(path).count()
-            case Some(other) =>
-              throw VrlUnsupported(s"sink $name: encoding codec $other")
-          }
+          val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          in.df.select(line.as("value"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+          df.sparkSession.read.text(path).count()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> n
     }
+
+  /** One encoded line per event for a `type = "file"` sink — the
+    * reference's sink codecs (lib/codecs/src/encoding/format/): json
+    * (default), logfmt, csv (RFC-4180 quoting, event fields in schema
+    * order, no header row), text (the `message` field), gelf
+    * (host/message/timestamp required, level optional → 1), and
+    * native_json (log or metric arm picked by the frame's event type).
+    * Every codec is a narrow column expression, so the encode rides the
+    * sink's own scan — no extra pass, no UDF.
+    */
+  private def encodedLine(sinkName: String, in: Frame, codec: Option[String]): Column = {
+    val df = in.df
+    val fields: Seq[(String, Column)] =
+      in.meta.types.keys.toSeq.map(n => n -> df.col(s"`$n`"))
+    def need(f: String): Column = {
+      if (!in.meta.types.contains(f)) throw new IllegalArgumentException(
+        s"sink $sinkName: codec ${codec.getOrElse("?")} needs event field '$f'")
+      df.col(s"`$f`")
+    }
+    codec.getOrElse("json") match {
+      case "json" => to_json(struct(fields.map { case (n, c) => c.as(n) }: _*))
+      case "logfmt" => graft.functions.Parsers.encodeLogfmt(fields)
+      case "csv" =>
+        val cells = fields.map { case (_, c) =>
+          val s = coalesce(c.cast("string"), lit(""))
+          when(s.rlike("[\",\n\r]"),
+            concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+            .otherwise(s)
+        }
+        concat_ws(",", cells: _*)
+      case "text" => need("message").cast("string")
+      case "gelf" =>
+        val ts = Seq("timestamp", "ts")
+          .find(f => in.meta.types.get(f).contains(VTime))
+          .map(f => df.col(s"`$f`")).getOrElse(throw new IllegalArgumentException(
+            s"sink $sinkName: codec gelf needs a timestamp/ts event field"))
+        val level = in.meta.types.get("level")
+          .map(_ => df.col("level").cast("string").try_cast("int"))
+          .getOrElse(lit(null).cast("int"))
+        graft.functions.Parsers.encodeGelf(
+          need("host"), need("message"), ts, coalesce(level, lit(1)))
+      case "native_json" =>
+        if (in.metric)
+          graft.functions.NativeJson.encodeMetric(df.col("name"), df.col("tags"),
+            df.col("kind"), df.col("value_type"), df.col("value"))
+        else graft.functions.NativeJson.encodeLog(fields)
+      case other => throw VrlUnsupported(s"sink $sinkName: encoding codec $other")
+    }
+  }
 
   /** Whole-config execution: sources -> transform DAG -> sinks. The
     * reference's `vector run` lifecycle (SURVEY §3.1) collapsed to one
@@ -1029,17 +1092,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .trigger(trigger)
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).start()
         case Some("file") =>
-          cfg.tab("encoding").flatMap(_.str("codec")) match {
-            case Some("json") | None =>
-              df.select(to_json(struct(df.columns.map(c => col(s"`$c`")).toSeq: _*)).as("value"))
-                .writeStream.format("text")
-                .option("path", path)
-                .option("checkpointLocation", s"$checkpointRoot/$name")
-                .trigger(trigger)
-                .start()
-            case Some(other) =>
-              throw VrlUnsupported(s"sink $name: encoding codec $other")
-          }
+          val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          in.df.select(line.as("value"))
+            .writeStream.format("text")
+            .option("path", path)
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(trigger)
+            .start()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> q

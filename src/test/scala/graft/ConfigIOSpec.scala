@@ -255,6 +255,63 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("file sink codecs from config: logfmt, csv quoting, text, gelf, native_json per event type") {
+    val dir = Files.createTempDirectory("graft-sinkcodecs")
+    Seq(("h1", "has \"quote\", comma", "2024-01-01T00:00:01", "3"))
+      .toDF("host", "message", "ts_str", "level")
+      .select(col("host"), col("message"),
+        to_timestamp(col("ts_str")).as("timestamp"), col("level"))
+      .write.parquet(s"$dir/in")
+    def topo(codec: String) = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[sinks.out]
+        |  inputs = ["ev"]
+        |  type = "file"
+        |  path = "$dir/$codec"
+        |  [sinks.out.encoding]
+        |    codec = "$codec"
+        |""".stripMargin)
+    def line(codec: String): String = {
+      topo(codec).execute(spark)
+      spark.read.text(s"$dir/$codec").head.getString(0)
+    }
+    assert(line("logfmt") == "host=h1 message=\"has \"quote\", comma\" " +
+      "timestamp=\"2024-01-01 00:00:01\" level=3")
+    assert(line("csv") == "h1,\"has \"\"quote\"\", comma\",2024-01-01 00:00:01,3")
+    assert(line("text") == "has \"quote\", comma")
+    assert(line("gelf") == """{"version":"1.1","host":"h1","short_message":"has \"quote\", comma","timestamp":1704067201,"level":3}""")
+    val nj = line("native_json")
+    assert(nj.startsWith("""{"log":{"""") && nj.contains("\"host\":\"h1\""), nj)
+
+    // native_json on a METRIC frame takes the metric arm
+    val mTopo = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.m]
+        |  inputs = ["ev"]
+        |  type = "log_to_metric"
+        |  [[transforms.m.metrics]]
+        |    type = "counter"
+        |    field = "host"
+        |    name = "hits"
+        |[sinks.out]
+        |  inputs = ["m"]
+        |  type = "file"
+        |  path = "$dir/native_metric"
+        |  [sinks.out.encoding]
+        |    codec = "native_json"
+        |""".stripMargin)
+    mTopo.execute(spark)
+    val mj = spark.read.text(s"$dir/native_metric").head.getString(0)
+    assert(mj.startsWith("""{"metric":{"name":"hits","kind":"incremental"""), mj)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: watermarked aggregate flushes closed windows and resumes from checkpoint") {
     val dir = Files.createTempDirectory("graft-configstream4")
     def write(rows: Seq[(String, Double, String)], mode: String): Unit =

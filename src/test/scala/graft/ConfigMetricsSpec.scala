@@ -79,6 +79,27 @@ class ConfigMetricsSpec extends SparkSpec {
       ("status_total", "svc", "status=200,host=h2", "incremental", "counter", 1.0)), rows.toString)
   }
 
+  test("log_to_metric tag whose template hits a null field is DROPPED, not rendered as k=") {
+    // row 4 has null status: a gauge on duration still emits, but its
+    // status tag must vanish (render_tags TemplateRenderingError skip)
+    val topo = Topology.load(
+      """
+        |[transforms.l2m]
+        |  inputs = ["src"]
+        |  type = "log_to_metric"
+        |  [[transforms.l2m.metrics]]
+        |    type = "gauge"
+        |    field = "duration"
+        |    name = "dur"
+        |    [transforms.l2m.metrics.tags]
+        |      status = "{{status}}"
+        |      host = "{{host}}"
+        |""".stripMargin)
+    val rows = topo.run(Map("src" -> logFrame))("l2m").df
+      .orderBy(Topology.SeqCol).select("tags").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("status=200,host=h1", "status=500,host=h1", "host=h2"), rows.toString)
+  }
+
   test("log_to_metric increment_by_value counter sums the field; kind override honored") {
     val topo = Topology.load(
       """
