@@ -908,9 +908,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         throw new IllegalArgumentException(s"sink $name: unknown input $id")))
       val in = unionFrames(frames)
       val df = in.df.drop(SeqCol)
-      val path0 = cfg.str("path").getOrElse(
-        throw new IllegalArgumentException(s"sink $name: no path"))
-      val path = resolvePath(path0)
+      // lazy: the console sink has no path
+      lazy val path = resolvePath(cfg.str("path").getOrElse(
+        throw new IllegalArgumentException(s"sink $name: no path")))
       // rows-written is counted from the WRITTEN output, never by a
       // df.count() before the write: the frame is an uncached
       // source->transform plan, and a pre-count would execute the whole
@@ -950,10 +950,30 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           in.df.select(line.as("value"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
           df.sparkSession.read.text(path).count()
+        case Some("console") => writeConsole(name, cfg, in)
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> n
     }
+
+  /** `type = "console"` (reference src/sinks/console/): encoded lines to
+    * the driver's stdout/stderr per `target`. A debug device by
+    * contract — lines stream through `toLocalIterator` (one partition
+    * buffered at a time, never the whole frame), but stdout is still
+    * one process; don't point a 100 TB fan-out at it.
+    */
+  private def writeConsole(name: String, cfg: TTab, in: Frame): Long = {
+    val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+    val outStream = cfg.str("target").getOrElse("stdout") match {
+      case "stdout" => System.out
+      case "stderr" => System.err
+      case other => throw new IllegalArgumentException(s"sink $name: target $other")
+    }
+    var n = 0L
+    val it = in.df.select(line.as("value")).toLocalIterator()
+    while (it.hasNext) { outStream.println(it.next().getString(0)); n += 1 }
+    n
+  }
 
   /** One encoded line per event for a `type = "file"` sink — the
     * reference's sink codecs (lib/codecs/src/encoding/format/): json
@@ -1076,9 +1096,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         throw new IllegalArgumentException(s"sink $name: unknown input $id")))
       val in = unionFrames(frames)
       val df = in.df.drop(SeqCol)
-      val path0 = cfg.str("path").getOrElse(
-        throw new IllegalArgumentException(s"sink $name: no path"))
-      val path = resolvePath(path0)
+      // lazy: the console sink has no path
+      lazy val path = resolvePath(cfg.str("path").getOrElse(
+        throw new IllegalArgumentException(s"sink $name: no path")))
       if (cfg.tab("checkpoint").flatMap(_.str("manifest")).isDefined)
         throw VrlUnsupported(
           s"sink $name: [checkpoint] manifest in streaming mode (the query checkpoint is the lineage)")
@@ -1096,6 +1116,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           in.df.select(line.as("value"))
             .writeStream.format("text")
             .option("path", path)
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(trigger)
+            .start()
+        case Some("console") =>
+          val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          in.df.select(line.as("value"))
+            .writeStream.format("console")
+            .option("truncate", "false")
             .option("checkpointLocation", s"$checkpointRoot/$name")
             .trigger(trigger)
             .start()

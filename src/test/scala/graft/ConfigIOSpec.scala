@@ -312,6 +312,31 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("console sink prints encoded lines to the chosen target and reports the count") {
+    val dir = Files.createTempDirectory("graft-consolesink")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "n").write.parquet(s"$dir/in")
+    val topo = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[sinks.out]
+        |  inputs = ["ev"]
+        |  type = "console"
+        |  target = "stdout"
+        |  [sinks.out.encoding]
+        |    codec = "logfmt"
+        |""".stripMargin)
+    val baos = new java.io.ByteArrayOutputStream()
+    val prev = System.out
+    System.setOut(new java.io.PrintStream(baos, true, "UTF-8"))
+    val counts = try topo.execute(spark) finally System.setOut(prev)
+    assert(counts == Map("out" -> 2L), counts.toString)
+    val lines = new String(baos.toByteArray, "UTF-8").trim.split("\n").sorted.toSeq
+    assert(lines == Seq("k=a n=1", "k=b n=2"), lines.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: watermarked aggregate flushes closed windows and resumes from checkpoint") {
     val dir = Files.createTempDirectory("graft-configstream4")
     def write(rows: Seq[(String, Double, String)], mode: String): Unit =
