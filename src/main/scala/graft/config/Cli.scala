@@ -40,7 +40,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val usage =
-      "usage: graft.config.Cli run|test <topology.toml> | run-stream <topology.toml> <checkpointDir>"
+      "usage: graft.config.Cli run|test|validate <topology.toml> | run-stream <topology.toml> <checkpointDir>"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val spark = session()
     try {
@@ -48,6 +48,23 @@ object Cli {
         case "run" =>
           val written = Topology.loadFile(args(1)).execute(spark)
           written.foreach { case (sink, n) => println(s"sink $sink: $n rows") }
+        case "validate" =>
+          // `vector validate`: schema-probe the sources, compile every
+          // transform's Catalyst plan and every sink's codec/options —
+          // no sink action runs. Any config error surfaces here with
+          // the component named, before a cluster is ever involved.
+          try {
+            val topo = Topology.loadFile(args(1))
+            val src = topo.loadSources(spark)
+            val outs = topo.run(src)
+            val sinks = topo.dryRunSinks(src ++ outs)
+            println(s"OK: ${topo.transforms.size} transforms, " +
+              s"${outs.size} outputs, $sinks sinks")
+          } catch {
+            case e: Exception =>
+              System.err.println(s"validation error: ${e.getMessage}")
+              sys.exit(1)
+          }
         case "run-stream" =>
           // the reference's continuous lifecycle, drained with
           // Trigger.AvailableNow: each invocation processes exactly the

@@ -956,6 +956,37 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       name -> n
     }
 
+  /** Resolve every sink's inputs, schema, codec, and required options
+    * WITHOUT writing — the sink half of `vector validate`. Transform
+    * plans were already forced by `run` (compilation is plan building;
+    * nothing executes until a sink action). Returns the sink count.
+    */
+  def dryRunSinks(outputs: Map[String, Frame]): Int = {
+    sinkDefs.foreach { case (name, cfg) =>
+      val inputIds = cfg.strArr("inputs")
+      require(inputIds.nonEmpty, s"sink $name: no inputs")
+      val frames = inputIds.map(id => outputs.getOrElse(id,
+        throw new IllegalArgumentException(s"sink $name: unknown input $id")))
+      val in = unionFrames(frames)
+      def path(): Unit = if (cfg.str("path").isEmpty)
+        throw new IllegalArgumentException(s"sink $name: no path")
+      cfg.str("type") match {
+        case Some("parquet") =>
+          path()
+          cfg.strArr("partition_by").foreach(p =>
+            if (!in.df.columns.contains(p)) throw new IllegalArgumentException(
+              s"sink $name: partition_by column '$p' not in the input schema"))
+        case Some("file") =>
+          path()
+          encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+        case Some("console") =>
+          encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+        case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
+      }
+    }
+    sinkDefs.size
+  }
+
   /** `type = "console"` (reference src/sinks/console/): encoded lines to
     * the driver's stdout/stderr per `target`. A debug device by
     * contract — lines stream through `toLocalIterator` (one partition

@@ -312,6 +312,47 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("validate dry-runs sinks: bad partition_by and missing codec fields surface without writing") {
+    val dir = Files.createTempDirectory("graft-validate")
+    Seq(("a", 1L)).toDF("k", "n").write.parquet(s"$dir/in")
+    def topoFor(sinkBody: String) = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[sinks.out]
+        |  inputs = ["ev"]
+        |$sinkBody
+        |""".stripMargin)
+    val badPart = topoFor(
+      s"""  type = "parquet"
+        |  path = "$dir/out"
+        |  partition_by = ["nope"]""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      badPart.dryRunSinks(badPart.loadSources(spark))
+    }
+    assert(e1.getMessage.contains("partition_by column 'nope'"), e1.getMessage)
+    assert(!new java.io.File(s"$dir/out").exists, "dry run must not write")
+
+    val badGelf = topoFor(
+      s"""  type = "file"
+        |  path = "$dir/out2"
+        |  [sinks.out.encoding]
+        |    codec = "gelf"""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      badGelf.dryRunSinks(badGelf.loadSources(spark))
+    }
+    assert(e2.getMessage.contains("needs"), e2.getMessage)
+
+    val ok = topoFor(
+      s"""  type = "parquet"
+        |  path = "$dir/out3"
+        |  partition_by = ["k"]""".stripMargin)
+    assert(ok.dryRunSinks(ok.loadSources(spark)) == 1)
+    assert(!new java.io.File(s"$dir/out3").exists, "dry run must not write")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("console sink prints encoded lines to the chosen target and reports the count") {
     val dir = Files.createTempDirectory("graft-consolesink")
     Seq(("a", 1L), ("b", 2L)).toDF("k", "n").write.parquet(s"$dir/in")
