@@ -869,10 +869,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   def loadSources(spark: org.apache.spark.sql.SparkSession): Map[String, Frame] =
     sources.map { case (name, cfg) =>
-      val path0 = cfg.str("path").getOrElse(
-        throw new IllegalArgumentException(s"source $name: no path"))
-      val path = resolvePath(path0)
+      // lazy: demo_logs has no path
+      lazy val path = resolvePath(cfg.str("path").getOrElse(
+        throw new IllegalArgumentException(s"source $name: no path")))
       val frame = cfg.str("type") match {
+        case Some("demo_logs") => demoLogs(spark, name, cfg)
         case Some("parquet") =>
           val df = spark.read.parquet(path)
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
@@ -890,6 +891,79 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       }
       name -> frame
     }
+
+  /** `type = "demo_logs"` (reference src/sources/demo_logs.rs): fake
+    * log lines for testing and demos, no external data. Formats:
+    * `shuffle` (lines + sequence), `apache_common`, `apache_error`,
+    * `syslog` (RFC 5424), `bsd_syslog` (RFC 3164), `json` — the
+    * reference's OutputFormat set. `count` bounds the batch (the
+    * reference's knob; its usize::MAX default becomes 1000 here — a
+    * table source can't be endless). The reference draws from fakedata's
+    * RNG; here every pick hashes the row index, so the SAME config
+    * always generates the SAME table (replayable demos, stable tests)
+    * and `__seq` is the true generation order. Lines parse back with
+    * the matching parse_* functions (apache_common ↔ parse_apache_log,
+    * syslog ↔ parse_syslog).
+    */
+  private def demoLogs(spark: org.apache.spark.sql.SparkSession,
+                       name: String, cfg: TTab): Frame = {
+    val count = cfg.long("count").getOrElse(1000L)
+    val id = col("id")
+    def h(salt: Int): Column = abs(xxhash64(id, lit(salt)))
+    def pick(arr: Seq[String], salt: Int): Column =
+      element_at(typedLit(arr), pmod(h(salt), lit(arr.size)).cast("int") + 1)
+    val ts = timestamp_seconds(lit(1600000000L) + id)
+    val users = Seq("frank", "alice", "bob", "carol", "-")
+    val methods = Seq("GET", "POST", "PUT", "DELETE", "HEAD")
+    val paths = Seq("/index.html", "/api/v1/users", "/static/app.js",
+      "/health", "/search?q=spark", "/apache_pb.gif")
+    val codes = Seq("200", "200", "200", "301", "404", "500")
+    val hosts = Seq("web-01", "web-02", "db-01", "cache-01")
+    val apps = Seq("nginx", "app", "kernel", "sshd")
+    val msgs = Seq("Connection established", "Request processed",
+      "Cache miss", "Retrying upstream", "Shutting down worker")
+    val ip = concat(lit("192.168."), pmod(h(2), lit(256)), lit("."), pmod(h(3), lit(256)))
+    val msg = cfg.str("format").getOrElse("json") match {
+      case "shuffle" =>
+        val lines = cfg.strArr("lines")
+        if (lines.isEmpty) throw new IllegalArgumentException(
+          s"source $name: shuffle format needs lines") // ShuffleDemoLogsItemsEmpty
+        val base = pick(lines, 1)
+        if (cfg.bool("sequence").getOrElse(false))
+          concat(id.cast("string"), lit(" "), base)
+        else base
+      case "apache_common" =>
+        concat(ip, lit(" - "), pick(users, 4),
+          lit(" ["), date_format(ts, "dd/MMM/yyyy:HH:mm:ss +0000"),
+          lit("] \""), pick(methods, 5), lit(" "), pick(paths, 6),
+          lit(" HTTP/1.0\" "), pick(codes, 7), lit(" "), pmod(h(8), lit(10000)))
+      case "apache_error" =>
+        concat(lit("["), date_format(ts, "EEE MMM dd HH:mm:ss yyyy"),
+          lit("] [error] [client "), ip, lit("] "), pick(msgs, 9))
+      case "syslog" =>
+        concat(lit("<"), pmod(h(10), lit(191)), lit(">1 "),
+          date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), lit(" "),
+          pick(hosts, 11), lit(" "), pick(apps, 12), lit(" "),
+          pmod(h(13), lit(9999)), lit(" ID"), pmod(h(14), lit(999)),
+          lit(" - "), pick(msgs, 15))
+      case "bsd_syslog" =>
+        concat(lit("<"), pmod(h(10), lit(191)), lit(">"),
+          date_format(ts, "MMM dd HH:mm:ss"), lit(" "), pick(hosts, 11),
+          lit(" "), pick(apps, 12), lit("["), pmod(h(13), lit(9999)),
+          lit("]: "), pick(msgs, 15))
+      case "json" =>
+        to_json(struct(
+          ip.as("host"), lit("-").as("user-identifier"),
+          date_format(ts, "dd/MMM/yyyy:HH:mm:ss +0000").as("datetime"),
+          pick(methods, 5).as("method"), pick(paths, 6).as("request"),
+          lit("HTTP/1.1").as("protocol"), pick(codes, 7).as("status"),
+          pmod(h(8), lit(10000)).cast("string").as("bytes"),
+          pick(paths, 16).as("referer")))
+      case other => throw VrlUnsupported(s"source $name: demo_logs format $other")
+    }
+    Frame(spark.range(count).select(msg.as("message"), id.as(SeqCol)),
+      EventMeta(ListMap("message" -> VStr), None))
+  }
 
   /** `[sinks.<name>]` blocks: write each sink's input frames.
     *   - `type = "parquet"`: optional `partition_by` columns; an

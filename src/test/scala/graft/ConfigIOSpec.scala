@@ -312,6 +312,57 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("demo_logs source: deterministic fake lines that parse with the matching parsers") {
+    val topo = Topology.load(
+      """
+        |[sources.gen]
+        |  type = "demo_logs"
+        |  format = "apache_common"
+        |  count = 200
+        |[transforms.parse]
+        |  inputs = ["gen"]
+        |  type = "remap"
+        |  drop_on_error = true
+        |  source = '''
+        |    p = parse_apache_log!(.message, "common")
+        |    .status = to_int!(string!(p.status))
+        |  '''
+        |""".stripMargin)
+    val out = topo.run(topo.loadSources(spark))("parse").df
+    assert(out.count() == 200, "every generated apache_common line must parse")
+    val statuses = out.select("status").distinct().collect().map(_.getLong(0)).toSet
+    assert(statuses.subsetOf(Set(200L, 301L, 404L, 500L)), statuses.toString)
+
+    // same config -> same table (hash-of-index picks, no RNG)
+    def lines(t: Topology) = t.loadSources(spark)("gen").df
+      .orderBy(Topology.SeqCol).select("message").collect().map(_.getString(0)).toSeq
+    assert(lines(topo) == lines(topo))
+
+    // shuffle format: lines required, sequence prefixes the index
+    val sh = Topology.load(
+      """
+        |[sources.gen]
+        |  type = "demo_logs"
+        |  format = "shuffle"
+        |  sequence = true
+        |  count = 3
+        |  lines = ["alpha", "beta"]
+        |""".stripMargin).loadSources(spark)("gen").df
+      .orderBy(Topology.SeqCol).select("message").collect().map(_.getString(0)).toSeq
+    assert(sh.zipWithIndex.forall { case (l, i) => l.startsWith(s"$i ") }, sh.toString)
+    assert(sh.forall(l => l.endsWith("alpha") || l.endsWith("beta")), sh.toString)
+
+    val noLines = intercept[IllegalArgumentException] {
+      Topology.load(
+        """
+          |[sources.gen]
+          |  type = "demo_logs"
+          |  format = "shuffle"
+          |""".stripMargin).loadSources(spark)
+    }
+    assert(noLines.getMessage.contains("lines"))
+  }
+
   test("validate dry-runs sinks: bad partition_by and missing codec fields surface without writing") {
     val dir = Files.createTempDirectory("graft-validate")
     Seq(("a", 1L)).toDF("k", "n").write.parquet(s"$dir/in")
