@@ -214,15 +214,119 @@ object ConfigQueries {
        ORDER BY name, tags, win"""
   }
 
+  // ----------------------------------------- tag_cardinality_limit
+  /** log_to_metric (typed + templated tags) → tag_cardinality_limit
+    * (drop_tag, value_limit 3) from TOML. `__seq` = event_id, so
+    * first-seen order is deterministic and the oracle mirrors the
+    * per-key first-3 kept set with a window rank.
+    */
+  private def qConfigTagLimit(s: SparkSession, dir: String): DataFrame = {
+    import graft.config.VrlCompile.{VFloat, VStr, VTime}
+    val e = Tables.table(s, dir, "events")
+    val frame = Frame(
+      e.select(col("event_type"), col("user_id").cast("string").as("uid"),
+        col("value").cast("double").as("value"), col("ts"),
+        col("event_id").cast("long").as(Topology.SeqCol)),
+      EventMeta(ListMap("event_type" -> VStr, "uid" -> VStr,
+        "value" -> VFloat, "ts" -> VTime), None))
+    val topo = Topology.load(
+      """
+        |[transforms.l2m]
+        |  inputs = ["events"]
+        |  type = "log_to_metric"
+        |  [[transforms.l2m.metrics]]
+        |    type = "counter"
+        |    field = "event_type"
+        |    name = "ev"
+        |    [transforms.l2m.metrics.tags]
+        |      type = "{{event_type}}"
+        |      user = "{{uid}}"
+        |[transforms.capped]
+        |  inputs = ["l2m"]
+        |  type = "tag_cardinality_limit"
+        |  value_limit = 3
+        |  limit_exceeded_action = "drop_tag"
+        |""".stripMargin)
+    topo.run(Map("events" -> frame))("capped").df
+      .select(col(Topology.SeqCol).as("event_id"), col("tags"))
+      .orderBy("event_id")
+  }
+
+  private val oracleConfigTagLimit: String =
+    """WITH m AS (
+         SELECT event_type, CAST(user_id AS VARCHAR) AS uid, event_id
+         FROM events),
+       pairs AS (
+         SELECT 'type' AS k, event_type AS v, event_id FROM m
+         UNION ALL SELECT 'user', uid, event_id FROM m),
+       first_seen AS (SELECT k, v, min(event_id) AS f FROM pairs GROUP BY k, v),
+       kept AS (SELECT k, v FROM (
+         SELECT *, row_number() OVER (PARTITION BY k ORDER BY f, v) AS rn
+         FROM first_seen) WHERE rn <= 3)
+       SELECT m.event_id,
+         concat_ws(',',
+           CASE WHEN kt.v IS NOT NULL THEN 'type=' || m.event_type END,
+           CASE WHEN ku.v IS NOT NULL THEN 'user=' || m.uid END) AS tags
+       FROM m
+       LEFT JOIN kept kt ON kt.k = 'type' AND kt.v = m.event_type
+       LEFT JOIN kept ku ON ku.k = 'user' AND ku.v = m.uid
+       ORDER BY event_id"""
+
+  // ------------------------------------------------- window (context)
+  /** window (context filter) from TOML over the transcript: flush_when
+    * tool match, -1/+2 context per conv_id, forward_when bypass for
+    * system turns (they consume no buffer slot). `__seq` = turn_idx —
+    * per-conversation order, which is all the sharded buffer needs.
+    */
+  private def qConfigWindow(s: SparkSession, dir: String): DataFrame = {
+    import graft.config.VrlCompile.{VInt, VStr}
+    val t = Tables.transcript(s, dir)
+    val frame = Frame(
+      t.select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("role"), col("tool"), col("turn_idx").cast("long").as(Topology.SeqCol)),
+      EventMeta(ListMap("conv_id" -> VStr, "turn_idx" -> VInt,
+        "role" -> VStr, "tool" -> VStr), None))
+    val topo = Topology.load(
+      """
+        |[transforms.ctx]
+        |  inputs = ["transcript"]
+        |  type = "window"
+        |  flush_when = '.tool == "tool_3"'
+        |  forward_when = '.role == "system"'
+        |  num_events_before = 1
+        |  num_events_after = 2
+        |  group_by = ["conv_id"]
+        |""".stripMargin)
+    topo.run(Map("transcript" -> frame))("ctx").df
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  private val oracleConfigWindow: String = Oracle.q(
+    """SELECT conv_id, turn_idx, role, tool FROM (
+         SELECT conv_id, turn_idx, role, tool,
+           max(CASE WHEN coalesce(tool = 'tool_3', false) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS keep
+         FROM base WHERE role <> 'system') WHERE keep = 1
+       UNION ALL
+       SELECT conv_id, turn_idx, role, tool FROM base WHERE role = 'system'
+       ORDER BY conv_id, turn_idx""",
+    Seq("base AS (SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, tool FROM transcript)"))
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
-    "q_config_metrics" -> (qConfigMetrics _)
+    "q_config_metrics" -> (qConfigMetrics _),
+    "q_config_tag_limit" -> (qConfigTagLimit _),
+    "q_config_window" -> (qConfigWindow _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
     "q_config_pipeline" -> oracleConfigPipeline,
     "q_config_enrich" -> oracleConfigEnrich,
-    "q_config_metrics" -> oracleConfigMetrics
+    "q_config_metrics" -> oracleConfigMetrics,
+    "q_config_tag_limit" -> oracleConfigTagLimit,
+    "q_config_window" -> oracleConfigWindow
   )
 }
