@@ -683,11 +683,27 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         col(SeqCol).as("__ord"))
       .groupBy(col("__g"), col("__k"), col("__v"))
       .agg(min(col("__ord")).as("__first"))
-    val ranked = firstSeen.withColumn("__rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
+    // two-phase top-K: the final per-(group, key) rank window puts one
+    // KEY's whole distinct-value domain in one task — unbounded for a
+    // high-cardinality key (user ids). Pre-prune inside hash buckets
+    // first: the global first-`limit` values of a key are each in SOME
+    // bucket and are top-`limit` there too, so bucket-local rank ≤
+    // limit keeps all of them while capping the final window's input
+    // at buckets × limit rows per key.
+    import org.apache.spark.sql.expressions.Window
+    val Buckets = 64
+    val limitOfG = element_at(limitLit, col("__g"))
+    val pruned = firstSeen
+      .withColumn("__b", pmod(xxhash64(col("__v")), lit(Buckets)))
+      .withColumn("__lr", row_number().over(Window
+        .partitionBy(col("__g"), col("__k"), col("__b"))
+        .orderBy(col("__first"), col("__v"))))
+      .filter(col("__lr") <= limitOfG)
+    val ranked = pruned.withColumn("__rank",
+      row_number().over(Window
         .partitionBy(col("__g"), col("__k")).orderBy(col("__first"), col("__v"))))
     val keptRows = ranked
-      .filter(col("__rank") <= element_at(limitLit, col("__g")))
+      .filter(col("__rank") <= limitOfG)
       .select(col("__g"), col("__k"), col("__v")).limit(1000001).collect()
     if (keptRows.length > 1000000) throw VrlUnsupported(
       "tag_cardinality_limit kept set beyond 1e6 pairs " +
