@@ -636,11 +636,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * general path).
     *
     * Shuffle shape: first-seen is one map-side-combined (group, key,
-    * value) hash agg; the rank window partitions on (group, tag key),
-    * so no value domain funnels through one partition. Only the KEPT
-    * pairs — ≤ |groups| × |keys| × value_limit, the same bounded state
-    * the reference's per-key HashSets hold in one process — reach the
-    * driver, becoming a broadcast-literal lookup map.
+    * value) hash agg; the rank window partitions on (group, tag key)
+    * and its foldable rank bound gets a map-side partial top-K
+    * (InferWindowGroupLimit), so no unbounded value domain funnels
+    * through one partition. Only the KEPT pairs — ≤ |groups| × |keys| ×
+    * value_limit, the same bounded state the reference's per-key
+    * HashSets hold in one process — reach the driver, becoming a
+    * broadcast-literal lookup map.
     */
   private def tagLimitConfig(name: String, cfg: TTab, df: DataFrame): DataFrame = {
     def modeOf(t: TTab): Unit = t.str("mode").foreach {
@@ -648,7 +650,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case other => throw VrlUnsupported(s"tag_cardinality_limit mode $other " +
         "(exact tracking is strictly tighter than the bloom cache)")
     }
-    def limitOf(t: TTab): Int = t.long("value_limit").getOrElse(500L).toInt
+    // clamp: a >2^31 config value must not truncate negative via toInt
+    def limitOf(t: TTab): Int = {
+      val l = t.long("value_limit").getOrElse(500L)
+      require(l >= 0, s"tag_cardinality_limit: negative value_limit $l")
+      math.min(l, Int.MaxValue.toLong).toInt
+    }
     def dropEventOf(t: TTab): Boolean =
       t.str("limit_exceeded_action").getOrElse("drop_tag") match {
         case "drop_tag" => false
@@ -679,31 +686,31 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val hasTags = col("tags").isNotNull && col("tags") =!= ""
     val entries = expr("str_to_map(tags, ',', '=')")
     val firstSeen = df.filter(hasTags)
-      .select(grpCol.as("__g"), explode(entries).as(Seq("__k", "__v")),
+      .select(grpCol.as("__g"), explode(entries).as(Seq("__k0", "__v0")),
         col(SeqCol).as("__ord"))
+      // a bare tag ("host" with no '=') parses to a null map value;
+      // normalize to "" everywhere (here, in the lambdas, in the
+      // rebuild) so three-valued logic can't silently drop in-limit
+      // rows and the driver sort never sees null
+      .select(col("__g"), col("__k0").as("__k"),
+        coalesce(col("__v0"), lit("")).as("__v"), col("__ord"))
       .groupBy(col("__g"), col("__k"), col("__v"))
       .agg(min(col("__ord")).as("__first"))
-    // two-phase top-K: the final per-(group, key) rank window puts one
-    // KEY's whole distinct-value domain in one task — unbounded for a
-    // high-cardinality key (user ids). Pre-prune inside hash buckets
-    // first: the global first-`limit` values of a key are each in SOME
-    // bucket and are top-`limit` there too, so bucket-local rank ≤
-    // limit keeps all of them while capping the final window's input
-    // at buckets × limit rows per key.
+    // The rank window alone would put one KEY's whole distinct-value
+    // domain in one task — unbounded for a high-cardinality key (user
+    // ids). The FOLDABLE `<= maxLimit` conjunct lets Catalyst's
+    // InferWindowGroupLimit (SPARK-37099) insert a map-side partial
+    // top-K below the window's shuffle — each mapper emits at most
+    // maxLimit rows per (group, key) — and the non-foldable per-group
+    // bound then applies exactly on the survivors.
     import org.apache.spark.sql.expressions.Window
-    val Buckets = 64
+    val maxLimit = lit(grps.map(_.limit).max)
     val limitOfG = element_at(limitLit, col("__g"))
-    val pruned = firstSeen
-      .withColumn("__b", pmod(xxhash64(col("__v")), lit(Buckets)))
-      .withColumn("__lr", row_number().over(Window
-        .partitionBy(col("__g"), col("__k"), col("__b"))
-        .orderBy(col("__first"), col("__v"))))
-      .filter(col("__lr") <= limitOfG)
-    val ranked = pruned.withColumn("__rank",
+    val ranked = firstSeen.withColumn("__rank",
       row_number().over(Window
         .partitionBy(col("__g"), col("__k")).orderBy(col("__first"), col("__v"))))
     val keptRows = ranked
-      .filter(col("__rank") <= limitOfG)
+      .filter(col("__rank") <= maxLimit && col("__rank") <= limitOfG)
       .select(col("__g"), col("__k"), col("__v")).limit(1000001).collect()
     if (keptRows.length > 1000000) throw VrlUnsupported(
       "tag_cardinality_limit kept set beyond 1e6 pairs " +
@@ -714,10 +721,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       keptRows.map(r => (r.getString(0) + "=" + r.getString(1), r.getString(2))).toSeq
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
     val keptLit = typedLit(kept)
+    // try_element_at: under ANSI mode a plain element_at THROWS on a
+    // missing map key (e.g. value_limit = 0 leaves the map empty);
+    // coalesce(v, "") mirrors the bare-tag normalization above
     def allowed(g: Column, k: Column, v: Column): Column =
       array_contains(coalesce(
-        element_at(keptLit, concat(g, lit("="), k)),
-        typedLit(Seq.empty[String])), v)
+        try_element_at(keptLit, concat(g, lit("="), k)),
+        typedLit(Seq.empty[String])), coalesce(v, lit("")))
 
     val dropEventIds = grps.filter(_.dropEvent).map(_.id)
     val g = grpCol

@@ -385,6 +385,29 @@ class ConfigMetricsSpec extends SparkSpec {
       ("special", "env=x"), ("special", "env=y")), out.toString)
   }
 
+  test("tag_cardinality_limit hostile edges: bare tags round-trip, value_limit = 0 drops instead of throwing") {
+    // bare tag "flag" (no '='): parses to a null map value — must not
+    // trip three-valued logic (drop_event keeping in-limit rows) and
+    // must round-trip bare through the drop_tag rebuild
+    val in = metricFrame(Seq(
+      ("m", "ns", "flag", "incremental", "counter", 1.0, "2024-01-01T00:00:01", 1L),
+      ("m", "ns", "flag,env=a", "incremental", "counter", 1.0, "2024-01-01T00:00:02", 2L)))
+    def run(limit: Int, action: String) = Topology.load(
+      s"""
+        |[transforms.t]
+        |  inputs = ["src"]
+        |  type = "tag_cardinality_limit"
+        |  value_limit = $limit
+        |  limit_exceeded_action = "$action"
+        |""".stripMargin).run(Map("src" -> in))("t").df
+      .orderBy(Topology.SeqCol).select("tags").collect().map(_.getString(0)).toSeq
+    assert(run(5, "drop_event") == Seq("flag", "flag,env=a"))
+    assert(run(5, "drop_tag") == Seq("flag", "env=a,flag"))
+    // empty kept map (ANSI element_at would throw): all tags drop
+    assert(run(0, "drop_tag") == Seq("", ""))
+    assert(run(0, "drop_event") == Seq())
+  }
+
   test("reduce starts_when from config cuts a new session AT the matching event; exclusive with ends_when") {
     val df = Seq(
       ("k", "begin", "a", 1L), ("k", "line", "b", 2L),
