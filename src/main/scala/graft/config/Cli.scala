@@ -41,7 +41,14 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val usage =
       "usage: graft.config.Cli run|test|validate <topology.toml> | run-stream <topology.toml> <checkpointDir>"
-    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    // exact arity per verb: `run x ckptDir` (meant run-stream?) must
+    // exit 2, not silently batch-overwrite sinks the user believed
+    // were incrementally maintained
+    val arity = args.headOption match {
+      case Some("run-stream") => 3
+      case _ => 2
+    }
+    if (args.length != arity) { System.err.println(usage); sys.exit(2) }
     val spark = session()
     try {
       args(0) match {

@@ -149,8 +149,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           dropOnAbort = cfg.bool("drop_on_abort").getOrElse(true),
           rerouteDropped = cfg.bool("reroute_dropped").getOrElse(false))
         val r = VrlCompile.remap(in.df, in.meta, prog, opts, Seq(SeqCol), enrichmentTables)
-        Seq("" -> Frame(r.df, r.meta)) ++
-          r.dropped.map(d => "dropped" -> Frame(d, in.meta))
+        Seq("" -> Frame(r.df, r.meta, in.metric)) ++
+          r.dropped.map(d => "dropped" -> Frame(d, in.meta, in.metric))
 
       case "filter" =>
         Seq("" -> in.copy(df = in.df.filter(Conditions.compile(cfg.get("condition"), in, enrichmentTables))))
@@ -178,7 +178,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         // say so, or downstream VRL resolves `.port` to null and (worse)
         // a downstream remap's materialize silently drops the column
         val taggedMeta = EventMeta(in.meta.types + ("port" -> VStr), in.meta.rootT)
-        Seq("" -> Frame(tagged, taggedMeta)) ++
+        Seq("" -> Frame(tagged, taggedMeta, in.metric)) ++
           (compiled.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
             p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
           }
@@ -197,7 +197,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         }: _*)
         val tagged = graft.operators.Route.exclusive(in.df, conds)
         val taggedMeta = EventMeta(in.meta.types + ("port" -> VStr), in.meta.rootT)
-        Seq("" -> Frame(tagged, taggedMeta)) ++
+        Seq("" -> Frame(tagged, taggedMeta, in.metric)) ++
           (conds.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
             p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
           }
@@ -252,11 +252,15 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         ratioOpt match {
           case Some(r) =>
             val out = graft.operators.Sample.byRatio(in.df, Seq(group), Seq(col(SeqCol)), r)
-            Seq("" -> Frame(out, EventMeta(in.meta.types + ("sample_rate" -> VFloat), in.meta.rootT)))
+            Seq("" -> Frame(out,
+              EventMeta(in.meta.types + ("sample_rate" -> VFloat), in.meta.rootT),
+              in.metric))
           case None =>
             val out = graft.operators.Sample.counter(in.df, Seq(group), Seq(col(SeqCol)),
               rateOpt.getOrElse(10L).toInt)
-            Seq("" -> Frame(out, EventMeta(in.meta.types + ("sample_rate" -> VInt), in.meta.rootT)))
+            Seq("" -> Frame(out,
+              EventMeta(in.meta.types + ("sample_rate" -> VInt), in.meta.rootT),
+              in.metric))
         }
 
       case "throttle" =>
@@ -347,7 +351,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val envelope = Seq("trace_id", "span_id", "parent_span_id")
           .filter(in.meta.types.contains)
         Seq("" -> Frame(graft.operators.Stamp.traceToLog(in.df, envelope),
-          EventMeta(in.meta.types -- envelope, in.meta.rootT)))
+          EventMeta(in.meta.types -- envelope, in.meta.rootT), in.metric))
 
       case "aws_ec2_metadata" =>
         // the reference polls IMDS on a refresh interval
@@ -467,7 +471,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val fieldPath = m.str("field").getOrElse(
           throw new IllegalArgumentException(s"log_to_metric $name: rule without field"))
         if (fieldPath.contains("{{")) throw VrlUnsupported("templated metric field path")
-        val v = resolveField(env, parsePathStr(fieldPath)).col
+        val fv = resolveField(env, parsePathStr(fieldPath))
+        val v = fv.col
         val nameCol = m.str("name").map(template).getOrElse(lit(fieldPath))
         val nsCol = m.str("namespace").map(template)
           .getOrElse(lit(null)).cast("string")
@@ -489,7 +494,19 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                  // skip rows missing it (FieldNotFound, :432)
               MetricRule("counter", nameCol, when(v.isNotNull, lit(1.0)), tags, kind, nsCol)
           case "gauge" => MetricRule("gauge", nameCol, numV, tags, "absolute", nsCol)
-          case "set" => MetricRule("set", nameCol, numV, tags, "incremental", nsCol)
+          case "set" =>
+            // gauge/histogram rows with unparseable values SKIP — that
+            // is the reference's ParseFloatError path. A set member is
+            // NEVER parsed there (any value becomes a string member),
+            // so silently dropping a string-typed set field would be a
+            // divergence, not an error analog: refuse at plan time.
+            fv.t match {
+              case VInt | VFloat | VAny => ()
+              case t => throw VrlUnsupported(s"set rule over a $t field " +
+                "(the flat model's set members ride the numeric value " +
+                "column; cast in a remap upstream or use Metrics.logToMetric)")
+            }
+            MetricRule("set", nameCol, numV, tags, "incremental", nsCol)
           case "histogram" | "summary" =>
             MetricRule("distribution", nameCol, numV, tags, "incremental", nsCol)
           case other => throw VrlUnsupported(s"metric type $other")
@@ -859,7 +876,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       .groupBy(gKeys: _*)
       .agg(min(ord).as(SeqCol), aggs.toSeq: _*)
       .select(col(SeqCol) +: outTypes.toSeq.map { case (n, _) => col(s"`$n`") }: _*)
-    Frame(grouped, EventMeta(ListMap(outTypes.toSeq: _*), None))
+    Frame(grouped, EventMeta(ListMap(outTypes.toSeq: _*), None), in.metric)
   }
 
   private def VHetFromArray(elem: VT): VT = VArrOf(elem)
@@ -938,7 +955,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     def h(salt: Int): Column = abs(xxhash64(id, lit(salt)))
     def pick(arr: Seq[String], salt: Int): Column =
       element_at(typedLit(arr), pmod(h(salt), lit(arr.size)).cast("int") + 1)
-    val ts = timestamp_seconds(lit(1600000000L) + id)
+    // the generated lines hardcode Z/+0000 zone designators, so the
+    // wall-clock text must be UTC regardless of the session timezone
+    // (date_format renders in spark.sql.session.timeZone): shift the
+    // instant by -offset(session) so the session-local rendering shows
+    // the UTC wall clock
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+    val ts = to_utc_timestamp(
+      timestamp_seconds(lit(1600000000L) + id), sessionTz)
     val users = Seq("frank", "alice", "bob", "carol", "-")
     val methods = Seq("GET", "POST", "PUT", "DELETE", "HEAD")
     val paths = Seq("/index.html", "/api/v1/users", "/static/app.js",
@@ -1002,11 +1026,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   def writeSinks(outputs: Map[String, Frame]): Map[String, Long] =
     sinkDefs.map { case (name, cfg) =>
-      val inputIds = cfg.strArr("inputs")
-      require(inputIds.nonEmpty, s"sink $name: no inputs")
-      val frames = inputIds.map(id => outputs.getOrElse(id,
-        throw new IllegalArgumentException(s"sink $name: unknown input $id")))
-      val in = unionFrames(frames)
+      val in = sinkInput(name, cfg, outputs)
       val df = in.df.drop(SeqCol)
       // lazy: the console sink has no path
       lazy val path = resolvePath(cfg.str("path").getOrElse(
@@ -1056,6 +1076,18 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       name -> n
     }
 
+  /** A sink's input frame: declared `inputs` resolved against the
+    * produced outputs and unioned — shared by write, dry-run, and
+    * streaming so the three paths can't drift.
+    */
+  private def sinkInput(name: String, cfg: TTab,
+                        outputs: Map[String, Frame]): Frame = {
+    val inputIds = cfg.strArr("inputs")
+    require(inputIds.nonEmpty, s"sink $name: no inputs")
+    unionFrames(inputIds.map(id => outputs.getOrElse(id,
+      throw new IllegalArgumentException(s"sink $name: unknown input $id"))))
+  }
+
   /** Resolve every sink's inputs, schema, codec, and required options
     * WITHOUT writing — the sink half of `vector validate`. Transform
     * plans were already forced by `run` (compilation is plan building;
@@ -1063,19 +1095,18 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   def dryRunSinks(outputs: Map[String, Frame]): Int = {
     sinkDefs.foreach { case (name, cfg) =>
-      val inputIds = cfg.strArr("inputs")
-      require(inputIds.nonEmpty, s"sink $name: no inputs")
-      val frames = inputIds.map(id => outputs.getOrElse(id,
-        throw new IllegalArgumentException(s"sink $name: unknown input $id")))
-      val in = unionFrames(frames)
+      val in = sinkInput(name, cfg, outputs)
       def path(): Unit = if (cfg.str("path").isEmpty)
         throw new IllegalArgumentException(s"sink $name: no path")
       cfg.str("type") match {
         case Some("parquet") =>
           path()
+          // check against the EVENT columns: writeSinks drops __seq
+          // before partitionBy, so it must not validate here either
           cfg.strArr("partition_by").foreach(p =>
-            if (!in.df.columns.contains(p)) throw new IllegalArgumentException(
-              s"sink $name: partition_by column '$p' not in the input schema"))
+            if (p == SeqCol || !in.df.drop(SeqCol).columns.contains(p))
+              throw new IllegalArgumentException(
+                s"sink $name: partition_by column '$p' not in the input schema"))
         case Some("file") =>
           path()
           encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
@@ -1177,6 +1208,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   def loadStreamingSources(spark: org.apache.spark.sql.SparkSession): Map[String, Frame] =
     sources.map { case (name, cfg) =>
+      // refuse by TYPE before the path requirement: a path-less
+      // demo_logs config would otherwise get a misleading "no path"
+      if (cfg.str("type").contains("demo_logs"))
+        throw VrlUnsupported(s"source $name: demo_logs is batch-only " +
+          "(a bounded generated table; use Cli run, or a rate source " +
+          "via graft.streaming.StreamOps for an endless stream)")
       val path0 = cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"source $name: no path"))
       val path = resolvePath(path0)
@@ -1221,11 +1258,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
   def startStreamingSinks(outputs: Map[String, Frame], checkpointRoot: String)
       : Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] =
     sinkDefs.toSeq.map { case (name, cfg) =>
-      val inputIds = cfg.strArr("inputs")
-      require(inputIds.nonEmpty, s"sink $name: no inputs")
-      val frames = inputIds.map(id => outputs.getOrElse(id,
-        throw new IllegalArgumentException(s"sink $name: unknown input $id")))
-      val in = unionFrames(frames)
+      val in = sinkInput(name, cfg, outputs)
       val df = in.df.drop(SeqCol)
       // lazy: the console sink has no path
       lazy val path = resolvePath(cfg.str("path").getOrElse(
@@ -1275,12 +1308,25 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   def executeStreaming(spark: org.apache.spark.sql.SparkSession,
                        checkpointRoot: String): Map[String, Long] = {
-    val src = loadStreamingSources(spark)
-    val queries = startStreamingSinks(src ++ run(src), checkpointRoot)
-    queries.map { case (name, q) =>
-      q.awaitTermination()
-      name -> q.recentProgress.map(_.numInputRows).sum
-    }.toMap
+    // the progress buffer is a RING (numRecentProgressUpdates, default
+    // 100): a drain of more micro-batches than that would silently
+    // under-report the per-run row count. Widen it for the drain and
+    // restore after — reading the buffer after awaitTermination is
+    // synchronous, unlike a StreamingQueryListener.
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "100000")
+    try {
+      val src = loadStreamingSources(spark)
+      val queries = startStreamingSinks(src ++ run(src), checkpointRoot)
+      queries.map { case (name, q) =>
+        q.awaitTermination()
+        name -> q.recentProgress.map(_.numInputRows).sum
+      }.toMap
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def readRelative(p: String): String = {

@@ -188,12 +188,14 @@ object ConfigQueries {
   private val oracleConfigMetrics: String = {
     val win = "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
     s"""WITH m AS (
+         -- counter field = event_type: null => row skipped; gauge rows
+         -- keep going but a null-rendered type tag drops to '' tags
          SELECT 'ev_total' AS name, 'type=' || event_type AS tags,
            'incremental' AS kind, 'counter' AS value_type,
            1.0 AS value, ts, event_id, $win AS win
-         FROM events
+         FROM events WHERE event_type IS NOT NULL
          UNION ALL
-         SELECT 'val', 'type=' || event_type, 'absolute', 'gauge',
+         SELECT 'val', COALESCE('type=' || event_type, ''), 'absolute', 'gauge',
            CAST(value AS DOUBLE), ts, event_id, $win
          FROM events WHERE value IS NOT NULL
        ),
@@ -255,10 +257,14 @@ object ConfigQueries {
   private val oracleConfigTagLimit: String =
     """WITH m AS (
          SELECT event_type, CAST(user_id AS VARCHAR) AS uid, event_id
-         FROM events),
+         FROM events
+         WHERE event_type IS NOT NULL),  -- counter field null => row skipped (FieldNotFound)
        pairs AS (
          SELECT 'type' AS k, event_type AS v, event_id FROM m
-         UNION ALL SELECT 'user', uid, event_id FROM m),
+         UNION ALL
+         -- a null-rendered tag is DROPPED before the limiter ever sees
+         -- it: a null uid must not occupy a kept slot
+         SELECT 'user', uid, event_id FROM m WHERE uid IS NOT NULL),
        first_seen AS (SELECT k, v, min(event_id) AS f FROM pairs GROUP BY k, v),
        kept AS (SELECT k, v FROM (
          SELECT *, row_number() OVER (PARTITION BY k ORDER BY f, v) AS rn
