@@ -203,6 +203,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           }
 
       case "dedupe" =>
+        // an EXPLICIT [cache] must not silently degrade to the exact
+        // fixpoint: the LRU replay (Dedupe.keepFirstLru) needs a unique
+        // integral arrival order, and the config frames' `__seq` is a
+        // content hash (identical duplicates share it by design)
+        if (cfg.tab("cache").isDefined) throw VrlUnsupported(
+          s"dedupe $name: [cache] num_events (bounded-LRU re-emission " +
+            "needs a unique arrival column — use Dedupe.keepFirstLru on " +
+            "the library surface; config dedupe is the exact fixpoint)")
         val fieldsTab = cfg.tab("fields")
         val env = envFromDf(in.df, in.meta)
         val dedupeKeys: Seq[Column] = fieldsTab.flatMap(_.get("match")) match {

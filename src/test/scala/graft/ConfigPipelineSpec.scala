@@ -192,6 +192,34 @@ class ConfigPipelineSpec extends SparkSpec {
       (rs.head.errors ++ rs.head.skipped).mkString("; "))
   }
 
+  test("dedupe with an explicit [cache] refuses loudly instead of degrading to the fixpoint") {
+    // the LRU replay needs a unique arrival order; config frames' __seq
+    // is a content hash (identical duplicates share it), so honoring
+    // [cache] num_events here would silently be wrong — refuse instead
+    // (the harness surfaces the VrlUnsupported as a loud skip, not a pass)
+    val rs = UnitTestHarness.run(spark, Topology.load(
+        """
+          |[transforms.d]
+          |  inputs = []
+          |  type = "dedupe"
+          |  [transforms.d.cache]
+          |    num_events = 100
+          |[[tests]]
+          |  name = "lru"
+          |  [[tests.inputs]]
+          |    insert_at = "d"
+          |    type = "log"
+          |    [tests.inputs.log_fields]
+          |      message = "m"
+          |  [[tests.outputs]]
+          |    extract_from = "d"
+          |    [[tests.outputs.conditions]]
+          |      type = "vrl"
+          |      source = 'assert_eq!(.message, "m")'
+          |""".stripMargin))
+    assert(rs.head.skipped.exists(_.contains("keepFirstLru")), rs.head.toString)
+  }
+
   test("merge deep: true recurses into object-valued keys (merge.cue deep arg)") {
     import spark.implicits._
     val df = Seq(Tuple1(1L)).toDF(Topology.SeqCol)
