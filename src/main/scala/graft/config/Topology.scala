@@ -257,19 +257,25 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val env = envFromDf(in.df, in.meta)
         val group = cfg.str("group_by").map(p =>
           resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
-        ratioOpt match {
-          case Some(r) =>
-            val out = graft.operators.Sample.byRatio(in.df, Seq(group), Seq(col(SeqCol)), r)
-            Seq("" -> Frame(out,
-              EventMeta(in.meta.types + ("sample_rate" -> VFloat), in.meta.rootT),
-              in.metric))
-          case None =>
-            val out = graft.operators.Sample.counter(in.df, Seq(group), Seq(col(SeqCol)),
-              rateOpt.getOrElse(10L).toInt)
-            Seq("" -> Frame(out,
-              EventMeta(in.meta.types + ("sample_rate" -> VInt), in.meta.rootT),
-              in.metric))
+        // full reference surface (sample/config.rs): key_field hashes
+        // rows into consistent sample-together buckets, exclude bypasses
+        // without consuming counter quota, sample_rate_key renames (or
+        // "" suppresses) the stamp
+        val keyOpt = cfg.str("key_field").map(p =>
+          resolveField(env, parsePathStr(p)).col)
+        val excl = cfg.get("exclude").map(v =>
+          Conditions.compile(Some(v), in, enrichmentTables))
+        val rateKey = cfg.str("sample_rate_key").getOrElse("sample_rate")
+        val mode: Either[Int, Double] = ratioOpt match {
+          case Some(r) => Right(r)
+          case None    => Left(rateOpt.getOrElse(10L).toInt)
         }
+        val out = graft.operators.Sample.configured(
+          in.df, keyOpt, group, Seq(col(SeqCol)), mode, excl, rateKey)
+        val stampT = if (mode.isRight) VFloat else VInt
+        val types =
+          if (rateKey.isEmpty) in.meta.types else in.meta.types + (rateKey -> stampT)
+        Seq("" -> Frame(out, EventMeta(types, in.meta.rootT), in.metric))
 
       case "throttle" =>
         requireBatch(in, "throttle")
@@ -280,8 +286,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val key = cfg.str("key_field").map(p =>
           resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
         val ts = resolveField(env, Seq(SegName("timestamp"))).col
+        // exclude bypasses the limiter without consuming quota
+        // (throttle/config.rs:60-61, transform.rs:102-130)
+        val thrExcl = cfg.get("exclude").map(v =>
+          Conditions.compile(Some(v), in, enrichmentTables))
         Seq("" -> in.copy(df = graft.operators.Throttle(
-          in.df, key, ts, threshold, windowSecs, Seq(col(SeqCol)))))
+          in.df, key, ts, threshold, windowSecs, Seq(col(SeqCol)), thrExcl)))
 
       case "log_to_metric" =>
         Seq("" -> logToMetricConfig(name, cfg, in))

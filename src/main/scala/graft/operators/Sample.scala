@@ -77,11 +77,26 @@ object Sample {
   def byKeySeahash(df: DataFrame, key: Column, rate: Int,
                    exclude: Option[Column] = None): DataFrame = {
     requireRate(rate)
+    stampKept(df, seahashKeepRate(key, rate), exclude, lit(rate))
+  }
+
+  /** Unsigned `seahash(key) % rate == 0` in signed-long math (see
+    * [[byKeySeahash]] doc for the u64 decomposition).
+    */
+  private def seahashKeepRate(key: Column, rate: Int): Column = {
     val h = graft.functions.Vrl.seahash(key)
-    val keep = pmod(
+    pmod(
       pmod(shiftrightunsigned(h, 1), lit(rate.toLong)) * 2 + h.bitwiseAND(lit(1L)),
       lit(rate.toLong)) === 0
-    stampKept(df, keep, exclude, lit(rate))
+  }
+
+  /** Unsigned `seahash(key) <= (ratio * 2^64) as u64` via sign-bit flip
+    * (see [[byKeyRatio]] doc).
+    */
+  private def seahashKeepRatio(key: Column, ratio: Double): Column = {
+    val thr = ratioThresholdBits(ratio)
+    graft.functions.Vrl.seahash(key).bitwiseXOR(lit(Long.MinValue)) <=
+      lit(thr ^ Long.MinValue)
   }
 
   /** Reference-exact keyed ratio sampling (sample/transform.rs:41-54,
@@ -93,12 +108,8 @@ object Sample {
     * kept fraction approaches `ratio` on uniformly-hashed keys.
     */
   def byKeyRatio(df: DataFrame, key: Column, ratio: Double,
-                 exclude: Option[Column] = None): DataFrame = {
-    val thr = ratioThresholdBits(ratio)
-    val keep = graft.functions.Vrl.seahash(key).bitwiseXOR(lit(Long.MinValue)) <=
-      lit(thr ^ Long.MinValue)
-    stampKept(df, keep, exclude, lit(ratio))
-  }
+                 exclude: Option[Column] = None): DataFrame =
+    stampKept(df, seahashKeepRatio(key, ratio), exclude, lit(ratio))
 
   /** Rust `(ratio * (u64::MAX as u128) as f64) as u64`
     * (sample/transform.rs:52): f64→u64 truncates toward zero and
@@ -160,5 +171,65 @@ object Sample {
         floor(base + k * lit(ratio)) > floor(base + (k - lit(1.0)) * lit(ratio)))
       .filter(col("__keep")).drop("__keep")
       .withColumn("sample_rate", lit(ratio))
+  }
+
+  /** The FULL config surface of the reference transform
+    * (sample/config.rs:45-95, transform.rs:92-155) in one plan:
+    *
+    *  - `exclude` rows bypass sampling entirely — emitted unstamped and,
+    *    critically, WITHOUT consuming counter quota (the reference's
+    *    exclude check precedes both the hash gate and the counter
+    *    increment).
+    *  - rows where `key` is present gate on the seahash of the key's
+    *    string form (rate: unsigned multiple-of; ratio: unsigned
+    *    threshold) — equal keys always sample together.
+    *  - rows without the key (or with no `key` configured) fall back to
+    *    the per-`group` counter, whose position counts only
+    *    non-excluded keyless rows ("the event is sampled
+    *    independently", config.rs:68-71). Rate: every Nth such row;
+    *    ratio: the same Bresenham closed form as [[byRatio]].
+    *  - kept-by-sampling rows are stamped into `rateKey`
+    *    (`sample_rate_key`, config.rs:79-81); empty string = no stamp.
+    *
+    * One window over (group, order) — the same single shuffle as
+    * [[counter]]; the keyed gate is a narrow projection on top.
+    */
+  def configured(df: DataFrame, key: Option[Column], group: Column,
+                 order: Seq[Column], mode: Either[Int, Double],
+                 exclude: Option[Column], rateKey: String): DataFrame = {
+    mode match {
+      case Left(rate) => requireRate(rate)
+      case Right(ratio) => require(ratio > 0.0 && ratio <= 1.0,
+        s"sample ratio must be in (0, 1], got $ratio")
+    }
+    // a null condition value (missing field) is "not excluded", not
+    // three-valued — otherwise `null || keep=false` would DROP the row
+    val ex = exclude.map(e => coalesce(e, lit(false))).getOrElse(lit(false))
+    val keyPresent = key.map(_.isNotNull).getOrElse(lit(false))
+    val keyedKeep = key.map { k =>
+      val ks = k.cast("string") // the reference hashes to_string_lossy()
+      mode match {
+        case Left(rate)   => seahashKeepRate(ks, rate)
+        case Right(ratio) => seahashKeepRatio(ks, ratio)
+      }
+    }.getOrElse(lit(false))
+    // position among non-excluded keyless rows of the group (1-based)
+    val w = Window.partitionBy(group).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kn = sum(when(!ex && !keyPresent, 1L).otherwise(0L)).over(w)
+    val counterKeep = mode match {
+      case Left(rate) => pmod(kn - 1, lit(rate.toLong)) === 0
+      case Right(ratio) =>
+        val base = lit(1.0) - lit(ratio)
+        val kd = kn.cast("double")
+        floor(base + kd * lit(ratio)) > floor(base + (kd - lit(1.0)) * lit(ratio))
+    }
+    val keep = ex || when(keyPresent, keyedKeep).otherwise(counterKeep)
+    val stampVal = mode match {
+      case Left(rate) => lit(rate); case Right(ratio) => lit(ratio)
+    }
+    val kept = df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
+    if (rateKey.isEmpty) kept
+    else kept.withColumn(rateKey, when(ex, lit(null)).otherwise(stampVal))
   }
 }

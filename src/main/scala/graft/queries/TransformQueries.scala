@@ -58,6 +58,19 @@ object TransformQueries {
       .select(col("conv_id"), col("turn_idx"), col("sample_rate"))
       .orderBy("conv_id", "turn_idx")
 
+  /** Exclude bypass on the counter path (sample/transform.rs:147-155,
+    * exclude precedes the counter increment): system turns pass
+    * unstamped and consume no quota, so the 1-in-5 position counts
+    * non-system turns only. Fully oracle-portable — the gate is a
+    * running count, no engine hash.
+    */
+  private def qSampleExclude(s: SparkSession, dir: String): DataFrame =
+    Sample.configured(Tables.transcript(s, dir), None, col("conv_id"),
+        Seq(col("turn_idx")), Left(5), Some(col("role") === "system"),
+        "sample_rate")
+      .select(col("conv_id"), col("turn_idx"), col("sample_rate"))
+      .orderBy("conv_id", "turn_idx")
+
   // ---------------------------------------------------------- throttle
   private def qThrottle(s: SparkSession, dir: String): DataFrame =
     Throttle(parsed(s, dir), col("tool_p"), col("ts"),
@@ -400,6 +413,7 @@ object TransformQueries {
     "q_filter"         -> (qFilter _),
     "q_sample"         -> (qSample _),
     "q_sample_ratio"   -> (qSampleRatio _),
+    "q_sample_exclude" -> (qSampleExclude _),
     "q_throttle"       -> (qThrottle _),
     "q_dedupe"         -> (qDedupe _),
     "q_dedupe_lru"     -> (qDedupeLru _),
@@ -460,6 +474,20 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
          FROM transcript) t
          WHERE floor((1 - CAST(0.3 AS DOUBLE)) + k * CAST(0.3 AS DOUBLE))
              > floor((1 - CAST(0.3 AS DOUBLE)) + (k - 1) * CAST(0.3 AS DOUBLE))
+         ORDER BY conv_id, turn_idx"""),
+    // running count of non-excluded rows = the reference counter that
+    // excluded events never increment; both engines compute it with the
+    // same ROWS-bounded window sum
+    "q_sample_exclude" -> Oracle.q(
+      """SELECT conv_id, turn_idx,
+           CASE WHEN role = 'system' THEN NULL ELSE 5 END AS sample_rate
+         FROM (
+           SELECT conv_id, turn_idx, role,
+             sum(CASE WHEN role = 'system' THEN 0 ELSE 1 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kn
+           FROM transcript) t
+         WHERE role = 'system' OR (kn - 1) % 5 = 0
          ORDER BY conv_id, turn_idx"""),
     "q_throttle" -> Oracle.q(
       s"""SELECT conv_id, turn_idx, tool_p FROM (

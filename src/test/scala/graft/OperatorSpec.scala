@@ -145,6 +145,46 @@ class OperatorSpec extends SparkSpec {
     assert(kept == expect)
   }
 
+  test("sample.configured: keyed rows hash-gate, keyless rows counter-gate skipping excluded, stamp key honored") {
+    // rows 0..199: even i carries a key (hash-gated), odd i is keyless
+    // (counter fallback); i%10==9 rows are excluded (bypass, no quota)
+    val df = (0 until 200).map { i =>
+      (if (i % 2 == 0) s"key$i" else null, i, i % 10 == 9)
+    }.toDF("k", "i", "ex")
+    val rate = 7
+    val out = Sample.configured(df, Some(col("k")), lit(1), Seq(col("i")),
+      Left(rate), Some(col("ex")), "my_rate").collect()
+      .map(r => (r.getInt(1), Option(r.get(r.fieldIndex("my_rate"))))).toMap
+    val hashes = df.filter(col("k").isNotNull)
+      .select(col("i"), graft.functions.Vrl.seahash(col("k").cast("string")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // keyless, non-excluded rows in order: every 7th kept (1-based pos 1,8,..)
+    val keylessKeep = (0 until 200)
+      .filter(i => i % 2 == 1 && i % 10 != 9)
+      .zipWithIndex.collect { case (i, pos) if pos % rate == 0 => i }.toSet
+    for (i <- 0 until 200) {
+      val excluded = i % 10 == 9
+      val expect =
+        if (excluded) Some(None) // kept, unstamped
+        else if (i % 2 == 0) {
+          if (java.lang.Long.remainderUnsigned(hashes(i), rate.toLong) == 0L)
+            Some(Some(rate)) else None
+        } else if (keylessKeep(i)) Some(Some(rate)) else None
+      assert(out.get(i).map(_.map(_.asInstanceOf[Int])) == expect, s"row $i")
+    }
+    // rateKey="" emits no stamp column at all
+    val bare = Sample.configured(df, Some(col("k")), lit(1), Seq(col("i")),
+      Left(rate), Some(col("ex")), "")
+    assert(!bare.columns.contains("sample_rate") && !bare.columns.contains("my_rate"))
+    // with no key and no exclusions, configured == counter (same row set)
+    val plain = (0 until 60).map(i => ("g" + i % 2, i)).toDF("g", "i")
+    val viaConf = Sample.configured(plain, None, col("g"), Seq(col("i")),
+      Left(5), None, "sample_rate").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val viaCounter = Sample.counter(plain, Seq(col("g")), Seq(col("i")), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaConf == viaCounter)
+  }
+
   test("sample.ratioThresholdBits matches Rust f64-as-u64 saturation (sample/transform.rs:52)") {
     assert(Sample.ratioThresholdBits(1.0) == -1L)             // saturates to u64::MAX
     assert(Sample.ratioThresholdBits(0.0) == 0L)
