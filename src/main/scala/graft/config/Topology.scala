@@ -401,16 +401,6 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
   // ----------------------------------------------------------- metrics
 
-  /** The flat metric-event schema every metric-side transform exchanges
-    * (SURVEY §1.3; reference lib/vector-core/src/event/metric/): name,
-    * namespace, tags (canonical `k=v,k=v` string), kind
-    * (absolute|incremental), value_type (counter|gauge|set|
-    * distribution), value, ts.
-    */
-  private val MetricMeta: EventMeta = EventMeta(ListMap(
-    "name" -> VStr, "namespace" -> VStr, "tags" -> VStr, "kind" -> VStr,
-    "value_type" -> VStr, "value" -> VFloat, "ts" -> VTime), None)
-
   private def requireMetricFrame(name: String, t: String, in: Frame): Unit = {
     val missing = MetricMeta.types.keys.filterNot(in.meta.types.contains)
     if (!in.metric || missing.nonEmpty)
@@ -1357,6 +1347,16 @@ object Topology {
 
   /** Arrival-order column carried alongside event fields. */
   val SeqCol = "__seq"
+
+  /** The flat metric-event schema every metric-side transform exchanges
+    * (SURVEY §1.3; reference lib/vector-core/src/event/metric/): name,
+    * namespace, tags (canonical `k=v,k=v` string), kind
+    * (absolute|incremental), value_type (counter|gauge|set|
+    * distribution), value, ts.
+    */
+  private[config] val MetricMeta: EventMeta = EventMeta(ListMap(
+    "name" -> VStr, "namespace" -> VStr, "tags" -> VStr, "kind" -> VStr,
+    "value_type" -> VStr, "value" -> VFloat, "ts" -> VTime), None)
 
   def load(text: String): Topology = new Topology(Toml.parse(text))
 

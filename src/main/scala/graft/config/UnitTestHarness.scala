@@ -21,7 +21,8 @@ final case class TestResult(name: String, errors: Seq[String],
 
 /** The `vector test` harness re-expressed over Spark: builds the input
   * events each `[[tests.inputs]]` block declares (insert_at + raw /
-  * log_fields / vrl forms), pushes them through the config topology,
+  * log_fields / vrl / metric forms), pushes them through the config
+  * topology,
   * and checks every `[[tests.outputs]]` block's conditions plus
   * `no_outputs_from` — an output check passes when EACH of its
   * conditions is satisfied by at least one event from the
@@ -139,10 +140,71 @@ object UnitTestHarness {
               nestDotted(in.tab("log_fields").getOrElse(TTab.empty))
           }
           withDefaultTimestamp(oneRow(spark, seq, tree), seq)
+        case "metric" =>
+          val m = in.tab("metric").getOrElse(throw new IllegalArgumentException(
+            "input type 'metric' requires the field 'metric'"))
+          metricRow(spark, seq, m)
         case other => throw VrlUnsupported(s"test input type $other")
       }
     }
     Topology.unionFrames(frames)
+  }
+
+  /** `type = "metric"` input (reference TestInput.metric,
+    * src/config/mod.rs:576-579, built at unit_test/mod.rs:656): one
+    * metric event in the flat-model shape ([[Topology.MetricMeta]]), so
+    * tests can insert directly at metric-side transforms (aggregate,
+    * tag_cardinality_limit, metric_to_log, incremental_to_absolute)
+    * without a synthetic log_to_metric upstream. `counter`/`gauge` arms
+    * carry a scalar `value`; the collection-valued arms (set members,
+    * distribution samples, histogram/summary/sketch) have no flat-model
+    * literal and report as documented skips. Tags canonicalize to the
+    * sorted `k=v,k=v` string, same as the metric operators; the
+    * absent-tags metric keeps a null tags column (reference
+    * `tags: Option::None`).
+    */
+  private def metricRow(spark: SparkSession, seq: Long, m: TTab): Frame = {
+    val name = m.str("name").getOrElse(
+      throw new IllegalArgumentException("metric input without name"))
+    val kind = m.str("kind").getOrElse(
+      throw new IllegalArgumentException("metric input without kind"))
+    if (kind != "incremental" && kind != "absolute")
+      throw new IllegalArgumentException(
+        s"metric kind $kind (absolute|incremental)")
+    Seq("set", "distribution", "aggregated_histogram", "aggregated_summary",
+        "sketch").foreach { a =>
+      if (m.get(a).isDefined) throw VrlUnsupported(
+        s"metric test input $a arm (collection values have no flat-model literal)")
+    }
+    val (vt, vTab) = Seq("counter", "gauge").flatMap(a => m.tab(a).map(a -> _)) match {
+      case Seq(one) => one
+      case _ => throw new IllegalArgumentException(
+        "metric input needs exactly one of [metric.counter] / [metric.gauge]")
+    }
+    val value: Double = vTab.get("value") match {
+      case Some(TFloat(d)) => d
+      case Some(TInt(n)) => n.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"metric $vt without a numeric value")
+    }
+    val tags: Option[String] = m.tab("tags").map(_.entries.toSeq.map {
+      case (k, TStr(v)) => s"$k=$v"
+      case (k, _) => throw new IllegalArgumentException(
+        s"metric tag $k must be a string")
+    }.sorted.mkString(","))
+    val ts: Column = m.str("timestamp")
+      .map(t => to_timestamp(lit(t)))
+      .getOrElse(timestamp_seconds(lit(BaseEpoch + seq)))
+    val df = spark.range(1).select(
+      lit(seq).as(SeqCol),
+      lit(name).as("name"),
+      m.str("namespace").map(lit(_)).getOrElse(lit(null)).cast("string").as("namespace"),
+      tags.map(lit(_)).getOrElse(lit(null)).cast("string").as("tags"),
+      lit(kind).as("kind"),
+      lit(vt).as("value_type"),
+      lit(value).cast("double").as("value"),
+      ts.as("ts"))
+    Frame(df, Topology.MetricMeta, metric = true)
   }
 
   private def withDefaultTimestamp(f: Frame, seq: Long): Frame =

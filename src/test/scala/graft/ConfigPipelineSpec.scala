@@ -16,7 +16,7 @@ class ConfigPipelineSpec extends SparkSpec {
   private val corpusDir = "src/test/resources/behavior"
   private val corpus =
     Seq("remap.toml", "route.toml", "filter.toml", "dedupe.toml", "reduce.toml",
-      "log_to_metric.toml", "sample.toml", "throttle.toml")
+      "log_to_metric.toml", "sample.toml", "throttle.toml", "metric_input.toml")
 
   for (file <- corpus) test(s"behavior corpus: $file") {
     val results = UnitTestHarness.runFile(spark, s"$corpusDir/$file")
