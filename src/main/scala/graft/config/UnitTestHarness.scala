@@ -75,7 +75,16 @@ object UnitTestHarness {
         }
         if (ids.isEmpty) errors += s"check[$ci]: no extract_from"
         else {
-          val conds = out.tabs("conditions")
+          // AnyCondition is untagged in the reference (conditions/
+          // mod.rs:185-207): a bare string is VRL shorthand, a table
+          // carries an explicit type — accept both forms in one array
+          val conds: Seq[V] = out.get("conditions") match {
+            case Some(TArr(xs)) => xs.collect {
+              case s: TStr => s
+              case t: TTab => t
+            }
+            case _ => Seq.empty
+          }
           val frames = ids.flatMap(outputs.get).filterNot(_.isEmpty)
           if (frames.isEmpty)
             errors += s"check[$ci] for ${ids.mkString(",")}: no events received"
