@@ -40,7 +40,20 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val usage =
-      "usage: graft.config.Cli run|test|validate <topology.toml> | run-stream <topology.toml> <checkpointDir>"
+      "usage: graft.config.Cli run|test|validate <topology.toml> | run-stream <topology.toml> <checkpointDir> | graph <topology.toml> [dot|mermaid]"
+    // `graph` is pure config (the reference's src/graph.rs verb): no
+    // Spark session, no data — render and exit before a JVM-wide
+    // session ever spins up
+    if (args.headOption.contains("graph")) {
+      if (args.length < 2 || args.length > 3) { System.err.println(usage); sys.exit(2) }
+      val topo = Topology.loadFile(args(1))
+      args.lift(2).getOrElse("dot") match {
+        case "dot" => println(topo.toDot)
+        case "mermaid" => println(topo.toMermaid)
+        case other => System.err.println(s"unknown format '$other'\n$usage"); sys.exit(2)
+      }
+      return
+    }
     // exact arity per verb: `run x ckptDir` (meant run-stream?) must
     // exit 2, not silently batch-overwrite sinks the user believed
     // were incrementally maintained

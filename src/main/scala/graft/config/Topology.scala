@@ -905,6 +905,62 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case None => ListMap.empty
     }
 
+  // ----------------------------------------------------------- graph
+
+  /** An `inputs` entry addresses `component` or `component.port`; the
+    * port splits off only when the root names a declared component
+    * (the reference parses ports against known outputs the same way).
+    */
+  private def edgeOf(input: String): (String, Option[String]) = {
+    val i = input.indexOf('.')
+    if (i > 0 && (transforms.contains(input.take(i)) || sources.contains(input.take(i))))
+      (input.take(i), Some(input.drop(i + 1)))
+    else (input, None)
+  }
+
+  private def edges(id: String, cfg: TTab, dot: Boolean): Seq[String] =
+    cfg.strArr("inputs").map { in =>
+      edgeOf(in) match {
+        case (c, Some(p)) if dot => s"""  "$c" -> "$id" [label="$p"]"""
+        case (c, None) if dot    => s"""  "$c" -> "$id""""
+        case (c, Some(p))        => s"  $c -->|$p| $id"
+        case (c, None)           => s"  $c --> $id"
+      }
+    }
+
+  /** `vector graph` DOT rendering (src/graph.rs:122-188): sources are
+    * trapezium nodes, transforms diamond, sinks invtrapezium; edges
+    * carry the output port as a label when an input addresses
+    * `component.port`. Pure config — no Spark session, no data.
+    */
+  def toDot: String = {
+    val lines =
+      sources.keys.map(id => s"""  "$id" [shape="trapezium"]""") ++
+      transforms.flatMap { case (id, cfg) =>
+        s"""  "$id" [shape="diamond"]""" +: edges(id, cfg, dot = true)
+      } ++
+      sinkDefs.flatMap { case (id, cfg) =>
+        s"""  "$id" [shape="invtrapezium"]""" +: edges(id, cfg, dot = true)
+      }
+    ("digraph {" +: lines.toSeq :+ "}").mkString("\n")
+  }
+
+  /** `vector graph --format mermaid` (src/graph.rs:190-230). */
+  def toMermaid: String = {
+    val lines =
+      Seq("", "  %% Sources") ++
+      sources.keys.map(id => s"  $id[/$id/]") ++
+      Seq("", "  %% Transforms") ++
+      transforms.flatMap { case (id, cfg) =>
+        s"  $id{$id}" +: edges(id, cfg, dot = false)
+      } ++
+      Seq("", "  %% Sinks") ++
+      sinkDefs.flatMap { case (id, cfg) =>
+        s"  $id[\\$id\\]" +: edges(id, cfg, dot = false)
+      }
+    ("flowchart TD;" +: lines).mkString("\n")
+  }
+
   /** `[sources.<name>]` blocks -> input frames (the config analog of
     * the reference's source components, scoped to what a batch table
     * engine can honestly provide):

@@ -15,6 +15,26 @@ import graft.config.Topology
 class ConfigIOSpec extends SparkSpec {
   import spark.implicits._
 
+  test("graph verb: DOT and mermaid renderings carry shapes, edges and port labels") {
+    // pure config — the reference's `vector graph` (src/graph.rs): no
+    // session, no data touched
+    val topo = Topology.loadFile("examples/pipeline.toml")
+    val dot = topo.toDot
+    assert(dot.startsWith("digraph {") && dot.endsWith("}"))
+    assert(dot.contains("\"events\" [shape=\"trapezium\"]"))
+    assert(dot.contains("\"shape\" [shape=\"diamond\"]"))
+    assert(dot.contains("\"routed\" [shape=\"invtrapezium\"]"))
+    assert(dot.contains("\"events\" -> \"shape\""))
+    // a ported input edge gets the port as its label
+    assert(dot.contains("\"split\" -> \"errors_jsonl\" [label=\"errors\"]"))
+    val mm = topo.toMermaid
+    assert(mm.startsWith("flowchart TD;"))
+    assert(mm.contains("  events[/events/]"))
+    assert(mm.contains("  shape{shape}"))
+    assert(mm.contains("  routed[\\routed\\]"))
+    assert(mm.contains("  split -->|errors| errors_jsonl"))
+  }
+
   test("parquet source -> remap/route -> parquet sink with checkpoint + json-lines file sink") {
     val dir = Files.createTempDirectory("graft-configio")
     // a small typed input table
