@@ -40,10 +40,10 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val usage =
-      "usage: graft.config.Cli run|test|validate <topology.toml> | run-stream <topology.toml> <checkpointDir> | graph <topology.toml> [dot|mermaid]"
-    // `graph` is pure config (the reference's src/graph.rs verb): no
-    // Spark session, no data — render and exit before a JVM-wide
-    // session ever spins up
+      "usage: graft.config.Cli run|test|validate <topology.toml> | run-stream <topology.toml> <checkpointDir> | graph <topology.toml> [dot|mermaid] | list [text|json] | generate <expression> | vrl <program|program.vrl> [events.jsonl]"
+    // `graph`/`list`/`generate` are pure config (src/graph.rs, list.rs,
+    // generate.rs): no Spark session, no data — render and exit before
+    // a JVM-wide session ever spins up
     if (args.headOption.contains("graph")) {
       if (args.length < 2 || args.length > 3) { System.err.println(usage); sys.exit(2) }
       val topo = Topology.loadFile(args(1))
@@ -54,14 +54,48 @@ object Cli {
       }
       return
     }
+    if (args.headOption.contains("list")) {
+      if (args.length > 2) { System.err.println(usage); sys.exit(2) }
+      val sections = Seq(
+        "Sources" -> Topology.SourceTypes,
+        "Transforms" -> Topology.TransformTypes,
+        "Sinks" -> Topology.SinkTypes,
+        "Enrichment tables" -> Topology.EnrichmentTableTypes)
+      args.lift(1).getOrElse("text") match {
+        case "text" =>
+          sections.zipWithIndex.foreach { case ((title, names), i) =>
+            if (i > 0) println()
+            println(s"$title:")
+            names.foreach(n => println(s"- $n"))
+          }
+        case "json" =>
+          // same EncodedList keys as the reference (list.rs:23-28)
+          val keys = Seq("sources", "transforms", "sinks", "enrichment_tables")
+          println(keys.zip(sections).map { case (k, (_, names)) =>
+            s""""$k":[${names.map(n => s""""$n"""").mkString(",")}]"""
+          }.mkString("{", ",", "}"))
+        case other => System.err.println(s"unknown format '$other'\n$usage"); sys.exit(2)
+      }
+      return
+    }
+    if (args.headOption.contains("generate")) {
+      if (args.length != 2) { System.err.println(usage); sys.exit(2) }
+      try println(Generate.example(args(1)))
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(2)
+      }
+      return
+    }
     // exact arity per verb: `run x ckptDir` (meant run-stream?) must
     // exit 2, not silently batch-overwrite sinks the user believed
     // were incrementally maintained
-    val arity = args.headOption match {
-      case Some("run-stream") => 3
-      case _ => 2
+    val arityOk = args.headOption match {
+      case Some("run-stream") => args.length == 3
+      case Some("vrl") => args.length == 2 || args.length == 3
+      case _ => args.length == 2
     }
-    if (args.length != arity) { System.err.println(usage); sys.exit(2) }
+    if (!arityOk) { System.err.println(usage); sys.exit(2) }
     val spark = session()
     try {
       args(0) match {
@@ -93,6 +127,28 @@ object Cli {
           if (args.length != 3) { System.err.println(usage); sys.exit(2) }
           val processed = Topology.loadFile(args(1)).executeStreaming(spark, args(2))
           processed.foreach { case (sink, n) => println(s"sink $sink: $n rows this run") }
+        case "vrl" =>
+          // one-shot `vector vrl` analog (src/cli.rs:348): program from
+          // a .vrl file or the literal argument; one JSON event per
+          // line from the given file, or stdin when omitted
+          val progArg = args(1)
+          val progPath = java.nio.file.Paths.get(progArg)
+          val program =
+            if (java.nio.file.Files.isRegularFile(progPath))
+              new String(java.nio.file.Files.readAllBytes(progPath), "UTF-8")
+            else progArg
+          val lines: Seq[String] = args.lift(2) match {
+            case Some(f) =>
+              scala.jdk.CollectionConverters.ListHasAsScala(
+                java.nio.file.Files.readAllLines(
+                  java.nio.file.Paths.get(f))).asScala.toSeq
+            case None =>
+              Iterator.continually(scala.io.StdIn.readLine())
+                .takeWhile(_ != null).toSeq
+          }
+          val (out, dropped) = VrlRunner.eval(spark, program, lines)
+          out.foreach(println)
+          dropped.foreach(d => System.err.println(s"dropped: $d"))
         case "test" =>
           val results = UnitTestHarness.runFile(spark, args(1))
           var failed = 0

@@ -1404,6 +1404,21 @@ object Topology {
   /** Arrival-order column carried alongside event fields. */
   val SeqCol = "__seq"
 
+  /** The component registry (`vector list`, src/list.rs): every `type`
+    * string the dispatchers accept — sources (`loadSources`),
+    * transforms (`applyTransform`), sinks (`writeSinks`/`dryRunSinks`),
+    * enrichment tables (`enrichmentTables`). Kept adjacent to the
+    * dispatch matches; update together (CliSurfaceSpec cross-checks).
+    */
+  val SourceTypes: Seq[String] = Seq("demo_logs", "file", "parquet")
+  val TransformTypes: Seq[String] = Seq(
+    "aggregate", "aws_ec2_metadata", "dedupe", "exclusive_route", "filter",
+    "incremental_to_absolute", "log_to_metric", "metric_to_log", "reduce",
+    "remap", "route", "sample", "tag_cardinality_limit", "throttle",
+    "trace_to_log", "window")
+  val SinkTypes: Seq[String] = Seq("console", "file", "parquet")
+  val EnrichmentTableTypes: Seq[String] = Seq("file")
+
   /** The flat metric-event schema every metric-side transform exchanges
     * (SURVEY §1.3; reference lib/vector-core/src/event/metric/): name,
     * namespace, tags (canonical `k=v,k=v` string), kind

@@ -1,0 +1,84 @@
+package graft.config
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Toml._
+import Topology.SeqCol
+import VrlCompile._
+
+/** One-shot VRL evaluation: JSON events in, transformed events out —
+  * the batch-scoped analog of the reference's `vector vrl` REPL verb
+  * (src/cli.rs:348, which delegates to the VRL crate's CLI with the
+  * full stdlib loaded). The program compiles ONCE into Catalyst
+  * columns — the same remap kernel the topology front-end uses — and
+  * all events evaluate as a single Spark job, so a paste-sized check
+  * here exercises exactly the plan a production topology would run.
+  */
+object VrlRunner {
+
+  private val mapper = new ObjectMapper()
+
+  /** Evaluate `program` over one JSON object per input line; returns
+    * the primary-output events as JSON lines in input order, plus the
+    * dropped-channel events (error/abort reroutes) separately.
+    */
+  def eval(spark: SparkSession, program: String, lines: Seq[String],
+           opts: RemapOpts = RemapOpts()): (Seq[String], Seq[String]) = {
+    val ast = VrlAst.parse(program)
+    val nonEmpty = lines.zipWithIndex.filter(_._1.trim.nonEmpty)
+    require(nonEmpty.nonEmpty, "no input events")
+    val frames = nonEmpty.map { case (line, i) =>
+      val node =
+        try mapper.readTree(line)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"line ${i + 1}: ${e.getMessage}") }
+      if (node == null || !node.isObject)
+        throw new IllegalArgumentException(s"line ${i + 1}: expected a JSON object")
+      jsonRow(spark, i.toLong, node)
+    }
+    val in = Topology.unionFrames(frames)
+    val r = VrlCompile.remap(in.df, in.meta, ast, opts, Seq(SeqCol))
+    (render(r.df, r.meta), r.dropped.map(d => render(d, in.meta)).getOrElse(Nil))
+  }
+
+  private def render(df: org.apache.spark.sql.DataFrame, meta: EventMeta): Seq[String] = {
+    val evCols = meta.types.keys.toSeq
+    df.orderBy(col(SeqCol))
+      .select(to_json(struct(evCols.map(c => col(s"`$c`")): _*)).as("j"))
+      .collect().toSeq.map(_.getString(0))
+  }
+
+  /** One JSON object → a one-row typed frame (via the same TOML-value
+    * literal mapping the unit-test harness uses). JSON nulls drop the
+    * field — VRL reads a missing field as null, so semantics match.
+    */
+  private def jsonRow(spark: SparkSession, seq: Long, node: JsonNode): Frame = {
+    val tab = toV(node).asInstanceOf[TTab]
+    val fields = tab.entries.toSeq.map { case (n, v) =>
+      n -> UnitTestHarness.typedLit(v) }
+    val cols = lit(seq).as(SeqCol) +: fields.map { case (n, cv) => cv.col.as(n) }
+    Frame(spark.range(1).select(cols: _*),
+      EventMeta(ListMap(fields.map { case (n, cv) => n -> cv.t }: _*), None))
+  }
+
+  private def toV(n: JsonNode): V =
+    if (n.isObject) {
+      val t = TTab.empty
+      n.fields().asScala.foreach { e =>
+        if (!e.getValue.isNull) t.entries(e.getKey) = toV(e.getValue)
+      }
+      t
+    }
+    else if (n.isArray) TArr(n.elements().asScala.filterNot(_.isNull).map(toV).toVector)
+    else if (n.isTextual) TStr(n.asText())
+    else if (n.isBoolean) TBool(n.asBoolean())
+    else if (n.isIntegralNumber && n.canConvertToLong) TInt(n.asLong())
+    else if (n.isNumber) TFloat(n.asDouble())
+    else TStr(n.asText())
+}

@@ -1,0 +1,122 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.config.VrlCompile.{EventMeta, VInt, VStr}
+
+/** The config CLI surface beyond run/test: `list` registries,
+  * `generate` skeletons (src/generate.rs), `graph` renderings
+  * (src/graph.rs), and the one-shot `vrl` evaluator (src/cli.rs:348).
+  */
+class CliSurfaceSpec extends SparkSpec {
+
+  // ---------------------------------------------------------- generate
+
+  test("generate: every registered transform type yields a parseable skeleton") {
+    for (t <- Topology.TransformTypes) {
+      val toml = Generate.example(s"parquet/$t/console")
+      val topo = Topology.load(toml)
+      assert(topo.sources.keySet == Set("source0"), s"$t sources")
+      assert(topo.transforms.get("transform0").flatMap(_.str("type")) == Some(t))
+      assert(topo.sinkDefs.keySet == Set("sink0"), s"$t sinks")
+      assert(topo.transforms("transform0").strArr("inputs") == Seq("source0"))
+      assert(topo.sinkDefs("sink0").strArr("inputs") == Seq("transform0"))
+    }
+  }
+
+  test("generate: custom names, multi-component fragments, chained inputs") {
+    val toml = Generate.example(
+      "logs:file/shape:remap,keep:filter/out:parquet,dbg:console")
+    val topo = Topology.load(toml)
+    assert(topo.sources.keySet == Set("logs"))
+    assert(topo.transforms.keys.toSeq == Seq("shape", "keep"))
+    assert(topo.transforms("keep").strArr("inputs") == Seq("shape"))
+    assert(topo.sinkDefs("out").strArr("inputs") == Seq("keep"))
+    assert(topo.sinkDefs("dbg").strArr("inputs") == Seq("keep"))
+    // pipe dividers are interchangeable with slashes (generate.rs)
+    val piped = Generate.example("logs:file|shape:remap|out:console")
+    assert(Topology.load(piped).transforms.keySet == Set("shape"))
+  }
+
+  test("generate: unknown types and empty names are refused") {
+    intercept[IllegalArgumentException](Generate.example("stdin/remap/console"))
+    intercept[IllegalArgumentException](Generate.example("file/:remap/console"))
+    intercept[IllegalArgumentException](Generate.example("file/lua/console"))
+  }
+
+  test("generate: log-side skeleton examples genuinely run, not just parse") {
+    // route's generated example: inject a log frame at the transform
+    // and check both ports materialize
+    val toml = Generate.example("/route:route/")
+    val topo = Topology.load(toml)
+    val df = spark.range(2).select(
+      col("id").as(Topology.SeqCol),
+      when(col("id") === 0, "error").otherwise("info").as("level"))
+    val in = Frame(df, EventMeta(ListMap("level" -> VStr), None))
+    val out = topo.run(Map("route" -> in))
+    assert(out("route.errors").df.count() == 1)
+    assert(out("route._unmatched").df.count() == 1)
+
+    // filter + remap chained skeletons
+    val t2 = Topology.load(Generate.example("/shape:remap,keep:filter/"))
+    val df2 = spark.range(1).select(
+      col("id").as(Topology.SeqCol), lit("hello").as("message"))
+    val out2 = t2.run(Map(
+      "shape" -> Frame(df2, EventMeta(ListMap("message" -> VStr), None))))
+    assert(out2("keep").df.count() == 1)
+  }
+
+  // ---------------------------------------------------------- registry
+
+  test("list registries match what the topology dispatchers accept") {
+    // unknown types must throw, registered log-side types must not
+    // throw the "transform type" unsupported error at dispatch
+    val bad = Topology.load(
+      """
+        |[transforms.x]
+        |  inputs = []
+        |  type = "nope"
+        |""".stripMargin)
+    val df = spark.range(1).select(
+      col("id").as(Topology.SeqCol), lit("m").as("message"))
+    val in = Frame(df, EventMeta(ListMap("message" -> VStr), None))
+    val e = intercept[Exception](bad.run(Map("x" -> in)))
+    assert(e.getMessage.contains("transform type"))
+    assert(Topology.TransformTypes.size == 16) // the full reference registry
+    assert(Topology.TransformTypes == Topology.TransformTypes.sorted)
+  }
+
+  // ---------------------------------------------------------- vrl verb
+
+  test("vrl one-shot: program over JSON lines, typed in and out, input order") {
+    val (out, dropped) = VrlRunner.eval(spark,
+      """.next = .a + 1
+        |.tag = upcase(.tag)
+        |""".stripMargin,
+      Seq("""{"a": 1, "tag": "x"}""", """{"a": 2, "tag": "y"}"""))
+    assert(dropped.isEmpty)
+    assert(out.size == 2)
+    assert(out(0).contains(""""next":2""") && out(0).contains(""""tag":"X""""))
+    assert(out(1).contains(""""next":3""") && out(1).contains(""""tag":"Y""""))
+  }
+
+  test("vrl one-shot: abort drops the event; nested objects survive round-trip") {
+    val (out, _) = VrlRunner.eval(spark,
+      """if .skip == true { abort }
+        |.meta.depth = 2
+        |""".stripMargin,
+      Seq("""{"skip": true, "meta": {"k": "v"}}""",
+          """{"skip": false, "meta": {"k": "w"}}"""))
+    assert(out.size == 1)
+    assert(out(0).contains(""""k":"w"""") && out(0).contains(""""depth":2"""))
+  }
+
+  test("vrl one-shot: malformed input line is named in the error") {
+    val e = intercept[IllegalArgumentException](
+      VrlRunner.eval(spark, ".x = 1", Seq("""{"ok": 1}""", "not json")))
+    assert(e.getMessage.contains("line 2"))
+  }
+}
