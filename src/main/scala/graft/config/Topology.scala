@@ -1254,11 +1254,39 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * reference's `vector run` lifecycle (SURVEY §3.1) collapsed to one
     * batch evaluation.
     */
+  /** Transforms whose output feeds ≥2 declared inputs (counting a
+    * `name.port` reference as a use of `name` — every port frame is a
+    * narrow filter over the transform's primary output, so caching the
+    * primary covers them all). These are the multicast fan-out points
+    * where, without a persist, EVERY consuming sink's action re-runs
+    * the whole upstream source → transform chain — the reference
+    * clones events to each output in one pass (fanout.rs), and
+    * SURVEY §9's route row makes the same one-pass promise. Sources
+    * are deliberately excluded: re-scanning columnar input is cheaper
+    * at scale than materializing the raw scan to executor disk.
+    */
+  private[graft] def sharedRoots: Set[String] = {
+    val refs = (transforms.values ++ sinkDefs.values)
+      .flatMap(_.strArr("inputs")).toSeq
+    refs.groupBy(rootOf).collect {
+      case (r, uses) if uses.size >= 2 && transforms.contains(r) => r
+    }.toSet
+  }
+
   def execute(spark: org.apache.spark.sql.SparkSession): Map[String, Long] = {
     val src = loadSources(spark)
+    val outs = run(src)
+    // persist fan-out frames before the sink actions: Spark's cache
+    // manager matches by canonicalized plan, so every sink whose plan
+    // contains the shared subtree reads the cached data — one upstream
+    // evaluation total, not one per sink
+    val cached = sharedRoots.toSeq.flatMap(outs.get).map { f =>
+      f.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // sinks may consume a source directly (passthrough topology);
     // transform outputs win on name collision
-    writeSinks(src ++ run(src))
+    try writeSinks(src ++ outs)
+    finally cached.foreach(_.unpersist(false))
   }
 
   // ------------------------------------------------------- streaming

@@ -15,6 +15,57 @@ import graft.config.Topology
 class ConfigIOSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sharedRoots: fan-out transforms are cached once, linear chains are not") {
+    val fanout = Topology.load(
+      """
+        |[transforms.shape]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  source = ".x = 1"
+        |[transforms.split]
+        |  inputs = ["shape"]
+        |  type = "route"
+        |  [transforms.split.route]
+        |    errors = '.level == "error"'
+        |[sinks.a]
+        |  inputs = ["split.errors"]
+        |  type = "parquet"
+        |  path = "unused"
+        |[sinks.b]
+        |  inputs = ["split._unmatched"]
+        |  type = "parquet"
+        |  path = "unused"
+        |""".stripMargin)
+    // both sinks' port references count as uses of `split`'s primary
+    // (every port frame is a filter over it); `shape` has one consumer
+    assert(fanout.sharedRoots == Set("split"))
+    val linear = Topology.load(
+      """
+        |[transforms.shape]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  source = ".x = 1"
+        |[sinks.out]
+        |  inputs = ["shape"]
+        |  type = "parquet"
+        |  path = "unused"
+        |""".stripMargin)
+    assert(linear.sharedRoots.isEmpty)
+    // source names never cache (re-scan beats materializing raw input)
+    val srcFan = Topology.load(
+      """
+        |[sinks.a]
+        |  inputs = ["events"]
+        |  type = "parquet"
+        |  path = "unused"
+        |[sinks.b]
+        |  inputs = ["events"]
+        |  type = "parquet"
+        |  path = "unused"
+        |""".stripMargin)
+    assert(srcFan.sharedRoots.isEmpty)
+  }
+
   test("graph verb: DOT and mermaid renderings carry shapes, edges and port labels") {
     // pure config — the reference's `vector graph` (src/graph.rs): no
     // session, no data touched
