@@ -65,8 +65,12 @@ object Enrich {
     * two-level exact-then-all-wildcard fallback.)
     *
     * Shape: one broadcast hash join for the exact probe plus one
-    * broadcast hash join on a constant key against the <=1-row wildcard
-    * slice, then a per-row hit flag decides which side supplies ALL
+    * broadcast join against the <=1-row wildcard slice (the constant
+    * join key folds away, so Catalyst plans it as a
+    * BroadcastNestedLoopJoin — against a <=1-row broadcast side that
+    * is constant work per event row, the degenerate case PlanAudit
+    * flags for review and this doc explicitly allows), then a per-row
+    * hit flag decides which side supplies ALL
     * enrich columns — a NULL inside a matched row is NOT back-filled
     * column-wise from the wildcard row, because the reference's
     * fallback is per-row, not per-column. No shuffle at any scale.
