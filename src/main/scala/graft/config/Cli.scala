@@ -146,7 +146,11 @@ object Cli {
               Iterator.continually(scala.io.StdIn.readLine())
                 .takeWhile(_ != null).toSeq
           }
-          val (out, dropped) = VrlRunner.eval(spark, program, lines)
+          // reroute dropped so aborted/errored events surface on
+          // stderr instead of vanishing (with the default opts the
+          // dropped channel is never populated)
+          val (out, dropped) = VrlRunner.eval(spark, program, lines,
+            VrlCompile.RemapOpts(rerouteDropped = true))
           out.foreach(println)
           dropped.foreach(d => System.err.println(s"dropped: $d"))
         case "test" =>

@@ -67,6 +67,8 @@ object Generate {
     case _ => Seq.empty
   }
 
+  private val SafeName = "[A-Za-z0-9_-]+".r
+
   /** Split one fragment into (name, type) pairs. */
   private def components(fragment: String, defaultPrefix: String): Seq[(String, String)] =
     fragment.split(',').map(_.trim).filter(_.nonEmpty).zipWithIndex.toSeq.map {
@@ -95,6 +97,19 @@ object Generate {
     known("source", Topology.SourceTypes, sources)
     known("transform", Topology.TransformTypes, transforms)
     known("sink", Topology.SinkTypes, sinks)
+
+    // duplicate names would emit two [transforms.x] headers that the
+    // TOML parser silently merges into one broken component; unsafe
+    // characters would emit unparseable headers — refuse both with
+    // exit-2-able errors instead of printing a corrupt skeleton
+    val names = (sources ++ transforms ++ sinks).map(_._1)
+    names.foreach { n =>
+      if (!SafeName.pattern.matcher(n).matches()) throw new IllegalArgumentException(
+        s"component name '$n' must match [A-Za-z0-9_-]+")
+    }
+    names.diff(names.distinct).distinct.foreach { n =>
+      throw new IllegalArgumentException(s"duplicate component name '$n'")
+    }
 
     val out = Vector.newBuilder[String]
     sources.foreach { case (n, t) =>

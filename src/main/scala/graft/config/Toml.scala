@@ -15,6 +15,10 @@ import scala.collection.mutable
 object Toml {
 
   sealed trait V
+  /** Not produced by the TOML parser (TOML has no null); carries JSON
+    * nulls through the in-memory V tree (VrlRunner's event literals).
+    */
+  case object TNull extends V
   final case class TStr(s: String) extends V
   final case class TInt(n: Long) extends V
   final case class TFloat(d: Double) extends V

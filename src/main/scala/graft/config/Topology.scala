@@ -1254,23 +1254,33 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * reference's `vector run` lifecycle (SURVEY §3.1) collapsed to one
     * batch evaluation.
     */
-  /** Transforms whose output feeds ≥2 declared inputs (counting a
-    * `name.port` reference as a use of `name` — every port frame is a
-    * narrow filter over the transform's primary output, so caching the
-    * primary covers them all). These are the multicast fan-out points
-    * where, without a persist, EVERY consuming sink's action re-runs
-    * the whole upstream source → transform chain — the reference
-    * clones events to each output in one pass (fanout.rs), and
-    * SURVEY §9's route row makes the same one-pass promise. Sources
-    * are deliberately excluded: re-scanning columnar input is cheaper
-    * at scale than materializing the raw scan to executor disk.
+  /** Output frames worth persisting before the sink actions — the
+    * multicast fan-out points where, without a persist, EVERY consuming
+    * sink's action re-runs the whole upstream source → transform chain
+    * (the reference clones events to each output in one pass,
+    * fanout.rs; SURVEY §9's route row makes the same one-pass promise).
+    * Two cases:
+    *   - any EXACT output id consumed by ≥2 declared inputs;
+    *   - a route/exclusive_route consumed ≥2 times counting port refs:
+    *     only THOSE transforms' port frames are narrow filters over the
+    *     primary output, so caching the primary serves every port.
+    *     (remap's `dropped` branch filters the transform's INPUT, not
+    *     its primary — caching the primary would not serve it, so
+    *     `name` + `name.dropped` fan-outs deliberately don't qualify.)
+    * Sources are excluded: re-scanning columnar input is cheaper at
+    * scale than materializing the raw scan to executor disk.
     */
   private[graft] def sharedRoots: Set[String] = {
     val refs = (transforms.values ++ sinkDefs.values)
       .flatMap(_.strArr("inputs")).toSeq
-    refs.groupBy(rootOf).collect {
-      case (r, uses) if uses.size >= 2 && transforms.contains(r) => r
+    val exact = refs.groupBy(identity).collect {
+      case (r, uses) if uses.size >= 2 && transforms.contains(rootOf(r)) => r
     }.toSet
+    val routeFan = refs.groupBy(rootOf).collect {
+      case (r, uses) if uses.size >= 2 && transforms.get(r)
+        .flatMap(_.str("type")).exists(Set("route", "exclusive_route")) => r
+    }.toSet
+    exact ++ routeFan
   }
 
   def execute(spark: org.apache.spark.sql.SparkSession): Map[String, Long] = {

@@ -77,11 +77,15 @@ object UnitTestHarness {
         else {
           // AnyCondition is untagged in the reference (conditions/
           // mod.rs:185-207): a bare string is VRL shorthand, a table
-          // carries an explicit type — accept both forms in one array
+          // carries an explicit type — accept both forms in one array;
+          // anything else fails THIS test loudly (the reference's
+          // deserializer rejects such values, never skips them)
           val conds: Seq[V] = out.get("conditions") match {
-            case Some(TArr(xs)) => xs.collect {
+            case Some(TArr(xs)) => xs.map {
               case s: TStr => s
               case t: TTab => t
+              case other => throw new IllegalArgumentException(
+                s"check[$ci]: condition must be a string or a table, got $other")
             }
             case _ => Seq.empty
           }
@@ -196,11 +200,15 @@ object UnitTestHarness {
       case _ => throw new IllegalArgumentException(
         s"metric $vt without a numeric value")
     }
+    // canonical order sorts by KEY (the metric operators rebuild tags
+    // via sort_array(map_entries(...)), key-first): sorting the joined
+    // "k=v" strings would diverge when one key prefixes another
+    // ("a-b=y" < "a=x" since '-' < '=')
     val tags: Option[String] = m.tab("tags").map(_.entries.toSeq.map {
-      case (k, TStr(v)) => s"$k=$v"
+      case (k, TStr(v)) => k -> v
       case (k, _) => throw new IllegalArgumentException(
         s"metric tag $k must be a string")
-    }.sorted.mkString(","))
+    }.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
     val ts: Column = m.str("timestamp")
       .map(t => to_timestamp(lit(t)))
       .getOrElse(timestamp_seconds(lit(BaseEpoch + seq)))
@@ -253,6 +261,7 @@ object UnitTestHarness {
     * tables nest to structs, arrays stay typed when homogeneous).
     */
   private[config] def typedLit(v: V): CV = v match {
+    case TNull => CV(lit(null).cast("string"), VNullT)
     case TStr(s) => CV(lit(s), VStr)
     case TInt(n) => CV(lit(n), VInt)
     case TFloat(d) => CV(lit(d), VFloat)
@@ -263,10 +272,17 @@ object UnitTestHarness {
         VObj(ListMap(fields.map { case (n, cv) => n -> cv.t }: _*)))
     case TArr(items) =>
       val cvs = items.map(typedLit)
-      val ts = cvs.map(_.t).distinct
-      if (ts.size == 1 && (ts.head == VStr || ts.head == VInt || ts.head == VFloat || ts.head == VBool))
-        CV(array(cvs.map(_.col): _*), VArrOf(ts.head))
-      else
+      val nonNull = cvs.map(_.t).filterNot(_ == VNullT).distinct
+      val scalar = Set[VT](VStr, VInt, VFloat, VBool)
+      if (nonNull.size <= 1 && nonNull.headOption.forall(scalar)) {
+        // a null ELEMENT is a VALUE inside a VRL array (it keeps its
+        // index and counts toward length) — type it to the element
+        // type rather than dropping it
+        val elemT = nonNull.headOption.getOrElse(VStr)
+        CV(array(cvs.map(cv =>
+          if (cv.t == VNullT) lit(null).cast(Topology.toSpark(elemT)) else cv.col): _*),
+          VArrOf(elemT))
+      } else
         CV(struct(cvs.zipWithIndex.map { case (cv, i) => cv.col.as(s"_$i") }: _*),
           VHet(cvs.map(_.t)))
   }

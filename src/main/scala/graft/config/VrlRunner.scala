@@ -75,7 +75,10 @@ object VrlRunner {
       }
       t
     }
-    else if (n.isArray) TArr(n.elements().asScala.filterNot(_.isNull).map(toV).toVector)
+    // a null ARRAY ELEMENT is a value (it keeps its index and counts
+    // toward length); only null OBJECT FIELDS drop (missing ≡ null)
+    else if (n.isArray) TArr(n.elements().asScala.map(e =>
+      if (e.isNull) TNull else toV(e)).toVector)
     else if (n.isTextual) TStr(n.asText())
     else if (n.isBoolean) TBool(n.asBoolean())
     else if (n.isIntegralNumber && n.canConvertToLong) TInt(n.asLong())

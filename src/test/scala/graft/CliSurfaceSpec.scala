@@ -47,6 +47,21 @@ class CliSurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](Generate.example("file/lua/console"))
   }
 
+  test("generate: duplicate and unsafe component names are refused, not emitted") {
+    // duplicate headers would silently merge in any TOML parser
+    val dup = intercept[IllegalArgumentException](
+      Generate.example("file/x:remap,x:filter/console"))
+    assert(dup.getMessage.contains("duplicate"))
+    // a custom name colliding with a generated default
+    intercept[IllegalArgumentException](
+      Generate.example("file/transform1:remap,filter/console"))
+    // names that would corrupt the emitted TOML
+    intercept[IllegalArgumentException](
+      Generate.example("file/bad name:remap/console"))
+    intercept[IllegalArgumentException](
+      Generate.example("""file/x"y:remap/console"""))
+  }
+
   test("generate: log-side skeleton examples genuinely run, not just parse") {
     // route's generated example: inject a log frame at the transform
     // and check both ports materialize
@@ -112,6 +127,56 @@ class CliSurfaceSpec extends SparkSpec {
           """{"skip": false, "meta": {"k": "w"}}"""))
     assert(out.size == 1)
     assert(out(0).contains(""""k":"w"""") && out(0).contains(""""depth":2"""))
+  }
+
+  test("vrl one-shot: rerouted dropped channel carries the aborted original") {
+    // the Cli verb passes rerouteDropped=true so aborted events
+    // surface instead of vanishing
+    val (out, dropped) = VrlRunner.eval(spark,
+      "if .skip == true { abort }\n.x = 1",
+      Seq("""{"skip": true, "id": 7}""", """{"skip": false, "id": 8}"""),
+      VrlCompile.RemapOpts(rerouteDropped = true))
+    assert(out.size == 1 && out(0).contains(""""id":8"""))
+    assert(dropped.size == 1 && dropped(0).contains(""""id":7"""))
+  }
+
+  test("vrl one-shot: a null array element keeps its index and counts toward length") {
+    val (out, _) = VrlRunner.eval(spark,
+      ".n = length(.a)\n.second = .a[1]",
+      Seq("""{"a": [1, null, 3]}"""))
+    assert(out(0).contains(""""n":3"""), out(0))
+    // .a[1] is null → the field is absent from the JSON rendering,
+    // and the array itself keeps the hole
+    assert(out(0).contains(""""a":[1,null,3]"""), out(0))
+    assert(!out(0).contains(""""second":3"""), out(0))
+  }
+
+  test("metric test input: tags canonicalize by key order, not joined-string order") {
+    val topo = Topology.load(
+      """
+        |[transforms.fwd]
+        |  inputs = []
+        |  type = "remap"
+        |  source = ".seen = true"
+        |[[tests]]
+        |  name = "tags"
+        |  [tests.input]
+        |    insert_at = "fwd"
+        |    type = "metric"
+        |    [tests.input.metric]
+        |      kind = "incremental"
+        |      name = "m"
+        |      [tests.input.metric.tags]
+        |        a-b = "y"
+        |        a = "x"
+        |      [tests.input.metric.counter]
+        |        value = 1.0
+        |  [[tests.outputs]]
+        |    extract_from = "fwd"
+        |    conditions = ['.tags == "a=x,a-b=y"']
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.forall(_.passed), rs.mkString("; "))
   }
 
   test("vrl one-shot: malformed input line is named in the error") {

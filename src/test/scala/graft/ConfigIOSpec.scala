@@ -51,6 +51,43 @@ class ConfigIOSpec extends SparkSpec {
         |  path = "unused"
         |""".stripMargin)
     assert(linear.sharedRoots.isEmpty)
+    // exact duplicates cache the exact frame, any transform type
+    val exactDup = Topology.load(
+      """
+        |[transforms.shape]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  source = ".x = 1"
+        |[sinks.a]
+        |  inputs = ["shape"]
+        |  type = "parquet"
+        |  path = "unused"
+        |[sinks.b]
+        |  inputs = ["shape"]
+        |  type = "parquet"
+        |  path = "unused"
+        |""".stripMargin)
+    assert(exactDup.sharedRoots == Set("shape"))
+    // remap primary + dropped do NOT qualify: the dropped branch
+    // filters the transform's INPUT, so caching the primary would not
+    // serve it — no false one-pass promise
+    val remapDrop = Topology.load(
+      """
+        |[transforms.shape]
+        |  inputs = ["events"]
+        |  type = "remap"
+        |  source = ".x = 1"
+        |  reroute_dropped = true
+        |[sinks.a]
+        |  inputs = ["shape"]
+        |  type = "parquet"
+        |  path = "unused"
+        |[sinks.b]
+        |  inputs = ["shape.dropped"]
+        |  type = "parquet"
+        |  path = "unused"
+        |""".stripMargin)
+    assert(remapDrop.sharedRoots.isEmpty)
     // source names never cache (re-scan beats materializing raw input)
     val srcFan = Topology.load(
       """
