@@ -278,7 +278,6 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         Seq("" -> Frame(out, EventMeta(types, in.meta.rootT), in.metric))
 
       case "throttle" =>
-        requireBatch(in, "throttle")
         val threshold = cfg.long("threshold").getOrElse(
           throw new IllegalArgumentException(s"throttle $name: no threshold")).toInt
         val windowSecs = cfg.long("window_secs").getOrElse(60L)
@@ -290,8 +289,34 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         // (throttle/config.rs:60-61, transform.rs:102-130)
         val thrExcl = cfg.get("exclude").map(v =>
           Conditions.compile(Some(v), in, enrichmentTables))
-        Seq("" -> in.copy(df = graft.operators.Throttle(
-          in.df, key, ts, threshold, windowSecs, Seq(col(SeqCol)), thrExcl)))
+        if (in.df.isStreaming) {
+          // the reference throttle IS a continuous token bucket; the
+          // cross-batch form (StreamOps.throttle: per-window counters
+          // in flatMapGroupsWithState) is its native home. The event
+          // rides a JSON envelope through the typed stateful op and is
+          // re-typed with its own schema on the way out; excluded rows
+          // bypass on a separate union branch, never consuming quota.
+          val sp = in.df.sparkSession
+          import sp.implicits._
+          val schema = in.df.schema
+          val gated = thrExcl.map(e =>
+            in.df.filter(!coalesce(e, lit(false)))).getOrElse(in.df)
+          val keyed = gated.select(
+            coalesce(key.cast("string"), lit("")).as("key"),
+            coalesce(unix_timestamp(ts), lit(0L)).as("epochSec"),
+            to_json(struct(gated.columns.map(c => col(s"`$c`")).toSeq: _*))
+              .as("payload"))
+            .as[graft.streaming.StreamOps.Keyed]
+          val kept = graft.streaming.StreamOps
+            .throttle(keyed, threshold, windowSecs)
+            .select(from_json(col("payload"), schema).as("__e"))
+            .select(col("__e.*"))
+          val out = thrExcl.map(e => kept.unionByName(
+            in.df.filter(coalesce(e, lit(false))))).getOrElse(kept)
+          Seq("" -> in.copy(df = out))
+        } else
+          Seq("" -> in.copy(df = graft.operators.Throttle(
+            in.df, key, ts, threshold, windowSecs, Seq(col(SeqCol)), thrExcl)))
 
       case "log_to_metric" =>
         Seq("" -> logToMetricConfig(name, cfg, in))

@@ -586,6 +586,49 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("streaming execute: throttle is a cross-batch token bucket; exclude bypasses quota") {
+    val dir = Files.createTempDirectory("graft-configthrottle")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:02")
+    Seq(("a", t0, false), ("a", t1, false), ("a", t1, true))
+      .toDF("k", "timestamp", "vip").write.parquet(s"$dir/in")
+    val toml =
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.t]
+        |  inputs = ["ev"]
+        |  type = "throttle"
+        |  threshold = 1
+        |  window_secs = 60
+        |  key_field = "k"
+        |  exclude = ".vip == true"
+        |[sinks.out]
+        |  inputs = ["t"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin
+    Topology.load(toml).executeStreaming(spark, s"$dir/ckpt")
+    val out1 = spark.read.parquet(s"$dir/out")
+    // threshold 1: one event passes the bucket; the vip row bypasses
+    // without consuming quota
+    assert(out1.count() == 2, s"first run kept ${out1.count()}")
+    assert(out1.filter(col("vip") === true).count() == 1)
+    // a later file landing in the SAME window finds the quota already
+    // consumed — cross-batch state survives via the checkpoint
+    Seq(("a", t1, false)).toDF("k", "timestamp", "vip")
+      .write.mode("append").parquet(s"$dir/in")
+    Topology.load(toml).executeStreaming(spark, s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/out").count() == 2, "quota must persist across runs")
+    // a different key gets its own bucket
+    Seq(("b", t1, false)).toDF("k", "timestamp", "vip")
+      .write.mode("append").parquet(s"$dir/in")
+    Topology.load(toml).executeStreaming(spark, s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: order-dependent transforms refuse loudly; dedupe streams first-wins") {
     val dir = Files.createTempDirectory("graft-configstream2")
     Seq(("a", "x"), ("a", "y"), ("b", "z"))
