@@ -301,8 +301,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val schema = in.df.schema
           val gated = thrExcl.map(e =>
             in.df.filter(!coalesce(e, lit(false)))).getOrElse(in.df)
+          // a null key is its own bucket (matching the batch window's
+          // null partition), not merged with the "" key — the NUL
+          // prefix can't collide with a cast string value
           val keyed = gated.select(
-            coalesce(key.cast("string"), lit("")).as("key"),
+            when(key.isNull, lit("\u0000null"))
+              .otherwise(key.cast("string")).as("key"),
             coalesce(unix_timestamp(ts), lit(0L)).as("epochSec"),
             to_json(struct(gated.columns.map(c => col(s"`$c`")).toSeq: _*))
               .as("payload"))
