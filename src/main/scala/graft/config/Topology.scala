@@ -1019,9 +1019,44 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             case "bytes" => ()
             case other => throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
           }
-          val df = spark.read.text(path).withColumnRenamed("value", "message")
-          Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
-            EventMeta(ListMap("message" -> VStr), None))
+          cfg.tab("multiline") match {
+            case Some(ml) =>
+              // the file source's multiline aggregation
+              // (src/sources/util/multiline_config.rs: start_pattern /
+              // condition_pattern / mode / timeout_ms) over the EXACT
+              // line_agg state machine (LineAgg.mergeWithStart).
+              // wholetext + posexplode recovers the per-file line order
+              // a parallel text scan can't promise; `timeout_ms` is a
+              // liveness knob of the continuous machine — a bounded
+              // batch always drains, so it is accepted and unused.
+              def req(k: String) = ml.str(k).getOrElse(
+                throw new IllegalArgumentException(
+                  s"source $name: multiline needs $k"))
+              val mode = req("mode") match {
+                case "continue_through" => graft.operators.LineAgg.ContinueThrough
+                case "continue_past" => graft.operators.LineAgg.ContinuePast
+                case "halt_before" => graft.operators.LineAgg.HaltBefore
+                case "halt_with" => graft.operators.LineAgg.HaltWith
+                case other => throw new IllegalArgumentException(
+                  s"source $name: multiline mode $other")
+              }
+              import spark.implicits._
+              val lines = spark.read.option("wholetext", true).text(path)
+                .select(input_file_name().as("key"),
+                  posexplode(split(regexp_replace(col("value"), "\n$", ""), "\n")))
+                .select(col("key"), col("pos").cast("long").as("lineNo"),
+                  col("col").as("line"))
+                .as[graft.operators.LineAgg.InLine]
+              val merged = graft.operators.LineAgg.mergeWithStart(
+                lines, req("start_pattern"), req("condition_pattern"), mode)
+              val df = merged.toDF.select(col("text").as("message"))
+              Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
+                EventMeta(ListMap("message" -> VStr), None))
+            case None =>
+              val df = spark.read.text(path).withColumnRenamed("value", "message")
+              Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
+                EventMeta(ListMap("message" -> VStr), None))
+          }
         case other =>
           throw VrlUnsupported(s"source $name: type ${other.getOrElse("?")}")
       }

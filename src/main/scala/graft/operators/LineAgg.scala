@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,5 +77,67 @@ object LineAgg {
             array_sort(collect_list(struct(lineNo.as("n"), line.as("l")))),
             s => s.getField("l")),
           "\n").as("text"))
+  }
+
+  // ---- exact sequential form (start_pattern semantics) ---------------
+
+  /** One input line for [[mergeWithStart]]. */
+  final case class InLine(key: String, lineNo: Long, line: String)
+  /** One merged record; (first, last) line numbers mirror the
+    * reference's (initial_context, last_context) pair.
+    */
+  final case class OutRec(key: String, first_line_no: Long,
+                          last_line_no: Long, n_lines: Long, text: String)
+
+  /** The reference state machine EXACTLY (src/line_agg.rs:294-368),
+    * including `start_pattern`: with no buffer open, only a
+    * start-matching line opens one — anything else passes through as
+    * its own record (line_agg.rs:353-366) — and an EndExclude boundary
+    * line is re-handled against the now-empty state (the stash,
+    * line_agg.rs:169-181,346-350). The windowed [[merge]] treats every
+    * boundary as a group opener, which coincides with this exactly when
+    * start_pattern accepts every boundary line (the canonical pairings
+    * in the reference's own tests); this form is the general one, and
+    * what the config front-end's `[sources.*.multiline]` compiles to.
+    *
+    * Built on the Script harness (`transformByKey`): sequential per key
+    * in lineNo order — the semantics — parallel across keys, state never
+    * leaving the executor; one shuffle on the key, the sort rides it.
+    */
+  def mergeWithStart(ds: Dataset[InLine], startPattern: String,
+                     conditionPattern: String, mode: Mode): Dataset[OutRec] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    val startP = java.util.regex.Pattern.compile(startPattern)
+    val condP = java.util.regex.Pattern.compile(conditionPattern)
+    val m = mode
+    def emit(key: String, lines: Vector[InLine]): OutRec =
+      OutRec(key, lines.head.lineNo, lines.last.lineNo,
+        lines.size.toLong, lines.map(_.line).mkString("\n"))
+    // buf == null ⇔ no open aggregate (the reference's vacant entry)
+    def step(key: String, buf: Vector[InLine],
+             l: InLine): (Vector[InLine], Seq[OutRec]) =
+      if (buf == null) {
+        if (startP.matcher(l.line).find()) (Vector(l), Nil)
+        else (null, Seq(emit(key, Vector(l))))
+      } else {
+        val c = condP.matcher(l.line).find()
+        m match {
+          case ContinueThrough if c => (buf :+ l, Nil)
+          case ContinuePast if c    => (buf :+ l, Nil)
+          case ContinuePast         => (null, Seq(emit(key, buf :+ l)))
+          case HaltBefore if !c     => (buf :+ l, Nil)
+          case HaltWith if c        => (null, Seq(emit(key, buf :+ l)))
+          case HaltWith             => (buf :+ l, Nil)
+          case _ => // EndExclude: close, then re-handle l on empty state
+            val (b2, more) = step(key, null, l)
+            (b2, emit(key, buf) +: more)
+        }
+      }
+    Script.transformByKey[InLine, String, (String, Vector[InLine]), OutRec](
+      ds, _.key, Seq(org.apache.spark.sql.functions.col("lineNo")))(
+      k => (k, null))(
+      (s, l) => { val (b2, out) = step(s._1, s._2, l); ((s._1, b2), out) })(
+      (_, s) => if (s._2 == null) Nil else Seq(emit(s._1, s._2)))
   }
 }

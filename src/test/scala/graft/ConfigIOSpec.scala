@@ -586,6 +586,38 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("file source multiline: stack traces merge per the reference state machine") {
+    val dir = Files.createTempDirectory("graft-multiline")
+    Files.write(java.nio.file.Paths.get(s"$dir/app.log"),
+      ("ERROR boom\n  at a\n  at b\nINFO fine\n" +
+        "ERROR again\n  at c\n").getBytes("UTF-8"))
+    val toml =
+      s"""
+        |[sources.logs]
+        |  type = "file"
+        |  path = "$dir/app.log"
+        |  [sources.logs.multiline]
+        |    start_pattern = "^[^\\\\s]"
+        |    condition_pattern = "^[\\\\s]+"
+        |    mode = "continue_through"
+        |    timeout_ms = 1000
+        |[transforms.keep]
+        |  inputs = ["logs"]
+        |  type = "filter"
+        |  condition = 'starts_with(.message, "ERROR")'
+        |[sinks.out]
+        |  inputs = ["keep"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin
+    val written = Topology.load(toml).execute(spark)
+    assert(written("out") == 2L)
+    val msgs = spark.read.parquet(s"$dir/out").select("message")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(msgs == Seq("ERROR again\n  at c", "ERROR boom\n  at a\n  at b"), msgs)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: throttle is a cross-batch token bucket; exclude bypasses quota") {
     val dir = Files.createTempDirectory("graft-configthrottle")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")

@@ -147,6 +147,72 @@ class StdlibSpec extends SparkSpec {
     assert(got === Array("a\nEND", "b\nc\nEND"))
   }
 
+  test("line_agg mergeWithStart pins the reference's four mode fixtures exactly") {
+    // src/line_agg.rs inline tests mode_{continue_through,continue_past,
+    // halt_before,halt_with}_1 — same lines, same config, same expected
+    // merged records (first_line_no, last_line_no pin the contexts)
+    def run(lines: Seq[String], start: String, cond: String,
+            mode: LineAgg.Mode): Seq[(String, Long, Long)] = {
+      val ds = lines.zipWithIndex
+        .map { case (l, i) => LineAgg.InLine("f", i.toLong, l) }.toDS()
+      LineAgg.mergeWithStart(ds, start, cond, mode)
+        .orderBy("first_line_no").collect()
+        .map(r => (r.text, r.first_line_no, r.last_line_no)).toSeq
+    }
+    assert(run(Seq(
+      "some usual line", "some other usual line", "first part",
+      " second part", " last part", "another normal message",
+      "finishing message", " last part of the incomplete finishing message"),
+      "^[^\\s]", "^[\\s]+", LineAgg.ContinueThrough) == Seq(
+      ("some usual line", 0L, 0L),
+      ("some other usual line", 1L, 1L),
+      ("first part\n second part\n last part", 2L, 4L),
+      ("another normal message", 5L, 5L),
+      ("finishing message\n last part of the incomplete finishing message", 6L, 7L)))
+    assert(run(Seq(
+      "some usual line", "some other usual line", "first part \\",
+      "second part \\", "last part", "another normal message",
+      "finishing message \\", "last part of the incomplete finishing message \\"),
+      "\\\\$", "\\\\$", LineAgg.ContinuePast) == Seq(
+      ("some usual line", 0L, 0L),
+      ("some other usual line", 1L, 1L),
+      ("first part \\\nsecond part \\\nlast part", 2L, 4L),
+      ("another normal message", 5L, 5L),
+      ("finishing message \\\nlast part of the incomplete finishing message \\", 6L, 7L)))
+    assert(run(Seq(
+      "INFO some usual line", "INFO some other usual line",
+      "INFO first part", "second part", "last part",
+      "ERROR another normal message", "ERROR finishing message",
+      "last part of the incomplete finishing message"),
+      "", "^(INFO|ERROR) ", LineAgg.HaltBefore) == Seq(
+      ("INFO some usual line", 0L, 0L),
+      ("INFO some other usual line", 1L, 1L),
+      ("INFO first part\nsecond part\nlast part", 2L, 4L),
+      ("ERROR another normal message", 5L, 5L),
+      ("ERROR finishing message\nlast part of the incomplete finishing message", 6L, 7L)))
+    assert(run(Seq(
+      "some usual line;", "some other usual line;", "first part",
+      "second part", "last part;", "another normal message;",
+      "finishing message", "last part of the incomplete finishing message"),
+      "[^;]$", ";$", LineAgg.HaltWith) == Seq(
+      ("some usual line;", 0L, 0L),
+      ("some other usual line;", 1L, 1L),
+      ("first part\nsecond part\nlast part;", 2L, 4L),
+      ("another normal message;", 5L, 5L),
+      ("finishing message\nlast part of the incomplete finishing message", 6L, 7L)))
+  }
+
+  test("line_agg mergeWithStart: non-start lines pass through while no buffer is open") {
+    // the start_pattern semantics the windowed merge can't express:
+    // "second"/"third" match neither start nor (as openers) exist —
+    // each passes through alone (line_agg.rs:353-366)
+    val ds = Seq("INFO a", " in1", "plain b", " in2")
+      .zipWithIndex.map { case (l, i) => LineAgg.InLine("f", i.toLong, l) }.toDS()
+    val got = LineAgg.mergeWithStart(ds, "^INFO", "^\\s", LineAgg.ContinueThrough)
+      .orderBy("first_line_no").collect().map(_.text).toSeq
+    assert(got == Seq("INFO a\n in1", "plain b", " in2"))
+  }
+
   test("line_agg keeps keys independent and counts lines") {
     val lines = Seq(("a", 1, "X h"), ("b", 1, "  cont"), ("a", 2, "  t")).toDF("key", "line_no", "line")
     val got = LineAgg.merge(lines, col("key"), col("line_no"), col("line"),
