@@ -1402,6 +1402,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             case "bytes" => ()
             case other => throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
           }
+          // never silently ignore a configured aggregation: the batch
+          // path runs the exact state machine (LineAgg.mergeWithStart);
+          // the cross-batch form is StreamOps.lineAgg on the library
+          // surface (ContinueThrough + flush timeout)
+          if (cfg.tab("multiline").isDefined) throw VrlUnsupported(
+            s"source $name: multiline on a streaming file source " +
+              "(use Cli run for the exact batch machine, or " +
+              "graft.streaming.StreamOps.lineAgg)")
           val df = filtered(spark.readStream).text(dir)
             .withColumnRenamed("value", "message")
           Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
