@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * merge runs through `flatMapGroupsWithState` — see
   * `streaming/StreamOps.lineAgg`.
   */
-object LineAgg {
+// Serializable: closures that call `decide` capture the object itself
+object LineAgg extends Serializable {
 
   sealed trait Mode
   case object ContinueThrough extends Mode
@@ -89,6 +90,27 @@ object LineAgg {
   final case class OutRec(key: String, first_line_no: Long,
                           last_line_no: Long, n_lines: Long, text: String)
 
+  /** Per-line verdict of the reference machine over an OPEN buffer
+    * (line_agg.rs:314-331): Continue appends, EndInclude closes with
+    * the line, EndExclude closes without it and re-handles the line
+    * against the empty state.
+    */
+  sealed trait Decision
+  case object Continue extends Decision
+  case object EndInclude extends Decision
+  case object EndExclude extends Decision
+
+  def decide(mode: Mode, conditionMatched: Boolean): Decision = (mode, conditionMatched) match {
+    case (ContinueThrough, true)  => Continue
+    case (ContinueThrough, false) => EndExclude
+    case (ContinuePast, true)     => Continue
+    case (ContinuePast, false)    => EndInclude
+    case (HaltBefore, true)       => EndExclude
+    case (HaltBefore, false)      => Continue
+    case (HaltWith, true)         => EndInclude
+    case (HaltWith, false)        => Continue
+  }
+
   /** The reference state machine EXACTLY (src/line_agg.rs:294-368),
     * including `start_pattern`: with no buffer open, only a
     * start-matching line opens one — anything else passes through as
@@ -108,8 +130,10 @@ object LineAgg {
                      conditionPattern: String, mode: Mode): Dataset[OutRec] = {
     val sp = ds.sparkSession
     import sp.implicits._
-    val startP = java.util.regex.Pattern.compile(startPattern)
-    val condP = java.util.regex.Pattern.compile(conditionPattern)
+    // scala Regex, not java Pattern: the closure ships to executors and
+    // Pattern is not Serializable
+    val startP = startPattern.r
+    val condP = conditionPattern.r
     val m = mode
     def emit(key: String, lines: Vector[InLine]): OutRec =
       OutRec(key, lines.head.lineNo, lines.last.lineNo,
@@ -118,21 +142,14 @@ object LineAgg {
     def step(key: String, buf: Vector[InLine],
              l: InLine): (Vector[InLine], Seq[OutRec]) =
       if (buf == null) {
-        if (startP.matcher(l.line).find()) (Vector(l), Nil)
+        if (startP.findFirstIn(l.line).isDefined) (Vector(l), Nil)
         else (null, Seq(emit(key, Vector(l))))
-      } else {
-        val c = condP.matcher(l.line).find()
-        m match {
-          case ContinueThrough if c => (buf :+ l, Nil)
-          case ContinuePast if c    => (buf :+ l, Nil)
-          case ContinuePast         => (null, Seq(emit(key, buf :+ l)))
-          case HaltBefore if !c     => (buf :+ l, Nil)
-          case HaltWith if c        => (null, Seq(emit(key, buf :+ l)))
-          case HaltWith             => (buf :+ l, Nil)
-          case _ => // EndExclude: close, then re-handle l on empty state
-            val (b2, more) = step(key, null, l)
-            (b2, emit(key, buf) +: more)
-        }
+      } else decide(m, condP.findFirstIn(l.line).isDefined) match {
+        case Continue   => (buf :+ l, Nil)
+        case EndInclude => (null, Seq(emit(key, buf :+ l)))
+        case EndExclude => // close, then re-handle l on empty state
+          val (b2, more) = step(key, null, l)
+          (b2, emit(key, buf) +: more)
       }
     Script.transformByKey[InLine, String, (String, Vector[InLine]), OutRec](
       ds, _.key, Seq(org.apache.spark.sql.functions.col("lineNo")))(

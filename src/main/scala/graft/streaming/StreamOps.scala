@@ -31,7 +31,9 @@ import graft.plans.Pipeline
   * scales with key cardinality, not event count — the property that
   * lets these run on unbounded streams at cluster scale.
   */
-object StreamOps {
+// Serializable: recursive local defs inside the stateful closures
+// compile to methods on this object, so the closures capture it
+object StreamOps extends Serializable {
 
   /** The north-star pipeline over a streaming transcript frame:
     * parse → enrich → route (all narrow — shared code with batch), then
@@ -184,46 +186,64 @@ object StreamOps {
                                 text: String)
 
   /** Streaming multiline merge — the reference's per-stream line_agg
-    * state machine (`src/line_agg.rs:24-69`), ContinueThrough mode: a
-    * line NOT matching `conditionPattern` closes the open record and
-    * opens a new one; matching lines append. Open records persist in
-    * state across micro-batches. The reference's flush `timeout`
-    * ("once this timeout is reached, the buffered message is guaranteed
-    * to be flushed, even if incomplete", line_agg.rs:68-69 +
+    * state machine (`src/line_agg.rs:24-69`), EXACT semantics shared
+    * with the batch form via `LineAgg.decide`: all four modes, plus
+    * `startPattern` gating which lines may OPEN a buffer (a
+    * non-matching line with no buffer open passes through as its own
+    * record, line_agg.rs:353-366; the default `""` matches every line
+    * — the original ContinueThrough behavior). EndExclude boundary
+    * lines are re-handled against the empty state (the stash,
+    * line_agg.rs:169-181). Open records persist in state across
+    * micro-batches. The reference's flush `timeout` ("once this
+    * timeout is reached, the buffered message is guaranteed to be
+    * flushed, even if incomplete", line_agg.rs:68-69 +
     * DelayQueue:126-136) maps to `timeoutMs` here: a key idle that long
     * has its open record emitted incomplete and its state dropped
     * (`ProcessingTimeTimeout`, fires on the next micro-batch after
     * expiry). `None` keeps records open indefinitely (deterministic for
-    * specs). Batch equivalent: `operators/LineAgg.merge`.
+    * specs). Batch equivalent: `operators/LineAgg.mergeWithStart`.
     */
   def lineAgg(ds: Dataset[Line], conditionPattern: String,
-              timeoutMs: Option[Long] = None)(
+              timeoutMs: Option[Long] = None,
+              mode: graft.operators.LineAgg.Mode = graft.operators.LineAgg.ContinueThrough,
+              startPattern: String = "")(
       implicit em: Encoder[MergedRecord], es: Encoder[LineAggState]): Dataset[MergedRecord] = {
-    val re = conditionPattern.r
+    import graft.operators.LineAgg.{decide, Continue, EndInclude, EndExclude}
+    // scala Regex (serializable), not java Pattern (not serializable)
+    val condP = conditionPattern.r
+    val startP = startPattern.r
+    val m = mode
     val timeoutConf = if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                       else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[LineAggState, MergedRecord](
         OutputMode.Append, timeoutConf) {
         (key: String, lines: Iterator[Line], state: GroupState[LineAggState]) =>
+          def merged(st: LineAggState) =
+            MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n"))
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            Iterator.single(MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n")))
+            Iterator.single(merged(st))
           } else {
             val sorted = lines.toSeq.sortBy(_.lineNo)
             var st = state.getOption.orNull
             val out = Seq.newBuilder[MergedRecord]
-            sorted.foreach { l =>
-              val continuation = re.findFirstIn(l.line).isDefined
-              if (continuation && st != null) {
-                st = st.copy(n = st.n + 1, buffer = st.buffer :+ l.line)
-              } else {
-                if (st != null)
-                  out += MergedRecord(key, st.firstLineNo, st.n, st.buffer.mkString("\n"))
-                st = LineAggState(l.lineNo, 1L, Vector(l.line))
+            def handle(l: Line): Unit =
+              if (st == null) {
+                if (startP.findFirstIn(l.line).isDefined)
+                  st = LineAggState(l.lineNo, 1L, Vector(l.line))
+                else out += MergedRecord(key, l.lineNo, 1L, l.line)
+              } else decide(m, condP.findFirstIn(l.line).isDefined) match {
+                case Continue =>
+                  st = st.copy(n = st.n + 1, buffer = st.buffer :+ l.line)
+                case EndInclude =>
+                  out += merged(st.copy(n = st.n + 1, buffer = st.buffer :+ l.line))
+                  st = null
+                case EndExclude =>
+                  out += merged(st); st = null; handle(l)
               }
-            }
+            sorted.foreach(handle)
             if (st == null) state.remove()
             else { state.update(st); timeoutMs.foreach(state.setTimeoutDuration) }
             out.result().iterator

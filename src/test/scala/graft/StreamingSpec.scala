@@ -243,6 +243,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line_agg: halt_with + start_pattern, exact machine across batches") {
+    val input = MemoryStream[StreamOps.Line](spark)
+    // start "[^;]$": complete one-liners (ending ';') pass through
+    // alone; halt_with closes a group at the first ';' line
+    val out = StreamOps.lineAgg(input.toDS(), ";$",
+      mode = graft.operators.LineAgg.HaltWith, startPattern = "[^;]$")
+    val q = out.writeStream.format("memory").queryName("s_lineagg_hw")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.Line("f", 1, "done alone;"), StreamOps.Line("f", 2, "first"))
+      q.processAllAvailable()
+      input.addData(
+        StreamOps.Line("f", 3, "second"), StreamOps.Line("f", 4, "third;"))
+      q.processAllAvailable()
+      val rows = spark.table("s_lineagg_hw").orderBy("firstLineNo").collect()
+      assert(rows.map(_.getAs[String]("text")).toSeq ==
+        Seq("done alone;", "first\nsecond\nthird;"))
+      assert(rows.map(_.getAs[Long]("nLines")).toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming dedupe within watermark") {
     val input = MemoryStream[Turn](spark)
     val out = StreamOps.dedupe(input.toDF(), Seq("conv_id", "turn_idx"),
