@@ -576,6 +576,11 @@ object VrlCompile {
     case LitB(b) => (XV.pure(CV(lit(b), VBool)), env)
     case LitNull => (XV.pure(nullCV), env)
     case LitRegex(p) => throw VrlUnsupported(s"regex literal r'$p' outside function argument")
+    case LitTs(s) =>
+      // plan-time validation: a bad literal should fail at compile,
+      // not become a null column at runtime
+      VrlFunctions.parseDateMicros(s)
+      (XV.pure(CV(lit(s).cast("timestamp"), VTime)), env)
     case FieldRef(path) => (XV.pure(resolve(env, path)), env)
     case LocalRef(n) =>
       env.locals.get(n) match {

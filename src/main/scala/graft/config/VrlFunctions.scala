@@ -22,6 +22,30 @@ object VrlFunctions {
 
   private def nullStr = lit(null).cast("string")
 
+  /** Driver-side parse of an enrichment-table date cell to epoch
+    * micros. Accepts RFC3339 instants, offset timestamps, and bare
+    * date / date-time forms (interpreted as UTC) — the shapes the
+    * reference's file table accepts for a Date-typed column
+    * (src/enrichment_tables/file.rs schema parsing).
+    */
+  private[config] def parseDateMicros(s: String): Long = {
+    import java.time._
+    val t = s.trim
+    def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    try micros(Instant.parse(t)) catch { case _: Exception =>
+      try micros(OffsetDateTime.parse(t).toInstant) catch { case _: Exception =>
+        try micros(LocalDateTime.parse(t.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+        catch { case _: Exception =>
+          try micros(LocalDate.parse(t).atStartOfDay.toInstant(ZoneOffset.UTC))
+          catch { case _: Exception =>
+            throw new IllegalArgumentException(
+              s"enrichment table date cell not parseable as a date: '$s'")
+          }
+        }
+      }
+    }
+  }
+
   /** Argument accessor: positional index or any of the given names. */
   private final class Args(args: Seq[XV], named: Map[String, XV],
                            rawArgs: Seq[Expr], rawNamed: Map[String, Expr],
@@ -178,14 +202,24 @@ object VrlFunctions {
           throw VrlUnsupported(s"$name with wildcard (use the Enrich operator surface)")
         val caseSensitive = c.named.collectFirst {
           case ("case_sensitive", LitB(b)) => b }.getOrElse(true)
+        // a condition VALUE that is an object with from/to keys is a
+        // date condition — BetweenDates / FromDate / ToDate
+        // (vrl_util.rs:43-77); anything else is Equals
+        def dateBounds(e: VrlAst.Expr): Option[Map[String, VrlAst.Expr]] = e match {
+          case ObjLit(fs) if fs.nonEmpty &&
+            fs.forall(f => f._1 == "from" || f._1 == "to") => Some(fs.toMap)
+          case _ => None
+        }
+        val (rangeFields, equiFields) =
+          condFields.partition(f => dateBounds(f._2).isDefined)
         var envAcc = env
-        val probeCols = condFields.map { case (_, e) =>
+        val probeCols = equiFields.map { case (_, e) =>
           val (xv, e2) = compileExpr(envAcc, e); envAcc = e2
           val sc = xv.cv.col.cast("string")
           if (caseSensitive) sc else lower(sc)
         }
         val probe = concat_ws("\u0001", probeCols: _*)
-        val keyNames = condFields.map(_._1)
+        val keyNames = equiFields.map(_._1)
         def rowKey(r: ListMap[String, String]): String = {
           val k = keyNames.map(n => r.getOrElse(n, "")).mkString("\u0001")
           if (caseSensitive) k else k.toLowerCase
@@ -198,6 +232,53 @@ object VrlFunctions {
           fields.mkString("{", ",", "}")
         }
         val grouped = table.rows.groupBy(rowKey)
+        if (rangeFields.nonEmpty) {
+          // date conditions: the equi keys still pre-group the
+          // broadcast rows into a literal map; the date test runs per
+          // event over the (config-sized) candidate list with an array
+          // HOF — stays in codegen, zero shuffles. Bounds are
+          // INCLUSIVE (lib/enrichment/src/lib.rs:28-41).
+          if (rangeFields.size > 1)
+            throw VrlUnsupported(s"$name with multiple date-range conditions")
+          val (dateField, boundsExprs) = {
+            val (k, e) = rangeFields.head; (k, dateBounds(e).get)
+          }
+          def boundMicros(which: String): Option[Column] =
+            boundsExprs.get(which).map { e =>
+              val (xv, e2) = compileExpr(envAcc, e); envAcc = e2
+              unix_micros(xv.cv.col.cast("timestamp"))
+            }
+          val fromB = boundMicros("from")
+          val toB = boundMicros("to")
+          def rowMicros(r: ListMap[String, String]): Long = parseDateMicros(
+            r.getOrElse(dateField, throw new IllegalArgumentException(
+              s"enrichment table $tname: row missing date column $dateField")))
+          val entries = grouped.toSeq.flatMap { case (k, rs) =>
+            Seq(lit(k), array(rs.map(r =>
+              struct(lit(rowMicros(r)).as("d"), lit(rowJson(r)).as("j"))): _*))
+          }
+          val emptyArr = array().cast("array<struct<d:bigint,j:string>>")
+          val cands =
+            if (entries.isEmpty) emptyArr
+            else coalesce(try_element_at(map(entries: _*), probe), emptyArr)
+          val inRange = filter(cands, cnd => {
+            val d = cnd.getField("d")
+            val lo = fromB.map(d >= _).getOrElse(lit(true))
+            val hi = toB.map(d <= _).getOrElse(lit(true))
+            lo && hi
+          })
+          if (name == "get_enrichment_table_record") {
+            val value = try_parse_json(
+              when(size(inRange) === 1, element_at(inRange, 1).getField("j")))
+            return (XV(CV(value, VAny),
+              Some(size(inRange) =!= 1),
+              lit(s"""function call error for "$name": no unique row matched""")), envAcc)
+          } else {
+            val value = try_parse_json(concat(lit("["),
+              array_join(transform(inRange, x => x.getField("j")), ","), lit("]")))
+            return (XV.pure(CV(value, VAny)), envAcc)
+          }
+        }
         if (name == "get_enrichment_table_record") {
           val entries = grouped.toSeq.flatMap { case (k, rs) =>
             // >1 match raises at lookup time, like find_table_row's

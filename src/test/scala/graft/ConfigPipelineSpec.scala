@@ -631,6 +631,61 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("enrichment date-range conditions: BetweenDates / FromDate / ToDate") {
+    val dir = java.nio.file.Files.createTempDirectory("enrichdt").toFile
+    dir.deleteOnExit()
+    val csv = new java.io.File(dir, "rates.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("plan,valid,rate")
+    w.println("basic,2020-03-01T00:00:00Z,10")
+    w.println("basic,2020-06-01T00:00:00Z,20")
+    w.println("pro,2020-03-01T00:00:00Z,99")
+    w.close()
+    val topo = Topology.load(
+      s"""
+        |[enrichment_tables.rates]
+        |  type = "file"
+        |  [enrichment_tables.rates.file]
+        |    path = "${csv.getAbsolutePath}"
+        |    [enrichment_tables.rates.file.encoding]
+        |      type = "csv"
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .between = get_enrichment_table_record!("rates", {"plan": .plan, "valid": {"from": t'2020-02-01T00:00:00Z', "to": t'2020-04-01T00:00:00Z'}})
+        |    .from_only = find_enrichment_table_records!("rates", {"plan": .plan, "valid": {"from": t'2020-05-01T00:00:00Z'}})
+        |    .to_only = find_enrichment_table_records!("rates", {"plan": .plan, "valid": {"to": t'2020-12-31T00:00:00Z'}})
+        |    .inclusive = get_enrichment_table_record!("rates", {"plan": "pro", "valid": {"from": t'2020-03-01T00:00:00Z', "to": t'2020-03-01T00:00:00Z'}})
+        |    .nomatch, .err = get_enrichment_table_record("rates", {"plan": .plan, "valid": {"from": t'2021-01-01T00:00:00Z'}})
+        |  '''
+        |[[tests]]
+        |  name = "date_range_lookup"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      plan = "basic"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.between.rate, "10")
+        |        assert_eq!(length(.from_only), 1)
+        |        assert_eq!(.from_only[0].rate, "20")
+        |        assert_eq!(length(.to_only), 2)
+        |        assert_eq!(.inclusive.rate, "99")
+        |        assert!(.err != null)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("unnest fan-out, find, parse_regex_all, ip_pton/ip_ntop") {
     val topo = Topology.load(
       """
