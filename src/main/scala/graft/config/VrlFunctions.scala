@@ -198,10 +198,21 @@ object VrlFunctions {
           case Some(ObjLit(fs)) => fs
           case _ => throw VrlUnsupported(s"$name without an object-literal condition")
         }
-        if (c.named.exists(_._1 == "wildcard"))
-          throw VrlUnsupported(s"$name with wildcard (use the Enrich operator surface)")
         val caseSensitive = c.named.collectFirst {
           case ("case_sensitive", LitB(b)) => b }.getOrElse(true)
+        // select: a subset of table columns to return (third positional
+        // or named — get_enrichment_table_record.cue arguments)
+        val selectFields: Option[Seq[String]] =
+          c.args.lift(2).orElse(c.named.collectFirst {
+            case ("select", e) => e }).map {
+            case ArrLit(items) => items.map {
+              case LitS(s) => s
+              case _ => throw VrlUnsupported(
+                s"$name: select must be an array of string literals")
+            }
+            case _ => throw VrlUnsupported(
+              s"$name: select must be an array literal")
+          }
         // a condition VALUE that is an object with from/to keys is a
         // date condition — BetweenDates / FromDate / ToDate
         // (vrl_util.rs:43-77); anything else is Equals
@@ -224,7 +235,11 @@ object VrlFunctions {
           val k = keyNames.map(n => r.getOrElse(n, "")).mkString("\u0001")
           if (caseSensitive) k else k.toLowerCase
         }
-        def rowJson(r: ListMap[String, String]): String = {
+        def rowJson(r0: ListMap[String, String]): String = {
+          val r = selectFields match {
+            case Some(sel) => r0.filter { case (k, _) => sel.contains(k) }
+            case None => r0
+          }
           val fields = r.map { case (k, v) =>
             "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":\"" +
               v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -232,6 +247,53 @@ object VrlFunctions {
           fields.mkString("{", ",", "}")
         }
         val grouped = table.rows.groupBy(rowKey)
+        val wildcardE = c.named.collectFirst { case ("wildcard", e) => e }
+        if (wildcardE.isDefined) {
+          // wildcard: a row satisfies an Equals condition when its cell
+          // equals the condition value OR the wildcard value
+          // (file.rs:337-342, find_enrichment_table_records.cue
+          // "Wildcard match"). Per-field independence means the hit set
+          // is the union over all 2^k per-field (value|wildcard) probe
+          // keys — k is config-sized, so the probe fan-out is a literal
+          // array of map lookups, still zero shuffles. Candidates carry
+          // the row's table ordinal so the union is returned in table
+          // order, matching the reference's sequential scan.
+          if (rangeFields.nonEmpty)
+            throw VrlUnsupported(s"$name with wildcard AND date-range conditions")
+          if (probeCols.size > 8)
+            throw VrlUnsupported(s"$name: wildcard with >8 condition fields")
+          val wc = {
+            val (xv, e2) = compileExpr(envAcc, wildcardE.get); envAcc = e2
+            val sc = xv.cv.col.cast("string")
+            if (caseSensitive) sc else lower(sc)
+          }
+          val entries = table.rows.zipWithIndex.groupBy(p => rowKey(p._1))
+            .toSeq.flatMap { case (k, rs) =>
+              Seq(lit(k), array(rs.map { case (r, i) =>
+                struct(lit(i).as("o"), lit(rowJson(r)).as("j")) }: _*))
+            }
+          val emptyArr = array().cast("array<struct<o:int,j:string>>")
+          def lookup(key: Column): Column =
+            if (entries.isEmpty) emptyArr
+            else coalesce(try_element_at(map(entries: _*), key), emptyArr)
+          val combos = (0 until (1 << probeCols.size)).map { mask =>
+            concat_ws("\u0001", probeCols.zipWithIndex.map { case (pc, i) =>
+              if ((mask & (1 << i)) != 0) wc else pc }: _*)
+          }
+          val cands = array_sort(array_distinct(
+            flatten(array(combos.map(lookup): _*))))
+          if (name == "get_enrichment_table_record") {
+            val value = try_parse_json(
+              when(size(cands) === 1, element_at(cands, 1).getField("j")))
+            return (XV(CV(value, VAny),
+              Some(size(cands) =!= 1),
+              lit(s"""function call error for "$name": no unique row matched""")), envAcc)
+          } else {
+            val value = try_parse_json(concat(lit("["),
+              array_join(transform(cands, x => x.getField("j")), ","), lit("]")))
+            return (XV.pure(CV(value, VAny)), envAcc)
+          }
+        }
         if (rangeFields.nonEmpty) {
           // date conditions: the equi keys still pre-group the
           // broadcast rows into a literal map; the date test runs per

@@ -631,6 +631,59 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("enrichment wildcard + select (find_enrichment_table_records.cue Wildcard match)") {
+    val dir = java.nio.file.Files.createTempDirectory("enrichwc").toFile
+    dir.deleteOnExit()
+    val csv = new java.io.File(dir, "test.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("id,firstname,surname")
+    w.println("1,Bob,Smith")
+    w.println("2,Fred,Smith")
+    w.close()
+    val topo = Topology.load(
+      s"""
+        |[enrichment_tables.test]
+        |  type = "file"
+        |  [enrichment_tables.test.file]
+        |    path = "${csv.getAbsolutePath}"
+        |    [enrichment_tables.test.file.encoding]
+        |      type = "csv"
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .wc = find_enrichment_table_records!("test", {"firstname": .fn}, wildcard: "fred", case_sensitive: false)
+        |    .one = get_enrichment_table_record!("test", {"firstname": "Fred"}, wildcard: "zed")
+        |    .multi, .err = get_enrichment_table_record("test", {"firstname": "Bob"}, wildcard: "fred", case_sensitive: false)
+        |    .sel = get_enrichment_table_record!("test", {"firstname": "Bob"}, ["surname"])
+        |  '''
+        |[[tests]]
+        |  name = "wildcard_lookup"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      fn = "Bob"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(length(.wc), 2)
+        |        assert_eq!(.wc[0].firstname, "Bob")
+        |        assert_eq!(.wc[1].firstname, "Fred")
+        |        assert_eq!(.one.id, "2")
+        |        assert!(.err != null)
+        |        assert_eq!(.sel, {"surname": "Smith"})
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("enrichment date-range conditions: BetweenDates / FromDate / ToDate") {
     val dir = java.nio.file.Files.createTempDirectory("enrichdt").toFile
     dir.deleteOnExit()
