@@ -302,11 +302,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val gated = thrExcl.map(e =>
             in.df.filter(!coalesce(e, lit(false)))).getOrElse(in.df)
           // a null key is its own bucket (matching the batch window's
-          // null partition), not merged with the "" key — the NUL
-          // prefix can't collide with a cast string value
+          // null partition), not merged with any string key: every
+          // real value gets a "v" prefix, null gets bare NUL — disjoint
+          // by construction (a cast string CAN contain NUL, so a
+          // sentinel alone wouldn't be collision-free)
           val keyed = gated.select(
-            when(key.isNull, lit("\u0000null"))
-              .otherwise(key.cast("string")).as("key"),
+            when(key.isNull, lit("\u0000"))
+              .otherwise(concat(lit("v"), key.cast("string"))).as("key"),
             coalesce(unix_timestamp(ts), lit(0L)).as("epochSec"),
             to_json(struct(gated.columns.map(c => col(s"`$c`")).toSeq: _*))
               .as("payload"))
@@ -1041,9 +1043,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                   s"source $name: multiline mode $other")
               }
               import spark.implicits._
+              // \n\z, not \n$: Java-regex $ also matches BEFORE a final
+              // line terminator, so "line1\n\n".replaceAll("\\n$","")
+              // strips BOTH newlines and loses the trailing blank
+              // line-event. \r?\n keeps CRLF files byte-identical to
+              // the Hadoop line reader the non-multiline path uses.
               val lines = spark.read.option("wholetext", true).text(path)
                 .select(input_file_name().as("key"),
-                  posexplode(split(regexp_replace(col("value"), "\n$", ""), "\n")))
+                  posexplode(split(regexp_replace(col("value"), "\r?\n\\z", ""), "\r?\n")))
                 .select(col("key"), col("pos").cast("long").as("lineNo"),
                   col("col").as("line"))
                 .as[graft.operators.LineAgg.InLine]

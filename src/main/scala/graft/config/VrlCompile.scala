@@ -577,10 +577,15 @@ object VrlCompile {
     case LitNull => (XV.pure(nullCV), env)
     case LitRegex(p) => throw VrlUnsupported(s"regex literal r'$p' outside function argument")
     case LitTs(s) =>
-      // plan-time validation: a bad literal should fail at compile,
-      // not become a null column at runtime
-      VrlFunctions.parseDateMicros(s)
-      (XV.pure(CV(lit(s).cast("timestamp"), VTime)), env)
+      // VRL's t'…' grammar is RFC 3339 only (zone-less / bare-date
+      // forms are compile errors in the reference too). Compiling the
+      // parsed Instant — not a string cast — keeps the value exact
+      // under any spark.sql.session.timeZone.
+      val inst = try java.time.OffsetDateTime.parse(s).toInstant
+      catch { case _: Exception =>
+        throw VrlUnsupported(s"invalid timestamp literal t'$s' (RFC 3339 required)")
+      }
+      (XV.pure(CV(lit(inst), VTime)), env)
     case FieldRef(path) => (XV.pure(resolve(env, path)), env)
     case LocalRef(n) =>
       env.locals.get(n) match {

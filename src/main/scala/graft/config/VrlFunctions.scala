@@ -247,6 +247,19 @@ object VrlFunctions {
           fields.mkString("{", ",", "}")
         }
         val grouped = table.rows.groupBy(rowKey)
+        // shared result emission: candidates arrive as an ordered array
+        // of row-JSON strings; get_ enforces the exactly-one contract
+        // (lib/enrichment/src/lib.rs:53-56) as a per-row raise, find_
+        // returns the (possibly empty) array.
+        def emit(jArr: Column): XV =
+          if (name == "get_enrichment_table_record")
+            XV(CV(try_parse_json(
+                when(size(jArr) === 1, element_at(jArr, 1))), VAny),
+              Some(size(jArr) =!= 1),
+              lit(s"""function call error for "$name": no unique row matched"""))
+          else
+            XV.pure(CV(try_parse_json(concat(
+              lit("["), array_join(jArr, ","), lit("]"))), VAny))
         val wildcardE = c.named.collectFirst { case ("wildcard", e) => e }
         if (wildcardE.isDefined) {
           // wildcard: a row satisfies an Equals condition when its cell
@@ -273,26 +286,23 @@ object VrlFunctions {
                 struct(lit(i).as("o"), lit(rowJson(r)).as("j")) }: _*))
             }
           val emptyArr = array().cast("array<struct<o:int,j:string>>")
-          def lookup(key: Column): Column =
-            if (entries.isEmpty) emptyArr
-            else coalesce(try_element_at(map(entries: _*), key), emptyArr)
           val combos = (0 until (1 << probeCols.size)).map { mask =>
             concat_ws("\u0001", probeCols.zipWithIndex.map { case (pc, i) =>
               if ((mask & (1 << i)) != 0) wc else pc }: _*)
           }
-          val cands = array_sort(array_distinct(
-            flatten(array(combos.map(lookup): _*))))
-          if (name == "get_enrichment_table_record") {
-            val value = try_parse_json(
-              when(size(cands) === 1, element_at(cands, 1).getField("j")))
-            return (XV(CV(value, VAny),
-              Some(size(cands) =!= 1),
-              lit(s"""function call error for "$name": no unique row matched""")), envAcc)
-          } else {
-            val value = try_parse_json(concat(lit("["),
-              array_join(transform(cands, x => x.getField("j")), ","), lit("]")))
-            return (XV.pure(CV(value, VAny)), envAcc)
-          }
+          // ONE copy of the table-literal map in the plan: the 2^k
+          // probes iterate over it via a lambda (transform over the
+          // combo-key array), not 2^k inlined map literals — plan size
+          // stays O(table + 2^k), not O(table × 2^k).
+          val cands =
+            if (entries.isEmpty) emptyArr
+            else {
+              val m = map(entries: _*)
+              array_sort(array_distinct(flatten(transform(
+                array(combos: _*),
+                k => coalesce(try_element_at(m, k), emptyArr)))))
+            }
+          return (emit(transform(cands, x => x.getField("j"))), envAcc)
         }
         if (rangeFields.nonEmpty) {
           // date conditions: the equi keys still pre-group the
@@ -305,19 +315,33 @@ object VrlFunctions {
           val (dateField, boundsExprs) = {
             val (k, e) = rangeFields.head; (k, dateBounds(e).get)
           }
+          // literal bounds (t'…' / string) are parsed DRIVER-side via
+          // the same UTC rules as the row cells, so a zone-less form
+          // can't shift by spark.sql.session.timeZone relative to the
+          // table; only a non-literal (event-derived) bound goes
+          // through the session-tz cast.
           def boundMicros(which: String): Option[Column] =
-            boundsExprs.get(which).map { e =>
-              val (xv, e2) = compileExpr(envAcc, e); envAcc = e2
-              unix_micros(xv.cv.col.cast("timestamp"))
+            boundsExprs.get(which).map {
+              case LitTs(s) => lit(parseDateMicros(s))
+              case LitS(s) => lit(parseDateMicros(s))
+              case e =>
+                val (xv, e2) = compileExpr(envAcc, e); envAcc = e2
+                unix_micros(xv.cv.col.cast("timestamp"))
             }
           val fromB = boundMicros("from")
           val toB = boundMicros("to")
-          def rowMicros(r: ListMap[String, String]): Long = parseDateMicros(
-            r.getOrElse(dateField, throw new IllegalArgumentException(
-              s"enrichment table $tname: row missing date column $dateField")))
+          // a row whose date cell is missing or unparseable is a
+          // NON-MATCH, not a config error (file.rs row_equals: a
+          // non-Timestamp cell returns false) — one bad row must not
+          // take down the whole topology.
+          def rowMicros(r: ListMap[String, String]): Option[Long] =
+            r.get(dateField).flatMap(v =>
+              try Some(parseDateMicros(v)) catch { case _: Exception => None })
           val entries = grouped.toSeq.flatMap { case (k, rs) =>
-            Seq(lit(k), array(rs.map(r =>
-              struct(lit(rowMicros(r)).as("d"), lit(rowJson(r)).as("j"))): _*))
+            val dated = rs.flatMap(r => rowMicros(r).map(d => (d, r)))
+            if (dated.isEmpty) Seq.empty
+            else Seq(lit(k), array(dated.map { case (d, r) =>
+              struct(lit(d).as("d"), lit(rowJson(r)).as("j")) }: _*))
           }
           val emptyArr = array().cast("array<struct<d:bigint,j:string>>")
           val cands =
@@ -329,17 +353,7 @@ object VrlFunctions {
             val hi = toB.map(d <= _).getOrElse(lit(true))
             lo && hi
           })
-          if (name == "get_enrichment_table_record") {
-            val value = try_parse_json(
-              when(size(inRange) === 1, element_at(inRange, 1).getField("j")))
-            return (XV(CV(value, VAny),
-              Some(size(inRange) =!= 1),
-              lit(s"""function call error for "$name": no unique row matched""")), envAcc)
-          } else {
-            val value = try_parse_json(concat(lit("["),
-              array_join(transform(inRange, x => x.getField("j")), ","), lit("]")))
-            return (XV.pure(CV(value, VAny)), envAcc)
-          }
+          return (emit(transform(inRange, x => x.getField("j"))), envAcc)
         }
         if (name == "get_enrichment_table_record") {
           val entries = grouped.toSeq.flatMap { case (k, rs) =>

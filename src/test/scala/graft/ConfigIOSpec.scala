@@ -618,6 +618,36 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("file source multiline: CRLF strips like the line reader; trailing blank line survives") {
+    val dir = Files.createTempDirectory("graft-multiline-crlf")
+    // CRLF line endings AND a final blank line: \r must not leak into
+    // merged messages (the plain line reader strips it), and the blank
+    // line before EOF is a real line-event — Java-regex "\n$" would
+    // eat it ($ also matches before a final terminator; \z does not).
+    Files.write(java.nio.file.Paths.get(s"$dir/app.log"),
+      "ERROR boom\r\n  at a\r\nINFO ok\r\n\r\n".getBytes("UTF-8"))
+    val toml =
+      s"""
+        |[sources.logs]
+        |  type = "file"
+        |  path = "$dir/app.log"
+        |  [sources.logs.multiline]
+        |    start_pattern = "^[^\\\\s]"
+        |    condition_pattern = "^[\\\\s]+"
+        |    mode = "continue_through"
+        |    timeout_ms = 1000
+        |[sinks.out]
+        |  inputs = ["logs"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin
+    Topology.load(toml).execute(spark)
+    val msgs = spark.read.parquet(s"$dir/out").select("message")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(msgs == Seq("", "ERROR boom\n  at a", "INFO ok"), msgs)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: throttle is a cross-batch token bucket; exclude bypasses quota") {
     val dir = Files.createTempDirectory("graft-configthrottle")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")

@@ -1255,6 +1255,67 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(thrown.getMessage.contains("whole-event"))
   }
 
+  test("t'...' literals: RFC 3339 only, own error message, tz-exact value") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("x")
+    def compile(src: String) =
+      VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+        VrlAst.parse(src))
+    // invalid literal: a VRL-grammar error naming the literal, not a
+    // misleading enrichment-table message
+    val bad = intercept[VrlAst.VrlUnsupported] { compile(".ts = t'tomorrow'\n") }
+    assert(bad.getMessage.contains("timestamp literal"), bad.getMessage)
+    // zone-less forms are rejected like the reference grammar
+    intercept[VrlAst.VrlUnsupported] { compile(".ts = t'2020-03-01'\n") }
+    intercept[VrlAst.VrlUnsupported] { compile(".ts = t'2020-03-01 00:00:00'\n") }
+    // the value is the exact instant regardless of session time zone
+    val out = compile(".us = to_unix_timestamp(t'2020-03-01T02:30:00+02:00')\n")
+    assert(out.df.select("us").as[Long].head == 1583022600L)
+  }
+
+  test("enrichment date-range: a bad date cell is a non-match, not a config error") {
+    val dir = java.nio.file.Files.createTempDirectory("enrichbad").toFile
+    dir.deleteOnExit()
+    val csv = new java.io.File(dir, "r.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("plan,valid,rate")
+    w.println("basic,2020-03-01T00:00:00Z,10")
+    w.println("basic,n/a,99") // unparseable date cell — must not abort load
+    w.close()
+    val topo = Topology.load(
+      s"""
+        |[enrichment_tables.r]
+        |  type = "file"
+        |  [enrichment_tables.r.file]
+        |    path = "${csv.getAbsolutePath}"
+        |    [enrichment_tables.r.file.encoding]
+        |      type = "csv"
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .hit = get_enrichment_table_record!("r", {"plan": "basic", "valid": {"from": t'2020-01-01T00:00:00Z'}})
+        |  '''
+        |[[tests]]
+        |  name = "bad_cell"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 1
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.hit.rate, "10")
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 1 && rs.head.passed,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+  }
+
   test("community_id config checks: lone port and non-literal seed are plan-time errors") {
     import spark.implicits._
     val df = Seq(("1.2.3.4", "5.6.7.8", 7L)).toDF("sip", "dip", "s")
