@@ -113,7 +113,11 @@ object StreamOps extends Serializable {
 
   final case class SessionEvent(key: String, seq: Long, endsWhen: Boolean,
                                 text: String)
-  final case class SessionState(sessionId: Long, n: Long, buffer: Seq[String])
+  /** `startMs` is the open session's creation wall-clock (0 when no
+    * session is open) — the reference's `ReduceState.creation`, the
+    * clock `end_every_period_ms` ages against. */
+  final case class SessionState(sessionId: Long, n: Long, buffer: Seq[String],
+                                startMs: Long = 0L)
   final case class SessionOut(key: String, sessionId: Long, n: Long,
                               merged: String)
 
@@ -132,32 +136,57 @@ object StreamOps extends Serializable {
     * is the trigger interval).
     */
   def sessionReduce(ds: Dataset[SessionEvent], maxEvents: Int,
-                    expireAfterMs: Option[Long] = None)(
+                    expireAfterMs: Option[Long] = None,
+                    endEveryMs: Option[Long] = None)(
       implicit eo: Encoder[SessionOut], es: Encoder[SessionState]): Dataset[SessionOut] = {
-    val timeoutConf = if (expireAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-                      else GroupStateTimeout.NoTimeout
+    val timeoutConf =
+      if (expireAfterMs.isDefined || endEveryMs.isDefined)
+        GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, timeoutConf) {
         (key: String, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def flushOpen(st: SessionState): (Option[SessionOut], SessionState) =
+            if (st.n > 0)
+              (Some(SessionOut(key, st.sessionId, st.n, st.buffer.mkString("\n"))),
+                SessionState(st.sessionId + 1, 0L, Vector.empty))
+            else (None, st)
+          // the next timer for an OPEN session: the sooner of the
+          // inactivity expiry (expire_after_ms ages against the LAST
+          // event — reference stale_since) and the session-age cap
+          // (end_every_period_ms ages against session CREATION —
+          // reference ReduceState.creation; reduce/transform.rs:223-236
+          // checks both on every flush tick).
+          def armTimer(st: SessionState, now: Long): Unit = if (st.n > 0) {
+            val candidates = expireAfterMs.toSeq ++
+              endEveryMs.map(p => math.max(1L, st.startMs + p - now))
+            if (candidates.nonEmpty) state.setTimeoutDuration(candidates.min)
+          }
           if (state.hasTimedOut) {
-            // inactivity flush: emit the open session (if any) unchanged.
-            // The state KEEPS the advanced sessionId counter — removing
-            // it would restart numbering at 0 on the key's next event
-            // and mint duplicate (key, sessionId) pairs. Same
-            // empty-buffer-no-timer shape as the normal close path.
-            val st = state.get
-            if (st.n > 0) {
-              state.update(SessionState(st.sessionId + 1, 0L, Vector.empty))
-              Iterator.single(SessionOut(key, st.sessionId, st.n, st.buffer.mkString("\n")))
-            } else {
-              state.update(st)
-              Iterator.empty
-            }
+            // timed flush (inactivity or session age): emit the open
+            // session (if any) unchanged. The state KEEPS the advanced
+            // sessionId counter — removing it would restart numbering
+            // at 0 on the key's next event and mint duplicate
+            // (key, sessionId) pairs. Same empty-buffer-no-timer shape
+            // as the normal close path.
+            val (flushed, st) = flushOpen(state.get)
+            state.update(st)
+            flushed.iterator
           } else {
+            val now = state.getCurrentProcessingTimeMs()
             val sorted = events.toSeq.sortBy(_.seq)
             var st = state.getOption.getOrElse(SessionState(0L, 0L, Vector.empty))
             val out = Seq.newBuilder[SessionOut]
+            // a session already past its end-every deadline flushes
+            // BEFORE the new arrivals (the reference's tick would have
+            // closed it between batches)
+            endEveryMs.foreach { p =>
+              if (st.n > 0 && now - st.startMs >= p) {
+                val (flushed, st2) = flushOpen(st)
+                out ++= flushed; st = st2
+              }
+            }
             sorted.foreach { e =>
               val buf = st.buffer :+ e.text
               val n = st.n + 1
@@ -165,14 +194,15 @@ object StreamOps extends Serializable {
                 out += SessionOut(key, st.sessionId, n, buf.mkString("\n"))
                 st = SessionState(st.sessionId + 1, 0L, Vector.empty)
               } else {
-                st = st.copy(n = n, buffer = buf)
+                st = st.copy(n = n, buffer = buf,
+                  startMs = if (st.n == 0L) now else st.startMs)
               }
             }
             // sessionId must survive even when the buffer is empty (it
             // numbers the NEXT session), but an empty buffer needs no
-            // inactivity timer — nothing would flush.
+            // timer — nothing would flush.
             state.update(st)
-            if (st.n > 0) expireAfterMs.foreach(state.setTimeoutDuration)
+            armTimer(st, now)
             out.result().iterator
           }
       }

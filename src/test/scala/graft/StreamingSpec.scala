@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session reduce end_every_period_ms: session age flushes even with steady activity (reduce/transform.rs:223-231)") {
+    val input = MemoryStream[StreamOps.SessionEvent](spark)
+    // inactivity expiry alone would NEVER fire here (events keep
+    // arriving faster than any idle gap); only the session-age cap
+    // (end_every, aged against session creation) can flush.
+    val out = StreamOps.sessionReduce(input.toDS(), maxEvents = 1000,
+      endEveryMs = Some(700L))
+    val q = out.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .format("memory").queryName("s_sess_endevery")
+      .outputMode("append").start()
+    try {
+      var seq = 0L
+      val t0 = System.nanoTime()
+      // steady drip of non-closing events for one key
+      while (spark.table("s_sess_endevery").count() < 1 &&
+        (System.nanoTime() - t0) / 1e6 < 60000) {
+        input.addData(StreamOps.SessionEvent("k", seq, endsWhen = false, s"t$seq"))
+        seq += 1
+        Thread.sleep(120)
+      }
+      val flushed = spark.table("s_sess_endevery").collect()
+      assert(flushed.nonEmpty, "end_every never flushed the active session")
+      assert(flushed(0).getAs[String]("key") == "k")
+      assert(flushed(0).getAs[Long]("n") >= 1L)
+      // numbering continues after the aged flush
+      input.addData(StreamOps.SessionEvent("k", 10000, endsWhen = true, "last"))
+      awaitRows("s_sess_endevery", flushed.length + 1)
+      val ids = spark.table("s_sess_endevery").filter($"key" === "k")
+        .collect().map(_.getAs[Long]("sessionId"))
+      assert(ids.distinct.length == ids.length, s"duplicate sessionIds: ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("line_agg timeout flushes the incomplete open record (line_agg.rs:68-69)") {
     val input = MemoryStream[StreamOps.Line](spark)
     val out = StreamOps.lineAgg(input.toDS(), "^\\s", timeoutMs = Some(500L))
