@@ -228,7 +228,17 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             // log without the key
             Seq("message", "host", "timestamp").map(p => dedupeKey(env, p))
         }
+        val timeCfg = cfg.tab("time_settings").map { t =>
+          val maxAge = t.long("max_age_ms").getOrElse(
+            throw new IllegalArgumentException(
+              s"dedupe $name: [time_settings] needs max_age_ms"))
+          (maxAge, t.bool("refresh_on_drop").getOrElse(false))
+        }
         if (in.df.isStreaming) {
+          if (timeCfg.isDefined) throw VrlUnsupported(
+            s"dedupe $name: [time_settings] on a streaming source " +
+              "(use withWatermark + dropDuplicatesWithinWatermark via " +
+              "graft.streaming for age-bounded streaming dedupe)")
           // streaming: arrival-order first-wins via dropDuplicates —
           // the semantics the reference's LRU cache approximates, with
           // exact (unbounded) state instead of a bounded cache
@@ -236,9 +246,22 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val withK = tmp.foldLeft(in.df) { case (d, (n, c)) => d.withColumn(n, c) }
           Seq("" -> in.copy(df =
             withK.dropDuplicates(tmp.map(_._1)).drop(tmp.map(_._1): _*)))
-        } else
-          Seq("" -> in.copy(df =
-            graft.operators.Dedupe.keepFirst(in.df, dedupeKeys, Seq(col(SeqCol)))))
+        } else timeCfg match {
+          case Some((maxAge, refresh)) =>
+            // timed cache (dedupe/timed_transform.rs): event time is
+            // the batch analog of the reference's wall clock, same as
+            // the batch throttle window. Needs a timestamp field.
+            val tsCol = in.meta.types.collectFirst {
+              case (n, VTime) => col(s"`$n`") }.getOrElse(
+              throw new IllegalArgumentException(
+                s"dedupe $name: [time_settings] needs a timestamp field " +
+                  "on the event (the batch analog ages against event time)"))
+            Seq("" -> in.copy(df = graft.operators.Dedupe.keepFirstTimed(
+              in.df, dedupeKeys, tsCol, col(SeqCol), maxAge, refresh)))
+          case None =>
+            Seq("" -> in.copy(df =
+              graft.operators.Dedupe.keepFirst(in.df, dedupeKeys, Seq(col(SeqCol)))))
+        }
 
       case "reduce" =>
         requireBatch(in, "reduce")

@@ -68,6 +68,72 @@ object Dedupe {
     * bounded-cache re-emission is NOT wanted. `ord` must be integral
     * (bucket arithmetic) and unique.
     */
+  /** The reference's TIMED cache (`time_settings`, dedupe/
+    * timed_transform.rs:32-54): a duplicate is dropped iff its key's
+    * cache entry is younger than `max_age_ms` (STRICT — an event
+    * exactly max_age later is kept and re-inserts); with
+    * `refresh_on_drop = true` every sighting (kept or dropped)
+    * refreshes the entry, with `false` only kept events do.
+    *
+    * Batch analog: event time stands in for the reference's wall
+    * clock (same convention as the batch throttle window). The cache
+    * is exact/unbounded like `keepFirst` — the reference additionally
+    * bounds it by LRU `num_events`; combine with `keepFirstLru` when
+    * that re-emission matters.
+    *
+    * Shapes: `refresh_on_drop = true` means drop iff the key's
+    * PREVIOUS occurrence is younger than max_age — one lag window,
+    * fully parallel. `refresh_on_drop = false` ages against the last
+    * KEPT occurrence — a per-key greedy chain (kept(i) decides
+    * kept(i+1)), so it runs as repartition-by-key +
+    * sortWithinPartitions + a streaming per-partition scan with O(1)
+    * state — no per-key buffering, one shuffle, same as any keyed
+    * stateful op. A null event time never expires its entry
+    * (conservative: age unknown ⇒ treated as younger than max_age).
+    */
+  def keepFirstTimed(df: DataFrame, matchCols: Seq[Column], ts: Column,
+                     ord: Column, maxAgeMs: Long,
+                     refreshOnDrop: Boolean): DataFrame = {
+    require(maxAgeMs > 0, "maxAgeMs must be positive")
+    val tsMs = unix_millis(ts.cast("timestamp"))
+    if (refreshOnDrop) {
+      val w = Window.partitionBy(matchCols: _*).orderBy(tsMs.asc_nulls_first, ord)
+      df.withColumn("__prev_gap", tsMs - lag(tsMs, 1).over(w))
+        .withColumn("__first", lag(lit(1), 1).over(w).isNull)
+        .filter(col("__first") || col("__prev_gap") >= maxAgeMs)
+        .drop("__prev_gap", "__first")
+    } else {
+      val keyed = df
+        .withColumn("__key", to_json(struct(
+          matchCols.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)))
+        .withColumn("__ts_ms", tsMs)
+        .withColumn("__ord", ord.cast("long"))
+      val schema = keyed.schema
+      val (ki, ti) = (schema.fieldIndex("__key"), schema.fieldIndex("__ts_ms"))
+      import org.apache.spark.sql.Row
+      val scanned = keyed
+        .repartition(col("__key"))
+        .sortWithinPartitions(col("__key"), col("__ts_ms").asc_nulls_first,
+          col("__ord"))
+        .mapPartitions { it =>
+          var curKey: String = null
+          var lastKept: Option[Long] = None
+          it.filter { r: Row =>
+            val k = r.getString(ki)
+            if (k != curKey) { curKey = k; lastKept = None }
+            val t = if (r.isNullAt(ti)) None else Some(r.getLong(ti))
+            val keep = lastKept match {
+              case None => true
+              case Some(lk) => t.exists(_ - lk >= maxAgeMs)
+            }
+            if (keep) lastKept = t.orElse(Some(Long.MaxValue))
+            keep
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+      scanned.drop("__key", "__ts_ms", "__ord")
+    }
+  }
+
   def keepFirstLru(df: DataFrame, matchCols: Seq[Column], ord: Column,
                    numEvents: Int, bucketSize: Long = 256L): DataFrame = {
     require(numEvents > 0, "numEvents must be positive")

@@ -648,6 +648,38 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("dedupe [time_settings] from config: duplicates readmitted after max_age_ms") {
+    val dir = Files.createTempDirectory("graft-dedupe-timed")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // same key at t=0 (kept), t=500 (dropped: age < 1000), t=1600 (kept:
+    // ages against the LAST KEPT entry, refresh_on_drop defaults false)
+    Seq(("k", ts(0L), "a"), ("k", ts(500L), "b"), ("k", ts(1600L), "c"),
+        ("other", ts(100L), "d"))
+      .toDF("key", "timestamp", "tag").write.parquet(s"$dir/in")
+    val toml =
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.d]
+        |  inputs = ["ev"]
+        |  type = "dedupe"
+        |  [transforms.d.fields]
+        |    match = ["key"]
+        |  [transforms.d.time_settings]
+        |    max_age_ms = 1000
+        |[sinks.out]
+        |  inputs = ["d"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin
+    Topology.load(toml).execute(spark)
+    val tags = spark.read.parquet(s"$dir/out").select("tag")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(tags == Seq("a", "c", "d"), tags)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: throttle is a cross-batch token bucket; exclude bypasses quota") {
     val dir = Files.createTempDirectory("graft-configthrottle")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")

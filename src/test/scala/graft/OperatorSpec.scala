@@ -578,6 +578,46 @@ class OperatorSpec extends SparkSpec {
     assert(lru1000 == exact)
   }
 
+  test("dedupe timed cache: both refresh modes replay the sequential reference (dedupe/timed_transform.rs:32-54)") {
+    // sequential reference model over event time: drop iff the cached
+    // entry is younger than maxAge (STRICT <); refresh_on_drop
+    // refreshes on every sighting, else only on keeps
+    def timedModel(evs: Seq[(String, Long)], maxAge: Long,
+                   refresh: Boolean): Seq[Int] = {
+      val cache = scala.collection.mutable.Map.empty[String, Long]
+      evs.zipWithIndex.collect { case ((k, t), i) if {
+        val drop = cache.get(k).exists(prev => t - prev < maxAge)
+        if (refresh || !drop) cache(k) = t
+        !drop
+      } => i }
+    }
+    val rnd = new scala.util.Random(7)
+    // bursty arrivals: many same-key events inside and across the age
+    var t = 0L
+    val evs = (0 until 1500).map { _ =>
+      t += rnd.nextInt(40); (s"k${rnd.nextInt(8)}", t)
+    }
+    val df = evs.zipWithIndex.map { case ((k, ms), i) =>
+      (k, new java.sql.Timestamp(ms), i.toLong) }.toDF("k", "ts", "ord")
+    for (maxAge <- Seq(1L, 50L, 400L); refresh <- Seq(true, false)) {
+      val got = graft.operators.Dedupe
+        .keepFirstTimed(df.repartition(7), Seq($"k"), $"ts", $"ord",
+          maxAge, refreshOnDrop = refresh)
+        .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == timedModel(evs, maxAge, refresh).map(_.toLong),
+        s"maxAge=$maxAge refresh=$refresh diverges from the sequential cache")
+    }
+    // a huge max_age degenerates to exact keepFirst in both modes
+    val exact = graft.operators.Dedupe.keepFirst(df, Seq($"k"), Seq($"ord"))
+      .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+    for (refresh <- Seq(true, false)) {
+      val wide = graft.operators.Dedupe
+        .keepFirstTimed(df, Seq($"k"), $"ts", $"ord", 1L << 50, refresh)
+        .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+      assert(wide == exact)
+    }
+  }
+
   // ---- DDSketch mergeable summary sketch (value.rs:20-95) -------------
 
   test("ddsketch: quantiles within alpha relative error of the exact rank statistic") {
