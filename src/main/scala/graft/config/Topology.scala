@@ -305,9 +305,28 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw new IllegalArgumentException(s"throttle $name: no threshold")).toInt
         val windowSecs = cfg.long("window_secs").getOrElse(60L)
         val env = envFromDf(in.df, in.meta)
-        val key = cfg.str("key_field").map(p =>
-          resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
         val ts = resolveField(env, Seq(SegName("timestamp"))).col
+        // reference key_field is a TEMPLATE (`key_field = "{{ bucket }}"`,
+        // throttle/transform.rs:25,110-118): render-strict — a failed
+        // render (null referenced field) keys into the shared null
+        // bucket, exactly the reference's None-key rate limiter. A bare
+        // string (no template tokens) stays a field path: the
+        // reference would render it as a CONSTANT (= one shared
+        // bucket, same as omitting key_field — a useless config), so
+        // the path reading is the only useful one and is what sample's
+        // key_field means too.
+        val key = cfg.str("key_field").map { p =>
+          if (p.contains("{{") || p.contains('%')) {
+            val rendered = graft.functions.Template.compile(
+              p, ts, f => resolveField(env, parsePathStr(f)).col.cast("string"))
+            graft.functions.Template.fields(p) match {
+              case Seq() => rendered
+              case refs => when(refs.map(f =>
+                resolveField(env, parsePathStr(f)).col.isNotNull)
+                .reduce(_ && _), rendered)
+            }
+          } else resolveField(env, parsePathStr(p)).col
+        }.getOrElse(lit(1))
         // exclude bypasses the limiter without consuming quota
         // (throttle/config.rs:60-61, transform.rs:102-130)
         val thrExcl = cfg.get("exclude").map(v =>
