@@ -173,13 +173,22 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         // partitionBy("port") sink shape); Vector has no bare-name route
         // output, so this is a Spark-native extension, and the per-port
         // names keep reference semantics.
-        val tagged = graft.operators.Route.tagged(in.df, compiled)
+        // reroute_unmatched = false DROPS unmatched events instead of
+        // routing them to `_unmatched` (route.rs:24,52 — default true):
+        // they must vanish from the bare-name tagged frame too, or a
+        // sink on it would still carry them
+        val reroute = cfg.bool("reroute_unmatched").getOrElse(true)
+        val tagged0 = graft.operators.Route.tagged(in.df, compiled)
+        val tagged =
+          if (reroute) tagged0
+          else tagged0.filter(col("port") =!= graft.operators.Route.UnmatchedPort)
         // the bare-name frame physically carries `port`; its meta must
         // say so, or downstream VRL resolves `.port` to null and (worse)
         // a downstream remap's materialize silently drops the column
         val taggedMeta = EventMeta(in.meta.types + ("port" -> VStr), in.meta.rootT)
         Seq("" -> Frame(tagged, taggedMeta, in.metric)) ++
-          (compiled.keys.toSeq :+ graft.operators.Route.UnmatchedPort).map { p =>
+          (compiled.keys.toSeq ++
+            (if (reroute) Seq(graft.operators.Route.UnmatchedPort) else Nil)).map { p =>
             p -> in.copy(df = tagged.filter(col("port") === p).drop("port"))
           }
 
@@ -278,8 +287,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw new IllegalArgumentException(
             s"sample $name: provide either 'rate' or 'ratio', not both (sample/config.rs:31-35)")
         val env = envFromDf(in.df, in.meta)
-        val group = cfg.str("group_by").map(p =>
-          resolveField(env, parsePathStr(p)).col).getOrElse(lit(1))
+        // group_by is a TEMPLATE like throttle's key_field
+        // (sample/config.rs:91) — see templateOrPath
+        val group = cfg.str("group_by").map(p => templateOrPath(env,
+          resolveField(env, Seq(SegName("timestamp"))).col, p)).getOrElse(lit(1))
         // full reference surface (sample/config.rs): key_field hashes
         // rows into consistent sample-together buckets, exclude bypasses
         // without consuming counter quota, sample_rate_key renames (or
@@ -306,27 +317,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val windowSecs = cfg.long("window_secs").getOrElse(60L)
         val env = envFromDf(in.df, in.meta)
         val ts = resolveField(env, Seq(SegName("timestamp"))).col
-        // reference key_field is a TEMPLATE (`key_field = "{{ bucket }}"`,
-        // throttle/transform.rs:25,110-118): render-strict — a failed
-        // render (null referenced field) keys into the shared null
-        // bucket, exactly the reference's None-key rate limiter. A bare
-        // string (no template tokens) stays a field path: the
-        // reference would render it as a CONSTANT (= one shared
-        // bucket, same as omitting key_field — a useless config), so
-        // the path reading is the only useful one and is what sample's
-        // key_field means too.
-        val key = cfg.str("key_field").map { p =>
-          if (p.contains("{{") || p.contains('%')) {
-            val rendered = graft.functions.Template.compile(
-              p, ts, f => resolveField(env, parsePathStr(f)).col.cast("string"))
-            graft.functions.Template.fields(p) match {
-              case Seq() => rendered
-              case refs => when(refs.map(f =>
-                resolveField(env, parsePathStr(f)).col.isNotNull)
-                .reduce(_ && _), rendered)
-            }
-          } else resolveField(env, parsePathStr(p)).col
-        }.getOrElse(lit(1))
+        // key_field is a TEMPLATE (`key_field = "{{ bucket }}"`,
+        // throttle/transform.rs:25,110-118) — see templateOrPath; a
+        // failed render keys into the shared null bucket, the
+        // reference's None-key rate limiter
+        val key = cfg.str("key_field").map(p => templateOrPath(env, ts, p))
+          .getOrElse(lit(1))
         // exclude bypasses the limiter without consuming quota
         // (throttle/config.rs:60-61, transform.rs:102-130)
         val thrExcl = cfg.get("exclude").map(v =>
@@ -854,6 +850,27 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * `graft.streaming.StreamOps` (token-bucket throttle, session
     * reduce, watermarked dedupe) for callers on the library surface.
     */
+  /** Template-valued config options (throttle `key_field`, sample
+    * `group_by` — both `Template` in the reference): a value with
+    * template tokens compiles render-STRICT (a null referenced field
+    * fails the whole render → null, the reference's
+    * TemplateRenderingError → None); a bare string stays a field path
+    * — the reference would render it as a constant (one shared
+    * bucket/group, same as omitting the option — a useless config),
+    * so the path reading is the only useful one.
+    */
+  private def templateOrPath(env: Env, ts: Column, p: String): Column =
+    if (p.contains("{{") || p.contains('%')) {
+      val rendered = graft.functions.Template.compile(
+        p, ts, f => resolveField(env, parsePathStr(f)).col.cast("string"))
+      graft.functions.Template.fields(p) match {
+        case Seq() => rendered
+        case refs => when(refs.map(f =>
+          resolveField(env, parsePathStr(f)).col.isNotNull)
+          .reduce(_ && _), rendered)
+      }
+    } else resolveField(env, parsePathStr(p)).col
+
   private def requireBatch(in: Frame, t: String): Unit =
     if (in.df.isStreaming)
       throw VrlUnsupported(s"transform type '$t' on a streaming source " +
