@@ -99,6 +99,21 @@ object TransformQueries {
       .orderBy("event_id")
   }
 
+  /** Timed dedupe, refresh_on_drop = true mode (dedupe/
+    * timed_transform.rs:32-54): every sighting refreshes the entry, so
+    * an event survives iff its key's PREVIOUS occurrence is at least
+    * max_age older — one lag window, portable to the oracle. The
+    * refresh=false chain mode is spec-verified against a sequential
+    * model (OperatorSpec) — its recurrence has no portable SQL.
+    */
+  private def qDedupeTimed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(s, dir, "events").select(col("event_id"), col("ts"),
+      concat(col("event_type"), lit("-"), col("user_id") % 40).as("k"))
+    Dedupe.keepFirstTimed(ev, Seq(col("k")), col("ts"), col("event_id"),
+        maxAgeMs = 3600000L, refreshOnDrop = true)
+      .select(col("event_id"), col("k")).orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- reduce
   private def qReduce(s: SparkSession, dir: String): DataFrame =
     parsed(s, dir).groupBy(col("conv_id")).agg(
@@ -417,6 +432,7 @@ object TransformQueries {
     "q_throttle"       -> (qThrottle _),
     "q_dedupe"         -> (qDedupe _),
     "q_dedupe_lru"     -> (qDedupeLru _),
+    "q_dedupe_timed"   -> (qDedupeTimed _),
     "q_reduce"         -> (qReduce _),
     "q_sessions"       -> (qSessions _),
     "q_context_window" -> (qContextWindow _),
@@ -517,6 +533,14 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
                  ON t.event_id > d.prev AND t.event_id < d.event_id
                 AND coalesce(t.prev, -1) <= d.prev
                GROUP BY d.event_id, d.k)""")),
+    "q_dedupe_timed" -> Oracle.q(
+      """SELECT event_id, k FROM (
+           SELECT event_id, k,
+             CAST(epoch_ms(ts) AS BIGINT) - lag(CAST(epoch_ms(ts) AS BIGINT))
+               OVER (PARTITION BY k ORDER BY ts, event_id) AS gap
+           FROM td_ev) t
+         WHERE gap IS NULL OR gap >= 3600000 ORDER BY event_id""",
+      Seq("td_ev AS (SELECT event_id, ts, event_type || '-' || (user_id % 40) AS k FROM events)")),
     "q_reduce" -> Oracle.q(
       """SELECT conv_id,
          min_by(text, turn_idx) AS first_text,
