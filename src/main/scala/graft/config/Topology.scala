@@ -141,8 +141,20 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       throw new IllegalArgumentException(s"transform $name has no type")) match {
 
       case "remap" =>
+        // `timezone` feeds zone-less timestamp parsing in the
+        // reference's runtime (remap.rs:109); this engine compiles
+        // everything UTC — honoring a non-UTC zone silently wrong is
+        // worse than refusing
+        cfg.str("timezone").filterNot(_ == "UTC").foreach(z =>
+          throw VrlUnsupported(s"remap $name: timezone $z (UTC-only compile)"))
+        // `files` concatenates multiple VRL programs in order
+        // (remap.rs:88: "their contents are merged")
         val src = cfg.str("source").orElse(cfg.str("file").map(readRelative))
-          .getOrElse(throw new IllegalArgumentException(s"remap $name: no source/file"))
+          .orElse {
+            val fs = cfg.strArr("files")
+            if (fs.isEmpty) None else Some(fs.map(readRelative).mkString("\n"))
+          }
+          .getOrElse(throw new IllegalArgumentException(s"remap $name: no source/file/files"))
         val prog = VrlAst.parse(src)
         val opts = RemapOpts(
           dropOnError = cfg.bool("drop_on_error").getOrElse(false),

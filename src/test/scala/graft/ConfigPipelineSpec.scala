@@ -1316,6 +1316,61 @@ class ConfigPipelineSpec extends SparkSpec {
       (rs.head.errors ++ rs.head.skipped).mkString("; "))
   }
 
+  test("remap files = [...] merges programs in order; non-UTC timezone refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("remapfiles").toFile
+    dir.deleteOnExit()
+    def write(n: String, body: String): String = {
+      val f = new java.io.File(dir, n)
+      val w = new java.io.PrintWriter(f); w.print(body); w.close()
+      f.getAbsolutePath
+    }
+    val f1 = write("a.vrl", ".a = 1\n")
+    val f2 = write("b.vrl", ".b = .a + 1\n")
+    val topo = Topology.load(
+      s"""
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  files = ["$f1", "$f2"]
+        |[[tests]]
+        |  name = "merged"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 0
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = 'assert_eq!(.b, 2)'
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.passed && rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    val tz = UnitTestHarness.run(spark, Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = ".a = 1"
+        |  timezone = "America/New_York"
+        |[[tests]]
+        |  name = "tz"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 0
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = 'assert_eq!(.a, 1)'
+        |""".stripMargin))
+    assert(tz.head.skipped.exists(_.contains("timezone")), tz.head.toString)
+  }
+
   test("community_id config checks: lone port and non-literal seed are plan-time errors") {
     import spark.implicits._
     val df = Seq(("1.2.3.4", "5.6.7.8", 7L)).toDF("sip", "dip", "s")
