@@ -49,6 +49,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
   import Topology._
 
+  // the reference's GLOBAL `timezone` option (inherited by every remap,
+  // src/config/mod.rs): this engine compiles everything UTC — honoring
+  // a non-UTC zone silently wrong is worse than refusing at load
+  root.str("timezone").filterNot(_ == "UTC").foreach(z =>
+    throw VrlUnsupported(s"global timezone $z (UTC-only compile)"))
+
   /** Config paths resolve relative to the TOML file's directory (the
     * reference's behavior for config-adjacent files); absolute paths
     * pass through untouched — `Paths.get(dir, "/abs")` would silently
@@ -148,12 +154,18 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         cfg.str("timezone").filterNot(_ == "UTC").foreach(z =>
           throw VrlUnsupported(s"remap $name: timezone $z (UTC-only compile)"))
         // `files` concatenates multiple VRL programs in order
-        // (remap.rs:88: "their contents are merged")
-        val src = cfg.str("source").orElse(cfg.str("file").map(readRelative))
-          .orElse {
-            val fs = cfg.strArr("files")
-            if (fs.isEmpty) None else Some(fs.map(readRelative).mkString("\n"))
-          }
+        // (remap.rs:88: "their contents are merged"); exactly ONE of
+        // source/file/files may be set — silently preferring one would
+        // run the wrong program (the reference errors too)
+        val srcForms = Seq(
+          cfg.str("source"),
+          cfg.str("file").map(readRelative),
+          { val fs = cfg.strArr("files")
+            if (fs.isEmpty) None else Some(fs.map(readRelative).mkString("\n")) }
+        ).flatten
+        if (srcForms.length > 1) throw new IllegalArgumentException(
+          s"remap $name: provide exactly one of source/file/files")
+        val src = srcForms.headOption
           .getOrElse(throw new IllegalArgumentException(s"remap $name: no source/file/files"))
         val prog = VrlAst.parse(src)
         val opts = RemapOpts(
@@ -269,14 +281,17 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             withK.dropDuplicates(tmp.map(_._1)).drop(tmp.map(_._1): _*)))
         } else timeCfg match {
           case Some((maxAge, refresh)) =>
-            // timed cache (dedupe/timed_transform.rs): event time is
-            // the batch analog of the reference's wall clock, same as
-            // the batch throttle window. Needs a timestamp field.
-            val tsCol = in.meta.types.collectFirst {
-              case (n, VTime) => col(s"`$n`") }.getOrElse(
+            // timed cache (dedupe/timed_transform.rs): the event's
+            // `timestamp` field is the batch analog of the reference's
+            // wall clock — the SAME clock the batch throttle window
+            // resolves, never "whichever time-typed column comes first
+            // in the schema" (reordering upstream columns must not
+            // change dedupe results)
+            if (!in.meta.types.get("timestamp").contains(VTime))
               throw new IllegalArgumentException(
-                s"dedupe $name: [time_settings] needs a timestamp field " +
-                  "on the event (the batch analog ages against event time)"))
+                s"dedupe $name: [time_settings] needs a timestamp-typed " +
+                  "`timestamp` field (the batch analog ages against event time)")
+            val tsCol = col("timestamp")
             Seq("" -> in.copy(df = graft.operators.Dedupe.keepFirstTimed(
               in.df, dedupeKeys, tsCol, col(SeqCol), maxAge, refresh)))
           case None =>
@@ -872,7 +887,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * so the path reading is the only useful one.
     */
   private def templateOrPath(env: Env, ts: Column, p: String): Column =
-    if (p.contains("{{") || p.contains('%')) {
+    if (graft.functions.Template.isTemplate(p)) {
       val rendered = graft.functions.Template.compile(
         p, ts, f => resolveField(env, parsePathStr(f)).col.cast("string"))
       graft.functions.Template.fields(p) match {

@@ -66,4 +66,12 @@ object Template {
     */
   def fields(template: String): Seq[String] =
     fieldRe.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+
+  /** Does the string contain any template token (`{{field}}` or a
+    * strftime specifier)? The reference's `Template::is_dynamic`
+    * analog — a bare `%` that is NOT a specifier (e.g. a field path
+    * literally named `disk%`) is NOT a template.
+    */
+  def isTemplate(s: String): Boolean =
+    fieldRe.findFirstIn(s).isDefined || strftimeRe.findFirstIn(s).isDefined
 }

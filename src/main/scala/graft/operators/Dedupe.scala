@@ -68,6 +68,37 @@ object Dedupe {
     * bounded-cache re-emission is NOT wanted. `ord` must be integral
     * (bucket arithmetic) and unique.
     */
+  def keepFirstLru(df: DataFrame, matchCols: Seq[Column], ord: Column,
+                   numEvents: Int, bucketSize: Long = 256L): DataFrame = {
+    require(numEvents > 0, "numEvents must be positive")
+    val w = Window.partitionBy(matchCols: _*).orderBy(ord)
+    val withPrev = df.withColumn("__ord", ord.cast("long"))
+      .withColumn("__prev", lag(col("__ord"), 1).over(w))
+    // all events as recency probes: (touch position, its own reach-back)
+    val touches = withPrev.select(col("__ord").as("__m"),
+      col("__prev").as("__m_prev"),
+      floor(col("__ord") / bucketSize).as("__bkt"))
+    val firsts = withPrev.filter(col("__prev").isNull)
+    val dups = withPrev.filter(col("__prev").isNotNull)
+      .withColumn("__bkt", explode(when(col("__prev") + 1 > col("__ord") - 1,
+          array().cast("array<long>"))
+        .otherwise(sequence(floor((col("__prev") + 1) / bucketSize),
+          floor((col("__ord") - 1) / bucketSize)))))
+    // distinct keys touched in (prev, ord) == rows m with
+    // m_prev <= prev < m < ord; each m lives in exactly one bucket, so
+    // the bucket-exploded join never double-counts
+    val counted = dups.alias("d").join(touches.alias("t"),
+        col("t.__bkt") === col("d.__bkt") &&
+          col("t.__m") > col("d.__prev") && col("t.__m") < col("d.__ord") &&
+          (col("t.__m_prev").isNull || col("t.__m_prev") <= col("d.__prev")),
+        "inner")
+      .groupBy(withPrev.columns.map(c => col("d." + c)).toIndexedSeq: _*)
+      .agg(count(col("t.__m")).as("__evicted_by"))
+      .filter(col("__evicted_by") >= numEvents)
+      .drop("__evicted_by")
+    firsts.unionByName(counted).drop("__ord", "__prev")
+  }
+
   /** The reference's TIMED cache (`time_settings`, dedupe/
     * timed_transform.rs:32-54): a duplicate is dropped iff its key's
     * cache entry is younger than `max_age_ms` (STRICT — an event
@@ -134,34 +165,4 @@ object Dedupe {
     }
   }
 
-  def keepFirstLru(df: DataFrame, matchCols: Seq[Column], ord: Column,
-                   numEvents: Int, bucketSize: Long = 256L): DataFrame = {
-    require(numEvents > 0, "numEvents must be positive")
-    val w = Window.partitionBy(matchCols: _*).orderBy(ord)
-    val withPrev = df.withColumn("__ord", ord.cast("long"))
-      .withColumn("__prev", lag(col("__ord"), 1).over(w))
-    // all events as recency probes: (touch position, its own reach-back)
-    val touches = withPrev.select(col("__ord").as("__m"),
-      col("__prev").as("__m_prev"),
-      floor(col("__ord") / bucketSize).as("__bkt"))
-    val firsts = withPrev.filter(col("__prev").isNull)
-    val dups = withPrev.filter(col("__prev").isNotNull)
-      .withColumn("__bkt", explode(when(col("__prev") + 1 > col("__ord") - 1,
-          array().cast("array<long>"))
-        .otherwise(sequence(floor((col("__prev") + 1) / bucketSize),
-          floor((col("__ord") - 1) / bucketSize)))))
-    // distinct keys touched in (prev, ord) == rows m with
-    // m_prev <= prev < m < ord; each m lives in exactly one bucket, so
-    // the bucket-exploded join never double-counts
-    val counted = dups.alias("d").join(touches.alias("t"),
-        col("t.__bkt") === col("d.__bkt") &&
-          col("t.__m") > col("d.__prev") && col("t.__m") < col("d.__ord") &&
-          (col("t.__m_prev").isNull || col("t.__m_prev") <= col("d.__prev")),
-        "inner")
-      .groupBy(withPrev.columns.map(c => col("d." + c)).toIndexedSeq: _*)
-      .agg(count(col("t.__m")).as("__evicted_by"))
-      .filter(col("__evicted_by") >= numEvents)
-      .drop("__evicted_by")
-    firsts.unionByName(counted).drop("__ord", "__prev")
-  }
 }

@@ -107,8 +107,12 @@ object TransformQueries {
     * model (OperatorSpec) — its recurrence has no portable SQL.
     */
   private def qDedupeTimed(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.table(s, dir, "events").select(col("event_id"), col("ts"),
-      concat(col("event_type"), lit("-"), col("user_id") % 40).as("k"))
+    // ts IS NOT NULL on BOTH sides: the operator's null-time semantics
+    // ("entry never expires") have no single-window SQL analog, so the
+    // oracle pair is pinned on the timed contract alone
+    val ev = Tables.table(s, dir, "events").filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"),
+        concat(col("event_type"), lit("-"), col("user_id") % 40).as("k"))
     Dedupe.keepFirstTimed(ev, Seq(col("k")), col("ts"), col("event_id"),
         maxAgeMs = 3600000L, refreshOnDrop = true)
       .select(col("event_id"), col("k")).orderBy("event_id")
@@ -540,7 +544,7 @@ UNION ALL ${rule("latency_last", "role", "role", "absolute", "gauge", "latency_m
                OVER (PARTITION BY k ORDER BY ts, event_id) AS gap
            FROM td_ev) t
          WHERE gap IS NULL OR gap >= 3600000 ORDER BY event_id""",
-      Seq("td_ev AS (SELECT event_id, ts, event_type || '-' || (user_id % 40) AS k FROM events)")),
+      Seq("td_ev AS (SELECT event_id, ts, event_type || '-' || (user_id % 40) AS k FROM events WHERE ts IS NOT NULL)")),
     "q_reduce" -> Oracle.q(
       """SELECT conv_id,
          min_by(text, turn_idx) AS first_text,

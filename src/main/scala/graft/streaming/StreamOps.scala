@@ -115,9 +115,11 @@ object StreamOps extends Serializable {
                                 text: String)
   /** `startMs` is the open session's creation wall-clock (0 when no
     * session is open) — the reference's `ReduceState.creation`, the
-    * clock `end_every_period_ms` ages against. */
+    * clock `end_every_period_ms` ages against. `lastMs` is the last
+    * arrival (the reference's `stale_since`), the clock
+    * `expire_after_ms` ages against. */
   final case class SessionState(sessionId: Long, n: Long, buffer: Seq[String],
-                                startMs: Long = 0L)
+                                startMs: Long = 0L, lastMs: Long = 0L)
   final case class SessionOut(key: String, sessionId: Long, n: Long,
                               merged: String)
 
@@ -178,14 +180,19 @@ object StreamOps extends Serializable {
             val sorted = events.toSeq.sortBy(_.seq)
             var st = state.getOption.getOrElse(SessionState(0L, 0L, Vector.empty))
             val out = Seq.newBuilder[SessionOut]
-            // a session already past its end-every deadline flushes
-            // BEFORE the new arrivals (the reference's tick would have
-            // closed it between batches)
-            endEveryMs.foreach { p =>
-              if (st.n > 0 && now - st.startMs >= p) {
-                val (flushed, st2) = flushOpen(st)
-                out ++= flushed; st = st2
-              }
+            // a session already past a deadline flushes BEFORE the new
+            // arrivals (the reference's tick would have closed it
+            // between batches). BOTH clocks: end-every ages against
+            // creation, expire-after against the last arrival — and a
+            // same-batch arrival suppresses hasTimedOut, so the timer
+            // alone cannot cover this case.
+            val overdue =
+              (st.n > 0) && (
+                endEveryMs.exists(p => now - st.startMs >= p) ||
+                expireAfterMs.exists(p => now - st.lastMs >= p))
+            if (overdue) {
+              val (flushed, st2) = flushOpen(st)
+              out ++= flushed; st = st2
             }
             sorted.foreach { e =>
               val buf = st.buffer :+ e.text
@@ -194,7 +201,7 @@ object StreamOps extends Serializable {
                 out += SessionOut(key, st.sessionId, n, buf.mkString("\n"))
                 st = SessionState(st.sessionId + 1, 0L, Vector.empty)
               } else {
-                st = st.copy(n = n, buffer = buf,
+                st = st.copy(n = n, buffer = buf, lastMs = now,
                   startMs = if (st.n == 0L) now else st.startMs)
               }
             }
