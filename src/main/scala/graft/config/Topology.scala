@@ -75,6 +75,25 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case None => ListMap.empty
     }
 
+  // deny_unknown_fields, like the reference's serde configs: a typo'd
+  // option (`windows_secs`) or an option this engine does not honor
+  // (`metric_to_log.host_tag`) must fail the LOAD — the reference
+  // rejects it at deserialization, before any event flows — never
+  // silently fall back to a default. Checked here (construction) so it
+  // fires even for transforms that never receive input, and so the
+  // unit-test harness's per-test error catch can't swallow it.
+  transforms.foreach { case (name, cfg) =>
+    cfg.str("type").foreach { ttype =>
+      TransformKeys.get(ttype).foreach { allowed =>
+        val unknown = cfg.entries.keySet -- allowed -- Set("type", "inputs")
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"transform $name (type $ttype): unknown option(s) " +
+            s"${unknown.toSeq.sorted.mkString(", ")} — supported: " +
+            allowed.toSeq.sorted.mkString(", "))
+      }
+    }
+  }
+
   def testDefs: Vector[TTab] = root.tabs("tests")
 
   /** `[enrichment_tables.<name>]` blocks (reference
@@ -1614,6 +1633,47 @@ object Topology {
     * dispatch matches; update together (CliSurfaceSpec cross-checks).
     */
   val SourceTypes: Seq[String] = Seq("demo_logs", "file", "parquet")
+  /** Per-type allowed option keys (deny_unknown_fields). Keys the
+    * engine reads, plus reference options that are semantics-neutral
+    * here and accepted unused: remap `runtime` (implementation knob);
+    * reduce `expire_after_ms`/`flush_period_ms` (liveness timers — a
+    * bounded batch always drains; the streaming forms honor them);
+    * throttle `internal_metrics` (extra telemetry);
+    * incremental_to_absolute `cache` (bounds per-series state — the
+    * batch normalization is exact, strictly tighter);
+    * aws_ec2_metadata's IMDS plumbing (endpoint/refresh/proxy/required
+    * — the record arrives inline via mock_values). Options that would
+    * CHANGE semantics if honored (metric_to_log host_tag /
+    * metric_tag_values, remap metric_tag_values, …) are NOT listed, so
+    * they fail the load instead of silently compiling differently.
+    */
+  private val TransformKeys: Map[String, Set[String]] = Map(
+    "remap" -> Set("source", "file", "files", "timezone", "drop_on_error",
+      "drop_on_abort", "reroute_dropped", "runtime"),
+    "filter" -> Set("condition"),
+    "route" -> Set("route", "reroute_unmatched"),
+    "exclusive_route" -> Set("routes"),
+    "dedupe" -> Set("fields", "cache", "time_settings"),
+    "reduce" -> Set("group_by", "merge_strategies", "ends_when",
+      "starts_when", "max_events", "expire_after_ms", "flush_period_ms",
+      "end_every_period_ms"),
+    "sample" -> Set("rate", "ratio", "key_field", "group_by", "exclude",
+      "sample_rate_key"),
+    "throttle" -> Set("threshold", "window_secs", "key_field", "exclude",
+      "internal_metrics"),
+    "aggregate" -> Set("interval_ms", "mode", "watermark"),
+    "log_to_metric" -> Set("metrics", "all_metrics"),
+    "metric_to_log" -> Set.empty,
+    "incremental_to_absolute" -> Set("cache"),
+    "tag_cardinality_limit" -> Set("mode", "value_limit",
+      "limit_exceeded_action", "per_metric_limits", "cache_size_per_key"),
+    "trace_to_log" -> Set.empty,
+    "aws_ec2_metadata" -> Set("mock_values", "fields", "namespace", "tags",
+      "endpoint", "refresh_interval_secs", "refresh_timeout_secs", "proxy",
+      "required"),
+    "window" -> Set("flush_when", "forward_when", "num_events_before",
+      "num_events_after", "group_by"))
+
   val TransformTypes: Seq[String] = Seq(
     "aggregate", "aws_ec2_metadata", "dedupe", "exclusive_route", "filter",
     "incremental_to_absolute", "log_to_metric", "metric_to_log", "reduce",

@@ -1371,6 +1371,42 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(tz.head.skipped.exists(_.contains("timezone")), tz.head.toString)
   }
 
+  test("unknown transform options fail the load (deny_unknown_fields)") {
+    // a typo'd knob must never silently fall back to a default
+    def runOne(body: String) = UnitTestHarness.run(spark, Topology.load(
+      s"""
+        |[transforms.t]
+        |  inputs = []
+        |$body
+        |[[tests]]
+        |  name = "k"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      x = 1
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = 'assert_eq!(.x, 1)'
+        |""".stripMargin))
+    val typo = intercept[IllegalArgumentException] {
+      runOne("  type = \"throttle\"\n  threshold = 1\n  windows_secs = 60")
+    }
+    assert(typo.getMessage.contains("windows_secs"), typo.getMessage)
+    // a reference option this engine would have to honor to be correct
+    // (metric_to_log host_tag changes the output shape) fails too
+    val hostTag = intercept[IllegalArgumentException] {
+      runOne("  type = \"metric_to_log\"\n  host_tag = \"host\"")
+    }
+    assert(hostTag.getMessage.contains("host_tag"), hostTag.getMessage)
+    // accepted-unused liveness knobs still load (reduce timers)
+    val ok = runOne(
+      "  type = \"reduce\"\n  group_by = [\"x\"]\n  expire_after_ms = 30000")
+    assert(ok.head.passed, ok.head.toString)
+  }
+
   test("community_id config checks: lone port and non-literal seed are plan-time errors") {
     import spark.implicits._
     val df = Seq(("1.2.3.4", "5.6.7.8", 7L)).toDF("sip", "dip", "s")
