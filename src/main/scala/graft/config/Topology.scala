@@ -191,8 +191,17 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           dropOnError = cfg.bool("drop_on_error").getOrElse(false),
           dropOnAbort = cfg.bool("drop_on_abort").getOrElse(true),
           rerouteDropped = cfg.bool("reroute_dropped").getOrElse(false))
-        val r = VrlCompile.remap(in.df, in.meta, prog, opts, Seq(SeqCol), enrichmentTables)
-        Seq("" -> Frame(r.df, r.meta, in.metric)) ++
+        // metric frames run the program over the VRL metric view (tags
+        // as a map, .type/.timestamp names) and reassemble the flat
+        // model after; the dropped port carries the ORIGINAL event
+        // (reference semantics), which is already flat
+        val roots = if (in.metric) Some(metricVrlRoots(in.df)) else None
+        val r = VrlCompile.remap(in.df, in.meta, prog, opts, Seq(SeqCol),
+          enrichmentTables, roots)
+        val outFrame =
+          if (in.metric) metricVrlUnview(r.df, r.meta)
+          else Frame(r.df, r.meta)
+        Seq("" -> outFrame) ++
           r.dropped.map(d => "dropped" -> Frame(d, in.meta, in.metric))
 
       case "filter" =>
@@ -982,7 +991,16 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             case "max" => (Strategy.maxS(v), t)
             case "min" => (Strategy.minS(v), t)
             case "array" => (Strategy.array(v, ord), VHetFromArray(t))
-            case "concat" => (Strategy.concat(v.cast("string"), ord), VStr)
+            case "concat" => t match {
+              // reference Concat appends ARRAY fields element-wise
+              // (merge_strategy.rs Concat on Value::Array); the
+              // space-join applies to strings only. Null rows (field
+              // absent on that event) contribute nothing.
+              case VArrOf(e) =>
+                (flatten(filter(Strategy.array(v, ord), x => x.isNotNull)),
+                  VArrOf(e))
+              case _ => (Strategy.concat(v.cast("string"), ord), VStr)
+            }
             case "concat_newline" => (Strategy.concatNewline(v.cast("string"), ord), VStr)
             case "concat_raw" => (Strategy.concatRaw(v.cast("string"), ord, ""), VStr)
             case "flat_unique" =>
@@ -1692,6 +1710,76 @@ object Topology {
     "name" -> VStr, "namespace" -> VStr, "tags" -> VStr, "kind" -> VStr,
     "value_type" -> VStr, "value" -> VFloat, "ts" -> VTime), None)
 
+  /** The VRL-facing view of a metric event: remap programs and
+    * conditions on a metric see `.name .namespace .tags` (a MAP)
+    * `.kind .type .timestamp`, matching the reference's metric event
+    * shape in VRL (tests/behavior/transforms/remap.toml
+    * `remap_metrics`), while the flat model stores tags as the
+    * canonical sorted `k=v,…` string and the type under `value_type`.
+    * Bindings are expressions over `df`'s columns, so a condition
+    * compiled with them still evaluates against the original frame.
+    */
+  private[config] def metricVrlRoots(df: DataFrame): ListMap[String, CV] = ListMap(
+    "name" -> CV(df.col("name"), VStr),
+    "namespace" -> CV(df.col("namespace"), VStr),
+    "tags" -> CV(when(df.col("tags").isNotNull,
+      str_to_map(df.col("tags"), lit(","), lit("="))), VMap),
+    "kind" -> CV(df.col("kind"), VStr),
+    "type" -> CV(df.col("value_type"), VStr),
+    "value" -> CV(df.col("value"), VFloat),
+    "timestamp" -> CV(df.col("ts"), VTime))
+
+  /** Inverse of [[metricVrlRoots]] after a remap: reassemble the flat
+    * metric model from the remapped view columns. Every metric field
+    * must survive the program with a compatible type — the reference
+    * likewise rejects remaps that break the metric schema rather than
+    * emitting a half-metric.
+    */
+  private[config] def metricVrlUnview(df: DataFrame, meta: EventMeta): Frame = {
+    val known = Set("name", "namespace", "tags", "kind", "type", "value",
+      "timestamp")
+    val extra = meta.types.keySet -- known
+    if (extra.nonEmpty) throw new IllegalArgumentException(
+      s"remap on metrics set non-metric field(s) ${extra.toSeq.sorted.mkString(", ")}" +
+        " — a metric event has no free-form fields (use .tags.<k>)")
+    def req(n: String): VT = meta.types.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"remap on metrics removed required metric field $n"))
+    def strCol(n: String): Column = req(n) match {
+      case VStr | VNullT => df.col(s"`$n`").cast("string")
+      case other => throw new IllegalArgumentException(
+        s"remap on metrics: field $n must stay a string, got $other")
+    }
+    val tagsCol = req("tags") match {
+      case VMap =>
+        val m = df.col("tags")
+        when(m.isNotNull, array_join(transform(sort_array(map_entries(m)),
+          e => concat_ws("=", e.getField("key"), e.getField("value"))), ","))
+      case VNullT => lit(null).cast("string")
+      case other => throw new IllegalArgumentException(
+        s"remap on metrics: tags must stay a map, got $other")
+    }
+    val valueCol = req("value") match {
+      case VFloat | VInt => df.col("value").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"remap on metrics: value must stay numeric, got $other")
+    }
+    val tsCol = req("timestamp") match {
+      case VTime => df.col("timestamp")
+      case other => throw new IllegalArgumentException(
+        s"remap on metrics: timestamp must stay a timestamp, got $other")
+    }
+    Frame(df.select(
+      df.col(SeqCol),
+      strCol("name").as("name"),
+      strCol("namespace").as("namespace"),
+      tagsCol.as("tags"),
+      strCol("kind").as("kind"),
+      strCol("type").as("value_type"),
+      valueCol.as("value"),
+      tsCol.as("ts")), MetricMeta, metric = true)
+  }
+
   def load(text: String): Topology = new Topology(Toml.parse(text))
 
   def loadFile(path: String): Topology = {
@@ -1849,5 +1937,6 @@ object Conditions {
 
   def vrl(src: String, in: Frame,
           tables: Map[String, EnrichTableData] = Map.empty): Column =
-    VrlCompile.condition(in.df, in.meta, VrlAst.parse(src), tables)
+    VrlCompile.condition(in.df, in.meta, VrlAst.parse(src), tables,
+      if (in.metric) Some(Topology.metricVrlRoots(in.df)) else None)
 }

@@ -143,7 +143,7 @@ object UnitTestHarness {
             spark.range(1).select(lit(seq).as(SeqCol)),
             EventMeta(ListMap.empty, None))
           val r = VrlCompile.remap(empty.df, empty.meta, VrlAst.parse(src),
-            RemapOpts(), Seq(SeqCol))
+            RemapOpts(), Seq(SeqCol), wrapScalar = false)
           withDefaultTimestamp(Frame(r.df, r.meta), seq)
         case "raw" | "log" =>
           val tree: TTab = in.str("value") match {
@@ -230,24 +230,95 @@ object UnitTestHarness {
       f.df.withColumn("timestamp", timestamp_seconds(lit(BaseEpoch + seq))),
       EventMeta(f.meta.types + ("timestamp" -> VTime), None))
 
-  /** Vector log_fields keys are event PATHS: `"a.b.c" = 1` nests. */
+  /** Vector log_fields keys are event PATHS: `"a.b.c" = 1` nests,
+    * `"arr[0]" = "x"` builds arrays (missing indices pad with null),
+    * and `"a.\"b.c\"" = 1` quotes a segment whose NAME contains a dot
+    * (reference path grammar — tests/behavior/transforms/reduce.toml
+    * concat_array, remap.toml remap_quoted_path).
+    */
   private[config] def nestDotted(flat: TTab): TTab = {
     val out = TTab.empty
     flat.entries.foreach { case (k, v) =>
-      val segs = k.split('.')
-      var t = out
-      segs.init.foreach { s =>
-        t = t.entries.getOrElseUpdate(s, TTab.empty) match {
-          case tt: TTab => tt
-          case _ => throw new IllegalArgumentException(s"log_fields path conflict at $s")
-        }
-      }
-      t.entries(segs.last) = v match {
+      val leaf = v match {
         case tt: TTab => nestDotted(tt)
         case other => other
       }
+      setPath(out, parseFieldPath(k), leaf, k)
     }
     out
+  }
+
+  /** `a."b.c"[0].d` → Left(a), Left(b.c), Right(0), Left(d). */
+  private[config] def parseFieldPath(key: String): List[Either[String, Int]] = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"log_fields path '$key': $msg")
+    val segs = List.newBuilder[Either[String, Int]]
+    var i = 0
+    while (i < key.length) {
+      key(i) match {
+        case '.' => i += 1
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          while (i < key.length && key(i) != '"') {
+            if (key(i) == '\\' && i + 1 < key.length) { sb += key(i + 1); i += 2 }
+            else { sb += key(i); i += 1 }
+          }
+          if (i >= key.length) fail("unterminated quoted segment")
+          i += 1
+          segs += Left(sb.result())
+        case '[' =>
+          val j = key.indexOf(']', i)
+          if (j < 0) fail("unterminated index")
+          val n = key.substring(i + 1, j)
+          if (n.isEmpty || !n.forall(_.isDigit)) fail(s"bad index [$n]")
+          segs += Right(n.toInt)
+          i = j + 1
+        case _ =>
+          val start = i
+          while (i < key.length && key(i) != '.' && key(i) != '[') i += 1
+          segs += Left(key.substring(start, i))
+      }
+    }
+    val out = segs.result()
+    if (out.isEmpty) fail("empty path")
+    out
+  }
+
+  /** Set `v` at `segs` under `root`, creating tables/arrays on the way;
+    * a name/index conflict with an existing value fails loudly.
+    */
+  private def setPath(root: TTab, segs: List[Either[String, Int]], v: V,
+                      key: String): Unit = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"log_fields path '$key': $msg")
+    def set(cur: Option[V], rest: List[Either[String, Int]]): V = rest match {
+      case Nil => cur match {
+        case None | Some(TNull) => v
+        case Some(_) => fail("duplicate leaf")
+      }
+      case Left(n) :: tail =>
+        val t = cur match {
+          case None => TTab.empty
+          case Some(tt: TTab) => tt
+          case Some(_) => fail(s"segment $n conflicts with a non-object value")
+        }
+        t.entries(n) = set(t.entries.get(n), tail)
+        t
+      case Right(ix) :: tail =>
+        val items = cur match {
+          case None => Vector.empty[V]
+          case Some(TArr(xs)) => xs
+          case Some(_) => fail(s"index [$ix] conflicts with a non-array value")
+        }
+        val padded = items.padTo(ix + 1, TNull: V)
+        TArr(padded.updated(ix,
+          set(Some(padded(ix)).filterNot(_ == TNull), tail)))
+    }
+    segs match {
+      case Left(n) :: tail => root.entries(n) = set(root.entries.get(n), tail)
+      case _ => fail("path must start with a field name")
+    }
   }
 
   private def oneRow(spark: SparkSession, seq: Long, tree: TTab): Frame = {

@@ -124,10 +124,25 @@ object VrlCompile {
         * literals live here AND in `locals`. Reassignment through
         * `setTarget` invalidates the entry.
         */
-      consts: Map[String, Expr] = Map.empty) {
+      consts: Map[String, Expr] = Map.empty,
+      /** The `%` metadata root (reference event metadata). Carried in
+        * frames as the reserved [[MetaKey]] column — never an event
+        * field, excluded from whole-event (`.`) reads and writes.
+        */
+      metaRoot: Option[CV] = None,
+      /** Remap transforms wrap a scalar `. = x` into `{message: x}`
+        * (remap.rs output contract, behavior test
+        * remap_mapped_scalars); the unit-test INPUT builder keeps the
+        * scalar event as-is (unit_test/mod.rs builds the raw VRL
+        * value), so it compiles with wrapScalar = false.
+        */
+      wrapScalar: Boolean = true) {
     def withRaise(r: Option[Column]): Env = copy(raise = orOpt(raise, r))
     def withAbort(a: Option[Column]): Env = copy(abort = orOpt(abort, a))
   }
+
+  /** Reserved column name carrying the `%` metadata value in a frame. */
+  val MetaKey = "__meta"
 
   private def orOpt(a: Option[Column], b: Option[Column]): Option[Column] =
     (a, b) match {
@@ -138,14 +153,26 @@ object VrlCompile {
   private def guardOpt(cond: Column, r: Option[Column]): Option[Column] =
     r.map(x => cond && coalesce(x, lit(false)))
 
+  /** `roots`, when set, REPLACES the per-column field bindings derived
+    * from `meta` — the metric VRL view uses it to expose the flat
+    * metric model the way the reference exposes a metric event to VRL
+    * (`.tags` as a map, `.type`, `.timestamp`) while the stored frame
+    * keeps the canonical flat columns.
+    */
   def envFromDf(df: DataFrame, meta: EventMeta,
-                tables: Map[String, EnrichTableData] = Map.empty): Env = meta.rootT match {
-    case Some(rt) =>
-      Env(ListMap.empty, Map.empty, Some(CV(df.col("__root"), rt)),
-        Map.empty, None, None, None, tables)
-    case None =>
-      val fields = meta.types.map { case (n, t) => n -> CV(df.col(s"`$n`"), t) }
-      Env(fields, Map.empty, None, Map.empty, None, None, None, tables)
+                tables: Map[String, EnrichTableData] = Map.empty,
+                roots: Option[ListMap[String, CV]] = None): Env = {
+    val metaRoot = meta.types.get(MetaKey).map(t => CV(df.col(MetaKey), t))
+    meta.rootT match {
+      case Some(rt) =>
+        Env(ListMap.empty, Map.empty, Some(CV(df.col("__root"), rt)),
+          Map.empty, None, None, None, tables, metaRoot = metaRoot)
+      case None =>
+        val fields = roots.getOrElse(
+          (meta.types - MetaKey).map { case (n, t) => n -> CV(df.col(s"`$n`"), t) })
+        Env(fields, Map.empty, None, Map.empty, None, None, None, tables,
+          metaRoot = metaRoot)
+    }
   }
 
   // --------------------------------------------------- public surface
@@ -163,8 +190,10 @@ object VrlCompile {
   def remap(df: DataFrame, meta: EventMeta, program: Program,
             opts: RemapOpts = RemapOpts(),
             passthrough: Seq[String] = Nil,
-            tables: Map[String, EnrichTableData] = Map.empty): Remapped = {
-    val env0 = envFromDf(df, meta, tables)
+            tables: Map[String, EnrichTableData] = Map.empty,
+            roots: Option[ListMap[String, CV]] = None,
+            wrapScalar: Boolean = true): Remapped = {
+    val env0 = envFromDf(df, meta, tables, roots).copy(wrapScalar = wrapScalar)
     val env = program.stmts.foldLeft(env0)((e, s) => compileStmt(e, s))
 
     val raiseC = env.raise.map(c => coalesce(c, lit(false)))
@@ -210,9 +239,10 @@ object VrlCompile {
     * result), false when the program raises or resolves null.
     */
   def condition(df: DataFrame, meta: EventMeta, program: Program,
-                tables: Map[String, EnrichTableData] = Map.empty): Column = {
+                tables: Map[String, EnrichTableData] = Map.empty,
+                roots: Option[ListMap[String, CV]] = None): Column = {
     require(program.stmts.nonEmpty, "empty condition program")
-    val env0 = envFromDf(df, meta, tables)
+    val env0 = envFromDf(df, meta, tables, roots)
     val env1 = program.stmts.init.foldLeft(env0)((e, s) => compileStmt(e, s))
     val (value, env2) = program.stmts.last match {
       case ExprStmt(e) =>
@@ -244,7 +274,12 @@ object VrlCompile {
   private def materialize(df: DataFrame, env0: Env, env: Env,
                           revert: Option[Column],
                           passthrough: Seq[String] = Nil): (DataFrame, EventMeta) = {
-    val pass = passthrough.map(n => df.col(s"`$n`"))
+    // `%` metadata rides along as the reserved column, never an event
+    // field (whole-event reads/writes above already exclude it)
+    val metaCol = env.metaRoot.map(cv => cv.col.as(MetaKey)).toSeq
+    def withMeta(types: ListMap[String, VT]): ListMap[String, VT] =
+      env.metaRoot.map(cv => types + (MetaKey -> cv.t)).getOrElse(types)
+    val pass = passthrough.map(n => df.col(s"`$n`")) ++ metaCol
     env.fanout match {
       case Some(objs) =>
         // `. = [obj, obj, ...]`: each input row emits one row per object
@@ -260,14 +295,14 @@ object VrlCompile {
           k -> (if (ts.size == 1) ts.head else VStr)
         }: _*)
         val out = exploded.select(
-          passthrough.map(n => col(s"`$n`")) ++
+          (passthrough ++ env.metaRoot.map(_ => MetaKey)).map(n => col(s"`$n`")) ++
             keys.map(k => col(s"__e.`$k`").as(k)): _*)
-        (out, EventMeta(types, None))
+        (out, EventMeta(withMeta(types), None))
       case None =>
         env.root match {
           case Some(rcv) =>
             (df.select(pass :+ rcv.col.as("__root"): _*),
-              EventMeta(ListMap.empty, Some(rcv.t)))
+              EventMeta(withMeta(ListMap.empty), Some(rcv.t)))
           case None =>
             val cols = env.fields.map { case (n, cv) =>
               val blended = revert match {
@@ -287,7 +322,7 @@ object VrlCompile {
               }
             }.toSeq
             val types = env.fields.map { case (n, cv) => n -> cv.t }
-            (df.select(pass ++ cols: _*), EventMeta(types, None))
+            (df.select(pass ++ cols: _*), EventMeta(withMeta(types), None))
         }
     }
   }
@@ -356,8 +391,10 @@ object VrlCompile {
               env2.copy(fields = fields, root = None, fanout = None)
             case VAny | VMap =>
               env2.copy(fields = ListMap.empty, root = Some(xv.cv), fanout = None)
-            case _ =>
+            case _ if env2.wrapScalar =>
               env2.copy(fields = ListMap("message" -> xv.cv), root = None, fanout = None)
+            case _ =>
+              env2.copy(fields = ListMap.empty, root = Some(xv.cv), fanout = None)
           }
       }
       errTgt match {
@@ -409,14 +446,23 @@ object VrlCompile {
     case TLocal(n) => env.copy(locals = env.locals + (n -> cv),
       consts = env.consts - n)
     case TWhole => throw VrlUnsupported("whole-event target in this position")
+    case TMeta => env.copy(metaRoot = Some(cv))
     case TField(path) =>
-      if (env.root.isDefined)
-        throw VrlUnsupported("field assignment after whole-event dynamic replace")
+      // a DYNAMIC (variant/map) root can't take field assignment — the
+      // sibling keys aren't enumerable at plan time; a SCALAR root can:
+      // VRL coerces the event to an object, discarding the scalar
+      // (reference path assignment on a non-object root)
+      val base = env.root.map(_.t) match {
+        case Some(VAny) | Some(VMap) =>
+          throw VrlUnsupported("field assignment after whole-event dynamic replace")
+        case Some(_) => env.copy(root = None, fields = ListMap.empty)
+        case None => env
+      }
       path.head match {
         case SegIndex(_) => throw VrlUnsupported("index at path root")
         case SegName(top) =>
-          val updated = setIn(env.fields.get(top), path.tail, cv)
-          env.copy(fields = env.fields + (top -> updated))
+          val updated = setIn(base.fields.get(top), path.tail, cv)
+          base.copy(fields = base.fields + (top -> updated))
       }
   }
 
@@ -534,6 +580,10 @@ object VrlCompile {
   }
 
   private def walkDynamic(cv: CV, path: Seq[PathSeg]): CV = cv.t match {
+    // bare `.` read: the root value itself, whatever its type (a
+    // SCALAR root arises from the unit-test input builder's unwrapped
+    // `. = "x"` programs)
+    case _ if path.isEmpty => cv
     case VAny =>
       val p = "$" + path.map {
         case SegName(n) => s"['${n.replace("'", "\\'")}']"
@@ -587,6 +637,10 @@ object VrlCompile {
       }
       (XV.pure(CV(lit(inst), VTime)), env)
     case FieldRef(path) => (XV.pure(resolve(env, path)), env)
+    case MetaRef =>
+      // unset metadata reads as null (reference: empty metadata object
+      // resolves null for value reads)
+      (XV.pure(env.metaRoot.getOrElse(CV(lit(null).cast("string"), VNullT))), env)
     case LocalRef(n) =>
       env.locals.get(n) match {
         case Some(cv) => (XV.pure(cv), env)
@@ -601,7 +655,11 @@ object VrlCompile {
       (XV(path.foldLeft(xv.cv)(walk), xv.raise, xv.msg), e2)
     case ArrLit(items) =>
       var e2 = env
-      val cvs = items.map { it =>
+      // regex VALUES are carried as their pattern strings (same
+      // convention as regex function arguments)
+      val cvs = items.map(_ match {
+        case LitRegex(p) => LitS(p); case x => x
+      }).map { it =>
         val (xv, en) = compileExpr(e2, it); e2 = en.withRaise(xv.raise); xv.cv
       }
       val ts = cvs.map(_.t).distinct
@@ -610,7 +668,10 @@ object VrlCompile {
       else (XV.pure(mkHet(cvs)), e2)
     case ObjLit(fields) =>
       var e2 = env
-      val cvs = fields.map { case (k, v) =>
+      val cvs = fields.map {
+        case (k, LitRegex(p)) => k -> LitS(p) // pattern-string convention
+        case kv => kv
+      }.map { case (k, v) =>
         val (xv, en) = compileExpr(e2, v); e2 = en.withRaise(xv.raise); k -> xv.cv
       }
       (XV.pure(mkObj(ListMap(cvs: _*))), e2)
@@ -760,16 +821,26 @@ object VrlCompile {
     case (VAny, VObj(_)) | (VObj(_), VAny) | (VAny, VHet(_)) | (VHet(_), VAny) =>
       val (av, bv) = if (a.t == VAny) (a, b) else (b, a)
       bv.t match {
+        // an empty literal ({} / []) has no keys to probe — compare
+        // the variant's canonical JSON form instead of defaulting false
         case VObj(fb) =>
-          if (fb.isEmpty) lit(false)
+          if (fb.isEmpty) coalesce(to_json(av.col) === "{}", lit(false))
           else fb.keys.map { k =>
             eq(walkDynamic(av, Seq(SegName(k))), CV(bv.col.getField(k), fb(k)))
           }.reduce(_ && _)
         case VHet(tb) =>
-          if (tb.isEmpty) lit(false)
-          else tb.indices.map { i =>
-            eq(walkDynamic(av, Seq(SegIndex(i))), CV(bv.col.getField(s"_$i"), tb(i)))
-          }.reduce(_ && _)
+          if (tb.isEmpty) coalesce(to_json(av.col) === "[]", lit(false))
+          else {
+            // element-wise probe alone would accept a LONGER variant
+            // array whose prefix matches — arrays are equal only at
+            // equal length
+            val sizeOk = coalesce(
+              size(try_variant_get(av.col, "$", "array<variant>")) === tb.length,
+              lit(false))
+            sizeOk && tb.indices.map { i =>
+              eq(walkDynamic(av, Seq(SegIndex(i))), CV(bv.col.getField(s"_$i"), tb(i)))
+            }.reduce(_ && _)
+          }
         case _ => lit(false)
       }
     case (VMap, VObj(fb)) =>

@@ -50,6 +50,20 @@ object VrlFunctions {
   private final class Args(args: Seq[XV], named: Map[String, XV],
                            rawArgs: Seq[Expr], rawNamed: Map[String, Expr],
                            fname: String) {
+    /** VRL binds positional args to the first parameters NOT already
+      * given by name (`replace("foo", pattern: p, with: w, 1)` binds 1
+      * to count). Index-based lookup mis-slots that mix, so functions
+      * with named-arg call styles re-slot against their canonical
+      * parameter list: every arg becomes a named arg, then index
+      * lookups fall through to the names.
+      */
+    def reslot(params: String*): Args = {
+      val free = params.filterNot(named.contains)
+      if (args.length > free.length)
+        throw VrlUnsupported(s"$fname: too many arguments")
+      new Args(Seq.empty, named ++ free.zip(args),
+        Seq.empty, rawNamed ++ free.zip(rawArgs), fname)
+    }
     def opt(i: Int, names: String*): Option[XV] =
       args.lift(i).orElse(names.collectFirst {
         case n if named.contains(n) => named(n)
@@ -634,10 +648,11 @@ object VrlFunctions {
         out(CV(when(length(v) > limit, concat(v.substr(lit(1), limit), lit(suffix)))
           .otherwise(v), VStr))
       case "replace" =>
-        val v = asStr(a(0, "value"))
-        val withS = asStr(a(2, "with"))
-        val count = a.litInt(3, "count").getOrElse(-1L)
-        a.raw(1, "pattern") match {
+        val ar = a.reslot("value", "pattern", "with", "count")
+        val v = asStr(ar(0, "value"))
+        val withS = asStr(ar(2, "with"))
+        val count = ar.litInt(3, "count").getOrElse(-1L)
+        ar.raw(1, "pattern") match {
           case LitRegex(p) =>
             // unbounded: codegen'd regexp_replace; bounded: Matcher
             // kernel with the same $-group replacement semantics
@@ -663,7 +678,7 @@ object VrlFunctions {
           case _ =>
             // only the regex arm needs plan-time pattern compilation;
             // a runtime STRING pattern replaces literally
-            val p = a(1, "pattern")
+            val p = ar(1, "pattern")
             if (p.cv.t != VStr)
               throw VrlUnsupported("replace with non-literal regex pattern")
             out(CV(VrlKernels.literalReplaceN(v, p.cv.col, withS,
@@ -785,11 +800,28 @@ object VrlFunctions {
         val r = graft.functions.Vrl.parseDuration(v, unit)
         out(CV(r, VFloat), Some(v.isNotNull && r.isNull), "unable to parse duration")
       case "parse_key_value" =>
+        // reference parse_key_value trims whitespace around pairs,
+        // skips empty segments (leading/trailing delimiters, runs of
+        // them), and strips surrounding double quotes from values
+        // (parse_key_value.cue examples); a raw str_to_map would throw
+        // DUPLICATED_MAP_KEY on the "" keys the empty segments produce.
+        // Values containing a QUOTED field delimiter are not honored
+        // (the split runs first) — that needs a real tokenizer.
         val v = asStr(a(0, "value"))
         val kvSep = a.litStr(1, "key_value_delimiter").getOrElse("=")
         val fieldSep = a.litStr(2, "field_delimiter").getOrElse(" ")
-        out(CV(str_to_map(v, lit(java.util.regex.Pattern.quote(fieldSep)),
-          lit(java.util.regex.Pattern.quote(kvSep))), VMap))
+        val toks = transform(
+          split(v, java.util.regex.Pattern.quote(fieldSep)),
+          p => regexp_replace(p, "^\\s+|\\s+$", ""))
+        val kept = filter(toks, p => length(p) > 0)
+        val m = str_to_map(
+          array_join(kept, fieldSep),
+          lit(java.util.regex.Pattern.quote(fieldSep)),
+          lit(java.util.regex.Pattern.quote(kvSep)))
+        val unquoted = transform_values(m, (_, x) =>
+          when(length(x) >= 2 && x.startsWith("\"") && x.endsWith("\""),
+            substring(x, lit(2), length(x) - 2)).otherwise(x))
+        out(CV(unquoted, VMap))
       case "parse_tokens" =>
         val v = asStr(a(0, "value"))
         val toks = regexp_extract_all(v, lit("""\"[^\"]*\"|\[[^\]]*\]|\S+"""), lit(0))
@@ -800,22 +832,37 @@ object VrlFunctions {
             .otherwise(t))
         out(CV(cleaned, VArrOf(VStr)), Some(v.isNull), "expected string")
       case "parse_regex" =>
+        // numeric_groups (parse_regex.cue): "0" is the full match and
+        // "1".."n" the capture groups, alongside the named keys. The
+        // full match is group 1 of the pattern wrapped in one extra
+        // paren pair — no expression change, just an index offset.
         val v = asStr(a(0, "value"))
         val pat = a.litStr(1, "pattern").getOrElse(
           throw VrlUnsupported("parse_regex without literal pattern"))
-        val (javaPat, groups) = VrlKernels.namedGroups(pat)
+        val numeric = a.litBool(2, "numeric_groups").getOrElse(false)
+        val (pat0, groups) = VrlKernels.namedGroups(pat)
+        val javaPat = if (numeric) s"($pat0)" else pat0
+        val off = if (numeric) 1 else 0
         val g = org.apache.spark.sql.graftvec.RegexExpressions.regexGroups(v, javaPat)
-        val fields = ListMap(groups.zipWithIndex.map { case (gn, i) =>
-          gn -> CV(nullif(element_at(g, i + 1), lit("")), VStr)
-        }: _*)
-        val obj = buildObj(fields)
+        val named = groups.zipWithIndex.map { case (gn, i) =>
+          gn -> CV(nullif(element_at(g, i + 1 + off), lit("")), VStr)
+        }
+        val nums =
+          if (!numeric) Seq.empty
+          else ("0" -> CV(element_at(g, 1), VStr)) +:
+            groups.indices.map(i => (i + 1).toString ->
+              CV(nullif(element_at(g, i + 2), lit("")), VStr))
+        val obj = buildObj(ListMap((named ++ nums): _*))
         out(CV(when(g.isNotNull, obj.col), obj.t),
           Some(v.isNull || g.isNull), "regex did not match")
       case "parse_grok" =>
         val v = asStr(a(0, "value"))
         val pat = a.litStr(1, "pattern").getOrElse(
           throw VrlUnsupported("parse_grok without literal pattern"))
-        val compiled = graft.functions.Grok.compile(pat)
+        // regexLiterals: VRL's grok treats the whole expression as a
+        // regex (alternations like (%{A:x}|%{B:y}) work), unlike the
+        // library parsers' literal inter-token text
+        val compiled = graft.functions.Grok.compile(pat, regexLiterals = true)
         val fields = ListMap(compiled.columns(v).map { case (n, c) =>
           n -> CV(nullif(c, lit("")), VStr)
         }: _*)
@@ -837,16 +884,11 @@ object VrlFunctions {
         val v = a(0, "value")
         v.cv.t match {
           case VAny =>
-            val asArr = try_variant_get(v.cv.col, "$", "array<variant>")
-            val compArr = filter(asArr, x =>
-              !(is_variant_null(x) ||
-                coalesce(try_variant_get(x, "$", "string") === "", lit(false)) ||
-                coalesce(to_json(x).isin("[]", "{}"), lit(false))))
-            // arrays compact to the filtered array (re-encoded through
-            // JSON to stay variant-typed); maps pass through — their
-            // null-valued keys already read as absent via variant_get
-            out(CV(when(asArr.isNotNull, try_parse_json(to_json(compArr)))
-              .otherwise(v.cv.col), VAny))
+            // full reference semantics over the JSON form: recursive,
+            // dropping null / "" / empty collections, emptiness judged
+            // after recursion (compact.cue defaults)
+            out(CV(try_parse_json(
+              graft.functions.Vrl.compactJson(to_json(v.cv.col))), VAny))
           case VArrOf(e) =>
             out(CV(filter(v.cv.col, x => x.isNotNull && coalesce(x.cast("string") =!= "", lit(true))), VArrOf(e)))
           case _ => out(v.cv)
@@ -877,13 +919,19 @@ object VrlFunctions {
           case (VObj(_), VObj(_)) =>
             out(mergeObjs(l.cv, r.cv))
           case (VAny, VAny) =>
-            if (deep) throw VrlUnsupported("merge deep:true on dynamic (variant) objects")
-            // shallow JSON splice: {"a":1} + {"b":2} -> {"a":1,"b":2}
             val lj = to_json(l.cv.col); val rj = to_json(r.cv.col)
-            val spliced = when(rj === "{}", lj).when(lj === "{}", rj)
-              .otherwise(concat(regexp_replace(lj, "\\}$", ""), lit(","),
-                regexp_replace(rj, "^\\{", "")))
-            out(CV(try_parse_json(spliced), VAny))
+            if (deep)
+              // recursive right-wins merge over the JSON form
+              // (merge.cue deep: objects on both sides recurse)
+              out(CV(try_parse_json(
+                graft.functions.Vrl.mergeDeepJson(lj, rj)), VAny))
+            else {
+              // shallow JSON splice: {"a":1} + {"b":2} -> {"a":1,"b":2}
+              val spliced = when(rj === "{}", lj).when(lj === "{}", rj)
+                .otherwise(concat(regexp_replace(lj, "\\}$", ""), lit(","),
+                  regexp_replace(rj, "^\\{", "")))
+              out(CV(try_parse_json(spliced), VAny))
+            }
           case (x, y) => throw VrlUnsupported(s"merge of $x with $y")
         }
       case "push" =>
@@ -893,6 +941,17 @@ object VrlFunctions {
           case VHet(ts) =>
             val elems = ts.zipWithIndex.map { case (t, i) => CV(arr.cv.col.getField(s"_$i"), t) }
             out(buildHet(elems :+ v.cv))
+          case VAny =>
+            // JSON splice onto a dynamic array (push.cue over a
+            // parse_json! result); raises when the variant isn't one
+            val aj = to_json(arr.cv.col)
+            val ij = jsonOf(v.cv)
+            val outJ = when(aj === "[]", concat(lit("["), ij, lit("]")))
+              .otherwise(concat(regexp_replace(aj, "\\]$", ""), lit(","), ij, lit("]")))
+            val notArr = arr.cv.col.isNull ||
+              try_variant_get(arr.cv.col, "$", "array<variant>").isNull
+            out(CV(when(!notArr, try_parse_json(outJ)), VAny),
+              Some(notArr), "push on non-array")
           case _ => throw VrlUnsupported("push on non-array")
         }
       case "append" =>
@@ -904,6 +963,17 @@ object VrlFunctions {
             val ea = ta.zipWithIndex.map { case (t, i) => CV(x.cv.col.getField(s"_$i"), t) }
             val eb = tb.zipWithIndex.map { case (t, i) => CV(y.cv.col.getField(s"_$i"), t) }
             out(buildHet(ea ++ eb))
+          case (VAny, VAny) =>
+            // dynamic arrays append via JSON splice (append.cue)
+            val lj = to_json(x.cv.col); val rj = to_json(y.cv.col)
+            val spliced = when(rj === "[]", lj).when(lj === "[]", rj)
+              .otherwise(concat(regexp_replace(lj, "\\]$", ""), lit(","),
+                regexp_replace(rj, "^\\[", "")))
+            val notArr = x.cv.col.isNull || y.cv.col.isNull ||
+              try_variant_get(x.cv.col, "$", "array<variant>").isNull ||
+              try_variant_get(y.cv.col, "$", "array<variant>").isNull
+            out(CV(when(!notArr, try_parse_json(spliced)), VAny),
+              Some(notArr), "append of non-arrays")
           case (p, q) => throw VrlUnsupported(s"append of $p with $q")
         }
       // ------------------------------------------------- control
@@ -917,13 +987,17 @@ object VrlFunctions {
         val okc = VrlCompile.eq(l.cv, r.cv)
         out(CV(lit(true), VBool), Some(!coalesce(okc, lit(false))), msg)
       case "is_nullish" =>
+        // whitespace-only means ANY whitespace (is_nullish.cue: "\n",
+        // "\r" are nullish) — `trim` strips only 0x20 spaces, so the
+        // check is a \s* regex, not trim() === ""
         val v = a(0, "value")
+        def nullishStr(c: Column): Column = c.rlike("^\\s*$") || c === "-"
         val col = v.cv.t match {
           case VNullT => lit(true)
-          case VStr => v.cv.col.isNull || trim(v.cv.col) === "" || v.cv.col === "-"
+          case VStr => v.cv.col.isNull || nullishStr(v.cv.col)
           case VAny =>
             is_variant_null(v.cv.col) || v.cv.col.isNull ||
-              coalesce(trim(try_variant_get(v.cv.col, "$", "string")).isin("", "-"), lit(false))
+              coalesce(nullishStr(try_variant_get(v.cv.col, "$", "string")), lit(false))
           case _ => v.cv.col.isNull
         }
         out(CV(col, VBool))
@@ -1182,20 +1256,32 @@ object VrlFunctions {
         out(CV(when(idx > 0, (idx - 1 + from).cast("bigint"))
           .otherwise(lit(-1L)), VInt))
       case "parse_regex_all" =>
+        // same numeric_groups contract as parse_regex, per match
         val v = asStr(a(0, "value"))
         val pat = a.litStr(1, "pattern").getOrElse(
           throw VrlUnsupported("parse_regex_all without literal pattern"))
-        val (javaPat, groups) = VrlKernels.namedGroups(pat)
-        val extracted = groups.zipWithIndex.map { case (g, i) =>
-          g -> regexp_extract_all(v, lit(javaPat), lit(i + 1))
+        val numeric = a.litBool(2, "numeric_groups").getOrElse(false)
+        val (pat0, groups) = VrlKernels.namedGroups(pat)
+        val javaPat = if (numeric) s"($pat0)" else pat0
+        val off = if (numeric) 1 else 0
+        val named = groups.zipWithIndex.map { case (g, i) =>
+          g -> regexp_extract_all(v, lit(javaPat), lit(i + 1 + off))
         }
+        val nums =
+          if (!numeric) Seq.empty
+          else ("0" -> regexp_extract_all(v, lit(javaPat), lit(1))) +:
+            groups.indices.map(i =>
+              (i + 1).toString -> regexp_extract_all(v, lit(javaPat), lit(i + 2)))
+        val extracted = named ++ nums
+        val fieldNames = extracted.map(_._1)
         val n = size(extracted.head._2)
-        val objT = VObj(ListMap(groups.map(_ -> VStr): _*))
+        val objT = VObj(ListMap(fieldNames.map(_ -> (VStr: VT)): _*))
         val arr = when(n > 0, transform(sequence(lit(0), n - 1), i =>
           struct(extracted.map { case (g, c) =>
-            nullif(element_at(c, i + 1), lit("")).as(g)
+            (if (g == "0") element_at(c, i + 1)
+             else nullif(element_at(c, i + 1), lit(""))).as(g)
           }: _*)))
-          .otherwise(array().cast(s"array<${structDdl(groups)}>"))
+          .otherwise(array().cast(s"array<${structDdl(fieldNames)}>"))
         out(CV(arr, VArrOf(objT)), Some(v.isNull), "expected string")
 
       // --- type checks ---------------------------------------------------
@@ -1268,13 +1354,34 @@ object VrlFunctions {
         val r = graft.functions.Vrl.getEnvVar(n)
         out(CV(r, VStr), Some(r.isNull), s"environment variable $n not set")
       case "tag_types_externally" =>
-        val v = a(0, "value")
-        val tag = v.cv.t match {
+        // tag_types_externally.cue: scalars wrap into {type: value};
+        // objects tag each FIELD recursively, arrays each element;
+        // null stays null. Types are static here, so the whole tagging
+        // happens at plan time. A regex argument (pattern-string
+        // convention) tags as {"regex": pattern}.
+        def tagOf(t: VT): String = t match {
           case VStr => "string"; case VInt => "integer"; case VFloat => "float"
           case VBool => "boolean"; case VTime => "timestamp"
-          case t => throw VrlUnsupported(s"tag_types_externally on $t")
+          case other => throw VrlUnsupported(s"tag_types_externally on $other")
         }
-        out(CV(graft.functions.Vrl.tagTypesExternally(v.cv.col, tag), VStr))
+        def tagged(cv: CV): CV = cv.t match {
+          case VNullT => cv
+          case VObj(fs) =>
+            buildObj(ListMap(fs.keys.map(k =>
+              k -> tagged(CV(cv.col.getField(k), fs(k)))).toSeq: _*))
+          case VArrOf(e) =>
+            val tag = tagOf(e)
+            CV(transform(cv.col, x => struct(x.as(tag))),
+              VArrOf(VObj(ListMap(tag -> e))))
+          case VHet(ts) =>
+            buildHet(ts.zipWithIndex.map { case (t, i) =>
+              tagged(CV(cv.col.getField(s"_$i"), t)) })
+          case t => buildObj(ListMap(tagOf(t) -> cv))
+        }
+        val v = a(0, "value")
+        if (a.rawOpt(0, "value").exists(_.isInstanceOf[LitRegex]))
+          out(buildObj(ListMap("regex" -> v.cv)))
+        else out(tagged(v.cv))
       case "uuid_from_friendly_id" =>
         out(withStrRaise(a, bang, graft.functions.Vrl.uuidFromFriendlyId))
       case "match_datadog_query" =>
@@ -1434,7 +1541,7 @@ object VrlFunctions {
           case _ => throw VrlUnsupported("parse_groks without literal patterns array")
         }
         val v = asStr(a(0, "value"))
-        val compiled = pats.map(graft.functions.Grok.compile(_))
+        val compiled = pats.map(graft.functions.Grok.compile(_, regexLiterals = true))
         // first-match-wins (parse_groks.cue): fields = union, each field
         // read from the first matching pattern that captures it
         val firstIdx = compiled.zipWithIndex.foldRight(lit(-1)) { case ((cp, i), acc) =>
@@ -1831,6 +1938,17 @@ object VrlFunctions {
 
   private def structDdl(fields: Seq[String]): String =
     fields.map(f => s"`$f` string").mkString("struct<", ",", ">")
+
+  /** JSON text of a single value, whatever its Spark type: variants
+    * print directly; everything else rides through a one-element array
+    * (to_json rejects bare scalars) and sheds the brackets.
+    */
+  private def jsonOf(cv: CV): Column = cv.t match {
+    case VAny => to_json(cv.col)
+    case _ =>
+      val j = to_json(array(cv.col))
+      substring(j, lit(2), length(j) - 2)
+  }
 
   private def valueArg(c: Call): Expr =
     c.args.headOption.orElse(c.named.collectFirst { case ("value", e) => e })

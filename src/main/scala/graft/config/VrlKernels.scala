@@ -520,10 +520,15 @@ object VrlKernels {
   /** Translate a Rust-style `(?P<name>...)` pattern to Java syntax and
     * return the capture-group names in positional order.
     */
+  /** Rust-regex named groups → plain positional groups. Java rejects
+    * `(?P<...>` outright AND any group name containing `_`, so names
+    * are STRIPPED (extraction is positional everywhere downstream);
+    * `[A-Za-z_]` first-char keeps lookbehind `(?<=` / `(?<!` intact.
+    */
   def namedGroups(pattern: String): (String, Seq[String]) = {
-    val names = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
-      .findAllMatchIn(pattern).map(_.group(1)).toSeq
-    (pattern.replace("(?P<", "(?<"), names)
+    val g = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
+    val names = g.findAllMatchIn(pattern).map(_.group(1)).toSeq
+    (g.replaceAllIn(pattern, "("), names)
   }
 }
 

@@ -47,7 +47,11 @@ object Grok {
     "GLOGLEVEL"         -> """[IWEF]""",
     "MONTHDAY4"         -> """\d{4}""",
     "TIME"              -> """\d{2}:\d{2}:\d{2}(?:\.\d+)?""",
-    "DATESTAMP_SLASH"   -> """\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}"""
+    "DATESTAMP_SLASH"   -> """\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}""",
+    // upstream grok-patterns: EMAILLOCALPART + EMAILADDRESS =
+    // %{EMAILLOCALPART}@%{HOSTNAME} (inlined — bodies are plain regex)
+    "EMAILLOCALPART"    -> """[a-zA-Z][a-zA-Z0-9_.+\-=:]+""",
+    "EMAILADDRESS"      -> """[a-zA-Z][a-zA-Z0-9_.+\-=:]+@(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*"""
   )
 
   /** A compiled grok expression: anchored regex + ordered field names,
@@ -85,18 +89,58 @@ object Grok {
       case c => c.toString
     }
 
+  /** Regex-mode inter-token text (the reference's grok: the whole
+    * expression IS a regex, only `%{...}` gets substituted): kept as
+    * regex, but bare capturing `(` becomes `(?:` — field extraction is
+    * positional (fields(i) ↔ group i+1), so a user group would shift
+    * every later field. Named raw captures can't be honored under the
+    * positional contract and throw instead of silently mis-mapping.
+    */
+  private def regexLiteral(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < s.length) {
+      s(i) match {
+        case '\\' if i + 1 < s.length => sb += '\\' += s(i + 1); i += 1
+        case '[' if !inClass => inClass = true; sb += '['
+        case ']' if inClass => inClass = false; sb += ']'
+        case '(' if !inClass =>
+          if (i + 1 < s.length && s(i + 1) == '?') {
+            if (i + 2 < s.length && s(i + 2) == '<' &&
+                i + 3 < s.length && s(i + 3) != '=' && s(i + 3) != '!')
+              throw new IllegalArgumentException(
+                "named captures in raw grok regex are not supported; use %{PATTERN:field}")
+            sb += '('
+          } else sb ++= "(?:"
+        case c => sb += c
+      }
+      i += 1
+    }
+    sb.result()
+  }
+
   /** Compile one grok expression to an anchored regex. Unnamed tokens
     * (`%{INT}`) match without capturing; named tokens (`%{INT:latency}`)
     * become capture groups. Unknown pattern names throw at plan time —
     * mirroring VRL's compile-once semantics
     * (reference: src/transforms/remap.rs:451-463).
+    *
+    * `regexLiterals = false` (library parsers): inter-token text is
+    * LITERAL (`[` matches a bracket). `regexLiterals = true` (VRL
+    * parse_grok/parse_groks): inter-token text is regex, like the
+    * reference's grok crate — alternations such as
+    * `(%{EMAILADDRESS:email}|%{LOGLEVEL:level})` work.
     */
-  def compile(grok: String, anchored: Boolean = true): Compiled = {
+  def compile(grok: String, anchored: Boolean = true,
+              regexLiterals: Boolean = false): Compiled = {
+    val lit: String => String =
+      if (regexLiterals) regexLiteral else escapeLiteral
     val sb = new StringBuilder
     val fields = Seq.newBuilder[String]
     var last = 0
     for (m <- Token.findAllMatchIn(grok)) {
-      sb ++= escapeLiteral(grok.substring(last, m.start))
+      sb ++= lit(grok.substring(last, m.start))
       val name = m.group(1)
       val body = patterns.getOrElse(name,
         throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
@@ -106,7 +150,7 @@ object Grok {
       }
       last = m.end
     }
-    sb ++= escapeLiteral(grok.substring(last))
+    sb ++= lit(grok.substring(last))
     val core = sb.result()
     // \z (end of input), not $: Java's $ also matches before a final
     // line terminator, so "msg\n" would parse in Spark but not in the

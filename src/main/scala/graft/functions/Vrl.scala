@@ -324,6 +324,8 @@ object Vrl {
     */
   def flattenObject(c: Column): Column = strExprs.flattenObject(c)
   def unflattenObject(c: Column): Column = strExprs.unflattenObject(c)
+  def compactJson(c: Column): Column = strExprs.compactJson(c)
+  def mergeDeepJson(l: Column, r: Column): Column = strExprs.mergeDeepJson(l, r)
 
   /** tag_types_externally (tag_types_externally.cue): wrap the value
     * keyed by its type name. Spark columns are STATICALLY typed, so the

@@ -156,7 +156,9 @@ object VrlParsers {
   /** `parse_aws_cloudwatch_log_subscription_message!(json)` — the
     * subscription envelope (owner/messageType/logGroup/logStream/
     * subscriptionFilters/logEvents) parsed into the reference's
-    * snake_case field names; event timestamps stay epoch-millis.
+    * snake_case field names; event epoch-millis timestamps become real
+    * timestamps (the reference's DateTime<Utc>,
+    * parse_aws_cloudwatch_log_subscription_message.cue example).
     */
   def parseAwsCloudwatchLogSubscriptionMessage(c: Column): Column = {
     val j = from_json(c, cloudwatchSchema)
@@ -166,7 +168,10 @@ object VrlParsers {
       j.getField("logGroup").as("log_group"),
       j.getField("logStream").as("log_stream"),
       j.getField("subscriptionFilters").as("subscription_filters"),
-      j.getField("logEvents").as("log_events"))
+      transform(j.getField("logEvents"), e => struct(
+        e.getField("id").as("id"),
+        timestamp_millis(e.getField("timestamp")).as("timestamp"),
+        e.getField("message").as("message"))).as("log_events"))
   }
 
   // ---------------------------------------------------------- bytes

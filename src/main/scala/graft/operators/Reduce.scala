@@ -34,9 +34,19 @@ object Reduce {
     def sumS(v: Column): Column = sum(v)
     def maxS(v: Column): Column = max(v)
     def minS(v: Column): Column = min(v)
-    /** all values, in order — reference Array */
+    /** all values, in order — reference Array. The sort comparator
+      * reads ONLY the order key: the default struct comparator would
+      * also compare `v`, which fails analysis for un-orderable value
+      * types (VARIANT — e.g. a reduce field whose inputs mix types).
+      * `ord` is unique within the group, so o-only ordering is total.
+      */
     def array(v: Column, ord: Column): Column =
-      transform(array_sort(collect_list(struct(ord.as("o"), v.as("v")))),
+      transform(
+        array_sort(
+          collect_list(struct(ord.as("o"), v.as("v"))),
+          (l, r) => when(l.getField("o") < r.getField("o"), -1)
+            .when(l.getField("o") > r.getField("o"), 1)
+            .otherwise(0)),
         x => x.getField("v"))
     def concat(v: Column, ord: Column): Column =
       array_join(array(v, ord), " ")

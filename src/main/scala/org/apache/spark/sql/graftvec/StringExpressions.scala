@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -862,22 +862,110 @@ object StringExpressions {
     override def prettyName: String = "flatten_object"
     override def mapStr(s: String): String = {
       import com.fasterxml.jackson.databind.ObjectMapper
-      import com.fasterxml.jackson.databind.node.ObjectNode
       val m = new ObjectMapper()
       val root = m.readTree(s)
-      val out = m.createObjectNode()
-      def walk(prefix: String, n: com.fasterxml.jackson.databind.JsonNode): Unit = {
-        if (n.isObject && n.size() > 0) {
+      if (root.isArray) {
+        // array root: recursively splat nested arrays into one level
+        // (flatten.cue: [1,2,[3,4,[5,6]]] → [1..6]); objects stay leaves
+        val out = m.createArrayNode()
+        def splat(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+          if (n.isArray) { val it = n.elements(); while (it.hasNext) splat(it.next()) }
+          else { out.add(n); () }
+        splat(root)
+        m.writeValueAsString(out)
+      } else {
+        val out = m.createObjectNode()
+        def walk(prefix: String, n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+          if (n.isObject && n.size() > 0) {
+            val it = n.properties().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val key = if (prefix.isEmpty) e.getKey else prefix + "." + e.getKey
+              walk(key, e.getValue)
+            }
+          } else if (prefix.nonEmpty) { out.set(prefix, n); () }
+        }
+        walk("", root)
+        m.writeValueAsString(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** VRL merge with deep: true over two JSON values (merge.cue): keys
+    * whose values are objects on BOTH sides merge recursively; every
+    * other collision takes the right side wholesale. Non-object roots
+    * return the right value (the reference errors earlier in that
+    * case — callers gate on object-ness).
+    */
+  case class JsonMergeDeep(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "json_merge_deep"
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val m = new ObjectMapper()
+      def merge(a: JsonNode, b: JsonNode): JsonNode =
+        if (a.isObject && b.isObject) {
+          val out = a.deepCopy[ObjectNode]()
+          val it = b.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val prev = out.get(e.getKey)
+            out.set(e.getKey,
+              if (prev != null && prev.isObject && e.getValue.isObject)
+                merge(prev, e.getValue)
+              else e.getValue)
+          }
+          out
+        } else b
+      try UTF8String.fromString(m.writeValueAsString(merge(
+        m.readTree(l.asInstanceOf[UTF8String].toString),
+        m.readTree(r.asInstanceOf[UTF8String].toString))))
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** VRL compact with default flags (compact.cue: recursive, dropping
+    * null, empty string, empty object, empty array): entries/elements
+    * whose value compacts away are removed; emptiness is judged AFTER
+    * recursion, so `{"a": {"b": null}}` compacts to `{}`.
+    */
+  case class JsonCompact(child: Expression) extends StrMapper {
+    override def prettyName: String = "json_compact"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+      val m = new ObjectMapper()
+      def clean(n: JsonNode): JsonNode =
+        if (n.isObject) {
+          val out = m.createObjectNode()
           val it = n.properties().iterator()
           while (it.hasNext) {
             val e = it.next()
-            val key = if (prefix.isEmpty) e.getKey else prefix + "." + e.getKey
-            walk(key, e.getValue)
+            val v = clean(e.getValue)
+            if (keep(v)) { out.set(e.getKey, v); () }
           }
-        } else if (prefix.nonEmpty) { out.set(prefix, n); () }
-      }
-      walk("", root)
-      m.writeValueAsString(out)
+          out
+        } else if (n.isArray) {
+          val out = m.createArrayNode()
+          val it = n.elements()
+          while (it.hasNext) {
+            val v = clean(it.next())
+            if (keep(v)) { out.add(v); () }
+          }
+          out
+        } else n
+      def keep(n: JsonNode): Boolean =
+        !(n.isNull || (n.isTextual && n.asText().isEmpty) ||
+          ((n.isObject || n.isArray) && n.size() == 0))
+      m.writeValueAsString(clean(m.readTree(s)))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
@@ -941,6 +1029,9 @@ object StringExpressions {
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
   def flattenObject(c: Column): Column = col(JsonFlatten(expr(c)))
   def unflattenObject(c: Column): Column = col(JsonUnflatten(expr(c)))
+  def compactJson(c: Column): Column = col(JsonCompact(expr(c)))
+  def mergeDeepJson(l: Column, r: Column): Column =
+    col(JsonMergeDeep(expr(l), expr(r)))
   def encryptIp(ip: Column, key: Column): Column = col(EncryptIp(expr(ip), expr(key)))
   def decryptIp(ip: Column, key: Column): Column = col(DecryptIp(expr(ip), expr(key)))
   def parseEtld(c: Column, suffixes: Seq[String], plusParts: Int): Column =

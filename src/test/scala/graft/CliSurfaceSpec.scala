@@ -152,12 +152,14 @@ class CliSurfaceSpec extends SparkSpec {
   }
 
   test("metric test input: tags canonicalize by key order, not joined-string order") {
+    // VRL conditions see the reference metric view (.tags is a map);
+    // the canonical key-ordered string lives in the flat frame
     val topo = Topology.load(
       """
         |[transforms.fwd]
         |  inputs = []
         |  type = "remap"
-        |  source = ".seen = true"
+        |  source = '.namespace = "ns"'
         |[[tests]]
         |  name = "tags"
         |  [tests.input]
@@ -173,10 +175,16 @@ class CliSurfaceSpec extends SparkSpec {
         |        value = 1.0
         |  [[tests.outputs]]
         |    extract_from = "fwd"
-        |    conditions = ['.tags == "a=x,a-b=y"']
+        |    conditions = ['.tags.a == "x" && .tags."a-b" == "y"']
         |""".stripMargin)
     val rs = UnitTestHarness.run(spark, topo)
     assert(rs.forall(_.passed), rs.mkString("; "))
+    // key-first canonical order: "a" < "a-b" even though the joined
+    // strings would sort "a-b=y" < "a=x" ('-' < '=')
+    val in = topo.testDefs.head.tab("input").get
+    val frame = UnitTestHarness.buildFrame(spark, Seq((0L, in)))
+    val out = topo.run(Map("fwd" -> frame))("fwd")
+    assert(out.df.select("tags").head.getString(0) == "a=x,a-b=y")
   }
 
   test("vrl one-shot: malformed input line is named in the error") {

@@ -430,7 +430,7 @@ class ConfigPipelineSpec extends SparkSpec {
         |        assert_eq!(.ips, "1.2.3.4")
         |        assert!(.ri >= 0 && .ri < 10)
         |        assert!(.s_ok && .i_ok && .e_ok && .ip4)
-        |        assert_eq!(.tagged, "{\"integer\":7}")
+        |        assert_eq!(.tagged, {"integer": 7})
         |        assert_eq!(.pi, 42)
         |        assert_eq!(.pib, 9)
         |        assert_eq!(.pf, -1.5)

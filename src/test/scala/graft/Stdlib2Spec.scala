@@ -102,7 +102,9 @@ class Stdlib2Spec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("subscription_filters") == Seq("Destination"))
     val events = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("log_events")
     assert(events.length == 2)
-    assert(events(0).getAs[Long]("timestamp") == 1600110569039L)
+    // epoch-millis in the envelope surface as real timestamps (the
+    // reference's DateTime<Utc>)
+    assert(events(0).getAs[java.sql.Timestamp]("timestamp").getTime == 1600110569039L)
     assert(events(1).getAs[String]("message") == "world")
   }
 
