@@ -49,6 +49,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 
   import Topology._
 
+  // SECRET[backend.key] interpolation runs FIRST — before any other
+  // option is read — exactly like the reference's config loading
+  // (secrets resolve on the raw config before deserialization)
+  Secrets.interpolate(root, resolvePath)
+
   // the reference's GLOBAL `timezone` option (inherited by every remap,
   // src/config/mod.rs): this engine compiles everything UTC — honoring
   // a non-UTC zone silently wrong is worse than refusing at load
@@ -1782,10 +1787,13 @@ object Topology {
 
   def load(text: String): Topology = new Topology(Toml.parse(text))
 
+  /** Loads TOML, JSON, or YAML by file extension (the reference's
+    * multi-format config loader, src/config/format.rs).
+    */
   def loadFile(path: String): Topology = {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    new Topology(Toml.parse(text),
+    new Topology(ConfigFormats.parseFile(path, text),
       Some(java.nio.file.Paths.get(path).toAbsolutePath.getParent.toString))
   }
 
