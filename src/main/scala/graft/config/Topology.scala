@@ -1785,7 +1785,11 @@ object Topology {
       tsCol.as("ts")), MetricMeta, metric = true)
   }
 
-  def load(text: String): Topology = new Topology(Toml.parse(text))
+  /** `$VAR` env interpolation runs on the raw text before parsing,
+    * like the reference's prepare_input (src/config/loading/mod.rs).
+    */
+  def load(text: String): Topology =
+    new Topology(Toml.parse(EnvVars.interpolate(text)))
 
   /** Loads TOML, JSON, or YAML by file extension (the reference's
     * multi-format config loader, src/config/format.rs).
@@ -1793,7 +1797,7 @@ object Topology {
   def loadFile(path: String): Topology = {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    new Topology(ConfigFormats.parseFile(path, text),
+    new Topology(ConfigFormats.parseFile(path, EnvVars.interpolate(text)),
       Some(java.nio.file.Paths.get(path).toAbsolutePath.getParent.toString))
   }
 

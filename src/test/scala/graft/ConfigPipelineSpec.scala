@@ -1021,8 +1021,8 @@ class ConfigPipelineSpec extends SparkSpec {
         |    .r1 = replace!("Bananas and Bananas", "Bananas", "Pineapples", count: 1)
         |    .r2 = replace!("a-b-c-d", "-", "+", count: 2)
         |    .r3 = replace!("a-b-c", "-", "+", count: 0)
-        |    .r4 = replace!("cost", "o", "$5")
-        |    .r5 = replace!("foo123bar foo456bar", r'foo(\d+)bar', "<$1>", count: 1)
+        |    .r4 = replace!("cost", "o", "$$5")
+        |    .r5 = replace!("foo123bar foo456bar", r'foo(\d+)bar', "<$$1>", count: 1)
         |    .r6 = replace!(.x, .sep, "_")
         |  '''
         |[[tests]]
@@ -1041,7 +1041,7 @@ class ConfigPipelineSpec extends SparkSpec {
         |      assert_eq!(.r1, "Pineapples and Bananas")
         |      assert_eq!(.r2, "a+b+c-d")
         |      assert_eq!(.r3, "a-b-c")
-        |      assert_eq!(.r4, "c$5st")
+        |      assert_eq!(.r4, "c$$5st")
         |      assert_eq!(.r5, "<123> foo456bar")
         |      assert_eq!(.r6, "p_q_r")
         |    '''
@@ -1062,7 +1062,7 @@ class ConfigPipelineSpec extends SparkSpec {
         |    pat = r'(\d+)'
         |    fmt = "%Y-%m-%d"
         |    .m = match!(.x, pat)
-        |    .r = replace!(.x, pat, "<$1>")
+        |    .r = replace!(.x, pat, "<$$1>")
         |    .y = format_timestamp!(parse_timestamp!(.d, fmt), "%Y")
         |  '''
         |[[tests]]
