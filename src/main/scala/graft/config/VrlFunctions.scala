@@ -270,7 +270,7 @@ object VrlFunctions {
             XV(CV(try_parse_json(
                 when(size(jArr) === 1, element_at(jArr, 1))), VAny),
               Some(size(jArr) =!= 1),
-              lit(s"""function call error for "$name": no unique row matched"""))
+              lit(s"""${callErrPrefix(name, c.span)}: no unique row matched"""))
           else
             XV.pure(CV(try_parse_json(concat(
               lit("["), array_join(jArr, ","), lit("]"))), VAny))
@@ -384,7 +384,7 @@ object VrlFunctions {
           val value = try_parse_json(when(hit =!= "MULTI", hit))
           return (XV(CV(value, VAny),
             Some(hit.isNull || hit === "MULTI"),
-            lit(s"""function call error for "$name": no unique row matched""")), envAcc)
+            lit(s"""${callErrPrefix(name, c.span)}: no unique row matched""")), envAcc)
         } else {
           val entries = grouped.toSeq.flatMap { case (k, rs) =>
             Seq(lit(k), lit(rs.map(rowJson).mkString("[", ",", "]")))
@@ -424,10 +424,28 @@ object VrlFunctions {
   }
 
   // ------------------------------------------------------------------
+  /** Reference diagnostic prefix: `function call error for "f" at
+    * (s:e)` — the span is the call expression's source extent recorded
+    * by the parser (VrlAst.Call.span), matching the reference engine's
+    * AST spans so error-text comparisons in its behavior corpus hold
+    * verbatim (tests/behavior/transforms/remap.toml pins one).
+    */
+  private def callErrPrefix(name: String, span: Option[(Int, Int)]): String =
+    s"""function call error for "$name"""" +
+      span.map { case (s, e) => s" at ($s:$e)" }.getOrElse("")
+
   private def dispatch(name: String, bang: Boolean, a: Args, c: Call): XV = {
     val prop = a.propagate
+    val pfx = callErrPrefix(name, c.span)
     def out(cv: CV, raise: Option[Column] = None, msg: String = "runtime error"): XV =
-      XV(cv, (prop ++ raise).reduceOption(_ || _), lit(s"function call error for \"$name\": $msg"))
+      XV(cv, (prop ++ raise).reduceOption(_ || _), lit(s"$pfx: $msg"))
+    /** Like `out` but with a per-row message tail; the tail column is
+      * only evaluated under `when(raise, …)` (error channel), never on
+      * the success hot path.
+      */
+    def outDyn(cv: CV, raise: Option[Column], msgTail: Column): XV =
+      XV(cv, (prop ++ Seq(raise).flatten).reduceOption(_ || _),
+        concat(lit(pfx + ": "), msgTail))
 
     def str0: XV = a(0, "value")
     def asStr(xv: XV): Column = xv.cv.t match {
@@ -521,8 +539,16 @@ object VrlFunctions {
       // ---------------------------------------------------- json
       case "parse_json" =>
         val v = str0
-        val parsed = try_parse_json(asStr(v))
-        out(CV(parsed, VAny), Some(parsed.isNull), "unable to parse json")
+        val s = asStr(v)
+        val parsed = try_parse_json(s)
+        // JSON `null` parses to a null variant — that is SUCCESS in the
+        // reference (serde_json Value::Null), so the raise fires only
+        // when the text is not the null literal; the message tail is
+        // serde_json's exact error text (JsonDiag), evaluated on error
+        // rows only
+        val bad = parsed.isNull && !coalesce(trim(s) === "null", lit(false))
+        outDyn(CV(parsed, VAny), Some(bad),
+          concat(lit("unable to parse json: "), VrlKernels.jsonDiag(s)))
       case "encode_json" =>
         val v = str0
         out(CV(to_json(v.cv.col), VStr))
@@ -1517,15 +1543,15 @@ object VrlFunctions {
       case "parse_apache_log" =>
         val fmt = a.litStr(1, "format").getOrElse("common")
         fmt match {
-          case "common" => grokXv(graft.functions.Parsers.apacheCommon, asStr(a(0, "value")), prop, name)
-          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, name)
+          case "common" => grokXv(graft.functions.Parsers.apacheCommon, asStr(a(0, "value")), prop, pfx)
+          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, pfx)
           case other => throw VrlUnsupported(s"parse_apache_log format $other")
         }
       case "parse_nginx_log" =>
         val fmt = a.litStr(1, "format").getOrElse("combined")
         fmt match {
-          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, name)
-          case "error" => grokXv(graft.functions.Parsers.nginxError, asStr(a(0, "value")), prop, name)
+          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, pfx)
+          case "error" => grokXv(graft.functions.Parsers.nginxError, asStr(a(0, "value")), prop, pfx)
           case other => throw VrlUnsupported(s"parse_nginx_log format $other")
         }
       case "parse_klog" =>
@@ -1630,18 +1656,18 @@ object VrlFunctions {
           Some(v.isNull || m.isNull), "not an influx line")
       case "parse_aws_alb_log" =>
         structuredXv(graft.functions.VrlParsers.parseAwsAlbLog(asStr(a(0, "value"))),
-          prop, "not an ALB log line")
+          prop, s"$pfx: not an ALB log line")
       case "parse_aws_vpc_flow_log" =>
         val fmt = a.litStr(1, "format")
         val r = fmt match {
           case Some(f) => graft.functions.VrlParsers.parseAwsVpcFlowLog(asStr(a(0, "value")), f)
           case None => graft.functions.VrlParsers.parseAwsVpcFlowLog(asStr(a(0, "value")))
         }
-        structuredXv(r, prop, "not a VPC flow log line")
+        structuredXv(r, prop, s"$pfx: not a VPC flow log line")
       case "parse_aws_cloudwatch_log_subscription_message" =>
         structuredXv(graft.functions.VrlParsers
           .parseAwsCloudwatchLogSubscriptionMessage(asStr(a(0, "value"))),
-          prop, "not a cloudwatch subscription message")
+          prop, s"$pfx: not a cloudwatch subscription message")
       case "parse_xml" =>
         val v = asStr(a(0, "value"))
         val j = VrlKernels.parseXml(v,
@@ -1737,6 +1763,7 @@ object VrlFunctions {
   }
 
   /** Build the grok-object XV used by the format-dispatched parsers. */
+  /** `fname` is the full diagnostic prefix (callErrPrefix output). */
   private def grokXv(compiled: graft.functions.Grok.Compiled, v: Column,
                      prop: Option[Column], fname: String): XV = {
     val fields = ListMap(compiled.columns(v).map { case (n, c) =>
@@ -1746,12 +1773,13 @@ object VrlFunctions {
     val raise = v.isNull || !compiled.matches(v)
     XV(CV(when(compiled.matches(v), obj.col), obj.t),
       Some((prop ++ Seq(raise)).reduce(_ || _)),
-      lit(s"""function call error for "$fname": log line did not match"""))
+      lit(s"""$fname: log line did not match"""))
   }
 
   /** Struct-returning parser → dynamic object (variant) result, so
     * config programs can walk fields without a static VObj contract.
     */
+  /** `msg` is the full diagnostic text (caller includes the prefix). */
   private def structuredXv(structCol: Column, prop: Option[Column], msg: String): XV = {
     val r = try_parse_json(to_json(structCol))
     XV(CV(r, VAny), Some((prop ++ Seq(r.isNull)).reduce(_ || _)), lit(msg))
@@ -1831,7 +1859,7 @@ object VrlFunctions {
     def bodyCv(vals: Seq[CV]): CV = compileExpr(bound(vals), body)._1.cv
 
     def pass(cv: CV): (XV, Env) =
-      (XV(cv, target0.raise, lit(s"""function call error for "${c.name}"""")), env1)
+      (XV(cv, target0.raise, lit(callErrPrefix(c.name, c.span))), env1)
 
     (c.name, target.t) match {
       case ("filter", VArrOf(e)) =>

@@ -20,6 +20,15 @@ object VrlKernels {
     else java.security.MessageDigest.getInstance(algo)
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** serde_json-style error text for an invalid JSON input (the
+    * parse_json error tail). Error-channel only — callers keep it
+    * under `when(raise, …)`, so valid rows never evaluate it. Returns
+    * the (never-expected) text "valid json" if the input parses.
+    */
+  private lazy val jsonDiagUdf = udf((s: String) =>
+    graft.functions.JsonDiag.check(s).getOrElse("valid json"))
+  def jsonDiag(c: Column): Column = jsonDiagUdf(c)
+
   private lazy val sha512_224Udf = udf((s: String) => digest("SHA-512/224", s))
   private lazy val sha512_256Udf = udf((s: String) => digest("SHA-512/256", s))
   private lazy val sha3_224Udf = udf((s: String) => digest("SHA3-224", s))

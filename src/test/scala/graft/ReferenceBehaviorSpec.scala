@@ -9,19 +9,15 @@ import graft.config.{Toml, Topology, UnitTestHarness}
   *
   * This is the strongest fidelity evidence available: the inputs,
   * programs, and assertions are the reference's verbatim, not ports.
-  * The contract pinned here: every test passes except
-  *
-  *  - remap_infallible_assignment — its condition compares the literal
-  *    Rust diagnostic `function call error for "parse_json" at (19:44):
-  *    unable to parse json: key must be a string at line 1 column 3`
-  *    (byte offsets of the reference's AST spans + serde_json's error
-  *    prose). The error-capture SEMANTICS pass (ok target null, err
-  *    bound, event kept); only the engine-specific message text
-  *    differs, and replicating serde_json's error strings
-  *    byte-for-byte is out of contract.
-  *  - lua_v1/lua_v2 — real Lua scripts; per-event scripting is the
-  *    typed Script harness (operators/Script) by design, so the files
-  *    are not loaded at all.
+  * The contract pinned here: ALL 117 loaded tests pass — including
+  * remap_infallible_assignment, whose condition compares the literal
+  * Rust diagnostic `function call error for "parse_json" at (19:44):
+  * unable to parse json: key must be a string at line 1 column 3`;
+  * the engine reproduces it exactly (parser-recorded call spans in
+  * VrlAst.Call.span + serde_json-compatible error prose in
+  * functions/JsonDiag). The only files not loaded are lua_v1/lua_v2 —
+  * real Lua scripts; per-event scripting is the typed Script harness
+  * (operators/Script) by design.
   */
 class ReferenceBehaviorSpec extends SparkSpec {
 
@@ -37,10 +33,9 @@ class ReferenceBehaviorSpec extends SparkSpec {
     "task_transform.toml" -> 2,
     "vrl_test_input.toml" -> 2)
 
-  private val expectedFailures = Set(
-    "remap_infallible_assignment") // exact engine diagnostic text
+  private val expectedFailures = Set.empty[String]
 
-  test("the reference's own behavior corpus passes (117 tests, 1 pinned diagnostic-text divergence)") {
+  test("the reference's own behavior corpus passes (all 117 tests, diagnostic text included)") {
     val results = files.flatMap { case (f, expectedCount) =>
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$corpus/$f")), "UTF-8")
