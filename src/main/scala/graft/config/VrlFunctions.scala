@@ -434,6 +434,26 @@ object VrlFunctions {
     s"""function call error for "$name"""" +
       span.map { case (s, e) => s" at ($s:$e)" }.getOrElse("")
 
+  /** VRL value display for LITERAL expressions (the reference's
+    * `Value: Display` — strings quoted, arrays `[a, b]`, objects
+    * `{ "k": v }`); None for non-literal operands, whose runtime
+    * formatting is out of plan-time reach.
+    */
+  private def litDisplay(e: Expr): Option[String] = e match {
+    case LitS(s) => Some("\"" + s + "\"")
+    case LitI(n) => Some(n.toString)
+    case LitF(d) => Some(if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString)
+    case LitB(b) => Some(b.toString)
+    case LitNull => Some("null")
+    case ArrLit(items) =>
+      val ds = items.map(litDisplay)
+      if (ds.forall(_.isDefined)) Some(ds.flatten.mkString("[", ", ", "]")) else None
+    case ObjLit(fields) =>
+      val ds = fields.map { case (k, v) => litDisplay(v).map(d => s""""$k": $d""") }
+      if (ds.forall(_.isDefined)) Some(ds.flatten.mkString("{ ", ", ", " }")) else None
+    case _ => None
+  }
+
   private def dispatch(name: String, bang: Boolean, a: Args, c: Call): XV = {
     val prop = a.propagate
     val pfx = callErrPrefix(name, c.span)
@@ -1009,7 +1029,15 @@ object VrlFunctions {
         out(CV(lit(true), VBool), Some(!coalesce(cond, lit(false))), msg)
       case "assert_eq" =>
         val l = a(0, "left"); val r = a(1, "right")
-        val msg = a.litStr(2, "message").getOrElse("assertion failed")
+        // reference default message: `assertion failed: {left} == {right}`
+        // with VRL value display (assert_eq.cue pins `assertion failed:
+        // 127 == [1, 2, 3]`); literal operands format at plan time
+        val msg = a.litStr(2, "message").getOrElse {
+          (litDisplay(a.raw(0, "left")), litDisplay(a.raw(1, "right"))) match {
+            case (Some(ld), Some(rd)) => s"assertion failed: $ld == $rd"
+            case _ => "assertion failed"
+          }
+        }
         val okc = VrlCompile.eq(l.cv, r.cv)
         out(CV(lit(true), VBool), Some(!coalesce(okc, lit(false))), msg)
       case "is_nullish" =>
@@ -1133,12 +1161,17 @@ object VrlFunctions {
         out(CV(r, VStr), Some(r.isNull), "invalid arguments")
 
       // --- string case family (camelcase.cue & siblings) --------------
-      case "camelcase" => out(withStrRaise(a, bang, graft.functions.Vrl.camelcase))
-      case "pascalcase" => out(withStrRaise(a, bang, graft.functions.Vrl.pascalcase))
-      case "snakecase" => out(withStrRaise(a, bang, graft.functions.Vrl.snakecase))
+      case "camelcase" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.camelcase(_, a.litStr(1, "original_case"))))
+      case "pascalcase" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.pascalcase(_, a.litStr(1, "original_case"))))
+      case "snakecase" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.snakecase(_, a.litStr(1, "original_case"))))
       case "screamingsnakecase" =>
-        out(withStrRaise(a, bang, graft.functions.Vrl.screamingsnakecase))
-      case "kebabcase" => out(withStrRaise(a, bang, graft.functions.Vrl.kebabcase))
+        out(withStrRaise(a, bang,
+          graft.functions.Vrl.screamingsnakecase(_, a.litStr(1, "original_case"))))
+      case "kebabcase" =>
+        out(withStrRaise(a, bang, graft.functions.Vrl.kebabcase(_, a.litStr(1, "original_case"))))
       case "strlen" =>
         // strlen.cue: count of Unicode scalar values (Spark `length` on
         // strings counts characters, which matches)

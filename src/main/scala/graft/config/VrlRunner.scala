@@ -29,8 +29,15 @@ object VrlRunner {
     * dropped-channel events (error/abort reroutes) separately.
     */
   def eval(spark: SparkSession, program: String, lines: Seq[String],
-           opts: RemapOpts = RemapOpts()): (Seq[String], Seq[String]) = {
-    val ast = VrlAst.parse(program)
+           opts: RemapOpts = RemapOpts()): (Seq[String], Seq[String]) =
+    evalAst(spark, VrlAst.parse(program), lines, opts)
+
+  /** Same as `eval` but over a pre-parsed (possibly rewritten) AST —
+    * the cue-example corpus harness appends a result-capture statement
+    * before evaluating (CueCorpus).
+    */
+  def evalAst(spark: SparkSession, ast: VrlAst.Program, lines: Seq[String],
+              opts: RemapOpts = RemapOpts()): (Seq[String], Seq[String]) = {
     val nonEmpty = lines.zipWithIndex.filter(_._1.trim.nonEmpty)
     require(nonEmpty.nonEmpty, "no input events")
     val frames = nonEmpty.map { case (line, i) =>

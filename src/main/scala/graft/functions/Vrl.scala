@@ -145,27 +145,50 @@ object Vrl {
   def sieve(c: Column, permittedPattern: String, joinWith: String = ""): Column =
     array_join(regexp_extract_all(c, lit(permittedPattern), lit(0)), joinWith)
 
-  /** `snakecase("fooBarBaz")` → "foo_bar_baz". */
-  def snakecase(c: Column): Column =
-    lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"))
+  /** Word splitting for the case-conversion family, matching the
+    * reference's convert_case boundaries (snakecase.cue & siblings,
+    * backed by the convert_case crate): underscore, hyphen, space,
+    * lower→upper transitions, and acronym tails ("HTTPServer" →
+    * "HTTP Server"). An `originalCase` hint restricts the boundary
+    * set to that case's separator, like the crate's `from_case`.
+    */
+  private def caseWords(c: Column, originalCase: Option[String]): Column = {
+    val sep = originalCase match {
+      case Some("snake_case") | Some("SCREAMING_SNAKE_CASE") => "_+"
+      case Some("kebab-case") => "-+"
+      case Some("camelCase") | Some("PascalCase") =>
+        return split(boundarize(c), " +")
+      case _ => return split(translate(boundarize(c), "-_", "  "), " +")
+    }
+    split(c, sep)
+  }
+
+  private def boundarize(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "([\\p{Ll}0-9])(\\p{Lu})", "$1 $2"),
+      "(\\p{Lu}+)(\\p{Lu}\\p{Ll})", "$1 $2")
+
+  private def capWord(w: Column): Column =
+    concat(upper(substring(w, 1, 1)), lower(substring(w, 2, 1000000)))
+
+  /** `snakecase("input-string")` → "input_string". */
+  def snakecase(c: Column, originalCase: Option[String] = None): Column =
+    lower(array_join(caseWords(c, originalCase), "_"))
 
   /** `kebabcase("fooBarBaz")` → "foo-bar-baz". */
-  def kebabcase(c: Column): Column =
-    regexp_replace(snakecase(c), "_", "-")
+  def kebabcase(c: Column, originalCase: Option[String] = None): Column =
+    lower(array_join(caseWords(c, originalCase), "-"))
 
-  /** `camelcase("foo_bar_baz")` → "fooBarBaz". */
-  def camelcase(c: Column): Column = {
-    val parts = split(c, "_")
-    concat(parts.getItem(0),
-      array_join(transform(slice(parts, 2, 1000000),
-        p => concat(upper(substring(p, 1, 1)), substring(p, 2, 1000000))), ""))
+  /** `camelcase("input-string")` → "inputString". */
+  def camelcase(c: Column, originalCase: Option[String] = None): Column = {
+    val parts = caseWords(c, originalCase)
+    concat(lower(parts.getItem(0)),
+      array_join(transform(slice(parts, 2, 1000000), capWord(_)), ""))
   }
 
   /** `pascalcase("foo_bar")` → "FooBar". */
-  def pascalcase(c: Column): Column = {
-    val cam = camelcase(c)
-    concat(upper(substring(cam, 1, 1)), substring(cam, 2, 1000000))
-  }
+  def pascalcase(c: Column, originalCase: Option[String] = None): Column =
+    array_join(transform(caseWords(c, originalCase), capWord(_)), "")
 
   // ------------------------------------------------------------ codecs / hashes
 
@@ -294,7 +317,8 @@ object Vrl {
     regexp_extract_all(c, lit(s"(?s).{1,$n}"), lit(0))
 
   /** screamingsnakecase("fooBar") → "FOO_BAR". */
-  def screamingsnakecase(c: Column): Column = upper(snakecase(c))
+  def screamingsnakecase(c: Column, originalCase: Option[String] = None): Column =
+    upper(snakecase(c, originalCase))
 
   /** basename/dirname (basename.cue) — POSIX semantics on "/" paths. */
   def basename(c: Column): Column =
