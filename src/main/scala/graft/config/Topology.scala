@@ -1907,6 +1907,7 @@ object Topology {
 
   private[config] def toSpark(t: VT): DataType = t match {
     case VStr => StringType
+    case VBytes => BinaryType
     case VInt => LongType
     case VFloat => DoubleType
     case VBool => BooleanType

@@ -40,6 +40,15 @@ object VrlCompile {
   // ------------------------------------------------------------ types
   sealed trait VT
   case object VStr extends VT
+  /** Raw bytes. VRL's `string` is a byte-string (non-UTF-8 content is
+    * legal; display is lossy UTF-8), but Spark's StringType is strictly
+    * UTF-8 — so byte-producing functions (decode_base64, encode_gzip,
+    * ip_pton, hmac, encrypt, random_bytes, …) compile to BinaryType
+    * columns tracked as VBytes. String-consuming functions accept
+    * VBytes via a binary→string cast; byte-consuming functions accept
+    * VStr via string→binary (its UTF-8 bytes) — exactly VRL's view.
+    */
+  case object VBytes extends VT
   case object VInt extends VT
   case object VFloat extends VT
   case object VBool extends VT
@@ -67,6 +76,7 @@ object VrlCompile {
 
   def fromSpark(dt: DataType): VT = dt match {
     case StringType => VStr
+    case BinaryType => VBytes
     case LongType | IntegerType | ShortType | ByteType => VInt
     case DoubleType | FloatType | _: DecimalType => VFloat
     case BooleanType => VBool
@@ -82,6 +92,7 @@ object VrlCompile {
 
   private def sparkTypeName(t: VT): String = t match {
     case VStr => "string"
+    case VBytes => "binary"
     case VInt => "bigint"
     case VFloat => "double"
     case VBool => "boolean"
@@ -93,6 +104,7 @@ object VrlCompile {
 
   private def zero(t: VT): Column = t match {
     case VStr => lit("")
+    case VBytes => lit("").cast("binary")
     case VInt => lit(0L)
     case VFloat => lit(0.0)
     case VBool => lit(false)
@@ -104,7 +116,15 @@ object VrlCompile {
     * in-memory lookup data by design, lib/enrichment/src/lib.rs:51-90);
     * rows become broadcast-safe literal lookup maps at compile time.
     */
-  final case class EnrichTableData(rows: Seq[ListMap[String, String]])
+  /** `docStub`: mirror the reference's doc-example harness
+    * (lib/vector-vrl/tests/src/test_enrichment.rs), whose `test` table
+    * IGNORES the lookup condition — `get` always returns the first
+    * row, `find` all rows (as `jsonRows`, typed values preserved).
+    * Real tables (docStub = false) apply full lookup semantics.
+    */
+  final case class EnrichTableData(rows: Seq[ListMap[String, String]],
+                                   docStub: Boolean = false,
+                                   jsonRows: Seq[String] = Nil)
 
   final case class Env(
       fields: ListMap[String, CV],
@@ -161,16 +181,17 @@ object VrlCompile {
     */
   def envFromDf(df: DataFrame, meta: EventMeta,
                 tables: Map[String, EnrichTableData] = Map.empty,
-                roots: Option[ListMap[String, CV]] = None): Env = {
+                roots: Option[ListMap[String, CV]] = None,
+                secrets: Map[String, Column] = Map.empty): Env = {
     val metaRoot = meta.types.get(MetaKey).map(t => CV(df.col(MetaKey), t))
     meta.rootT match {
       case Some(rt) =>
         Env(ListMap.empty, Map.empty, Some(CV(df.col("__root"), rt)),
-          Map.empty, None, None, None, tables, metaRoot = metaRoot)
+          secrets, None, None, None, tables, metaRoot = metaRoot)
       case None =>
         val fields = roots.getOrElse(
           (meta.types - MetaKey).map { case (n, t) => n -> CV(df.col(s"`$n`"), t) })
-        Env(fields, Map.empty, None, Map.empty, None, None, None, tables,
+        Env(fields, Map.empty, None, secrets, None, None, None, tables,
           metaRoot = metaRoot)
     }
   }
@@ -192,8 +213,9 @@ object VrlCompile {
             passthrough: Seq[String] = Nil,
             tables: Map[String, EnrichTableData] = Map.empty,
             roots: Option[ListMap[String, CV]] = None,
-            wrapScalar: Boolean = true): Remapped = {
-    val env0 = envFromDf(df, meta, tables, roots).copy(wrapScalar = wrapScalar)
+            wrapScalar: Boolean = true,
+            secrets: Map[String, Column] = Map.empty): Remapped = {
+    val env0 = envFromDf(df, meta, tables, roots, secrets).copy(wrapScalar = wrapScalar)
     val env = program.stmts.foldLeft(env0)((e, s) => compileStmt(e, s))
 
     val raiseC = env.raise.map(c => coalesce(c, lit(false)))
@@ -331,11 +353,12 @@ object VrlCompile {
     case (a, b) if a == b => Some(cv.col)
     case (VInt, VFloat) => Some(cv.col.cast("double"))
     case (VFloat, VInt) => Some(cv.col.cast("bigint"))
+    case (VStr, VBytes) => Some(cv.col.cast("binary")) // UTF-8 bytes
     case (_, VStr) if scalar(cv.t) => Some(cv.col.cast("string"))
     case _ => None
   }
   private def scalar(t: VT): Boolean = t match {
-    case VStr | VInt | VFloat | VBool | VTime | VNullT => true
+    case VStr | VBytes | VInt | VFloat | VBool | VTime | VNullT => true
     case _ => false
   }
 
@@ -709,6 +732,10 @@ object VrlCompile {
     case (x, y) if x == y => (a.col, b.col, x)
     case (VInt, VFloat) | (VFloat, VInt) =>
       (a.col.cast("double"), b.col.cast("double"), VFloat)
+    // VRL strings ARE byte-strings: a branch mixing the two unifies on
+    // the byte form (lossless; string display happens at render)
+    case (VStr, VBytes) => (a.col.cast("binary"), b.col, VBytes)
+    case (VBytes, VStr) => (a.col, b.col.cast("binary"), VBytes)
     case (VNullT, y) => (lit(null), b.col, y)
     case (x, VNullT) => (a.col, lit(null), x)
     case (VAny, y) if scalar(y) => (a.col, toVariant(b), VAny)
@@ -743,6 +770,14 @@ object VrlCompile {
         }
         val nullRaise = Some(la.isNull || ra.isNull)
         (XV(CV(v, VBool), orOpt(prop, nullRaise), msg("comparison on null")), e3)
+      case "+" if (lx.cv.t == VBytes || rx.cv.t == VBytes) &&
+          Seq(lx.cv.t, rx.cv.t).forall(t => t == VStr || t == VBytes) =>
+        // byte-string concatenation (VRL strings are bytes)
+        val lb = if (lx.cv.t == VBytes) lx.cv.col else lx.cv.col.cast("binary")
+        val rb = if (rx.cv.t == VBytes) rx.cv.col else rx.cv.col.cast("binary")
+        val bRaise = Some(lb.isNull || rb.isNull)
+        (XV(CV(concat(lb, rb), VBytes), orOpt(prop, bRaise),
+          msg("string concatenation on null")), e3)
       case "+" if lx.cv.t == VStr || rx.cv.t == VStr =>
         val strRaise = Some(lx.cv.col.isNull || rx.cv.col.isNull ||
           lit(lx.cv.t != VStr || rx.cv.t != VStr))
@@ -795,6 +830,8 @@ object VrlCompile {
     case (x, y) if x == y && scalar(x) => a.col <=> b.col
     case (VInt, VFloat) | (VFloat, VInt) =>
       a.col.cast("double") <=> b.col.cast("double")
+    case (VStr, VBytes) => a.col.cast("binary") <=> b.col
+    case (VBytes, VStr) => a.col <=> b.col.cast("binary")
     case (VAny, y) if scalar(y) =>
       try_variant_get(a.col, "$", sparkTypeName(y)) <=> b.col
     case (x, VAny) if scalar(x) => eq(b, a)

@@ -22,6 +22,21 @@ object VrlFunctions {
 
   private def nullStr = lit(null).cast("string")
 
+  /** Resolve a compile-time file argument (desc_file, schema
+    * definition, grok alias file). Relative paths try the working
+    * directory, then each root in the `graft.vrl.resource.roots`
+    * system property (colon-separated) — the cue corpus points that at
+    * the reference's VRL test-harness root, which is what its doc
+    * examples' `resources/...` paths are relative to.
+    */
+  private[config] def resolveFile(path: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.isAbsolute || java.nio.file.Files.exists(p)) return p
+    sys.props.get("graft.vrl.resource.roots").toSeq
+      .flatMap(_.split(':')).map(r => java.nio.file.Paths.get(r).resolve(path))
+      .find(java.nio.file.Files.exists(_)).getOrElse(p)
+  }
+
   /** Driver-side parse of an enrichment-table date cell to epoch
     * micros. Accepts RFC3339 instants, offset timestamps, and bare
     * date / date-time forms (interpreted as UTC) — the shapes the
@@ -234,6 +249,16 @@ object VrlFunctions {
           case ObjLit(fs) if fs.nonEmpty &&
             fs.forall(f => f._1 == "from" || f._1 == "to") => Some(fs.toMap)
           case _ => None
+        }
+        if (table.docStub) {
+          // the reference's doc-example harness pins this lookup
+          // (test_enrichment.rs ignores the condition): get → first
+          // row, find → all rows; arguments above still validated
+          val v =
+            if (name == "get_enrichment_table_record")
+              try_parse_json(lit(table.jsonRows.head))
+            else try_parse_json(lit(table.jsonRows.mkString("[", ",", "]")))
+          return (XV.pure(CV(v, VAny)), env)
         }
         val (rangeFields, equiFields) =
           condFields.partition(f => dateBounds(f._2).isDefined)
@@ -473,6 +498,17 @@ object VrlFunctions {
       case VAny => try_variant_get(xv.cv.col, "$", "string")
       case VNullT => nullStr
       case _ => xv.cv.col.cast("string")
+    }
+    /** The raw-byte view of a VRL byte-string: VBytes as-is, VStr as
+      * its UTF-8 bytes — byte-consuming functions (decoders, hashes of
+      * binary payloads, ip_ntop) take this.
+      */
+    def asBytes(xv: XV): Column = xv.cv.t match {
+      case VBytes => xv.cv.col
+      case VStr => xv.cv.col.cast("binary")
+      case VAny => try_variant_get(xv.cv.col, "$", "string").cast("binary")
+      case VNullT => lit(null).cast("binary")
+      case _ => xv.cv.col.cast("string").cast("binary")
     }
     /** `string!`-style strictness: raises unless the static type is
       * string (null raises too).
@@ -787,13 +823,27 @@ object VrlFunctions {
         val variant = a.litStr(1, "variant").getOrElse("SHA3-512")
         out(withStrRaise(a, bang, VrlKernels.sha3(_, variant)))
       case "encode_base64" =>
-        out(CV(base64(asStr(str0).cast("binary")), VStr))
+        val pad = a.litBool(1, "padding").getOrElse(true)
+        val cs = a.litStr(2, "charset").getOrElse("standard")
+        var b64 = base64(asBytes(str0))
+        if (cs == "url_safe")
+          b64 = translate(b64, "+/", "-_")
+        if (!pad) b64 = regexp_replace(b64, "=+$", "")
+        out(CV(b64, VStr))
       case "decode_base64" =>
         val v = asStr(str0)
-        // try_to_binary: bare unbase64 THROWS on malformed input, which
-        // would kill the raise channel below with a job abort
-        val d = try_to_binary(v, lit("base64")).cast("string")
-        out(CV(d, VStr), Some(v.isNotNull && d.isNull), "unable to decode base64")
+        val cs = a.litStr(1, "charset").getOrElse("standard")
+        val std = if (cs == "url_safe") translate(v, "-_", "+/") else v
+        // re-pad (VRL accepts unpadded input) then try_to_binary: bare
+        // unbase64 THROWS on malformed input, which would kill the
+        // raise channel below with a job abort
+        val stripped = regexp_replace(std, "=+$", "")
+        val padded = concat(stripped,
+          when(length(stripped) % 4 === 2, lit("=="))
+            .when(length(stripped) % 4 === 3, lit("="))
+            .otherwise(lit("")))
+        val d = try_to_binary(padded, lit("base64"))
+        out(CV(d, VBytes), Some(v.isNotNull && d.isNull), "unable to decode base64")
 
       // --------------------------------------------------- numeric
       case "round" | "floor" | "ceil" =>
@@ -1109,9 +1159,11 @@ object VrlFunctions {
       case "seahash" =>
         out(CV(graft.functions.Vrl.seahash(asStr(a(0, "value"))), VInt))
       case "encode_base16" =>
-        out(withStrRaise(a, bang, graft.functions.Vrl.encodeBase16))
+        out(CV(lower(hex(asBytes(str0))), VStr))
       case "decode_base16" =>
-        out(withStrRaise(a, bang, graft.functions.Vrl.decodeBase16))
+        val v = asStr(str0)
+        val d = try_to_binary(v, lit("hex"))
+        out(CV(d, VBytes), Some(v.isNotNull && d.isNull), "unable to decode base16")
       case "encode_percent" =>
         out(withStrRaise(a, bang, graft.functions.Vrl.encodePercent))
       case "decode_percent" =>
@@ -1123,9 +1175,28 @@ object VrlFunctions {
       case "decode_mime_q" =>
         out(withStrRaise(a, bang, graft.functions.Vrl.decodeMimeQ))
       case "hmac" =>
-        val algo = a.litStr(2, "algorithm").getOrElse("SHA-256")
-        out(CV(graft.functions.Vrl.hmacBase64(asStr(a(0, "value")),
-          asStr(a(1, "key")), algo), VStr))
+        // hmac.cue: returns the raw digest BYTES (callers wrap in
+        // encode_base64/encode_base16); `algorithm` may be a runtime
+        // value — compile a when-chain over the supported set then.
+        val value = asStr(a(0, "value"))
+        val key = asStr(a(1, "key"))
+        def bytesFor(alg: String): Column =
+          graft.functions.Vrl.hmacBytes(value, key, alg)
+        val algs = Seq("SHA1", "SHA-224", "SHA-256", "SHA-384", "SHA-512")
+        val r = a.litStr(2, "algorithm") match {
+          case Some(alg) =>
+            if (!algs.contains(alg)) throw VrlUnsupported(s"hmac algorithm $alg")
+            bytesFor(alg)
+          case None => a.opt(2, "algorithm") match {
+            case None => bytesFor("SHA-256")
+            case Some(algXv) =>
+              val algC = asStr(algXv)
+              algs.foldLeft(lit(null).cast("binary")) { (acc, alg) =>
+                when(algC === alg, bytesFor(alg)).otherwise(acc)
+              }
+          }
+        }
+        out(CV(r, VBytes), Some(r.isNull), "invalid hmac algorithm")
       case "format_int" =>
         val b = a.litInt(1, "base").getOrElse(10L).toInt
         out(CV(graft.functions.Vrl.formatInt(a(0, "value").cv.col.cast("long"), b), VStr))
@@ -1222,40 +1293,71 @@ object VrlFunctions {
         out(CV(graft.functions.Vrl.xxhash(asStr(str0)), VInt))
 
       // --- codecs -------------------------------------------------------
-      case "encode_gzip" => out(binCodec(a, asStr, graft.functions.Vrl.encodeGzip, encodeSide = true)._1)
-      case "decode_gzip" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeGzip, encodeSide = false); out(cv, rs, "unable to decode") }
-      case "encode_zlib" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZlib, encodeSide = true)._1)
-      case "decode_zlib" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeZlib, encodeSide = false); out(cv, rs, "unable to decode") }
-      case "encode_zstd" => out(binCodec(a, asStr, graft.functions.Vrl.encodeZstd(_), encodeSide = true)._1)
-      case "decode_zstd" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeZstd, encodeSide = false); out(cv, rs, "unable to decode") }
-      case "encode_lz4" => out(binCodec(a, asStr, graft.functions.Vrl.encodeLz4, encodeSide = true)._1)
-      case "decode_lz4" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeLz4, encodeSide = false); out(cv, rs, "unable to decode") }
-      case "encode_snappy" => out(binCodec(a, asStr, graft.functions.Vrl.encodeSnappy, encodeSide = true)._1)
-      case "decode_snappy" => { val (cv, rs) = binCodec(a, asStr, graft.functions.Vrl.decodeSnappy, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_gzip" => out(binCodec(a, asBytes, graft.functions.Vrl.encodeGzip, encodeSide = true)._1)
+      case "decode_gzip" => { val (cv, rs) = binCodec(a, asBytes, graft.functions.Vrl.decodeGzip, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_zlib" => out(binCodec(a, asBytes, graft.functions.Vrl.encodeZlib, encodeSide = true)._1)
+      case "decode_zlib" => { val (cv, rs) = binCodec(a, asBytes, graft.functions.Vrl.decodeZlib, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_zstd" => out(binCodec(a, asBytes, graft.functions.Vrl.encodeZstd(_), encodeSide = true)._1)
+      case "decode_zstd" => { val (cv, rs) = binCodec(a, asBytes, graft.functions.Vrl.decodeZstd, encodeSide = false); out(cv, rs, "unable to decode") }
+      case "encode_lz4" => out(binCodec(a, asBytes, graft.functions.Vrl.encodeLz4, encodeSide = true)._1)
+      case "decode_lz4" =>
+        // decode_lz4.cue: bare-block by default; `use_prepended_size`
+        // selects the lz4_flex size-prefixed layout encode_lz4 writes
+        val prepended = a.litBool(1, "use_prepended_size", "prepended_size").getOrElse(false)
+        val bufSize = a.litInt(2, "buf_size").getOrElse(1L << 20).toInt
+        val (cv, rs) = binCodec(a, asBytes,
+          org.apache.spark.sql.graftvec.CodecExpressions.unlz4(_, prepended, bufSize),
+          encodeSide = false)
+        out(cv, rs, "unable to decode")
+      case "encode_snappy" => out(binCodec(a, asBytes, graft.functions.Vrl.encodeSnappy, encodeSide = true)._1)
+      case "decode_snappy" => { val (cv, rs) = binCodec(a, asBytes, graft.functions.Vrl.decodeSnappy, encodeSide = false); out(cv, rs, "unable to decode") }
       case "encode_charset" =>
         val cs = a.litStr(1, "to_charset", "charset").getOrElse(
           throw VrlUnsupported("encode_charset without literal charset"))
-        out(CV(base64(graft.functions.Vrl.encodeCharset(asStr(str0), cs)), VStr))
+        val v = asStr(str0)
+        val r = graft.functions.Vrl.encodeCharset(v, cs)
+        out(CV(r, VBytes), Some(v.isNotNull && r.isNull), "unable to encode charset")
       case "decode_charset" =>
         val cs = a.litStr(1, "from_charset", "charset").getOrElse(
           throw VrlUnsupported("decode_charset without literal charset"))
-        out(CV(graft.functions.Vrl.decodeCharset(unbase64(asStr(str0)), cs), VStr))
+        val v = asBytes(str0)
+        val r = graft.functions.Vrl.decodeCharset(v, cs)
+        out(CV(r, VStr), Some(v.isNotNull && r.isNull), "unable to decode charset")
       case "encrypt" | "decrypt" =>
-        // encrypt.cue: AES family; mode taken from the algorithm name.
-        // TRANSPORT ENCODING: ciphertext is carried base64 (a raw-byte
-        // string column is not portable), so decrypt decodes it first.
+        // encrypt.cue: AES family, names like "AES-128-CBC-PKCS7" —
+        // cipher mode is the 3rd component; a PKCS7 padding suffix maps
+        // to the JVM's PKCS5Padding (identical for AES's 16-byte
+        // blocks). Ciphertext is a first-class byte string (VBytes).
         val algo = a.litStr(1, "algorithm").getOrElse("AES-256-GCM")
-        val mode = algo.split("-").lastOption match {
-          case Some(m @ ("GCM" | "CBC" | "ECB")) => m
-          case other => throw VrlUnsupported(s"encrypt algorithm ${other.getOrElse(algo)}")
-        }
+        val parts = algo.split("-")
+        val mode = parts.find(p => p == "GCM" || p == "CBC" || p == "ECB" ||
+            p == "CTR" || p == "CFB" || p == "OFB").getOrElse(
+          throw VrlUnsupported(s"encrypt algorithm $algo"))
+        if (!Set("GCM", "CBC", "ECB").contains(mode))
+          throw VrlUnsupported(s"encrypt mode $mode")
+        // IV layout: Spark's aes_encrypt returns iv||ciphertext (and
+        // expects that prefix back at aes_decrypt); the reference's
+        // encrypt returns BARE ciphertext with the IV a separate
+        // argument (encrypt.cue) — so strip the prefix on encrypt and
+        // re-prepend the caller's IV on decrypt. GCM uses a 12-byte
+        // IV, CBC 16, ECB none.
         val key = asStr(a(2, "key"))
+        val ivLen = mode match { case "GCM" => 12; case "CBC" => 16; case _ => 0 }
         if (name == "encrypt") {
-          val iv = a.opt(3, "iv").map(asStr).getOrElse(lit("0000000000000000"))
-          out(CV(base64(graft.functions.Vrl.encrypt(asStr(a(0, "plaintext")), key, iv, mode)), VStr))
+          val iv = a.opt(3, "iv").map(asBytes).getOrElse(
+            lit("0000000000000000").cast("binary"))
+          val full = graft.functions.Vrl.encrypt(asStr(a(0, "plaintext")), key, iv, mode)
+          val bare = if (ivLen == 0) full
+            else full.substr(lit(ivLen + 1), length(full) - ivLen)
+          out(CV(bare, VBytes))
         } else {
-          val r = graft.functions.Vrl.decrypt(unbase64(asStr(a(0, "ciphertext"))), key, mode)
-            .cast("string")
+          val ct = asBytes(a(0, "ciphertext"))
+          val withIv = if (ivLen == 0) ct else {
+            val iv = a.opt(3, "iv").map(asBytes).getOrElse(
+              lit("0000000000000000").cast("binary"))
+            concat(iv, ct)
+          }
+          val r = graft.functions.Vrl.decrypt(withIv, key, mode).cast("string")
           out(CV(r, VStr), Some(r.isNull), "unable to decrypt")
         }
       case "encrypt_ip" =>
@@ -1284,7 +1386,7 @@ object VrlFunctions {
         // deterministic byte stream: chained sha2-256 hex, cut to length
         val hex = (0 until (len + 31) / 32)
           .map(i => sha2(concat(seed.cast("string"), lit(s"#$i")).cast("binary"), 256))
-        out(CV(base64(unhex(substring(concat(hex: _*), 1, len * 2))), VStr))
+        out(CV(unhex(substring(concat(hex: _*), 1, len * 2)), VBytes))
 
       // --- ip ----------------------------------------------------------
       case "ip_aton" =>
@@ -1295,10 +1397,11 @@ object VrlFunctions {
         out(CV(graft.functions.Vrl.ipNtoa(v), VStr), Some(v.isNull), "invalid integer")
 
       case "ip_pton" =>
+        // ip_pton.cue: returns the 4/16 RAW address bytes
         val r = VrlKernels.ipPtonHex(asStr(str0))
-        out(CV(r, VStr), Some(r.isNull), "invalid ip address")
+        out(CV(unhex(r), VBytes), Some(r.isNull), "invalid ip address")
       case "ip_ntop" =>
-        val r = VrlKernels.ipNtopHex(asStr(str0))
+        val r = VrlKernels.ipNtopHex(lower(hex(asBytes(str0))))
         out(CV(r, VStr), Some(r.isNull), "invalid address bytes")
 
       // --- find / parse_regex_all ---------------------------------------
@@ -1400,7 +1503,7 @@ object VrlFunctions {
           throw VrlUnsupported("validate_json_schema without literal schema path"))
         val ignoreUnknown = a.litBool(2, "ignore_unknown_formats").getOrElse(false)
         val schemaJson = try new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+          java.nio.file.Files.readAllBytes(resolveFile(path)), "UTF-8")
         catch { case e: Exception =>
           throw VrlUnsupported(s"schema_definition file $path: ${e.getMessage}") }
         val r = VrlKernels.validateJsonSchema(asStr(str0), schemaJson, ignoreUnknown)
@@ -1713,12 +1816,14 @@ object VrlFunctions {
           a.litBool(7, "parse_number").getOrElse(true))
         out(CV(try_parse_json(j), VAny), Some(v.isNull || j.isNull), "unable to parse xml")
       case "parse_cbor" =>
-        // input carried base64 (raw-byte columns aren't portable strings)
-        val r = try_parse_json(graft.functions.Vrl.parseCbor(unbase64(asStr(a(0, "value")))))
+        // value is a byte string (usually from decode_base64)
+        val v = asBytes(a(0, "value"))
+        val r = try_parse_json(graft.functions.Vrl.parseCbor(v))
         out(CV(r, VAny), Some(r.isNull), "unable to parse cbor")
       case "parse_dnstap" =>
-        // parse_dnstap.cue: value IS the base64 representation of the
-        // dnstap frame; typed struct out (Dnstap.schema)
+        // parse_dnstap.rs:174: the function ITSELF base64-decodes its
+        // string input (unlike the other byte-string parsers); typed
+        // struct out (Dnstap.schema)
         val v = asStr(a(0, "value"))
         val lower = a.litBool(1, "lowercase_hostnames").getOrElse(false)
         val parsed = graft.functions.Dnstap.parseDnstap(unbase64(v), lower)
@@ -1736,7 +1841,7 @@ object VrlFunctions {
         val msgType = a.litStr(2, "message_type").getOrElse(
           throw VrlUnsupported(s"$name without literal message_type"))
         val descBytes =
-          try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(descPath))
+          try java.nio.file.Files.readAllBytes(resolveFile(descPath))
           catch { case _: java.io.IOException =>
             throw new IllegalArgumentException(s"desc_file '$descPath' does not exist") }
         val reg = graft.functions.ProtoDescriptor.parse(descBytes)
@@ -1753,8 +1858,8 @@ object VrlFunctions {
         }
         noBytes(st)
         if (name == "parse_proto") {
-          val v = asStr(a(0, "value"))
-          val parsed = graft.functions.ProtoCodec.parseProto(unbase64(v), descBytes, msgType)
+          val v = asBytes(a(0, "value"))
+          val parsed = graft.functions.ProtoCodec.parseProto(v, descBytes, msgType)
           out(CV(parsed, fromSpark(st)), Some(v.isNull || parsed.isNull),
             "value is not a valid proto payload")
         } else {
@@ -1764,7 +1869,7 @@ object VrlFunctions {
             case other => throw VrlUnsupported(s"encode_proto over $other")
           }
           val enc = graft.functions.ProtoCodec.encodeProto(structCol, descBytes, msgType)
-          out(CV(base64(enc), VStr), Some(structCol.isNull), "unable to encode proto")
+          out(CV(enc, VBytes), Some(structCol.isNull), "unable to encode proto")
         }
       case "encode_logfmt" | "encode_key_value" =>
         val v = a(0, "value")
@@ -1818,22 +1923,19 @@ object VrlFunctions {
     XV(CV(r, VAny), Some((prop ++ Seq(r.isNull)).reduce(_ || _)), lit(msg))
   }
 
-  /** Binary codec wire: payloads are carried base64 across the string
-    * event model (a raw compressed byte string is not a valid UTF-8
-    * column value).
+  /** Binary codec: compressed payloads are first-class byte strings
+    * (VBytes/BinaryType) — encode_base64 & friends consume the raw
+    * bytes, exactly VRL's byte-string model.
     */
   /** Returns (value, raise): decoders null out malformed input
     * (CodecExpressions per-row degradation) — surfaced here as the VRL
     * raise channel; encoders are total.
     */
-  private def binCodec(a: Args, asStr: XV => Column,
+  private def binCodec(a: Args, asBytes: XV => Column,
                        f: Column => Column, encodeSide: Boolean): (CV, Option[Column]) = {
-    val v = asStr(a(0, "value"))
-    if (encodeSide) (CV(base64(f(v)), VStr), None)
-    else {
-      val r = f(unbase64(v).cast("binary")).cast("string")
-      (CV(r, VStr), Some(v.isNotNull && r.isNull))
-    }
+    val v = asBytes(a(0, "value"))
+    val r = f(v)
+    (CV(r, VBytes), if (encodeSide) None else Some(v.isNotNull && r.isNull))
   }
 
   private def seedCol(a: Args, i: Int): Column =
@@ -2065,6 +2167,7 @@ object VrlFunctions {
     val v = a(0, "value")
     v.cv.t match {
       case VStr => CV(f(v.cv.col), VStr)
+      case VBytes => CV(f(v.cv.col.cast("string")), VStr) // UTF-8 view
       case VAny => CV(f(try_variant_get(v.cv.col, "$", "string")), VStr)
       case _ if bang => CV(lit(null).cast("string"), VStr) // raise handled by caller type check
       case _ => CV(f(v.cv.col.cast("string")), VStr)

@@ -37,7 +37,10 @@ object VrlRunner {
     * before evaluating (CueCorpus).
     */
   def evalAst(spark: SparkSession, ast: VrlAst.Program, lines: Seq[String],
-              opts: RemapOpts = RemapOpts()): (Seq[String], Seq[String]) = {
+              opts: RemapOpts = RemapOpts(),
+              tables: Map[String, EnrichTableData] = Map.empty,
+              secrets: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : (Seq[String], Seq[String]) = {
     val nonEmpty = lines.zipWithIndex.filter(_._1.trim.nonEmpty)
     require(nonEmpty.nonEmpty, "no input events")
     val frames = nonEmpty.map { case (line, i) =>
@@ -50,14 +53,23 @@ object VrlRunner {
       jsonRow(spark, i.toLong, node)
     }
     val in = Topology.unionFrames(frames)
-    val r = VrlCompile.remap(in.df, in.meta, ast, opts, Seq(SeqCol))
+    val r = VrlCompile.remap(in.df, in.meta, ast, opts, Seq(SeqCol),
+      tables = tables, secrets = secrets)
     (render(r.df, r.meta), r.dropped.map(d => render(d, in.meta)).getOrElse(Nil))
   }
 
   private def render(df: org.apache.spark.sql.DataFrame, meta: EventMeta): Seq[String] = {
-    val evCols = meta.types.keys.toSeq
+    // VBytes renders as its (lossy) UTF-8 string form — VRL's display of
+    // a byte-string — not to_json's base64-of-binary; timestamps render
+    // at micro precision (Spark's storage precision; to_json's default
+    // truncates to millis, losing real data for the comparator).
+    val evCols = meta.types.toSeq.map {
+      case (c, VrlCompile.VBytes) => col(s"`$c`").cast("string").as(c)
+      case (c, _) => col(s"`$c`")
+    }
     df.orderBy(col(SeqCol))
-      .select(to_json(struct(evCols.map(c => col(s"`$c`")): _*)).as("j"))
+      .select(to_json(struct(evCols: _*),
+        java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("j"))
       .collect().toSeq.map(_.getString(0))
   }
 

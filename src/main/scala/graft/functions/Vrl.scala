@@ -377,9 +377,33 @@ object Vrl {
   def getTimezoneName(): Column = lit(java.util.TimeZone.getDefault.getID)
   def getEnvVar(name: String): Column = lit(sys.env.getOrElse(name, null))
 
-  /** encode_charset/decode_charset — Spark builtins cover these. */
-  def encodeCharset(c: Column, charset: String): Column = encode(c, charset)
-  def decodeCharset(c: Column, charset: String): Column = decode(c, charset)
+  /** encode_charset/decode_charset (encode_charset.cue) — the full JVM
+    * charset registry (EUC-KR/EUC-JP/GB2312/…), not Spark's 7-charset
+    * encode/decode builtin set. Strict conversion: an unmappable or
+    * malformed sequence nulls the row (the caller's raise channel),
+    * matching the reference's fallible contract.
+    */
+  private lazy val encodeCharsetUdf = udf((s: String, cs: String) =>
+    if (s == null || cs == null) null
+    else try {
+      val enc = java.nio.charset.Charset.forName(cs).newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+      java.util.Arrays.copyOf(bb.array(), bb.limit())
+    } catch { case scala.util.control.NonFatal(_) => null })
+  private lazy val decodeCharsetUdf = udf((b: Array[Byte], cs: String) =>
+    if (b == null || cs == null) null
+    else try {
+      val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    } catch { case scala.util.control.NonFatal(_) => null })
+  def encodeCharset(c: Column, charset: String): Column =
+    encodeCharsetUdf(c.cast("string"), lit(charset))
+  def decodeCharset(c: Column, charset: String): Column =
+    decodeCharsetUdf(c.cast("binary"), lit(charset))
 
   // ------------------------------------------------------------ numbers
 
@@ -537,5 +561,7 @@ object Vrl {
               mode: String = "GCM"): Column =
     aes_encrypt(c, key, lit(mode), lit("DEFAULT"), iv)
   def decrypt(c: Column, key: Column, mode: String = "GCM"): Column =
-    aes_decrypt(c, key, lit(mode), lit("DEFAULT"))
+    // try_: a wrong key / corrupt ciphertext must null the row (the
+    // VRL raise channel), not abort the batch with a crypto exception
+    try_aes_decrypt(c, key, lit(mode), lit("DEFAULT"))
 }

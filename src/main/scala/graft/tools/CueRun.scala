@@ -16,6 +16,12 @@ object CueRun {
 
   val dir = "/root/reference/website/cue/reference/remap/functions"
 
+  /** The doc examples' relative resource paths (`resources/…desc`,
+    * schema files, grok alias files) are relative to the reference's
+    * VRL test-harness root — point the compile-time file resolver there.
+    */
+  sys.props("graft.vrl.resource.roots") = "/root/reference/lib/vector-vrl/tests"
+
   def loadAll(): Seq[CueCorpus.Example] = {
     val files = Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.toString.endsWith(".cue")).toSeq.sortBy(_.toString)

@@ -178,22 +178,37 @@ object CodecExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
-  case class Lz4Decompress(child: Expression) extends BinaryCodec {
+  /** `prepended = true` (decode_lz4.cue `use_prepended_size`): the
+    * lz4_flex size-prefixed layout. `prepended = false` (the VRL
+    * default): a bare block decoded into a `bufSize` buffer (the cue's
+    * `buf_size`, default 1 MiB), trimmed to the written length.
+    */
+  case class Lz4Decompress(child: Expression, prepended: Boolean = true,
+                           bufSize: Int = 1 << 20) extends BinaryCodec {
     override def prettyName: String = "decode_lz4"
     override def nullSafeEval(v: Any): Any = orNull {
       val src = v.asInstanceOf[Array[Byte]]
-      require(src.length >= 4, "lz4: missing length prefix")
-      val n = java.nio.ByteBuffer.wrap(src, 0, 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      // bound the attacker-controlled prefix before allocating: an LZ4
-      // block expands at most ~255x, so anything beyond that is a
-      // decompression bomb / garbage, not a valid frame
-      require(n >= 0 && n.toLong <= (src.length - 4).toLong * 255 + 16,
-        s"lz4: implausible length prefix $n for ${src.length} input bytes")
-      val dst = new Array[Byte](n)
-      net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
-        .decompress(src, 4, dst, 0, n)
-      dst
+      if (prepended) {
+        require(src.length >= 4, "lz4: missing length prefix")
+        val n = java.nio.ByteBuffer.wrap(src, 0, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        // bound the attacker-controlled prefix before allocating: an LZ4
+        // block expands at most ~255x, so anything beyond that is a
+        // decompression bomb / garbage, not a valid frame
+        require(n >= 0 && n.toLong <= (src.length - 4).toLong * 255 + 16,
+          s"lz4: implausible length prefix $n for ${src.length} input bytes")
+        val dst = new Array[Byte](n)
+        net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+          .decompress(src, 4, dst, 0, n)
+        dst
+      } else {
+        require(bufSize >= 0 && bufSize.toLong <= MaxOut,
+          s"lz4: buf_size $bufSize out of range")
+        val dst = new Array[Byte](bufSize)
+        val written = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .safeDecompressor().decompress(src, 0, src.length, dst, 0)
+        java.util.Arrays.copyOf(dst, written)
+      }
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
@@ -233,7 +248,9 @@ object CodecExpressions {
   def zstd(c: Column, level: Int = 3): Column = wrap(ZstdCompress(_, level))(c)
   def unzstd: Column => Column = wrap(ZstdDecompress)
   def lz4: Column => Column = wrap(Lz4Compress)
-  def unlz4: Column => Column = wrap(Lz4Decompress)
+  def unlz4: Column => Column = wrap(Lz4Decompress(_))
+  def unlz4(c: Column, prepended: Boolean, bufSize: Int = 1 << 20): Column =
+    wrap(Lz4Decompress(_, prepended, bufSize))(c)
   def snappy: Column => Column = wrap(SnappyCompress)
   def unsnappy: Column => Column = wrap(SnappyDecompress)
 }

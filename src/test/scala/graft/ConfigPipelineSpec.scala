@@ -783,7 +783,7 @@ class ConfigPipelineSpec extends SparkSpec {
         |        assert_eq!(length(.pr), 2)
         |        assert_eq!(.pr[0].fruit, "apples")
         |        assert_eq!(.pr[1].veg, "peas")
-        |        assert_eq!(.p4, "c0a80001")
+        |        assert_eq!(encode_base64(.p4), "wKgAAQ==")
         |        assert_eq!(.r4, "192.168.0.1")
         |        assert_eq!(.r6, "2001:db8::1")
         |        assert_eq!(.xml.book."@category", "CHILDREN")
