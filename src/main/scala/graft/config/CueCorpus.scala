@@ -489,10 +489,13 @@ object CueCorpus {
     } else if (exp.isObject) {
       if (!act.isObject) no
       else {
+        // null-valued ≡ missing (VRL reads a missing field as null, and
+        // to_json drops null struct fields) — drop nulls from BOTH
+        // sides before comparing field sets
         val ek = new mutable.TreeSet[String]()
-        exp.fieldNames().forEachRemaining(f => ek += f)
+        exp.fieldNames().forEachRemaining(f => if (!exp.get(f).isNull) ek += f)
         val ak = new mutable.TreeSet[String]()
-        act.fieldNames().forEachRemaining(f => ak += f)
+        act.fieldNames().forEachRemaining(f => if (!act.get(f).isNull) ak += f)
         if (ek != ak) Some(s"$path: field sets differ: expected $ek got $ak")
         else ek.iterator.map(k => diff(exp.get(k), act.get(k), s"$path.$k", yearless))
           .collectFirst { case Some(d) => d }

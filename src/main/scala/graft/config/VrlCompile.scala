@@ -576,7 +576,9 @@ object VrlCompile {
   private def resolve(env: Env, path: Seq[PathSeg]): CV = env.root match {
     case Some(rcv) => walkDynamic(rcv, path)
     case None =>
-      if (path.isEmpty) throw VrlUnsupported("whole-event read `.`")
+      // whole-event read `.`: the event as one object value (static
+      // schema → struct of the current fields)
+      if (path.isEmpty) return mkObj(env.fields)
       path.head match {
         case SegIndex(_) => throw VrlUnsupported("index at path root")
         case SegName(top) =>

@@ -190,24 +190,48 @@ object VrlFunctions {
       // plan-time column equivalent.
       case "get" =>
         val segs = litPathArg(c, 1, "path")
+        val hasNeg = segs.exists { case SegIndex(i) => i < 0; case _ => false }
         valueArg(c) match {
-          case FieldRef(p) => return (XV.pure(resolveField(env, p ++ segs)), env)
+          case FieldRef(p) if !hasNeg =>
+            return (XV.pure(resolveField(env, p ++ segs)), env)
           case e =>
             val (xv, e2) = compileExpr(env, e)
-            return (XV(segs.foldLeft(xv.cv)(walkCv), xv.raise, xv.msg), e2)
+            if (!hasNeg)
+              return (XV(segs.foldLeft(xv.cv)(walkCv), xv.raise, xv.msg), e2)
+            // negative indexes: resolve over the JSON form (variant get)
+            val p = "$" + segs.map {
+              case SegName(n) => s"['${n.replace("'", "\\'")}']"
+              case SegIndex(i) => s"[$i]"
+            }.mkString
+            val neg = try_variant_get(try_parse_json(jsonText(xv.cv)), p, "variant")
+            return (XV(CV(neg, VAny), xv.raise, xv.msg), e2)
         }
       case "remove" =>
+        // remove.cue: returns the rebuilt value; negative indexes count
+        // from the end; `compact` drops emptied containers — full
+        // semantics over the JSON form (JsonPathRemove)
         val segs = litPathArg(c, 1, "path")
+        val compact = c.named.collectFirst { case ("compact", LitB(b)) => b }
+          .getOrElse(false)
         val (xv, e2) = compileExpr(env, valueArg(c))
-        return (XV(removeStatic(xv.cv, segs), xv.raise, xv.msg), e2)
+        val path = segs.map {
+          case SegName(n) => Left(n); case SegIndex(i) => Right(i) }
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonPathRemove(jsonText(xv.cv), path, compact))
+        return (XV(CV(r, VAny), xv.raise, xv.msg), e2)
       case "set" =>
         val segs = litPathArg(c, 1, "path")
         c.args.lift(2).orElse(c.named.collectFirst { case ("data", e) => e }) match {
           case Some(dataE) =>
             val (base, e2) = compileExpr(env, valueArg(c))
             val (data, e3) = compileExpr(e2, dataE)
-            return (XV(setStatic(base.cv, segs, data.cv),
-              (base.raise ++ data.raise).reduceOption(_ || _), base.msg), e3)
+            val path = segs.map {
+              case SegName(n) => Left(n); case SegIndex(i) => Right(i) }
+            val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+              .jsonPathSet(jsonText(base.cv), jsonText(data.cv), path))
+            return (XV(CV(r, VAny),
+              (base.raise ++ data.raise ++ Seq(r.isNull)).reduceOption(_ || _),
+              lit(s"""${callErrPrefix(c.name, c.span)}: invalid path""")), e3)
           case None => throw VrlUnsupported("set without data")
         }
       // enrichment table lookups (get_enrichment_table_record.cue,
@@ -1143,15 +1167,28 @@ object VrlFunctions {
       case "parse_etld" =>
         val v = asStr(a(0, "value"))
         val plus = a.litInt(1, "plus_parts").getOrElse(0L).toInt
-        out(CV(to_json(graft.functions.Etld.parseEtld(v, plus)), VStr))
+        // psl: a publicsuffix.org-format file (parse_etld.cue custom
+        // PSL example) loaded at compile; default = built-in subset
+        val suffixes = a.litStr(2, "psl") match {
+          case None => graft.functions.Etld.DefaultSuffixes
+          case Some(path) =>
+            scala.jdk.CollectionConverters.ListHasAsScala(
+              java.nio.file.Files.readAllLines(resolveFile(path))).asScala.toSeq
+              .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+        }
+        structuredXv(graft.functions.Etld.parseEtld(v, plus, suffixes), prop,
+          s"$pfx: unable to parse etld")
       case "parse_ruby_hash" =>
-        out(withStrRaise(a, bang, graft.functions.Vrl.parseRubyHash))
+        val r = try_parse_json(graft.functions.Vrl.parseRubyHash(asStr(str0)))
+        out(CV(r, VAny), Some(r.isNull), "unable to parse ruby hash")
       case "parse_user_agent" =>
-        out(CV(to_json(graft.functions.UserAgent.parse(asStr(a(0, "value")))), VStr))
+        val mode = a.litStr(1, "mode").getOrElse("fast")
+        structuredXv(graft.functions.UserAgent.parseVrl(asStr(a(0, "value")), mode),
+          prop, s"$pfx: unable to parse user agent")
       case "parse_linux_authorization" =>
         val r = graft.functions.VrlParsers
           .parseLinuxAuthorization(asStr(a(0, "value")))
-        out(CV(to_json(r), VStr), Some(r.isNull), "not an auth log line")
+        structuredXv(r, prop, s"$pfx: not an auth log line")
       case "strip_ansi_escape_codes" =>
         out(withStrRaise(a, bang, graft.functions.Vrl.stripAnsiEscapeCodes))
       case "shannon_entropy" =>
@@ -1287,10 +1324,24 @@ object VrlFunctions {
 
       // --- hashes / checksums ------------------------------------------
       case "crc" =>
-        // crc.cue returns the checksum rendered as a string
-        out(CV(graft.functions.Vrl.crc(asStr(str0)).cast("string"), VStr))
+        // crc.cue returns the checksum rendered as a string; default
+        // algorithm CRC_32_ISO_HDLC (= zip crc32), CRC_32_CKSUM is the
+        // POSIX cksum variant
+        val algo = a.litStr(1, "algorithm").getOrElse("CRC_32_ISO_HDLC")
+        val r = algo match {
+          case "CRC_32_ISO_HDLC" => graft.functions.Vrl.crc(asStr(str0))
+          case "CRC_32_CKSUM" => VrlKernels.crcCksum(asStr(str0))
+          case other => throw VrlUnsupported(s"crc algorithm $other")
+        }
+        out(CV(r.cast("string"), VStr))
       case "xxhash" =>
-        out(CV(graft.functions.Vrl.xxhash(asStr(str0)), VInt))
+        val variant = a.litStr(1, "variant").getOrElse("XXH32")
+        val r = variant match {
+          case "XXH32" => VrlKernels.xxh32(asStr(str0))
+          case "XXH64" => VrlKernels.xxh64(asStr(str0))
+          case other => throw VrlUnsupported(s"xxhash variant $other")
+        }
+        out(CV(r, VInt))
 
       // --- codecs -------------------------------------------------------
       case "encode_gzip" => out(binCodec(a, asBytes, graft.functions.Vrl.encodeGzip, encodeSide = true)._1)
@@ -1628,27 +1679,24 @@ object VrlFunctions {
           case _ => throw VrlUnsupported("values of non-object")
         }
       case "zip" =>
-        val x = a(0, "array_0"); val y = a(1, "array_1")
-        (x.cv.t, y.cv.t) match {
-          case (VArrOf(e1), VArrOf(e2)) if e1 == e2 =>
-            // zip.cue truncates to the shorter array (zip_with pads)
-            val zipped = zip_with(x.cv.col, y.cv.col, (p, q) => array(p, q))
-            out(CV(slice(zipped, lit(1), least(size(x.cv.col), size(y.cv.col))),
-              VArrOf(VArrOf(e1))))
-          case (p, q) => throw VrlUnsupported(s"zip of $p with $q")
-        }
+        // zip.cue: two arrays → pairs truncated to the shorter; ONE
+        // array-of-arrays → transpose. Full semantics (mixed element
+        // types included) over the JSON form.
+        val x = a(0, "array_0")
+        val y = a.opt(1, "array_1")
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonZip(jsonText(x.cv), y.map(v => jsonText(v.cv)).getOrElse(nullStr)))
+        out(CV(r, VAny), Some(r.isNull), "value must be a collection")
       case "object_from_array" =>
-        val v = XV(normArr(a(0, "values").cv), None, nullStr)
-        v.cv.t match {
-          case VArrOf(VArrOf(_)) =>
-            // null keys are dropped (object_from_array.cue)
-            val pairs = filter(v.cv.col, p => element_at(p, 1).isNotNull)
-            val m = map_from_arrays(
-              transform(pairs, p => element_at(p, 1).cast("string")),
-              transform(pairs, p => element_at(p, 2).cast("string")))
-            out(CV(m, VMap))
-          case t => throw VrlUnsupported(s"object_from_array of $t")
-        }
+        // object_from_array.cue: [key, value] pairs, or a values array
+        // with a separate keys: array; null keys drop the entry —
+        // type-preserving over the JSON form
+        val v = a(0, "values")
+        val keys = a.opt(1, "keys")
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonObjectFromArray(jsonText(v.cv),
+            keys.map(k => jsonText(k.cv)).getOrElse(nullStr)))
+        out(CV(r, VAny), Some(r.isNull), "unable to build object")
       case "pop" =>
         val v = a(0, "value")
         v.cv.t match {
@@ -1663,33 +1711,38 @@ object VrlFunctions {
         val v = XV(normArr(a(0, "value").cv), None, nullStr)
         v.cv.t match {
           case VArrOf(VArrOf(e)) => out(CV(flatten(v.cv.col), VArrOf(e)))
-          case VAny =>
-            out(CV(try_parse_json(graft.functions.Vrl.flattenObject(to_json(v.cv.col))), VAny))
+          case VAny | VObj(_) | VHet(_) | VMap =>
+            // full recursive semantics over the JSON form (arrays splat,
+            // object keys dot-join) — static shapes route through jsonText
+            out(CV(try_parse_json(
+              graft.functions.Vrl.flattenObject(jsonText(v.cv))), VAny))
           case t => throw VrlUnsupported(s"flatten of $t")
         }
       case "unflatten" =>
         val v = a(0, "value")
         v.cv.t match {
-          case VAny =>
-            out(CV(try_parse_json(graft.functions.Vrl.unflattenObject(to_json(v.cv.col))), VAny))
+          case VAny | VObj(_) | VMap =>
+            // recursive: true (the default) re-runs until no dotted key
+            // remains inside nested values (unflatten.cue)
+            val recursive = a.litBool(1, "recursive").getOrElse(true)
+            val r = graft.functions.Vrl.unflattenObject(jsonText(v.cv), recursive)
+            out(CV(try_parse_json(r), VAny))
           case t => throw VrlUnsupported(s"unflatten of $t")
         }
 
       // --- parsers (grok-backed + structured) ----------------------------
       case "parse_apache_log" =>
         val fmt = a.litStr(1, "format").getOrElse("common")
-        fmt match {
-          case "common" => grokXv(graft.functions.Parsers.apacheCommon, asStr(a(0, "value")), prop, pfx)
-          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, pfx)
-          case other => throw VrlUnsupported(s"parse_apache_log format $other")
-        }
+        if (!Set("common", "combined", "error").contains(fmt))
+          throw VrlUnsupported(s"parse_apache_log format $fmt")
+        structuredXv(graft.functions.VrlParsers.apacheLog(asStr(a(0, "value")), fmt), prop,
+          s"$pfx: failed parsing common log line")
       case "parse_nginx_log" =>
         val fmt = a.litStr(1, "format").getOrElse("combined")
-        fmt match {
-          case "combined" => grokXv(graft.functions.Parsers.nginxCombined, asStr(a(0, "value")), prop, pfx)
-          case "error" => grokXv(graft.functions.Parsers.nginxError, asStr(a(0, "value")), prop, pfx)
-          case other => throw VrlUnsupported(s"parse_nginx_log format $other")
-        }
+        if (!Set("combined", "error", "main", "ingress_upstreaminfo").contains(fmt))
+          throw VrlUnsupported(s"parse_nginx_log format $fmt")
+        structuredXv(graft.functions.VrlParsers.nginxLog(asStr(a(0, "value")), fmt), prop,
+          s"$pfx: failed parsing nginx log line")
       case "parse_klog" =>
         // klog is the Kubernetes variant of glog (parse_klog.cue)
         val x = VrlParsers.glog(asStr(a(0, "value")))
@@ -2113,6 +2166,42 @@ object VrlFunctions {
       substring(j, lit(2), length(j) - 2)
   }
 
+  /** Any value as its JSON text — the bridge from statically-typed
+    * columns (structs, tuples, maps, scalars) to the Jackson-backed
+    * JSON kernels that implement full reference semantics over dynamic
+    * shapes. Tuples (VHet) serialize as ARRAYS (their VRL meaning),
+    * not the `_0.._n` struct to_json would print; null object fields
+    * are kept (`ignoreNullFields=false`) because path/zip/unflatten
+    * kernels must see them.
+    */
+  private val keepNulls = java.util.Map.of("ignoreNullFields", "false")
+  private def jsonText(cv: CV): Column = cv.t match {
+    case VAny => to_json(cv.col)
+    case VNullT => lit("null")
+    case VObj(fts) if fts.isEmpty => lit("{}")
+    case VHet(ts) if ts.isEmpty => lit("[]")
+    case VObj(fts) =>
+      val members = fts.toSeq.map { case (k, t) =>
+        val kq = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+          .textNode(k).toString
+        concat(lit(kq + ":"), jsonText(CV(cv.col.getField(k), t)))
+      }
+      when(cv.col.isNull, lit("null")).otherwise(
+        concat(lit("{"), concat_ws(",", members: _*), lit("}")))
+    case VHet(ts) =>
+      val members = ts.zipWithIndex.map { case (t, i) =>
+        jsonText(CV(cv.col.getField(s"_$i"), t)) }
+      when(cv.col.isNull, lit("null")).otherwise(
+        concat(lit("["), concat_ws(",", members: _*), lit("]")))
+    case VArrOf(VObj(_)) | VArrOf(VArrOf(_)) | VArrOf(VMap) | VMap | VArrOf(VStr) |
+         VArrOf(VInt) | VArrOf(VFloat) | VArrOf(VBool) | VArrOf(VAny) =>
+      to_json(cv.col, keepNulls)
+    case VArrOf(e) => throw VrlUnsupported(s"json form of array<$e>")
+    case _ => // scalar: {"v":X} with the fixed 5-char wrapper stripped
+      val j = to_json(struct(cv.col.as("v")), keepNulls)
+      when(cv.col.isNull, lit("null")).otherwise(j.substr(lit(6), length(j) - 6))
+  }
+
   private def valueArg(c: Call): Expr =
     c.args.headOption.orElse(c.named.collectFirst { case ("value", e) => e })
       .getOrElse(throw VrlUnsupported(s"${c.name} without a value"))
@@ -2122,6 +2211,7 @@ object VrlFunctions {
       case Some(ArrLit(items)) => items.map {
         case LitS(s) => SegName(s)
         case LitI(n) => SegIndex(n.toInt)
+        case Un("-", LitI(n)) => SegIndex(-n.toInt) // [-2]: from the end
         case other => throw VrlUnsupported(s"non-literal path segment $other")
       }
       case _ => throw VrlUnsupported(s"${c.name} without a literal path array")

@@ -29,6 +29,56 @@ object VrlKernels {
     graft.functions.JsonDiag.check(s).getOrElse("valid json"))
   def jsonDiag(c: Column): Column = jsonDiagUdf(c)
 
+  /** xxhash (xxhash.cue): the REAL XXH32/XXH64 over the value's UTF-8
+    * bytes, seed 0 — via lz4-java's reference implementation (bundled
+    * with Spark). XXH32 is unsigned-32 (the cue's 3792637401 for
+    * "foo"); XXH64 is the signed 64-bit value. Spark's builtin
+    * xxhash64 hashes its internal row layout with seed 42, which is a
+    * DIFFERENT function — unusable here.
+    */
+  private lazy val xxh32Udf = udf((s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val b = s.getBytes("UTF-8")
+      java.lang.Long.valueOf(java.lang.Integer.toUnsignedLong(
+        net.jpountz.xxhash.XXHashFactory.fastestInstance()
+          .hash32().hash(b, 0, b.length, 0)))
+    })
+  private lazy val xxh64Udf = udf((s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val b = s.getBytes("UTF-8")
+      java.lang.Long.valueOf(net.jpountz.xxhash.XXHashFactory.fastestInstance()
+        .hash64().hash(b, 0, b.length, 0L))
+    })
+  def xxh32(c: Column): Column = xxh32Udf(c)
+  def xxh64(c: Column): Column = xxh64Udf(c)
+
+  /** crc algorithm CRC_32_CKSUM (crc.cue): the POSIX `cksum` variant —
+    * poly 0x04C11DB7 non-reflected, init 0, the value's LENGTH bytes
+    * appended little-endian-trimmed, final complement.
+    */
+  private lazy val crcCksumUdf = udf((s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val data = s.getBytes("UTF-8")
+      var crc = 0L
+      def step(b: Int): Unit = {
+        crc ^= (b.toLong & 0xff) << 24
+        var i = 0
+        while (i < 8) {
+          crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L) & 0xffffffffL
+                else (crc << 1) & 0xffffffffL
+          i += 1
+        }
+      }
+      data.foreach(b => step(b.toInt))
+      var n = data.length.toLong
+      while (n != 0) { step((n & 0xff).toInt); n >>>= 8 }
+      java.lang.Long.valueOf((crc ^ 0xffffffffL) & 0xffffffffL)
+    })
+  def crcCksum(c: Column): Column = crcCksumUdf(c)
+
   private lazy val sha512_224Udf = udf((s: String) => digest("SHA-512/224", s))
   private lazy val sha512_256Udf = udf((s: String) => digest("SHA-512/256", s))
   private lazy val sha3_224Udf = udf((s: String) => digest("SHA3-224", s))

@@ -65,6 +65,12 @@ object VrlRunner {
     // truncates to millis, losing real data for the comparator).
     val evCols = meta.types.toSeq.map {
       case (c, VrlCompile.VBytes) => col(s"`$c`").cast("string").as(c)
+      // an empty object/tuple has no struct representation (its column
+      // is the null literal) — render the {} / [] it denotes
+      case (c, VrlCompile.VObj(f)) if f.isEmpty =>
+        try_parse_json(lit("{}")).as(c)
+      case (c, VrlCompile.VHet(ts)) if ts.isEmpty =>
+        try_parse_json(lit("[]")).as(c)
       case (c, _) => col(s"`$c`")
     }
     df.orderBy(col(SeqCol))

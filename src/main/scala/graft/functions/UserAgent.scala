@@ -84,6 +84,94 @@ object UserAgent {
     }
   }
 
+  /** `parse_user_agent` (parse_user_agent.cue): the reference merges a
+    * woothee-style classifier with uap-core rules — browser family +
+    * full version string, OS family/version (woothee's marketing names:
+    * "Windows NT 5.1" → "Windows XP" with version "NT 5.1"), device
+    * category, and in `enriched` mode the uap-style split version
+    * parts and device brand/family/model. Same ruleset-as-data design
+    * as `parse`: ordered first-match when-chains, fully codegen'd.
+    * `fast` and `reliable` differ in the reference only by how much
+    * lookup work is attempted, not shape — both emit {family, version}.
+    */
+  def parseVrl(ua: Column, mode: String = "fast"): Column = {
+    val ns = lit(null).cast("string")
+    def grpOpt(re: String, i: Int): Column = {
+      val g = org.apache.spark.sql.graftvec.RegexExpressions.regexGroups(ua, re)
+      val x = element_at(g, i)
+      when(x === "", ns).otherwise(x)
+    }
+    // (detect-regex, family, version-parts-regex) — first match wins
+    val browserRules: Seq[(String, String, String)] = Seq(
+      ("Opera Mini/([\\d.]+)", "Opera Mini", "Opera Mini/(\\d+)\\.(\\d+)\\.(\\d+)"),
+      ("MSIE ([\\d.]+)", "Internet Explorer", "MSIE (\\d+)\\.(\\d+)()"),
+      ("Trident/[\\d.]+;[^)]*rv:([\\d.]+)", "Internet Explorer",
+        "Trident/[\\d.]+;[^)]*rv:(\\d+)\\.(\\d+)()"),
+      ("Edge?/([\\d.]+)", "Edge", "Edge?/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"),
+      ("OPR/([\\d.]+)", "Opera", "OPR/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"),
+      ("Chrome/([\\d.]+)", "Chrome", "Chrome/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"),
+      ("Firefox/([\\d.]+)", "Firefox", "Firefox/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"),
+      ("Version/([\\d.]+)[^ ]* Safari/", "Safari", "Version/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"),
+      ("curl/([\\d.]+)", "curl", "curl/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"))
+    // version STRING: woothee's pick — the Version/ token for Opera
+    // engines, the matched token's full dotted version otherwise
+    def browserField(i: Int): Column =
+      browserRules.foldRight(ns) { case ((det, fam, parts), fb) =>
+        val hit = org.apache.spark.sql.graftvec.RegexExpressions.regexGroups(ua, det)
+        val v = i match {
+          case 0 => lit(fam)
+          case 4 =>
+            if (fam.startsWith("Opera"))
+              coalesce(grpOpt("Version/([\\d.]+)", 1), element_at(hit, 1))
+            else element_at(hit, 1)
+          case n => grpOpt(parts, n)
+        }
+        when(hit.isNotNull, v).otherwise(fb)
+      }
+    val osFamily =
+      when(ua.contains("Windows NT 5.1"), "Windows XP")
+        .when(ua.contains("Windows NT 6.1"), "Windows 7")
+        .when(ua.contains("Windows NT 10"), "Windows 10")
+        .when(ua.rlike("iPhone OS [\\d_]+|CPU OS [\\d_]+|iPhone"), "iOS")
+        .when(ua.contains("Mac OS X"), "Mac OSX")
+        .when(ua.contains("Android"), "Android")
+        .when(ua.contains("Linux"), "Linux")
+        .otherwise(ns)
+    val osVersion =
+      when(ua.rlike("Windows (NT [\\d.]+)"), grpOpt("Windows (NT [\\d.]+)", 1))
+        .when(ua.rlike("(?:iPhone )?OS ([\\d_]+)"),
+          regexp_replace(grpOpt("(?:iPhone )?OS ([\\d_]+)", 1), "_", "."))
+        .when(ua.rlike("Android ([\\d.]+)"), grpOpt("Android ([\\d.]+)", 1))
+        .otherwise(ns)
+    def osPart(i: Int): Column = grpOpt("OS (\\d+)_(\\d+)(?:_(\\d+))?", i)
+    val category =
+      when(ua.contains("iPad"), "tablet")
+        .when(ua.contains("iPhone") || ua.contains("Android"), "smartphone")
+        .otherwise(lit("pc"))
+    if (mode == "enriched")
+      struct(
+        struct(browserField(0).as("family"), browserField(1).as("major"),
+          browserField(2).as("minor"), browserField(3).as("patch"),
+          browserField(4).as("version")).as("browser"),
+        struct(
+          when(ua.contains("iPhone") || ua.contains("iPad"), "Apple")
+            .otherwise(ns).as("brand"),
+          category.as("category"),
+          when(ua.contains("iPhone"), "iPhone")
+            .when(ua.contains("iPad"), "iPad").otherwise(ns).as("family"),
+          when(ua.contains("iPhone"), "iPhone")
+            .when(ua.contains("iPad"), "iPad").otherwise(ns).as("model")).as("device"),
+        struct(osFamily.as("family"), osPart(1).as("major"), osPart(2).as("minor"),
+          osPart(3).as("patch"), ns.as("patch_minor"),
+          osVersion.as("version")).as("os"))
+    else
+      struct(
+        struct(browserField(0).as("family"),
+          browserField(4).as("version")).as("browser"),
+        struct(category.as("category")).as("device"),
+        struct(osFamily.as("family"), osVersion.as("version")).as("os"))
+  }
+
   /** Load a uap-style ruleset from a table (priority:int, regex:string,
     * family:string, v1_group:int, v2_group:int) — the full
     * uap-core regexes.yaml flattens to exactly this shape. The ruleset

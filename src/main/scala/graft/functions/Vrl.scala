@@ -320,13 +320,20 @@ object Vrl {
   def screamingsnakecase(c: Column, originalCase: Option[String] = None): Column =
     upper(snakecase(c, originalCase))
 
-  /** basename/dirname (basename.cue) — POSIX semantics on "/" paths. */
-  def basename(c: Column): Column =
-    element_at(split(regexp_replace(c, "/+$", ""), "/"), -1)
+  /** basename/dirname (basename.cue) — POSIX semantics on "/" paths.
+    * The root itself: basename("/") is null (no final component),
+    * dirname("/") is "/" (its own parent).
+    */
+  def basename(c: Column): Column = {
+    val trimmed = regexp_replace(c, "/+$", "")
+    when(c.rlike("^/+$"), lit(null).cast("string"))
+      .otherwise(element_at(split(trimmed, "/"), -1))
+  }
   def dirname(c: Column): Column = {
     val trimmed = regexp_replace(c, "/+$", "")
     val dir = regexp_replace(trimmed, "/[^/]+$", "")
-    when(trimmed.rlike("^[^/]*$"), lit("."))
+    when(c.rlike("^/+$"), lit("/"))
+      .when(trimmed.rlike("^[^/]*$"), lit("."))
       .when(dir === "", "/")
       .otherwise(dir)
   }
@@ -347,7 +354,8 @@ object Vrl {
     * text with dot-joined keys — graftvec.StringExpressions.
     */
   def flattenObject(c: Column): Column = strExprs.flattenObject(c)
-  def unflattenObject(c: Column): Column = strExprs.unflattenObject(c)
+  def unflattenObject(c: Column, recursive: Boolean = true): Column =
+    strExprs.unflattenObject(c, recursive)
   def compactJson(c: Column): Column = strExprs.compactJson(c)
   def mergeDeepJson(l: Column, r: Column): Column = strExprs.mergeDeepJson(l, r)
 
@@ -440,8 +448,10 @@ object Vrl {
     val dist = lit(2 * r) * asin(sqrt(a))
     val brg = degrees(atan2(sin(dl) * cos(p2),
       cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dl)))
+    // the reference renders bearing rounded to 3 decimals
+    // (haversine.cue: 44.561 for the 0,0 → 10,10 example)
     struct(dist.as("distance"),
-      ((brg + 360.0) % 360.0).as("bearing"))
+      round((brg + 360.0) % 360.0, 3).as("bearing"))
   }
 
   // ------------------------------------------------------------ syslog maps

@@ -210,6 +210,120 @@ object VrlParsers {
     * try_cast, since a plain cast aborts the job under ANSI mode.
     */
   def parseFloat(c: Column): Column = c.try_cast("double")
+
+  // --------------------------------------------- apache / nginx formats
+
+  private def dashNull(c: Column): Column =
+    when(c === "" || c === "-", lit(null).cast("string")).otherwise(c)
+  private def clfTs(c: Column): Column =
+    try_to_timestamp(c, lit("dd/MMM/yyyy:HH:mm:ss Z"))
+
+  /** `parse_apache_log!(line, format)` (parse_apache_log.cue): the
+    * three Apache formats with the reference's exact field names and
+    * types. `-` fields are null; common/combined expose the request
+    * line as `message` plus split method/path/protocol; `error` pulls
+    * module/severity/pid/thread and client/port. Null when the line
+    * doesn't match (the caller's raise channel).
+    */
+  def apacheLog(c: Column, format: String): Column = format match {
+    case "common" | "combined" =>
+      val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d+|-) (\\d+|-)" +
+        (if (format == "combined") " \"([^\"]*)\" \"([^\"]*)\"$" else "$")
+      def g(i: Int) = regexp_extract(c, re, i)
+      val msg = dashNull(g(5))
+      val reqRe = "^(\\S+) (\\S+) (\\S+)$"
+      val base = Seq(
+        dashNull(g(1)).as("host"), dashNull(g(2)).as("identity"),
+        dashNull(g(3)).as("user"), clfTs(g(4)).as("timestamp"),
+        msg.as("message"),
+        regexp_extract(msg, reqRe, 1).as("method"),
+        regexp_extract(msg, reqRe, 2).as("path"),
+        regexp_extract(msg, reqRe, 3).as("protocol"),
+        dashNull(g(6)).try_cast("long").as("status"),
+        dashNull(g(7)).try_cast("long").as("size"))
+      val extra =
+        if (format == "combined")
+          Seq(dashNull(g(8)).as("referrer"), dashNull(g(9)).as("agent"))
+        else Nil
+      when(c.rlike(re), struct(base ++ extra: _*))
+    case "error" =>
+      // [ts] [module:severity] [pid N:tid M] [client ip:port] message
+      val re = "^\\[([^\\]]+)\\] \\[(?:([^:\\]]*):)?([^\\]]+)\\] \\[pid (\\d+)(?::tid (\\d+))?\\]" +
+        "(?: \\[client ([^:\\]]+)(?::(\\d+))?\\])? (.*)$"
+      def g(i: Int) = regexp_extract(c, re, i)
+      when(c.rlike(re), struct(
+        clfTs(g(1)).as("timestamp"),
+        dashNull(g(2)).as("module"), dashNull(g(3)).as("severity"),
+        g(4).try_cast("long").as("pid"), dashNull(g(5)).as("thread"),
+        dashNull(g(6)).as("client"), dashNull(g(7)).try_cast("long").as("port"),
+        g(8).as("message")))
+    case other =>
+      throw new IllegalArgumentException(s"parse_apache_log format $other")
+  }
+
+  /** `parse_nginx_log!(line, format)` (parse_nginx_log.cue): combined /
+    * error / main / ingress_upstreaminfo with the reference's field
+    * names and types; null when the line doesn't match.
+    */
+  def nginxLog(c: Column, format: String): Column = format match {
+    case "combined" =>
+      val re = "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d+) (\\d+)" +
+        " \"([^\"]*)\" \"([^\"]*)\"(?: \"([^\"]*)\")?$"
+      def g(i: Int) = regexp_extract(c, re, i)
+      when(c.rlike(re), struct(
+        g(1).as("client"), dashNull(g(2)).as("user"),
+        clfTs(g(3)).as("timestamp"), g(4).as("request"),
+        g(5).try_cast("long").as("status"), g(6).try_cast("long").as("size"),
+        dashNull(g(7)).as("referer"), dashNull(g(8)).as("agent"),
+        dashNull(g(9)).as("compression")))
+    case "error" =>
+      val re = "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] (\\d+)#(\\d+):" +
+        " \\*(\\d+) (.*?)(?:, client: (\\S+), server: (\\S*), request: \"([^\"]*)\"" +
+        "(?:, upstream: \"([^\"]*)\")?(?:, host: \"([^\"]*)\")?" +
+        "(?:, referrer: \"([^\"]*)\")?)?$"
+      def g(i: Int) = regexp_extract(c, re, i)
+      when(c.rlike(re), struct(
+        try_to_timestamp(g(1), lit("yyyy/MM/dd HH:mm:ss")).as("timestamp"),
+        g(2).as("severity"), g(3).try_cast("long").as("pid"),
+        g(4).try_cast("long").as("tid"), g(5).try_cast("long").as("cid"),
+        g(6).as("message"), dashNull(g(7)).as("client"),
+        dashNull(g(8)).as("server"), dashNull(g(9)).as("request"),
+        dashNull(g(10)).as("upstream"), dashNull(g(11)).as("host"),
+        dashNull(g(12)).as("referrer")))
+    case "main" =>
+      val re = "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d+) (\\d+)" +
+        " \"([^\"]*)\" \"([^\"]*)\" \"([^\"]*)\"$"
+      def g(i: Int) = regexp_extract(c, re, i)
+      when(c.rlike(re), struct(
+        g(1).as("remote_addr"), dashNull(g(2)).as("remote_user"),
+        clfTs(g(3)).as("timestamp"), g(4).as("request"),
+        g(5).try_cast("long").as("status"),
+        g(6).try_cast("long").as("body_bytes_size"),
+        dashNull(g(7)).as("http_referer"), dashNull(g(8)).as("http_user_agent"),
+        dashNull(g(9)).as("http_x_forwarded_for")))
+    case "ingress_upstreaminfo" =>
+      val re = "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d+) (\\d+)" +
+        " \"([^\"]*)\" \"([^\"]*)\" (\\d+) ([0-9.]+)" +
+        " \\[([^\\]]*)\\] \\[([^\\]]*)\\] (\\S+) (\\d+) ([0-9.]+) (\\d+) (\\S+)$"
+      def g(i: Int) = regexp_extract(c, re, i)
+      when(c.rlike(re), struct(
+        g(1).as("remote_addr"), dashNull(g(2)).as("remote_user"),
+        clfTs(g(3)).as("timestamp"), g(4).as("request"),
+        g(5).try_cast("long").as("status"),
+        g(6).try_cast("long").as("body_bytes_size"),
+        dashNull(g(7)).as("http_referer"), dashNull(g(8)).as("http_user_agent"),
+        g(9).try_cast("long").as("request_length"),
+        g(10).try_cast("double").as("request_time"),
+        dashNull(g(11)).as("proxy_upstream_name"),
+        dashNull(g(12)).as("proxy_alternative_upstream_name"),
+        dashNull(g(13)).as("upstream_addr"),
+        g(14).try_cast("long").as("upstream_response_length"),
+        g(15).try_cast("double").as("upstream_response_time"),
+        g(16).try_cast("long").as("upstream_status"),
+        dashNull(g(17)).as("req_id")))
+    case other =>
+      throw new IllegalArgumentException(s"parse_nginx_log format $other")
+  }
 }
 
 /** parse_etld support data: a compact, commonly-hit subset of the

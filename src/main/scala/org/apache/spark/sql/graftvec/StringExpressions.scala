@@ -972,37 +972,235 @@ object StringExpressions {
 
   /** VRL unflatten (unflatten.cue): dot-joined keys → nested objects.
     * Later keys win on collision; a scalar/object conflict keeps the
-    * deeper object (the reference's recursive behavior).
+    * deeper object; `recursive` (the default) also unflattens OBJECT
+    * VALUES, so dotted keys inside nested objects expand too.
     */
-  case class JsonUnflatten(child: Expression) extends StrMapper {
+  case class JsonUnflatten(child: Expression, recursive: Boolean = true)
+      extends StrMapper {
     override def prettyName: String = "unflatten"
     override def mapStr(s: String): String = {
-      import com.fasterxml.jackson.databind.ObjectMapper
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
       import com.fasterxml.jackson.databind.node.ObjectNode
       val m = new ObjectMapper()
-      val root = m.readTree(s)
-      val out = m.createObjectNode()
-      if (root.isObject) {
-        val it = root.properties().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val parts = e.getKey.split('.')
-          var cur: ObjectNode = out
-          var i = 0
-          while (i < parts.length - 1) {
-            val nxt = cur.get(parts(i))
-            cur = nxt match {
-              case o: ObjectNode => o
-              case _ => val o = m.createObjectNode(); cur.set(parts(i), o); o
+      def unflat(root: JsonNode): JsonNode =
+        if (!root.isObject) root
+        else {
+          val out = m.createObjectNode()
+          val it = root.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val parts = e.getKey.split('.')
+            var cur: ObjectNode = out
+            var i = 0
+            while (i < parts.length - 1) {
+              val nxt = cur.get(parts(i))
+              cur = nxt match {
+                case o: ObjectNode => o
+                case _ => val o = m.createObjectNode(); cur.set(parts(i), o); o
+              }
+              i += 1
             }
-            i += 1
+            val v = if (recursive) unflat(e.getValue) else e.getValue
+            // a scalar must not clobber an object a dotted sibling
+            // built ("a":3 then "a.b":2 — the object wins)
+            val existing = cur.get(parts.last)
+            if (existing == null || !existing.isObject || v.isObject) {
+              cur.set(parts.last, v); ()
+            }
           }
-          cur.set(parts.last, e.getValue); ()
+          out
         }
-      }
-      m.writeValueAsString(out)
+      m.writeValueAsString(unflat(m.readTree(s)))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** VRL set/remove at a literal path over a JSON value (set.cue /
+    * remove.cue): returns the REBUILT value. Negative indexes count
+    * from the end; `set` pads an array with nulls up to a positive
+    * index; `remove` with `compact` drops containers the removal
+    * emptied. Null on a path that cannot apply (e.g. index into a
+    * scalar) — the caller's raise channel.
+    */
+  case class JsonPathSet(left: Expression, right: Expression,
+                         path: Seq[Either[String, Int]])
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "json_path_set"
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+      import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+      val m = new ObjectMapper()
+      def set(n: JsonNode, segs: List[Either[String, Int]], v: JsonNode): JsonNode =
+        segs match {
+          case Nil => v
+          case Left(k) :: rest =>
+            val base = n match {
+              case o: ObjectNode => o.deepCopy[ObjectNode]()
+              case _ => m.createObjectNode()
+            }
+            base.set(k, set(Option(base.get(k)).getOrElse(m.nullNode()), rest, v))
+            base
+          case Right(i0) :: rest =>
+            val base = n match {
+              case a: ArrayNode => a.deepCopy[ArrayNode]()
+              case _ => m.createArrayNode()
+            }
+            val i = if (i0 < 0) base.size() + i0 else i0
+            if (i < 0) throw new IllegalArgumentException("index out of range")
+            while (base.size() <= i) base.addNull()
+            base.set(i, set(base.get(i), rest, v))
+            base
+        }
+      try UTF8String.fromString(m.writeValueAsString(set(
+        m.readTree(l.asInstanceOf[UTF8String].toString),
+        path.toList,
+        m.readTree(r.asInstanceOf[UTF8String].toString))))
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class JsonPathRemove(child: Expression, path: Seq[Either[String, Int]],
+                            compact: Boolean) extends StrMapper {
+    override def prettyName: String = "json_path_remove"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+      import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+      val m = new ObjectMapper()
+      def rm(n: JsonNode, segs: List[Either[String, Int]]): JsonNode = segs match {
+        case Nil => n
+        case Left(k) :: Nil =>
+          n match {
+            case o: ObjectNode => val c = o.deepCopy[ObjectNode](); c.remove(k); c
+            case other => other
+          }
+        case Right(i0) :: Nil =>
+          n match {
+            case a: ArrayNode =>
+              val c = a.deepCopy[ArrayNode]()
+              val i = if (i0 < 0) c.size() + i0 else i0
+              if (i >= 0 && i < c.size()) c.remove(i)
+              c
+            case other => other
+          }
+        case Left(k) :: rest =>
+          n match {
+            case o: ObjectNode =>
+              val c = o.deepCopy[ObjectNode]()
+              Option(c.get(k)).foreach { ch =>
+                val r = rm(ch, rest)
+                if (compact && (r.isObject || r.isArray) && r.size() == 0) c.remove(k)
+                else c.set(k, r)
+              }
+              c
+            case other => other
+          }
+        case Right(i0) :: rest =>
+          n match {
+            case a: ArrayNode =>
+              val c = a.deepCopy[ArrayNode]()
+              val i = if (i0 < 0) c.size() + i0 else i0
+              if (i >= 0 && i < c.size()) {
+                val r = rm(c.get(i), rest)
+                if (compact && (r.isObject || r.isArray) && r.size() == 0) c.remove(i)
+                else c.set(i, r)
+              }
+              c
+            case other => other
+          }
+      }
+      m.writeValueAsString(rm(m.readTree(s), path.toList))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** VRL zip (zip.cue): two JSON arrays → pairwise tuples truncated to
+    * the shorter; one array-of-arrays → transpose (truncated to the
+    * shortest row). Type-preserving (works over mixed element types).
+    */
+  case class JsonZip(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_zip"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val l = left.eval(input)
+      if (l == null) return null
+      val r = right.eval(input) // null right = transpose mode
+      import com.fasterxml.jackson.databind.ObjectMapper
+      import com.fasterxml.jackson.databind.node.ArrayNode
+      val m = new ObjectMapper()
+      try {
+        val ln = m.readTree(l.asInstanceOf[UTF8String].toString)
+        val rows: Seq[ArrayNode] =
+          if (r != null) Seq(ln, m.readTree(r.asInstanceOf[UTF8String].toString))
+            .map(_.asInstanceOf[ArrayNode])
+          else (0 until ln.size()).map(ln.get(_).asInstanceOf[ArrayNode])
+        val n = if (rows.isEmpty) 0 else rows.map(_.size()).min
+        val out = m.createArrayNode()
+        (0 until n).foreach { i =>
+          val tup = m.createArrayNode()
+          rows.foreach(row => tup.add(row.get(i)))
+          out.add(tup)
+        }
+        UTF8String.fromString(m.writeValueAsString(out))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      throw new IllegalStateException("eval overridden")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** VRL object_from_array (object_from_array.cue): a JSON array of
+    * [key, value] pairs — or a values array + separate keys array —
+    * to an object; null keys drop the entry.
+    */
+  case class JsonObjectFromArray(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_object_from_array"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val l = left.eval(input)
+      if (l == null) return null
+      val r = right.eval(input) // null right = pairs mode
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      try {
+        val values = m.readTree(l.asInstanceOf[UTF8String].toString)
+        val out = m.createObjectNode()
+        if (r == null) {
+          (0 until values.size()).foreach { i =>
+            val pair = values.get(i)
+            val k = pair.get(0)
+            if (!k.isNull) { out.set(k.asText(), pair.get(1)); () }
+          }
+        } else {
+          val keys = m.readTree(r.asInstanceOf[UTF8String].toString)
+          val n = math.min(values.size(), keys.size())
+          (0 until n).foreach { i =>
+            val k = keys.get(i)
+            if (!k.isNull) { out.set(k.asText(), values.get(i)); () }
+          }
+        }
+        UTF8String.fromString(m.writeValueAsString(out))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      throw new IllegalStateException("eval overridden")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
   }
 
   // ---------------------------------------------------------- wrappers
@@ -1027,8 +1225,18 @@ object StringExpressions {
     col(CommunityId(IndexedSeq(expr(saddr), expr(daddr), expr(sport),
       expr(dport), expr(proto)), seed, portsProvided))
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
+  def jsonPathSet(base: Column, data: Column,
+                  path: Seq[Either[String, Int]]): Column =
+    col(JsonPathSet(expr(base), expr(data), path))
+  def jsonPathRemove(base: Column, path: Seq[Either[String, Int]],
+                     compact: Boolean): Column =
+    col(JsonPathRemove(expr(base), path, compact))
+  def jsonZip(l: Column, r: Column): Column = col(JsonZip(expr(l), expr(r)))
+  def jsonObjectFromArray(values: Column, keys: Column): Column =
+    col(JsonObjectFromArray(expr(values), expr(keys)))
   def flattenObject(c: Column): Column = col(JsonFlatten(expr(c)))
-  def unflattenObject(c: Column): Column = col(JsonUnflatten(expr(c)))
+  def unflattenObject(c: Column, recursive: Boolean = true): Column =
+    col(JsonUnflatten(expr(c), recursive))
   def compactJson(c: Column): Column = col(JsonCompact(expr(c)))
   def mergeDeepJson(l: Column, r: Column): Column =
     col(JsonMergeDeep(expr(l), expr(r)))
