@@ -807,16 +807,80 @@ object VrlFunctions {
           case _ => out(CV(length(asStr(v)).cast("bigint"), VInt))
         }
       case "redact" =>
-        val v = asStr(a(0, "value"))
+        // redact.cue: filters are regexes or NAMED patterns; `redactor`
+        // picks the replacement — fixed text (default "[REDACTED]"),
+        // or a per-match hash (sha2/sha3, base64/base16). Object values
+        // redact every nested string field.
         val filters = a.raw(1, "filters") match {
           case ArrLit(items) => items.map {
             case LitRegex(p) => p
+            case LitS("us_social_security_number") => "\\d{3}-\\d{2}-\\d{4}"
             case LitS(s) => java.util.regex.Pattern.quote(s)
             case _ => throw VrlUnsupported("redact filter")
           }
           case _ => throw VrlUnsupported("redact without literal filters array")
         }
-        out(CV(filters.foldLeft(v)((c, p) => regexp_replace(c, lit(p), lit("[REDACTED]"))), VStr))
+        // per-match replacement function from the redactor spec
+        val redactor: Column => Column = a.rawOpt(2, "redactor") match {
+          case None => _ => lit("[REDACTED]")
+          case Some(LitS(typ)) => typ match {
+            case "full" => _ => lit("[REDACTED]")
+            case "sha2" => m => base64(unhex(VrlKernels.sha512_256(m)))
+            case "sha3" => m => base64(unhex(graft.functions.Vrl.sha3(m, "SHA3-512")))
+            case other => throw VrlUnsupported(s"redactor $other")
+          }
+          case Some(ObjLit(fs)) =>
+            val o = fs.toMap
+            def litOf(k: String): Option[String] = o.get(k).collect { case LitS(s) => s }
+            litOf("type").getOrElse(throw VrlUnsupported("redactor without type")) match {
+              case "text" =>
+                val rep = litOf("replacement").getOrElse("[REDACTED]")
+                _ => lit(rep)
+              case t @ ("sha2" | "sha3") =>
+                val variant = litOf("variant").getOrElse(
+                  if (t == "sha2") "SHA-512/256" else "SHA3-512")
+                val enc: Column => Column = litOf("encoding").getOrElse("base64") match {
+                  case "base64" => h => base64(unhex(h))
+                  case "base16" => h => lower(h)
+                  case other => throw VrlUnsupported(s"redactor encoding $other")
+                }
+                val hash: Column => Column = variant match {
+                  case "SHA-224" => m => sha2(m.cast("binary"), 224)
+                  case "SHA-256" => m => sha2(m.cast("binary"), 256)
+                  case "SHA-384" => m => sha2(m.cast("binary"), 384)
+                  case "SHA-512" => m => sha2(m.cast("binary"), 512)
+                  case "SHA-512/224" => VrlKernels.sha512_224(_)
+                  case "SHA-512/256" => VrlKernels.sha512_256(_)
+                  case v3 if v3.startsWith("SHA3") => m => graft.functions.Vrl.sha3(m, v3)
+                  case other => throw VrlUnsupported(s"redactor variant $other")
+                }
+                m => enc(hash(m))
+              case other => throw VrlUnsupported(s"redactor type $other")
+            }
+          case Some(other) => throw VrlUnsupported(s"redactor spec $other")
+        }
+        // piecewise rebuild so each MATCH flows through the redactor
+        // (regexp_replace can only splice fixed text)
+        def redactStr(v0: Column): Column = filters.foldLeft(v0) { (v, pat) =>
+          val whole = regexp_extract_all(v, lit(pat), lit(0))
+          val pieces = split(v, pat, -1)
+          when(v.isNull, v).when(size(whole) === 0, v).otherwise(
+            concat(element_at(pieces, 1),
+              array_join(transform(sequence(lit(0), size(whole) - 1), i =>
+                concat(redactor(element_at(whole, i + 1)),
+                  coalesce(element_at(pieces, i + 2), lit("")))), "")))
+        }
+        def redactCv(cv: CV): CV = cv.t match {
+          case VStr => CV(redactStr(cv.col), VStr)
+          case VObj(fts) =>
+            buildObj(ListMap(fts.toSeq.map { case (k, t) =>
+              k -> redactCv(CV(cv.col.getField(k), t)) }: _*))
+          case VArrOf(VStr) => CV(transform(cv.col, redactStr(_)), VArrOf(VStr))
+          case VMap => CV(map_from_arrays(map_keys(cv.col),
+            transform(map_values(cv.col), redactStr(_))), VMap)
+          case _ => cv
+        }
+        out(redactCv(a(0, "value").cv))
       case "format_number" =>
         val v = a(0, "value").cv.col.cast("double")
         val scale = a.litInt(1, "scale").map(_.toInt).getOrElse(2)
@@ -920,28 +984,16 @@ object VrlFunctions {
         val r = graft.functions.Vrl.parseDuration(v, unit)
         out(CV(r, VFloat), Some(v.isNotNull && r.isNull), "unable to parse duration")
       case "parse_key_value" =>
-        // reference parse_key_value trims whitespace around pairs,
-        // skips empty segments (leading/trailing delimiters, runs of
-        // them), and strips surrounding double quotes from values
-        // (parse_key_value.cue examples); a raw str_to_map would throw
-        // DUPLICATED_MAP_KEY on the "" keys the empty segments produce.
-        // Values containing a QUOTED field delimiter are not honored
-        // (the split runs first) — that needs a real tokenizer.
+        // full reference semantics via a real tokenizer
+        // (StringExpressions.KeyValueToJson): quoted keys/values may
+        // contain the delimiters, whitespace around separators trims,
+        // standalone keys → true, duplicate keys → array
         val v = asStr(a(0, "value"))
         val kvSep = a.litStr(1, "key_value_delimiter").getOrElse("=")
         val fieldSep = a.litStr(2, "field_delimiter").getOrElse(" ")
-        val toks = transform(
-          split(v, java.util.regex.Pattern.quote(fieldSep)),
-          p => regexp_replace(p, "^\\s+|\\s+$", ""))
-        val kept = filter(toks, p => length(p) > 0)
-        val m = str_to_map(
-          array_join(kept, fieldSep),
-          lit(java.util.regex.Pattern.quote(fieldSep)),
-          lit(java.util.regex.Pattern.quote(kvSep)))
-        val unquoted = transform_values(m, (_, x) =>
-          when(length(x) >= 2 && x.startsWith("\"") && x.endsWith("\""),
-            substring(x, lit(2), length(x) - 2)).otherwise(x))
-        out(CV(unquoted, VMap))
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .keyValueToJson(v, kvSep, fieldSep))
+        out(CV(r, VAny), Some(v.isNotNull && r.isNull), "unable to parse key/value")
       case "parse_tokens" =>
         val v = asStr(a(0, "value"))
         val toks = regexp_extract_all(v, lit("""\"[^\"]*\"|\[[^\]]*\]|\S+"""), lit(0))
@@ -995,7 +1047,8 @@ object VrlFunctions {
           case "parse_common_log" => VrlParsers.commonLog(v, a.litStr(1, "timestamp_format"))
           case "parse_glog" => VrlParsers.glog(v)
           case "parse_syslog" => VrlParsers.syslog(v)
-          case _ => VrlParsers.url(v)
+          case _ => VrlParsers.url(v,
+            a.litBool(1, "default_known_ports").getOrElse(false))
         }
         XV(x.cv, (prop ++ x.raise).reduceOption(_ || _), x.msg)
 
@@ -1131,10 +1184,15 @@ object VrlFunctions {
         out(CV(col, VBool))
       case "uuid_v4" => out(CV(expr("uuid()"), VStr))
       case "uuid_v7" =>
-        val h = md5(expr("uuid()").cast("binary"))
-        out(CV(concat(
-          h.substr(1, 8), lit("-"), h.substr(9, 4), lit("-7"),
-          h.substr(14, 3), lit("-"), h.substr(17, 4), lit("-"), h.substr(21, 12)), VStr))
+        // uuid_v7.cue: RFC 9562 layout — 48-bit unix-ms from the
+        // timestamp argument (default now()), version 7, variant 10;
+        // random bits from per-row entropy
+        val ts = a.opt(0, "timestamp").map(_.cv.col.cast("timestamp"))
+          .getOrElse(current_timestamp())
+        val h = expr("uuid()")
+        val entropyA = conv(substring(md5(h.cast("binary")), 1, 15), 16, 10).cast("long")
+        val entropyB = conv(substring(sha1(h.cast("binary")), 1, 15), 16, 10).cast("long")
+        out(CV(graft.functions.Vrl.uuidV7(ts, entropyA, entropyB), VStr))
       case "to_syslog_facility" =>
         val code = a(0, "value").cv.col.cast("int")
         val names = Seq("kern", "user", "mail", "daemon", "auth", "syslog", "lpr",
@@ -1412,10 +1470,12 @@ object VrlFunctions {
           out(CV(r, VStr), Some(r.isNull), "unable to decrypt")
         }
       case "encrypt_ip" =>
-        val r = graft.functions.Vrl.encryptIp(asStr(a(0, "ip")), asStr(a(1, "key")))
+        val mode = a.litStr(2, "mode", "algorithm").getOrElse("aes128")
+        val r = graft.functions.Vrl.encryptIp(asStr(a(0, "ip")), asStr(a(1, "key")), mode)
         out(CV(r, VStr), Some(r.isNull), "invalid ip or key")
       case "decrypt_ip" =>
-        val r = graft.functions.Vrl.decryptIp(asStr(a(0, "ip")), asStr(a(1, "key")))
+        val mode = a.litStr(2, "mode", "algorithm").getOrElse("aes128")
+        val r = graft.functions.Vrl.decryptIp(asStr(a(0, "ip")), asStr(a(1, "key")), mode)
         out(CV(r, VStr), Some(r.isNull), "invalid ip or key")
 
       // --- random (seeded: a distributed plan wants per-row
@@ -1785,10 +1845,18 @@ object VrlFunctions {
             regexp_replace(expr_substr(p), "\"\"", "\"")).otherwise(p))
         out(CV(unq, VArrOf(VStr)), Some(v.isNull), "expected string")
       case "parse_logfmt" =>
+        // parse_logfmt = parse_key_value with the logfmt defaults
+        // (parse_logfmt.cue) — same tokenizer, same quote handling
         val v = asStr(a(0, "value"))
-        out(CV(str_to_map(v, lit(" "), lit("=")), VMap))
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .keyValueToJson(v, "=", " "))
+        out(CV(r, VAny), Some(v.isNotNull && r.isNull), "unable to parse logfmt")
       case "parse_query_string" =>
-        out(CV(graft.functions.Vrl.parseQueryString(asStr(a(0, "value"))), VMap))
+        // parse_query_string.cue: repeated keys collect into an ARRAY;
+        // bracket/percent escapes in KEYS decode ("foo%5B%5D" → "foo[]")
+        val r = try_parse_json(graft.functions.Vrl.parseQueryStringJson(
+          asStr(a(0, "value"))))
+        out(CV(r, VAny), Some(r.isNull), "unable to parse query string")
       case "parse_int" =>
         val v = asStr(a(0, "value"))
         val r = a.litInt(1, "base") match {
@@ -1925,19 +1993,46 @@ object VrlFunctions {
           out(CV(enc, VBytes), Some(structCol.isNull), "unable to encode proto")
         }
       case "encode_logfmt" | "encode_key_value" =>
+        // encode_key_value.cue: nested objects flatten to dotted keys;
+        // `fields_ordering` lists keys first (remaining keys sorted
+        // after); `flatten_boolean` renders true as a bare key and
+        // drops false; space-bearing values quote
         val v = a(0, "value")
         val kvSep = a.litStr(2, "key_value_delimiter").getOrElse("=")
         val fieldSep = a.litStr(3, "field_delimiter").getOrElse(" ")
-        v.cv.t match {
-          case VObj(fs) =>
-            // encode_logfmt.cue: keys in lexicographic order
-            val pairs = fs.keys.toSeq.sorted.map { k =>
-              k -> v.cv.col.getField(k).cast("string")
+        val flattenBool = a.litBool(4, "flatten_boolean").getOrElse(false)
+        val ordering: Seq[String] = a.rawOpt(1, "fields_ordering") match {
+          case Some(ArrLit(items)) => items.map {
+            case LitS(s) => s
+            case _ => throw VrlUnsupported("fields_ordering must be string literals")
+          }
+          case Some(_) => throw VrlUnsupported("fields_ordering must be an array literal")
+          case None => Nil
+        }
+        def flat(prefix: String, cv: CV): Seq[(String, CV)] = cv.t match {
+          case VObj(fts) => fts.toSeq.flatMap { case (k, t) =>
+            flat(if (prefix.isEmpty) k else s"$prefix.$k",
+              CV(cv.col.getField(k), t))
+          }
+          case _ => Seq(prefix -> cv)
+        }
+        def render(pairs: Seq[(String, CV)]): Column = {
+          val (listed, rest) = pairs.partition(p => ordering.contains(p._1))
+          val sortedPairs =
+            listed.sortBy(p => ordering.indexOf(p._1)) ++ rest.sortBy(_._1)
+          concat_ws(fieldSep, sortedPairs.map { case (k, cv) =>
+            val c = cv.col.cast("string")
+            val quoted = when(c.contains(" ") || c.contains(fieldSep) ||
+              c.contains(kvSep), concat(lit("\""), c, lit("\""))).otherwise(c)
+            cv.t match {
+              case VBool if flattenBool =>
+                when(cv.col === true, lit(k)) // false/null: omitted
+              case _ => when(c.isNotNull, concat(lit(k + kvSep), quoted))
             }
-            out(CV(concat_ws(fieldSep, pairs.map { case (k, c) =>
-              val quoted = when(c.contains(" "), concat(lit("\""), c, lit("\""))).otherwise(c)
-              concat(lit(k + kvSep), quoted)
-            }: _*), VStr))
+          }: _*)
+        }
+        v.cv.t match {
+          case VObj(_) => out(CV(render(flat("", v.cv)), VStr))
           case VMap =>
             val entries = sort_array(map_entries(v.cv.col))
             out(CV(array_join(transform(entries, e => {

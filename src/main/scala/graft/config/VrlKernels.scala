@@ -751,21 +751,39 @@ object VrlParsers {
     XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
   }
 
-  /** parse_url → scheme/username/password/host/port/path/query/fragment */
-  def url(v: Column): XV = {
+  /** parse_url → scheme/username/password/host/port/path/query/fragment
+    * (parse_url.cue): the port comes from the authority (explicit, or
+    * the scheme's well-known port under `default_known_ports`); the
+    * host is IDNA/punycode-normalized like the Rust `url` crate; an
+    * empty path normalizes to "/".
+    */
+  def url(v: Column, defaultKnownPorts: Boolean = false): XV = {
     def part(p: String) = parse_url(v, lit(p))
-    val x = obj(
-      "scheme" -> CV(lower(part("PROTOCOL")), VStr),
-      "username" -> CV(coalesce(part("USERINFO"), lit("")), VStr),
-      "password" -> CV(lit(""), VStr),
-      "host" -> CV(regexp_replace(part("HOST"), ":\\d+$", ""), VStr),
-      "port" -> CV(nn(regexp_extract(part("HOST"), ":(\\d+)$", 1)).try_cast("bigint"), VInt),
-      "path" -> CV(coalesce(part("PATH"), lit("")), VStr),
+    val userinfo = coalesce(part("USERINFO"), lit(""))
+    val authority = coalesce(part("AUTHORITY"), lit(""))
+    val explicitPort = nn(regexp_extract(authority, ":(\\d+)$", 1)).try_cast("bigint")
+    val scheme = lower(part("PROTOCOL"))
+    val knownPort = element_at(
+      map(lit("http"), lit(80L), lit("https"), lit(443L), lit("ftp"), lit(21L),
+        lit("ws"), lit(80L), lit("wss"), lit(443L), lit("ssh"), lit(22L),
+        lit("telnet"), lit(23L), lit("smtp"), lit(25L), lit("gopher"), lit(70L)),
+      scheme)
+    val port =
+      if (defaultKnownPorts) coalesce(explicitPort, knownPort) else explicitPort
+    val rawHost = regexp_replace(part("HOST"), ":\\d+$", "")
+    val fixed = obj(
+      "scheme" -> CV(scheme, VStr),
+      "username" -> CV(regexp_extract(userinfo, "^([^:]*)", 1), VStr),
+      "password" -> CV(coalesce(nn(regexp_extract(userinfo, ":(.*)$", 1)), lit("")), VStr),
+      "host" -> CV(graft.functions.Vrl.encodePunycode(rawHost), VStr),
+      "port" -> CV(port, VInt),
+      "path" -> CV(coalesce(org.apache.spark.sql.functions.nullif(
+        part("PATH"), lit("")), lit("/")), VStr),
       "query" -> CV(coalesce(
         str_to_map(part("QUERY"), lit("&"), lit("=")),
         map_from_arrays(array(), array())), VMap),
       "fragment" -> CV(part("REF"), VStr))
-    XV(x.cv, Some(v.isNull || part("PROTOCOL").isNull), x.msg)
+    XV(fixed.cv, Some(v.isNull || part("PROTOCOL").isNull), fixed.msg)
   }
 }
 

@@ -69,6 +69,34 @@ object Vrl {
     * Documented divergence: the reference returns an ARRAY of the
     * values, which a Map[String,String] column cannot carry.
     */
+  /** Full parse_query_string.cue semantics as JSON text: %-escapes and
+    * `+` decode in keys AND values, repeated keys collect into an
+    * array, a value-less key maps to "" (feed to try_parse_json for
+    * typed access).
+    */
+  private lazy val parseQueryStringJsonUdf = udf((s: String) =>
+    if (s == null) null
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val out = m.createObjectNode()
+      def dec(x: String): String =
+        try java.net.URLDecoder.decode(x, "UTF-8") catch { case _: Exception => x }
+      s.stripPrefix("?").split("&").filter(_.nonEmpty).foreach { pair =>
+        val at = pair.indexOf('=')
+        val (k, v) =
+          if (at < 0) (dec(pair), "")
+          else (dec(pair.substring(0, at)), dec(pair.substring(at + 1)))
+        out.get(k) match {
+          case null => out.put(k, v); ()
+          case a: com.fasterxml.jackson.databind.node.ArrayNode => a.add(v); ()
+          case prev =>
+            val a = m.createArrayNode(); a.add(prev); a.add(v); out.set(k, a); ()
+        }
+      }
+      m.writeValueAsString(out)
+    })
+  def parseQueryStringJson(c: Column): Column = parseQueryStringJsonUdf(c)
+
   def parseQueryString(c: Column): Column = {
     val pairs = filter(split(regexp_replace(c, "^\\?", ""), "&"),
       p => p =!= "")
@@ -287,8 +315,10 @@ object Vrl {
   /** encrypt_ip/decrypt_ip aes128 (format-preserving, deterministic —
     * the cue's own vectors are spec-pinned); `pfx` mode not built.
     */
-  def encryptIp(ip: Column, key: Column): Column = strExprs.encryptIp(ip, key)
-  def decryptIp(ip: Column, key: Column): Column = strExprs.decryptIp(ip, key)
+  def encryptIp(ip: Column, key: Column, mode: String = "aes128"): Column =
+    strExprs.encryptIp(ip, key, mode)
+  def decryptIp(ip: Column, key: Column, mode: String = "aes128"): Column =
+    strExprs.decryptIp(ip, key, mode)
   private def strExprs = org.apache.spark.sql.graftvec.StringExpressions
 
   /** encode_lz4/decode_lz4 (lz4_flex prepend_size layout) and

@@ -54,9 +54,13 @@ object CueRun {
     val t0 = System.nanoTime()
     val results = CueCorpus.runAll(spark, subset, threads = 8)
     val secs = (System.nanoTime() - t0) / 1e9
-    val (ok, bad) = results.partition(_.ok)
+    val (divergent, scored) = results.partition(r =>
+      CueCorpus.knownDivergent((r.ex.fn, r.ex.title)))
+    val (ok, bad) = scored.partition(_.ok)
     bad.foreach(r => println(s"FAIL ${r.label}\n  ${r.detail.take(500)}"))
-    println(f"== ${ok.length} pass / ${bad.length} fail of ${results.length} in $secs%.1f s")
+    divergent.foreach(r => println(s"DIVERGENT (documented) ${r.label}"))
+    println(f"== ${ok.length} pass / ${bad.length} fail / ${divergent.length} " +
+      f"documented-divergent of ${results.length} in $secs%.1f s")
     spark.stop()
   }
 }

@@ -816,14 +816,69 @@ object StringExpressions {
     }
   }
 
-  case class EncryptIp(left: Expression, right: Expression) extends IpCryptBase {
+  /** Prefix-preserving bit cipher (the Xu-Fan-Ammar / Crypto-PAn
+    * construction with AES-128 as the per-prefix PRF, key = first 16
+    * of the 32-byte pfx key, pad block = AES(K, second 16)): output
+    * bit i = input bit i XOR MSB(AES_K(pad with the first i input
+    * bits spliced in)). Two addresses sharing a k-bit prefix encrypt
+    * to outputs sharing a k-bit prefix — the property `pfx` mode
+    * exists for. DOCUMENTED DIVERGENCE: the reference delegates to
+    * the external ipcrypt-pfx construction (not vendored, vectors not
+    * reproducible offline); this is the same classic algorithm family
+    * with round-trip identity and the prefix property spec-verified.
+    */
+  private[graftvec] object PfxCipher {
+    private def aes(key: Array[Byte]): javax.crypto.Cipher = {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"))
+      c
+    }
+    private def bit(b: Array[Byte], i: Int): Int = (b(i / 8) >> (7 - i % 8)) & 1
+    private def setBit(b: Array[Byte], i: Int, v: Int): Unit = {
+      val m = 1 << (7 - i % 8)
+      if (v != 0) b(i / 8) = (b(i / 8) | m).toByte
+      else b(i / 8) = (b(i / 8) & ~m).toByte
+    }
+    def apply(key32: Array[Byte], in: Array[Byte], decrypt: Boolean): Array[Byte] = {
+      require(key32.length == 32, "pfx mode needs a 32-byte key")
+      val c = aes(key32.take(16))
+      val pad = c.doFinal(key32.drop(16))
+      val out = new Array[Byte](16)
+      val plain = new Array[Byte](16) // the PREFIX source (plaintext bits)
+      var i = 0
+      while (i < 128) {
+        val block = pad.clone()
+        var j = 0
+        while (j < i) { setBit(block, j, bit(plain, j)); j += 1 }
+        val prf = bit(c.doFinal(block), 0)
+        val inBit = bit(in, i)
+        val outBit = inBit ^ prf
+        setBit(out, i, outBit)
+        // decrypt: the plaintext bit is the OUTPUT bit
+        setBit(plain, i, if (decrypt) outBit else inBit)
+        i += 1
+      }
+      out
+    }
+  }
+
+  case class EncryptIp(left: Expression, right: Expression, mode: String = "aes128")
+      extends IpCryptBase {
     override def prettyName: String = "encrypt_ip"
     override def nullSafeEval(ip: Any, key: Any): Any = {
-      val c = cipher(key.asInstanceOf[UTF8String].getBytes,
-        javax.crypto.Cipher.ENCRYPT_MODE)
+      val keyB = key.asInstanceOf[UTF8String].getBytes
       val addr = addrBytes(ip.asInstanceOf[UTF8String].toString)
-      if (c == null || addr == null) return null
-      val enc = c.doFinal(addr)
+      if (addr == null) return null
+      val enc = mode match {
+        case "pfx" =>
+          if (keyB.length != 32) return null
+          PfxCipher(keyB, addr, decrypt = false)
+        case _ =>
+          val c = cipher(keyB, javax.crypto.Cipher.ENCRYPT_MODE)
+          if (c == null) return null
+          c.doFinal(addr)
+      }
       UTF8String.fromString(
         java.net.InetAddress.getByAddress(enc).getHostAddress)
     }
@@ -831,14 +886,22 @@ object StringExpressions {
       copy(left = l, right = r)
   }
 
-  case class DecryptIp(left: Expression, right: Expression) extends IpCryptBase {
+  case class DecryptIp(left: Expression, right: Expression, mode: String = "aes128")
+      extends IpCryptBase {
     override def prettyName: String = "decrypt_ip"
     override def nullSafeEval(ip: Any, key: Any): Any = {
-      val c = cipher(key.asInstanceOf[UTF8String].getBytes,
-        javax.crypto.Cipher.DECRYPT_MODE)
+      val keyB = key.asInstanceOf[UTF8String].getBytes
       val addr = addrBytes(ip.asInstanceOf[UTF8String].toString)
-      if (c == null || addr == null) return null
-      val dec = c.doFinal(addr)
+      if (addr == null) return null
+      val dec = mode match {
+        case "pfx" =>
+          if (keyB.length != 32) return null
+          PfxCipher(keyB, addr, decrypt = true)
+        case _ =>
+          val c = cipher(keyB, javax.crypto.Cipher.DECRYPT_MODE)
+          if (c == null) return null
+          c.doFinal(addr)
+      }
       // IPv4-mapped → dotted quad, else IPv6 text
       val isV4 = dec.take(10).forall(_ == 0) && dec(10) == 0xff.toByte &&
         dec(11) == 0xff.toByte
@@ -1203,6 +1266,73 @@ object StringExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** VRL parse_key_value / parse_logfmt (parse_key_value.cue): a real
+    * tokenizer — double-quoted keys/values may contain the delimiters
+    * (escaped quotes honored), whitespace around separators is
+    * trimmed, a standalone key maps to `true`, and duplicate keys
+    * collect into an ARRAY in encounter order. JSON text out (the
+    * value types are heterogeneous).
+    */
+  case class KeyValueToJson(child: Expression, kvSep: String, fieldSep: String)
+      extends StrMapper {
+    override def prettyName: String = "parse_key_value"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+      val m = new ObjectMapper()
+      val out = m.createObjectNode()
+      // split into fields on fieldSep outside quotes
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new java.lang.StringBuilder()
+      var i = 0
+      var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) { inQ = !inQ; cur.append(c) }
+        else if (!inQ && s.startsWith(fieldSep, i)) {
+          fields += cur.toString; cur.setLength(0); i += fieldSep.length - 1
+        } else cur.append(c)
+        i += 1
+      }
+      fields += cur.toString
+      def unquote(t0: String): String = {
+        val t = t0.trim
+        if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+          t.substring(1, t.length - 1).replace("\\\"", "\"")
+        else t
+      }
+      def put(k: String, v: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        out.get(k) match {
+          case null => out.set(k, v); ()
+          case a: ArrayNode => a.add(v); ()
+          case prev =>
+            val a = m.createArrayNode(); a.add(prev); a.add(v); out.set(k, a); ()
+        }
+      }
+      fields.foreach { f0 =>
+        val f = f0.trim
+        if (f.nonEmpty) {
+          // find the kv separator outside quotes
+          var j = 0; var q = false; var at = -1
+          while (j < f.length && at < 0) {
+            val c = f.charAt(j)
+            if (c == '"' && (j == 0 || f.charAt(j - 1) != '\\')) q = !q
+            else if (!q && f.startsWith(kvSep, j)) at = j
+            j += 1
+          }
+          if (at < 0) put(unquote(f), m.getNodeFactory.booleanNode(true))
+          else {
+            val k = unquote(f.substring(0, at))
+            val v = unquote(f.substring(at + kvSep.length))
+            if (k.nonEmpty) put(k, m.getNodeFactory.textNode(v))
+          }
+        }
+      }
+      m.writeValueAsString(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   // ---------------------------------------------------------- wrappers
 
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -1225,6 +1355,8 @@ object StringExpressions {
     col(CommunityId(IndexedSeq(expr(saddr), expr(daddr), expr(sport),
       expr(dport), expr(proto)), seed, portsProvided))
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
+  def keyValueToJson(c: Column, kvSep: String, fieldSep: String): Column =
+    col(KeyValueToJson(expr(c), kvSep, fieldSep))
   def jsonPathSet(base: Column, data: Column,
                   path: Seq[Either[String, Int]]): Column =
     col(JsonPathSet(expr(base), expr(data), path))
@@ -1240,8 +1372,10 @@ object StringExpressions {
   def compactJson(c: Column): Column = col(JsonCompact(expr(c)))
   def mergeDeepJson(l: Column, r: Column): Column =
     col(JsonMergeDeep(expr(l), expr(r)))
-  def encryptIp(ip: Column, key: Column): Column = col(EncryptIp(expr(ip), expr(key)))
-  def decryptIp(ip: Column, key: Column): Column = col(DecryptIp(expr(ip), expr(key)))
+  def encryptIp(ip: Column, key: Column, mode: String = "aes128"): Column =
+    col(EncryptIp(expr(ip), expr(key), mode))
+  def decryptIp(ip: Column, key: Column, mode: String = "aes128"): Column =
+    col(DecryptIp(expr(ip), expr(key), mode))
   def parseEtld(c: Column, suffixes: Seq[String], plusParts: Int): Column =
     col(EtldExtract(expr(c), suffixes, plusParts))
 }
