@@ -41,6 +41,8 @@ object CueCorpus {
   final case class Ret(v: JsonNode) extends Expect
   /** `output: log:` — the resulting event. */
   final case class OutLog(v: JsonNode) extends Expect
+  /** `output: [{log: …}, …]` — a fan-out (unnest.cue). */
+  final case class OutMany(v: Seq[JsonNode]) extends Expect
   /** `raises: runtime|compiletime:` — the exact diagnostic text. */
   final case class Raises(kind: String, msg: String) extends Expect
 
@@ -79,6 +81,11 @@ object CueCorpus {
           val r = e.get("raises")
           val k = r.fieldNames().next()
           Raises(k, r.get(k).asText())
+        } else if (e.has("output") && e.get("output").isArray) {
+          val b = mutable.ArrayBuffer.empty[JsonNode]
+          e.get("output").elements().forEachRemaining(o =>
+            b += Option(o.get("log")).getOrElse(o))
+          OutMany(b.toSeq)
         } else if (e.has("output") && e.get("output").has("log"))
           OutLog(e.get("output").get("log"))
         else if (e.has("return")) Ret(e.get("return"))
@@ -406,6 +413,17 @@ object CueCorpus {
           case None => ()
         }
         diff(expected, act, yearless = yearlessFns(ex.fn)).map(d => Result(ex, ok = false, d))
+          .getOrElse(Result(ex, ok = true, ""))
+
+      case OutMany(expected) =>
+        val (out, dropped) = evalSrc(ex.source)
+        if (out.length != expected.length)
+          return Result(ex, ok = false,
+            s"event count ${out.length} != expected ${expected.length} (dropped: ${dropped.mkString})")
+        val acts = parsed(out)
+        expected.zip(acts).flatMap { case (e2, a2) =>
+          diff(e2, a2, yearless = yearlessFns(ex.fn))
+        }.headOption.map(d => Result(ex, ok = false, d))
           .getOrElse(Result(ex, ok = true, ""))
 
       case Raises(kind, msg) =>

@@ -1,6 +1,7 @@
 package graft.config
 
 import scala.collection.immutable.ListMap
+import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -135,7 +136,7 @@ object VrlCompile {
       abort: Option[Column],
       fanout: Option[Seq[ListMap[String, CV]]],
       tables: Map[String, EnrichTableData] = Map.empty,
-      unnest: Option[String] = None,
+      unnest: Option[Seq[String]] = None,
       meanings: Map[String, String] = Map.empty,
       /** Variables bound to plan-time literals (`pat = r'\d+'`,
         * `fmt = "%+"`), tracked as raw AST for substitution into
@@ -232,19 +233,46 @@ object VrlCompile {
 
     val (outDf0, outMeta0) = materialize(kept, env0, env, revertPred, passthrough)
     val (outDf, outMeta) = env.unnest match {
-      case Some(top) =>
-        val (arrCol, elemT) = outMeta0.types(top) match {
-          case VArrOf(e) => (outDf0.col(s"`$top`"), e)
+      case Some(path) =>
+        val top = path.head
+        // walk to the array's type and column
+        val (pathT, pathC) = path.tail.foldLeft(
+          (outMeta0.types(top), outDf0.col(s"`$top`"))) {
+          case ((VObj(fts), c0), seg) => (fts(seg), c0.getField(seg))
+          case ((t, _), seg) => throw VrlUnsupported(s"unnest path $seg into $t")
+        }
+        val (arrCol, elemT) = pathT match {
+          case VArrOf(e) => (pathC, e)
           case VHet(ts) =>
             // tuple array: explode the positional struct fields
-            val c0 = outDf0.col(s"`$top`")
-            (array(ts.indices.map(i => c0.getField(s"_$i").cast("string")): _*), VStr)
-          case VAny => (try_variant_get(outDf0.col(s"`$top`"), "$", "array<variant>"), VAny)
+            (array(ts.indices.map(i => pathC.getField(s"_$i").cast("string")): _*), VStr)
+          case VAny => (try_variant_get(pathC, "$", "array<variant>"), VAny)
           case other => throw VrlUnsupported(s"unnest of $other")
         }
-        val exploded = outDf0.withColumn(top, explode(arrCol))
+        // rebuild the top-level column with the exploded element spliced
+        // back at the path (one explode — Spark's native generator)
+        def rebuild(t: VT, c: Column, segs: Seq[String], elem: Column): (Column, VT) =
+          segs match {
+            case Seq() => (elem, elemT)
+            case seg +: rest => t match {
+              case VObj(fts) =>
+                val rebuilt = fts.toSeq.map { case (k, ft) =>
+                  if (k == seg) {
+                    val (rc, rt) = rebuild(ft, c.getField(k), rest, elem)
+                    (k, rc, rt)
+                  } else (k, c.getField(k), ft)
+                }
+                (struct(rebuilt.map { case (k, rc, _) => rc.as(k) }: _*),
+                  VObj(ListMap(rebuilt.map { case (k, _, rt) => k -> rt }: _*)))
+              case other => throw VrlUnsupported(s"unnest path $seg into $other")
+            }
+          }
+        val exploded0 = outDf0.withColumn("__unnest_elem", explode(arrCol))
+        val (topC, topT) = rebuild(outMeta0.types(top),
+          exploded0.col(s"`$top`"), path.tail, exploded0.col("__unnest_elem"))
+        val exploded = exploded0.withColumn(top, topC).drop("__unnest_elem")
         val types = ListMap(outMeta0.types.toSeq.map { case (n, t) =>
-          n -> (if (n == top) elemT else t)
+          n -> (if (n == top) topT else t)
         }: _*)
         (exploded, EventMeta(types, None))
       case None => (outDf0, outMeta0)
@@ -374,12 +402,14 @@ object VrlCompile {
     // `explode`, Spark's native generator (no shuffle, stays columnar).
     // Supported as the program's FINAL statement over a top-level field.
     case Assign(TWhole, _, c: Call) if c.name == "unnest" =>
-      val top = c.args.headOption match {
-        case Some(FieldRef(Seq(SegName(n)))) => n
-        case _ => throw VrlUnsupported("unnest of a non-top-level field")
+      val path = c.args.headOption match {
+        case Some(FieldRef(segs)) if segs.nonEmpty &&
+          segs.forall(_.isInstanceOf[SegName]) =>
+          segs.collect { case SegName(n) => n }
+        case _ => throw VrlUnsupported("unnest of a non-field path")
       }
-      resolve(env, Seq(SegName(top))).t match {
-        case VArrOf(_) | VHet(_) | VAny => env.copy(unnest = Some(top))
+      resolve(env, path.map(SegName)).t match {
+        case VArrOf(_) | VHet(_) | VAny => env.copy(unnest = Some(path))
         case other => throw VrlUnsupported(s"unnest of non-array field ($other)")
       }
 
@@ -644,13 +674,36 @@ object VrlCompile {
   }
 
   // ------------------------------------------------------ expressions
+  private val tmplRe = """\{\{\s*(\.?[A-Za-z_][\w.]*)\s*\}\}""".r
+
   private[config] def compileExpr(env: Env, e: Expr): (XV, Env) = e match {
+    case LitS(s) if tmplRe.findFirstIn(s).isDefined =>
+      // VRL template strings: "{{ name }}" interpolates a local (or a
+      // .field path) — replace_with.cue's named-capture example builds
+      // its replacement this way
+      val parts = mutable.ArrayBuffer.empty[Column]
+      var last = 0
+      tmplRe.findAllMatchIn(s).foreach { m =>
+        if (m.start > last) parts += lit(s.substring(last, m.start))
+        val name = m.group(1)
+        val cv =
+          if (name.startsWith("."))
+            resolve(env, name.stripPrefix(".").split('.').toSeq.map(SegName))
+          else env.locals.getOrElse(name,
+            throw VrlUnsupported(s"template variable $name undefined"))
+        parts += cv.col.cast("string")
+        last = m.end
+      }
+      if (last < s.length) parts += lit(s.substring(last))
+      (XV.pure(CV(concat(parts.toSeq: _*), VStr)), env)
     case LitS(s) => (XV.pure(CV(lit(s), VStr)), env)
     case LitI(n) => (XV.pure(CV(lit(n), VInt)), env)
     case LitF(d) => (XV.pure(CV(lit(d), VFloat)), env)
     case LitB(b) => (XV.pure(CV(lit(b), VBool)), env)
     case LitNull => (XV.pure(nullCV), env)
-    case LitRegex(p) => throw VrlUnsupported(s"regex literal r'$p' outside function argument")
+    // regex VALUE position: carried as its pattern string (the same
+    // convention regex function arguments and array elements use)
+    case LitRegex(p) => (XV.pure(CV(lit(p), VStr)), env)
     case LitTs(s) =>
       // VRL's t'…' grammar is RFC 3339 only (zone-less / bare-date
       // forms are compile errors in the reference too). Compiling the

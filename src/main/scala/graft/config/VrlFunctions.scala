@@ -198,13 +198,19 @@ object VrlFunctions {
             val (xv, e2) = compileExpr(env, e)
             if (!hasNeg)
               return (XV(segs.foldLeft(xv.cv)(walkCv), xv.raise, xv.msg), e2)
-            // negative indexes: resolve over the JSON form (variant get)
-            val p = "$" + segs.map {
-              case SegName(n) => s"['${n.replace("'", "\\'")}']"
-              case SegIndex(i) => s"[$i]"
-            }.mkString
-            val neg = try_variant_get(try_parse_json(jsonText(xv.cv)), p, "variant")
-            return (XV(CV(neg, VAny), xv.raise, xv.msg), e2)
+            // negative indexes count from the end: step through the
+            // variant form, element_at handles -i (1-based from end)
+            val start = CV(try_parse_json(jsonText(xv.cv)), VAny)
+            val walked = segs.foldLeft(start) { (cur, seg) =>
+              seg match {
+                case SegName(n) => walkCv(cur, seg)
+                case SegIndex(i) if i >= 0 => walkCv(cur, seg)
+                case SegIndex(i) =>
+                  CV(try_element_at(
+                    try_variant_get(cur.col, "$", "array<variant>"), lit(i)), VAny)
+              }
+            }
+            return (XV(walked, xv.raise, xv.msg), e2)
         }
       case "remove" =>
         // remove.cue: returns the rebuilt value; negative indexes count
@@ -517,6 +523,10 @@ object VrlFunctions {
         concat(lit(pfx + ": "), msgTail))
 
     def str0: XV = a(0, "value")
+    /** Spark's base64 MIME-chunks past 76 chars (\r\n inserted) under
+      * the legacy conf some builds default on — VRL base64 is always
+      * one line, so strip unconditionally. */
+    def b64flat(c: Column): Column = regexp_replace(base64(c), "[\\r\\n]", "")
     def asStr(xv: XV): Column = xv.cv.t match {
       case VStr => xv.cv.col
       case VAny => try_variant_get(xv.cv.col, "$", "string")
@@ -583,6 +593,7 @@ object VrlFunctions {
           case VFloat => v.cv.col
           case VInt => v.cv.col.cast("double")
           case VBool => v.cv.col.cast("int").cast("double")
+          case VTime => v.cv.col.cast("double") // fractional epoch seconds
           case VAny => try_variant_get(v.cv.col, "$", "double")
           // try_cast: ANSI-mode cast of an unparsable string must reach
           // the coercion raise below, not abort the job
@@ -600,12 +611,14 @@ object VrlFunctions {
         val value = v.cv.t match {
           case VBool => v.cv.col
           case VInt | VFloat => v.cv.col =!= 0
+          case VNullT => lit(false) // to_bool(null) = false (to_bool.cue)
           case VAny => try_variant_get(v.cv.col, "$", "boolean")
           case _ =>
             when(lower(v.cv.col.cast("string")).isin("true", "t", "yes", "y", "1"), lit(true))
               .when(lower(v.cv.col.cast("string")).isin("false", "f", "no", "n", "0"), lit(false))
         }
-        out(CV(value, VBool), Some(v.cv.col.isNotNull && value.isNull), "unable to coerce to bool")
+        out(CV(coalesce(value, when(v.cv.col.isNull, lit(false))), VBool),
+          Some(v.cv.col.isNotNull && value.isNull), "unable to coerce to bool")
       case "bool" =>
         val v = str0
         v.cv.t match {
@@ -619,7 +632,14 @@ object VrlFunctions {
       // ---------------------------------------------------- json
       case "parse_json" =>
         val v = str0
-        val s = asStr(v)
+        val s0 = asStr(v)
+        // max_depth (parse_json.cue): deeper containers stay raw text
+        val s = a.litInt(1, "max_depth") match {
+          case Some(d) =>
+            if (d < 1 || d > 128) throw VrlUnsupported("max_depth out of range")
+            org.apache.spark.sql.graftvec.StringExpressions.jsonMaxDepth(s0, d.toInt)
+          case None => s0
+        }
         val parsed = try_parse_json(s)
         // JSON `null` parses to a null variant — that is SUCCESS in the
         // reference (serde_json Value::Null), so the raise fires only
@@ -638,7 +658,13 @@ object VrlFunctions {
         val v = str0
         val fmt = a.litStr(1, "format").getOrElse(
           throw VrlUnsupported("parse_timestamp without literal format"))
-        val ts = VrlTime.parse(asStr(v), fmt)
+        val ts0 = VrlTime.parse(asStr(v), fmt)
+        // `timezone`: a zone-less wall-clock format is interpreted in
+        // that zone (parse_timestamp.cue "with timezone")
+        val ts = a.litStr(2, "timezone") match {
+          case Some(tz) => to_utc_timestamp(ts0, tz)
+          case None => ts0
+        }
         out(CV(ts, VTime), Some(v.cv.col.isNotNull && ts.isNull), "unable to parse timestamp")
       case "format_timestamp" =>
         val v = a(0, "value")
@@ -825,8 +851,8 @@ object VrlFunctions {
           case None => _ => lit("[REDACTED]")
           case Some(LitS(typ)) => typ match {
             case "full" => _ => lit("[REDACTED]")
-            case "sha2" => m => base64(unhex(VrlKernels.sha512_256(m)))
-            case "sha3" => m => base64(unhex(graft.functions.Vrl.sha3(m, "SHA3-512")))
+            case "sha2" => m => b64flat(unhex(VrlKernels.sha512_256(m)))
+            case "sha3" => m => b64flat(unhex(graft.functions.Vrl.sha3(m, "SHA3-512")))
             case other => throw VrlUnsupported(s"redactor $other")
           }
           case Some(ObjLit(fs)) =>
@@ -840,7 +866,7 @@ object VrlFunctions {
                 val variant = litOf("variant").getOrElse(
                   if (t == "sha2") "SHA-512/256" else "SHA3-512")
                 val enc: Column => Column = litOf("encoding").getOrElse("base64") match {
-                  case "base64" => h => base64(unhex(h))
+                  case "base64" => h => b64flat(unhex(h))
                   case "base16" => h => lower(h)
                   case other => throw VrlUnsupported(s"redactor encoding $other")
                 }
@@ -913,7 +939,7 @@ object VrlFunctions {
       case "encode_base64" =>
         val pad = a.litBool(1, "padding").getOrElse(true)
         val cs = a.litStr(2, "charset").getOrElse("standard")
-        var b64 = base64(asBytes(str0))
+        var b64 = b64flat(asBytes(str0))
         if (cs == "url_safe")
           b64 = translate(b64, "+/", "-_")
         if (!pad) b64 = regexp_replace(b64, "=+$", "")
@@ -996,7 +1022,10 @@ object VrlFunctions {
         out(CV(r, VAny), Some(v.isNotNull && r.isNull), "unable to parse key/value")
       case "parse_tokens" =>
         val v = asStr(a(0, "value"))
-        val toks = regexp_extract_all(v, lit("""\"[^\"]*\"|\[[^\]]*\]|\S+"""), lit(0))
+        // quoted tokens may contain ESCAPED quotes, KEPT verbatim in
+        // the output (parse_tokens.cue example)
+        val toks = regexp_extract_all(v,
+          lit("\"(?:\\\\.|[^\"\\\\])*\"|\\[[^\\]]*\\]|\\S+"), lit(0))
         val cleaned = transform(toks, t =>
           when(t === "-", lit(null).cast("string"))
             .when(t.startsWith("\"") && t.endsWith("\""), expr_substr(t))
@@ -1019,10 +1048,14 @@ object VrlFunctions {
         val named = groups.zipWithIndex.map { case (gn, i) =>
           gn -> CV(nullif(element_at(g, i + 1 + off), lit("")), VStr)
         }
+        // numeric keys cover ALL capture groups (named or not) — the
+        // cue's unnamed-group example expects {"0", "1"}
+        val totalGroups =
+          java.util.regex.Pattern.compile(pat0).matcher("").groupCount()
         val nums =
           if (!numeric) Seq.empty
           else ("0" -> CV(element_at(g, 1), VStr)) +:
-            groups.indices.map(i => (i + 1).toString ->
+            (0 until totalGroups).map(i => (i + 1).toString ->
               CV(nullif(element_at(g, i + 2), lit("")), VStr))
         val obj = buildObj(ListMap((named ++ nums): _*))
         out(CV(when(g.isNotNull, obj.col), obj.t),
@@ -1056,12 +1089,13 @@ object VrlFunctions {
       case "compact" =>
         val v = a(0, "value")
         v.cv.t match {
-          case VAny =>
+          case VAny | VObj(_) | VHet(_) | VMap =>
             // full reference semantics over the JSON form: recursive,
             // dropping null / "" / empty collections, emptiness judged
-            // after recursion (compact.cue defaults)
+            // after recursion (compact.cue defaults); static shapes
+            // route through jsonText (tuples serialize as arrays)
             out(CV(try_parse_json(
-              graft.functions.Vrl.compactJson(to_json(v.cv.col))), VAny))
+              graft.functions.Vrl.compactJson(jsonText(v.cv))), VAny))
           case VArrOf(e) =>
             out(CV(filter(v.cv.col, x => x.isNotNull && coalesce(x.cast("string") =!= "", lit(true))), VArrOf(e)))
           case _ => out(v.cv)
@@ -1260,7 +1294,8 @@ object VrlFunctions {
         val d = try_to_binary(v, lit("hex"))
         out(CV(d, VBytes), Some(v.isNotNull && d.isNull), "unable to decode base16")
       case "encode_percent" =>
-        out(withStrRaise(a, bang, graft.functions.Vrl.encodePercent))
+        val asciiSet = a.litStr(1, "ascii_set").getOrElse("NON_ALPHANUMERIC")
+        out(withStrRaise(a, bang, graft.functions.Vrl.encodePercentSet(_, asciiSet)))
       case "decode_percent" =>
         out(withStrRaise(a, bang, graft.functions.Vrl.decodePercent))
       case "encode_punycode" =>
@@ -1349,12 +1384,18 @@ object VrlFunctions {
           throw VrlUnsupported("sieve without literal pattern"))
         val single = a.litStr(2, "replace_single").getOrElse("")
         val repeated = a.litStr(3, "replace_repeated").getOrElse(single)
-        // join-of-matches replaces every INTERIOR rejected run with the
-        // marker (sieve.cue); distinct single/repeated markers would
-        // need run-length inspection — not expressible declaratively
-        if (single != repeated)
-          throw VrlUnsupported("sieve with distinct replace_single/replace_repeated")
-        out(CV(graft.functions.Vrl.sieve(v, pat, single), VStr))
+        // distinct markers: a run of >=2 rejected chars takes
+        // replace_repeated, a lone rejected char replace_single —
+        // two regexp passes over a per-char negative lookahead
+        if (single != repeated) {
+          val rej = s"(?:(?!$pat)(?s).)"
+          val r = regexp_replace(
+            regexp_replace(v, rej + "{2,}",
+              java.util.regex.Matcher.quoteReplacement(repeated)),
+            rej, java.util.regex.Matcher.quoteReplacement(single))
+          out(CV(r, VStr))
+        } else
+          out(CV(graft.functions.Vrl.sieve(v, pat, single), VStr))
       case "basename" => out(withStrRaise(a, bang, graft.functions.Vrl.basename))
       case "dirname" => out(withStrRaise(a, bang, graft.functions.Vrl.dirname))
       case "chunks" =>
@@ -1577,7 +1618,26 @@ object VrlFunctions {
       case "is_ipv6" =>
         out(CV(coalesce(graft.functions.Vrl.isIpv6(asStr(str0)), lit(false)), VBool))
       case "is_json" =>
-        out(CV(coalesce(graft.functions.Vrl.isJson(asStr(str0)), lit(false)), VBool))
+        // variant: the value must parse AND be that JSON type
+        // (is_json.cue "Non-valid exact variant")
+        val js = asStr(str0)
+        val ok = graft.functions.Vrl.isJson(js)
+        val r = a.litStr(1, "variant") match {
+          case None => ok
+          case Some(variant) =>
+            val head = regexp_extract(trim(js), "^(.)", 1)
+            val shape = variant match {
+              case "object" => head === "{"
+              case "array" => head === "["
+              case "string" => head === "\""
+              case "null" => trim(js) === "null"
+              case "bool" => trim(js).isin("true", "false")
+              case "number" => head.rlike("[-0-9]")
+              case other => throw VrlUnsupported(s"is_json variant $other")
+            }
+            ok && shape
+        }
+        out(CV(coalesce(r, lit(false)), VBool))
 
       // --- type declarations (array.cue/object.cue/timestamp.cue) -------
       case "timestamp" =>
@@ -2022,8 +2082,11 @@ object VrlFunctions {
             listed.sortBy(p => ordering.indexOf(p._1)) ++ rest.sortBy(_._1)
           concat_ws(fieldSep, sortedPairs.map { case (k, cv) =>
             val c = cv.col.cast("string")
-            val quoted = when(c.contains(" ") || c.contains(fieldSep) ||
-              c.contains(kvSep), concat(lit("\""), c, lit("\""))).otherwise(c)
+            // quote on whitespace or an embedded field delimiter; an
+            // embedded KV delimiter does NOT quote (timestamps carry
+            // ':' un-quoted in the reference's custom-delimiter example)
+            val quoted = when(c.contains(" ") || c.contains(fieldSep),
+              concat(lit("\""), c, lit("\""))).otherwise(c)
             cv.t match {
               case VBool if flattenBool =>
                 when(cv.col === true, lit(k)) // false/null: omitted
@@ -2159,6 +2222,26 @@ object VrlFunctions {
       case ("map_keys", VMap) =>
         val f = (k: Column, _v: Column) => bodyCv(Seq(CV(k, VStr))).col.cast("string")
         pass(CV(transform_keys(target.col, f), VMap))
+      case ("map_keys", VObj(_)) =>
+        // static object: keys are compile-time strings, so the closure
+        // body applied to a key literal must constant-fold — evaluate
+        // it at plan time and rebuild the struct under the new names
+        // (map_keys.cue; `recursive` descends into object values)
+        val recursive = c.named.collectFirst { case ("recursive", LitB(b)) => b }
+          .getOrElse(false)
+        def renameKeys(cv: CV): CV = cv.t match {
+          case VObj(fts) =>
+            buildObj(ListMap(fts.toSeq.map { case (k, t) =>
+              val nk = org.apache.spark.sql.graftvec.StringExpressions
+                .foldToString(bodyCv(Seq(CV(lit(k), VStr))).col)
+                .getOrElse(throw VrlUnsupported(
+                  "map_keys body must be constant-foldable over a static object"))
+              val child = CV(cv.col.getField(k), t)
+              nk -> (if (recursive) renameKeys(child) else child)
+            }: _*))
+          case _ => cv
+        }
+        pass(renameKeys(target))
       case ("map_values", VMap) =>
         val f = (_k: Column, v: Column) => bodyCv(Seq(CV(v, VStr))).col.cast("string")
         pass(CV(transform_values(target.col, f), VMap))

@@ -54,9 +54,10 @@ object VrlKernels {
   def xxh32(c: Column): Column = xxh32Udf(c)
   def xxh64(c: Column): Column = xxh64Udf(c)
 
-  /** crc algorithm CRC_32_CKSUM (crc.cue): the POSIX `cksum` variant —
-    * poly 0x04C11DB7 non-reflected, init 0, the value's LENGTH bytes
-    * appended little-endian-trimmed, final complement.
+  /** crc algorithm CRC_32_CKSUM (crc.cue): poly 0x04C11DB7
+    * non-reflected, init 0, xorout 0xFFFFFFFF — the Rust `crc`
+    * catalog's CRC_32_CKSUM (which, unlike the POSIX `cksum` TOOL,
+    * does not append the message length).
     */
   private lazy val crcCksumUdf = udf((s: String) =>
     if (s == null) null.asInstanceOf[java.lang.Long]
@@ -73,8 +74,6 @@ object VrlKernels {
         }
       }
       data.foreach(b => step(b.toInt))
-      var n = data.length.toLong
-      while (n != 0) { step((n & 0xff).toInt); n >>>= 8 }
       java.lang.Long.valueOf((crc ^ 0xffffffffL) & 0xffffffffL)
     })
   def crcCksum(c: Column): Column = crcCksumUdf(c)
@@ -601,7 +600,10 @@ object VrlTime {
     "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd", "%e" -> "d",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%b" -> "MMM", "%B" -> "MMMM",
     "%T" -> "HH:mm:ss", "%F" -> "yyyy-MM-dd", "%j" -> "DDD",
-    "%z" -> "xx", "%:z" -> "xxx", "%f" -> "SSSSSS", "%3f" -> "SSS")
+    "%z" -> "xx", "%:z" -> "xxx", "%f" -> "SSSSSS", "%3f" -> "SSS",
+    // %v = the VMS date "%e-%b-%Y" (chrono strftime docs)
+    "%v" -> "d-MMM-yyyy", "%R" -> "HH:mm", "%a" -> "EEE", "%A" -> "EEEE",
+    "%y" -> "yy", "%I" -> "hh", "%p" -> "a", "%D" -> "MM/dd/yy")
 
   def toJavaPattern(fmt: String): String = {
     val sb = new StringBuilder
@@ -748,7 +750,23 @@ object VrlParsers {
       "procid" -> CV(dash(g(6)).try_cast("bigint"), VInt),
       "msgid" -> CV(dash(g(7)), VStr),
       "message" -> CV(g(8), VStr))
-    XV(CV(when(gs.isNotNull, x.cv.col), x.cv.t), Some(v.isNull || gs.isNull), x.msg)
+    // RFC 5424 structured data: `[sdid k="v" …]` becomes a nested
+    // object keyed by the SD-ID (parse_syslog.cue "exampleSDID@32473").
+    // The SD-ID is data, so the result is dynamic (variant): merge the
+    // typed base with a JSON object built from the SD body.
+    val sdid = regexp_extract(v, """\[([^\] ="]+)( [^\]]*)?\]""", 1)
+    val sdBody = regexp_extract(v, """\[([^\] ="]+) ([^\]]*)\]""", 2)
+    val keyQ = concat(lit("\""), regexp_replace(sdid, "([\"\\\\])", "\\\\$1"), lit("\""))
+    val sdJson = when(sdid === "", lit("{}")).otherwise(concat(
+      lit("{"), keyQ, lit(":"),
+      org.apache.spark.sql.graftvec.StringExpressions
+        .keyValueToJson(sdBody, "=", " "),
+      lit("}")))
+    val merged = try_parse_json(graft.functions.Vrl.mergeDeepJson(
+      to_json(x.cv.col,
+        java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      sdJson))
+    XV(CV(when(gs.isNotNull, merged), VAny), Some(v.isNull || gs.isNull), x.msg)
   }
 
   /** parse_url → scheme/username/password/host/port/path/query/fragment

@@ -122,7 +122,12 @@ object Dnstap {
       r(headerT, h.id, h.opcode, h.rcode, h.qr, h.aa, h.tc, h.rd, h.ra,
         h.ad, h.cd, h.qd, h.an, h.ns, h.ar),
       m.question.map(q => r(questionT, q.name, q.clazz, q.typeName.orNull, q.typeId)),
-      m.answers.map(recRow), m.authority.map(recRow), m.additional.map(recRow),
+      // empty sections are OMITTED in the reference's output
+      // (parse_dnstap.cue ResolverQuery example has no answers/
+      // authority/additional keys) — null, not []
+      if (m.answers.isEmpty) null else m.answers.map(recRow),
+      if (m.authority.isEmpty) null else m.authority.map(recRow),
+      if (m.additional.isEmpty) null else m.additional.map(recRow),
       m.opt.map(o => r(optT, o.extendedRcode, o.version, o.doFlag, o.udpPayload,
         o.ede.map(e => r(edeT, e.infoCode, e.purpose.orNull, e.extraText.getOrElse(""))),
         o.options.map(e => r(optEntryT, e.code, e.name, e.valueB64)))).orNull)

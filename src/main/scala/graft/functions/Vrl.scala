@@ -20,17 +20,24 @@ object Vrl {
     * (VRL's fallible-error analog; filter or coalesce downstream).
     */
   def parseDuration(c: Column, outputUnit: String = "s"): Column = {
-    val num = regexp_extract(c, durRe, 1)
-    val unit = regexp_extract(c, durRe, 2)
-    val secs = when(num === "", lit(null).cast("double"))
-      .otherwise(num.cast("double") *
-        when(unit === "ns", 1e-9)
-          .when(unit === "us" || unit === "µs", 1e-6)
-          .when(unit === "ms", 1e-3)
-          .when(unit === "s", 1.0)
-          .when(unit === "m", 60.0)
-          .when(unit === "h", 3600.0)
-          .otherwise(86400.0))
+    // multiple segments sum ("1s 1ms" → 1001 ms — parse_duration.cue);
+    // the whole string must be segments (optionally space-separated)
+    val seg = "([0-9]*\\.?[0-9]+)\\s*(ns|us|µs|ms|s|m|h|d)"
+    val whole = s"^\\s*($seg\\s*)+$$"
+    def unitSecs(unit: Column): Column =
+      when(unit === "ns", 1e-9)
+        .when(unit === "us" || unit === "µs", 1e-6)
+        .when(unit === "ms", 1e-3)
+        .when(unit === "s", 1.0)
+        .when(unit === "m", 60.0)
+        .when(unit === "h", 3600.0)
+        .otherwise(86400.0)
+    val nums = regexp_extract_all(c, lit(seg), lit(1))
+    val units = regexp_extract_all(c, lit(seg), lit(2))
+    val secs = when(!c.rlike(whole), lit(null).cast("double"))
+      .otherwise(aggregate(
+        zip_with(nums, units, (n, u) => n.cast("double") * unitSecs(u)),
+        lit(0.0), (acc, x) => acc + x))
     val div = outputUnit match {
       case "ns" => 1e-9; case "us" => 1e-6; case "ms" => 1e-3
       case "s" => 1.0; case "m" => 60.0; case "h" => 3600.0; case "d" => 86400.0
@@ -281,6 +288,34 @@ object Vrl {
     */
   def encodePercent(c: Column): Column =
     regexp_replace(url_encode(c), "\\+", "%20")
+  /** encode_percent with an `ascii_set` (encode_percent.cue): only the
+    * set's characters escape. Sets from the percent-encoding crate the
+    * reference uses; NON_ALPHANUMERIC is the default full escape.
+    */
+  def encodePercentSet(c: Column, asciiSet: String): Column = asciiSet match {
+    case "NON_ALPHANUMERIC" => encodePercent(c)
+    case _ =>
+      val clazz = asciiSet match {
+        case "CONTROLS" => "[\\x00-\\x1f\\x7f]"
+        case "FRAGMENT" => "[\\x00-\\x1f\\x7f \"<>`]"
+        case "QUERY" => "[\\x00-\\x1f\\x7f \"<>#]"
+        case "SPECIAL" => "[\\x00-\\x1f\\x7f \"<>#'`]"
+        case "PATH" => "[\\x00-\\x1f\\x7f \"<>#?`{}]"
+        case "USERINFO" => "[\\x00-\\x1f\\x7f \"<>#?`{}/:;=@\\[\\]\\^|\\\\]"
+        case "COMPONENT" => "[\\x00-\\x1f\\x7f \"<>#?`{}/:;=@\\[\\]\\^|\\\\$%&+,]"
+        case other =>
+          throw new IllegalArgumentException(s"encode_percent ascii_set $other")
+      }
+      // rebuild: escape exactly the matched characters
+      val parts = split(c, clazz, -1)
+      val hits = regexp_extract_all(c, lit(s"($clazz)"), lit(1))
+      when(size(hits) === 0, c).otherwise(
+        concat(element_at(parts, 1),
+          array_join(zip_with(hits, slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+            (h, p) => concat(
+              concat(lit("%"), upper(hex(h.cast("binary")))),
+              coalesce(p, lit("")))), "")))
+  }
   def decodePercent(c: Column): Column =
     // try_url_decode: url_decode THROWS on malformed escapes ('%zz',
     // trailing '%') — null raise channel, not a job abort
@@ -471,7 +506,9 @@ object Vrl {
     */
   def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
                 unit: String = "kilometers"): Column = {
-    val r = if (unit == "miles") 3959.8728 else 6371.0088 // IUGG mean earth radius
+    // IUGG mean earth radius; miles = the km result / 1.609344 (the
+    // reference converts units, it does not re-derive a miles radius)
+    val r = if (unit == "miles") 6371.0088 / 1.609344 else 6371.0088
     val (p1, p2) = (radians(lat1), radians(lat2))
     val (dp, dl) = (radians(lat2 - lat1), radians(lon2 - lon1))
     val a = pow(sin(dp / 2), 2) + cos(p1) * cos(p2) * pow(sin(dl / 2), 2)

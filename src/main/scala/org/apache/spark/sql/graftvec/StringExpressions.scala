@@ -83,7 +83,15 @@ object StringExpressions {
     */
   case class MimeQDecode(child: Expression) extends StrMapper {
     override def prettyName: String = "decode_mime_q"
-    override def mapStr(s: String): String =
+    private val bareRe = "^\\?([QqBb])\\?(.*?)(?:\\?=)?$".r
+    override def mapStr(s: String): String = {
+      // charset-less bare form "?b?…" (decode_mime_q.cue "Without
+      // charset"): whole-string encoded word, charset defaults utf-8
+      bareRe.findFirstMatchIn(s) match {
+        case Some(m) if !s.startsWith("=?") =>
+          return mapStr(s"=?utf-8?${m.group(1)}?${m.group(2)}?=")
+        case _ => ()
+      }
       mimeWordRe.replaceAllIn(s, m => try {
         val cs = java.nio.charset.Charset.forName(m.group(1))
         val bytes = m.group(2).toUpperCase match {
@@ -107,6 +115,7 @@ object StringExpressions {
         case scala.util.control.NonFatal(_) =>
           scala.util.matching.Regex.quoteReplacement(m.matched)
       })
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
@@ -1333,6 +1342,51 @@ object StringExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** parse_json `max_depth` (parse_json.cue): containers BELOW the
+    * depth limit stay as their raw JSON TEXT — the original substring,
+    * formatting preserved ("{\"key\": \"val\"}" keeps its space).
+    * Jackson's streaming parser + skipChildren gives the exact offsets.
+    */
+  case class JsonMaxDepth(child: Expression, maxDepth: Int) extends StrMapper {
+    override def prettyName: String = "parse_json_max_depth"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+      val m = new ObjectMapper()
+      val p = new JsonFactory().createParser(s)
+      def readValue(depth: Int): JsonNode = p.currentToken() match {
+        case JsonToken.START_OBJECT | JsonToken.START_ARRAY if depth > maxDepth =>
+          val start = p.currentTokenLocation().getCharOffset.toInt
+          p.skipChildren() // leaves the parser AT the matching end token
+          val end = p.currentLocation().getCharOffset.toInt
+          m.getNodeFactory.textNode(s.substring(start, end))
+        case JsonToken.START_OBJECT =>
+          val o = m.createObjectNode()
+          while (p.nextToken() != JsonToken.END_OBJECT) {
+            val name = p.currentName()
+            p.nextToken()
+            o.set[JsonNode](name, readValue(depth + 1))
+          }
+          o
+        case JsonToken.START_ARRAY =>
+          val arr = m.createArrayNode()
+          while (p.nextToken() != JsonToken.END_ARRAY)
+            arr.add(readValue(depth + 1))
+          arr
+        case JsonToken.VALUE_STRING => m.getNodeFactory.textNode(p.getText)
+        case JsonToken.VALUE_NUMBER_INT => m.getNodeFactory.numberNode(p.getLongValue)
+        case JsonToken.VALUE_NUMBER_FLOAT => m.getNodeFactory.numberNode(p.getDoubleValue)
+        case JsonToken.VALUE_TRUE => m.getNodeFactory.booleanNode(true)
+        case JsonToken.VALUE_FALSE => m.getNodeFactory.booleanNode(false)
+        case JsonToken.VALUE_NULL => m.nullNode()
+        case other => throw new IllegalArgumentException(s"unexpected token $other")
+      }
+      p.nextToken()
+      m.writeValueAsString(readValue(1))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   // ---------------------------------------------------------- wrappers
 
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -1355,8 +1409,23 @@ object StringExpressions {
     col(CommunityId(IndexedSeq(expr(saddr), expr(daddr), expr(sport),
       expr(dport), expr(proto)), seed, portsProvided))
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
+  /** Plan-time evaluation of a constant-foldable column (map_keys over
+    * a static object applies its closure to each literal key name).
+    */
+  def foldToString(c: Column): Option[String] = {
+    val e = expr(c)
+    if (!e.foldable) None
+    else e.eval(null) match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+      case other => Some(String.valueOf(other))
+    }
+  }
+
   def keyValueToJson(c: Column, kvSep: String, fieldSep: String): Column =
     col(KeyValueToJson(expr(c), kvSep, fieldSep))
+  def jsonMaxDepth(c: Column, maxDepth: Int): Column =
+    col(JsonMaxDepth(expr(c), maxDepth))
   def jsonPathSet(base: Column, data: Column,
                   path: Seq[Either[String, Int]]): Column =
     col(JsonPathSet(expr(base), expr(data), path))
