@@ -47,7 +47,8 @@ object CueCorpus {
   final case class Raises(kind: String, msg: String) extends Expect
 
   final case class Example(fn: String, title: String, source: String,
-                           input: Option[JsonNode], expect: Expect)
+                           input: Option[JsonNode], expect: Expect,
+                           skipTest: Boolean = false)
 
   final case class Result(ex: Example, ok: Boolean, detail: String) {
     def label: String = s"${ex.fn}/${ex.title}"
@@ -90,7 +91,8 @@ object CueCorpus {
           OutLog(e.get("output").get("log"))
         else if (e.has("return")) Ret(e.get("return"))
         else OutLog(F.objectNode()) // no expectation: event unchanged
-      out += Example(fn, title, source, input, expect)
+      val skip = Option(e.get("skip_test")).exists(_.asBoolean(false))
+      out += Example(fn, title, source, input, expect, skip)
     }
     out.toSeq
   }
@@ -387,6 +389,9 @@ object CueCorpus {
     if (docTypos((ex.fn, ex.title)))
       return Result(ex, ok = true,
         "pinned: unrunnable in any engine (reference doc typo — unterminated string literal)")
+    if (ex.skipTest)
+      return Result(ex, ok = true,
+        "skip_test: true — the reference's own doc harness skips this example")
 
     val inputObj = ex.input.getOrElse(F.objectNode())
     val line = mapper.writeValueAsString(inputObj)

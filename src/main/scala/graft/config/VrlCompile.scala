@@ -774,10 +774,19 @@ object VrlCompile {
     case Bin(op, l, r) => compileBin(env, op, l, r)
     case IfE(cond, thenB, elseB) => compileIf(env, cond, thenB, elseB)
     case Block(stmts) =>
-      // expression-position block: value of last statement
+      // expression-position block: value of last statement — a VRL
+      // assignment is itself an expression yielding the assigned value
       val envN = stmts.init.foldLeft(env)((e0, s) => compileStmt(e0, s))
       stmts.last match {
         case ExprStmt(x) => compileExpr(envN, x)
+        case s @ Assign(tgt, _, _) =>
+          val env2 = compileStmt(envN, s)
+          val value = tgt match {
+            case TField(path) => resolve(env2, path)
+            case TLocal(n) => env2.locals.getOrElse(n, nullCV)
+            case _ => nullCV
+          }
+          (XV.pure(value), env2)
         case s => (XV.pure(nullCV), compileStmt(envN, s))
       }
     case c: Call => VrlFunctions.call(env, c)

@@ -981,9 +981,24 @@ object VrlFunctions {
 
       // --------------------------------------------------------- ip
       case "ip_cidr_contains" =>
-        val cidr = asStr(a(0, "cidr"))
+        // cidr may be ONE cidr or an ARRAY (any-match —
+        // ip_cidr_contains.cue "IPv4 is private")
+        val cidrXv = a(0, "cidr")
         val ip = asStr(a(1, "value"))
-        val r = VrlKernels.cidrContains(cidr, ip)
+        def one(c0: Column) = VrlKernels.cidrContains(c0, ip)
+        val r = cidrXv.cv.t match {
+          case VArrOf(_) =>
+            when(exists(cidrXv.cv.col,
+                c0 => coalesce(one(c0.cast("string")), lit(false))), lit(true))
+              .otherwise(when(forall(cidrXv.cv.col,
+                c0 => one(c0.cast("string")).isNotNull), lit(false)))
+          case VHet(ts) =>
+            val checks = ts.indices.map(i =>
+              one(cidrXv.cv.col.getField(s"_$i").cast("string")))
+            when(checks.map(c0 => coalesce(c0, lit(false))).reduce(_ || _), lit(true))
+              .otherwise(when(checks.map(_.isNotNull).reduce(_ && _), lit(false)))
+          case _ => one(asStr(cidrXv))
+        }
         out(CV(r, VBool), Some(r.isNull), "invalid ip or cidr")
       case "ip_subnet" =>
         val ip = asStr(a(0, "value"))
@@ -1386,13 +1401,19 @@ object VrlFunctions {
         val repeated = a.litStr(3, "replace_repeated").getOrElse(single)
         // distinct markers: a run of >=2 rejected chars takes
         // replace_repeated, a lone rejected char replace_single —
-        // two regexp passes over a per-char negative lookahead
+        // ONE pass (split + per-run rebuild; a second regexp pass
+        // would chew the first pass's marker text)
         if (single != repeated) {
-          val rej = s"(?:(?!$pat)(?s).)"
-          val r = regexp_replace(
-            regexp_replace(v, rej + "{2,}",
-              java.util.regex.Matcher.quoteReplacement(repeated)),
-            rej, java.util.regex.Matcher.quoteReplacement(single))
+          val runRe = s"(?:(?!$pat)(?s).)+"
+          val runs = regexp_extract_all(v, lit(s"($runRe)"), lit(1))
+          val parts = split(v, runRe, -1)
+          val r = when(size(runs) === 0, v).otherwise(
+            concat(element_at(parts, 1),
+              array_join(zip_with(runs,
+                slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+                (run, p) => concat(
+                  when(length(run) === 1, lit(single)).otherwise(lit(repeated)),
+                  coalesce(p, lit("")))), "")))
           out(CV(r, VStr))
         } else
           out(CV(graft.functions.Vrl.sieve(v, pat, single), VStr))
@@ -1722,8 +1743,28 @@ object VrlFunctions {
           throw VrlUnsupported("match_datadog_query without literal query"))
         a(0, "value").cv match {
           case CV(c0, VObj(fs)) =>
-            val fieldCol = (n: String) =>
-              if (fs.contains(n)) c0.getField(n).cast("string") else nullStr
+            // datadog semantics: `@name` reads the event ATTRIBUTE
+            // `name`; a bare `key:` term reads the `tags` array entry
+            // "key:value" (match_datadog_query.cue)
+            val fieldCol = (n0: String) => {
+              val n = n0.stripPrefix("@")
+              if (n0.startsWith("@") || fs.contains(n)) {
+                if (fs.contains(n)) c0.getField(n).cast("string") else nullStr
+              } else fs.get("tags") match {
+                case Some(VArrOf(_)) | Some(VHet(_)) =>
+                  val arr = fs("tags") match {
+                    case VHet(ts) => array(ts.indices.map(i =>
+                      c0.getField("tags").getField(s"_$i").cast("string")): _*)
+                    case _ => c0.getField("tags")
+                  }
+                  regexp_replace(
+                    try_element_at(filter(arr,
+                      t => t.cast("string").startsWith(n + ":")), lit(1))
+                      .cast("string"),
+                    "^[^:]*:", "")
+                case _ => nullStr
+              }
+            }
             val default =
               if (fs.contains("message")) c0.getField("message").cast("string")
               else concat_ws(" ", fs.keys.toSeq.map(k => c0.getField(k).cast("string")): _*)
@@ -1868,13 +1909,50 @@ object VrlFunctions {
         val x = VrlParsers.glog(asStr(a(0, "value")))
         XV(x.cv, (prop ++ x.raise).reduceOption(_ || _), x.msg)
       case "parse_groks" =>
-        val pats = a.raw(1, "patterns") match {
+        val pats0 = a.raw(1, "patterns") match {
           case ArrLit(items) => items.map {
             case LitS(s) => s
             case _ => throw VrlUnsupported("parse_groks pattern")
           }
           case _ => throw VrlUnsupported("parse_groks without literal patterns array")
         }
+        // `aliases` (inline object) / `alias_sources` (JSON files):
+        // %{name} references expand recursively before grok compilation
+        // (parse_groks.cue "Parse using multiple Grok patterns")
+        val aliasMap: Map[String, String] = {
+          val inline = a.rawOpt(2, "aliases") match {
+            case Some(ObjLit(fs)) => fs.collect { case (k, LitS(p)) => k -> p }.toMap
+            case Some(_) => throw VrlUnsupported("parse_groks aliases must be a literal object")
+            case None => Map.empty[String, String]
+          }
+          val fromFiles = a.rawOpt(3, "alias_sources") match {
+            case Some(ArrLit(items)) => items.flatMap {
+              case LitS(path) =>
+                val node = new com.fasterxml.jackson.databind.ObjectMapper()
+                  .readTree(java.nio.file.Files.readAllBytes(resolveFile(path)))
+                scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+                  .asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+              case _ => throw VrlUnsupported("alias_sources must be string literals")
+            }.toMap
+            case Some(_) => throw VrlUnsupported("alias_sources must be an array literal")
+            case None => Map.empty[String, String]
+          }
+          fromFiles ++ inline
+        }
+        def expandAliases(p: String): String = {
+          var cur = p
+          var rounds = 0
+          val ref = """%\{([A-Za-z0-9_]+)\}""".r
+          while (rounds < 16 && ref.findAllMatchIn(cur).exists(m => aliasMap.contains(m.group(1)))) {
+            cur = ref.replaceAllIn(cur, m => aliasMap.get(m.group(1)) match {
+              case Some(sub) => scala.util.matching.Regex.quoteReplacement(sub)
+              case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+            })
+            rounds += 1
+          }
+          cur
+        }
+        val pats = pats0.map(expandAliases)
         val v = asStr(a(0, "value"))
         val compiled = pats.map(graft.functions.Grok.compile(_, regexLiterals = true))
         // first-match-wins (parse_groks.cue): fields = union, each field
@@ -1955,21 +2033,49 @@ object VrlFunctions {
           "deviceVersion" -> CV(Parsers.cefHeader(v, 3), VStr),
           "deviceEventClassId" -> CV(Parsers.cefHeader(v, 4), VStr),
           "name" -> CV(Parsers.cefHeader(v, 5), VStr),
-          "severity" -> CV(Parsers.cefHeader(v, 6), VStr),
-          "extension" -> CV(Parsers.cefExtension(v), VMap))
-        val obj = buildObj(fields)
-        out(CV(when(v.startsWith("CEF:"), obj.col), obj.t),
+          "severity" -> CV(Parsers.cefHeader(v, 6), VStr))
+        // extension keys FLATTEN into the top level (parse_cef.cue);
+        // translate_custom_fields renames csN/cnN via their
+        // csNLabel/cnNLabel companions and drops the Label entries
+        val translate = a.litBool(1, "translate_custom_fields").getOrElse(false)
+        val extJson0 = to_json(Parsers.cefExtension(v))
+        val extJson =
+          if (translate)
+            org.apache.spark.sql.graftvec.StringExpressions.cefTranslate(extJson0)
+          else extJson0
+        val merged = try_parse_json(graft.functions.Vrl.mergeDeepJson(
+          to_json(buildObj(fields).col), coalesce(extJson, lit("{}"))))
+        out(CV(when(v.startsWith("CEF:"), merged), VAny),
           Some(v.isNull || !v.startsWith("CEF:")), "not a CEF message")
       case "parse_influxdb" =>
+        // parse_influxdb.cue: one METRIC OBJECT per field —
+        // {name: <measurement>_<field>, tags, timestamp (micros),
+        // kind: absolute, gauge: {value}} — ints (i/u) and booleans
+        // coerce to the gauge's float
         val v = asStr(a(0, "value"))
         import graft.functions.Parsers
         val m = nullif(Parsers.influxMeasurement(v), lit(""))
-        val obj = buildObj(ListMap(
-          "measurement" -> CV(m, VStr),
-          "tags" -> CV(Parsers.influxTags(v), VMap),
-          "fields" -> CV(Parsers.influxFields(v), VMap),
-          "timestamp" -> CV(Parsers.influxTsNanos(v), VInt)))
-        out(CV(when(m.isNotNull, obj.col), obj.t),
+        val tagsJson = coalesce(to_json(Parsers.influxTags(v)), lit("{}"))
+        val tsIso = date_format(
+          timestamp_micros((Parsers.influxTsNanos(v) / 1000L).cast("long")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        val entries = map_entries(Parsers.influxFields(v))
+        val metricJsons = transform(entries, e => {
+          val raw = e.getField("value")
+          val num = when(raw === "true", lit(1.0))
+            .when(raw === "false", lit(0.0))
+            .otherwise(regexp_replace(raw, "[iu]$", "").try_cast("double"))
+          concat(lit("{\"name\":"),
+            to_json(struct(concat(m, lit("_"), e.getField("key")).as("v")))
+              .substr(lit(6), length(to_json(struct(concat(m, lit("_"),
+                e.getField("key")).as("v")))) - 6),
+            lit(",\"tags\":"), tagsJson,
+            lit(",\"timestamp\":\""), tsIso,
+            lit("\",\"kind\":\"absolute\",\"gauge\":{\"value\":"),
+            num.cast("string"), lit("}}"))
+        })
+        val arrJson = concat(lit("["), array_join(metricJsons, ","), lit("]"))
+        out(CV(when(m.isNotNull, try_parse_json(arrJson)), VAny),
           Some(v.isNull || m.isNull), "not an influx line")
       case "parse_aws_alb_log" =>
         structuredXv(graft.functions.VrlParsers.parseAwsAlbLog(asStr(a(0, "value"))),
@@ -2045,10 +2151,15 @@ object VrlFunctions {
             "value is not a valid proto payload")
         } else {
           val v = a(0, "value")
-          val structCol = v.cv.t match {
-            case VObj(_) => v.cv.col
+          v.cv.t match {
+            case VObj(_) | VAny => ()
             case other => throw VrlUnsupported(s"encode_proto over $other")
           }
+          // normalize through the descriptor's Spark type: VRL object
+          // literals compile tuple fields as _0.._n structs, while the
+          // encoder wants real arrays — jsonText serializes tuples as
+          // arrays, from_json re-types them against the message schema
+          val structCol = from_json(jsonText(v.cv), st)
           val enc = graft.functions.ProtoCodec.encodeProto(structCol, descBytes, msgType)
           out(CV(enc, VBytes), Some(structCol.isNull), "unable to encode proto")
         }

@@ -641,7 +641,14 @@ object VrlTime {
   def parse(c: Column, fmt: String): Column = fmt match {
     case "%+" => parseIso(c)
     case "%s" => timestamp_seconds(c.cast("long"))
-    case _ => try_to_timestamp(c, lit(toJavaPattern(fmt)))
+    case _ =>
+      // chrono's literal space matches ZERO or more whitespace (the
+      // cue's "%v %R %:z" parses "… 16:00+00:00"); Java's needs exactly
+      // one — retry with spaces stripped from both sides
+      val p = toJavaPattern(fmt)
+      coalesce(
+        try_to_timestamp(c, lit(p)),
+        try_to_timestamp(regexp_replace(c, " ", ""), lit(p.replace(" ", ""))))
   }
 
   def parseIso(c: Column): Column =
@@ -788,7 +795,12 @@ object VrlParsers {
       scheme)
     val port =
       if (defaultKnownPorts) coalesce(explicitPort, knownPort) else explicitPort
-    val rawHost = regexp_replace(part("HOST"), ":\\d+$", "")
+    // Spark's parse_url yields a null HOST for non-ASCII (IDN)
+    // authorities — fall back to a structural extract, then
+    // IDNA-normalize either way
+    val rawHost = coalesce(
+      nn(regexp_replace(part("HOST"), ":\\d+$", "")),
+      nn(regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)", 1)))
     val fixed = obj(
       "scheme" -> CV(scheme, VStr),
       "username" -> CV(regexp_extract(userinfo, "^([^:]*)", 1), VStr),

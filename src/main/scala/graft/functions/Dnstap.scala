@@ -129,8 +129,14 @@ object Dnstap {
       if (m.authority.isEmpty) null else m.authority.map(recRow),
       if (m.additional.isEmpty) null else m.additional.map(recRow),
       m.opt.map(o => r(optT, o.extendedRcode, o.version, o.doFlag, o.udpPayload,
-        o.ede.map(e => r(edeT, e.infoCode, e.purpose.orNull, e.extraText.getOrElse(""))),
-        o.options.map(e => r(optEntryT, e.code, e.name, e.valueB64)))).orNull)
+        // empty sections are OMITTED (the cue's requestData.opt has no
+        // `ede` key, its responseData.opt no `options` key); ede is an
+        // ARRAY in the reference's shape
+        if (o.ede.isEmpty) null
+        else o.ede.map(e => r(edeT, e.infoCode, e.purpose.orNull,
+          e.extraText.getOrElse(""))),
+        if (o.options.isEmpty) null
+        else o.options.map(e => r(optEntryT, e.code, e.name, e.valueB64)))).orNull)
   }
 
   private def recRow(x: DnsWire.Rec): Row =

@@ -506,9 +506,9 @@ object Vrl {
     */
   def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
                 unit: String = "kilometers"): Column = {
-    // IUGG mean earth radius; miles = the km result / 1.609344 (the
-    // reference converts units, it does not re-derive a miles radius)
-    val r = if (unit == "miles") 6371.0088 / 1.609344 else 6371.0088
+    // IUGG mean earth radius; miles via the 0.621371192 miles-per-km
+    // factor (reproduces the cue vectors to their printed precision)
+    val r = if (unit == "miles") 6371.0088 * 0.621371192 else 6371.0088
     val (p1, p2) = (radians(lat1), radians(lat2))
     val (dp, dl) = (radians(lat2 - lat1), radians(lon2 - lon1))
     val a = pow(sin(dp / 2), 2) + cos(p1) * cos(p2) * pow(sin(dl / 2), 2)

@@ -131,8 +131,19 @@ object CodecExpressions {
 
   case class ZstdCompress(child: Expression, level: Int) extends BinaryCodec {
     override def prettyName: String = "encode_zstd"
-    override def nullSafeEval(v: Any): Any =
-      com.github.luben.zstd.Zstd.compress(v.asInstanceOf[Array[Byte]], level)
+    override def nullSafeEval(v: Any): Any = {
+      // streaming writer, not Zstd.compress: the reference's Rust
+      // encoder streams, so its frame header carries NO content size
+      // and the level default windowLog (encode_zstd.cue pins the
+      // "KLUv/QBY…" header); the one-shot JNI path would emit the
+      // single-segment/content-size form — same payload, different
+      // header bytes
+      val bos = new ByteArrayOutputStream()
+      val zos = new com.github.luben.zstd.ZstdOutputStream(bos, level)
+      zos.write(v.asInstanceOf[Array[Byte]])
+      zos.close()
+      bos.toByteArray
+    }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }

@@ -1387,6 +1387,32 @@ object StringExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** parse_cef `translate_custom_fields` (parse_cef.cue): `cs1Label=X
+    * cs1=v` becomes `X: v`; the Label entries are dropped.
+    */
+  case class CefTranslateCustom(child: Expression) extends StrMapper {
+    override def prettyName: String = "cef_translate_custom_fields"
+    override def mapStr(s: String): String = {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      val m = new ObjectMapper()
+      val root = m.readTree(s)
+      val out = m.createObjectNode()
+      val it = root.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        if (k.endsWith("Label")) () // consumed as a rename below
+        else {
+          val label = root.get(k + "Label")
+          val nk = if (label != null && label.isTextual) label.asText() else k
+          out.set(nk, e.getValue); ()
+        }
+      }
+      m.writeValueAsString(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   // ---------------------------------------------------------- wrappers
 
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -1409,23 +1435,24 @@ object StringExpressions {
     col(CommunityId(IndexedSeq(expr(saddr), expr(daddr), expr(sport),
       expr(dport), expr(proto)), seed, portsProvided))
   def uuidFromFriendlyId(c: Column): Column = col(UuidFromFriendlyId(expr(c)))
-  /** Plan-time evaluation of a constant-foldable column (map_keys over
-    * a static object applies its closure to each literal key name).
+  /** Plan-time evaluation of a constant column (map_keys over a static
+    * object applies its closure to each literal key name). The column
+    * is built from literals only, but Spark 4 Columns resolve at
+    * analysis — so evaluate through a one-row local relation (driver
+    * side, compile time, once per static key).
     */
-  def foldToString(c: Column): Option[String] = {
-    val e = expr(c)
-    if (!e.foldable) None
-    else e.eval(null) match {
-      case null => None
-      case u: UTF8String => Some(u.toString)
-      case other => Some(String.valueOf(other))
-    }
-  }
+  def foldToString(c: Column): Option[String] =
+    try {
+      val row = org.apache.spark.sql.SparkSession.active
+        .range(1).select(c.cast("string")).head()
+      if (row.isNullAt(0)) None else Some(row.getString(0))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def keyValueToJson(c: Column, kvSep: String, fieldSep: String): Column =
     col(KeyValueToJson(expr(c), kvSep, fieldSep))
   def jsonMaxDepth(c: Column, maxDepth: Int): Column =
     col(JsonMaxDepth(expr(c), maxDepth))
+  def cefTranslate(c: Column): Column = col(CefTranslateCustom(expr(c)))
   def jsonPathSet(base: Column, data: Column,
                   path: Seq[Either[String, Int]]): Column =
     col(JsonPathSet(expr(base), expr(data), path))
