@@ -312,6 +312,11 @@ object CueCorpus {
     * nor fail.
     */
   val knownDivergent: Set[(String, String)] = Set(
+    // the doc's value is the two's-complement NEGATION of the true
+    // XXH64("foo", 0) = 0x33bf00a859c4ba3f (verified against both the
+    // xxHash spec reimplemented from scratch and lz4-java); the same
+    // doc's XXH32 value matches this engine exactly
+    ("xxhash", "Calculate a hash using the XXH64 algorithm"),
     ("encrypt_ip", "Encrypt IPv6 address with AES128"),
     ("encrypt_ip", "Encrypt IPv4 address with prefix-preserving mode"),
     ("encrypt_ip", "Encrypt IPv6 address with prefix-preserving mode"),

@@ -185,9 +185,20 @@ object VrlFunctions {
             "set_semantic_meaning target must be a top-level event path")
         }
       // get/set/remove (get.cue/set.cue/remove.cue): path-array access
-      // over values. The path must be a literal array — VRL's dynamic
-      // path strings are a per-row interpreter feature with no
-      // plan-time column equivalent.
+      // over values. The path is usually a literal array; runtime
+      // segments (the for_each tally pattern, `get!(tally, [value])`)
+      // route through the dynamic JSON-path kernel.
+      case "get" if dynPathItems(c, 1, "path").isDefined =>
+        val items = dynPathItems(c, 1, "path").get
+        val (xv, e2) = compileExpr(env, valueArg(c))
+        var envAcc = e2
+        val (cols, isIdx) = items.map { it =>
+          val (sxv, en) = compileExpr(envAcc, it); envAcc = en
+          (sxv.cv.col.cast("string"), sxv.cv.t == VInt)
+        }.unzip
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonPathGetDyn(jsonText(xv.cv), cols, isIdx))
+        return (XV(CV(r, VAny), xv.raise, xv.msg), envAcc)
       case "get" =>
         val segs = litPathArg(c, 1, "path")
         val hasNeg = segs.exists { case SegIndex(i) => i < 0; case _ => false }
@@ -225,6 +236,22 @@ object VrlFunctions {
         val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
           .jsonPathRemove(jsonText(xv.cv), path, compact))
         return (XV(CV(r, VAny), xv.raise, xv.msg), e2)
+      case "set" if dynPathItems(c, 1, "path").isDefined =>
+        val items = dynPathItems(c, 1, "path").get
+        val dataE = c.args.lift(2).orElse(c.named.collectFirst {
+          case ("data", e) => e }).getOrElse(throw VrlUnsupported("set without data"))
+        val (base, e2) = compileExpr(env, valueArg(c))
+        val (data, e3) = compileExpr(e2, dataE)
+        var envAcc = e3
+        val (cols, isIdx) = items.map { it =>
+          val (sxv, en) = compileExpr(envAcc, it); envAcc = en
+          (sxv.cv.col.cast("string"), sxv.cv.t == VInt)
+        }.unzip
+        val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonPathSetDyn(jsonText(base.cv), jsonText(data.cv), cols, isIdx))
+        return (XV(CV(r, VAny),
+          (base.raise ++ data.raise ++ Seq(r.isNull)).reduceOption(_ || _),
+          lit(s"""${callErrPrefix(c.name, c.span)}: invalid path""")), envAcc)
       case "set" =>
         val segs = litPathArg(c, 1, "path")
         c.args.lift(2).orElse(c.named.collectFirst { case ("data", e) => e }) match {
@@ -785,12 +812,22 @@ object VrlFunctions {
         val withS = asStr(ar(2, "with"))
         val count = ar.litInt(3, "count").getOrElse(-1L)
         ar.raw(1, "pattern") match {
-          case LitRegex(p) =>
+          case LitRegex(p0) =>
+            // Rust-style named groups translate to Java's ((?P<x> →
+            // (?<x>), and a `$name` replacement to `${name}`) — the
+            // pattern KEEPS its named groups so ${name} resolves
+            val names = VrlKernels.namedGroups(p0)._2
+            val p = p0.replace("(?P<", "(?<")
+            val withJ = names.foldLeft(withS) { (w, nm) =>
+              regexp_replace(w,
+                java.util.regex.Pattern.quote("$" + nm) + "(?![\\w{])",
+                java.util.regex.Matcher.quoteReplacement("$" + s"{$nm}"))
+            }
             // unbounded: codegen'd regexp_replace; bounded: Matcher
             // kernel with the same $-group replacement semantics
             // (replace.cue: count bounds the number of replacements)
-            if (count < 0L) out(CV(regexp_replace(v, lit(p), withS), VStr))
-            else out(CV(VrlKernels.regexReplaceN(v, p, withS, count), VStr))
+            if (count < 0L) out(CV(regexp_replace(v, lit(p), withJ), VStr))
+            else out(CV(VrlKernels.regexReplaceN(v, p, withJ, count), VStr))
           case LitS(s) if count == 1L && s.nonEmpty =>
             val pos = instr(v, s)
             out(CV(when(pos > 0,
@@ -1299,7 +1336,8 @@ object VrlFunctions {
       case "strip_ansi_escape_codes" =>
         out(withStrRaise(a, bang, graft.functions.Vrl.stripAnsiEscapeCodes))
       case "shannon_entropy" =>
-        out(CV(graft.functions.Vrl.shannonEntropy(asStr(a(0, "value"))), VFloat))
+        val seg = a.litStr(1, "segmentation").getOrElse("bytes")
+        out(CV(graft.functions.Vrl.shannonEntropy(asStr(a(0, "value")), seg), VFloat))
       case "seahash" =>
         out(CV(graft.functions.Vrl.seahash(asStr(a(0, "value"))), VInt))
       case "encode_base16" =>
@@ -2427,8 +2465,99 @@ object VrlFunctions {
           envAcc = after.copy(locals = after.locals -- params)
         }
         (XV.pure(nullValue), envAcc)
+      case ("for_each", VArrOf(e)) =>
+        // RUNTIME array (length unknown at plan time): the body compiles
+        // ONCE into a `functions.aggregate` fold. The accumulator is a
+        // struct with one JSON-text field per local the body assigns —
+        // every VRL value round-trips through its JSON form, so the
+        // accumulator type is fixed even when a local's type evolves
+        // across iterations (the tally pattern, for_each.cue: `tally =
+        // set!(tally, [value], …)`). Event mutation inside the loop has
+        // no single-pass fold form; closure-body raises cannot hoist out
+        // of a lambda (same documented divergence as replace_with).
+        if (assignedEventPaths(body))
+          throw VrlUnsupported("for_each body mutating the event over a runtime array")
+        val mutated = assignedLocals(body).distinct
+        if (mutated.isEmpty) (XV.pure(nullValue), env1)
+        else {
+          val init = struct(mutated.map { n =>
+            env1.locals.get(n).map(jsonText).getOrElse(lit("null")).as(n)
+          }: _*)
+          def mergeFn(acc: Column, elemVals: Seq[CV]): Column = {
+            val withLocals = env1.copy(
+              locals = env1.locals ++
+                mutated.map(n => n -> CV(try_parse_json(acc.getField(n)), VAny)) ++
+                params.zip(elemVals),
+              consts = env1.consts -- mutated -- params)
+            val (_, after) = compileExpr(withLocals, body)
+            struct(mutated.map(n => jsonText(after.locals(n)).as(n)): _*)
+          }
+          val folded =
+            if (params.length >= 2) {
+              // VRL closure order is |index, element|
+              val zipped = transform(target.col,
+                (x: Column, i: Column) => struct(i.as("i"), x.as("x")))
+              aggregate(zipped, init, (acc, p) => mergeFn(acc,
+                Seq(CV(p.getField("i").cast("bigint"), VInt), CV(p.getField("x"), e))))
+            } else
+              aggregate(target.col, init, (acc, x) => mergeFn(acc, Seq(CV(x, e))))
+          val envOut = env1.copy(
+            locals = env1.locals ++ mutated.map(n =>
+              n -> CV(try_parse_json(folded.getField(n)), VAny)),
+            consts = env1.consts -- mutated)
+          (XV.pure(nullValue), envOut)
+        }
       case (fn, t) => throw VrlUnsupported(s"$fn closure over $t")
     }
+  }
+
+  /** Local names the expression assigns (loop-carried state of a
+    * runtime-array for_each fold), in first-assignment order.
+    */
+  private def assignedLocals(e: Expr): Seq[String] = e match {
+    case Block(stmts) => stmts.flatMap {
+      case Assign(ok, err, ex) =>
+        (Seq(ok) ++ err).collect { case TLocal(n) => n } ++ assignedLocals(ex)
+      case ExprStmt(x) => assignedLocals(x)
+      case AbortStmt(m) => m.toSeq.flatMap(assignedLocals)
+    }
+    case IfE(c0, t, eo) =>
+      assignedLocals(c0) ++ assignedLocals(t) ++ eo.toSeq.flatMap(assignedLocals)
+    case Bin(_, l, r) => assignedLocals(l) ++ assignedLocals(r)
+    case Un(_, x) => assignedLocals(x)
+    case Coalesce(l, r) => assignedLocals(l) ++ assignedLocals(r)
+    case PathOn(b, _) => assignedLocals(b)
+    case ArrLit(items) => items.flatMap(assignedLocals)
+    case ObjLit(fs) => fs.flatMap(f => assignedLocals(f._2))
+    case Call(_, _, args, named, closure, _) =>
+      args.flatMap(assignedLocals) ++ named.flatMap(n => assignedLocals(n._2)) ++
+        closure.toSeq.flatMap { case (ps, b) => assignedLocals(b).filterNot(ps.contains) }
+    case _ => Nil
+  }
+
+  /** Whether the expression assigns any event/metadata path. */
+  private def assignedEventPaths(e: Expr): Boolean = e match {
+    case Block(stmts) => stmts.exists {
+      case Assign(ok, err, ex) =>
+        (Seq(ok) ++ err).exists {
+          case TField(_) | TWhole | TMeta => true
+          case _ => false
+        } || assignedEventPaths(ex)
+      case ExprStmt(x) => assignedEventPaths(x)
+      case AbortStmt(m) => m.exists(assignedEventPaths)
+    }
+    case IfE(c0, t, eo) =>
+      assignedEventPaths(c0) || assignedEventPaths(t) || eo.exists(assignedEventPaths)
+    case Bin(_, l, r) => assignedEventPaths(l) || assignedEventPaths(r)
+    case Un(_, x) => assignedEventPaths(x)
+    case Coalesce(l, r) => assignedEventPaths(l) || assignedEventPaths(r)
+    case PathOn(b, _) => assignedEventPaths(b)
+    case ArrLit(items) => items.exists(assignedEventPaths)
+    case ObjLit(fs) => fs.exists(f => assignedEventPaths(f._2))
+    case Call(_, _, args, named, closure, _) =>
+      args.exists(assignedEventPaths) || named.exists(n => assignedEventPaths(n._2)) ||
+        closure.exists { case (_, b) => assignedEventPaths(b) }
+    case _ => false
   }
 
   /** Array literals with non-scalar elements compile to VHet structs;
@@ -2504,6 +2633,22 @@ object VrlFunctions {
         case other => throw VrlUnsupported(s"non-literal path segment $other")
       }
       case _ => throw VrlUnsupported(s"${c.name} without a literal path array")
+    }
+
+  /** A path array containing at least one NON-literal segment (the
+    * dynamic-path form of get/set) — `Some(items)` routes the caller
+    * to the runtime JSON-path kernel, `None` means all-literal (use
+    * [[litPathArg]]).
+    */
+  private def dynPathItems(c: Call, i: Int, pname: String): Option[Seq[Expr]] =
+    c.args.lift(i).orElse(c.named.collectFirst { case (`pname`, e) => e }) match {
+      case Some(ArrLit(items)) =>
+        val allLit = items.forall {
+          case LitS(_) | LitI(_) | Un("-", LitI(_)) => true
+          case _ => false
+        }
+        if (allLit) None else Some(items)
+      case _ => None
     }
 
   private def walkCv(cv: CV, seg: PathSeg): CV = VrlCompile.walkStep(cv, seg)

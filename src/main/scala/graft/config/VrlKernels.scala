@@ -358,10 +358,12 @@ object VrlKernels {
           f("maxLength").forall(t.length <= _.asInt) &&
           f("pattern").forall(p => java.util.regex.Pattern.compile(p.asText).matcher(t).find) &&
           f("format").forall { fmt =>
-            formats.get(fmt.asText) match {
-              case Some(re) => t.matches(re)
-              case None => ignoreUnknownFormats
-            }
+            // ignore_unknown_formats=true demotes format to an
+            // annotation ENTIRELY — the reference's own fixtures pass
+            // a failing known format ("email") under the flag
+            // (validate_json_schema.cue example 4)
+            if (ignoreUnknownFormats) true
+            else formats.get(fmt.asText).forall(re => t.matches(re))
           }
       }
       lazy val objOk = !v.isObject || {

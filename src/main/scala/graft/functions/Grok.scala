@@ -31,6 +31,9 @@ object Grok {
     "DATA"              -> """.*?""",
     "GREEDYDATA"        -> """.*""",
     "INT"               -> """(?:[+-]?\d+)""",
+    "POSINT"            -> """\d+""",
+    "NONNEGINT"         -> """\d+""",
+    "USERNAME"          -> """[a-zA-Z0-9._-]+""",
     // CLF size field: digits or the '-' placeholder Apache writes for
     // 204/304/zero-byte responses — callers nullif("-") before casting
     "CLFSIZE"           -> """(?:-|\d+)""",

@@ -189,7 +189,11 @@ object Parsers {
   def cefHeader(c: Column, idx: Int): Column =
     try_element_at(split(c, "\\|"), lit(idx + 1))
   def cefExtension(c: Column): Column =
-    str_to_map(try_element_at(split(c, "\\|"), lit(8)), lit(" "), lit("="))
+    // a pair ends only where the NEXT `key=` token begins — CEF
+    // extension values may contain spaces ("c6a1Label=Device IPv6
+    // Address", parse_cef.cue)
+    str_to_map(try_element_at(split(c, "\\|"), lit(8)),
+      lit(" (?=[^\\s=]+=)"), lit("="))
 
   /** encode_logfmt: render (key, value-column) pairs as `k=v` logfmt,
     * quoting values containing spaces (reference encode_logfmt.cue).

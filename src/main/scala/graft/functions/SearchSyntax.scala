@@ -133,7 +133,12 @@ object SearchSyntax {
         val c = fieldCol(f)
         value match {
           case _ if quoted => c === value
-          case rangeRe(lo, hi) =>
+          case rangeRe(lo0, hi0) =>
+            // bounds may be quoted: b:["x" TO "z"]
+            def unq(s: String) =
+              if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+                s.substring(1, s.length - 1) else s
+            val (lo, hi) = (unq(lo0), unq(hi0))
             (if (lo == "*") lit(true) else cmp(c, lo, _ >= _)) &&
               (if (hi == "*") lit(true) else cmp(c, hi, _ <= _))
           case cmpRe(op, n) =>

@@ -332,7 +332,8 @@ object Vrl {
   def parseCbor(c: Column): Column = strExprs.parseCbor(c)
   def parseRubyHash(c: Column): Column = strExprs.parseRubyHash(c)
   def seahash(c: Column): Column = strExprs.seahash(c)
-  def shannonEntropy(c: Column): Column = strExprs.shannonEntropy(c)
+  def shannonEntropy(c: Column, segmentation: String = "bytes"): Column =
+    strExprs.shannonEntropy(c, segmentation)
   def sha3(c: Column, variant: String = "SHA3-512"): Column = strExprs.sha3(c, variant)
   def sha1Hex(c: Column): Column = sha1(c.cast("binary"))
   def hmacBytes(data: Column, key: Column, algorithm: String = "SHA-256"): Column =
@@ -372,14 +373,15 @@ object Vrl {
 
   // --------------------------------------------- strings/objects tier 3
 
-  /** chunks("abcdefgh", 4) → ["abcd","efgh"] (chunks.cue — STRING
-    * chunking; byte-exactness caveat: Spark regex chunks by
-    * CODEPOINTS, the reference by bytes — identical on ASCII).
-    * (?s) so `.` also matches line terminators — without it,
-    * newlines are silently dropped and chunk boundaries shift.
+  /** chunks("abcdefgh", 4) → ["abcd","efgh"] (chunks.cue) — BYTE
+    * chunking, exactly the reference: a chunk boundary may split a
+    * UTF-8 sequence, whose halves render as replacement characters
+    * (the cue's "Chunks do not respect unicode code point boundaries").
     */
-  def chunks(c: Column, n: Int): Column =
-    regexp_extract_all(c, lit(s"(?s).{1,$n}"), lit(0))
+  private lazy val chunksUdf = udf((s: String, n: Int) =>
+    if (s == null) null
+    else s.getBytes("UTF-8").grouped(n).map(new String(_, "UTF-8")).toSeq)
+  def chunks(c: Column, n: Int): Column = chunksUdf(c, lit(n))
 
   /** screamingsnakecase("fooBar") → "FOO_BAR". */
   def screamingsnakecase(c: Column, originalCase: Option[String] = None): Column =
@@ -506,9 +508,9 @@ object Vrl {
     */
   def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
                 unit: String = "kilometers"): Column = {
-    // IUGG mean earth radius; miles via the 0.621371192 miles-per-km
+    // IUGG mean earth radius; miles via the 0.6213712 miles-per-km
     // factor (reproduces the cue vectors to their printed precision)
-    val r = if (unit == "miles") 6371.0088 * 0.621371192 else 6371.0088
+    val r = if (unit == "miles") 6371.0088 * 0.6213712 else 6371.0088
     val (p1, p2) = (radians(lat1), radians(lat2))
     val (dp, dl) = (radians(lat2 - lat1), radians(lon2 - lon1))
     val a = pow(sin(dp / 2), 2) + cos(p1) * cos(p2) * pow(sin(dl / 2), 2)

@@ -503,19 +503,34 @@ object StringExpressions {
     * over the UTF-8 BYTE distribution of the string (the reference's
     * default byte segmentation).
     */
-  case class ShannonEntropy(child: Expression) extends UnaryExpression
+  /** `segmentation`: "bytes" (default) or "grapheme" — the reference
+    * counts symbol frequencies over the chosen segmentation
+    * (shannon_entropy.cue); graphemes via the JDK BreakIterator.
+    */
+  case class ShannonEntropy(child: Expression, segmentation: String = "bytes")
+      extends UnaryExpression
       with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "shannon_entropy"
     override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      if (bytes.isEmpty) 0.0
+      val syms: Seq[Any] =
+        if (segmentation == "grapheme") {
+          val str = v.asInstanceOf[UTF8String].toString
+          val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+          it.setText(str)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var start = it.first(); var end = it.next()
+          while (end != java.text.BreakIterator.DONE) {
+            out += str.substring(start, end); start = end; end = it.next()
+          }
+          out.toSeq
+        } else v.asInstanceOf[UTF8String].getBytes.toSeq
+      if (syms.isEmpty) 0.0
       else {
-        val counts = new Array[Int](256)
-        bytes.foreach(b => counts(b & 0xff) += 1)
-        val n = bytes.length.toDouble
+        val counts = syms.groupBy(identity).values.map(_.size)
+        val n = syms.length.toDouble
         var h = 0.0
         counts.foreach { c =>
           if (c > 0) { val p = c / n; h -= p * (math.log(p) / math.log(2)) }
@@ -1138,6 +1153,76 @@ object StringExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** VRL get/set with a DYNAMIC path (the for_each tally pattern,
+    * for_each.cue: `set!(tally, [value], …)` where `value` is the loop
+    * element). Segments arrive as runtime string children; `isIndex`
+    * marks, per segment, whether the VRL expression was integer-typed
+    * (array index) — the one piece of path shape that IS known at plan
+    * time. children = base ±data :+ seg…; null when the path cannot
+    * apply or any segment is null.
+    */
+  case class JsonPathDyn(children: IndexedSeq[Expression],
+                         isIndex: Seq[Boolean], isSet: Boolean)
+      extends Expression with CodegenFallback {
+    private val nFixed = if (isSet) 2 else 1
+    require(children.length == nFixed + isIndex.length, "json_path_dyn arity")
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = if (isSet) "json_set_dyn" else "json_get_dyn"
+    override def eval(input: InternalRow): Any = {
+      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+      import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+      val vals = children.map(_.eval(input))
+      if (vals.exists(_ == null)) return null
+      val m = new ObjectMapper()
+      val segs: List[Either[String, Int]] =
+        vals.drop(nFixed).zip(isIndex).map { case (v, ix) =>
+          val s = v.asInstanceOf[UTF8String].toString
+          if (ix) Right(try s.toInt catch { case _: NumberFormatException => return null })
+          else Left(s)
+        }.toList
+      def get(n: JsonNode, segs: List[Either[String, Int]]): JsonNode = segs match {
+        case Nil => n
+        case Left(k) :: rest =>
+          val c = n.get(k); if (c == null) m.nullNode() else get(c, rest)
+        case Right(i0) :: rest =>
+          val i = if (i0 < 0) n.size() + i0 else i0
+          val c = n.get(i); if (c == null) m.nullNode() else get(c, rest)
+      }
+      def set(n: JsonNode, segs: List[Either[String, Int]], v: JsonNode): JsonNode =
+        segs match {
+          case Nil => v
+          case Left(k) :: rest =>
+            val base = n match {
+              case o: ObjectNode => o.deepCopy[ObjectNode]()
+              case _ => m.createObjectNode()
+            }
+            base.set(k, set(Option(base.get(k)).getOrElse(m.nullNode()), rest, v))
+            base
+          case Right(i0) :: rest =>
+            val base = n match {
+              case a: ArrayNode => a.deepCopy[ArrayNode]()
+              case _ => m.createArrayNode()
+            }
+            val i = if (i0 < 0) base.size() + i0 else i0
+            if (i < 0) throw new IllegalArgumentException("index out of range")
+            while (base.size() <= i) base.addNull()
+            base.set(i, set(base.get(i), rest, v))
+            base
+        }
+      try {
+        val base = m.readTree(vals(0).asInstanceOf[UTF8String].toString)
+        val out =
+          if (isSet)
+            set(base, segs, m.readTree(vals(1).asInstanceOf[UTF8String].toString))
+          else get(base, segs)
+        UTF8String.fromString(m.writeValueAsString(out))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+  }
+
   case class JsonPathRemove(child: Expression, path: Seq[Either[String, Int]],
                             compact: Boolean) extends StrMapper {
     override def prettyName: String = "json_path_remove"
@@ -1304,6 +1389,26 @@ object StringExpressions {
         i += 1
       }
       fields += cur.toString
+      // whitespace may separate the key from the separator or the
+      // separator from the value (`eventSource= "Application"`,
+      // RFC 5424 SD in parse_syslog.cue) — re-join such fragments
+      val joined = scala.collection.mutable.ArrayBuffer.empty[String]
+      var fi = 0
+      while (fi < fields.length) {
+        val f = fields(fi).trim
+        if (f.nonEmpty && (f == kvSep.trim || (f.endsWith(kvSep) &&
+            !f.startsWith("\"") && fi + 1 < fields.length))) {
+          // merge with the following fragment (and a bare separator
+          // also merges with the previous)
+          if (f == kvSep.trim && joined.nonEmpty && fi + 1 < fields.length) {
+            val prev = joined.remove(joined.length - 1)
+            joined += (prev + kvSep + fields(fi + 1)); fi += 2
+          } else if (fi + 1 < fields.length) {
+            joined += (f + fields(fi + 1)); fi += 2
+          } else { joined += f; fi += 1 }
+        } else { joined += fields(fi); fi += 1 }
+      }
+      fields.clear(); fields ++= joined
       def unquote(t0: String): String = {
         val t = t0.trim
         if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
@@ -1424,7 +1529,8 @@ object StringExpressions {
   def parseCbor(c: Column): Column = col(CborToJson(expr(c)))
   def parseRubyHash(c: Column): Column = col(RubyHashToJson(expr(c)))
   def seahash(c: Column): Column = col(SeaHash(expr(c)))
-  def shannonEntropy(c: Column): Column = col(ShannonEntropy(expr(c)))
+  def shannonEntropy(c: Column, segmentation: String = "bytes"): Column =
+    col(ShannonEntropy(expr(c), segmentation))
   def hmac(data: Column, key: Column, algorithm: String = "SHA-256"): Column =
     col(HmacBytes(expr(data), expr(key), algorithm))
   def sha3(c: Column, variant: String = "SHA3-512"): Column =
@@ -1459,6 +1565,12 @@ object StringExpressions {
   def jsonPathRemove(base: Column, path: Seq[Either[String, Int]],
                      compact: Boolean): Column =
     col(JsonPathRemove(expr(base), path, compact))
+  def jsonPathGetDyn(base: Column, segs: Seq[Column],
+                     isIndex: Seq[Boolean]): Column =
+    col(JsonPathDyn((base +: segs).map(expr).toIndexedSeq, isIndex, isSet = false))
+  def jsonPathSetDyn(base: Column, data: Column, segs: Seq[Column],
+                     isIndex: Seq[Boolean]): Column =
+    col(JsonPathDyn((base +: data +: segs).map(expr).toIndexedSeq, isIndex, isSet = true))
   def jsonZip(l: Column, r: Column): Column = col(JsonZip(expr(l), expr(r)))
   def jsonObjectFromArray(values: Column, keys: Column): Column =
     col(JsonObjectFromArray(expr(values), expr(keys)))
