@@ -528,19 +528,25 @@ object VrlCompile {
     * siblings: typed structs and tuples are rebuilt field-by-field,
     * map<string,string> is updated in place (map_filter +
     * map_concat), and a native array gets an in-place element
-    * overwrite with VRL's null-padding up to the index. The one base
-    * we cannot enumerate at plan time is a VARIANT (parse_json!
-    * without a schema): updating it would silently drop sibling
-    * fields, so that raises VrlUnsupported instead of corrupting.
+    * overwrite with VRL's null-padding up to the index. A VARIANT base
+    * (parse_json! / parse_key_value! without a schema) routes the
+    * whole remaining path through the Jackson path-set kernel
+    * (StringExpressions.JsonPathSet) — a functional rebuild of the
+    * JSON tree that preserves every sibling, exactly VRL's own `set`.
     */
   private def setIn(base: Option[CV], segs: Seq[PathSeg], v: CV): CV =
     if (segs.isEmpty) v
-    else segs.head match {
+    else base match {
+      case Some(CV(c, VAny)) =>
+        val path = segs.map {
+          case SegName(n) => Left(n)
+          case SegIndex(i) => Right(i)
+        }
+        CV(try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonPathSet(to_json(c), VrlFunctions.jsonText(v), path)), VAny)
+      case _ => segs.head match {
       case SegName(n) =>
         base match {
-          case Some(CV(_, VAny)) =>
-            throw VrlUnsupported(
-              "path assignment into a variant value would drop its sibling fields")
           case Some(CV(c, VMap)) =>
             if (segs.tail.nonEmpty)
               throw VrlUnsupported(
@@ -562,9 +568,6 @@ object VrlCompile {
         }
       case SegIndex(i) =>
         base match {
-          case Some(CV(_, VAny)) =>
-            throw VrlUnsupported(
-              "index assignment into a variant value would drop its sibling elements")
           case Some(CV(c, VArrOf(et))) =>
             if (segs.tail.nonEmpty)
               throw VrlUnsupported(
@@ -591,6 +594,7 @@ object VrlCompile {
             val existing = if (i < elems.length) Some(elems(i)) else None
             mkHet(padded.updated(i, setIn(existing, segs.tail, v)))
         }
+      }
     }
 
   private def mkObj(fields: ListMap[String, CV]): CV =
@@ -919,6 +923,21 @@ object VrlCompile {
       }.reduce(_ && _)
     case (VHet(_), VArrOf(_)) => eq(b, a)
     case (VArrOf(x), VArrOf(y)) if x == y => a.col <=> b.col
+    case (VAny, VArrOf(_)) =>
+      // variant vs native array: cast the variant to the array's Spark
+      // type (elementwise; null on shape mismatch) and compare —
+      // defined only down to scalar leaves (variant leaves have no
+      // comparable Spark form)
+      def arrTn(t: VT): Option[String] = t match {
+        case VArrOf(e) => arrTn(e).map(x => s"array<$x>")
+        case VStr | VBytes | VInt | VFloat | VBool | VTime =>
+          Some(sparkTypeName(t))
+        case _ => None
+      }
+      arrTn(b.t)
+        .map(tn => try_variant_get(a.col, "$", tn) <=> b.col)
+        .getOrElse(lit(false))
+    case (VArrOf(_), VAny) => eq(b, a)
     case (VAny, VObj(_)) | (VObj(_), VAny) | (VAny, VHet(_)) | (VHet(_), VAny) =>
       val (av, bv) = if (a.t == VAny) (a, b) else (b, a)
       bv.t match {

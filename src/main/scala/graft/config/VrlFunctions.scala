@@ -2094,8 +2094,12 @@ object VrlFunctions {
         import graft.functions.Parsers
         val m = nullif(Parsers.influxMeasurement(v), lit(""))
         val tagsJson = coalesce(to_json(Parsers.influxTags(v)), lit("{}"))
+        // decimal division: `/` on longs is DOUBLE division, and an
+        // 18-digit nanosecond count rounds to a 256 ns ulp — enough to
+        // corrupt the last microsecond digit
         val tsIso = date_format(
-          timestamp_micros((Parsers.influxTsNanos(v) / 1000L).cast("long")),
+          timestamp_micros((Parsers.influxTsNanos(v).cast("decimal(38,0)") /
+            lit(1000).cast("decimal(38,0)")).cast("long")),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
         val entries = map_entries(Parsers.influxFields(v))
         val metricJsons = transform(entries, e => {
@@ -2157,9 +2161,10 @@ object VrlFunctions {
       case "parse_proto" | "encode_proto" =>
         // parse_proto.cue / encode_proto.cue: desc_file + message_type are
         // literal strings; the descriptor set is read and compiled at PLAN
-        // time (same compile-once contract as the reference). Payload
-        // transport is base64 at this boundary, like parse_cbor; bytes
-        // fields inside the message are unsupported here (the
+        // time (same compile-once contract as the reference). The payload
+        // is a first-class byte string (VBytes) — wire it with
+        // decode_base64!/encode_base64 when it rides a text column; bytes
+        // FIELDS inside the message are unsupported here (the
         // ProtoCodec Column API carries them natively).
         val descPath = a.litStr(1, "desc_file").getOrElse(
           throw VrlUnsupported(s"$name without literal desc_file"))
@@ -2371,6 +2376,17 @@ object VrlFunctions {
       case ("map_keys", VMap) =>
         val f = (k: Column, _v: Column) => bodyCv(Seq(CV(k, VStr))).col.cast("string")
         pass(CV(transform_keys(target.col, f), VMap))
+      case ("map_keys", VAny) =>
+        // dynamic object (parse_json!/parse_key_value! result): read as
+        // map<string,variant>, rewrite keys, back to a variant value
+        val m = try_variant_get(target0.cv.col, "$", "map<string, variant>")
+        val f = (k: Column, _v: Column) => bodyCv(Seq(CV(k, VStr))).col.cast("string")
+        pass(CV(try_parse_json(to_json(transform_keys(m, f))), VAny))
+      case ("map_values", VAny) =>
+        val m = try_variant_get(target0.cv.col, "$", "map<string, variant>")
+        val f = (_k: Column, v: Column) =>
+          try_parse_json(jsonText(bodyCv(Seq(CV(v, VAny)))))
+        pass(CV(try_parse_json(to_json(transform_values(m, f))), VAny))
       case ("map_keys", VObj(_)) =>
         // static object: keys are compile-time strings, so the closure
         // body applied to a key literal must constant-fold — evaluate
@@ -2593,7 +2609,7 @@ object VrlFunctions {
     * kernels must see them.
     */
   private val keepNulls = java.util.Map.of("ignoreNullFields", "false")
-  private def jsonText(cv: CV): Column = cv.t match {
+  private[config] def jsonText(cv: CV): Column = cv.t match {
     case VAny => to_json(cv.col)
     case VNullT => lit("null")
     case VObj(fts) if fts.isEmpty => lit("{}")

@@ -61,6 +61,38 @@ object TextDedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word n-gram with a held-out evaluation set (the
+    * 13-gram-overlap rule of GPT-3 appendix C / The Pile — n is a
+    * parameter; tests use the corpus ShingleN).
+    *
+    * Output: (id, contaminated) for every corpus row — callers drop
+    * `contaminated = 1` rows (kept as a flag so audits can count them).
+    *
+    * 100 TB shape: the benchmark shingle set is EVAL-set-sized (MBs to
+    * low GBs — orders of magnitude under the corpus), so it broadcasts;
+    * the corpus side is then one map-side LEFT SEMI probe per shingle —
+    * no corpus-sized shuffle anywhere. The only exchanges are the
+    * benchmark-side distinct (tiny) and the distinct over HIT ids
+    * (bounded by the contamination rate, not the corpus). Shingles are
+    * compared as 60-bit portable hashes like the rest of the dedup
+    * family: longs beat multi-word strings through the broadcast and
+    * the probe, and the oracle hashes identically so any collision is
+    * engine-identical.
+    */
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val benchGrams = shingles(bench, lit(0L), benchText, n)
+      .select(PortableHash.h60(col("shingle")).as("h")).distinct()
+    val hits = shingles(corpus, id, text, n)
+      .select(col("id"), PortableHash.h60(col("shingle")).as("h"))
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .select(col("id")).distinct()
+    corpus.select(id.as("id"))
+      .join(broadcast(hits.withColumn("__hit", lit(1))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__hit"), lit(0)).as("contaminated"))
+  }
+
   /** The distinct (id, shingle-HASH) set, persisted: every consumer
     * (signature build, size counts, verification joins) re-reads it —
     * without the persist each read is a fresh scan + dedup shuffle.

@@ -67,6 +67,19 @@ object TrainingQueries {
         ShingleN, JaccardThreshold, maxShingleDf = Some(NgramMaxDf))
       .orderBy("a", "b")
 
+  // ---------------------------------------------------------- decontaminate
+  /** Benchmark = every 23rd doc (deterministic eval-set stand-in);
+    * corpus = the rest, flagged on any shared word-{ShingleN}-gram.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextDedup.decontaminate(
+        d.filter(col("doc_id") % 23 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 23 === 0), col("text"), ShingleN)
+      .select(col("id").as("doc_id"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- minhash lsh
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"),
@@ -189,6 +202,7 @@ object TrainingQueries {
     "q_training_prep" -> (qTrainingPrep _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_simhash"       -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -358,6 +372,15 @@ cand AS (SELECT DISTINCT x.id AS a, y.id AS b
         "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.h = y.h")),
       s"""SELECT a, b, inter, na, nb, jaccard FROM pairs
          WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
+
+    "q_decontaminate" -> w(Seq(shinglesCte(ShingleN), shd,
+      "bg AS (SELECT DISTINCT h FROM shd WHERE id % 23 = 0)",
+      """hits AS (SELECT DISTINCT id FROM shd
+           WHERE id % 23 <> 0 AND h IN (SELECT h FROM bg))"""),
+      """SELECT d.doc_id,
+           CAST(CASE WHEN h.id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS contaminated
+         FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+         WHERE d.doc_id % 23 <> 0 ORDER BY d.doc_id"""),
 
     "q_dedup_minhash" -> w(Seq(shinglesCte(ShingleN), shd, sizesCte, minhashCtes,
       jaccardSelect(

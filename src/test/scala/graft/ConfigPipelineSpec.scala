@@ -500,11 +500,13 @@ class ConfigPipelineSpec extends SparkSpec {
         |        assert_eq!(.qs.baz, "qux")
         |        assert_eq!(.cef.cefVersion, "1")
         |        assert_eq!(.cef.deviceVendor, "Security")
-        |        assert_eq!(.cef.extension.src, "10.0.0.1")
-        |        assert_eq!(.ifx.measurement, "cpu")
-        |        assert_eq!(.ifx.tags.host, "a")
-        |        assert_eq!(.ifx.timestamp, 1556813561098000000)
-        |        assert_eq!(.ap.client, "127.0.0.1")
+        |        assert_eq!(.cef.src, "10.0.0.1")
+        |        assert_eq!(.ifx[0].name, "cpu_usage")
+        |        assert_eq!(.ifx[0].tags.host, "a")
+        |        assert_eq!(.ifx[0].kind, "absolute")
+        |        assert_eq!(.ifx[0].gauge.value, 0.5)
+        |        assert_eq!(.ifx[0].timestamp, "2019-05-02T16:12:41.098000Z")
+        |        assert_eq!(.ap.host, "127.0.0.1")
         |        assert_eq!(.ap.status, "200")
         |        assert_eq!(.kl.message, "event handled")
         |        assert_eq!(.kl.level, "info")

@@ -75,8 +75,12 @@ class DnstapSpec extends SparkSpec {
     assert(opts.head.getAs[Int]("optCode") == 10)
     assert(opts.head.getAs[String]("optName") == "Cookie")
     assert(opts.head.getAs[String]("optValue") == "7GMIAb3NWDM=")
-    assert(opt.getAs[Seq[Row]]("ede").isEmpty)
-    assert(req.getAs[Seq[Row]]("answers").isEmpty)
+    // empty ede renders as an ABSENT key in the reference (null here,
+    // dropped by the ignore-null JSON encode), not an empty array
+    // empty sections render as an ABSENT key in the reference (null
+    // here, dropped by the ignore-null JSON encode), not an empty array
+    assert(opt.getAs[Seq[Row]]("ede") == null)
+    assert(req.getAs[Seq[Row]]("answers") == null)
   }
 
   test("responseData: extended rcode 16 BADVERS, EDE DNSKEY Missing, SOA question") {

@@ -247,8 +247,8 @@ class ProtoCodecSpec extends SparkSpec {
         |  inputs = []
         |  type = "remap"
         |  source = '''
-        |    .p = parse_proto!(.payload, "$descPath", "cuex.Person")
-        |    .rt = encode_proto!(.p, "$descPath", "cuex.Person")
+        |    .p = parse_proto!(decode_base64!(.payload), "$descPath", "cuex.Person")
+        |    .rt = encode_base64(encode_proto!(.p, "$descPath", "cuex.Person"))
         |  '''
         |[[tests]]
         |  name = "proto"

@@ -28,6 +28,31 @@ class TrainingSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("decontaminate: flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),       // shares "quick brown fox" with bench
+      (2L, "completely different words here"), // clean
+      (3L, "ends with quick brown fox"),       // shares
+      (4L, "short")                            // < n tokens: no shingles, clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "a quick brown fox ran")).toDF("doc_id", "text")
+    val out = TextDedup.decontaminate(corpus, col("doc_id"), col("text"),
+        bench, col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
+  test("decontaminate plan: benchmark and hit sides broadcast, no corpus-sized shuffle join") {
+    val d = docs.limit(200)
+    val plan = TextDedup.decontaminate(
+      d.filter(col("doc_id") % 23 =!= 0), col("doc_id"), col("text"),
+      d.filter(col("doc_id") % 23 === 0), col("text"), 3)
+      .queryExecution.executedPlan.toString
+    // both joins against the corpus are broadcast probes
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("ngram jaccard pairs: exact arithmetic") {
     val df = Seq(
       (1L, "a b c d e"),   // shingles: abc bcd cde
