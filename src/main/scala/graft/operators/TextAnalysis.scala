@@ -98,6 +98,66 @@ object TextAnalysis {
     Seq("ws_tokens" -> ws, "bpeish_tokens" -> bpeish)
   }
 
+  /** Repetition-based quality signals (the Gopher/MassiveText repetition
+    * filters, Rae et al. 2021 §A1.1, token-fraction form): per document,
+    *   - `top_ngram_frac`: tokens covered by the single most frequent
+    *     word `topN`-gram, as a fraction of the doc's tokens — high
+    *     values mean one boilerplate phrase dominates;
+    *   - `dup_ngram_frac`: fraction of `dupN`-gram POSITIONS whose gram
+    *     occurs more than once in the doc — high values mean looping /
+    *     copy-paste text.
+    * Output: (id, n_tokens, top_ngram_frac, dup_ngram_frac), every doc
+    * kept (docs too short for a gram score 0).
+    *
+    * 100 TB shape: two explode → hash-agg chains keyed by (doc, gram)
+    * then (doc) — map-side partial aggregation, per-doc key space, no
+    * window functions, final joins on the doc id. Grams hash to 60-bit
+    * longs before the shuffle like the dedup family.
+    */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column,
+                        topN: Int = 2, dupN: Int = 3): DataFrame = {
+    def gramStats(n: Int) = TextDedup.shingles(df, id, text, n)
+      .select(col("id"), PortableHash.h60(col("shingle")).as("h"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
+    val top = gramStats(topN).groupBy(col("id"))
+      .agg(max(col("c")).as("__top"))
+    val dup = gramStats(dupN).groupBy(col("id"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("__dup"),
+           sum(col("c")).as("__tot"))
+    val nTok = size(split(text, " ")).cast("long")
+    df.select(id.as("id"), nTok.as("n_tokens"))
+      .join(top, Seq("id"), "left")
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        round(coalesce(col("__top") * topN, lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("top_ngram_frac"),
+        round(coalesce(col("__dup"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__tot"), lit(0L)), lit(1L)), 6)
+          .as("dup_ngram_frac"))
+  }
+
+  /** Deterministic stratified sampling for dataset mixing: keep each
+    * row with the probability assigned to its `group` value (source /
+    * domain weights when composing a training mix). The keep decision
+    * is a pure hash of (group, key) — reproducible across runs,
+    * engines, and partitionings, unlike `rand()`-based sampling — so
+    * the oracle, a resumed job, and a re-partitioned cluster all
+    * select the identical rows.
+    *
+    * 100 TB shape: a single codegen'd map-side filter — no shuffle, no
+    * driver state; fractions ride the plan as a literal CASE.
+    */
+  def stratifiedSample(df: DataFrame, group: Column, key: Column,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    val u = pmod(PortableHash.h60(concat(group, lit(":"), key.cast("string"))),
+      lit(1000000L))
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (g, f)) =>
+      when(group === g, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac * 1000000L)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * hash every `n`-gram shingle, slide a window of `w` consecutive
     * shingle hashes, keep each window's minimum; the distinct kept

@@ -80,6 +80,29 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- repetition
+  /** Gopher-style repetition filters: top-bigram and duplicate-trigram
+    * token fractions.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir), col("doc_id"), col("text"),
+        topN = 2, dupN = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- mix sampling
+  /** Deterministic source-stratified mix: named per-source keep rates +
+    * a default — the dataset-mixing step of a training pipeline.
+    */
+  val MixFractions: Map[String, Double] =
+    Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
+  val MixDefault = 0.1
+  private def qMixSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(s, dir), col("source"), col("doc_id"),
+        MixFractions, MixDefault)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- minhash lsh
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashLsh(docs(s, dir), col("doc_id"), col("text"),
@@ -203,6 +226,8 @@ object TrainingQueries {
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition"    -> (qRepetition _),
+    "q_mix_sample"    -> (qMixSample _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_simhash"       -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -372,6 +397,44 @@ cand AS (SELECT DISTINCT x.id AS a, y.id AS b
         "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.h = y.h")),
       s"""SELECT a, b, inter, na, nb, jaccard FROM pairs
          WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
+
+    "q_repetition" -> {
+      def gramCte(tag: String, n: Int) =
+        s"""g$tag AS (
+  SELECT id, ${h60(s"array_to_string(t[pos:pos+${n - 1}], ' ')")} AS h
+  FROM (SELECT id, t,
+          unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS pos
+        FROM toks)),
+c$tag AS (SELECT id, h, count(*) AS c FROM g$tag GROUP BY 1, 2)"""
+      w(Seq(
+        "toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents)",
+        gramCte("2", 2),
+        gramCte("3", 3),
+        "t2 AS (SELECT id, max(c) AS topc FROM c2 GROUP BY 1)",
+        """d3 AS (SELECT id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+             sum(c) AS tot FROM c3 GROUP BY 1)""",
+        """nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+             AS n_tokens FROM documents)"""),
+        """SELECT nt.doc_id, nt.n_tokens,
+           round(CAST(COALESCE(t2.topc * 2, 0) AS DOUBLE) / nt.n_tokens, 6)
+             AS top_ngram_frac,
+           round(CAST(COALESCE(d3.dup, 0) AS DOUBLE)
+             / greatest(COALESCE(d3.tot, 0), 1), 6) AS dup_ngram_frac
+         FROM nt
+         LEFT JOIN t2 ON t2.id = nt.doc_id
+         LEFT JOIN d3 ON d3.id = nt.doc_id
+         ORDER BY nt.doc_id"""
+      )
+    },
+
+    "q_mix_sample" -> {
+      val cases = MixFractions.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"WHEN source = '$g' THEN $f" }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         WHERE ${h60("source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+           < (CASE $cases ELSE $MixDefault END) * 1000000
+         ORDER BY doc_id"""
+    },
 
     "q_decontaminate" -> w(Seq(shinglesCte(ShingleN), shd,
       "bg AS (SELECT DISTINCT h FROM shd WHERE id % 23 = 0)",

@@ -53,6 +53,41 @@ class TrainingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("repetition signals: exact fractions on crafted docs") {
+    val df = Seq(
+      (1L, "a b a b a b"), // top bigram "a b"×3 → 6/6; every trigram dup → 4/4
+      (2L, "x y z w"),     // all grams unique: top 2/4, dup 0
+      (3L, "q")            // too short for any gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, col("doc_id"), col("text"), 2, 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 1.0, 1.0),
+      (2L, 4L, 0.5, 0.0),
+      (3L, 1L, 0.0, 0.0)))
+  }
+
+  test("stratified mix: deterministic, exact zero/one rates, shuffle-free plan") {
+    val d = docs
+    val fr = Map("src0" -> 1.0, "src1" -> 0.0)
+    val picked = TextAnalysis.stratifiedSample(d, col("source"), col("doc_id"), fr, 0.3)
+    val bySrc = picked.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0")) // fraction 1.0 keeps all
+    assert(!bySrc.contains("src1"))         // fraction 0.0 drops all
+    // determinism: a second evaluation picks the identical rows
+    val ids1 = picked.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.stratifiedSample(d, col("source"), col("doc_id"), fr, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // map-side only: no exchange anywhere in the sampling plan
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+
   test("ngram jaccard pairs: exact arithmetic") {
     val df = Seq(
       (1L, "a b c d e"),   // shingles: abc bcd cde
