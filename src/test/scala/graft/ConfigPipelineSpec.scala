@@ -531,6 +531,59 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("for_each over a RUNTIME array folds: index param, multiple locals, tally pattern") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    total = 0
+        |    idxsum = 0
+        |    for_each([10, 20, 30]) -> |i, v| {
+        |        total = total + v
+        |        idxsum = idxsum + i
+        |    }
+        |    .total = total
+        |    .idxsum = idxsum
+        |    joined = ""
+        |    for_each(split!(.csv, ",")) -> |_i, part| {
+        |        joined = joined + part + "."
+        |    }
+        |    .joined = joined
+        |    tally = {}
+        |    for_each(split!(.csv, ",")) -> |_i, value| {
+        |        count = int(get!(tally, [value])) ?? 0
+        |        tally = set!(tally, [value], count + 1)
+        |    }
+        |    .tally = tally
+        |  '''
+        |[[tests]]
+        |  name = "fold"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      csv = "a,b,a,c,b,a"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.total, 60)
+        |        assert_eq!(.idxsum, 3)
+        |        assert_eq!(.joined, "a.b.a.c.b.a.")
+        |        assert_eq!(.tally.a, 3)
+        |        assert_eq!(.tally.b, 2)
+        |        assert_eq!(.tally.c, 1)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("enumeration closures: filter/map_keys/map_values/for_each (cue examples)") {
     val topo = Topology.load(
       """
