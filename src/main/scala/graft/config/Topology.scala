@@ -1145,11 +1145,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
           Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(df.schema))
         case Some("file") =>
-          cfg.tab("decoding").flatMap(_.str("codec")).foreach {
-            case "bytes" => ()
-            case other => throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
-          }
-          cfg.tab("multiline") match {
+          val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+          val linesFrame: Frame = cfg.tab("multiline") match {
             case Some(ml) =>
               // the file source's multiline aggregation
               // (src/sources/util/multiline_config.rs: start_pattern /
@@ -1192,11 +1189,113 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
               Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
                 EventMeta(ListMap("message" -> VStr), None))
           }
+          decodeLines(spark, name, codec, linesFrame)
         case other =>
           throw VrlUnsupported(s"source $name: type ${other.getOrElse("?")}")
       }
       name -> frame
     }
+
+  /** `decoding.codec` for the file source, mirroring the reference's
+    * decoding formats (lib/codecs/src/decoding/format/):
+    *   - `bytes` (default): lines as a `message` field;
+    *   - `json`: Spark's batch schema inference over the line set —
+    *     decoded fields become top-level TYPED columns (json.rs puts
+    *     the object's fields at the event root);
+    *   - `syslog`: RFC 5424 via the same kernel as parse_syslog —
+    *     the static fields syslog.rs inserts (message, timestamp,
+    *     hostname, severity, facility, version, appname, msgid,
+    *     procid) as typed columns + `structured_data` as a dynamic
+    *     value (the Vector-namespace placement; the legacy namespace's
+    *     SDID-at-root keys are data-dependent and have no static
+    *     column form);
+    *   - `gelf`: version/host/message(short_message)/timestamp/level
+    *     (gelf.rs); underscore-prefixed additional fields need remap;
+    *   - `influxdb`: line protocol → METRIC frame, one metric per
+    *     field — name `<measurement>_<field>`, kind absolute, gauge
+    *     value, canonical sorted tags (influxdb.rs, same shape as VRL
+    *     parse_influxdb and the [[MetricMeta]] flat model).
+    * Everything decodes as narrow codegen'd projections; `__seq` stays
+    * a content hash (batch tables have no arrival order).
+    */
+  private def decodeLines(spark: org.apache.spark.sql.SparkSession,
+                          name: String, codec: String, lines: Frame): Frame = {
+    val msg = col("message")
+    codec match {
+      case "bytes" => lines
+      case "json" =>
+        import spark.implicits._
+        val df = spark.read.json(lines.df.select(msg).as[String])
+        val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
+        Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(df.schema))
+      case "syslog" =>
+        val v = VrlParsers.syslog(msg).cv.col
+        def s(n: String) = try_variant_get(v, s"$$.$n", "string")
+        val statics = Seq("message", "timestamp", "hostname", "severity",
+          "facility", "version", "appname", "msgid", "procid")
+        val sd = try_parse_json(to_json(map_filter(
+          try_variant_get(v, "$", "map<string, variant>"),
+          (k, _x) => !statics.map(lit(_) === k).reduce(_ || _))))
+        val df = lines.df.select(
+          s("message").as("message"),
+          s("timestamp").cast("timestamp").as("timestamp"),
+          s("hostname").as("hostname"),
+          s("severity").as("severity"),
+          s("facility").as("facility"),
+          try_variant_get(v, "$.version", "bigint").as("version"),
+          s("appname").as("appname"),
+          s("msgid").as("msgid"),
+          s("procid").as("procid"),
+          sd.as("structured_data"),
+          col(SeqCol))
+        Frame(df, EventMeta(ListMap(
+          "message" -> VStr, "timestamp" -> VTime, "hostname" -> VStr,
+          "severity" -> VStr, "facility" -> VStr, "version" -> VInt,
+          "appname" -> VStr, "msgid" -> VStr, "procid" -> VStr,
+          "structured_data" -> VAny), None))
+      case "gelf" =>
+        val g = graft.functions.Parsers.parseGelf(msg)
+        val df = lines.df.select(
+          g.getField("version").as("version"),
+          g.getField("host").as("host"),
+          g.getField("short_message").as("message"),
+          timestamp_micros((g.getField("timestamp") * 1000000L).cast("long"))
+            .as("timestamp"),
+          g.getField("level").cast("bigint").as("level"),
+          col(SeqCol))
+        Frame(df, EventMeta(ListMap(
+          "version" -> VStr, "host" -> VStr, "message" -> VStr,
+          "timestamp" -> VTime, "level" -> VInt), None))
+      case "influxdb" =>
+        import graft.functions.Parsers
+        val m = nullif(Parsers.influxMeasurement(msg), lit(""))
+        val tagStr = array_join(transform(
+          filter(sort_array(map_entries(Parsers.influxTags(msg))),
+            e => e.getField("value").isNotNull),
+          e => concat_ws("=", e.getField("key"), e.getField("value"))), ",")
+        val ts = timestamp_micros((Parsers.influxTsNanos(msg)
+          .cast("decimal(38,0)") / lit(1000).cast("decimal(38,0)")).cast("long"))
+        val df = lines.df
+          .select(m.as("__m"), tagStr.as("tags"), ts.as("ts"), col(SeqCol),
+            explode(Parsers.influxFields(msg)).as(Seq("__k", "__raw")))
+          .select(
+            concat(col("__m"), lit("_"), col("__k")).as("name"),
+            lit(null).cast("string").as("namespace"),
+            col("tags"),
+            lit("absolute").as("kind"),
+            lit("gauge").as("value_type"),
+            when(col("__raw") === "true", 1.0)
+              .when(col("__raw") === "false", 0.0)
+              .otherwise(regexp_replace(col("__raw"), "[iu]$", "")
+                .try_cast("double")).as("value"),
+            col("ts"),
+            xxhash64(col(SeqCol), col("__k")).as(SeqCol))
+          .filter(col("name").isNotNull)
+        Frame(df, MetricMeta, metric = true)
+      case other =>
+        throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
+    }
+  }
 
   /** `type = "demo_logs"` (reference src/sources/demo_logs.rs): fake
     * log lines for testing and demos, no external data. Formats:

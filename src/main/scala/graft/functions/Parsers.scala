@@ -228,7 +228,9 @@ object Parsers {
     * values — the common telemetry shape); integer fields carry the
     * protocol's `i` suffix. Pure regexp/str_to_map expressions.
     */
-  private val InfluxRe = "^([^,]+),([^ ]+) ([^ ]+) ([0-9]+)$"
+  // tag set is OPTIONAL in the line protocol (`cpu usage=0.5 <ts>` is
+  // valid); measurement then ends at the first space
+  private val InfluxRe = "^([^, ]+)(?:,([^ ]+))? ([^ ]+) ([0-9]+)$"
 
   def encodeInflux(measurement: Column, tags: Seq[(String, Column)],
                    fields: Seq[(String, Column)], tsNanos: Column): Column =

@@ -237,6 +237,80 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("file source decoding codecs: json / syslog / gelf decode at the source") {
+    val dir = Files.createTempDirectory("graft-configio-codec")
+    Files.write(dir.resolve("j.log"),
+      "{\"user\":\"ada\",\"n\":3}\n{\"user\":\"bob\",\"n\":5}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("s.log"),
+      ("<34>1 2023-10-11T22:14:15.003Z host1 app 4321 ID47 " +
+        "[x@1 k=\"v\"] boom\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("g.log"),
+      ("{\"version\":\"1.1\",\"host\":\"h9\",\"short_message\":\"hello\"," +
+        "\"timestamp\":1704067201.25,\"level\":3}\n").getBytes("UTF-8"))
+    def load(codec: String, file: String) = Topology.load(
+      s"""
+        |[sources.logs]
+        |  type = "file"
+        |  path = "$dir/$file"
+        |  [sources.logs.decoding]
+        |    codec = "$codec"
+        |""".stripMargin).loadSources(spark)("logs")
+
+    val j = load("json", "j.log")
+    assert(j.meta.types("user") == graft.config.VrlCompile.VStr)
+    assert(j.df.select(sum(col("n"))).head.getLong(0) == 8L)
+
+    val s = load("syslog", "s.log")
+    val r = s.df.head
+    assert(r.getAs[String]("hostname") == "host1")
+    assert(r.getAs[String]("appname") == "app")
+    assert(r.getAs[String]("severity") == "crit") // 34 % 8 = 2 -> crit
+    assert(r.getAs[String]("facility") == "auth") // 34 / 8 = 4 -> auth
+    assert(r.getAs[String]("message") == "boom")
+    assert(r.getAs[Long]("version") == 1L)
+    // structured data rides as a dynamic value keyed by SD-ID
+    val sd = s.df.select(
+      try_variant_get(col("structured_data"), "$['x@1'].k", "string")).head
+    assert(sd.getString(0) == "v")
+
+    val g = load("gelf", "g.log")
+    val gr = g.df.head
+    assert(gr.getAs[String]("host") == "h9")
+    assert(gr.getAs[String]("message") == "hello")
+    assert(gr.getAs[Long]("level") == 3L)
+    assert(gr.getAs[java.sql.Timestamp]("timestamp").getTime == 1704067201250L)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("file source influxdb codec: line protocol becomes a typed metric frame") {
+    val dir = Files.createTempDirectory("graft-configio-influx")
+    Files.write(dir.resolve("m.log"),
+      ("cpu,host=a,region=eu usage=0.5,idle=99i 1556813561098000000\n" +
+        "mem value=3.25 1556813561098000000\n").getBytes("UTF-8"))
+    val topo = Topology.load(
+      s"""
+        |[sources.metrics]
+        |  type = "file"
+        |  path = "$dir/m.log"
+        |  [sources.metrics.decoding]
+        |    codec = "influxdb"
+        |""".stripMargin)
+    val f = topo.loadSources(spark)("metrics")
+    assert(f.metric)
+    val rows = f.df.orderBy("name").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq ==
+      Seq("cpu_idle", "cpu_usage", "mem_value"))
+    val byName = rows.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("cpu_usage").getAs[Double]("value") == 0.5)
+    assert(byName("cpu_idle").getAs[Double]("value") == 99.0)
+    assert(byName("cpu_usage").getAs[String]("tags") == "host=a,region=eu")
+    assert(byName("mem_value").getAs[String]("tags") == "")
+    assert(byName("mem_value").getAs[String]("kind") == "absolute")
+    assert(byName("mem_value").getAs[java.sql.Timestamp]("ts").getTime ==
+      1556813561098L)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: same topology continuously; checkpoint resume processes only new files") {
     val dir = Files.createTempDirectory("graft-configstream")
     Seq(
