@@ -1632,10 +1632,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
           Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(schema))
         case Some("file") =>
-          cfg.tab("decoding").flatMap(_.str("codec")).foreach {
-            case "bytes" => ()
-            case other => throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
-          }
+          val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+          // json is batch-only: schema inference needs the full line set
+          // (a stream must declare its schema up front)
+          if (codec == "json") throw VrlUnsupported(
+            s"source $name: json decoding on a streaming file source " +
+              "(inference needs the batch line set — use Cli run, or " +
+              "bytes + remap parse_json)")
           // never silently ignore a configured aggregation: the batch
           // path runs the exact state machine (LineAgg.mergeWithStart);
           // the cross-batch form is StreamOps.lineAgg on the library
@@ -1646,8 +1649,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
               "graft.streaming.StreamOps.lineAgg)")
           val df = filtered(spark.readStream).text(dir)
             .withColumnRenamed("value", "message")
-          Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
-            EventMeta(ListMap("message" -> VStr), None))
+          decodeLines(spark, name, codec,
+            Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
+              EventMeta(ListMap("message" -> VStr), None)))
         case other =>
           throw VrlUnsupported(s"source $name: type ${other.getOrElse("?")}")
       }

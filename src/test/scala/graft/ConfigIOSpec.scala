@@ -311,6 +311,33 @@ class ConfigIOSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("streaming file source with syslog codec: decoded fields flow to the sink") {
+    val dir = Files.createTempDirectory("graft-configio-streamsyslog")
+    Files.createDirectory(dir.resolve("in"))
+    Files.write(dir.resolve("in/s.log"),
+      "<34>1 2023-10-11T22:14:15.003Z host1 app 4321 ID47 - boom\n"
+        .getBytes("UTF-8"))
+    val topo = Topology.load(
+      s"""
+        |[sources.logs]
+        |  type = "file"
+        |  path = "$dir/in"
+        |  [sources.logs.decoding]
+        |    codec = "syslog"
+        |[sinks.out]
+        |  inputs = ["logs"]
+        |  type = "parquet"
+        |  path = "$dir/out"
+        |""".stripMargin)
+    val counts = topo.executeStreaming(spark, s"$dir/ckpt")
+    assert(counts("out") == 1L)
+    val r = spark.read.parquet(s"$dir/out").head
+    assert(r.getAs[String]("hostname") == "host1")
+    assert(r.getAs[String]("severity") == "crit")
+    assert(r.getAs[String]("message") == "boom")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming execute: same topology continuously; checkpoint resume processes only new files") {
     val dir = Files.createTempDirectory("graft-configstream")
     Seq(
