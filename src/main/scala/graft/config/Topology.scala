@@ -1428,7 +1428,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
               graft.sinks.ParquetIO.read(df.sparkSession, path).count()
           }
         case Some("file") =>
-          val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          val line = encodedLine(name, in, cfg.tab("encoding"))
           in.df.select(line.as("value"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
           df.sparkSession.read.text(path).count()
@@ -1471,9 +1471,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                 s"sink $name: partition_by column '$p' not in the input schema"))
         case Some("file") =>
           path()
-          encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          encodedLine(name, in, cfg.tab("encoding"))
         case Some("console") =>
-          encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          encodedLine(name, in, cfg.tab("encoding"))
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
     }
@@ -1487,7 +1487,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * one process; don't point a 100 TB fan-out at it.
     */
   private def writeConsole(name: String, cfg: TTab, in: Frame): Long = {
-    val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+    val line = encodedLine(name, in, cfg.tab("encoding"))
     val outStream = cfg.str("target").getOrElse("stdout") match {
       case "stdout" => System.out
       case "stderr" => System.err
@@ -1508,7 +1508,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * Every codec is a narrow column expression, so the encode rides the
     * sink's own scan — no extra pass, no UDF.
     */
-  private def encodedLine(sinkName: String, in: Frame, codec: Option[String]): Column = {
+  private def encodedLine(sinkName: String, in: Frame,
+                          encoding: Option[TTab]): Column = {
+    val codec: Option[String] = encoding.flatMap(_.str("codec"))
     val df = in.df
     val fields: Seq[(String, Column)] =
       in.meta.types.keys.toSeq.map(n => n -> df.col(s"`$n`"))
@@ -1544,6 +1546,42 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           graft.functions.NativeJson.encodeMetric(df.col("name"), df.col("tags"),
             df.col("kind"), df.col("value_type"), df.col("value"))
         else graft.functions.NativeJson.encodeLog(fields)
+      case "cef" =>
+        // encoding/format/cef.rs: device_* are literal config strings
+        // (length-validated), severity/name are EVENT FIELD PATHS
+        // (severity must read 0..10), `extensions` maps extension keys
+        // to event field paths
+        val o = encoding.flatMap(_.tab("cef")).getOrElse(
+          throw new IllegalArgumentException(
+            s"sink $sinkName: codec cef needs an [encoding.cef] table"))
+        def devStr(k: String, maxLen: Int): String = {
+          val v = o.str(k).getOrElse(throw new IllegalArgumentException(
+            s"sink $sinkName: [encoding.cef] needs $k"))
+          if (v.length > maxLen || v.contains("|")) throw new IllegalArgumentException(
+            s"sink $sinkName: [encoding.cef] $k must be <= $maxLen chars, no '|'")
+          v
+        }
+        o.str("version").foreach {
+          case "V0" | "0" => ()
+          case other => throw VrlUnsupported(
+            s"sink $sinkName: CEF version $other (V0 only)")
+        }
+        val sevPath = o.str("severity").getOrElse("cef.severity")
+        val namePath = o.str("name").getOrElse("cef.name")
+        val env2 = envFromDf(df, in.meta)
+        def pathCol(p: String): Column = resolveField(env2, parsePathStr(p)).col
+        val sev = pathCol(sevPath).cast("string").try_cast("int")
+        val exts = o.tab("extensions").map(_.entries.toSeq).getOrElse(Nil).collect {
+          case (k, TStr(p)) => k -> pathCol(p).cast("string")
+        }
+        when(sev.isNull || sev < 0 || sev > 10, lit(null).cast("string"))
+          .otherwise(graft.functions.Parsers.encodeCef(
+            devStr("device_vendor", 63), devStr("device_product", 63),
+            devStr("device_version", 31),
+            sigId = lit(devStr("device_event_class_id", 1023)),
+            name = pathCol(namePath).cast("string"),
+            severity = sev.cast("string"),
+            extension = exts))
       case other => throw VrlUnsupported(s"sink $sinkName: encoding codec $other")
     }
   }
@@ -1688,7 +1726,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .trigger(trigger)
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).start()
         case Some("file") =>
-          val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          val line = encodedLine(name, in, cfg.tab("encoding"))
           in.df.select(line.as("value"))
             .writeStream.format("text")
             .option("path", path)
@@ -1696,7 +1734,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .trigger(trigger)
             .start()
         case Some("console") =>
-          val line = encodedLine(name, in, cfg.tab("encoding").flatMap(_.str("codec")))
+          val line = encodedLine(name, in, cfg.tab("encoding"))
           in.df.select(line.as("value"))
             .writeStream.format("console")
             .option("truncate", "false")

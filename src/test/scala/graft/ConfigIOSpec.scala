@@ -495,6 +495,33 @@ class ConfigIOSpec extends SparkSpec {
     val nj = line("native_json")
     assert(nj.startsWith("""{"log":{"""") && nj.contains("\"host\":\"h1\""), nj)
 
+    // cef: device_* literals from [encoding.cef], severity/name/
+    // extensions read event field paths (encoding/format/cef.rs)
+    Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[sinks.out]
+        |  inputs = ["ev"]
+        |  type = "file"
+        |  path = "$dir/cef"
+        |  [sinks.out.encoding]
+        |    codec = "cef"
+        |    [sinks.out.encoding.cef]
+        |      device_vendor = "Graft"
+        |      device_product = "Pipeline"
+        |      device_version = "1.0"
+        |      device_event_class_id = "e100"
+        |      severity = "level"
+        |      name = "message"
+        |      [sinks.out.encoding.cef.extensions]
+        |        shost = "host"
+        |""".stripMargin).execute(spark)
+    val cefLine = spark.read.text(s"$dir/cef").head.getString(0)
+    assert(cefLine ==
+      "CEF:0|Graft|Pipeline|1.0|e100|has \"quote\", comma|3|shost=h1", cefLine)
+
     // native_json on a METRIC frame takes the metric arm
     val mTopo = Topology.load(
       s"""
