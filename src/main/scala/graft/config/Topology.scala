@@ -1290,7 +1290,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                 .try_cast("double")).as("value"),
             col("ts"),
             xxhash64(col(SeqCol), col("__k")).as(SeqCol))
-          .filter(col("name").isNotNull)
+          // non-numeric (string) field values cannot be modelled as a
+          // gauge — skipped, like influxdb.rs's FieldValue::String arm
+          .filter(col("name").isNotNull && col("value").isNotNull)
         Frame(df, MetricMeta, metric = true)
       case other =>
         throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
