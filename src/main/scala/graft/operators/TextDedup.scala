@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.PortableHash
 import org.apache.spark.sql.graftvec.CacheOps._
@@ -91,6 +92,57 @@ object TextDedup {
     corpus.select(id.as("id"))
       .join(broadcast(hits.withColumn("__hit", lit(1))), Seq("id"), "left")
       .select(col("id"), coalesce(col("__hit"), lit(0)).as("contaminated"))
+  }
+
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup PAIR graph (the step after minhashLsh/simhashPairs/
+    * embeddingPairs that turns pair lists into per-document keep/drop
+    * decisions). Output: (id, cluster) for EVERY document — cluster is
+    * the component's minimum id (the canonical survivor); documents in
+    * no pair are singleton clusters of themselves.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint —
+    * label(v) ← min(label(v), min over neighbors) each round, stopping
+    * when a round changes nothing (counted exactly, not guessed).
+    * Rounds needed = component diameter. Near-dup components are
+    * near-cliques (every member shares most shingles, so LSH emits
+    * most cross pairs), giving 2-4 rounds in practice; `maxIters`
+    * bounds adversarial chains.
+    *
+    * 100 TB shape: the edge list is the PAIRS output — orders of
+    * magnitude smaller than the corpus — so every round is one
+    * edge-sized shuffle join + hash-agg, and the label frame is one
+    * row per document id (two narrow columns). Each round persists its
+    * label frame and unpersists the previous one: without the persist
+    * the iterative join re-evaluates the whole lineage each round
+    * (the classic iterative-DataFrame pitfall).
+    */
+  def duplicateClusters(docs: DataFrame, id: Column, pairs: DataFrame,
+                        maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persistOnce()
+    var labels = docs.select(id.as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("cluster")).as("nb"))
+      val next = labels.as("l")
+        .join(prop, col("l.id") === col("nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("nb"), col("l.cluster")))
+            .as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist(false)
+      labels = next
+      i += 1
+    }
+    labels
   }
 
   /** The distinct (id, shingle-HASH) set, persisted: every consumer

@@ -80,6 +80,20 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- dup clusters
+  /** Connected components over the minhash-LSH pair graph: every doc
+    * labelled with its duplicate cluster (min id; singletons keep
+    * their own id). The keep/drop resolution step of near-dedup.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = TextDedup.minhashLsh(d, col("doc_id"), col("text"),
+      ShingleN, MinhashK, BandR, JaccardThreshold)
+    TextDedup.duplicateClusters(d, col("doc_id"), pairs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- repetition
   /** Gopher-style repetition filters: top-bigram and duplicate-trigram
     * token fractions.
@@ -229,6 +243,7 @@ object TrainingQueries {
     "q_repetition"    -> (qRepetition _),
     "q_mix_sample"    -> (qMixSample _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash"       -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_dedup_embed"   -> (qDedupEmbed _),
@@ -397,6 +412,21 @@ cand AS (SELECT DISTINCT x.id AS a, y.id AS b
         "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.h = y.h")),
       s"""SELECT a, b, inter, na, nb, jaccard FROM pairs
          WHERE jaccard >= $JaccardThreshold ORDER BY a, b"""),
+
+    "q_dedup_clusters" -> ("WITH RECURSIVE " + Seq(
+      shinglesCte(ShingleN), shd, sizesCte, minhashCtes,
+      jaccardSelect(
+        "cand JOIN shd x ON x.id = cand.a JOIN shd y ON y.id = cand.b AND x.h = y.h"),
+      s"""dup AS (SELECT a, b FROM pairs WHERE jaccard >= $JaccardThreshold),
+e AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+)""").mkString(",\n") +
+      """
+SELECT id AS doc_id, min(r) AS cluster
+FROM reach GROUP BY id ORDER BY doc_id"""),
 
     "q_repetition" -> {
       def gramCte(tag: String, n: Int) =

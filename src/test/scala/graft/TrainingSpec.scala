@@ -28,6 +28,17 @@ class TrainingSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("duplicate clusters: chain, separate component, singleton all resolve to min-id labels") {
+    // chain 5-3-8-2 (forces multi-round propagation), pair (10, 7),
+    // and 42 in no pair at all
+    val ids = Seq(2L, 3L, 5L, 7L, 8L, 10L, 42L).toDF("doc_id")
+    val pairs = Seq((3L, 5L), (3L, 8L), (2L, 8L), (7L, 10L)).toDF("a", "b")
+    val out = TextDedup.duplicateClusters(ids, col("doc_id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 8L -> 2L,
+      7L -> 7L, 10L -> 7L, 42L -> 42L))
+  }
+
   test("decontaminate: flags exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),       // shares "quick brown fox" with bench
