@@ -19,6 +19,12 @@ object Oracle {
 
   /** Parsed port: group order fixed by Grok.Compiled.fields =
     * (ts_str, level, tool_p, latency_ms, msg).
+    *
+    * TRY_CAST, not CAST, on extracted numerics: on matched rows the
+    * group is all-digits so the values are identical, but DuckDB may
+    * evaluate the projection SPECULATIVELY on rows its scan has not
+    * yet filtered (observed at sf0.1 row counts), where the extract is
+    * '' and a plain CAST aborts the whole statement.
     */
   val parsedCte: String =
     s"""parsed AS (
@@ -26,7 +32,7 @@ object Oracle {
     regexp_extract(text, $re, 1) AS ts_str,
     regexp_extract(text, $re, 2) AS level,
     regexp_extract(text, $re, 3) AS tool_p,
-    CAST(regexp_extract(text, $re, 4) AS INT) AS latency_ms,
+    TRY_CAST(regexp_extract(text, $re, 4) AS INT) AS latency_ms,
     regexp_extract(text, $re, 5) AS msg
   FROM transcript WHERE regexp_matches(text, $re)
 )"""

@@ -1431,7 +1431,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           }
         case Some("file") =>
           val line = encodedLine(name, in, cfg.tab("encoding"))
-          in.df.select(line.as("value"))
+          // a null line is a per-event encode failure (e.g. CEF
+          // severity out of range) — dropped, like the reference's
+          // encoder error path, never written as a blank line
+          in.df.select(line.as("value")).where(col("value").isNotNull)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
           df.sparkSession.read.text(path).count()
         case Some("console") => writeConsole(name, cfg, in)
@@ -1496,7 +1499,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case other => throw new IllegalArgumentException(s"sink $name: target $other")
     }
     var n = 0L
-    val it = in.df.select(line.as("value")).toLocalIterator()
+    val it = in.df.select(line.as("value"))
+      .where(col("value").isNotNull).toLocalIterator()
     while (it.hasNext) { outStream.println(it.next().getString(0)); n += 1 }
     n
   }
@@ -1573,15 +1577,29 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val env2 = envFromDf(df, in.meta)
         def pathCol(p: String): Column = resolveField(env2, parsePathStr(p)).col
         val sev = pathCol(sevPath).cast("string").try_cast("int")
-        val exts = o.tab("extensions").map(_.entries.toSeq).getOrElse(Nil).collect {
-          case (k, TStr(p)) => k -> pathCol(p).cast("string")
+        // cef.rs escape_header/escape_extension: backslash first, then
+        // the section-delimiting character
+        def escHeader(c: Column): Column =
+          regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+        def escExt(c: Column): Column =
+          regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "=", "\\\\=")
+        val exts = o.tab("extensions").map(_.entries.toSeq).getOrElse(Nil).map {
+          case (k, TStr(p)) => k -> escExt(pathCol(p).cast("string"))
+          case (k, other) => throw new IllegalArgumentException(
+            s"sink $sinkName: [encoding.cef.extensions] $k must be a " +
+              s"field-path string, got $other")
         }
+        // null/out-of-range severity -> null line; the sink drops it
+        // (cef.rs treats it as an encode error and skips the event).
+        // A null name renders as an EMPTY header section, not a
+        // dropped one (concat_ws would silently remove the section and
+        // shift every later field left).
         when(sev.isNull || sev < 0 || sev > 10, lit(null).cast("string"))
           .otherwise(graft.functions.Parsers.encodeCef(
             devStr("device_vendor", 63), devStr("device_product", 63),
             devStr("device_version", 31),
             sigId = lit(devStr("device_event_class_id", 1023)),
-            name = pathCol(namePath).cast("string"),
+            name = escHeader(coalesce(pathCol(namePath).cast("string"), lit(""))),
             severity = sev.cast("string"),
             extension = exts))
       case other => throw VrlUnsupported(s"sink $sinkName: encoding codec $other")
@@ -1729,7 +1747,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).start()
         case Some("file") =>
           val line = encodedLine(name, in, cfg.tab("encoding"))
-          in.df.select(line.as("value"))
+          in.df.select(line.as("value")).where(col("value").isNotNull)
             .writeStream.format("text")
             .option("path", path)
             .option("checkpointLocation", s"$checkpointRoot/$name")
@@ -1737,7 +1755,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .start()
         case Some("console") =>
           val line = encodedLine(name, in, cfg.tab("encoding"))
-          in.df.select(line.as("value"))
+          in.df.select(line.as("value")).where(col("value").isNotNull)
             .writeStream.format("console")
             .option("truncate", "false")
             .option("checkpointLocation", s"$checkpointRoot/$name")

@@ -152,10 +152,15 @@ object TextAnalysis {
                        default: Double = 0.0): DataFrame = {
     val u = pmod(PortableHash.h60(concat(group, lit(":"), key.cast("string"))),
       lit(1000000L))
-    val frac = fractions.foldLeft(lit(default)) { case (acc, (g, f)) =>
-      when(group === g, lit(f)).otherwise(acc)
+    // the threshold is an INTEGER computed once per fraction — a
+    // row-side `u < frac * 1e6` double comparison would put boundary
+    // hashes on different sides in engines that evaluate the literal
+    // in exact decimal (0.8 is not binary-exact)
+    def thr(f: Double): Long = math.round(f * 1000000L)
+    val cut = fractions.foldLeft(lit(thr(default))) { case (acc, (g, f)) =>
+      when(group === g, lit(thr(f))).otherwise(acc)
     }
-    df.filter(u < frac * 1000000L)
+    df.filter(u < cut)
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):

@@ -336,9 +336,9 @@ object ParserQueries {
       "q_parse_kv" ->
         s"""WITH l AS (SELECT event_id, $kvLineSql AS line FROM events)
            SELECT event_id,
-             CAST(regexp_extract(line, 'user=([^ ]+)', 1) AS BIGINT) AS user,
+             TRY_CAST(regexp_extract(line, 'user=([^ ]+)', 1) AS BIGINT) AS user,
              regexp_extract(line, 'type=([^ ]+)', 1) AS type,
-             CAST(regexp_extract(line, 'value=([^ ]+)', 1) AS BIGINT) AS value_int
+             TRY_CAST(regexp_extract(line, 'value=([^ ]+)', 1) AS BIGINT) AS value_int
            FROM l ORDER BY event_id""",
       "q_parse_csv" ->
         """SELECT CAST(string_split(line, ',')[1] AS BIGINT) AS id,
@@ -351,8 +351,8 @@ object ParserQueries {
            SELECT event_id,
              regexp_extract(line, '^https?://([^/?#]+)', 1) AS host,
              regexp_extract(line, '^https?://[^/?#]+([^?#]*)', 1) AS path,
-             CAST(regexp_extract(line, '[?&]u=([^&]*)', 1) AS BIGINT) AS u,
-             CAST(regexp_extract(line, '[?&]k=([^&]*)', 1) AS BIGINT) AS k
+             TRY_CAST(regexp_extract(line, '[?&]u=([^&]*)', 1) AS BIGINT) AS u,
+             TRY_CAST(regexp_extract(line, '[?&]k=([^&]*)', 1) AS BIGINT) AS k
            FROM l ORDER BY event_id""",
       "q_parse_syslog" ->
         s"""WITH l AS (SELECT event_id, $syslogLineSql AS line FROM events)

@@ -201,7 +201,7 @@ object StdlibQueries {
     "q_parse_duration" ->
       s"""WITH l AS (SELECT event_id, $durSql AS dur FROM events),
          p AS (SELECT event_id, dur,
-           CAST(regexp_extract(dur, $durReSql, 1) AS DOUBLE) AS num,
+           TRY_CAST(regexp_extract(dur, $durReSql, 1) AS DOUBLE) AS num,
            regexp_extract(dur, $durReSql, 2) AS unit FROM l),
          f AS (SELECT event_id, dur, num *
            (CASE unit WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3

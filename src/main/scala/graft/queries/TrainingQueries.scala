@@ -458,11 +458,15 @@ c$tag AS (SELECT id, h, count(*) AS c FROM g$tag GROUP BY 1, 2)"""
     },
 
     "q_mix_sample" -> {
+      // integer thresholds, precomputed — same boundary semantics as
+      // TextAnalysis.stratifiedSample (a `* 1e6` double comparison
+      // could split boundary hashes across engines)
+      def thr(f: Double): Long = math.round(f * 1000000L)
       val cases = MixFractions.toSeq.sortBy(_._1)
-        .map { case (g, f) => s"WHEN source = '$g' THEN $f" }.mkString(" ")
+        .map { case (g, f) => s"WHEN source = '$g' THEN ${thr(f)}" }.mkString(" ")
       s"""SELECT doc_id, source FROM documents
          WHERE ${h60("source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
-           < (CASE $cases ELSE $MixDefault END) * 1000000
+           < (CASE $cases ELSE ${thr(MixDefault)} END)
          ORDER BY doc_id"""
     },
 

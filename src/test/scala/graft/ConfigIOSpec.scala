@@ -522,6 +522,38 @@ class ConfigIOSpec extends SparkSpec {
     assert(cefLine ==
       "CEF:0|Graft|Pipeline|1.0|e100|has \"quote\", comma|3|shost=h1", cefLine)
 
+    // escaping + encode-failure drop: '|' in the name escapes to '\|',
+    // '=' in an extension value to '\=' (cef.rs escape_header/
+    // escape_extension); a severity outside 0-10 drops the event
+    // instead of writing a blank line
+    Seq(("a|b", "x=y", "3"), ("fine", "v", "11"))
+      .toDF("message", "extv", "level")
+      .write.parquet(s"$dir/in2")
+    Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in2"
+        |[sinks.out]
+        |  inputs = ["ev"]
+        |  type = "file"
+        |  path = "$dir/cef2"
+        |  [sinks.out.encoding]
+        |    codec = "cef"
+        |    [sinks.out.encoding.cef]
+        |      device_vendor = "Graft"
+        |      device_product = "Pipeline"
+        |      device_version = "1.0"
+        |      device_event_class_id = "e100"
+        |      severity = "level"
+        |      name = "message"
+        |      [sinks.out.encoding.cef.extensions]
+        |        kv = "extv"
+        |""".stripMargin).execute(spark)
+    val cef2 = spark.read.text(s"$dir/cef2").collect().map(_.getString(0))
+    assert(cef2.toSeq ==
+      Seq("CEF:0|Graft|Pipeline|1.0|e100|a\\|b|3|kv=x\\=y"), cef2.toSeq)
+
     // native_json on a METRIC frame takes the metric arm
     val mTopo = Topology.load(
       s"""
