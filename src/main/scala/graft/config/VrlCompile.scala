@@ -330,20 +330,36 @@ object VrlCompile {
     def withMeta(types: ListMap[String, VT]): ListMap[String, VT] =
       env.metaRoot.map(cv => types + (MetaKey -> cv.t)).getOrElse(types)
     val pass = passthrough.map(n => df.col(s"`$n`")) ++ metaCol
+    // a whole-event replace / fan-out changes the SCHEMA. For a
+    // DYNAMIC (variant) root the failing rows can still revert
+    // row-conditionally — the original event blends in as its variant
+    // object form (handled below). A TYPED root or a fan-out cannot
+    // revert across the schema change: refuse loudly rather than emit
+    // a null/garbage root for the failing rows.
+    if (revert.isDefined &&
+        (env.fanout.isDefined || env.root.exists(_.t != VAny)))
+      throw VrlUnsupported(
+        "fallible whole-event replacement without drop_on_error " +
+          "(row revert cannot cross a typed schema replace)")
     env.fanout match {
       case Some(objs) =>
         // `. = [obj, obj, ...]`: each input row emits one row per object
         val keys = objs.flatMap(_.keys).distinct
-        val structs = objs.map { o =>
-          struct(keys.map { k =>
-            o.get(k).map(_.col).getOrElse(lit(null)).as(k)
-          }: _*)
-        }
-        val exploded = df.select(pass :+ explode(array(structs: _*)).as("__e"): _*)
         val types = ListMap(keys.map { k =>
           val ts = objs.flatMap(_.get(k).map(_.t)).distinct
           k -> (if (ts.size == 1) ts.head else VStr)
         }: _*)
+        val structs = objs.map { o =>
+          struct(keys.map { k =>
+            val c0 = o.get(k).map(_.col).getOrElse(lit(null))
+            // mixed types across objects declare VStr — cast the
+            // columns to match, or the meta lies about the schema
+            (if (types(k) == VStr && o.get(k).exists(_.t != VStr))
+               c0.cast("string")
+             else c0).as(k)
+          }: _*)
+        }
+        val exploded = df.select(pass :+ explode(array(structs: _*)).as("__e"): _*)
         val out = exploded.select(
           (passthrough ++ env.metaRoot.map(_ => MetaKey)).map(n => col(s"`$n`")) ++
             keys.map(k => col(s"__e.`$k`").as(k)): _*)
@@ -351,7 +367,17 @@ object VrlCompile {
       case None =>
         env.root match {
           case Some(rcv) =>
-            (df.select(pass :+ rcv.col.as("__root"): _*),
+            // variant root + revert: failing rows carry the ORIGINAL
+            // event (its variant object form) instead of a null parse
+            // result — the reference's leave-unchanged error semantics
+            val rootCol = revert match {
+              case Some(r) if rcv.t == VAny =>
+                val orig = try_parse_json(
+                  VrlFunctions.jsonText(mkObj(env0.fields)))
+                when(coalesce(r, lit(false)), orig).otherwise(rcv.col)
+              case _ => rcv.col
+            }
+            (df.select(pass :+ rootCol.as("__root"): _*),
               EventMeta(withMeta(ListMap.empty), Some(rcv.t)))
           case None =>
             val cols = env.fields.map { case (n, cv) =>
@@ -994,11 +1020,43 @@ object VrlCompile {
       ListMap(base.locals.toSeq: _*),
       ListMap(tEnv.locals.toSeq: _*),
       ListMap(eEnv.locals.toSeq: _*), c)
-    val mergedRaise = orOpt(orOpt(base.raise,
-      guardOpt(c, orOpt(tEnv.raise, tv.raise))),
+    // the branches' raises travel on the VALUE, not the env: the
+    // assignment machinery then gives `v, err = if …` its capture and
+    // `(if …) ?? x` its fallback, while an uncaptured use merges them
+    // back into the env via withRaise — the same program-level total
+    val branchRaise = orOpt(
+      guardOpt(c, orOpt(tEnv.raise, tv.raise)),
       guardOpt(!c, orOpt(eEnv.raise, ev.raise)))
     val mergedAbort = orOpt(orOpt(base.abort,
       guardOpt(c, tEnv.abort)), guardOpt(!c, eEnv.abort))
+
+    // a whole-event replace / metadata write is a SCHEMA-level effect;
+    // root/fanout cannot be row-conditional, and a silently-dropped
+    // branch mutation would corrupt — refuse loudly
+    if (tEnv.root != base.root || eEnv.root != base.root ||
+        tEnv.fanout != base.fanout || eEnv.fanout != base.fanout)
+      throw VrlUnsupported("whole-event replacement inside an if branch")
+    val mergedMeta = (tEnv.metaRoot, eEnv.metaRoot) match {
+      case (t, e) if t == e => t
+      case (t, e) =>
+        val tc = t.getOrElse(nullCV); val ec = e.getOrElse(nullCV)
+        Some(mergeCV(c, tc, ec))
+    }
+    // secrets merge under the guard too — an else-branch set_secret
+    // must not apply to then-rows
+    val mergedSecrets = {
+      val keys = (base.secrets.keys ++ tEnv.secrets.keys ++
+        eEnv.secrets.keys).toSeq.distinct
+      keys.flatMap { k =>
+        val tb = tEnv.secrets.get(k); val eb = eEnv.secrets.get(k)
+        (tb, eb) match {
+          case (None, None) => None
+          case (a, b) if a == b => a.map(k -> _)
+          case _ => Some(k -> when(c, tb.getOrElse(lit(null).cast("string")))
+            .otherwise(eb.getOrElse(lit(null).cast("string"))))
+        }
+      }.toMap
+    }
 
     // a const survives the if only when NEITHER branch rebound it —
     // conditional rebinding has no single plan-time value
@@ -1006,26 +1064,37 @@ object VrlCompile {
       tEnv.consts.get(k).contains(v) && eEnv.consts.get(k).contains(v)
     }
     val outEnv = base.copy(fields = mergedFields, locals = mergedLocals.toMap,
-      raise = mergedRaise, abort = mergedAbort,
-      secrets = tEnv.secrets ++ eEnv.secrets, consts = mergedConsts)
+      raise = base.raise, abort = mergedAbort,
+      secrets = mergedSecrets, consts = mergedConsts,
+      metaRoot = mergedMeta)
+    val msg = when(c, tv.msg).otherwise(ev.msg)
     val value =
-      if (tv.cv.t == VNullT && ev.cv.t == VNullT) XV.pure(nullCV)
+      if (tv.cv.t == VNullT && ev.cv.t == VNullT)
+        XV(nullCV, branchRaise, msg)
       else {
         val (ta, ea, t) = unify(tv.cv, ev.cv)
-        XV.pure(CV(when(c, ta).otherwise(ea), t))
+        XV(CV(when(c, ta).otherwise(ea), t), branchRaise, msg)
       }
     (value, outEnv)
   }
 
+  /** Branch maps are COMPLETE post-branch states (each branch compiled
+    * from a copy of the base env), so a key absent from one branch was
+    * DELETED there: the merge must produce null on that branch's rows,
+    * never resurrect the base value (`if c { del(.password) }` has to
+    * scrub the then-rows). A key absent from both branches drops from
+    * the output entirely.
+    */
   private def mergeMaps(base: ListMap[String, CV], t: ListMap[String, CV],
                         e: ListMap[String, CV], c: Column): ListMap[String, CV] = {
     val keys = (base.keys ++ t.keys ++ e.keys).toSeq.distinct
-    ListMap(keys.map { k =>
-      val tb = t.get(k); val eb = e.get(k); val bb = base.get(k)
-      val cv =
-        if (tb == eb) tb.orElse(bb).getOrElse(nullCV)
-        else mergeCV(c, tb.orElse(bb).getOrElse(nullCV), eb.orElse(bb).getOrElse(nullCV))
-      k -> cv
+    ListMap(keys.flatMap { k =>
+      (t.get(k), e.get(k)) match {
+        case (None, None) => None
+        case (tb, eb) if tb == eb => tb.map(k -> _)
+        case (tb, eb) =>
+          Some(k -> mergeCV(c, tb.getOrElse(nullCV), eb.getOrElse(nullCV)))
+      }
     }: _*)
   }
 

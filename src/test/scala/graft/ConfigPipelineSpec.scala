@@ -531,6 +531,69 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(rs.head.passed)
   }
 
+  test("if-branch effects are row-conditional: del scrubs, error capture binds, metadata merges") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    if (.level == "debug") {
+        |        del(.password)
+        |    }
+        |    v, err = if (.level == "debug") { to_int(.n) } else { 0 }
+        |    .v = v
+        |    .has_err = err != null
+        |    if (.level == "debug") { % = "yes" }
+        |    .scrubbed = %
+        |  '''
+        |[[tests]]
+        |  name = "dbg_row"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      level = "debug"
+        |      password = "hunter2"
+        |      n = "not-a-number"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert!(!exists(.password) || .password == null)
+        |        assert_eq!(.has_err, true)
+        |        assert_eq!(.scrubbed, "yes")
+        |      '''
+        |[[tests]]
+        |  name = "info_row"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      level = "info"
+        |      password = "hunter2"
+        |      n = "7"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.password, "hunter2")
+        |        assert_eq!(.v, 0)
+        |        assert_eq!(.has_err, false)
+        |        assert_eq!(.scrubbed, null)
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.length == 2)
+    rs.foreach { r =>
+      assert(r.errors.isEmpty && r.skipped.isEmpty,
+        s"${r.name}: " + (r.errors ++ r.skipped).mkString("; "))
+      assert(r.passed, r.name)
+    }
+  }
+
   test("for_each over a RUNTIME array folds: index param, multiple locals, tally pattern") {
     val topo = Topology.load(
       """
