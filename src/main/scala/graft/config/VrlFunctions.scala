@@ -192,13 +192,16 @@ object VrlFunctions {
         val items = dynPathItems(c, 1, "path").get
         val (xv, e2) = compileExpr(env, valueArg(c))
         var envAcc = e2
+        var segRaise: Option[Column] = None
         val (cols, isIdx) = items.map { it =>
           val (sxv, en) = compileExpr(envAcc, it); envAcc = en
+          segRaise = (segRaise ++ sxv.raise).reduceOption(_ || _)
           (sxv.cv.col.cast("string"), sxv.cv.t == VInt)
         }.unzip
         val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
           .jsonPathGetDyn(jsonText(xv.cv), cols, isIdx))
-        return (XV(CV(r, VAny), xv.raise, xv.msg), envAcc)
+        return (XV(CV(r, VAny),
+          (xv.raise ++ segRaise).reduceOption(_ || _), xv.msg), envAcc)
       case "get" =>
         val segs = litPathArg(c, 1, "path")
         val hasNeg = segs.exists { case SegIndex(i) => i < 0; case _ => false }
@@ -243,14 +246,17 @@ object VrlFunctions {
         val (base, e2) = compileExpr(env, valueArg(c))
         val (data, e3) = compileExpr(e2, dataE)
         var envAcc = e3
+        var segRaise: Option[Column] = None
         val (cols, isIdx) = items.map { it =>
           val (sxv, en) = compileExpr(envAcc, it); envAcc = en
+          segRaise = (segRaise ++ sxv.raise).reduceOption(_ || _)
           (sxv.cv.col.cast("string"), sxv.cv.t == VInt)
         }.unzip
         val r = try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
           .jsonPathSetDyn(jsonText(base.cv), jsonText(data.cv), cols, isIdx))
         return (XV(CV(r, VAny),
-          (base.raise ++ data.raise ++ Seq(r.isNull)).reduceOption(_ || _),
+          (base.raise ++ data.raise ++ segRaise ++ Seq(r.isNull))
+            .reduceOption(_ || _),
           lit(s"""${callErrPrefix(c.name, c.span)}: invalid path""")), envAcc)
       case "set" =>
         val segs = litPathArg(c, 1, "path")
@@ -815,13 +821,23 @@ object VrlFunctions {
           case LitRegex(p0) =>
             // Rust-style named groups translate to Java's ((?P<x> →
             // (?<x>), and a `$name` replacement to `${name}`) — the
-            // pattern KEEPS its named groups so ${name} resolves
+            // pattern KEEPS its named groups so ${name} resolves.
+            // Java restricts group names to [A-Za-z][A-Za-z0-9]*
+            // (no underscores, unlike Rust), so names outside that set
+            // are RENAMED to a safe alias in both pattern and
+            // replacement
             val names = VrlKernels.namedGroups(p0)._2
-            val p = p0.replace("(?P<", "(?<")
+            val safe = names.zipWithIndex.map { case (nm, i) =>
+              nm -> (if (nm.matches("[A-Za-z][A-Za-z0-9]*")) nm else s"vrlg$i")
+            }.toMap
+            val p = names.foldLeft(p0) { (pp, nm) =>
+              pp.replace(s"(?P<$nm>", s"(?<${safe(nm)}>")
+                .replace(s"(?<$nm>", s"(?<${safe(nm)}>")
+            }
             val withJ = names.foldLeft(withS) { (w, nm) =>
               regexp_replace(w,
                 java.util.regex.Pattern.quote("$" + nm) + "(?![\\w{])",
-                java.util.regex.Matcher.quoteReplacement("$" + s"{$nm}"))
+                java.util.regex.Matcher.quoteReplacement("$" + s"{${safe(nm)}}"))
             }
             // unbounded: codegen'd regexp_replace; bounded: Matcher
             // kernel with the same $-group replacement semantics
@@ -2378,10 +2394,16 @@ object VrlFunctions {
         pass(CV(transform_keys(target.col, f), VMap))
       case ("map_keys", VAny) =>
         // dynamic object (parse_json!/parse_key_value! result): read as
-        // map<string,variant>, rewrite keys, back to a variant value
+        // map<string,variant>, rewrite keys, back to a variant value.
+        // Rebuilt through the JSON object kernel, NOT transform_keys:
+        // a key collision after the rewrite must keep the LAST write
+        // (VRL object semantics), where Spark's map dedup policy
+        // throws DUPLICATED_MAP_KEY
         val m = try_variant_get(target0.cv.col, "$", "map<string, variant>")
-        val f = (k: Column, _v: Column) => bodyCv(Seq(CV(k, VStr))).col.cast("string")
-        pass(CV(try_parse_json(to_json(transform_keys(m, f))), VAny))
+        val newKeys = transform(map_keys(m),
+          k => bodyCv(Seq(CV(k, VStr))).col.cast("string"))
+        pass(CV(try_parse_json(org.apache.spark.sql.graftvec.StringExpressions
+          .jsonObjectFromArray(to_json(map_values(m)), to_json(newKeys))), VAny))
       case ("map_values", VAny) =>
         val m = try_variant_get(target0.cv.col, "$", "map<string, variant>")
         val f = (_k: Column, v: Column) =>
@@ -2493,7 +2515,15 @@ object VrlFunctions {
         // of a lambda (same documented divergence as replace_with).
         if (assignedEventPaths(body))
           throw VrlUnsupported("for_each body mutating the event over a runtime array")
-        val mutated = assignedLocals(body).distinct
+        // env-mutating CALLS (not assignments) would be silently
+        // discarded by the fold — refuse rather than diverge
+        if (callsAnyOf(body, Set("del", "set_secret", "remove_secret",
+            "set_semantic_meaning", "unnest")))
+          throw VrlUnsupported(
+            "for_each body calling an event/env mutator over a runtime array")
+        // closure params are closure-SCOPED: a reassigned param is
+        // loop-carried state inside the fold but never leaks out
+        val mutated = assignedLocals(body).distinct.filterNot(params.contains)
         if (mutated.isEmpty) (XV.pure(nullValue), env1)
         else {
           val init = struct(mutated.map { n =>
@@ -2549,6 +2579,29 @@ object VrlFunctions {
       args.flatMap(assignedLocals) ++ named.flatMap(n => assignedLocals(n._2)) ++
         closure.toSeq.flatMap { case (ps, b) => assignedLocals(b).filterNot(ps.contains) }
     case _ => Nil
+  }
+
+  /** Whether the expression contains a call to any of `names`. */
+  private def callsAnyOf(e: Expr, names: Set[String]): Boolean = e match {
+    case Block(stmts) => stmts.exists {
+      case Assign(_, _, ex) => callsAnyOf(ex, names)
+      case ExprStmt(x) => callsAnyOf(x, names)
+      case AbortStmt(m) => m.exists(callsAnyOf(_, names))
+    }
+    case IfE(c0, t, eo) =>
+      callsAnyOf(c0, names) || callsAnyOf(t, names) ||
+        eo.exists(callsAnyOf(_, names))
+    case Bin(_, l, r) => callsAnyOf(l, names) || callsAnyOf(r, names)
+    case Un(_, x) => callsAnyOf(x, names)
+    case Coalesce(l, r) => callsAnyOf(l, names) || callsAnyOf(r, names)
+    case PathOn(b, _) => callsAnyOf(b, names)
+    case ArrLit(items) => items.exists(callsAnyOf(_, names))
+    case ObjLit(fs) => fs.exists(f => callsAnyOf(f._2, names))
+    case Call(n, _, args, named, closure, _) =>
+      names.contains(n) || args.exists(callsAnyOf(_, names)) ||
+        named.exists(x => callsAnyOf(x._2, names)) ||
+        closure.exists { case (_, b) => callsAnyOf(b, names) }
+    case _ => false
   }
 
   /** Whether the expression assigns any event/metadata path. */

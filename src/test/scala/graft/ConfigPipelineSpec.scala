@@ -594,6 +594,44 @@ class ConfigPipelineSpec extends SparkSpec {
     }
   }
 
+  test("replace named groups with underscores, map_keys collisions, closure param scoping") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "remap"
+        |  source = '''
+        |    .r = replace("level=error up", r'level=(?P<status_code>\w+)', "[$$status_code]")
+        |    .mk = map_keys(parse_json!(s'{"A":1,"a":2}')) -> |key| { downcase(key) }
+        |    value = "outer"
+        |    for_each(["x", "y"]) -> |_index, value| {
+        |        noop = value
+        |    }
+        |    .keep = value
+        |  '''
+        |[[tests]]
+        |  name = "fixes"
+        |  [[tests.inputs]]
+        |    insert_at = "t"
+        |    type = "log"
+        |    [tests.inputs.log_fields]
+        |      ignored = "x"
+        |  [[tests.outputs]]
+        |    extract_from = "t"
+        |    [[tests.outputs.conditions]]
+        |      type = "vrl"
+        |      source = '''
+        |        assert_eq!(.r, "[error] up")
+        |        assert_eq!(.mk.a, 2)
+        |        assert_eq!(.keep, "outer")
+        |      '''
+        |""".stripMargin)
+    val rs = UnitTestHarness.run(spark, topo)
+    assert(rs.head.errors.isEmpty && rs.head.skipped.isEmpty,
+      (rs.head.errors ++ rs.head.skipped).mkString("; "))
+    assert(rs.head.passed)
+  }
+
   test("for_each over a RUNTIME array folds: index param, multiple locals, tally pattern") {
     val topo = Topology.load(
       """
