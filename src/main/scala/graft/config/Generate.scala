@@ -51,6 +51,14 @@ object Generate {
     case "aws_ec2_metadata" => Seq(
       s"[transforms.$name.mock_values]",
       """  instance-id = "i-1234"""")
+    case "lua" => Seq(
+      """version = "2"""",
+      "hooks.process = \"\"\"",
+      "  function (event, emit)",
+      "    event.log.generated = true",
+      "    emit(event)",
+      "  end",
+      "\"\"\"")
     case _ => Seq.empty // metric_to_log, trace_to_log, incremental_to_absolute
   }
 

@@ -525,6 +525,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           EventMeta(in.meta.types ++ kept.map(_._1 -> VStr), in.meta.rootT),
           in.metric))
 
+      case "lua" =>
+        // per-event scripting on the from-scratch Lua VM (graft.lua);
+        // one VM per partition, init/process/shutdown lifecycle —
+        // see LuaTransform's doc for the exact reference mapping
+        Seq("" -> LuaTransform(name, cfg, in))
+
       case other => throw VrlUnsupported(s"transform type $other")
     }
 
@@ -1856,13 +1862,15 @@ object Topology {
       "endpoint", "refresh_interval_secs", "refresh_timeout_secs", "proxy",
       "required"),
     "window" -> Set("flush_when", "forward_when", "num_events_before",
-      "num_events_after", "group_by"))
+      "num_events_after", "group_by"),
+    "lua" -> Set("version", "source", "hooks", "timers", "search_dirs",
+      "metric_tag_values"))
 
   val TransformTypes: Seq[String] = Seq(
     "aggregate", "aws_ec2_metadata", "dedupe", "exclusive_route", "filter",
-    "incremental_to_absolute", "log_to_metric", "metric_to_log", "reduce",
-    "remap", "route", "sample", "tag_cardinality_limit", "throttle",
-    "trace_to_log", "window")
+    "incremental_to_absolute", "log_to_metric", "lua", "metric_to_log",
+    "reduce", "remap", "route", "sample", "tag_cardinality_limit",
+    "throttle", "trace_to_log", "window")
   val SinkTypes: Seq[String] = Seq("console", "file", "parquet")
   val EnrichmentTableTypes: Seq[String] = Seq("file")
 

@@ -1,0 +1,480 @@
+package graft.lua
+
+import scala.collection.mutable
+
+import LuaAst._
+
+/** Tree-walking evaluator for the [[LuaAst]] subset, with Lua 5.3+
+  * integer/float numeric semantics. One interpreter = one isolated VM
+  * (own globals), mirroring the reference's one-`mlua::Lua`-per-
+  * transform model (src/transforms/lua/v1/mod.rs:115, v2/mod.rs:245);
+  * the Spark runner creates one per PARTITION, the distributed analog
+  * of the reference's per-worker VM.
+  *
+  * Strings are JVM strings (UTF-16); byte-positional string ops
+  * (`#s`, `string.sub`) therefore count chars, which equals the
+  * reference's byte count for ASCII payloads — divergence is possible
+  * on multi-byte input and is documented in SURVEY §2.10.
+  */
+object LuaInterp {
+
+  // ---------------------------------------------------------- values
+  sealed trait LV
+  case object LNil extends LV
+  final case class LBool(b: Boolean) extends LV
+  final case class LInt(v: Long) extends LV
+  final case class LNum(v: Double) extends LV
+  final case class LStr(s: String) extends LV
+  final class LTable extends LV {
+    /** Insertion-ordered so `pairs`/JSON rendering are deterministic. */
+    val m: mutable.LinkedHashMap[LV, LV] = mutable.LinkedHashMap.empty
+    def rawGet(k: LV): LV = m.getOrElse(normKey(k), LNil)
+    def rawSet(k: LV, v: LV): Unit = {
+      val kk = normKey(k)
+      kk match {
+        case LNil => throw LuaError(LStr("table index is nil"))
+        case LNum(d) if d.isNaN => throw LuaError(LStr("table index is NaN"))
+        case _ => ()
+      }
+      if (v == LNil) m.remove(kk) else m.update(kk, v)
+    }
+    /** The `#` border: consecutive 1..n prefix length. */
+    def len: Long = {
+      var n = 1L
+      while (m.contains(LInt(n))) n += 1
+      n - 1
+    }
+    def arrayValues: Seq[LV] = (1L to len).map(i => m(LInt(i)))
+  }
+  /** Host function. Receives argument list, returns result list. */
+  final case class LFn(name: String, f: Seq[LV] => Seq[LV]) extends LV
+  /** Lua closure. */
+  final class LClosure(val params: Seq[String], val body: Seq[Stat],
+                       val env: Env) extends LV
+  /** Host object with index/newindex/pairs handlers (the v1 event). */
+  final class LUserData(val index: LV => LV,
+                        val newindex: (LV, LV) => Unit,
+                        val keys: () => Seq[LV]) extends LV
+
+  /** Float table keys that are integral normalize to integer keys. */
+  def normKey(k: LV): LV = k match {
+    case LNum(d) if d.isWhole && !d.isInfinite &&
+      d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble => LInt(d.toLong)
+    case other => other
+  }
+
+  final case class LuaError(value: LV)
+      extends RuntimeException(toDisplay(value))
+  private final case class BreakEx() extends RuntimeException
+  private final case class ReturnEx(vals: Seq[LV]) extends RuntimeException
+
+  def truthy(v: LV): Boolean = v match {
+    case LNil | LBool(false) => false
+    case _ => true
+  }
+
+  def typeName(v: LV): String = v match {
+    case LNil => "nil"
+    case _: LBool => "boolean"
+    case _: LInt | _: LNum => "number"
+    case _: LStr => "string"
+    case _: LTable => "table"
+    case _: LFn | _: LClosure => "function"
+    case _: LUserData => "userdata"
+  }
+
+  /** Lua `tostring`: integers decimal; floats `%.14g` with a `.0`
+    * appended when the rendering looks integral (Lua 5.3+).
+    */
+  def toDisplay(v: LV): String = v match {
+    case LNil => "nil"
+    case LBool(b) => b.toString
+    case LInt(i) => i.toString
+    case LNum(d) =>
+      if (d.isNaN) "nan"
+      else if (d.isPosInfinity) "inf"
+      else if (d.isNegInfinity) "-inf"
+      else {
+        val s = fmtG(d, 14)
+        if (s.forall(c => c.isDigit || c == '-')) s + ".0" else s
+      }
+    case LStr(s) => s
+    case t: LTable => "table: 0x" + Integer.toHexString(System.identityHashCode(t))
+    case f: LFn => s"function: builtin ${f.name}"
+    case c: LClosure => "function: 0x" + Integer.toHexString(System.identityHashCode(c))
+    case u: LUserData => "userdata: 0x" + Integer.toHexString(System.identityHashCode(u))
+  }
+
+  /** C `%.Ng` formatting (shortest of %e/%f at N significant digits,
+    * trailing zeros trimmed) — what Lua uses for float display.
+    */
+  private def fmtG(d: Double, sig: Int): String = {
+    val s = String.format(s"%.${sig}g", Double.box(d))
+    // java keeps trailing zeros; C's %g trims them
+    if (s.contains('e') || s.contains('E')) {
+      val Array(mant, ex) = s.split("[eE]")
+      val m2 = if (mant.contains('.')) mant.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else mant
+      val exNorm = ex.toInt
+      m2 + "e" + (if (exNorm >= 0) f"+$exNorm%02d" else f"-${-exNorm}%02d")
+    } else if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+  }
+
+  /** Lua `tonumber` for strings: decimal or hex, int-preserving. */
+  def strToNumber(s0: String): Option[LV] = {
+    val s = s0.trim
+    if (s.isEmpty) None
+    else try {
+      val neg = s.startsWith("-")
+      val body = if (neg || s.startsWith("+")) s.tail else s
+      if (body.toLowerCase.startsWith("0x")) {
+        val v = java.lang.Long.parseUnsignedLong(body.drop(2), 16)
+        Some(LInt(if (neg) -v else v))
+      } else if (body.matches("[0-9]+")) {
+        try Some(LInt(s.toLong))
+        catch { case _: NumberFormatException => Some(LNum(s.toDouble)) }
+      } else Some(LNum(s.toDouble))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  // ------------------------------------------------------ environment
+  final class Env(val parent: Option[Env], val globals: LTable) {
+    private val vars = mutable.HashMap.empty[String, LV]
+    def declare(n: String, v: LV): Unit = vars.update(n, v)
+    def lookupLocal(n: String): Option[Env] =
+      if (vars.contains(n)) Some(this) else parent.flatMap(_.lookupLocal(n))
+    def get(n: String): LV = lookupLocal(n) match {
+      case Some(e) => e.vars(n)
+      case None => globals.rawGet(LStr(n))
+    }
+    def set(n: String, v: LV): Unit = lookupLocal(n) match {
+      case Some(e) => e.vars.update(n, v)
+      case None => globals.rawSet(LStr(n), v)
+    }
+    def child: Env = new Env(Some(this), globals)
+  }
+
+  // ------------------------------------------------------ interpreter
+  /** One VM. `clock` backs os.time/os.date (injectable so batch runs
+    * can pin it for determinism; defaults to the wall clock like the
+    * reference's embedded VM).
+    */
+  final class VM(clock: () => Long = () => System.currentTimeMillis()) {
+    val globals = new LTable
+    private val rootEnv = new Env(None, globals)
+    LuaStdlib.install(globals, clock)
+    // host-callback seam: stdlib functions that invoke Lua values
+    // (pcall, gsub's function replacement, table.sort comparators)
+    // re-enter the interpreter through this entry
+    globals.rawSet(LStr("__vm"), LFn("__vm", args =>
+      callValue(args.headOption.getOrElse(LNil), args.drop(1))))
+
+    /** Execute a chunk at global scope (v2 `source`, v1 per-event). */
+    def exec(chunk: Seq[Stat]): Unit =
+      try execBlock(chunk, rootEnv.child)
+      catch { case ReturnEx(_) => () }
+
+    /** Evaluate an expression chunk (hook strings: either an inline
+      * `function(...) ... end` or a global function NAME — exactly how
+      * the reference resolves hook config values, v2/mod.rs:352-358).
+      */
+    def evalExpr(src: String): LV = {
+      val stats = LuaAst.parse("return " + src)
+      try { execBlock(stats, rootEnv.child); LNil }
+      catch { case ReturnEx(vs) => vs.headOption.getOrElse(LNil) }
+    }
+
+    def callValue(f: LV, args: Seq[LV]): Seq[LV] = call(f, args, Pos(0, 0))
+
+    private def execBlock(stats: Seq[Stat], env: Env): Unit =
+      stats.foreach(s => execStat(s, env))
+
+    private def err(msg: String, pos: Pos): Nothing =
+      throw LuaError(LStr(s"$pos: $msg"))
+
+    private def execStat(st: Stat, env: Env): Unit = st match {
+      case SLocal(names, exprs, _) =>
+        val vals = evalMulti(exprs, env)
+        names.zipWithIndex.foreach { case (n, i) =>
+          env.declare(n, vals.lift(i).getOrElse(LNil)) }
+      case SAssign(targets, exprs, _) =>
+        val vals = evalMulti(exprs, env)
+        targets.zipWithIndex.foreach { case (t, i) =>
+          assign(t, vals.lift(i).getOrElse(LNil), env) }
+      case SCall(c, _) => evalCallMulti(c, env); ()
+      case SDo(b, _) => execBlock(b, env.child)
+      case SWhile(c, b, _) =>
+        try while (truthy(eval(c, env))) execBlock(b, env.child)
+        catch { case BreakEx() => () }
+      case SRepeat(b, c, _) =>
+        try {
+          var go = true
+          while (go) {
+            val inner = env.child
+            execBlock(b, inner)
+            // until's condition sees the body's locals (Lua scoping)
+            go = !truthy(eval(c, inner))
+          }
+        } catch { case BreakEx() => () }
+      case SIf(arms, orelse, _) =>
+        arms.find { case (c, _) => truthy(eval(c, env)) } match {
+          case Some((_, b)) => execBlock(b, env.child)
+          case None => execBlock(orelse, env.child)
+        }
+      case SForNum(n, fromE, toE, stepE, body, pos) =>
+        val (from, to, step) = (toNum(eval(fromE, env), pos),
+          toNum(eval(toE, env), pos),
+          stepE.map(e => toNum(eval(e, env), pos)).getOrElse(LInt(1L)))
+        try {
+          (from, to, step) match {
+            case (LInt(f), LInt(t), LInt(s)) =>
+              if (s == 0) err("'for' step is zero", pos)
+              var i = f
+              while (if (s > 0) i <= t else i >= t) {
+                val inner = env.child
+                inner.declare(n, LInt(i))
+                execBlock(body, inner)
+                i += s
+              }
+            case _ =>
+              val (f, t, s) = (numD(from), numD(to), numD(step))
+              if (s == 0) err("'for' step is zero", pos)
+              var i = f
+              while (if (s > 0) i <= t else i >= t) {
+                val inner = env.child
+                inner.declare(n, LNum(i))
+                execBlock(body, inner)
+                i += s
+              }
+          }
+        } catch { case BreakEx() => () }
+      case SForIn(names, exprs, body, pos) =>
+        val vs = evalMulti(exprs, env)
+        val f = vs.headOption.getOrElse(LNil)
+        val s = vs.lift(1).getOrElse(LNil)
+        var ctrl = vs.lift(2).getOrElse(LNil)
+        try {
+          var go = true
+          while (go) {
+            val rs = call(f, Seq(s, ctrl), pos)
+            val first = rs.headOption.getOrElse(LNil)
+            if (first == LNil) go = false
+            else {
+              ctrl = first
+              val inner = env.child
+              names.zipWithIndex.foreach { case (n, i) =>
+                inner.declare(n, rs.lift(i).getOrElse(LNil)) }
+              execBlock(body, inner)
+            }
+          }
+        } catch { case BreakEx() => () }
+      case SFunc(target, _, fn, _) =>
+        assign(target, new LClosure(fn.params, fn.body, env), env)
+      case SLocalFunc(n, fn, _) =>
+        env.declare(n, LNil) // visible to itself (recursion)
+        env.set(n, new LClosure(fn.params, fn.body, env))
+      case SReturn(exprs, _) => throw ReturnEx(evalMulti(exprs, env))
+      case SBreak(_) => throw BreakEx()
+    }
+
+    private def assign(target: Expr, v: LV, env: Env): Unit = target match {
+      case EName(n, _) => env.set(n, v)
+      case EIndex(o, k, pos) =>
+        eval(o, env) match {
+          case t: LTable => t.rawSet(eval(k, env), v)
+          case u: LUserData => u.newindex(eval(k, env), v)
+          case other => err(s"attempt to index a ${typeName(other)} value", pos)
+        }
+      case e => err("cannot assign", e.pos)
+    }
+
+    /** Expression list with Lua multi-value rules: middle expressions
+      * truncate to one value, the LAST call/expansion keeps all.
+      */
+    private def evalMulti(exprs: Seq[Expr], env: Env): Seq[LV] =
+      if (exprs.isEmpty) Nil
+      else exprs.init.map(e => eval(e, env)) ++ evalCallMulti(exprs.last, env)
+
+    private def evalCallMulti(e: Expr, env: Env): Seq[LV] = e match {
+      case ECall(f, args, pos) => call(eval(f, env), evalMulti(args, env), pos)
+      case EMethodCall(o, m, args, pos) =>
+        val obj = eval(o, env)
+        val fn = index(obj, LStr(m), pos)
+        call(fn, obj +: evalMulti(args, env), pos)
+      case other => Seq(eval(other, env))
+    }
+
+    private def call(f: LV, args: Seq[LV], pos: Pos): Seq[LV] = f match {
+      case LFn(_, h) => h(args)
+      case c: LClosure =>
+        val inner = c.env.child
+        c.params.zipWithIndex.foreach { case (p, i) =>
+          inner.declare(p, args.lift(i).getOrElse(LNil)) }
+        try { execBlock(c.body, inner); Nil }
+        catch { case ReturnEx(vs) => vs }
+      case other => err(s"attempt to call a ${typeName(other)} value", pos)
+    }
+
+    private def index(obj: LV, k: LV, pos: Pos): LV = obj match {
+      case t: LTable => t.rawGet(k)
+      case u: LUserData => u.index(k)
+      case LStr(_) =>
+        // strings index into the string library (s:upper() etc.)
+        globals.rawGet(LStr("string")) match {
+          case st: LTable => st.rawGet(k)
+          case _ => LNil
+        }
+      case other => err(s"attempt to index a ${typeName(other)} value", pos)
+    }
+
+    private def toNum(v: LV, pos: Pos): LV = v match {
+      case i: LInt => i
+      case n: LNum => n
+      case LStr(s) => strToNumber(s).getOrElse(err("cannot convert string to number", pos))
+      case other => err(s"attempt to perform arithmetic on a ${typeName(other)} value", pos)
+    }
+    private def numD(v: LV): Double = v match {
+      case LInt(i) => i.toDouble
+      case LNum(d) => d
+      case _ => 0.0
+    }
+
+    def eval(e: Expr, env: Env): LV = e match {
+      case ENil(_) => LNil
+      case ETrue(_) => LBool(true)
+      case EFalse(_) => LBool(false)
+      case EInt(v, _) => LInt(v)
+      case ENum(v, _) => LNum(v)
+      case EStr(v, _) => LStr(v)
+      case EName(n, _) => env.get(n)
+      case EParen(inner, _) => eval(inner, env)
+      case EIndex(o, k, pos) => index(eval(o, env), eval(k, env), pos)
+      case c: ECall => evalCallMulti(c, env).headOption.getOrElse(LNil)
+      case c: EMethodCall => evalCallMulti(c, env).headOption.getOrElse(LNil)
+      case EFunc(ps, body, _) => new LClosure(ps, body, env)
+      case ETable(entries, _) =>
+        val t = new LTable
+        var arrIdx = 1L
+        entries.zipWithIndex.foreach {
+          case (TNamed(k, ve), _) => t.rawSet(LStr(k), eval(ve, env))
+          case (TKeyed(ke, ve), _) => t.rawSet(eval(ke, env), eval(ve, env))
+          case (TPos(ve), i) =>
+            // last positional entry expands a multi-value call
+            if (i == entries.length - 1) {
+              evalCallMulti(ve, env).foreach { v =>
+                t.rawSet(LInt(arrIdx), v); arrIdx += 1
+              }
+            } else { t.rawSet(LInt(arrIdx), eval(ve, env)); arrIdx += 1 }
+        }
+        t
+      case EUn(op, inner, pos) =>
+        val v = eval(inner, env)
+        op match {
+          case "not" => LBool(!truthy(v))
+          case "-" => toNum(v, pos) match {
+            case LInt(i) => LInt(-i)
+            case LNum(d) => LNum(-d)
+            case _ => err("bad unary minus", pos)
+          }
+          case "#" => v match {
+            case LStr(s) => LInt(s.length.toLong)
+            case t: LTable => LInt(t.len)
+            case other => err(s"attempt to get length of a ${typeName(other)} value", pos)
+          }
+          case other => err(s"unsupported unary op $other", pos)
+        }
+      case EBin(op, le, re, pos) =>
+        op match {
+          case "and" =>
+            val l = eval(le, env)
+            if (!truthy(l)) l else eval(re, env)
+          case "or" =>
+            val l = eval(le, env)
+            if (truthy(l)) l else eval(re, env)
+          case _ =>
+            binOp(op, eval(le, env), eval(re, env), pos)
+        }
+    }
+
+    private def binOp(op: String, l: LV, r: LV, pos: Pos): LV = op match {
+      case ".." =>
+        def s(v: LV): String = v match {
+          case LStr(x) => x
+          case LInt(_) | LNum(_) => toDisplay(v)
+          case other => err(s"attempt to concatenate a ${typeName(other)} value", pos)
+        }
+        LStr(s(l) + s(r))
+      case "==" => LBool(luaEquals(l, r))
+      case "~=" => LBool(!luaEquals(l, r))
+      case "<" | "<=" | ">" | ">=" =>
+        (l, r) match {
+          case (LStr(a), LStr(b)) =>
+            val c = a.compareTo(b)
+            LBool(op match {
+              case "<" => c < 0; case "<=" => c <= 0
+              case ">" => c > 0; case _ => c >= 0
+            })
+          case (LStr(_), _) | (_, LStr(_)) =>
+            // Lua never coerces in order comparison (unlike arithmetic)
+            err(s"attempt to compare ${typeName(l)} with ${typeName(r)}", pos)
+          case _ =>
+            val (a, b) = (toNum(l, pos), toNum(r, pos))
+            (a, b) match {
+              case (LInt(x), LInt(y)) =>
+                LBool(op match {
+                  case "<" => x < y; case "<=" => x <= y
+                  case ">" => x > y; case _ => x >= y
+                })
+              case _ =>
+                val (x, y) = (numD(a), numD(b))
+                LBool(op match {
+                  case "<" => x < y; case "<=" => x <= y
+                  case ">" => x > y; case _ => x >= y
+                })
+            }
+        }
+      case "+" | "-" | "*" | "//" | "%" =>
+        (toNum(l, pos), toNum(r, pos)) match {
+          case (LInt(a), LInt(b)) => op match {
+            case "+" => LInt(a + b)
+            case "-" => LInt(a - b)
+            case "*" => LInt(a * b)
+            case "//" =>
+              if (b == 0) err("attempt to perform 'n//0'", pos)
+              LInt(Math.floorDiv(a, b))
+            case _ =>
+              if (b == 0) err("attempt to perform 'n%%0'", pos)
+              LInt(Math.floorMod(a, b))
+          }
+          case (a, b) =>
+            val (x, y) = (numD(a), numD(b))
+            op match {
+              case "+" => LNum(x + y)
+              case "-" => LNum(x - y)
+              case "*" => LNum(x * y)
+              case "//" => LNum(math.floor(x / y))
+              case _ =>
+                // Lua float %: x - floor(x/y)*y
+                LNum(x - math.floor(x / y) * y)
+            }
+        }
+      case "/" =>
+        val (x, y) = (numD(toNum(l, pos)), numD(toNum(r, pos)))
+        LNum(x / y)
+      case "^" =>
+        val (x, y) = (numD(toNum(l, pos)), numD(toNum(r, pos)))
+        LNum(math.pow(x, y))
+      case other => err(s"unsupported operator $other", pos)
+    }
+  }
+
+  def luaEquals(l: LV, r: LV): Boolean = (l, r) match {
+    case (LInt(a), LNum(b)) => a.toDouble == b
+    case (LNum(a), LInt(b)) => a == b.toDouble
+    case (a: LTable, b: LTable) => a eq b
+    case (a: LClosure, b: LClosure) => a eq b
+    case (a: LUserData, b: LUserData) => a eq b
+    case (a, b) => a == b
+  }
+}

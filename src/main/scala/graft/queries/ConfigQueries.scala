@@ -320,12 +320,67 @@ object ConfigQueries {
        ORDER BY conv_id, turn_idx""",
     Seq("base AS (SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, tool FROM transcript)"))
 
+  /** `lua` transform end-to-end from config: a v2 `hooks.process`
+    * script (real Lua on the graft.lua VM, one VM per partition)
+    * reshapes each transcript turn — `#` length, `string.upper`,
+    * `string.gsub`, field delete, arithmetic filter on `%`, a shared
+    * table reference (`local log = event.log`), and the emit gate —
+    * then the rebuilt frame round-trips the `ts` timestamp through the
+    * time-table convention. The DuckDB oracle mirrors every step in
+    * portable SQL, so a hash match proves script semantics, the event
+    * bridge, and schema re-inference together.
+    */
+  private val luaToml =
+    """
+      |[transforms.shape]
+      |  inputs = []
+      |  type = "lua"
+      |  version = "2"
+      |  hooks.process = '''
+      |    function (event, emit)
+      |      local log = event.log
+      |      log.text_len = #log.text
+      |      log.role_up = string.upper(log.role)
+      |      log.text = string.gsub(log.text, " ", "_")
+      |      log.tool = nil
+      |      if log.turn_idx % 2 == 0 then
+      |        emit(event)
+      |      end
+      |    end
+      |  '''
+      |""".stripMargin
+
+  private val isoFmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+  private def qConfigLua(s: SparkSession, dir: String): DataFrame = {
+    val topo = Topology.load(luaToml)
+    val out = topo.run(Map("shape" -> transcriptFrame(s, dir)))("shape")
+    out.df.select(
+      col("conv_id"),
+      col("turn_idx").cast("long").as("turn_idx"),
+      col("role_up"),
+      col("text_len").cast("long").as("text_len"),
+      col("text"),
+      date_format(col("ts"), isoFmt).as("ts_iso"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  private val oracleConfigLua = Oracle.q(
+    s"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       upper(role) AS role_up,
+       CAST(length(text) AS BIGINT) AS text_len,
+       replace(text, ' ', '_') AS text,
+       ${Oracle.fmtIso("ts")} AS ts_iso
+       FROM transcript WHERE turn_idx % 2 = 0
+       ORDER BY conv_id, turn_idx""")
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
     "q_config_metrics" -> (qConfigMetrics _),
     "q_config_tag_limit" -> (qConfigTagLimit _),
-    "q_config_window" -> (qConfigWindow _)
+    "q_config_window" -> (qConfigWindow _),
+    "q_config_lua" -> (qConfigLua _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -333,6 +388,7 @@ object ConfigQueries {
     "q_config_enrich" -> oracleConfigEnrich,
     "q_config_metrics" -> oracleConfigMetrics,
     "q_config_tag_limit" -> oracleConfigTagLimit,
-    "q_config_window" -> oracleConfigWindow
+    "q_config_window" -> oracleConfigWindow,
+    "q_config_lua" -> oracleConfigLua
   )
 }

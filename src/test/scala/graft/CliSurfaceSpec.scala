@@ -44,7 +44,7 @@ class CliSurfaceSpec extends SparkSpec {
   test("generate: unknown types and empty names are refused") {
     intercept[IllegalArgumentException](Generate.example("stdin/remap/console"))
     intercept[IllegalArgumentException](Generate.example("file/:remap/console"))
-    intercept[IllegalArgumentException](Generate.example("file/lua/console"))
+    intercept[IllegalArgumentException](Generate.example("file/socket/console"))
   }
 
   test("generate: duplicate and unsafe component names are refused, not emitted") {
@@ -100,7 +100,7 @@ class CliSurfaceSpec extends SparkSpec {
     val in = Frame(df, EventMeta(ListMap("message" -> VStr), None))
     val e = intercept[Exception](bad.run(Map("x" -> in)))
     assert(e.getMessage.contains("transform type"))
-    assert(Topology.TransformTypes.size == 16) // the full reference registry
+    assert(Topology.TransformTypes.size == 17) // the full reference registry
     assert(Topology.TransformTypes == Topology.TransformTypes.sorted)
   }
 

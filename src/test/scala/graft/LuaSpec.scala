@@ -1,0 +1,344 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.lua.{LuaAst, LuaInterp, LuaPattern}
+import graft.lua.LuaInterp._
+import graft.config.{Toml, Topology}
+import graft.config.VrlCompile.{EventMeta, VStr, VInt, VTime}
+import graft.config.Topology.SeqCol
+
+/** The from-scratch Lua VM (graft.lua): language semantics, the
+  * pattern engine, and the config `lua` transform end-to-end.
+  */
+class LuaSpec extends SparkSpec {
+
+  private def run(src: String): LV = {
+    val vm = new VM(() => 1700000000000L)
+    vm.evalExpr(s"(function() $src end)()")
+  }
+  private def runRet(src: String): LV = {
+    val vm = new VM(() => 1700000000000L)
+    vm.exec(LuaAst.parse(s"result = (function() $src end)()"))
+    vm.globals.rawGet(LStr("result"))
+  }
+
+  // ---------------------------------------------------- language core
+  test("lua: numbers keep the integer/float split") {
+    assert(runRet("return 7 // 2") == LInt(3))
+    assert(runRet("return 7 / 2") == LNum(3.5))
+    assert(runRet("return 2^10") == LNum(1024.0))
+    assert(runRet("return -7 % 3") == LInt(2)) // Lua mod: sign of divisor
+    assert(runRet("return 7.0 // 2") == LNum(3.0))
+    assert(runRet("return 0x10 + 1") == LInt(17))
+    assert(runRet("return 1e3") == LNum(1000.0))
+  }
+
+  test("lua: tostring formats like the reference VM") {
+    assert(runRet("return tostring(1)") == LStr("1"))
+    assert(runRet("return tostring(1.0)") == LStr("1.0"))
+    assert(runRet("return tostring(1.5)") == LStr("1.5"))
+    assert(runRet("return tostring(nil)") == LStr("nil"))
+    assert(runRet("return tostring(true)") == LStr("true"))
+    assert(runRet("return 1 .. ''") == LStr("1"))
+    assert(runRet("return 1.25 .. ''") == LStr("1.25"))
+  }
+
+  test("lua: multiple assignment and multiple returns") {
+    assert(runRet(
+      "local a, b = 1, 2; a, b = b, a; return a * 10 + b") == LInt(21))
+    assert(runRet(
+      "local function two() return 1, 2 end; local a, b, c = two(); " +
+      "return c == nil and a + b") == LBool(true).asInstanceOf[LV] || runRet(
+      "local function two() return 1, 2 end; local a, b, c = two(); " +
+      "return a + b") == LInt(3))
+    // middle call truncates; last expands
+    assert(runRet(
+      "local function two() return 1, 2 end; local t = {two(), two()}; return #t") == LInt(3))
+    // parentheses truncate
+    assert(runRet(
+      "local function two() return 1, 2 end; local t = {(two())}; return #t") == LInt(1))
+  }
+
+  test("lua: tables, length, insert/remove/concat, pairs order") {
+    assert(runRet("local t = {10, 20, 30}; return #t") == LInt(3))
+    assert(runRet("local t = {}; table.insert(t, 'a'); table.insert(t, 1, 'b'); " +
+      "return table.concat(t, ',')") == LStr("b,a"))
+    assert(runRet("local t = {1,2,3}; table.remove(t, 1); return table.concat(t, '')") == LStr("23"))
+    assert(runRet("local t = {x = 1, y = 2}; local ks = ''; " +
+      "for k, v in pairs(t) do ks = ks .. k .. v end; return ks") == LStr("x1y2"))
+    assert(runRet("local s = 0; for i, v in ipairs({5, 6, 7}) do s = s + i * v end; " +
+      "return s") == LInt(5 + 12 + 21))
+    assert(runRet("local t = {a = 1}; t.a = nil; return next(t) == nil") == LBool(true))
+  }
+
+  test("lua: control flow — while/repeat/for/break, scoping") {
+    assert(runRet("local s = 0; for i = 1, 10 do s = s + i end; return s") == LInt(55))
+    assert(runRet("local s = 0; for i = 10, 1, -2 do s = s + i end; return s") == LInt(30))
+    assert(runRet("local i = 0; while true do i = i + 1; if i > 4 then break end end; " +
+      "return i") == LInt(5))
+    assert(runRet("local i = 0; repeat local j = i; i = i + 1 until j >= 3; return i") == LInt(4))
+  }
+
+  test("lua: closures capture upvalues by reference") {
+    assert(runRet(
+      """local function counter()
+        |  local n = 0
+        |  return function() n = n + 1; return n end
+        |end
+        |local c = counter()
+        |c(); c()
+        |return c()""".stripMargin) == LInt(3))
+  }
+
+  test("lua: pcall and error") {
+    assert(runRet("local ok, e = pcall(function() error('boom') end); " +
+      "return tostring(ok) .. ':' .. e") == LStr("false:boom"))
+    assert(runRet("local ok, v = pcall(function() return 42 end); " +
+      "return ok and v") == LInt(42))
+  }
+
+  test("lua: string library") {
+    assert(runRet("return string.format('%s=%d (%.2f)', 'x', 42, 1.5)") == LStr("x=42 (1.50)"))
+    assert(runRet("return ('hello'):upper()") == LStr("HELLO"))
+    assert(runRet("return string.sub('hello', 2, 4)") == LStr("ell"))
+    assert(runRet("return string.sub('hello', -3)") == LStr("llo"))
+    assert(runRet("return string.rep('ab', 3, '-')") == LStr("ab-ab-ab"))
+    assert(runRet("return string.byte('A')") == LInt(65))
+    assert(runRet("return string.char(104, 105)") == LStr("hi"))
+  }
+
+  // -------------------------------------------------- pattern engine
+  test("lua patterns: classes, quantifiers, captures") {
+    assert(runRet("return string.match('key=value', '(%w+)=(%w+)')") == LStr("key"))
+    assert(runRet("local k, v = string.match('key=value', '(%w+)=(%w+)'); return v") == LStr("value"))
+    assert(runRet("return string.find('abc123', '%d+')") == LInt(4))
+    assert(runRet("local s, e = string.find('abc123', '%d+'); return e") == LInt(6))
+    assert(runRet("return string.match('  trim  ', '^%s*(.-)%s*$')") == LStr("trim"))
+    assert(runRet("return string.match('2024-01-15', '(%d+)-(%d+)-(%d+)')") == LStr("2024"))
+    assert(runRet("return string.match('a.b', 'a%.b')") == LStr("a.b"))
+    assert(runRet("return string.match('(nested)', '%b()')") == LStr("(nested)"))
+    assert(runRet("return string.match('x', '%d') == nil") == LBool(true))
+    assert(runRet("return string.match('hello [world]', '%[(%a+)%]')") == LStr("world"))
+    // position capture
+    assert(runRet("return string.match('abc', 'b()')") == LInt(3))
+    // back-reference
+    assert(runRet("return string.match('abcabc', '(abc)%1')") == LStr("abc"))
+  }
+
+  test("lua patterns: gsub and gmatch") {
+    assert(runRet("return (string.gsub('hello world', 'o', '0'))") == LStr("hell0 w0rld"))
+    assert(runRet("local _, n = string.gsub('a b c', '%s', '_'); return n") == LInt(2))
+    assert(runRet("return (string.gsub('k1=v1;k2=v2', '(%w+)=(%w+)', '%2:%1'))") ==
+      LStr("v1:k1;v2:k2"))
+    assert(runRet("return (string.gsub('abc', '%a', function(c) return c:upper() end))") ==
+      LStr("ABC"))
+    assert(runRet("local t = {}; for w in string.gmatch('one two three', '%a+') do " +
+      "table.insert(t, w) end; return table.concat(t, ',')") == LStr("one,two,three"))
+    assert(runRet("local t = {}; for k, v in string.gmatch('a=1,b=2', '(%w+)=(%w+)') do " +
+      "t[k] = v end; return t.a .. t.b") == LStr("12"))
+    // gsub count limit
+    assert(runRet("return (string.gsub('aaa', 'a', 'b', 2))") == LStr("bba"))
+  }
+
+  test("lua: os.date('!*t') produces a timestamp table from the injected clock") {
+    val vm = new VM(() => 1700000000000L) // 2023-11-14T22:13:20Z
+    vm.exec(LuaAst.parse("t = os.date('!*t')"))
+    val t = vm.globals.rawGet(LStr("t")).asInstanceOf[LTable]
+    assert(t.rawGet(LStr("year")) == LInt(2023))
+    assert(t.rawGet(LStr("month")) == LInt(11))
+    assert(t.rawGet(LStr("day")) == LInt(14))
+    assert(t.rawGet(LStr("hour")) == LInt(22))
+    assert(t.rawGet(LStr("sec")) == LInt(20))
+  }
+
+  // ------------------------------------------- config transform: v2
+  private def logFrame(rows: Seq[(String, String)]): graft.config.Frame = {
+    val df = spark.createDataFrame(rows.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, a, b) }).toDF(SeqCol, "a", "msg")
+    graft.config.Frame(df, EventMeta(ListMap("a" -> VStr, "msg" -> VStr), None))
+  }
+
+  test("lua transform v2: rename via nil-swap, emitted through process") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "lua"
+        |  version = "2"
+        |  hooks.process = '''
+        |    function (event, emit)
+        |      event.log.a, event.log.b = nil, event.log.a
+        |      emit(event)
+        |    end
+        |  '''
+        |""".stripMargin)
+    val out = topo.run(Map("t" -> logFrame(Seq(("x", "m1"), ("y", "m2")))))("t")
+    val rows = out.df.orderBy(SeqCol).select("b", "msg").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "m1"), ("y", "m2")))
+    assert(!out.df.columns.contains("a"))
+  }
+
+  test("lua transform v2: source-defined hook by NAME, 1-to-N emit, init/shutdown") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "lua"
+        |  version = "2"
+        |  source = '''
+        |    n = 0
+        |    function do_process(event, emit)
+        |      n = n + 1
+        |      event.log.n = n
+        |      emit(event)
+        |      if event.log.dup == 'yes' then emit(event) end
+        |    end
+        |    function do_init(emit)
+        |      emit({log = {phase = 'init'}})
+        |    end
+        |    function do_shutdown(emit)
+        |      emit({log = {phase = 'shutdown', total = n}})
+        |    end
+        |  '''
+        |  hooks.init = "do_init"
+        |  hooks.process = "do_process"
+        |  hooks.shutdown = "do_shutdown"
+        |""".stripMargin)
+    val in = logFrame(Seq(("v", "m"), ("w", "m"))).copy()
+    // ONE partition: init/shutdown fire per partition (the documented
+    // lifecycle scope), so the one-init/one-shutdown assertion below
+    // is only meaningful on a single-partition input
+    val withDup = in.copy(df = in.df.coalesce(1).withColumn("dup",
+      when(col("a") === "v", lit("yes")).otherwise(lit("no"))),
+      meta = EventMeta(in.meta.types + ("dup" -> VStr), None))
+    val out = topo.run(Map("t" -> withDup))("t")
+    val phases = out.df.select("phase").collect().map(_.getString(0)).toSeq
+    // single-partition input: one init, one shutdown; 'v' emitted twice
+    assert(phases.count(_ == "init") == 1)
+    assert(phases.count(_ == "shutdown") == 1)
+    assert(out.df.filter(col("a") === "v").count() == 2)
+    assert(out.df.filter(col("a") === "w").count() == 1)
+    val total = out.df.filter(col("phase") === "shutdown")
+      .select("total").collect().head.getLong(0)
+    assert(total == 2L)
+  }
+
+  test("lua transform v2: log to metric and metric increment") {
+    val topo = Topology.load(
+      """
+        |[transforms.to_metric]
+        |  inputs = []
+        |  type = "lua"
+        |  version = "2"
+        |  hooks.process = '''
+        |    function (event, emit)
+        |      event.log = nil
+        |      event.metric = {
+        |        name = "example metric",
+        |        tags = { source = "lua" },
+        |        counter = { value = 2.0 }
+        |      }
+        |      emit(event)
+        |    end
+        |  '''
+        |[transforms.bump]
+        |  inputs = ["to_metric"]
+        |  type = "lua"
+        |  version = "2"
+        |  hooks.process = '''
+        |    function (event, emit)
+        |      event.metric.counter.value = event.metric.counter.value + 1
+        |      emit(event)
+        |    end
+        |  '''
+        |""".stripMargin)
+    val outs = topo.run(Map("to_metric" -> logFrame(Seq(("x", "m")))))
+    val m1 = outs("to_metric")
+    assert(m1.metric, "lua emitting metric tables must yield a metric frame")
+    val r1 = m1.df.select("name", "kind", "value_type", "value", "tags").collect().head
+    assert(r1.getString(0) == "example metric")
+    assert(r1.getString(1) == "absolute") // FromLua default kind
+    assert(r1.getString(2) == "counter")
+    assert(r1.getDouble(3) == 2.0)
+    assert(r1.getString(4) == "source=lua")
+    val r2 = outs("bump").df.select("value").collect().head
+    assert(r2.getDouble(0) == 3.0)
+  }
+
+  test("lua transform v2: timestamps cross as time tables both ways") {
+    val df = spark.range(1).select(
+      col("id").as(SeqCol),
+      lit("e").as("a"),
+      to_timestamp(lit("2024-03-01 12:30:45")).as("timestamp"))
+    val in = graft.config.Frame(df,
+      EventMeta(ListMap("a" -> VStr, "timestamp" -> VTime), None))
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "lua"
+        |  version = "2"
+        |  hooks.process = '''
+        |    function (event, emit)
+        |      event.log.h = event.log.timestamp.hour
+        |      event.log.timestamp.min = 59
+        |      emit(event)
+        |    end
+        |  '''
+        |""".stripMargin)
+    val out = topo.run(Map("t" -> in))("t")
+    assert(out.meta.types("timestamp") == VTime, "time table must come back as timestamp")
+    val row = out.df.select(col("h"),
+      date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts")).collect().head
+    assert(row.getLong(0) == 12L)
+    assert(row.getString(1) == "2024-03-01 12:59:45")
+  }
+
+  // ------------------------------------------- config transform: v1
+  test("lua transform v1: path-keyed event userdata, string coercion, drop") {
+    val topo = Topology.load(
+      """
+        |[transforms.t]
+        |  inputs = []
+        |  type = "lua"
+        |  version = "1"
+        |  source = '''
+        |    event["nested.out"] = event["a"]
+        |    event["a"] = nil
+        |    if event["msg"] == "dropme" then event = nil end
+        |  '''
+        |""".stripMargin)
+    val out = topo.run(Map("t" -> logFrame(Seq(("x", "keep"), ("y", "dropme")))))("t")
+    assert(out.df.count() == 1)
+    val row = out.df.select(col("nested").getField("out"), col("msg")).collect().head
+    assert(row.getString(0) == "x")
+    assert(row.getString(1) == "keep")
+  }
+
+  test("lua transform: config refuses timers and search_dirs; bad Lua fails the load") {
+    def load(body: String) = Topology.load(
+      s"""
+         |[transforms.t]
+         |  inputs = []
+         |  type = "lua"
+         |$body
+         |""".stripMargin).run(Map("t" -> logFrame(Seq(("x", "m")))))
+    val e1 = intercept[Exception](load(
+      """  version = "2"
+        |  hooks.process = "function (e, emit) emit(e) end"
+        |  [[transforms.t.timers]]
+        |    interval_seconds = 1
+        |    handler = "function (emit) end"
+        |""".stripMargin))
+    assert(e1.getMessage.contains("timers"))
+    val e2 = intercept[Exception](load(
+      """  version = "2"
+        |  hooks.process = "function (e, emit) emit(e end"
+        |""".stripMargin))
+    assert(e2.getMessage.toLowerCase.contains("parse"))
+  }
+}

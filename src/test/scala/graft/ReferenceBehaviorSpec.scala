@@ -9,15 +9,15 @@ import graft.config.{Toml, Topology, UnitTestHarness}
   *
   * This is the strongest fidelity evidence available: the inputs,
   * programs, and assertions are the reference's verbatim, not ports.
-  * The contract pinned here: ALL 117 loaded tests pass — including
+  * The contract pinned here: ALL 124 loaded tests pass — including
   * remap_infallible_assignment, whose condition compares the literal
   * Rust diagnostic `function call error for "parse_json" at (19:44):
   * unable to parse json: key must be a string at line 1 column 3`;
   * the engine reproduces it exactly (parser-recorded call spans in
   * VrlAst.Call.span + serde_json-compatible error prose in
-  * functions/JsonDiag). The only files not loaded are lua_v1/lua_v2 —
-  * real Lua scripts; per-event scripting is the typed Script harness
-  * (operators/Script) by design.
+  * functions/JsonDiag). lua_v1/lua_v2 load too — their scripts run on
+  * the from-scratch Lua VM (graft.lua) behind the config `lua`
+  * transform, so the WHOLE corpus directory now runs (124 tests).
   */
 class ReferenceBehaviorSpec extends SparkSpec {
 
@@ -31,11 +31,13 @@ class ReferenceBehaviorSpec extends SparkSpec {
     "dedupe.toml" -> 3,
     "reduce.toml" -> 10,
     "task_transform.toml" -> 2,
-    "vrl_test_input.toml" -> 2)
+    "vrl_test_input.toml" -> 2,
+    "lua_v1.toml" -> 2,
+    "lua_v2.toml" -> 5)
 
   private val expectedFailures = Set.empty[String]
 
-  test("the reference's own behavior corpus passes (all 117 tests, diagnostic text included)") {
+  test("the reference's own behavior corpus passes (all 124 tests, lua and diagnostic text included)") {
     val results = files.flatMap { case (f, expectedCount) =>
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$corpus/$f")), "UTF-8")
