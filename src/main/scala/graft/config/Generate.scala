@@ -17,6 +17,7 @@ object Generate {
 
   private val sourceExample: Map[String, Seq[String]] = Map(
     "demo_logs" -> Seq("""format = "apache_common"""", "count = 100"),
+    "socket" -> Seq("""mode = "tcp"""", """address = "127.0.0.1:9000""""),
     "file" -> Seq("""path = "path/to/logs.txt""""),
     "parquet" -> Seq("""path = "path/to/table.parquet""""))
 
@@ -70,6 +71,15 @@ object Generate {
       """  codec = "json"""")
     case "console" => Seq(
       """target = "stdout"""",
+      s"[sinks.$name.encoding]",
+      """  codec = "json"""")
+    case "socket" => Seq(
+      """mode = "tcp"""",
+      """address = "127.0.0.1:9001"""",
+      s"[sinks.$name.encoding]",
+      """  codec = "json"""")
+    case "http" => Seq(
+      """uri = "http://127.0.0.1:8080/ingest"""",
       s"[sinks.$name.encoding]",
       """  codec = "json"""")
     case _ => Seq.empty

@@ -1150,6 +1150,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val df = spark.read.parquet(path)
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
           Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(df.schema))
+        case Some("socket") =>
+          // a socket is a continuous byte stream; a bounded batch
+          // evaluation has nothing to connect to "once" — the
+          // streaming path (Cli run-stream) carries it
+          throw VrlUnsupported(s"source $name: socket is streaming-only " +
+            "(use Cli run-stream; batch runs read files/tables)")
         case Some("file") =>
           val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
           val linesFrame: Frame = cfg.tab("multiline") match {
@@ -1444,10 +1450,68 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
           df.sparkSession.read.text(path).count()
         case Some("console") => writeConsole(name, cfg, in)
+        case Some("socket") =>
+          val (host, port) = socketSinkAddr(name, cfg)
+          val line = encodedLine(name, in, cfg.tab("encoding"))
+          graft.sinks.SocketSink.writeLines(
+            in.df.select(line.as("value")).where(col("value").isNotNull),
+            host, port)
+        case Some("http") =>
+          val line = encodedLine(name, in, cfg.tab("encoding"))
+          graft.sinks.HttpSink.writeLines(
+            in.df.select(line.as("value")).where(col("value").isNotNull),
+            httpSinkCfg(name, cfg))
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> n
     }
+
+  /** `type = "http"` sink options (reference src/sinks/http/config.rs):
+    * `uri` (literal, not a template here), `method`, `request.headers`,
+    * `payload_prefix`/`payload_suffix`, `batch.max_events`. `auth` is
+    * refused — credential handling is out of this engine's scope, and
+    * accepting-then-ignoring it would ship events unauthenticated.
+    */
+  private def httpSinkCfg(name: String, cfg: TTab): graft.sinks.HttpSink.Config = {
+    if (cfg.tab("auth").isDefined) throw VrlUnsupported(
+      s"sink $name: http auth (credential handling out of scope)")
+    val uri = cfg.str("uri").getOrElse(
+      throw new IllegalArgumentException(s"sink $name: no uri"))
+    require(uri.startsWith("http://") || uri.startsWith("https://"),
+      s"sink $name: uri '$uri' must be http(s)://")
+    val method = cfg.str("method").getOrElse("post").toLowerCase
+    val allowed = Set("get", "head", "post", "put", "delete", "options", "patch")
+    if (!allowed(method)) throw new IllegalArgumentException(
+      s"sink $name: method $method (${allowed.toSeq.sorted.mkString("|")})")
+    val headers = cfg.tab("request").flatMap(_.tab("headers")).toSeq
+      .flatMap(_.entries.toSeq).collect { case (k, TStr(v)) => k -> v }
+    val maxEvents = cfg.tab("batch").flatMap(_.long("max_events"))
+      .map(_.toInt).getOrElse(1000)
+    require(maxEvents > 0, s"sink $name: batch.max_events must be positive")
+    graft.sinks.HttpSink.Config(uri, method, headers, maxEvents,
+      cfg.str("payload_prefix").getOrElse(""),
+      cfg.str("payload_suffix").getOrElse(""))
+  }
+
+  /** `type = "socket"` sink address (reference src/sinks/socket.rs:
+    * mode tcp|udp|unix_*, address): tcp stream mode only — every
+    * partition connects and writes newline-framed encoded events
+    * ([[graft.sinks.SocketSink]]).
+    */
+  private def socketSinkAddr(name: String, cfg: TTab): (String, Int) = {
+    val mode = cfg.str("mode").getOrElse("tcp")
+    if (mode != "tcp") throw VrlUnsupported(
+      s"sink $name: socket mode $mode (tcp stream mode only)")
+    splitHostPort(name, cfg.str("address").getOrElse(
+      throw new IllegalArgumentException(s"sink $name: no address")))
+  }
+
+  private def splitHostPort(component: String, addr: String): (String, Int) = {
+    val i = addr.lastIndexOf(':')
+    require(i > 0 && i < addr.length - 1 && addr.drop(i + 1).forall(_.isDigit),
+      s"$component: address '$addr' must be host:port")
+    (addr.take(i), addr.drop(i + 1).toInt)
+  }
 
   /** A sink's input frame: declared `inputs` resolved against the
     * produced outputs and unioned — shared by write, dry-run, and
@@ -1484,6 +1548,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           path()
           encodedLine(name, in, cfg.tab("encoding"))
         case Some("console") =>
+          encodedLine(name, in, cfg.tab("encoding"))
+        case Some("socket") =>
+          socketSinkAddr(name, cfg)
+          encodedLine(name, in, cfg.tab("encoding"))
+        case Some("http") =>
+          httpSinkCfg(name, cfg)
           encodedLine(name, in, cfg.tab("encoding"))
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
@@ -1678,15 +1748,16 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         throw VrlUnsupported(s"source $name: demo_logs is batch-only " +
           "(a bounded generated table; use Cli run, or a rate source " +
           "via graft.streaming.StreamOps for an endless stream)")
-      val path0 = cfg.str("path").getOrElse(
-        throw new IllegalArgumentException(s"source $name: no path"))
-      val path = resolvePath(path0)
+      // lazy: the socket source has an address, not a path
+      lazy val path = resolvePath(cfg.str("path").getOrElse(
+        throw new IllegalArgumentException(s"source $name: no path")))
       // a streaming file source watches a DIRECTORY; a config pointing
       // at one file (the batch form accepts both) becomes the parent
       // dir + an exact-name glob filter
-      val f = new java.io.File(path)
-      val (dir, globFilter) =
+      lazy val (dir, globFilter) = {
+        val f = new java.io.File(path)
         if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
+      }
       def filtered[R](r: org.apache.spark.sql.streaming.DataStreamReader) =
         globFilter.fold(r)(g => r.option("pathGlobFilter", g))
       val frame = cfg.str("type") match {
@@ -1695,6 +1766,31 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val df = filtered(spark.readStream.schema(schema)).parquet(dir)
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
           Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(schema))
+        case Some("socket") =>
+          // reference src/sources/socket/mod.rs: mode tcp|udp|unix_*,
+          // address, decoding codec. TCP stream mode maps onto Spark's
+          // socket reader (newline-framed text lines), with one honest
+          // divergence: the reference LISTENS on `address` while
+          // Spark's reader CONNECTS to it — the config points at the
+          // line-producing endpoint. Datagram modes have no Spark
+          // analog and are refused.
+          val mode = cfg.str("mode").getOrElse("tcp")
+          if (mode != "tcp") throw VrlUnsupported(
+            s"source $name: socket mode $mode (tcp stream mode only — " +
+              "udp/unix datagrams have no Spark streaming analog)")
+          val addr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (host, port) = splitHostPort(name, addr)
+          val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+          if (codec == "json") throw VrlUnsupported(
+            s"source $name: json decoding on a socket source " +
+              "(inference needs a batch line set — use bytes + remap parse_json)")
+          val df = spark.readStream.format("socket")
+            .option("host", host).option("port", port)
+            .load().withColumnRenamed("value", "message")
+          decodeLines(spark, name, codec,
+            Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
+              EventMeta(ListMap("message" -> VStr), None)))
         case Some("file") =>
           val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
           // json is batch-only: schema inference needs the full line set
@@ -1767,6 +1863,32 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .option("checkpointLocation", s"$checkpointRoot/$name")
             .trigger(trigger)
             .start()
+        case Some("socket") =>
+          // the streaming form of the socket sink: each micro-batch
+          // fans out through the same per-partition TCP writer, with
+          // the query checkpoint recording which source offsets have
+          // been delivered (at-least-once across restarts)
+          val (host, port) = socketSinkAddr(name, cfg)
+          val line = encodedLine(name, in, cfg.tab("encoding"))
+          in.df.select(line.as("value")).where(col("value").isNotNull)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.sinks.SocketSink.writeLines(batch, host, port); ()
+            }
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(trigger)
+            .start()
+        case Some("http") =>
+          val hc = httpSinkCfg(name, cfg)
+          val line = encodedLine(name, in, cfg.tab("encoding"))
+          in.df.select(line.as("value")).where(col("value").isNotNull)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.sinks.HttpSink.writeLines(batch, hc); ()
+            }
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(trigger)
+            .start()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> q
@@ -1822,7 +1944,7 @@ object Topology {
     * enrichment tables (`enrichmentTables`). Kept adjacent to the
     * dispatch matches; update together (CliSurfaceSpec cross-checks).
     */
-  val SourceTypes: Seq[String] = Seq("demo_logs", "file", "parquet")
+  val SourceTypes: Seq[String] = Seq("demo_logs", "file", "parquet", "socket")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);
@@ -1871,7 +1993,7 @@ object Topology {
     "incremental_to_absolute", "log_to_metric", "lua", "metric_to_log",
     "reduce", "remap", "route", "sample", "tag_cardinality_limit",
     "throttle", "trace_to_log", "window")
-  val SinkTypes: Seq[String] = Seq("console", "file", "parquet")
+  val SinkTypes: Seq[String] = Seq("console", "file", "http", "parquet", "socket")
   val EnrichmentTableTypes: Seq[String] = Seq("file")
 
   /** The flat metric-event schema every metric-side transform exchanges

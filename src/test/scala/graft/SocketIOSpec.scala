@@ -1,0 +1,236 @@
+package graft
+
+import java.net.ServerSocket
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{Frame, Topology}
+import graft.config.Topology.SeqCol
+import graft.config.VrlCompile.{EventMeta, VStr}
+
+/** The `socket` source/sink over REAL TCP connections on localhost —
+  * the reference's most basic network components (src/sources/socket,
+  * src/sinks/socket.rs), exercised end-to-end rather than mocked.
+  */
+class SocketIOSpec extends SparkSpec {
+
+  /** A line-collecting TCP server: accepts any number of connections,
+    * gathers newline-framed lines from each. (The sink opens one
+    * connection PER PARTITION, so multi-accept is part of the
+    * contract under test.)
+    */
+  private final class LineServer {
+    val server = new ServerSocket(0)
+    val lines = new ConcurrentLinkedQueue[String]()
+    @volatile private var running = true
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val sock = server.accept()
+        new Thread(() => {
+          val rd = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          var line = rd.readLine()
+          while (line != null) { lines.add(line); line = rd.readLine() }
+          sock.close()
+        }).start()
+      } catch { case _: java.net.SocketException => () } // closed
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    def port: Int = server.getLocalPort
+    def close(): Unit = { running = false; server.close() }
+    def await(n: Int, timeoutMs: Long = 20000): Seq[String] = {
+      val t0 = System.currentTimeMillis()
+      while (lines.size < n && System.currentTimeMillis() - t0 < timeoutMs)
+        Thread.sleep(50)
+      lines.asScala.toSeq
+    }
+  }
+
+  private def frame(msgs: Seq[String]): Frame = {
+    val df = spark.createDataFrame(msgs.zipWithIndex.map { case (m, i) =>
+      (i.toLong, m) }).toDF(SeqCol, "message")
+    Frame(df, EventMeta(ListMap("message" -> VStr), None))
+  }
+
+  test("socket sink: per-partition TCP connections deliver every encoded event") {
+    val srv = new LineServer
+    try {
+      val topo = Topology.load(
+        s"""
+           |[transforms.shape]
+           |  inputs = []
+           |  type = "remap"
+           |  source = '.tagged = upcase(.message)'
+           |[sinks.out]
+           |  inputs = ["shape"]
+           |  type = "socket"
+           |  mode = "tcp"
+           |  address = "127.0.0.1:${srv.port}"
+           |  [sinks.out.encoding]
+           |    codec = "logfmt"
+           |""".stripMargin)
+      val outs = topo.run(Map("shape" -> frame(Seq("alpha", "beta", "gamma"))))
+      val n = topo.writeSinks(outs)("out")
+      assert(n == 3L)
+      val got = srv.await(3).sorted
+      assert(got == Seq(
+        "message=alpha tagged=ALPHA",
+        "message=beta tagged=BETA",
+        "message=gamma tagged=GAMMA"))
+    } finally srv.close()
+  }
+
+  test("socket sink: dry-run validates address shape without connecting") {
+    val bad = Topology.load(
+      """
+        |[sinks.out]
+        |  inputs = ["x"]
+        |  type = "socket"
+        |  address = "no-port-here"
+        |""".stripMargin)
+    val e = intercept[Exception](
+      bad.dryRunSinks(Map("x" -> frame(Seq("m")))))
+    assert(e.getMessage.contains("host:port"))
+    val udp = Topology.load(
+      """
+        |[sinks.out]
+        |  inputs = ["x"]
+        |  type = "socket"
+        |  mode = "udp"
+        |  address = "127.0.0.1:9000"
+        |""".stripMargin)
+    val e2 = intercept[Exception](
+      udp.dryRunSinks(Map("x" -> frame(Seq("m")))))
+    assert(e2.getMessage.contains("tcp"))
+  }
+
+  test("http sink: per-partition batched POSTs against a live HTTP server") {
+    val received = new ConcurrentLinkedQueue[String]()
+    val headers = new ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      received.add(body)
+      Option(ex.getRequestHeaders.getFirst("X-Graft-Test")).foreach(headers.add)
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val topo = Topology.load(
+        s"""
+           |[sinks.out]
+           |  inputs = ["shape"]
+           |  type = "http"
+           |  uri = "http://127.0.0.1:${server.getAddress.getPort}/ingest"
+           |  [sinks.out.batch]
+           |    max_events = 2
+           |  [sinks.out.request.headers]
+           |    X-Graft-Test = "yes"
+           |  [sinks.out.encoding]
+           |    codec = "text"
+           |""".stripMargin)
+      val in = frame(Seq("a", "b", "c", "d", "e")).copy()
+      val one = in.copy(df = in.df.coalesce(1)) // deterministic batching
+      val n = topo.writeSinks(Map("shape" -> one))("out")
+      assert(n == 5L)
+      val t0 = System.currentTimeMillis()
+      while (received.size < 3 && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+      // 5 events at max_events=2 → 3 requests; newline-framed bodies
+      val bodies = received.asScala.toSeq
+      assert(bodies.length == 3, bodies.toString)
+      assert(bodies.flatMap(_.split("\n").filter(_.nonEmpty)).sorted ==
+        Seq("a", "b", "c", "d", "e"))
+      assert(headers.asScala.toSet == Set("yes"))
+
+      // a non-2xx response fails the write (at-least-once, never silent)
+      val bad = Topology.load(
+        s"""
+           |[sinks.out]
+           |  inputs = ["shape"]
+           |  type = "http"
+           |  uri = "http://127.0.0.1:${server.getAddress.getPort}/nope"
+           |  [sinks.out.encoding]
+           |    codec = "text"
+           |""".stripMargin)
+      val e = intercept[Exception](bad.writeSinks(Map("shape" -> one)))
+      assert(e.getMessage != null)
+
+      // auth is refused at validate, not silently dropped
+      val auth = Topology.load(
+        s"""
+           |[sinks.out]
+           |  inputs = ["shape"]
+           |  type = "http"
+           |  uri = "http://127.0.0.1:1/x"
+           |  [sinks.out.auth]
+           |    strategy = "bearer"
+           |""".stripMargin)
+      val e2 = intercept[Exception](auth.dryRunSinks(Map("shape" -> one)))
+      assert(e2.getMessage.contains("auth"))
+    } finally server.stop(0)
+  }
+
+  test("socket source: streaming lines from a live TCP endpoint, decoded and transformed") {
+    // a server that hands the connecting Spark reader a fixed line set
+    val server = new ServerSocket(0)
+    val payload = Seq("error one", "ok two", "error three")
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")
+      payload.foreach { l => out.write(l); out.write('\n') }
+      out.flush()
+      // keep the connection open: the socket reader treats EOF as
+      // stream end; the query is stopped by the test instead
+      Thread.sleep(30000)
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    try {
+      val topo = Topology.load(
+        s"""
+           |[sources.tap]
+           |  type = "socket"
+           |  mode = "tcp"
+           |  address = "127.0.0.1:${server.getLocalPort}"
+           |[transforms.errors]
+           |  inputs = ["tap"]
+           |  type = "filter"
+           |  condition = 'contains(.message, "error")'
+           |""".stripMargin)
+      val src = topo.loadStreamingSources(spark)
+      val out = topo.run(src)("errors")
+      val qn = s"socket_src_${System.nanoTime()}"
+      val q = out.df.drop(SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        val t0 = System.currentTimeMillis()
+        def count() = spark.table(qn).count()
+        while (count() < 2 && System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable()
+          Thread.sleep(100)
+        }
+        val rows = spark.table(qn).select("message").collect().map(_.getString(0)).sorted
+        assert(rows.toSeq == Seq("error one", "error three"))
+      } finally q.stop()
+    } finally server.close()
+
+    // and the batch path refuses the socket source with a clear error
+    val batch = Topology.load(
+      """
+        |[sources.tap]
+        |  type = "socket"
+        |  address = "127.0.0.1:1"
+        |""".stripMargin)
+    val e = intercept[Exception](batch.loadSources(spark))
+    assert(e.getMessage.contains("streaming-only"))
+  }
+}
