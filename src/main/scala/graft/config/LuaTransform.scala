@@ -338,7 +338,7 @@ object LuaTransform {
     strField("namespace").foreach(v => t.rawSet(LStr("namespace"), LStr(v)))
     Option(n.get("ts")).filter(LuaEventBridge.isTsMarker).foreach { m =>
       t.rawSet(LStr("timestamp"), LuaEventBridge.tsTable(
-        java.time.OffsetDateTime.parse(m.get(LuaEventBridge.TsKey).asText()).toInstant))
+        LuaEventBridge.parseIso(m.get(LuaEventBridge.TsKey).asText())))
     }
     strField("tags").filter(_.nonEmpty).foreach { tags =>
       val tt = new LTable
@@ -386,9 +386,7 @@ object LuaTransform {
       case ts: LTable if LuaEventBridge.isTsTable(ts) =>
         val m = F.objectNode()
         m.put(LuaEventBridge.TsKey,
-          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-            .withZone(java.time.ZoneOffset.UTC)
-            .format(LuaEventBridge.tableToInstant(ts)))
+          LuaEventBridge.IsoFmt.format(LuaEventBridge.tableToInstant(ts)))
         o.set[com.fasterxml.jackson.databind.JsonNode]("ts", m)
         ()
       case _ => ()

@@ -1,6 +1,6 @@
 package graft.lua
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
 
 import LuaInterp._
@@ -19,9 +19,12 @@ import LuaInterp._
   *    coerce values to strings, writes insert typed values at the
   *    parsed target path, `nil` removes, `pairs` iterates flattened
   *    key paths);
-  *  - JSON null crosses as the empty string (the reference's sparse-
-  *    array hole convention, log.rs inline test) — Lua `nil` cannot
-  *    hold a table slot.
+  *  - a null ARRAY ELEMENT crosses as the empty string (the
+  *    reference's sparse-array hole convention, log.rs inline test —
+  *    Lua `nil` cannot hold a table slot); a null OBJECT FIELD is
+  *    simply absent (Spark's to_json drops null fields), which reads
+  *    as `nil` — the same view mlua gives, since inserting Nil into
+  *    the event table removes the key.
   *
   * Transport is Jackson trees: the Spark runner hands each row's event
   * as a JSON object and takes emitted events back as JSON, with
@@ -34,9 +37,13 @@ object LuaEventBridge {
 
   def isTsMarker(n: JsonNode): Boolean =
     n != null && n.isObject && n.size() == 1 && n.has(TsKey)
-  private val IsoFmt = java.time.format.DateTimeFormatter
-    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-    .withZone(java.time.ZoneOffset.UTC)
+  /** Shared emit-side ISO formatter (the transform's to_timestamp
+    * pattern must agree — LuaTransform.IsoFmt is the string twin).
+    */
+  val IsoFmt: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .withZone(java.time.ZoneOffset.UTC)
 
   private val F = JsonNodeFactory.instance
 
@@ -44,7 +51,7 @@ object LuaEventBridge {
   def jsonToLua(n: JsonNode): LV =
     if (n == null || n.isNull) LStr("")
     else if (n.isObject) {
-      if (n.size() == 1 && n.has(TsKey)) tsTable(java.time.Instant.parse(tsNorm(n.get(TsKey).asText())))
+      if (n.size() == 1 && n.has(TsKey)) tsTable(parseIso(n.get(TsKey).asText()))
       else {
         val t = new LTable
         n.fields().forEachRemaining { e =>
@@ -65,9 +72,17 @@ object LuaEventBridge {
     else if (n.isNumber) LNum(n.asDouble())
     else LStr(n.asText())
 
-  /** ISO offsets like `+00:00` parse; bare `Z` too; micros optional. */
-  private def tsNorm(s: String): String =
-    if (s.endsWith("Z") || s.contains("+")) s else s + "Z"
+  /** ISO-8601 with ANY offset form (`Z`, `+00:00`, `-04:00` — the
+    * session timezone decides what date_format emits), or a bare local
+    * datetime read as UTC. Appending `Z` heuristically would corrupt
+    * negative-offset strings into unparseable `…-04:00Z`.
+    */
+  def parseIso(s: String): java.time.Instant =
+    try java.time.OffsetDateTime.parse(s).toInstant
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+    }
 
   /** `timestamp_to_table` (util.rs:9): the os.date("!*t") layout. */
   def tsTable(inst: java.time.Instant): LTable = {
@@ -263,5 +278,4 @@ object LuaEventBridge {
     def toUserData: LUserData = new LUserData(get, set, () => flatKeys)
   }
 
-  def mapper: ObjectMapper = new ObjectMapper()
 }

@@ -53,6 +53,12 @@ object LuaStdlib {
       case other => argErr(fname, n, "number", other)
     }
 
+  /** Lua treats a trailing explicit `nil` like a missing argument —
+    * option sites must go through this, never `args.lift(n)` alone.
+    */
+  private def optArg(args: Seq[LV], n: Int): Option[LV] =
+    args.lift(n - 1).filter(_ != LNil)
+
   private def asTable(fname: String, args: Seq[LV], n: Int): LTable =
     args.lift(n - 1).getOrElse(LNil) match {
       case t: LTable => t
@@ -67,7 +73,7 @@ object LuaStdlib {
       a.headOption.getOrElse(LNil) match {
         case v @ (LInt(_) | LNum(_)) if a.length < 2 => one(v)
         case LStr(s) =>
-          a.lift(1) match {
+          optArg(a, 2) match {
             case Some(b) =>
               val base = asInt("tonumber", a, 2).toInt
               try one(LInt(java.lang.Long.parseLong(s.trim, base)))
@@ -181,7 +187,7 @@ object LuaStdlib {
     stringT.rawSet(LStr("rep"), fn("rep") { a =>
       val s = asStr("rep", a, 1)
       val n = asInt("rep", a, 2).toInt
-      val sep = a.lift(2).map(_ => asStr("rep", a, 3)).getOrElse("")
+      val sep = optArg(a, 3).map(_ => asStr("rep", a, 3)).getOrElse("")
       one(LStr(if (n <= 0) "" else Seq.fill(n)(s).mkString(sep)))
     })
     stringT.rawSet(LStr("reverse"), fn("reverse")(a => one(LStr(asStr("reverse", a, 1).reverse))))
@@ -230,7 +236,7 @@ object LuaStdlib {
       var pos = 0
       val it = fn("gmatch.it") { _ =>
         if (pos > s.length) one(LNil)
-        else LuaPattern.find(s, p, pos) match {
+        else LuaPattern.find(s, p, pos, allowAnchor = false) match {
           case Some(m) =>
             pos = if (m.end > m.start) m.end else m.end + 1
             val caps = m.captureValues(s)
@@ -244,12 +250,17 @@ object LuaStdlib {
       val s = asStr("gsub", a, 1)
       val p = asStr("gsub", a, 2)
       val repl = a.lift(2).getOrElse(LNil)
-      val maxN = a.lift(3).map(_ => asInt("gsub", a, 4)).getOrElse(Long.MaxValue)
+      val maxN = optArg(a, 4).map(_ => asInt("gsub", a, 4)).getOrElse(Long.MaxValue)
       val vmCall = g.rawGet(LStr("__vm")).asInstanceOf[LFn]
       val out = new StringBuilder
       var pos = 0
       var n = 0L
-      while (pos <= s.length && n < maxN) {
+      // lstrlib str_gsub: an anchored pattern gets exactly ONE attempt
+      // (at the start), then the loop breaks and the rest copies through
+      val anchored = p.startsWith("^")
+      var attempts = 0
+      while (pos <= s.length && n < maxN && (!anchored || attempts == 0)) {
+        attempts += 1
         LuaPattern.find(s, p, pos) match {
           case Some(m) =>
             out ++= s.substring(pos, m.start)
@@ -375,15 +386,17 @@ object LuaStdlib {
       }
     })
     mathT.rawSet(LStr("random"), fn("random") { a =>
+      // empty intervals raise a catchable Lua error (never a JVM
+      // ArithmeticException out of floorMod-by-zero)
+      def interval(lo: Long, hi: Long): Seq[LV] = {
+        if (lo > hi) throw LuaError(LStr(
+          "bad argument #2 to 'random' (interval is empty)"))
+        one(LInt(lo + math.floorMod(rng.nextLong(), hi - lo + 1)))
+      }
       a.length match {
         case 0 => one(LNum(rng.nextDouble()))
-        case 1 =>
-          val m = asInt("random", a, 1)
-          one(LInt(1 + math.floorMod(rng.nextLong(), m)))
-        case _ =>
-          val lo = asInt("random", a, 1)
-          val hi = asInt("random", a, 2)
-          one(LInt(lo + math.floorMod(rng.nextLong(), hi - lo + 1)))
+        case 1 => interval(1L, asInt("random", a, 1))
+        case _ => interval(asInt("random", a, 1), asInt("random", a, 2))
       }
     })
     mathT.rawSet(LStr("randomseed"), fn("randomseed")(_ => Nil))
@@ -405,7 +418,7 @@ object LuaStdlib {
     tableT.rawSet(LStr("remove"), fn("remove") { a =>
       val t = asTable("remove", a, 1)
       val n = t.len
-      val at = a.lift(1).map(_ => asInt("remove", a, 2)).getOrElse(n)
+      val at = optArg(a, 2).map(_ => asInt("remove", a, 2)).getOrElse(n)
       if (n == 0) one(LNil)
       else {
         val removed = t.rawGet(LInt(at))
@@ -417,9 +430,9 @@ object LuaStdlib {
     })
     tableT.rawSet(LStr("concat"), fn("concat") { a =>
       val t = asTable("concat", a, 1)
-      val sep = a.lift(1).map(_ => asStr("concat", a, 2)).getOrElse("")
-      val i = a.lift(2).map(_ => asInt("concat", a, 3)).getOrElse(1L)
-      val j = a.lift(3).map(_ => asInt("concat", a, 4)).getOrElse(t.len)
+      val sep = optArg(a, 2).map(_ => asStr("concat", a, 2)).getOrElse("")
+      val i = optArg(a, 3).map(_ => asInt("concat", a, 3)).getOrElse(1L)
+      val j = optArg(a, 4).map(_ => asInt("concat", a, 4)).getOrElse(t.len)
       one(LStr((i to j).map(k => toDisplay(t.rawGet(LInt(k)))).mkString(sep)))
     })
     tableT.rawSet(LStr("unpack"), g.rawGet(LStr("unpack")))
@@ -460,8 +473,8 @@ object LuaStdlib {
       }
     })
     osT.rawSet(LStr("date"), fn("date") { a =>
-      val fmt = a.headOption.map(_ => asStr("date", a, 1)).getOrElse("%c")
-      val tSec = a.lift(1).map(_ => asInt("date", a, 2)).getOrElse(clock() / 1000)
+      val fmt = optArg(a, 1).map(_ => asStr("date", a, 1)).getOrElse("%c")
+      val tSec = optArg(a, 2).map(_ => asInt("date", a, 2)).getOrElse(clock() / 1000)
       val utc = fmt.startsWith("!")
       val f = if (utc) fmt.drop(1) else fmt
       val cal = java.util.Calendar.getInstance(
@@ -480,13 +493,11 @@ object LuaStdlib {
         t.rawSet(LStr("isdst"), LBool(false))
         one(t)
       } else {
-        // strftime subset
-        val sdf = new java.text.SimpleDateFormat(
-          f.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-            .replace("%y", "yy").replace("%c", "EEE MMM d HH:mm:ss yyyy"))
-        sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-        one(LStr(sdf.format(new java.util.Date(tSec * 1000))))
+        // strftime rendered directive-by-directive: literal text passes
+        // through verbatim (a SimpleDateFormat translation would choke
+        // on pattern letters in the literals — '!%Y-%m-%dT%H:%M:%SZ',
+        // the standard ISO idiom, contains both 'T' and 'Z')
+        one(LStr(strftime(f, cal)))
       }
     })
     g.rawSet(LStr("os"), osT)
@@ -538,8 +549,16 @@ object LuaStdlib {
             out ++= String.format(spec.result() + conv, Long.box(asIntV(nextArg())))
           case 'c' =>
             out += asIntV(nextArg()).toChar
-          case 'f' | 'F' | 'e' | 'E' | 'g' | 'G' =>
+          case 'f' | 'F' | 'e' | 'E' =>
             out ++= String.format(spec.result() + conv, Double.box(asNumV(nextArg())))
+          case 'g' | 'G' =>
+            // C %g trims trailing zeros unless '#'; Java's %g keeps them
+            // and rejects the '#' flag outright — so strip '#' before
+            // formatting and let its presence just suppress the trim
+            val alt = spec.result().contains('#')
+            val jspec = spec.result().replace("#", "")
+            val raw = String.format(jspec + conv, Double.box(asNumV(nextArg())))
+            out ++= (if (alt) raw else trimG(raw))
           case 'a' | 'A' =>
             out ++= String.format(spec.result() + conv, Double.box(asNumV(nextArg())))
           case 's' =>
@@ -561,6 +580,70 @@ object LuaStdlib {
       }
     }
     out.result()
+  }
+
+  /** The strftime subset `os.date` renders (C99 core directives; the
+    * engine is UTC-only so %z/%Z are the UTC forms).
+    */
+  private def strftime(fmt: String, cal: java.util.Calendar): String = {
+    import java.util.Calendar._
+    val Months = Array("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    val Days = Array("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+      "Friday", "Saturday")
+    def d2(v: Int) = f"$v%02d"
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%' || i + 1 >= fmt.length) { out += c; i += 1 }
+      else {
+        val dow = cal.get(DAY_OF_WEEK) - 1
+        fmt.charAt(i + 1) match {
+          case 'Y' => out ++= cal.get(YEAR).toString
+          case 'y' => out ++= d2(cal.get(YEAR) % 100)
+          case 'm' => out ++= d2(cal.get(MONTH) + 1)
+          case 'd' => out ++= d2(cal.get(DAY_OF_MONTH))
+          case 'e' => out ++= f"${cal.get(DAY_OF_MONTH)}%2d"
+          case 'H' => out ++= d2(cal.get(HOUR_OF_DAY))
+          case 'I' => out ++= d2({ val h = cal.get(HOUR_OF_DAY) % 12; if (h == 0) 12 else h })
+          case 'M' => out ++= d2(cal.get(MINUTE))
+          case 'S' => out ++= d2(cal.get(SECOND))
+          case 'p' => out ++= (if (cal.get(HOUR_OF_DAY) < 12) "AM" else "PM")
+          case 'j' => out ++= f"${cal.get(DAY_OF_YEAR)}%03d"
+          case 'a' => out ++= Days(dow).take(3)
+          case 'A' => out ++= Days(dow)
+          case 'b' | 'h' => out ++= Months(cal.get(MONTH)).take(3)
+          case 'B' => out ++= Months(cal.get(MONTH))
+          case 's' => out ++= (cal.getTimeInMillis / 1000).toString
+          case 'z' => out ++= "+0000"
+          case 'Z' => out ++= "UTC"
+          case 'n' => out += '\n'
+          case 't' => out += '\t'
+          case '%' => out += '%'
+          case 'c' => out ++= s"${Days(dow).take(3)} ${Months(cal.get(MONTH)).take(3)} " +
+            f"${cal.get(DAY_OF_MONTH)}%2d " +
+            s"${d2(cal.get(HOUR_OF_DAY))}:${d2(cal.get(MINUTE))}:${d2(cal.get(SECOND))} " +
+            cal.get(YEAR).toString
+          case 'x' => out ++= s"${d2(cal.get(MONTH) + 1)}/${d2(cal.get(DAY_OF_MONTH))}/${d2(cal.get(YEAR) % 100)}"
+          case 'X' => out ++= s"${d2(cal.get(HOUR_OF_DAY))}:${d2(cal.get(MINUTE))}:${d2(cal.get(SECOND))}"
+          case other => throw LuaError(LStr(
+            s"bad argument #1 to 'date' (invalid conversion specifier '%$other')"))
+        }
+        i += 2
+      }
+    }
+    out.result()
+  }
+
+  /** C `%g` zero-trimming over Java's zero-keeping output. */
+  private def trimG(s: String): String = {
+    val (mant, ex) = s.span(c => c != 'e' && c != 'E')
+    val m2 =
+      if (mant.contains('.'))
+        mant.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else mant
+    m2 + ex
   }
 
   private def asIntV(v: LV): Long = v match {

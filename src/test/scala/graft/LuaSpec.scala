@@ -319,6 +319,86 @@ class LuaSpec extends SparkSpec {
     assert(row.getString(1) == "keep")
   }
 
+  // ------------------------------------------- review-fix regressions
+  test("lua: explicit trailing nil reads as a missing argument") {
+    assert(runRet("return tonumber('10', nil)") == LInt(10))
+    assert(runRet("return string.rep('ab', 3, nil)") == LStr("ababab"))
+    assert(runRet("return (string.gsub('aaa', 'a', 'b', nil))") == LStr("bbb"))
+    assert(runRet("return table.concat({1, 2, 3}, ',', nil, nil)") == LStr("1,2,3"))
+    assert(runRet("return os.date('!%Y', nil)") == LStr("2023")) // injected clock
+  }
+
+  test("lua: gmatch treats a leading ^ as a literal, not an anchor") {
+    assert(runRet("local n = 0; for m in string.gmatch('ab ab', '^a') do n = n + 1 end; " +
+      "return n") == LInt(0)) // no literal '^' in the subject
+    assert(runRet("local t = {}; for m in string.gmatch('^a ^b', '^%a') do " +
+      "table.insert(t, m) end; return table.concat(t, ',')") == LStr("^a,^b"))
+  }
+
+  test("lua: anchored gsub gets exactly one attempt") {
+    assert(runRet("return (string.gsub('aaa', '^a', 'b'))") == LStr("baa"))
+    assert(runRet("local _, n = string.gsub('aaa', '^a', 'b'); return n") == LInt(1))
+    assert(runRet("return (string.gsub('bbb', '^a', 'x'))") == LStr("bbb"))
+  }
+
+  test("lua: math.random raises a catchable error on an empty interval") {
+    assert(runRet("local ok, e = pcall(math.random, 2, 1); " +
+      "return tostring(ok) .. ':' .. tostring(e)") ==
+      LStr("false:bad argument #2 to 'random' (interval is empty)"))
+    assert(runRet("return (pcall(math.random, 0))") == LBool(false))
+    assert(runRet("local v = math.random(5, 5); return v") == LInt(5))
+  }
+
+  test("lua: %f frontier uses \\0 boundaries, not spaces") {
+    // no letter→whitespace transition exists at end-of-string ('\0' is not %s)
+    assert(runRet("return string.find('ab', '%f[%s]') == nil") == LBool(true))
+    // start-of-string boundary still counts as a non-%w → %w transition
+    assert(runRet("return string.match('hi', '%f[%w]%w+')") == LStr("hi"))
+    assert(runRet("local _, n = string.gsub('THE (QUICK) brOWN FOx', " +
+      "'%f[%a]%u+%f[%A]', 'X'); return n") == LInt(2))
+  }
+
+  test("lua: unterminated table constructor is a parse error, not a hang") {
+    val e = intercept[Exception](LuaAst.parse("t = {"))
+    assert(e.getMessage.contains("unterminated table constructor"))
+    // EOF after an entry trips the separator check instead — either way
+    // the parser must fail fast rather than spin on TEof
+    val e2 = intercept[Exception](LuaAst.parse("t = {a = 1"))
+    assert(e2.getMessage.contains("parse error"))
+  }
+
+  test("lua: os.date renders strftime with literal passthrough") {
+    // 'T' and 'Z' are pattern letters to SimpleDateFormat — the direct
+    // renderer must pass them through verbatim
+    assert(runRet("return os.date('!%Y-%m-%dT%H:%M:%SZ', 1700000000)") ==
+      LStr("2023-11-14T22:13:20Z"))
+    assert(runRet("return os.date('!%c', 0)") == LStr("Thu Jan  1 00:00:00 1970"))
+    assert(runRet("return os.date('!%a %b %j %I%p', 1700000000)") ==
+      LStr("Tue Nov 318 10PM"))
+    assert(runRet("return os.date('!%s', 1700000000)") == LStr("1700000000"))
+    assert(runRet("return (pcall(os.date, '!%Q'))") == LBool(false))
+  }
+
+  test("lua: string.format %g trims zeros like C") {
+    assert(runRet("return string.format('%g', 1.0)") == LStr("1"))
+    assert(runRet("return string.format('%g', 0.5)") == LStr("0.5"))
+    assert(runRet("return string.format('%g', 1e20)") == LStr("1e+20"))
+    assert(runRet("return string.format('%g', 1e-05)") == LStr("1e-05"))
+    assert(runRet("return string.format('%#g', 1.0)") == LStr("1.00000"))
+  }
+
+  test("lua bridge: parseIso accepts any offset form and bare local datetimes") {
+    import graft.lua.LuaEventBridge
+    assert(LuaEventBridge.parseIso("2024-03-01T12:30:45.123456-04:00") ==
+      java.time.Instant.parse("2024-03-01T16:30:45.123456Z"))
+    assert(LuaEventBridge.parseIso("2024-03-01T12:30:45.123456+00:00") ==
+      java.time.Instant.parse("2024-03-01T12:30:45.123456Z"))
+    assert(LuaEventBridge.parseIso("2024-03-01T12:30:45.000001Z") ==
+      java.time.Instant.parse("2024-03-01T12:30:45.000001Z"))
+    assert(LuaEventBridge.parseIso("2024-03-01T12:30:45") ==
+      java.time.Instant.parse("2024-03-01T12:30:45Z"))
+  }
+
   test("lua transform: config refuses timers and search_dirs; bad Lua fails the load") {
     def load(body: String) = Topology.load(
       s"""
