@@ -28,6 +28,8 @@ object LuaInterp {
   final class LTable extends LV {
     /** Insertion-ordered so `pairs`/JSON rendering are deterministic. */
     val m: mutable.LinkedHashMap[LV, LV] = mutable.LinkedHashMap.empty
+    /** Metatable (null = none) — raw ops never consult it. */
+    var meta: LTable = null
     def rawGet(k: LV): LV = m.getOrElse(normKey(k), LNil)
     def rawSet(k: LV, v: LV): Unit = {
       val kk = normKey(k)
@@ -169,6 +171,37 @@ object LuaInterp {
     // re-enter the interpreter through this entry
     globals.rawSet(LStr("__vm"), LFn("__vm", args =>
       callValue(args.headOption.getOrElse(LNil), args.drop(1))))
+    // metatable-aware overrides of stdlib entries that need the
+    // interpreter: __tostring/__name rendering and __index-honoring
+    // ipairs (lua_geti semantics)
+    globals.rawSet(LStr("tostring"), LFn("tostring", args => {
+      val v = args.headOption.getOrElse(LNil)
+      v match {
+        case t: LTable if t.meta != null =>
+          t.meta.rawGet(LStr("__tostring")) match {
+            case LNil => t.meta.rawGet(LStr("__name")) match {
+              case LStr(n) => Seq(LStr(
+                n + ": 0x" + Integer.toHexString(System.identityHashCode(t))))
+              case _ => Seq(LStr(toDisplay(v)))
+            }
+            case h => Seq(callValue(h, Seq(t)).headOption.getOrElse(LNil))
+          }
+        case _ => Seq(LStr(toDisplay(v)))
+      }
+    }))
+    globals.rawSet(LStr("ipairs"), LFn("ipairs", args => {
+      val t = args.headOption.getOrElse(LNil)
+      val it = LFn("inext", b => {
+        val i = (b.lift(1) match {
+          case Some(LInt(x)) => x
+          case Some(LNum(d)) => d.toLong
+          case _ => 0L
+        }) + 1
+        val v = index(t, LInt(i), Pos(0, 0))
+        if (v == LNil) Seq(LNil) else Seq(LInt(i), v)
+      })
+      Seq(it, t, LInt(0L))
+    }))
 
     /** Execute a chunk at global scope (v2 `source`, v1 per-event). */
     def exec(chunk: Seq[Stat]): Unit =
@@ -280,13 +313,33 @@ object LuaInterp {
 
     private def assign(target: Expr, v: LV, env: Env): Unit = target match {
       case EName(n, _) => env.set(n, v)
-      case EIndex(o, k, pos) =>
-        eval(o, env) match {
-          case t: LTable => t.rawSet(eval(k, env), v)
-          case u: LUserData => u.newindex(eval(k, env), v)
-          case other => err(s"attempt to index a ${typeName(other)} value", pos)
-        }
+      case EIndex(o, k, pos) => setIndex(eval(o, env), eval(k, env), v, pos)
       case e => err("cannot assign", e.pos)
+    }
+
+    /** Metamethod lookup — `LNil` reads as absent, like real Lua. */
+    private def metamethod(v: LV, name: String): Option[LV] = (v match {
+      case t: LTable if t.meta != null => t.meta.rawGet(LStr(name))
+      case _ => LNil
+    }) match {
+      case LNil => None
+      case h => Some(h)
+    }
+
+    def setIndex(obj: LV, k: LV, v: LV, pos: Pos, depth: Int = 0): Unit = {
+      if (depth > 100) err("'__newindex' chain too long; possible loop", pos)
+      obj match {
+        case t: LTable =>
+          // __newindex fires only on ABSENT keys (lvm.c luaV_finishset)
+          if (t.rawGet(k) != LNil) t.rawSet(k, v)
+          else metamethod(t, "__newindex") match {
+            case Some(h @ (_: LFn | _: LClosure)) => call(h, Seq(t, k, v), pos); ()
+            case Some(mt) => setIndex(mt, k, v, pos, depth + 1)
+            case None => t.rawSet(k, v)
+          }
+        case u: LUserData => u.newindex(k, v)
+        case other => err(s"attempt to index a ${typeName(other)} value", pos)
+      }
     }
 
     /** Expression list with Lua multi-value rules: middle expressions
@@ -313,19 +366,34 @@ object LuaInterp {
           inner.declare(p, args.lift(i).getOrElse(LNil)) }
         try { execBlock(c.body, inner); Nil }
         catch { case ReturnEx(vs) => vs }
-      case other => err(s"attempt to call a ${typeName(other)} value", pos)
+      case other => metamethod(other, "__call") match {
+        case Some(h) => call(h, other +: args, pos)
+        case None => err(s"attempt to call a ${typeName(other)} value", pos)
+      }
     }
 
-    private def index(obj: LV, k: LV, pos: Pos): LV = obj match {
-      case t: LTable => t.rawGet(k)
-      case u: LUserData => u.index(k)
-      case LStr(_) =>
-        // strings index into the string library (s:upper() etc.)
-        globals.rawGet(LStr("string")) match {
-          case st: LTable => st.rawGet(k)
-          case _ => LNil
-        }
-      case other => err(s"attempt to index a ${typeName(other)} value", pos)
+    def index(obj: LV, k: LV, pos: Pos, depth: Int = 0): LV = {
+      if (depth > 100) err("'__index' chain too long; possible loop", pos)
+      obj match {
+        case t: LTable =>
+          val raw = t.rawGet(k)
+          if (raw != LNil) raw
+          else metamethod(t, "__index") match {
+            case Some(h @ (_: LFn | _: LClosure)) =>
+              call(h, Seq(t, k), pos).headOption.getOrElse(LNil)
+            case Some(mt) => index(mt, k, pos, depth + 1)
+            case None => LNil
+          }
+        case u: LUserData => u.index(k)
+        case LStr(_) =>
+          // strings index into the string library (s:upper() etc.) —
+          // the stock string-metatable __index
+          globals.rawGet(LStr("string")) match {
+            case st: LTable => st.rawGet(k)
+            case _ => LNil
+          }
+        case other => err(s"attempt to index a ${typeName(other)} value", pos)
+      }
     }
 
     private def toNum(v: LV, pos: Pos): LV = v match {
@@ -372,14 +440,23 @@ object LuaInterp {
         val v = eval(inner, env)
         op match {
           case "not" => LBool(!truthy(v))
-          case "-" => toNum(v, pos) match {
-            case LInt(i) => LInt(-i)
-            case LNum(d) => LNum(-d)
-            case _ => err("bad unary minus", pos)
+          case "-" => v match {
+            case _: LTable => metamethod(v, "__unm") match {
+              case Some(h) => call(h, Seq(v, v), pos).headOption.getOrElse(LNil)
+              case None => err("attempt to perform arithmetic on a table value", pos)
+            }
+            case _ => toNum(v, pos) match {
+              case LInt(i) => LInt(-i)
+              case LNum(d) => LNum(-d)
+              case _ => err("bad unary minus", pos)
+            }
           }
           case "#" => v match {
             case LStr(s) => LInt(s.length.toLong)
-            case t: LTable => LInt(t.len)
+            case t: LTable => metamethod(t, "__len") match {
+              case Some(h) => call(h, Seq(t), pos).headOption.getOrElse(LNil)
+              case None => LInt(t.len)
+            }
             case other => err(s"attempt to get length of a ${typeName(other)} value", pos)
           }
           case other => err(s"unsupported unary op $other", pos)
@@ -397,16 +474,58 @@ object LuaInterp {
         }
     }
 
+    /** Binary metamethod from the left operand, else the right (the
+      * 5.4 dispatch order), applied and truncated to one value.
+      */
+    private def tryBinMeta(name: String, l: LV, r: LV, pos: Pos): Option[LV] =
+      metamethod(l, name).orElse(metamethod(r, name))
+        .map(h => call(h, Seq(l, r), pos).headOption.getOrElse(LNil))
+
+    private def isTab(v: LV): Boolean = v.isInstanceOf[LTable]
+
     private def binOp(op: String, l: LV, r: LV, pos: Pos): LV = op match {
       case ".." =>
-        def s(v: LV): String = v match {
-          case LStr(x) => x
-          case LInt(_) | LNum(_) => toDisplay(v)
-          case other => err(s"attempt to concatenate a ${typeName(other)} value", pos)
+        def concatable(v: LV): Boolean = v match {
+          case LStr(_) | LInt(_) | LNum(_) => true
+          case _ => false
         }
-        LStr(s(l) + s(r))
-      case "==" => LBool(luaEquals(l, r))
-      case "~=" => LBool(!luaEquals(l, r))
+        if (!concatable(l) || !concatable(r))
+          tryBinMeta("__concat", l, r, pos).getOrElse(
+            err(s"attempt to concatenate a ${typeName(if (concatable(l)) r else l)} value", pos))
+        else {
+          def s(v: LV): String = v match {
+            case LStr(x) => x
+            case _ => toDisplay(v)
+          }
+          LStr(s(l) + s(r))
+        }
+      case "==" =>
+        if (luaEquals(l, r)) LBool(true)
+        else if (isTab(l) && isTab(r))
+          LBool(tryBinMeta("__eq", l, r, pos).exists(truthy))
+        else LBool(false)
+      case "~=" => binOp("==", l, r, pos) match {
+        case LBool(b) => LBool(!b)
+        case v => LBool(!truthy(v))
+      }
+      case "<" | "<=" | ">" | ">=" if isTab(l) || isTab(r) =>
+        // a > b is b < a (lvm.c: order metamethods see swapped operands)
+        val (name, a, b) = op match {
+          case "<" => ("__lt", l, r)
+          case "<=" => ("__le", l, r)
+          case ">" => ("__lt", r, l)
+          case _ => ("__le", r, l)
+        }
+        tryBinMeta(name, a, b, pos).map(v => LBool(truthy(v))).getOrElse(
+          err(s"attempt to compare ${typeName(l)} with ${typeName(r)}", pos))
+      case "+" | "-" | "*" | "/" | "//" | "%" | "^" if isTab(l) || isTab(r) =>
+        val name = op match {
+          case "+" => "__add"; case "-" => "__sub"; case "*" => "__mul"
+          case "/" => "__div"; case "//" => "__idiv"; case "%" => "__mod"
+          case _ => "__pow"
+        }
+        tryBinMeta(name, l, r, pos).getOrElse(
+          err("attempt to perform arithmetic on a table value", pos))
       case "<" | "<=" | ">" | ">=" =>
         (l, r) match {
           case (LStr(a), LStr(b)) =>

@@ -163,9 +163,38 @@ object LuaStdlib {
       Seq(it, t, LInt(0L))
     })
     g.rawSet(LStr("unpack"), fn("unpack")(a => asTable("unpack", a, 1).arrayValues))
-    g.rawSet(LStr("setmetatable"), fn("setmetatable") { _ =>
-      throw LuaError(LStr("setmetatable is not supported in this Lua subset"))
+    g.rawSet(LStr("setmetatable"), fn("setmetatable") { a =>
+      val t = asTable("setmetatable", a, 1)
+      if (t.meta != null && t.meta.rawGet(LStr("__metatable")) != LNil)
+        throw LuaError(LStr("cannot change a protected metatable"))
+      a.lift(1).getOrElse(LNil) match {
+        case mt: LTable => t.meta = mt
+        case LNil => t.meta = null
+        case other => argErr("setmetatable", 2, "nil or table", other)
+      }
+      one(t)
     })
+    g.rawSet(LStr("getmetatable"), fn("getmetatable") { a =>
+      a.headOption.getOrElse(LNil) match {
+        case t: LTable if t.meta != null =>
+          // __metatable protects: its value masks the real metatable
+          val prot = t.meta.rawGet(LStr("__metatable"))
+          one(if (prot != LNil) prot else t.meta)
+        case _ => one(LNil)
+      }
+    })
+
+    // coroutines need a real continuation/thread substrate; refuse
+    // loudly (like timers) rather than run scripts with wrong semantics
+    val coT = new LTable
+    Seq("create", "resume", "yield", "status", "wrap", "isyieldable",
+      "running", "close").foreach { n =>
+      coT.rawSet(LStr(n), fn("coroutine." + n) { _ =>
+        throw LuaError(LStr(
+          s"coroutine.$n is not supported in this Lua subset"))
+      })
+    }
+    g.rawSet(LStr("coroutine"), coT)
 
     // ---------------------------------------------------------- string
     val stringT = new LTable

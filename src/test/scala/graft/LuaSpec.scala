@@ -319,6 +319,104 @@ class LuaSpec extends SparkSpec {
     assert(row.getString(1) == "keep")
   }
 
+  // --------------------------------------------------- metatables
+  test("lua metatables: __index chain supports the class/inheritance idiom") {
+    assert(runRet(
+      """local Animal = {}
+        |Animal.__index = Animal
+        |function Animal.new(name)
+        |  return setmetatable({name = name}, Animal)
+        |end
+        |function Animal:speak() return self.name .. ' speaks' end
+        |local Dog = setmetatable({}, {__index = Animal})
+        |Dog.__index = Dog
+        |function Dog.new(name)
+        |  return setmetatable(Animal.new(name), Dog)
+        |end
+        |function Dog:speak() return self.name .. ' barks' end
+        |local d = Dog.new('rex')
+        |local a = Animal.new('cat')
+        |return d:speak() .. '/' .. a:speak()""".stripMargin) ==
+      LStr("rex barks/cat speaks"))
+    // function-valued __index
+    assert(runRet("local t = setmetatable({}, {__index = function(t, k) " +
+      "return k .. '!' end}); return t.foo") == LStr("foo!"))
+    // present keys never consult the metatable
+    assert(runRet("local t = setmetatable({x = 1}, {__index = function() " +
+      "return 99 end}); return t.x") == LInt(1))
+  }
+
+  test("lua metatables: __newindex intercepts absent keys only; raw ops bypass") {
+    assert(runRet(
+      """local log = {}
+        |local t = setmetatable({present = 0}, {__newindex = function(t, k, v)
+        |  log[#log + 1] = k
+        |  rawset(t, k, v * 10)
+        |end})
+        |t.a = 1        -- absent: intercepted
+        |t.present = 5  -- present: plain write
+        |t.a = 2        -- now present: plain write
+        |return table.concat(log, ',') .. ':' .. t.a .. ':' .. t.present""".stripMargin) ==
+      LStr("a:2:5"))
+    // table-valued __newindex forwards the write
+    assert(runRet("local sink = {}; local t = setmetatable({}, {__newindex = sink}); " +
+      "t.x = 7; return tostring(rawget(t, 'x')) .. ':' .. sink.x") == LStr("nil:7"))
+    assert(runRet("local t = setmetatable({}, {__index = function() return 1 end}); " +
+      "return rawget(t, 'k') == nil and rawlen(t) == 0") == LBool(true))
+  }
+
+  test("lua metatables: operator metamethods") {
+    val vecSrc =
+      """local V = {}
+        |V.__index = V
+        |V.__add = function(a, b) return V.new(a.x + b.x, a.y + b.y) end
+        |V.__eq = function(a, b) return a.x == b.x and a.y == b.y end
+        |V.__lt = function(a, b) return a.x * a.x + a.y * a.y < b.x * b.x + b.y * b.y end
+        |V.__le = function(a, b) return not (b < a) end
+        |V.__unm = function(a) return V.new(-a.x, -a.y) end
+        |V.__len = function(a) return 2 end
+        |V.__concat = function(a, b) return '<' .. a.x .. ',' .. a.y .. '>' .. b end
+        |V.__tostring = function(a) return 'V(' .. a.x .. ')' end
+        |function V.new(x, y) return setmetatable({x = x, y = y}, V) end
+        |""".stripMargin
+    assert(runRet(vecSrc +
+      "local v = V.new(1, 2) + V.new(3, 4); return v.x * 10 + v.y") == LInt(46))
+    assert(runRet(vecSrc +
+      "return V.new(1, 2) == V.new(1, 2) and V.new(1, 2) ~= V.new(9, 9)") == LBool(true))
+    assert(runRet(vecSrc +
+      "return V.new(1, 1) < V.new(2, 2) and V.new(2, 2) <= V.new(2, 2) " +
+      "and V.new(3, 3) > V.new(1, 1)") == LBool(true))
+    assert(runRet(vecSrc + "local n = -V.new(1, 2); return n.x") == LInt(-1))
+    assert(runRet(vecSrc + "return #V.new(8, 9)") == LInt(2))
+    assert(runRet(vecSrc + "return V.new(1, 2) .. 'end'") == LStr("<1,2>end"))
+    assert(runRet(vecSrc + "return tostring(V.new(7, 0))") == LStr("V(7)"))
+  }
+
+  test("lua metatables: __call, protected metatables, getmetatable") {
+    assert(runRet("local t = setmetatable({}, {__call = function(self, x) " +
+      "return x * 2 end}); return t(21)") == LInt(42))
+    assert(runRet("local mt = {}; local t = setmetatable({}, mt); " +
+      "return getmetatable(t) == mt") == LBool(true))
+    assert(runRet("return getmetatable({}) == nil") == LBool(true))
+    assert(runRet("local t = setmetatable({}, {__metatable = 'locked'}); " +
+      "return getmetatable(t)") == LStr("locked"))
+    assert(runRet("local t = setmetatable({}, {__metatable = 'locked'}); " +
+      "local ok, e = pcall(setmetatable, t, {}); return tostring(ok) .. ':' .. e") ==
+      LStr("false:cannot change a protected metatable"))
+  }
+
+  test("lua metatables: ipairs walks __index like lua_geti") {
+    assert(runRet("local base = {10, 20}; " +
+      "local t = setmetatable({}, {__index = base}); " +
+      "local s = 0; for i, v in ipairs(t) do s = s + v end; return s") == LInt(30))
+  }
+
+  test("lua: coroutine refuses loudly") {
+    assert(runRet("local ok, e = pcall(coroutine.create, function() end); " +
+      "return tostring(ok) .. ':' .. e") ==
+      LStr("false:coroutine.create is not supported in this Lua subset"))
+  }
+
   // ------------------------------------------- review-fix regressions
   test("lua: explicit trailing nil reads as a missing argument") {
     assert(runRet("return tonumber('10', nil)") == LInt(10))
