@@ -52,7 +52,11 @@ object LuaInterp {
   final case class LFn(name: String, f: Seq[LV] => Seq[LV]) extends LV
   /** Lua closure. */
   final class LClosure(val params: Seq[String], val body: Seq[Stat],
-                       val env: Env) extends LV
+                       val env: Env, val vararg: Boolean = false) extends LV
+  /** The `...` bundle — lives only in the hidden "..." env slot of a
+    * vararg frame; never escapes to user-visible values.
+    */
+  final case class LArgs(vs: Seq[LV]) extends LV
   /** Host object with index/newindex/pairs handlers (the v1 event). */
   final class LUserData(val index: LV => LV,
                         val newindex: (LV, LV) => Unit,
@@ -83,6 +87,7 @@ object LuaInterp {
     case _: LTable => "table"
     case _: LFn | _: LClosure => "function"
     case _: LUserData => "userdata"
+    case _: LArgs => "..." // internal; unreachable from scripts
   }
 
   /** Lua `tostring`: integers decimal; floats `%.14g` with a `.0`
@@ -105,6 +110,7 @@ object LuaInterp {
     case f: LFn => s"function: builtin ${f.name}"
     case c: LClosure => "function: 0x" + Integer.toHexString(System.identityHashCode(c))
     case u: LUserData => "userdata: 0x" + Integer.toHexString(System.identityHashCode(u))
+    case LArgs(vs) => vs.map(toDisplay).mkString(", ") // internal
   }
 
   /** C `%.Ng` formatting (shortest of %e/%f at N significant digits,
@@ -203,9 +209,12 @@ object LuaInterp {
       Seq(it, t, LInt(0L))
     }))
 
-    /** Execute a chunk at global scope (v2 `source`, v1 per-event). */
+    /** Execute a chunk at global scope (v2 `source`, v1 per-event).
+      * The chunk is a vararg frame (like real Lua's main chunk) with
+      * no values.
+      */
     def exec(chunk: Seq[Stat]): Unit =
-      try execBlock(chunk, rootEnv.child)
+      try execBlock(chunk, chunkEnv())
       catch { case ReturnEx(_) => () }
 
     /** Evaluate an expression chunk (hook strings: either an inline
@@ -214,8 +223,14 @@ object LuaInterp {
       */
     def evalExpr(src: String): LV = {
       val stats = LuaAst.parse("return " + src)
-      try { execBlock(stats, rootEnv.child); LNil }
+      try { execBlock(stats, chunkEnv()); LNil }
       catch { case ReturnEx(vs) => vs.headOption.getOrElse(LNil) }
+    }
+
+    private def chunkEnv(): Env = {
+      val e = rootEnv.child
+      e.declare("...", LArgs(Nil))
+      e
     }
 
     def callValue(f: LV, args: Seq[LV]): Seq[LV] = call(f, args, Pos(0, 0))
@@ -303,10 +318,10 @@ object LuaInterp {
           }
         } catch { case BreakEx() => () }
       case SFunc(target, _, fn, _) =>
-        assign(target, new LClosure(fn.params, fn.body, env), env)
+        assign(target, new LClosure(fn.params, fn.body, env, fn.vararg), env)
       case SLocalFunc(n, fn, _) =>
         env.declare(n, LNil) // visible to itself (recursion)
-        env.set(n, new LClosure(fn.params, fn.body, env))
+        env.set(n, new LClosure(fn.params, fn.body, env, fn.vararg))
       case SReturn(exprs, _) => throw ReturnEx(evalMulti(exprs, env))
       case SBreak(_) => throw BreakEx()
     }
@@ -355,7 +370,13 @@ object LuaInterp {
         val obj = eval(o, env)
         val fn = index(obj, LStr(m), pos)
         call(fn, obj +: evalMulti(args, env), pos)
+      case EVararg(pos) => varargsOf(env, pos)
       case other => Seq(eval(other, env))
+    }
+
+    private def varargsOf(env: Env, pos: Pos): Seq[LV] = env.get("...") match {
+      case LArgs(vs) => vs
+      case _ => err("cannot use '...' outside a vararg function", pos)
     }
 
     private def call(f: LV, args: Seq[LV], pos: Pos): Seq[LV] = f match {
@@ -364,6 +385,11 @@ object LuaInterp {
         val inner = c.env.child
         c.params.zipWithIndex.foreach { case (p, i) =>
           inner.declare(p, args.lift(i).getOrElse(LNil)) }
+        // vararg frames capture the extra args; non-vararg frames
+        // SHADOW any enclosing "..." (real Lua rejects the reference at
+        // parse time; the shadow makes the runtime error match)
+        inner.declare("...",
+          if (c.vararg) LArgs(args.drop(c.params.length)) else LNil)
         try { execBlock(c.body, inner); Nil }
         catch { case ReturnEx(vs) => vs }
       case other => metamethod(other, "__call") match {
@@ -396,6 +422,22 @@ object LuaInterp {
       }
     }
 
+    /** Lua tointeger coercion for bitwise operands (lvm.c tointegerns):
+      * integers pass, integral floats convert, anything else errors.
+      */
+    private def toLuaInt(v: LV, pos: Pos): Long = v match {
+      case LInt(i) => i
+      case LNum(d) if d.isWhole && !d.isInfinite &&
+        d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble => d.toLong
+      case LNum(_) => err("number has no integer representation", pos)
+      case LStr(s) => strToNumber(s) match {
+        case Some(x) => toLuaInt(x, pos)
+        case None => err("attempt to perform bitwise operation on a string value", pos)
+      }
+      case other =>
+        err(s"attempt to perform bitwise operation on a ${typeName(other)} value", pos)
+    }
+
     private def toNum(v: LV, pos: Pos): LV = v match {
       case i: LInt => i
       case n: LNum => n
@@ -416,11 +458,12 @@ object LuaInterp {
       case ENum(v, _) => LNum(v)
       case EStr(v, _) => LStr(v)
       case EName(n, _) => env.get(n)
+      case EVararg(pos) => varargsOf(env, pos).headOption.getOrElse(LNil)
       case EParen(inner, _) => eval(inner, env)
       case EIndex(o, k, pos) => index(eval(o, env), eval(k, env), pos)
       case c: ECall => evalCallMulti(c, env).headOption.getOrElse(LNil)
       case c: EMethodCall => evalCallMulti(c, env).headOption.getOrElse(LNil)
-      case EFunc(ps, body, _) => new LClosure(ps, body, env)
+      case EFunc(ps, body, _, va) => new LClosure(ps, body, env, va)
       case ETable(entries, _) =>
         val t = new LTable
         var arrIdx = 1L
@@ -458,6 +501,14 @@ object LuaInterp {
               case None => LInt(t.len)
             }
             case other => err(s"attempt to get length of a ${typeName(other)} value", pos)
+          }
+          case "~" => v match {
+            case _: LTable => metamethod(v, "__bnot") match {
+              case Some(h) => call(h, Seq(v, v), pos).headOption.getOrElse(LNil)
+              case None =>
+                err("attempt to perform bitwise operation on a table value", pos)
+            }
+            case _ => LInt(~toLuaInt(v, pos))
           }
           case other => err(s"unsupported unary op $other", pos)
         }
@@ -526,6 +577,30 @@ object LuaInterp {
         }
         tryBinMeta(name, l, r, pos).getOrElse(
           err("attempt to perform arithmetic on a table value", pos))
+      case "&" | "|" | "~" | "<<" | ">>" =>
+        val name = op match {
+          case "&" => "__band"; case "|" => "__bor"; case "~" => "__bxor"
+          case "<<" => "__shl"; case _ => "__shr"
+        }
+        if (isTab(l) || isTab(r))
+          tryBinMeta(name, l, r, pos).getOrElse(
+            err("attempt to perform bitwise operation on a table value", pos))
+        else {
+          val (a, b) = (toLuaInt(l, pos), toLuaInt(r, pos))
+          op match {
+            case "&" => LInt(a & b)
+            case "|" => LInt(a | b)
+            case "~" => LInt(a ^ b)
+            // Lua shifts are LOGICAL; counts beyond 63 yield 0 and a
+            // negative count shifts the other way (lvm.c luaV_shiftl)
+            case "<<" =>
+              if (b <= -64 || b >= 64) LInt(0)
+              else if (b >= 0) LInt(a << b) else LInt(a >>> -b)
+            case _ =>
+              if (b <= -64 || b >= 64) LInt(0)
+              else if (b >= 0) LInt(a >>> b) else LInt(a << -b)
+          }
+        }
       case "<" | "<=" | ">" | ">=" =>
         (l, r) match {
           case (LStr(a), LStr(b)) =>

@@ -465,6 +465,12 @@ object LuaStdlib {
       one(LStr((i to j).map(k => toDisplay(t.rawGet(LInt(k)))).mkString(sep)))
     })
     tableT.rawSet(LStr("unpack"), g.rawGet(LStr("unpack")))
+    tableT.rawSet(LStr("pack"), fn("pack") { a =>
+      val t = new LTable
+      a.zipWithIndex.foreach { case (v, i) => t.rawSet(LInt(i + 1L), v) }
+      t.rawSet(LStr("n"), LInt(a.length.toLong))
+      one(t)
+    })
     tableT.rawSet(LStr("sort"), fn("sort") { a =>
       val t = asTable("sort", a, 1)
       val vmCall = g.rawGet(LStr("__vm")).asInstanceOf[LFn]

@@ -319,6 +319,56 @@ class LuaSpec extends SparkSpec {
     assert(row.getString(1) == "keep")
   }
 
+  // ------------------------------------------- varargs and bitwise
+  test("lua varargs: capture, forwarding, select, table.pack") {
+    assert(runRet(
+      """local function sum(...)
+        |  local s = 0
+        |  for _, v in ipairs({...}) do s = s + v end
+        |  return s
+        |end
+        |return sum(1, 2, 3)""".stripMargin) == LInt(6))
+    assert(runRet("local function f(...) return ... end; " +
+      "local a, b = f(7, 8); return a + b") == LInt(15))
+    // middle call truncates, last expands
+    assert(runRet("local function f(...) return ... end; " +
+      "local t = {f(1, 2), f(3, 4)}; return #t") == LInt(3))
+    // select('#') counts holes; select(n) drops the first n-1
+    assert(runRet("local function c(...) return select('#', ...) end; " +
+      "return c('a', nil, 'c')") == LInt(3))
+    assert(runRet("local function f(a, ...) return a .. select('#', ...) end; " +
+      "return f('h', 1, 2)") == LStr("h2"))
+    assert(runRet("local t = table.pack(1, nil, 3); return t.n") == LInt(3))
+    assert(runRet("local function f(...) return (...) end; return f(9, 8)") == LInt(9))
+    // '...' in a non-vararg function is a parse error, as in real Lua
+    val e = intercept[Exception](LuaAst.parse(
+      "local function g() return ... end"))
+    assert(e.getMessage.contains("outside a vararg function"))
+  }
+
+  test("lua bitwise: operators, precedence, integer coercion") {
+    assert(runRet("return 0xF0 & 0x3C") == LInt(0x30))
+    assert(runRet("return 0xF0 | 0x0F") == LInt(0xFF))
+    assert(runRet("return 0xF0 ~ 0xFF") == LInt(0x0F))
+    assert(runRet("return ~0") == LInt(-1L))
+    assert(runRet("return 1 << 4") == LInt(16))
+    assert(runRet("return 256 >> 4") == LInt(16))
+    // logical right shift (lua 5.3+), out-of-range counts yield 0,
+    // negative counts reverse direction
+    assert(runRet("return -1 >> 56") == LInt(255))
+    assert(runRet("return 1 << 100") == LInt(0))
+    assert(runRet("return 16 >> -2") == LInt(64))
+    // precedence: | < ~ < & < shift < arithmetic
+    assert(runRet("return 1 | 2 ~ 3 & 4") == LInt(3))
+    assert(runRet("return 1 << 2 + 1") == LInt(8))
+    // integral floats coerce; fractional ones raise
+    assert(runRet("return 7.0 & 1") == LInt(1))
+    assert(runRet("return (pcall(function() return 1.5 & 1 end))") == LBool(false))
+    // __band metamethod
+    assert(runRet("local t = setmetatable({v = 12}, {__band = function(a, b) " +
+      "return a.v & b end}); return t & 10") == LInt(8))
+  }
+
   // --------------------------------------------------- metatables
   test("lua metatables: __index chain supports the class/inheritance idiom") {
     assert(runRet(
