@@ -177,6 +177,11 @@ object LuaInterp {
     // re-enter the interpreter through this entry
     globals.rawSet(LStr("__vm"), LFn("__vm", args =>
       callValue(args.headOption.getOrElse(LNil), args.drop(1))))
+    // the interpreter's `<` (strings, numbers, __lt) for stdlib callers
+    // that need default ordering (table.sort without a comparator)
+    globals.rawSet(LStr("__lt"), LFn("__lt", args =>
+      Seq(binOp("<", args.headOption.getOrElse(LNil),
+        args.lift(1).getOrElse(LNil), Pos(0, 0)))))
     // metatable-aware overrides of stdlib entries that need the
     // interpreter: __tostring/__name rendering and __index-honoring
     // ipairs (lua_geti semantics)

@@ -230,7 +230,15 @@ object LuaStdlib {
     stringT.rawSet(LStr("char"), fn("char")(a =>
       one(LStr(a.indices.map(i => asInt("char", a, i + 1).toChar).mkString))))
     stringT.rawSet(LStr("format"), fn("format") { a =>
-      one(LStr(luaFormat(asStr("format", a, 1), a.drop(1))))
+      // %s renders through the global tostring (so __tostring applies)
+      def disp(v: LV): String = g.rawGet(LStr("tostring")) match {
+        case LFn(_, f) => f(Seq(v)) match {
+          case LStr(s) +: _ => s
+          case _ => toDisplay(v)
+        }
+        case _ => toDisplay(v)
+      }
+      one(LStr(luaFormat(asStr("format", a, 1), a.drop(1), disp)))
     })
     stringT.rawSet(LStr("find"), fn("find") { a =>
       val s = asStr("find", a, 1)
@@ -478,9 +486,15 @@ object LuaStdlib {
         case Some(f @ (_: LFn | _: LClosure)) =>
           (x, y) => truthy(vmCall.f(Seq(f, x, y)).headOption.getOrElse(LNil))
         case _ =>
-          (x, y) => (x, y) match {
-            case (LStr(p), LStr(q)) => p < q
-            case _ => asNumV(x) < asNumV(y)
+          // the interpreter's `<`: strings, numbers, or __lt metamethod
+          g.rawGet(LStr("__lt")) match {
+            case lt: LFn =>
+              (x, y) => truthy(lt.f(Seq(x, y)).headOption.getOrElse(LNil))
+            case _ =>
+              (x, y) => (x, y) match {
+                case (LStr(p), LStr(q)) => p < q
+                case _ => asNumV(x) < asNumV(y)
+              }
           }
       }
       val vals = t.arrayValues.sortWith(cmp)
@@ -549,7 +563,8 @@ object LuaStdlib {
   /** `string.format` — translate the C conversions Lua supports onto
     * java.util.Formatter; `%q` quotes per Lua.
     */
-  private def luaFormat(fmt: String, args: Seq[LV]): String = {
+  private def luaFormat(fmt: String, args: Seq[LV],
+                        disp: LV => String = toDisplay): String = {
     val out = new StringBuilder
     var i = 0
     var argI = 0
@@ -597,7 +612,7 @@ object LuaStdlib {
           case 'a' | 'A' =>
             out ++= String.format(spec.result() + conv, Double.box(asNumV(nextArg())))
           case 's' =>
-            out ++= String.format(spec.result() + "s", toDisplay(nextArg()))
+            out ++= String.format(spec.result() + "s", disp(nextArg()))
           case 'q' =>
             val s = toDisplay(nextArg())
             out += '"'

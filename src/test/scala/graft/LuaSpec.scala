@@ -455,6 +455,19 @@ class LuaSpec extends SparkSpec {
       LStr("false:cannot change a protected metatable"))
   }
 
+  test("lua metatables: string.format %s and default table.sort use metamethods") {
+    assert(runRet("local t = setmetatable({}, {__tostring = function() " +
+      "return 'OBJ' end}); return string.format('[%s]', t)") == LStr("[OBJ]"))
+    assert(runRet(
+      """local function mk(v)
+        |  return setmetatable({v = v}, {__lt = function(a, b) return a.v < b.v end,
+        |                                __index = function(t, k) return nil end})
+        |end
+        |local arr = {mk(3), mk(1), mk(2)}
+        |table.sort(arr)
+        |return arr[1].v .. arr[2].v .. arr[3].v""".stripMargin) == LStr("123"))
+  }
+
   test("lua metatables: ipairs walks __index like lua_geti") {
     assert(runRet("local base = {10, 20}; " +
       "local t = setmetatable({}, {__index = base}); " +
