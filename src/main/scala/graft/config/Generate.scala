@@ -19,7 +19,9 @@ object Generate {
     "demo_logs" -> Seq("""format = "apache_common"""", "count = 100"),
     "socket" -> Seq("""mode = "tcp"""", """address = "127.0.0.1:9000""""),
     "file" -> Seq("""path = "path/to/logs.txt""""),
-    "parquet" -> Seq("""path = "path/to/table.parquet""""))
+    "parquet" -> Seq("""path = "path/to/table.parquet""""),
+    "exec" -> Seq("""mode = "scheduled"""", """command = ["echo", "hello"]"""),
+    "static_metrics" -> Seq.empty)
 
   private def transformExample(name: String, t: String): Seq[String] = t match {
     case "remap" => Seq("""source = ".generated = true"""")

@@ -1146,6 +1146,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         throw new IllegalArgumentException(s"source $name: no path")))
       val frame = cfg.str("type") match {
         case Some("demo_logs") => demoLogs(spark, name, cfg)
+        case Some("exec") => execSource(spark, name, cfg)
+        case Some("static_metrics") => staticMetrics(spark, name, cfg)
         case Some("parquet") =>
           val df = spark.read.parquet(path)
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
@@ -1391,6 +1393,155 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       EventMeta(ListMap("message" -> VStr), None))
   }
 
+  /** `type = "exec"` (reference src/sources/exec/mod.rs): run a command
+    * and decode its output with the shared decoding codecs
+    * ([[decodeLines]]), then stamp the exec metadata the reference adds
+    * per LOG event with insert-if-empty semantics (handle_event,
+    * mod.rs:666-719): `stream` (stdout|stderr, STREAM_KEY), `pid`,
+    * `host`, and `command`. Batch semantics = ONE scheduled run
+    * (`mode = "scheduled"`; `exec_interval_secs`, default 60, doubles
+    * as the reference's run timeout — a command still running after it
+    * is killed and the load fails); `streaming` mode (the
+    * restart-forever lifecycle) is refused. The command runs ON THE
+    * DRIVER at load: the reference's exec is likewise a single-host
+    * source whose output is command-sized, not corpus-sized. `__seq`
+    * is the true line arrival order. No ingest wall-clock timestamp is
+    * stamped (deterministic engine — same stance as the file source).
+    * Non-`bytes` codecs decode stdout only: `include_stderr` (default
+    * true, like the reference) must be disabled there, since a decoded
+    * frame can't carry per-line stream tags through schema inference.
+    */
+  private def execSource(spark: org.apache.spark.sql.SparkSession,
+                         name: String, cfg: TTab): Frame = {
+    cfg.str("mode").getOrElse("scheduled") match {
+      case "scheduled" => ()
+      case "streaming" => throw VrlUnsupported(
+        s"source $name: exec streaming mode (a bounded batch runs the " +
+          "command once; use scheduled)")
+      case other => throw new IllegalArgumentException(
+        s"source $name: exec mode $other (scheduled|streaming)")
+    }
+    val command = cfg.strArr("command")
+    require(command.nonEmpty, s"source $name: exec needs a command")
+    val includeStderr = cfg.bool("include_stderr").getOrElse(true)
+    val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+    if (codec != "bytes" && includeStderr) throw VrlUnsupported(
+      s"source $name: include_stderr with decoding codec $codec " +
+        "(structured decoding can't tag lines per stream; set " +
+        "include_stderr = false)")
+    val timeoutSecs = cfg.tab("scheduled").flatMap(_.long("exec_interval_secs"))
+      .getOrElse(60L)
+
+    val pb = new ProcessBuilder(command: _*)
+    cfg.str("working_directory").foreach(d =>
+      pb.directory(new java.io.File(resolvePath(d))))
+    if (cfg.bool("clear_environment").getOrElse(false)) pb.environment().clear()
+    cfg.tab("environment").foreach(_.entries.foreach {
+      case (k, TStr(v)) => pb.environment().put(k, v)
+      case (k, other) => throw new IllegalArgumentException(
+        s"source $name: environment.$k must be a string, got $other")
+    })
+    val proc = pb.start()
+    proc.getOutputStream.close() // stdin not needed (mod.rs:663)
+    // drain stderr CONCURRENTLY: sequential reads deadlock once the
+    // unread pipe's buffer fills
+    val errLines = new java.util.concurrent.atomic.AtomicReference[Vector[String]](Vector.empty)
+    val errT = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+      try errLines.set(src.getLines().toVector) finally src.close()
+    })
+    errT.setDaemon(true); errT.start()
+    val outSrc = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+    val outLines = try outSrc.getLines().toVector finally outSrc.close()
+    if (!proc.waitFor(timeoutSecs, java.util.concurrent.TimeUnit.SECONDS)) {
+      proc.destroyForcibly()
+      throw new IllegalStateException(
+        s"source $name: command ${command.head} exceeded exec_interval_secs=" +
+          s"$timeoutSecs and was killed")
+    }
+    errT.join(10000)
+    val pid = proc.pid()
+
+    import spark.implicits._
+    val tagged: Seq[(String, String, Long)] =
+      (outLines.map((_, "stdout")) ++
+        (if (includeStderr) errLines.get().map((_, "stderr")) else Vector.empty))
+        .zipWithIndex.map { case ((line, stream), i) => (line, stream, i.toLong) }
+    val lines = tagged.toDF("message", "__stream", SeqCol)
+    val decoded = decodeLines(spark, name, codec,
+      Frame(lines.drop("__stream"), EventMeta(ListMap("message" -> VStr), None)))
+    if (decoded.metric) decoded // handle_event stamps logs only
+    else {
+      val streamCol =
+        if (codec == "bytes")
+          // row identity survives the bytes codec: join the tag back by seq
+          element_at(map_from_arrays(
+            typedLit(tagged.map(_._3)), typedLit(tagged.map(_._2))), col(SeqCol))
+        else lit("stdout")
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      val stamps: Seq[(String, Column, VT)] = Seq(
+        ("stream", streamCol, VStr),
+        ("pid", lit(pid), VInt),
+        ("host", lit(host), VStr),
+        ("command", typedLit(command), VArrOf(VStr)))
+      val missing = stamps.filterNot { case (c, _, _) => decoded.df.columns.contains(c) }
+      Frame(
+        missing.foldLeft(decoded.df) { case (d, (c, v, _)) => d.withColumn(c, v) },
+        EventMeta(decoded.meta.types ++ missing.map { case (c, _, t) => c -> t },
+          decoded.meta.rootT))
+    }
+  }
+
+  /** `type = "static_metrics"` (reference src/sources/static_metrics.rs):
+    * emit the metrics defined in configuration. Batch = ONE emission
+    * (`interval_secs` is a liveness knob of the continuous source,
+    * accepted and unused). Each `[[sources.<n>.metrics]]` entry carries
+    * `name`, `kind` (absolute|incremental), `value.counter.value` or
+    * `value.gauge.value`, and a `tags` table (rendered canonical-
+    * sorted, like every metric frame here); `namespace` defaults to
+    * "static" (static_metrics.rs:85). Set/distribution/histogram
+    * values are refused — the flat metric model carries scalar values
+    * only, and silently coercing a set to a gauge would change
+    * semantics. `ts` is null: the reference stamps Utc::now per
+    * emission, which a deterministic engine must not.
+    */
+  private def staticMetrics(spark: org.apache.spark.sql.SparkSession,
+                            name: String, cfg: TTab): Frame = {
+    val ns = cfg.str("namespace").getOrElse("static")
+    val rows = cfg.tabs("metrics").zipWithIndex.map { case (m, i) =>
+      val mName = m.str("name").getOrElse(throw new IllegalArgumentException(
+        s"source $name: metrics[$i] needs a name"))
+      val kind = m.str("kind").getOrElse(throw new IllegalArgumentException(
+        s"source $name: metric $mName needs a kind")) match {
+        case k @ ("absolute" | "incremental") => k
+        case other => throw new IllegalArgumentException(
+          s"source $name: metric $mName kind $other (absolute|incremental)")
+      }
+      val value = m.tab("value").getOrElse(throw new IllegalArgumentException(
+        s"source $name: metric $mName needs a value"))
+      val (vt, v) = (value.tab("counter"), value.tab("gauge")) match {
+        case (Some(c), None) => ("counter", c.dbl("value").getOrElse(0.0))
+        case (None, Some(g)) => ("gauge", g.dbl("value").getOrElse(0.0))
+        case _ => throw VrlUnsupported(
+          s"source $name: metric $mName value " +
+            s"${value.entries.keys.mkString(",")} (counter|gauge arms only " +
+            "— the flat metric model has no set/distribution encoding)")
+      }
+      val tags = m.tab("tags").toSeq.flatMap(_.entries.toSeq).map {
+        case (k, TStr(tv)) => k -> tv
+        case (k, other) => throw new IllegalArgumentException(
+          s"source $name: metric $mName tag $k must be a string, got $other")
+      }.sortBy(_._1).map { case (k, tv) => s"$k=$tv" }.mkString(",")
+      (mName, ns, tags, kind, vt, v, i.toLong)
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("name", "namespace", "tags", "kind", "value_type", "value", SeqCol)
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .select(col("name"), col("namespace"), col("tags"), col("kind"),
+        col("value_type"), col("value"), col("ts"), col(SeqCol))
+    Frame(df, MetricMeta, metric = true)
+  }
+
   /** `[sinks.<name>]` blocks: write each sink's input frames.
     *   - `type = "parquet"`: optional `partition_by` columns; an
     *     optional `[sinks.<n>.checkpoint] manifest = <dir>` adds the
@@ -1461,10 +1612,33 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           graft.sinks.HttpSink.writeLines(
             in.df.select(line.as("value")).where(col("value").isNotNull),
             httpSinkCfg(name, cfg))
+        case Some("blackhole") => blackhole(name, cfg, in)
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> n
     }
+
+  /** `type = "blackhole"` (reference src/sinks/blackhole/): consume and
+    * discard, counting events and their estimated JSON-encoded bytes —
+    * the reference's throughput-meter sink (every regression topology
+    * ends in one). One distributed count+sum aggregation; the summary
+    * line (`events_collected` / `raw_bytes_collected`, sink.rs:65-79)
+    * goes to stderr when `print_interval_secs` > 0 — in a bounded
+    * batch the single final report IS the interval report. `rate` (a
+    * consumption throttle) is accepted and unused: a batch job has no
+    * pacing to enforce.
+    */
+  private def blackhole(name: String, cfg: TTab, in: Frame): Long = {
+    val printSecs = cfg.long("print_interval_secs").getOrElse(0L)
+    val df = in.df.drop(SeqCol)
+    val bytes = length(to_json(struct(df.columns.map(c => col(s"`$c`")).toSeq: _*)))
+    val row = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(bytes.cast("long")), lit(0L)).as("b")).head()
+    if (printSecs > 0)
+      System.err.println(s"sink $name: events_collected=${row.getLong(0)} " +
+        s"raw_bytes_collected=${row.getLong(1)}")
+    row.getLong(0)
+  }
 
   /** `type = "http"` sink options (reference src/sinks/http/config.rs):
     * `uri` (literal, not a template here), `method`, `request.headers`,
@@ -1555,6 +1729,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         case Some("http") =>
           httpSinkCfg(name, cfg)
           encodedLine(name, in, cfg.tab("encoding"))
+        case Some("blackhole") => ()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
     }
@@ -1748,6 +1923,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         throw VrlUnsupported(s"source $name: demo_logs is batch-only " +
           "(a bounded generated table; use Cli run, or a rate source " +
           "via graft.streaming.StreamOps for an endless stream)")
+      if (cfg.str("type").contains("exec"))
+        throw VrlUnsupported(s"source $name: exec is batch-only here " +
+          "(one scheduled run per Cli run invocation; the reference's " +
+          "interval/restart lifecycle needs a continuous driver)")
+      if (cfg.str("type").contains("static_metrics"))
+        throw VrlUnsupported(s"source $name: static_metrics is " +
+          "batch-only here (one emission per Cli run invocation)")
       // lazy: the socket source has an address, not a path
       lazy val path = resolvePath(cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"source $name: no path")))
@@ -1889,6 +2071,23 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .option("checkpointLocation", s"$checkpointRoot/$name")
             .trigger(trigger)
             .start()
+        case Some("blackhole") =>
+          // the streaming meter: per-micro-batch counts to stderr when
+          // print_interval_secs > 0 (the batch cadence stands in for
+          // the reporting interval)
+          val printSecs = cfg.long("print_interval_secs").getOrElse(0L)
+          val sinkName = name
+          df.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              val n = batch.count()
+              if (printSecs > 0)
+                System.err.println(
+                  s"sink $sinkName: batch=$id events_collected=$n")
+              ()
+            }
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(trigger)
+            .start()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> q
@@ -1944,7 +2143,8 @@ object Topology {
     * enrichment tables (`enrichmentTables`). Kept adjacent to the
     * dispatch matches; update together (CliSurfaceSpec cross-checks).
     */
-  val SourceTypes: Seq[String] = Seq("demo_logs", "file", "parquet", "socket")
+  val SourceTypes: Seq[String] = Seq(
+    "demo_logs", "exec", "file", "parquet", "socket", "static_metrics")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);
@@ -1993,7 +2193,8 @@ object Topology {
     "incremental_to_absolute", "log_to_metric", "lua", "metric_to_log",
     "reduce", "remap", "route", "sample", "tag_cardinality_limit",
     "throttle", "trace_to_log", "window")
-  val SinkTypes: Seq[String] = Seq("console", "file", "http", "parquet", "socket")
+  val SinkTypes: Seq[String] = Seq(
+    "blackhole", "console", "file", "http", "parquet", "socket")
   val EnrichmentTableTypes: Seq[String] = Seq("file")
 
   /** The flat metric-event schema every metric-side transform exchanges

@@ -931,4 +931,137 @@ class ConfigIOSpec extends SparkSpec {
 
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
+
+  test("exec source: command output decodes, exec metadata is stamped") {
+    val topo = Topology.load(
+      """
+        |[sources.cmd]
+        |  type = "exec"
+        |  mode = "scheduled"
+        |  command = ["/bin/sh", "-c", "echo a=1; echo a=2; echo oops >&2"]
+        |""".stripMargin)
+    val frame = topo.loadSources(spark)("cmd")
+    val rows = frame.df.select("message", "stream", "pid", "host")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.sorted.toSeq ==
+      Seq(("a=1", "stdout"), ("a=2", "stdout"), ("oops", "stderr")))
+    val meta = frame.df.select("pid", "host", "command").head()
+    assert(meta.getLong(0) > 0L)
+    assert(meta.getString(1).nonEmpty)
+    assert(meta.getSeq[String](2) == Seq("/bin/sh", "-c",
+      "echo a=1; echo a=2; echo oops >&2"))
+
+    // json codec: decoded fields become typed columns, stamps ride along
+    val jtopo = Topology.load(
+      """
+        |[sources.cmd]
+        |  type = "exec"
+        |  command = ["/bin/sh", "-c", "echo '{\"user\":\"ada\",\"n\":3}'"]
+        |  include_stderr = false
+        |  [sources.cmd.decoding]
+        |    codec = "json"
+        |""".stripMargin)
+    val j = jtopo.loadSources(spark)("cmd").df
+      .select("user", "n", "stream").head()
+    assert(j.getString(0) == "ada" && j.getLong(1) == 3L &&
+      j.getString(2) == "stdout")
+
+    // environment + clear_environment reach the child process
+    val etopo = Topology.load(
+      """
+        |[sources.cmd]
+        |  type = "exec"
+        |  command = ["/bin/sh", "-c", "echo $$GRAFT_EXEC_T"]
+        |  include_stderr = false
+        |  [sources.cmd.environment]
+        |    GRAFT_EXEC_T = "from-config"
+        |""".stripMargin)
+    assert(etopo.loadSources(spark)("cmd").df.select("message").head()
+      .getString(0) == "from-config")
+
+    // refusals: streaming mode; structured codec with stderr enabled
+    val e1 = intercept[Exception](Topology.load(
+      """
+        |[sources.cmd]
+        |  type = "exec"
+        |  mode = "streaming"
+        |  command = ["cat"]
+        |""".stripMargin).loadSources(spark))
+    assert(e1.getMessage.contains("streaming"))
+    val e2 = intercept[Exception](Topology.load(
+      """
+        |[sources.cmd]
+        |  type = "exec"
+        |  command = ["echo", "{}"]
+        |  [sources.cmd.decoding]
+        |    codec = "json"
+        |""".stripMargin).loadSources(spark))
+    assert(e2.getMessage.contains("include_stderr"))
+  }
+
+  test("static_metrics source: configured metrics become a metric frame") {
+    val topo = Topology.load(
+      """
+        |[sources.sm]
+        |  type = "static_metrics"
+        |  namespace = "infra"
+        |  [[sources.sm.metrics]]
+        |    name = "capacity"
+        |    kind = "absolute"
+        |    [sources.sm.metrics.value.gauge]
+        |      value = 7.5
+        |    [sources.sm.metrics.tags]
+        |      zone = "b"
+        |      app = "db"
+        |  [[sources.sm.metrics]]
+        |    name = "restarts"
+        |    kind = "incremental"
+        |    [sources.sm.metrics.value.counter]
+        |      value = 1.0
+        |""".stripMargin)
+    val frame = topo.loadSources(spark)("sm")
+    assert(frame.metric, "static_metrics must produce a metric frame")
+    val rows = frame.df
+      .select("name", "namespace", "tags", "kind", "value_type", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("capacity", "infra", "app=db,zone=b", "absolute", "gauge", 7.5),
+      ("restarts", "infra", "", "incremental", "counter", 1.0)))
+    // set/distribution arms refuse rather than coerce
+    val e = intercept[Exception](Topology.load(
+      """
+        |[sources.sm]
+        |  type = "static_metrics"
+        |  [[sources.sm.metrics]]
+        |    name = "users"
+        |    kind = "absolute"
+        |    [sources.sm.metrics.value.set]
+        |      values = ["a", "b"]
+        |""".stripMargin).loadSources(spark))
+    assert(e.getMessage.contains("counter|gauge"))
+  }
+
+  test("blackhole sink: consumes, counts, and reports") {
+    val dir = Files.createTempDirectory("graft-configio-bh")
+    spark.range(5).select(col("id").cast("string").as("k"))
+      .write.parquet(s"$dir/in")
+    val topo = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "parquet"
+        |  path = "$dir/in"
+        |[transforms.keep]
+        |  inputs = ["ev"]
+        |  type = "filter"
+        |  condition = '.k != "3"'
+        |[sinks.devnull]
+        |  inputs = ["keep"]
+        |  type = "blackhole"
+        |  print_interval_secs = 1
+        |""".stripMargin)
+    val written = topo.execute(spark)
+    assert(written("devnull") == 4L)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
 }
