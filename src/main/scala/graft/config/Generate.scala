@@ -21,6 +21,7 @@ object Generate {
     "file" -> Seq("""path = "path/to/logs.txt""""),
     "parquet" -> Seq("""path = "path/to/table.parquet""""),
     "exec" -> Seq("""mode = "scheduled"""", """command = ["echo", "hello"]"""),
+    "http_client" -> Seq("""endpoint = "http://127.0.0.1:8080/metrics""""),
     "static_metrics" -> Seq.empty)
 
   private def transformExample(name: String, t: String): Seq[String] = t match {

@@ -1147,6 +1147,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       val frame = cfg.str("type") match {
         case Some("demo_logs") => demoLogs(spark, name, cfg)
         case Some("exec") => execSource(spark, name, cfg)
+        case Some("http_client") => httpClientSource(spark, name, cfg)
         case Some("static_metrics") => staticMetrics(spark, name, cfg)
         case Some("parquet") =>
           val df = spark.read.parquet(path)
@@ -1490,6 +1491,73 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         EventMeta(decoded.meta.types ++ missing.map { case (c, _, t) => c -> t },
           decoded.meta.rootT))
     }
+  }
+
+  /** `type = "http_client"` (reference src/sources/http_client/
+    * client.rs): call an endpoint and decode the response into events.
+    * Batch semantics = ONE scrape (`scrape_interval_secs` is the
+    * continuous poll cadence, accepted and unused); the response body
+    * is newline-framed (the reference's default_framing_message_based
+    * per response becomes per line here — the codecs are line codecs)
+    * and runs through the shared decoding codecs. `query` parameters
+    * (static `key = ["v", …]` lists) and `headers` (same shape) are
+    * applied to the request; `method` defaults to GET; `auth` is
+    * refused like the http sink (credential handling out of scope,
+    * accepting-then-ignoring would scrape unauthenticated). A non-2xx
+    * status fails the load loudly — the batch analog of the
+    * reference's scrape-error event drop, made visible. No
+    * source_type/ingest-timestamp stamps (deterministic engine).
+    */
+  private def httpClientSource(spark: org.apache.spark.sql.SparkSession,
+                               name: String, cfg: TTab): Frame = {
+    if (cfg.tab("auth").isDefined) throw VrlUnsupported(
+      s"source $name: http_client auth (credential handling out of scope)")
+    val endpoint = cfg.str("endpoint").getOrElse(
+      throw new IllegalArgumentException(s"source $name: no endpoint"))
+    require(endpoint.startsWith("http://") || endpoint.startsWith("https://"),
+      s"source $name: endpoint '$endpoint' must be http(s)://")
+    val method = cfg.str("method").getOrElse("get").toUpperCase
+    val allowed = Set("GET", "HEAD", "POST", "PUT", "DELETE", "OPTIONS", "PATCH")
+    if (!allowed(method)) throw new IllegalArgumentException(
+      s"source $name: method $method")
+    def multi(key: String): Seq[(String, String)] =
+      cfg.tab(key).toSeq.flatMap(_.entries.toSeq).flatMap {
+        case (k, TStr(v)) => Seq(k -> v)
+        case (k, arr: TArr) => arr.items.map {
+          case TStr(v) => k -> v
+          case other => throw new IllegalArgumentException(
+            s"source $name: $key.$k entries must be strings, got $other")
+        }
+        case (k, other) => throw new IllegalArgumentException(
+          s"source $name: $key.$k must be a string or string array, got $other")
+      }
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val qs = multi("query").map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+    val uri = if (qs.isEmpty) endpoint
+      else endpoint + (if (endpoint.contains("?")) "&" else "?") + qs.mkString("&")
+
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      .timeout(java.time.Duration.ofSeconds(
+        cfg.long("scrape_timeout_secs").getOrElse(5L)))
+      .method(method, java.net.http.HttpRequest.BodyPublishers.noBody())
+    multi("headers").foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString(
+        java.nio.charset.StandardCharsets.UTF_8))
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new IllegalStateException(
+        s"source $name: $method $endpoint returned HTTP ${resp.statusCode()}")
+
+    import spark.implicits._
+    val lines = resp.body().split("\r?\n").toSeq.filter(_.nonEmpty)
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }
+    val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+    decodeLines(spark, name, codec,
+      Frame(lines.toDF("message", SeqCol),
+        EventMeta(ListMap("message" -> VStr), None)))
   }
 
   /** `type = "static_metrics"` (reference src/sources/static_metrics.rs):
@@ -1930,6 +1998,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       if (cfg.str("type").contains("static_metrics"))
         throw VrlUnsupported(s"source $name: static_metrics is " +
           "batch-only here (one emission per Cli run invocation)")
+      if (cfg.str("type").contains("http_client"))
+        throw VrlUnsupported(s"source $name: http_client is batch-only " +
+          "here (one scrape per Cli run invocation; the continuous " +
+          "poll cadence needs a custom streaming source)")
       // lazy: the socket source has an address, not a path
       lazy val path = resolvePath(cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"source $name: no path")))
@@ -2144,7 +2216,8 @@ object Topology {
     * dispatch matches; update together (CliSurfaceSpec cross-checks).
     */
   val SourceTypes: Seq[String] = Seq(
-    "demo_logs", "exec", "file", "parquet", "socket", "static_metrics")
+    "demo_logs", "exec", "file", "http_client", "parquet", "socket",
+    "static_metrics")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

@@ -1042,6 +1042,79 @@ class ConfigIOSpec extends SparkSpec {
     assert(e.getMessage.contains("counter|gauge"))
   }
 
+  test("http_client source: scrapes an endpoint, query/headers applied, decodes") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenQuery: String = null
+    @volatile var seenHeader: String = null
+    server.createContext("/logs", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenQuery = ex.getRequestURI.getQuery
+      seenHeader = ex.getRequestHeaders.getFirst("X-Scrape")
+      val body = "{\"user\":\"ada\",\"n\":3}\n{\"user\":\"bob\",\"n\":5}\n"
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/boom", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val topo = Topology.load(
+        s"""
+          |[sources.scrape]
+          |  type = "http_client"
+          |  endpoint = "http://127.0.0.1:$port/logs"
+          |  [sources.scrape.query]
+          |    since = ["0"]
+          |    tag = ["a", "b"]
+          |  [sources.scrape.headers]
+          |    X-Scrape = ["graft"]
+          |  [sources.scrape.decoding]
+          |    codec = "json"
+          |""".stripMargin)
+      val rows = topo.loadSources(spark)("scrape").df
+        .select("user", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq(("ada", 3L), ("bob", 5L)))
+      assert(seenQuery == "since=0&tag=a&tag=b")
+      assert(seenHeader == "graft")
+
+      // non-2xx fails the load loudly
+      val e = intercept[Exception](Topology.load(
+        s"""
+          |[sources.scrape]
+          |  type = "http_client"
+          |  endpoint = "http://127.0.0.1:$port/boom"
+          |""".stripMargin).loadSources(spark))
+      assert(e.getMessage.contains("HTTP 500"))
+
+      // auth refused; streaming refused
+      val e2 = intercept[Exception](Topology.load(
+        s"""
+          |[sources.scrape]
+          |  type = "http_client"
+          |  endpoint = "http://127.0.0.1:$port/logs"
+          |  [sources.scrape.auth]
+          |    user = "u"
+          |""".stripMargin).loadSources(spark))
+      assert(e2.getMessage.contains("auth"))
+      val e3 = intercept[Exception](Topology.load(
+        s"""
+          |[sources.scrape]
+          |  type = "http_client"
+          |  endpoint = "http://127.0.0.1:$port/logs"
+          |[sinks.out]
+          |  inputs = ["scrape"]
+          |  type = "blackhole"
+          |""".stripMargin).executeStreaming(spark,
+          Files.createTempDirectory("graft-hc-ckpt").toString))
+      assert(e3.getMessage.contains("batch-only"))
+    } finally server.stop(0)
+  }
+
   test("blackhole sink: consumes, counts, and reports") {
     val dir = Files.createTempDirectory("graft-configio-bh")
     spark.range(5).select(col("id").cast("string").as("k"))
