@@ -374,13 +374,94 @@ object ConfigQueries {
        FROM transcript WHERE turn_idx % 2 = 0
        ORDER BY conv_id, turn_idx""")
 
+  /** `static_metrics` config SOURCE unioned with log_to_metric output
+    * and aggregated (mode auto) — the reference's observability-demo
+    * shape (a configured-baseline gauge/counter merged with derived
+    * event counters). Proves from config text: the static_metrics
+    * source → flat metric model, multi-input transform union across a
+    * source frame and a transform frame, and auto aggregation over the
+    * union. Static rows carry a NULL event-time (the deterministic
+    * engine stamps no wall clock), so their window is NULL — mirrored
+    * literally in the oracle.
+    */
+  private def qConfigObserve(s: SparkSession, dir: String): DataFrame = {
+    import graft.config.VrlCompile.{VFloat, VStr, VTime}
+    val e = Tables.table(s, dir, "events")
+    val frame = Frame(
+      e.select(col("event_type"), col("value").cast("double").as("value"),
+        col("ts"), col("event_id").cast("long").as(Topology.SeqCol)),
+      EventMeta(ListMap("event_type" -> VStr, "value" -> VFloat, "ts" -> VTime), None))
+    val topo = Topology.load(
+      """
+        |[sources.sm]
+        |  type = "static_metrics"
+        |  namespace = "demo"
+        |  [[sources.sm.metrics]]
+        |    name = "capacity"
+        |    kind = "absolute"
+        |    [sources.sm.metrics.value.gauge]
+        |      value = 64.0
+        |    [sources.sm.metrics.tags]
+        |      pool = "default"
+        |  [[sources.sm.metrics]]
+        |    name = "restarts"
+        |    kind = "incremental"
+        |    [sources.sm.metrics.value.counter]
+        |      value = 2.0
+        |    [sources.sm.metrics.tags]
+        |      pool = "default"
+        |[transforms.l2m]
+        |  inputs = ["events"]
+        |  type = "log_to_metric"
+        |  [[transforms.l2m.metrics]]
+        |    type = "counter"
+        |    field = "event_type"
+        |    name = "ev_total"
+        |    [transforms.l2m.metrics.tags]
+        |      type = "{{event_type}}"
+        |[transforms.agg]
+        |  inputs = ["sm", "l2m"]
+        |  type = "aggregate"
+        |  interval_ms = 86400000
+        |  mode = "auto"
+        |""".stripMargin)
+    val src = topo.loadSources(s)
+    topo.run(src + ("events" -> frame))("agg").df
+      .select(col("name"), col("namespace"), col("tags"), col("kind"),
+        col("value_type"), col("value"), unix_timestamp(col("ts")).as("win"))
+      .orderBy("name", "tags", "win")
+  }
+
+  private val oracleConfigObserve: String = {
+    val win = "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
+    s"""WITH counters AS (
+         SELECT 'ev_total' AS name, CAST(NULL AS VARCHAR) AS namespace,
+           'type=' || event_type AS tags,
+           'incremental' AS kind, 'counter' AS value_type,
+           CAST(count(*) AS DOUBLE) AS value, $win AS win
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY event_type, $win
+       ),
+       static AS (
+         SELECT 'capacity' AS name, 'demo' AS namespace,
+           'pool=default' AS tags, 'absolute' AS kind, 'gauge' AS value_type,
+           CAST(64.0 AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS win
+         UNION ALL
+         SELECT 'restarts', 'demo', 'pool=default', 'incremental', 'counter',
+           CAST(2.0 AS DOUBLE), CAST(NULL AS BIGINT)
+       )
+       SELECT * FROM counters UNION ALL SELECT * FROM static
+       ORDER BY name, tags, win"""
+  }
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
     "q_config_metrics" -> (qConfigMetrics _),
     "q_config_tag_limit" -> (qConfigTagLimit _),
     "q_config_window" -> (qConfigWindow _),
-    "q_config_lua" -> (qConfigLua _)
+    "q_config_lua" -> (qConfigLua _),
+    "q_config_observe" -> (qConfigObserve _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -389,6 +470,7 @@ object ConfigQueries {
     "q_config_metrics" -> oracleConfigMetrics,
     "q_config_tag_limit" -> oracleConfigTagLimit,
     "q_config_window" -> oracleConfigWindow,
-    "q_config_lua" -> oracleConfigLua
+    "q_config_lua" -> oracleConfigLua,
+    "q_config_observe" -> oracleConfigObserve
   )
 }
