@@ -22,6 +22,7 @@ object Generate {
     "parquet" -> Seq("""path = "path/to/table.parquet""""),
     "exec" -> Seq("""mode = "scheduled"""", """command = ["echo", "hello"]"""),
     "http_client" -> Seq("""endpoint = "http://127.0.0.1:8080/metrics""""),
+    "host_metrics" -> Seq("""collectors = ["cpu", "memory", "load", "host"]"""),
     "static_metrics" -> Seq.empty)
 
   private def transformExample(name: String, t: String): Seq[String] = t match {

@@ -1148,6 +1148,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         case Some("demo_logs") => demoLogs(spark, name, cfg)
         case Some("exec") => execSource(spark, name, cfg)
         case Some("http_client") => httpClientSource(spark, name, cfg)
+        case Some("host_metrics") => hostMetrics(spark, name, cfg)
         case Some("static_metrics") => staticMetrics(spark, name, cfg)
         case Some("parquet") =>
           val df = spark.read.parquet(path)
@@ -1558,6 +1559,123 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     decodeLines(spark, name, codec,
       Frame(lines.toDF("message", SeqCol),
         EventMeta(ListMap("message" -> VStr), None)))
+  }
+
+  /** `type = "host_metrics"` (reference src/sources/host_metrics/):
+    * scrape the host. Batch = ONE scrape (`scrape_interval_secs`
+    * accepted, unused). Collectors implemented from /proc — `cpu`
+    * (cpu_seconds_total counters tagged mode∈{idle, io_wait, nice,
+    * system, user} + cpu index, exactly the reference's Linux mode set,
+    * cpu.rs:27-41, plus the logical_cpus/physical_cpus gauges),
+    * `memory` (memory_*_bytes gauges from /proc/meminfo), `load`
+    * (load1/5/15, mod.rs:432-450), `host` (uptime + boot_time) —
+    * the reference's remaining collectors (disk, filesystem, network,
+    * process, cgroups, tcp) are refused loudly rather than silently
+    * skipped. Every metric is kind ABSOLUTE with `collector` and
+    * `host` tags stamped (MetricsBuffer.tags, mod.rs:506-512),
+    * namespace default "host" (mod.rs:185-187). `ts` stays null like
+    * every deterministic-engine source; the VALUES themselves are
+    * inherently scrape-time-dependent, so this source is spec-gated
+    * (shape/positivity), never oracle-gated.
+    */
+  private def hostMetrics(spark: org.apache.spark.sql.SparkSession,
+                          name: String, cfg: TTab): Frame = {
+    val supported = Seq("cpu", "memory", "load", "host")
+    val collectors = {
+      val c = cfg.strArr("collectors")
+      if (c.isEmpty) supported else c
+    }
+    collectors.filterNot(supported.contains) match {
+      case Seq() => ()
+      case bad => throw VrlUnsupported(
+        s"source $name: host_metrics collector(s) ${bad.mkString(", ")} " +
+          s"(implemented here: ${supported.mkString(", ")})")
+    }
+    val ns = cfg.str("namespace").getOrElse("host")
+    val hostName = java.net.InetAddress.getLocalHost.getHostName
+    def readProc(p: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }
+    def tags(collector: String, extra: Seq[(String, String)] = Nil): String =
+      ((("collector" -> collector) +: ("host" -> hostName) +: extra)
+        .sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString(",")
+
+    val out = Vector.newBuilder[(String, String, String, Double)]
+    // (name, tags, value_type, value); kind is absolute throughout
+    if (collectors.contains("cpu")) {
+      val cpuLines = readProc("/proc/stat").filter(_.matches("cpu\\d+ .*"))
+      cpuLines.zipWithIndex.foreach { case (line, idx) =>
+        val f = line.trim.split("\\s+")
+        // /proc/stat: user nice system idle iowait … in USER_HZ (100/s)
+        def secs(i: Int): Double = f(i).toDouble / 100.0
+        val t = (m: String) => tags("cpu", Seq("mode" -> m, "cpu" -> idx.toString))
+        out += (("cpu_seconds_total", t("idle"), "counter", secs(4)))
+        out += (("cpu_seconds_total", t("io_wait"), "counter", secs(5)))
+        out += (("cpu_seconds_total", t("nice"), "counter", secs(2)))
+        out += (("cpu_seconds_total", t("system"), "counter", secs(3)))
+        out += (("cpu_seconds_total", t("user"), "counter", secs(1)))
+      }
+      out += (("logical_cpus", tags("cpu"), "gauge", cpuLines.size.toDouble))
+      // physical = distinct (physical id, core id); a probe failure is
+      // skipped like the reference's filter_result, not fatal
+      try {
+        val info = readProc("/proc/cpuinfo")
+        def vals(k: String) = info.filter(_.startsWith(k))
+          .map(_.split(":").last.trim)
+        val phys = vals("physical id").zip(vals("core id")).distinct.size
+        if (phys > 0)
+          out += (("physical_cpus", tags("cpu"), "gauge", phys.toDouble))
+      } catch { case _: Exception => () }
+    }
+    if (collectors.contains("memory")) {
+      val mem = readProc("/proc/meminfo").flatMap { l =>
+        l.split(":") match {
+          case Array(k, v) => Some(k.trim ->
+            v.trim.split("\\s+").head.toDouble * 1024.0) // kB -> bytes
+          case _ => None
+        }
+      }.toMap
+      def emit(metric: String, key: String): Unit = mem.get(key).foreach(v =>
+        out += ((metric, tags("memory"), "gauge", v)))
+      emit("memory_total_bytes", "MemTotal")
+      emit("memory_free_bytes", "MemFree")
+      emit("memory_available_bytes", "MemAvailable")
+      emit("memory_active_bytes", "Active")
+      emit("memory_inactive_bytes", "Inactive")
+      emit("memory_buffers_bytes", "Buffers")
+      emit("memory_cached_bytes", "Cached")
+      emit("memory_shared_bytes", "Shmem")
+      for (t <- mem.get("MemTotal"); f <- mem.get("MemFree"))
+        out += (("memory_used_bytes", tags("memory"), "gauge", t - f))
+      emit("memory_swap_total_bytes", "SwapTotal")
+      emit("memory_swap_free_bytes", "SwapFree")
+      for (t <- mem.get("SwapTotal"); f <- mem.get("SwapFree"))
+        out += (("memory_swap_used_bytes", tags("memory"), "gauge", t - f))
+    }
+    if (collectors.contains("load")) {
+      val f = readProc("/proc/loadavg").head.trim.split("\\s+")
+      out += (("load1", tags("load"), "gauge", f(0).toDouble))
+      out += (("load5", tags("load"), "gauge", f(1).toDouble))
+      out += (("load15", tags("load"), "gauge", f(2).toDouble))
+    }
+    if (collectors.contains("host")) {
+      val up = readProc("/proc/uptime").head.trim.split("\\s+").head.toDouble
+      out += (("uptime", tags("host"), "gauge", up))
+      readProc("/proc/stat").find(_.startsWith("btime ")).foreach(l =>
+        out += (("boot_time", tags("host"), "gauge",
+          l.split("\\s+")(1).toDouble)))
+    }
+
+    val rows = out.result().zipWithIndex.map { case ((n, t, vt, v), i) =>
+      (n, ns, t, "absolute", vt, v, i.toLong)
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("name", "namespace", "tags", "kind", "value_type", "value", SeqCol)
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .select(col("name"), col("namespace"), col("tags"), col("kind"),
+        col("value_type"), col("value"), col("ts"), col(SeqCol))
+    Frame(df, MetricMeta, metric = true)
   }
 
   /** `type = "static_metrics"` (reference src/sources/static_metrics.rs):
@@ -2002,6 +2120,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         throw VrlUnsupported(s"source $name: http_client is batch-only " +
           "here (one scrape per Cli run invocation; the continuous " +
           "poll cadence needs a custom streaming source)")
+      if (cfg.str("type").contains("host_metrics"))
+        throw VrlUnsupported(s"source $name: host_metrics is batch-only " +
+          "here (one scrape per Cli run invocation)")
       // lazy: the socket source has an address, not a path
       lazy val path = resolvePath(cfg.str("path").getOrElse(
         throw new IllegalArgumentException(s"source $name: no path")))
@@ -2216,8 +2337,8 @@ object Topology {
     * dispatch matches; update together (CliSurfaceSpec cross-checks).
     */
   val SourceTypes: Seq[String] = Seq(
-    "demo_logs", "exec", "file", "http_client", "parquet", "socket",
-    "static_metrics")
+    "demo_logs", "exec", "file", "host_metrics", "http_client", "parquet",
+    "socket", "static_metrics")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

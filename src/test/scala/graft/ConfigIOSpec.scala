@@ -1115,6 +1115,48 @@ class ConfigIOSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("host_metrics source: /proc collectors produce the reference shape") {
+    val topo = Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["cpu", "memory", "load", "host"]
+        |""".stripMargin)
+    val frame = topo.loadSources(spark)("hm")
+    assert(frame.metric)
+    val rows = frame.df
+      .select("name", "namespace", "tags", "kind", "value_type", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 == "host"), "namespace defaults to host")
+    assert(rows.forall(_._4 == "absolute"), "every host metric is absolute")
+    assert(rows.forall(r => r._3.contains("collector=") && r._3.contains("host=")),
+      "collector and host tags stamped on every metric")
+    val byName = rows.groupBy(_._1)
+    // cpu: counters tagged with the reference's five Linux modes + index
+    val cpu = byName("cpu_seconds_total")
+    assert(cpu.forall(_._5 == "counter"))
+    val modes = cpu.flatMap(_._3.split(",").find(_.startsWith("mode="))).toSet
+    assert(modes == Set("mode=idle", "mode=io_wait", "mode=nice",
+      "mode=system", "mode=user"))
+    assert(cpu.forall(_._3.contains("cpu=")))
+    assert(byName("logical_cpus").head._6 > 0)
+    // memory/load/host gauges present and sane
+    assert(byName("memory_total_bytes").head._6 > 0)
+    assert(byName("memory_used_bytes").head._6 > 0)
+    assert(byName("load1").head._5 == "gauge")
+    assert(byName("uptime").head._6 > 0)
+    // unimplemented collectors refuse loudly
+    val e = intercept[Exception](Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["disk"]
+        |""".stripMargin).loadSources(spark))
+    assert(e.getMessage.contains("disk"))
+  }
+
   test("blackhole sink: consumes, counts, and reports") {
     val dir = Files.createTempDirectory("graft-configio-bh")
     spark.range(5).select(col("id").cast("string").as("k"))
