@@ -157,7 +157,7 @@ object VrlAst {
           case _ =>
             val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
             two match {
-              case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | "->" =>
+              case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | "->" | "|=" =>
                 i += 2; push(TOp(two), s0)
               case _ =>
                 val c = peek
@@ -282,6 +282,18 @@ object VrlAst {
             case TOp("=") =>
               next(); skipNl()
               Some(Assign(t1, None, parseExpr()))
+            case TOp("|=") =>
+              // `t |= e` is sugar for `t = merge(t, e)` (VRL's
+              // merge-assign); the read side re-expresses the target
+              next(); skipNl()
+              val read: Expr = t1 match {
+                case TField(path) => FieldRef(path)
+                case TWhole => FieldRef(Nil)
+                case TLocal(n) => LocalRef(n)
+                case TMeta => MetaRef
+              }
+              Some(Assign(t1, None,
+                Call("merge", bang = false, Seq(read, parseExpr()), Nil)))
             case _ => None
           }
       }

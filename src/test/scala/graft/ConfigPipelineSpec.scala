@@ -237,6 +237,27 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(!r.df.select("shallow.a.*").columns.contains("x"))
   }
 
+  test("|= merge-assign desugars to merge(target, rhs)") {
+    import spark.implicits._
+    val df = Seq((1L, "m")).toDF(Topology.SeqCol, "msg")
+    val r = VrlCompile.remap(df, VrlCompile.EventMeta.fromSchema(df.schema),
+      VrlAst.parse(
+        """.obj = {"a": 1, "b": 2}
+          |.obj |= {"b": 9, "c": 3}
+          |. |= {"extra": "x"}
+          |tmp = {"t": 1}
+          |tmp |= {"u": 2}
+          |.u = tmp.u
+          |""".stripMargin))
+    val row = r.df.select("obj.a", "obj.b", "obj.c", "extra", "u", "msg").head
+    assert(row.getLong(0) == 1L)
+    assert(row.getLong(1) == 9L) // right side wins
+    assert(row.getLong(2) == 3L)
+    assert(row.getString(3) == "x") // whole-event merge adds the column
+    assert(row.getLong(4) == 2L) // local-variable merge-assign
+    assert(row.getString(5) == "m") // untouched columns survive
+  }
+
   test("invalid string escape is a program error, not silent corruption") {
     val err = intercept[VrlAst.VrlParseError] { VrlAst.parse(""".x = "C:\dir"""") }
     assert(err.getMessage.contains("\\d"))
