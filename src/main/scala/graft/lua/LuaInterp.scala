@@ -73,6 +73,7 @@ object LuaInterp {
       extends RuntimeException(toDisplay(value))
   private final case class BreakEx() extends RuntimeException
   private final case class ReturnEx(vals: Seq[LV]) extends RuntimeException
+  private final case class GotoEx(name: String, pos: Pos) extends RuntimeException
 
   def truthy(v: LV): Boolean = v match {
     case LNil | LBool(false) => false
@@ -220,7 +221,11 @@ object LuaInterp {
       */
     def exec(chunk: Seq[Stat]): Unit =
       try execBlock(chunk, chunkEnv())
-      catch { case ReturnEx(_) => () }
+      catch {
+        case ReturnEx(_) => ()
+        case GotoEx(n, p) =>
+          throw LuaError(LStr(s"$p: no visible label '$n' for goto"))
+      }
 
     /** Evaluate an expression chunk (hook strings: either an inline
       * `function(...) ... end` or a global function NAME — exactly how
@@ -240,8 +245,26 @@ object LuaInterp {
 
     def callValue(f: LV, args: Seq[LV]): Seq[LV] = call(f, args, Pos(0, 0))
 
-    private def execBlock(stats: Seq[Stat], env: Env): Unit =
-      stats.foreach(s => execStat(s, env))
+    /** Runs a block with goto support: a GotoEx raised anywhere inside
+      * statement i resumes at this block's matching `::label::` (before
+      * or after i — backward jumps make loops), or propagates out to
+      * the enclosing block (lparser label visibility). Unmatched at the
+      * function boundary = error (see [[call]]).
+      */
+    private def execBlock(stats: Seq[Stat], env: Env): Unit = {
+      var i = 0
+      while (i < stats.length) {
+        try { execStat(stats(i), env); i += 1 }
+        catch {
+          case g: GotoEx =>
+            val idx = stats.indexWhere {
+              case SLabel(n, _) => n == g.name
+              case _ => false
+            }
+            if (idx >= 0) i = idx + 1 else throw g
+        }
+      }
+    }
 
     private def err(msg: String, pos: Pos): Nothing =
       throw LuaError(LStr(s"$pos: $msg"))
@@ -329,6 +352,8 @@ object LuaInterp {
         env.set(n, new LClosure(fn.params, fn.body, env, fn.vararg))
       case SReturn(exprs, _) => throw ReturnEx(evalMulti(exprs, env))
       case SBreak(_) => throw BreakEx()
+      case SLabel(_, _) => () // a jump target, not an action
+      case SGoto(n, pos) => throw GotoEx(n, pos)
     }
 
     private def assign(target: Expr, v: LV, env: Env): Unit = target match {
@@ -396,7 +421,11 @@ object LuaInterp {
         inner.declare("...",
           if (c.vararg) LArgs(args.drop(c.params.length)) else LNil)
         try { execBlock(c.body, inner); Nil }
-        catch { case ReturnEx(vs) => vs }
+        catch {
+          case ReturnEx(vs) => vs
+          case GotoEx(n, p) =>
+            throw LuaError(LStr(s"$p: no visible label '$n' for goto"))
+        }
       case other => metamethod(other, "__call") match {
         case Some(h) => call(h, other +: args, pos)
         case None => err(s"attempt to call a ${typeName(other)} value", pos)

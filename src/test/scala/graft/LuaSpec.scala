@@ -474,6 +474,39 @@ class LuaSpec extends SparkSpec {
       "local s = 0; for i, v in ipairs(t) do s = s + v end; return s") == LInt(30))
   }
 
+  test("lua: goto and labels — continue idiom, backward loops, outward jumps") {
+    assert(runRet(
+      """local s = 0
+        |for i = 1, 6 do
+        |  if i % 2 == 0 then goto continue end
+        |  s = s + i
+        |  ::continue::
+        |end
+        |return s""".stripMargin) == LInt(9))
+    // backward jump forms a loop
+    assert(runRet(
+      """local i = 0
+        |::top::
+        |i = i + 1
+        |if i < 4 then goto top end
+        |return i""".stripMargin) == LInt(4))
+    // jumping out of nested loops to an enclosing-block label
+    assert(runRet(
+      """local n = 0
+        |for i = 1, 3 do
+        |  for j = 1, 3 do
+        |    n = n + 1
+        |    if n == 5 then goto done end
+        |  end
+        |end
+        |::done::
+        |return n""".stripMargin) == LInt(5))
+    // an unmatched goto at the function boundary is a catchable error
+    assert(runRet("local ok, e = pcall(function() goto nowhere end); " +
+      "return tostring(ok) .. (string.find(e, 'nowhere') and ':named' or '')") ==
+      LStr("false:named"))
+  }
+
   test("lua: coroutine refuses loudly") {
     assert(runRet("local ok, e = pcall(coroutine.create, function() end); " +
       "return tostring(ok) .. ':' .. e") ==
