@@ -1580,7 +1580,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   private def hostMetrics(spark: org.apache.spark.sql.SparkSession,
                           name: String, cfg: TTab): Frame = {
-    val supported = Seq("cpu", "memory", "load", "host")
+    val supported = Seq("cpu", "memory", "load", "host", "filesystem")
     val collectors = {
       val c = cfg.strArr("collectors")
       if (c.isEmpty) supported else c
@@ -1665,6 +1665,38 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       readProc("/proc/stat").find(_.startsWith("btime ")).foreach(l =>
         out += (("boot_time", tags("host"), "gauge",
           l.split("\\s+")(1).toDouble)))
+    }
+    if (collectors.contains("filesystem")) {
+      // one row set per real mount (filesystem.rs:105-132): total/free/
+      // used bytes + used_ratio, tagged device/filesystem/mountpoint.
+      // /proc/mounts supplies the device + fs type; FileStore supplies
+      // the sizes. Pseudo filesystems (zero-size) are skipped like the
+      // reference's FilterList defaults; probe failures skip the mount
+      // (filter_result), never the scrape.
+      val mounts = readProc("/proc/mounts").flatMap(_.trim.split("\\s+") match {
+        case Array(dev, mount, fsType, _*) => Some((dev, mount, fsType))
+        case _ => None
+      })
+      // overmounts repeat a mountpoint; the LAST entry is the visible
+      // one (and the one FileStore resolves to)
+      mounts.groupBy(_._2).map(_._2.last).toSeq.sortBy(_._2).foreach {
+        case (dev, mount, fsType) =>
+            try {
+              val store = java.nio.file.Files.getFileStore(
+                java.nio.file.Paths.get(mount))
+              val total = store.getTotalSpace.toDouble
+              if (total > 0) {
+                val free = store.getUnallocatedSpace.toDouble
+                val t = tags("filesystem", Seq("device" -> dev,
+                  "filesystem" -> fsType, "mountpoint" -> mount))
+                out += (("filesystem_free_bytes", t, "gauge", free))
+                out += (("filesystem_total_bytes", t, "gauge", total))
+                out += (("filesystem_used_bytes", t, "gauge", total - free))
+                out += (("filesystem_used_ratio", t, "gauge",
+                  (total - free) / total))
+              }
+            } catch { case _: Exception => () }
+      }
     }
 
     val rows = out.result().zipWithIndex.map { case ((n, t, vt, v), i) =>

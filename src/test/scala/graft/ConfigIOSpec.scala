@@ -1147,6 +1147,22 @@ class ConfigIOSpec extends SparkSpec {
     assert(byName("memory_used_bytes").head._6 > 0)
     assert(byName("load1").head._5 == "gauge")
     assert(byName("uptime").head._6 > 0)
+    // filesystem collector: per-mount gauges with the reference's tags
+    val fs = Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["filesystem"]
+        |""".stripMargin).loadSources(spark)("hm").df
+      .select("name", "tags", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(fs.exists(_._1 == "filesystem_total_bytes"))
+    assert(fs.filter(_._1 == "filesystem_total_bytes").forall(_._3 > 0))
+    assert(fs.forall(r => r._2.contains("mountpoint=") &&
+      r._2.contains("filesystem=") && r._2.contains("device=")))
+    assert(fs.filter(_._1 == "filesystem_used_ratio")
+      .forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+
     // unimplemented collectors refuse loudly
     val e = intercept[Exception](Topology.load(
       """
