@@ -454,6 +454,47 @@ object ConfigQueries {
        ORDER BY name, tags, win"""
   }
 
+  /** `exec` config source end-to-end with a DETERMINISTIC command:
+    * a fixed printf through the kv decode chain (bytes codec → remap
+    * parse_key_value), selecting only the machine-independent columns
+    * (stream + parsed fields; pid/host are real but excluded). Proves
+    * the exec source's line capture, stream tagging, and codec path
+    * against literal DuckDB rows.
+    */
+  private def qConfigExec(s: SparkSession, dir: String): DataFrame = {
+    val topo = Topology.load(
+      """
+        |[sources.cmd]
+        |  type = "exec"
+        |  mode = "scheduled"
+        |  command = ["/bin/sh", "-c", "printf 'k=a v=1\\nk=b v=2\\nk=c v=3\\n'; echo 'boom' >&2"]
+        |[transforms.parse]
+        |  inputs = ["cmd"]
+        |  type = "remap"
+        |  source = '''
+        |    if .stream == "stdout" {
+        |      kv = parse_key_value!(.message)
+        |      .k = to_string!(kv.k)
+        |      .v = to_int!(kv.v)
+        |    }
+        |  '''
+        |""".stripMargin)
+    val src = topo.loadSources(s)
+    topo.run(src)("parse").df
+      .select(col("stream"), col("message"), col("k"),
+        col("v").cast("long").as("v"))
+      .orderBy("stream", "message")
+  }
+
+  private val oracleConfigExec: String =
+    """SELECT * FROM (VALUES
+         ('stdout', 'k=a v=1', 'a', CAST(1 AS BIGINT)),
+         ('stdout', 'k=b v=2', 'b', CAST(2 AS BIGINT)),
+         ('stdout', 'k=c v=3', 'c', CAST(3 AS BIGINT)),
+         ('stderr', 'boom', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT))
+       ) AS t(stream, message, k, v)
+       ORDER BY stream, message"""
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
@@ -461,7 +502,8 @@ object ConfigQueries {
     "q_config_tag_limit" -> (qConfigTagLimit _),
     "q_config_window" -> (qConfigWindow _),
     "q_config_lua" -> (qConfigLua _),
-    "q_config_observe" -> (qConfigObserve _)
+    "q_config_observe" -> (qConfigObserve _),
+    "q_config_exec" -> (qConfigExec _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -471,6 +513,7 @@ object ConfigQueries {
     "q_config_tag_limit" -> oracleConfigTagLimit,
     "q_config_window" -> oracleConfigWindow,
     "q_config_lua" -> oracleConfigLua,
-    "q_config_observe" -> oracleConfigObserve
+    "q_config_observe" -> oracleConfigObserve,
+    "q_config_exec" -> oracleConfigExec
   )
 }
