@@ -1580,7 +1580,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   private def hostMetrics(spark: org.apache.spark.sql.SparkSession,
                           name: String, cfg: TTab): Frame = {
-    val supported = Seq("cpu", "memory", "load", "host", "filesystem")
+    val supported =
+      Seq("cpu", "memory", "load", "host", "filesystem", "network", "disk")
     val collectors = {
       val c = cfg.strArr("collectors")
       if (c.isEmpty) supported else c
@@ -1696,6 +1697,43 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                   (total - free) / total))
               }
             } catch { case _: Exception => () }
+      }
+    }
+
+    if (collectors.contains("network")) {
+      // /proc/net/dev: iface | rx bytes pkts errs drop … | tx bytes
+      // pkts errs drop …; the reference's seven counters (network.rs)
+      readProc("/proc/net/dev").drop(2).foreach { line =>
+        line.split(":") match {
+          case Array(dev, rest) =>
+            val f = rest.trim.split("\\s+").map(_.toDouble)
+            if (f.length >= 12) {
+              val t = tags("network", Seq("device" -> dev.trim))
+              out += (("network_receive_bytes_total", t, "counter", f(0)))
+              out += (("network_receive_packets_total", t, "counter", f(1)))
+              out += (("network_receive_errs_total", t, "counter", f(2)))
+              out += (("network_transmit_bytes_total", t, "counter", f(8)))
+              out += (("network_transmit_packets_total", t, "counter", f(9)))
+              out += (("network_transmit_errs_total", t, "counter", f(10)))
+              out += (("network_transmit_packets_drop_total", t, "counter", f(11)))
+            }
+          case _ => ()
+        }
+      }
+    }
+    if (collectors.contains("disk")) {
+      // /proc/diskstats: maj min name reads_completed _ sectors_read _
+      // writes_completed _ sectors_written …; sectors are 512 B by
+      // contract of this file regardless of the device's block size
+      readProc("/proc/diskstats").foreach { line =>
+        val f = line.trim.split("\\s+")
+        if (f.length >= 10) {
+          val t = tags("disk", Seq("device" -> f(2)))
+          out += (("disk_reads_completed_total", t, "counter", f(3).toDouble))
+          out += (("disk_read_bytes_total", t, "counter", f(5).toDouble * 512))
+          out += (("disk_writes_completed_total", t, "counter", f(7).toDouble))
+          out += (("disk_written_bytes_total", t, "counter", f(9).toDouble * 512))
+        }
       }
     }
 

@@ -1163,14 +1163,28 @@ class ConfigIOSpec extends SparkSpec {
     assert(fs.filter(_._1 == "filesystem_used_ratio")
       .forall(r => r._3 >= 0.0 && r._3 <= 1.0))
 
+    // network + disk: per-device counters
+    val nd = Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["network", "disk"]
+        |""".stripMargin).loadSources(spark)("hm").df
+      .select("name", "tags", "value_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(nd.exists(_._1 == "network_receive_bytes_total"))
+    assert(nd.exists(_._1 == "disk_read_bytes_total"))
+    assert(nd.forall(_._3 == "counter"))
+    assert(nd.forall(_._2.contains("device=")))
+
     // unimplemented collectors refuse loudly
     val e = intercept[Exception](Topology.load(
       """
         |[sources.hm]
         |  type = "host_metrics"
-        |  collectors = ["disk"]
+        |  collectors = ["cgroups"]
         |""".stripMargin).loadSources(spark))
-    assert(e.getMessage.contains("disk"))
+    assert(e.getMessage.contains("cgroups"))
   }
 
   test("blackhole sink: consumes, counts, and reports") {
