@@ -57,6 +57,24 @@ object LuaInterp {
     * vararg frame; never escapes to user-visible values.
     */
   final case class LArgs(vs: Seq[LV]) extends LV
+  /** A coroutine (Lua type `thread`). Runs its body on a dedicated
+    * daemon thread with a strict SynchronousQueue handoff: resume
+    * blocks the caller until yield/return and yield blocks the body
+    * until the next resume, so exactly ONE thread ever executes VM
+    * code — the interpreter stays effectively single-threaded. An
+    * abandoned SUSPENDED coroutine parks its daemon thread until the
+    * JVM exits (the thread analog of mlua keeping the suspended Lua
+    * stack alive); drive coroutines to completion in partition-scoped
+    * scripts.
+    */
+  final class LCoro(private[lua] val body: LV) extends LV {
+    @volatile private[lua] var status: String = "suspended"
+    private[lua] var started = false
+    private[lua] val toCoro =
+      new java.util.concurrent.SynchronousQueue[Seq[LV]]()
+    private[lua] val fromCoro =
+      new java.util.concurrent.SynchronousQueue[Either[Throwable, (Boolean, Seq[LV])]]()
+  }
   /** Host object with index/newindex/pairs handlers (the v1 event). */
   final class LUserData(val index: LV => LV,
                         val newindex: (LV, LV) => Unit,
@@ -88,6 +106,7 @@ object LuaInterp {
     case _: LTable => "table"
     case _: LFn | _: LClosure => "function"
     case _: LUserData => "userdata"
+    case _: LCoro => "thread"
     case _: LArgs => "..." // internal; unreachable from scripts
   }
 
@@ -111,6 +130,7 @@ object LuaInterp {
     case f: LFn => s"function: builtin ${f.name}"
     case c: LClosure => "function: 0x" + Integer.toHexString(System.identityHashCode(c))
     case u: LUserData => "userdata: 0x" + Integer.toHexString(System.identityHashCode(u))
+    case c: LCoro => "thread: 0x" + Integer.toHexString(System.identityHashCode(c))
     case LArgs(vs) => vs.map(toDisplay).mkString(", ") // internal
   }
 
@@ -172,6 +192,10 @@ object LuaInterp {
   final class VM(clock: () => Long = () => System.currentTimeMillis()) {
     val globals = new LTable
     private val rootEnv = new Env(None, globals)
+    /** The coroutine whose body is executing on THIS thread (null on
+      * the main interpreter thread).
+      */
+    private val currentCoro = new ThreadLocal[LCoro]()
     LuaStdlib.install(globals, clock)
     // host-callback seam: stdlib functions that invoke Lua values
     // (pcall, gsub's function replacement, table.sort comparators)
@@ -214,6 +238,97 @@ object LuaInterp {
       })
       Seq(it, t, LInt(0L))
     }))
+    // -------------------------------------------------- coroutines
+    // (see [[LCoro]] for the handoff model and thread-lifetime note)
+    locally {
+      def coroArg(name: String, args: Seq[LV]): LCoro =
+        args.headOption.getOrElse(LNil) match {
+          case co: LCoro => co
+          case other => throw LuaError(LStr(
+            s"bad argument #1 to '$name' (coroutine expected, got ${typeName(other)})"))
+        }
+      def fnArg(name: String, args: Seq[LV]): LV =
+        args.headOption.getOrElse(LNil) match {
+          case f @ (_: LFn | _: LClosure) => f
+          case other => throw LuaError(LStr(
+            s"bad argument #1 to '$name' (function expected, got ${typeName(other)})"))
+        }
+      def resume(co: LCoro, args: Seq[LV]): Seq[LV] = {
+        if (co.status == "dead")
+          return Seq(LBool(false), LStr("cannot resume dead coroutine"))
+        if (co.status != "suspended")
+          return Seq(LBool(false), LStr("cannot resume non-suspended coroutine"))
+        co.status = "running"
+        if (!co.started) {
+          co.started = true
+          val t = new Thread(() => {
+            currentCoro.set(co)
+            val first = co.toCoro.take()
+            val res =
+              try Right((false, callValue(co.body, first)))
+              catch { case e: Throwable => Left(e) }
+            co.fromCoro.put(res)
+          })
+          t.setDaemon(true)
+          t.setName("lua-coroutine")
+          t.start()
+        }
+        co.toCoro.put(args)
+        co.fromCoro.take() match {
+          case Right((isYield, vals)) =>
+            co.status = if (isYield) "suspended" else "dead"
+            LBool(true) +: vals
+          case Left(LuaError(v)) => co.status = "dead"; Seq(LBool(false), v)
+          case Left(e) =>
+            co.status = "dead"
+            Seq(LBool(false), LStr(String.valueOf(e.getMessage)))
+        }
+      }
+      val coroT = new LTable
+      coroT.rawSet(LStr("create"), LFn("coroutine.create", args =>
+        Seq(new LCoro(fnArg("create", args)))))
+      coroT.rawSet(LStr("resume"), LFn("coroutine.resume", args =>
+        resume(coroArg("resume", args), args.drop(1))))
+      coroT.rawSet(LStr("yield"), LFn("coroutine.yield", args => {
+        val co = currentCoro.get()
+        if (co == null)
+          throw LuaError(LStr("attempt to yield from outside a coroutine"))
+        co.fromCoro.put(Right((true, args)))
+        co.toCoro.take()
+      }))
+      coroT.rawSet(LStr("status"), LFn("coroutine.status", args => {
+        val co = coroArg("status", args)
+        Seq(LStr(
+          if (co eq currentCoro.get()) "running"
+          // a 'running' coroutine observed from a coroutine it resumed
+          // reads 'normal', like lcorolib
+          else if (co.status == "running") "normal"
+          else co.status))
+      }))
+      coroT.rawSet(LStr("wrap"), LFn("coroutine.wrap", args => {
+        val co = new LCoro(fnArg("wrap", args))
+        Seq(LFn("wrapped", a => resume(co, a) match {
+          case LBool(true) +: rest => rest
+          case _ +: err +: _ => throw LuaError(err)
+          case other => other
+        }))
+      }))
+      coroT.rawSet(LStr("isyieldable"), LFn("coroutine.isyieldable", _ =>
+        Seq(LBool(currentCoro.get() != null))))
+      coroT.rawSet(LStr("running"), LFn("coroutine.running", _ => {
+        val co = currentCoro.get()
+        if (co == null) Seq(LNil, LBool(true)) else Seq(co, LBool(false))
+      }))
+      coroT.rawSet(LStr("close"), LFn("coroutine.close", args => {
+        val co = coroArg("close", args)
+        // marking a suspended coroutine dead makes later resumes fail;
+        // its parked thread is reclaimed only at JVM exit (LCoro doc)
+        if (co.status == "suspended" || co.status == "dead") {
+          co.status = "dead"; Seq(LBool(true))
+        } else throw LuaError(LStr("cannot close a running coroutine"))
+      }))
+      globals.rawSet(LStr("coroutine"), coroT)
+    }
 
     /** Execute a chunk at global scope (v2 `source`, v1 per-event).
       * The chunk is a vararg frame (like real Lua's main chunk) with

@@ -184,14 +184,15 @@ object LuaStdlib {
       }
     })
 
-    // coroutines need a real continuation/thread substrate; refuse
-    // loudly (like timers) rather than run scripts with wrong semantics
+    // the real coroutine library is installed by the VM (it needs the
+    // interpreter's call entry); this stub only covers a bare
+    // LuaStdlib.install without a VM, which no runtime path does
     val coT = new LTable
     Seq("create", "resume", "yield", "status", "wrap", "isyieldable",
       "running", "close").foreach { n =>
       coT.rawSet(LStr(n), fn("coroutine." + n) { _ =>
         throw LuaError(LStr(
-          s"coroutine.$n is not supported in this Lua subset"))
+          s"coroutine.$n requires the VM-installed coroutine library"))
       })
     }
     g.rawSet(LStr("coroutine"), coT)

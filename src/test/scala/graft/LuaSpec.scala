@@ -507,10 +507,64 @@ class LuaSpec extends SparkSpec {
       LStr("false:named"))
   }
 
-  test("lua: coroutine refuses loudly") {
-    assert(runRet("local ok, e = pcall(coroutine.create, function() end); " +
-      "return tostring(ok) .. ':' .. e") ==
-      LStr("false:coroutine.create is not supported in this Lua subset"))
+  test("lua coroutines: wrap generators, create/resume/yield, status lifecycle") {
+    assert(runRet(
+      """local function gen(n)
+        |  return coroutine.wrap(function()
+        |    for i = 1, n do coroutine.yield(i * i) end
+        |  end)
+        |end
+        |local g = gen(3)
+        |return g() + g() + g()""".stripMargin) == LInt(14))
+    assert(runRet(
+      """local co = coroutine.create(function(a, b)
+        |  local c = coroutine.yield(a + b)
+        |  return c * 2
+        |end)
+        |local ok1, v1 = coroutine.resume(co, 3, 4)
+        |local s1 = coroutine.status(co)
+        |local ok2, v2 = coroutine.resume(co, 10)
+        |local s2 = coroutine.status(co)
+        |local ok3 = coroutine.resume(co)
+        |return tostring(ok1) .. v1 .. s1 .. v2 .. s2 .. tostring(ok3)
+        |""".stripMargin) == LStr("true7suspended20deadfalse"))
+    assert(runRet("local co = coroutine.create(function() error('pow') end); " +
+      "local ok, e = coroutine.resume(co); " +
+      "return tostring(ok) .. ':' .. e .. ':' .. coroutine.status(co)") ==
+      LStr("false:pow:dead"))
+  }
+
+  test("lua coroutines: yieldability, nested status, close") {
+    assert(runRet(
+      """local outside = coroutine.isyieldable()
+        |local co = coroutine.wrap(function()
+        |  coroutine.yield(coroutine.isyieldable())
+        |end)
+        |local inside = co()
+        |local ok = pcall(coroutine.yield)
+        |return tostring(outside) .. tostring(inside) .. tostring(ok)
+        |""".stripMargin) == LStr("falsetruefalse"))
+    // a coroutine observed from the coroutine it resumed reads 'normal'
+    assert(runRet(
+      """local a
+        |local b = coroutine.create(function()
+        |  coroutine.yield(coroutine.status(a))
+        |end)
+        |a = coroutine.create(function()
+        |  local _, s = coroutine.resume(b)
+        |  coroutine.yield(s)
+        |end)
+        |local _, s = coroutine.resume(a)
+        |return s""".stripMargin) == LStr("normal"))
+    assert(runRet(
+      """local co = coroutine.create(function() coroutine.yield() end)
+        |coroutine.resume(co)
+        |local ok = coroutine.close(co)
+        |local ok2 = coroutine.resume(co)
+        |return tostring(ok) .. tostring(ok2)""".stripMargin) ==
+      LStr("truefalse"))
+    assert(runRet("return type(coroutine.create(function() end))") ==
+      LStr("thread"))
   }
 
   // ------------------------------------------- review-fix regressions
