@@ -490,8 +490,9 @@ object LuaInterp {
       if (depth > 100) err("'__newindex' chain too long; possible loop", pos)
       obj match {
         case t: LTable =>
+          // meta-less tables take the raw write directly (no probe);
           // __newindex fires only on ABSENT keys (lvm.c luaV_finishset)
-          if (t.rawGet(k) != LNil) t.rawSet(k, v)
+          if (t.meta == null || t.rawGet(k) != LNil) t.rawSet(k, v)
           else metamethod(t, "__newindex") match {
             case Some(h @ (_: LFn | _: LClosure)) => call(h, Seq(t, k, v), pos); ()
             case Some(mt) => setIndex(mt, k, v, pos, depth + 1)
