@@ -551,6 +551,83 @@ object LuaStdlib {
       }
     })
     g.rawSet(LStr("os"), osT)
+
+    // ------------------------------------------------------------ utf8
+    // Lua 5.3's utf8 library over JVM strings: positions are CHAR
+    // indices (UTF-16 code units), consistent with this VM's documented
+    // #s/string.sub divergence from Lua's byte positions; code points
+    // themselves are exact (surrogate pairs handled).
+    val utf8T = new LTable
+    // the reference byte-pattern value; over UTF-16 strings it matches
+    // only its literal char ranges (documented divergence)
+    utf8T.rawSet(LStr("charpattern"),
+      LStr("[\u0000-\u007F\u00C2-\u00FD][\u0080-\u00BF]*"))
+    utf8T.rawSet(LStr("char"), fn("char") { a =>
+      one(LStr(a.indices.map(i =>
+        new String(Character.toChars(asInt("char", a, i + 1).toInt))).mkString))
+    })
+    utf8T.rawSet(LStr("len"), fn("len") { a =>
+      val s = asStr("len", a, 1)
+      val i = optArg(a, 2).map(_ => asInt("len", a, 2).toInt).getOrElse(1)
+      val j = optArg(a, 3).map(_ => asInt("len", a, 3).toInt).getOrElse(-1)
+      val from = math.max(0, if (i > 0) i - 1 else s.length + i)
+      val to = math.min(s.length, if (j >= 0) j else s.length + j + 1)
+      one(LInt(if (to <= from) 0L else s.codePointCount(from, to).toLong))
+    })
+    utf8T.rawSet(LStr("codepoint"), fn("codepoint") { a =>
+      val s = asStr("codepoint", a, 1)
+      val i = optArg(a, 2).map(_ => asInt("codepoint", a, 2).toInt).getOrElse(1)
+      val j = optArg(a, 3).map(_ => asInt("codepoint", a, 3).toInt).getOrElse(i)
+      val from = if (i > 0) i - 1 else s.length + i
+      val to = if (j >= 0) j else s.length + j + 1
+      if (from < 0 || to > s.length)
+        throw LuaError(LStr("bad argument #2 to 'codepoint' (out of bounds)"))
+      val out = Seq.newBuilder[LV]
+      var p = from
+      while (p < to) {
+        val cp = s.codePointAt(p)
+        out += LInt(cp.toLong)
+        p += Character.charCount(cp)
+      }
+      out.result()
+    })
+    utf8T.rawSet(LStr("codes"), fn("codes") { a =>
+      val s = asStr("codes", a, 1)
+      val it = fn("codes.it") { b =>
+        val prev = asInt("codes.it", b, 2).toInt
+        // advance past the char AT prev (1-based); 0 starts at the front
+        val next =
+          if (prev <= 0) 0
+          else prev - 1 + Character.charCount(s.codePointAt(prev - 1))
+        if (next >= s.length) one(LNil)
+        else Seq(LInt(next + 1L), LInt(s.codePointAt(next).toLong))
+      }
+      Seq(it, LStr(s), LInt(0L))
+    })
+    utf8T.rawSet(LStr("offset"), fn("offset") { a =>
+      val s = asStr("offset", a, 1)
+      val n = asInt("offset", a, 2)
+      val i = optArg(a, 3).map(_ => asInt("offset", a, 3).toInt)
+        .getOrElse(if (n >= 0) 1 else s.length + 1)
+      var p = if (i > 0) i - 1 else s.length + i
+      if (n > 0) {
+        var k = n - 1
+        while (k > 0 && p < s.length) { p += Character.charCount(s.codePointAt(p)); k -= 1 }
+        if (k > 0) one(LNil) else one(LInt(p + 1L))
+      } else if (n == 0) {
+        while (p > 0 && Character.isLowSurrogate(s.charAt(p - 1))) p -= 1
+        one(LInt(p + 1L))
+      } else {
+        var k = -n
+        while (k > 0 && p > 0) {
+          p -= 1
+          if (Character.isLowSurrogate(s.charAt(p)) && p > 0) p -= 1
+          k -= 1
+        }
+        if (k > 0) one(LNil) else one(LInt(p + 1L))
+      }
+    })
+    g.rawSet(LStr("utf8"), utf8T)
   }
 
   private def asNumV(v: LV): Double = v match {

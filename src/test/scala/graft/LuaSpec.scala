@@ -507,6 +507,25 @@ class LuaSpec extends SparkSpec {
       LStr("false:named"))
   }
 
+  test("lua utf8: char/codepoint/len/codes/offset over code points") {
+    assert(runRet("return utf8.char(104, 105, 0x20AC)") == LStr("hi€"))
+    assert(runRet("return utf8.len('héllo')") == LInt(5))
+    assert(runRet("return utf8.codepoint('€')") == LInt(0x20AC))
+    // astral plane: one code point, two UTF-16 units
+    assert(runRet("local s = utf8.char(0x1F600); return utf8.len(s)") == LInt(1))
+    assert(runRet("local s = utf8.char(0x1F600); return utf8.codepoint(s)") ==
+      LInt(0x1F600))
+    assert(runRet(
+      """local s = utf8.char(65, 0x1F600, 66)
+        |local cps = {}
+        |for p, c in utf8.codes(s) do table.insert(cps, c) end
+        |return #cps .. ':' .. cps[1] .. ',' .. cps[2] .. ',' .. cps[3]
+        |""".stripMargin) == LStr(s"3:65,${0x1F600},66"))
+    assert(runRet("local s = utf8.char(65, 0x1F600, 66); " +
+      "return utf8.offset(s, 3)") == LInt(4)) // surrogate pair spans 2 units
+    assert(runRet("return utf8.offset('abc', -1)") == LInt(3))
+  }
+
   test("lua coroutines: wrap generators, create/resume/yield, status lifecycle") {
     assert(runRet(
       """local function gen(n)
