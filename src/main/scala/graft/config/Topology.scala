@@ -1580,8 +1580,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     */
   private def hostMetrics(spark: org.apache.spark.sql.SparkSession,
                           name: String, cfg: TTab): Frame = {
-    val supported =
-      Seq("cpu", "memory", "load", "host", "filesystem", "network", "disk")
+    val supported = Seq("cpu", "memory", "load", "host", "filesystem",
+      "network", "disk", "process")
     val collectors = {
       val c = cfg.strArr("collectors")
       if (c.isEmpty) supported else c
@@ -1735,6 +1735,64 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           out += (("disk_written_bytes_total", t, "counter", f(9).toDouble * 512))
         }
       }
+    }
+
+    if (collectors.contains("process")) {
+      // per-process gauges/counter (process.rs:20-56) tagged
+      // pid/name/command, filtered by `[sources.<n>.process]`
+      // includes/excludes GLOB patterns on the process name (the
+      // FilterList shape). process_cpu_usage is the LIFETIME-average
+      // cpu share in percent — a single scrape has no second sample,
+      // so the reference's instantaneous % (sysinfo refresh delta)
+      // becomes the honest one-shot analog; documented divergence.
+      val pcfg = cfg.tab("process")
+      def globs(key: String): Seq[java.util.regex.Pattern] =
+        pcfg.toSeq.flatMap(_.strArr(key)).map(g =>
+          java.util.regex.Pattern.compile(
+            g.flatMap {
+              case '*' => ".*"
+              case '?' => "."
+              case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+              case c => c.toString
+            }))
+      val inc = globs("includes")
+      val exc = globs("excludes")
+      def matches(pname: String): Boolean =
+        (inc.isEmpty || inc.exists(_.matcher(pname).matches())) &&
+          !exc.exists(_.matcher(pname).matches())
+      val hz = 100.0 // USER_HZ; /proc stat times are in jiffies
+      val pageSize = 4096.0
+      val uptime = readProc("/proc/uptime").head.trim.split("\\s+").head.toDouble
+      new java.io.File("/proc").listFiles((_, n) => n.forall(_.isDigit))
+        .toSeq.sortBy(_.getName.toLong).foreach { dir =>
+          try {
+            val stat = readProc(s"${dir.getPath}/stat").head
+            // comm may contain spaces/parens: split around the (...)
+            val open = stat.indexOf('(')
+            val close = stat.lastIndexOf(')')
+            val pname = stat.substring(open + 1, close)
+            if (matches(pname)) {
+              val f = stat.substring(close + 2).split("\\s+")
+              // post-comm fields, 0-based: utime=11 stime=12
+              // starttime=19 vsize=20 rss=21
+              val cpuSecs = (f(11).toDouble + f(12).toDouble) / hz
+              val runtime = math.max(0.0, uptime - f(19).toDouble / hz)
+              val cmd = // NUL-separated argv, space-joined like process.rs
+                try readProc(s"${dir.getPath}/cmdline").headOption
+                  .getOrElse("").replace('\u0000', ' ').trim
+                catch { case _: Exception => "" }
+              val t = tags("process", Seq("pid" -> dir.getName,
+                "name" -> pname, "command" -> cmd))
+              out += (("process_cpu_usage", t, "gauge",
+                if (runtime > 0) 100.0 * cpuSecs / runtime else 0.0))
+              out += (("process_memory_usage", t, "gauge",
+                f(21).toDouble * pageSize))
+              out += (("process_memory_virtual_usage", t, "gauge",
+                f(20).toDouble))
+              out += (("process_runtime", t, "counter", runtime))
+            }
+          } catch { case _: Exception => () } // raced exit: skip the pid
+        }
     }
 
     val rows = out.result().zipWithIndex.map { case ((n, t, vt, v), i) =>

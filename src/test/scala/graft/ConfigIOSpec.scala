@@ -1177,6 +1177,24 @@ class ConfigIOSpec extends SparkSpec {
     assert(nd.forall(_._3 == "counter"))
     assert(nd.forall(_._2.contains("device=")))
 
+    // process collector: this JVM must match the 'java' include glob
+    val pm = Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["process"]
+        |  [sources.hm.process]
+        |    includes = ["java*"]
+        |""".stripMargin).loadSources(spark)("hm").df
+      .select("name", "tags", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(pm.exists(_._1 == "process_memory_usage"))
+    assert(pm.forall(r => r._2.contains("pid=") && r._2.contains("name=")))
+    assert(pm.filter(_._1 == "process_memory_usage").forall(_._3 > 0))
+    assert(pm.filter(_._1 == "process_runtime").forall(_._3 >= 0))
+    val names = pm.flatMap(_._2.split(",").find(_.startsWith("name="))).toSet
+    assert(names.forall(_.startsWith("name=java")), names.toString)
+
     // unimplemented collectors refuse loudly
     val e = intercept[Exception](Topology.load(
       """
