@@ -2083,6 +2083,22 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
                           encoding: Option[TTab]): Column = {
     val codec: Option[String] = encoding.flatMap(_.str("codec"))
     val df = in.df
+    // a DYNAMIC-root frame (`. = parse_json!(...)`) has no static event
+    // columns: json encodes the root value itself (array wrap-and-strip
+    // gives every root type its exact JSON form); the column-shaped
+    // codecs have nothing static to encode and refuse rather than
+    // silently writing empty lines
+    if (in.meta.rootT.isDefined) {
+      codec.getOrElse("json") match {
+        case "json" =>
+          val wrapped = to_json(array(df.col("__root")))
+          return wrapped.substr(lit(2), length(wrapped) - 2)
+        case other => throw VrlUnsupported(
+          s"sink $sinkName: codec $other over a dynamic-root event " +
+            "(whole-event replacement with a dynamic value) — use json, " +
+            "or project typed fields before the sink")
+      }
+    }
     val fields: Seq[(String, Column)] =
       in.meta.types.keys.toSeq.map(n => n -> df.col(s"`$n`"))
     def need(f: String): Column = {

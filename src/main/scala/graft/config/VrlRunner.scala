@@ -59,6 +59,18 @@ object VrlRunner {
   }
 
   private def render(df: org.apache.spark.sql.DataFrame, meta: EventMeta): Seq[String] = {
+    // a whole-event replacement with a DYNAMIC value (`. = parse_json!
+    // (...)`) leaves fields empty and carries the event in the __root
+    // column — render that value, not the (empty) field struct. The
+    // array wrap-and-strip gives every root type (object, array,
+    // scalar, null) its exact JSON form; to_json has no scalar overload
+    if (meta.rootT.isDefined)
+      return df.orderBy(col(SeqCol))
+        .select(to_json(array(col("__root")),
+          java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("j"))
+        .collect().toSeq.map { r =>
+          val s = r.getString(0); s.substring(1, s.length - 1)
+        }
     // VBytes renders as its (lossy) UTF-8 string form — VRL's display of
     // a byte-string — not to_json's base64-of-binary; timestamps render
     // at micro precision (Spark's storage precision; to_json's default

@@ -1205,6 +1205,42 @@ class ConfigIOSpec extends SparkSpec {
     assert(e.getMessage.contains("cgroups"))
   }
 
+  test("dynamic-root events reach sinks intact; column codecs refuse") {
+    val dir = Files.createTempDirectory("graft-configio-root")
+    Files.write(dir.resolve("in.txt"),
+      "{\"k\": 5, \"s\": \"x\"}\n{\"k\": 7}\n".getBytes("UTF-8"))
+    def topo(codec: String) = Topology.load(
+      s"""
+        |[sources.ev]
+        |  type = "file"
+        |  path = "$dir/in.txt"
+        |[transforms.p]
+        |  inputs = ["ev"]
+        |  type = "remap"
+        |  source = '. = parse_json!(.message)'
+        |[sinks.out]
+        |  inputs = ["p"]
+        |  type = "file"
+        |  path = "$dir/out"
+        |  [sinks.out.encoding]
+        |    codec = "$codec"
+        |""".stripMargin)
+    assert(topo("json").execute(spark)("out") == 2L)
+    val lines = spark.read.text(s"$dir/out").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(lines == Seq("{\"k\":5,\"s\":\"x\"}", "{\"k\":7}"), lines.toString)
+    // a column-shaped codec has nothing static to encode — loud refusal,
+    // never silent empty lines
+    val e = intercept[Exception](topo("logfmt").execute(spark))
+    assert(e.getMessage.contains("dynamic-root"))
+    // the vrl one-shot verb renders the root value too
+    val (outs, _) = graft.config.VrlRunner.eval(spark,
+      ". = parse_json!(.message)",
+      Seq("{\"message\": \"{\\\"a\\\": 1}\"}"))
+    assert(outs == Seq("{\"a\":1}"), outs.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("blackhole sink: consumes, counts, and reports") {
     val dir = Files.createTempDirectory("graft-configio-bh")
     spark.range(5).select(col("id").cast("string").as("k"))
