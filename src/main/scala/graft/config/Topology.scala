@@ -1445,41 +1445,51 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     })
     val proc = pb.start()
     proc.getOutputStream.close() // stdin not needed (mod.rs:663)
-    // drain stderr CONCURRENTLY: sequential reads deadlock once the
-    // unread pipe's buffer fills
-    val errLines = new java.util.concurrent.atomic.AtomicReference[Vector[String]](Vector.empty)
-    val errT = new Thread(() => {
-      val src = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
-      try errLines.set(src.getLines().toVector) finally src.close()
-    })
-    errT.setDaemon(true); errT.start()
-    val outSrc = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-    val outLines = try outSrc.getLines().toVector finally outSrc.close()
+    // drain BOTH pipes on reader threads (sequential reads deadlock
+    // once the unread pipe's buffer fills) so the MAIN thread owns the
+    // timed wait — a command that hangs while holding its pipes open
+    // must still be killed after exec_interval_secs
+    def drain(in: java.io.InputStream) = {
+      val ref = new java.util.concurrent.atomic.AtomicReference[Vector[String]](Vector.empty)
+      val t = new Thread(() => {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try ref.set(src.getLines().toVector)
+        catch { case _: java.io.IOException => () } // killed mid-read
+        finally src.close()
+      })
+      t.setDaemon(true); t.start()
+      (ref, t)
+    }
+    val (outRef, outT) = drain(proc.getInputStream)
+    val (errRef, errT) = drain(proc.getErrorStream)
     if (!proc.waitFor(timeoutSecs, java.util.concurrent.TimeUnit.SECONDS)) {
       proc.destroyForcibly()
       throw new IllegalStateException(
         s"source $name: command ${command.head} exceeded exec_interval_secs=" +
           s"$timeoutSecs and was killed")
     }
-    errT.join(10000)
+    outT.join(10000); errT.join(10000)
     val pid = proc.pid()
 
     import spark.implicits._
     val tagged: Seq[(String, String, Long)] =
-      (outLines.map((_, "stdout")) ++
-        (if (includeStderr) errLines.get().map((_, "stderr")) else Vector.empty))
+      (outRef.get().map((_, "stdout")) ++
+        (if (includeStderr) errRef.get().map((_, "stderr")) else Vector.empty))
         .zipWithIndex.map { case ((line, stream), i) => (line, stream, i.toLong) }
     val lines = tagged.toDF("message", "__stream", SeqCol)
-    val decoded = decodeLines(spark, name, codec,
-      Frame(lines.drop("__stream"), EventMeta(ListMap("message" -> VStr), None)))
+    // bytes is the identity codec: keep the per-line stream tag as a
+    // real column (a typedLit seq→tag map would inline an output-sized
+    // literal into the plan); structured codecs re-infer rows, so they
+    // run stdout-only (guarded above) and tag a constant
+    val decoded =
+      if (codec == "bytes")
+        Frame(lines.withColumnRenamed("__stream", "stream"),
+          EventMeta(ListMap("message" -> VStr, "stream" -> VStr), None))
+      else decodeLines(spark, name, codec,
+        Frame(lines.drop("__stream"), EventMeta(ListMap("message" -> VStr), None)))
     if (decoded.metric) decoded // handle_event stamps logs only
     else {
-      val streamCol =
-        if (codec == "bytes")
-          // row identity survives the bytes codec: join the tag back by seq
-          element_at(map_from_arrays(
-            typedLit(tagged.map(_._3)), typedLit(tagged.map(_._2))), col(SeqCol))
-        else lit("stdout")
+      val streamCol = lit("stdout")
       val host = java.net.InetAddress.getLocalHost.getHostName
       val stamps: Seq[(String, Column, VT)] = Seq(
         ("stream", streamCol, VStr),
@@ -1833,9 +1843,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       }
       val value = m.tab("value").getOrElse(throw new IllegalArgumentException(
         s"source $name: metric $mName needs a value"))
+      def req(arm: TTab, which: String): Double = arm.dbl("value").getOrElse(
+        throw new IllegalArgumentException(
+          s"source $name: metric $mName $which arm needs a numeric 'value'"))
       val (vt, v) = (value.tab("counter"), value.tab("gauge")) match {
-        case (Some(c), None) => ("counter", c.dbl("value").getOrElse(0.0))
-        case (None, Some(g)) => ("gauge", g.dbl("value").getOrElse(0.0))
+        case (Some(c), None) => ("counter", req(c, "counter"))
+        case (None, Some(g)) => ("gauge", req(g, "gauge"))
         case _ => throw VrlUnsupported(
           s"source $name: metric $mName value " +
             s"${value.entries.keys.mkString(",")} (counter|gauge arms only " +
@@ -2091,7 +2104,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     if (in.meta.rootT.isDefined) {
       codec.getOrElse("json") match {
         case "json" =>
-          val wrapped = to_json(array(df.col("__root")))
+          // same micro timestampFormat as VrlRunner.render, so a
+          // root event prints identically through both paths
+          val wrapped = to_json(array(df.col("__root")),
+            java.util.Map.of("timestampFormat",
+              "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
           return wrapped.substr(lit(2), length(wrapped) - 2)
         case other => throw VrlUnsupported(
           s"sink $sinkName: codec $other over a dynamic-root event " +

@@ -210,20 +210,28 @@ object LuaInterp {
     // metatable-aware overrides of stdlib entries that need the
     // interpreter: __tostring/__name rendering and __index-honoring
     // ipairs (lua_geti semantics)
-    globals.rawSet(LStr("tostring"), LFn("tostring", args => {
-      val v = args.headOption.getOrElse(LNil)
-      v match {
-        case t: LTable if t.meta != null =>
-          t.meta.rawGet(LStr("__tostring")) match {
-            case LNil => t.meta.rawGet(LStr("__name")) match {
-              case LStr(n) => Seq(LStr(
-                n + ": 0x" + Integer.toHexString(System.identityHashCode(t))))
-              case _ => Seq(LStr(toDisplay(v)))
-            }
-            case h => Seq(callValue(h, Seq(t)).headOption.getOrElse(LNil))
+    private def metaToString(v: LV): String = v match {
+      case t: LTable if t.meta != null =>
+        t.meta.rawGet(LStr("__tostring")) match {
+          case LNil => t.meta.rawGet(LStr("__name")) match {
+            case LStr(n) =>
+              n + ": 0x" + Integer.toHexString(System.identityHashCode(t))
+            case _ => toDisplay(v)
           }
-        case _ => Seq(LStr(toDisplay(v)))
-      }
+          case h => callValue(h, Seq(t)).headOption match {
+            case Some(LStr(s)) => s
+            case Some(other) => toDisplay(other)
+            case None => toDisplay(v)
+          }
+        }
+      case _ => toDisplay(v)
+    }
+    globals.rawSet(LStr("tostring"), LFn("tostring", args =>
+      Seq(LStr(metaToString(args.headOption.getOrElse(LNil))))))
+    // print formats through tostring, like luaB_print
+    globals.rawSet(LStr("print"), LFn("print", args => {
+      System.err.println(args.map(metaToString).mkString("\t"))
+      Nil
     }))
     globals.rawSet(LStr("ipairs"), LFn("ipairs", args => {
       val t = args.headOption.getOrElse(LNil)
@@ -241,6 +249,11 @@ object LuaInterp {
     // -------------------------------------------------- coroutines
     // (see [[LCoro]] for the handoff model and thread-lifetime note)
     locally {
+      // the main thread's coroutine object (lua_newstate's main co):
+      // running/normal by position, never resumable, never dead
+      val mainCoro = new LCoro(LNil)
+      mainCoro.status = "running"
+      mainCoro.started = true
       def coroArg(name: String, args: Seq[LV]): LCoro =
         args.headOption.getOrElse(LNil) match {
           case co: LCoro => co
@@ -299,7 +312,10 @@ object LuaInterp {
       coroT.rawSet(LStr("status"), LFn("coroutine.status", args => {
         val co = coroArg("status", args)
         Seq(LStr(
-          if (co eq currentCoro.get()) "running"
+          if (co eq mainCoro) {
+            if (currentCoro.get() == null) "running" else "normal"
+          }
+          else if (co eq currentCoro.get()) "running"
           // a 'running' coroutine observed from a coroutine it resumed
           // reads 'normal', like lcorolib
           else if (co.status == "running") "normal"
@@ -317,7 +333,9 @@ object LuaInterp {
         Seq(LBool(currentCoro.get() != null))))
       coroT.rawSet(LStr("running"), LFn("coroutine.running", _ => {
         val co = currentCoro.get()
-        if (co == null) Seq(LNil, LBool(true)) else Seq(co, LBool(false))
+        // the main thread returns ITS coroutine object (not nil) plus
+        // the is-main flag, like lua_pushthread/lcorolib
+        if (co == null) Seq(mainCoro, LBool(true)) else Seq(co, LBool(false))
       }))
       coroT.rawSet(LStr("close"), LFn("coroutine.close", args => {
         val co = coroArg("close", args)

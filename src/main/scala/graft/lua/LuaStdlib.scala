@@ -167,7 +167,11 @@ object LuaStdlib {
       val t = asTable("setmetatable", a, 1)
       if (t.meta != null && t.meta.rawGet(LStr("__metatable")) != LNil)
         throw LuaError(LStr("cannot change a protected metatable"))
-      a.lift(1).getOrElse(LNil) match {
+      // a MISSING second argument is an error (luaB_setmetatable:
+      // LUA_TNONE ≠ LUA_TNIL); only an explicit nil clears
+      if (a.length < 2) throw LuaError(LStr(
+        "bad argument #2 to 'setmetatable' (nil or table expected)"))
+      a(1) match {
         case mt: LTable => t.meta = mt
         case LNil => t.meta = null
         case other => argErr("setmetatable", 2, "nil or table", other)
@@ -424,12 +428,18 @@ object LuaStdlib {
       }
     })
     mathT.rawSet(LStr("random"), fn("random") { a =>
-      // empty intervals raise a catchable Lua error (never a JVM
-      // ArithmeticException out of floorMod-by-zero)
+      // empty intervals raise a catchable Lua error, and the width is
+      // computed mod 2^64 (UNSIGNED remainder): hi-lo+1 wraps for huge
+      // ranges — 0 means the full 2^64 interval — where a signed
+      // floorMod would throw ArithmeticException or leave the interval
       def interval(lo: Long, hi: Long): Seq[LV] = {
         if (lo > hi) throw LuaError(LStr(
           "bad argument #2 to 'random' (interval is empty)"))
-        one(LInt(lo + math.floorMod(rng.nextLong(), hi - lo + 1)))
+        val width = hi - lo + 1
+        val draw =
+          if (width == 0) rng.nextLong()
+          else lo + java.lang.Long.remainderUnsigned(rng.nextLong(), width)
+        one(LInt(draw))
       }
       a.length match {
         case 0 => one(LNum(rng.nextDouble()))

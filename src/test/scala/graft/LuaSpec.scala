@@ -507,6 +507,29 @@ class LuaSpec extends SparkSpec {
       LStr("false:named"))
   }
 
+  test("lua: review-fix regressions — random width overflow, setmetatable arity, print/__tostring, main coroutine, duplicate labels") {
+    // full-2^64 and wrapping widths stay in-interval and catchable
+    assert(runRet("local v = math.random(math.mininteger, math.maxinteger); " +
+      "return type(v)") == LStr("number"))
+    assert(runRet("local v = math.random(0, math.maxinteger); return v >= 0") ==
+      LBool(true))
+    // missing second arg errors; explicit nil clears
+    assert(runRet("local t = setmetatable({}, {__index = function() return 1 end}); " +
+      "local ok = pcall(setmetatable, t); " +
+      "return tostring(ok) .. ':' .. tostring(t.x)") == LStr("false:1"))
+    assert(runRet("local t = setmetatable({}, {__index = function() return 1 end}); " +
+      "setmetatable(t, nil); return t.x == nil") == LBool(true))
+    // coroutine.running on the main thread returns a real thread object
+    assert(runRet("local co, main = coroutine.running(); " +
+      "return type(co) .. ':' .. tostring(main) .. ':' .. coroutine.status(co)") ==
+      LStr("thread:true:running"))
+    assert(runRet("local co, main = coroutine.running(); " +
+      "local ok = coroutine.resume(co); return tostring(ok)") == LStr("false"))
+    // duplicate labels in one block are a parse error
+    val e = intercept[Exception](LuaAst.parse("::a:: x = 1 ::a:: goto a"))
+    assert(e.getMessage.contains("already defined"))
+  }
+
   test("lua utf8: char/codepoint/len/codes/offset over code points") {
     assert(runRet("return utf8.char(104, 105, 0x20AC)") == LStr("hi€"))
     assert(runRet("return utf8.len('héllo')") == LInt(5))
