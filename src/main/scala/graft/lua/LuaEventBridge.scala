@@ -123,33 +123,49 @@ object LuaEventBridge {
     * `{"__graft_ts": iso}`; pure 1..n sequences become arrays; other
     * tables become objects with stringified keys.
     */
-  def luaToJson(v: LV): JsonNode = v match {
-    case LNil => F.nullNode()
-    case LBool(b) => F.booleanNode(b)
-    case LInt(i) => F.numberNode(i)
-    case LNum(d) => F.numberNode(d)
-    case LStr(s) => F.textNode(s)
-    case t: LTable =>
-      if (isTsTable(t)) {
-        val o = F.objectNode()
-        o.set[JsonNode](TsKey, F.textNode(IsoFmt.format(tableToInstant(t))))
-        o
-      } else {
-        val n = t.len
-        if (n > 0 && t.m.size == n) {
-          val a = F.arrayNode()
-          t.arrayValues.foreach(e => a.add(luaToJson(e)))
-          a
-        } else {
-          val o = F.objectNode()
-          t.m.foreach { case (k, e) =>
-            o.set[JsonNode](toDisplay(k), luaToJson(e))
+  def luaToJson(v: LV): JsonNode = {
+    // Identity set of tables on the current descent path: a script that
+    // emits a self-referential table (t.self = t) must raise a
+    // recoverable LuaError — the event is then dropped like any other
+    // script error — not blow the JVM stack (StackOverflowError is an
+    // Error and would escape the hook's catch and kill the Spark task;
+    // the reference's mlua serializer errors recoverably too).
+    val onPath = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LTable, java.lang.Boolean]())
+    def go(v: LV): JsonNode = v match {
+      case LNil => F.nullNode()
+      case LBool(b) => F.booleanNode(b)
+      case LInt(i) => F.numberNode(i)
+      case LNum(d) => F.numberNode(d)
+      case LStr(s) => F.textNode(s)
+      case t: LTable =>
+        if (!onPath.add(t))
+          throw LuaError(LStr("cannot serialize recursive table into an event"))
+        val out =
+          if (isTsTable(t)) {
+            val o = F.objectNode()
+            o.set[JsonNode](TsKey, F.textNode(IsoFmt.format(tableToInstant(t))))
+            o
+          } else {
+            val n = t.len
+            if (n > 0 && t.m.size == n) {
+              val a = F.arrayNode()
+              t.arrayValues.foreach(e => a.add(go(e)))
+              a
+            } else {
+              val o = F.objectNode()
+              t.m.foreach { case (k, e) =>
+                o.set[JsonNode](toDisplay(k), go(e))
+              }
+              o
+            }
           }
-          o
-        }
-      }
-    case other =>
-      throw LuaError(LStr(s"cannot serialize a ${typeName(other)} value into an event"))
+        onPath.remove(t)
+        out
+      case other =>
+        throw LuaError(LStr(s"cannot serialize a ${typeName(other)} value into an event"))
+    }
+    go(v)
   }
 
   // ------------------------------------------------------- v1 event
@@ -212,28 +228,40 @@ object LuaEventBridge {
     }
 
     private def insert(path: List[Either[String, Int]], v: LV): Unit = {
+      // A path whose segment type disagrees with the existing node
+      // (e.g. `event['[0]']` indexing the object root) is a no-op, like
+      // remove's mismatch arm — never an asInstanceOf ClassCastException
+      // that would escape the script-error handling and fail the task.
       def step(parent: JsonNode, rest: List[Either[String, Int]]): Unit = rest match {
-        case Left(name) :: Nil =>
-          parent.asInstanceOf[ObjectNode].set[JsonNode](name, toNode(v)); ()
-        case Right(ix) :: Nil =>
-          val arr = parent.asInstanceOf[ArrayNode]
-          while (arr.size() <= ix) arr.add(F.nullNode())
-          arr.set(ix, toNode(v)); ()
-        case Left(name) :: tail =>
-          val obj = parent.asInstanceOf[ObjectNode]
-          val next = obj.get(name)
-          val child: JsonNode =
-            if (tail.head.isLeft) { if (next != null && next.isObject) next else { val o = F.objectNode(); obj.set[JsonNode](name, o); o } }
-            else { if (next != null && next.isArray) next else { val a = F.arrayNode(); obj.set[JsonNode](name, a); a } }
-          step(child, tail)
-        case Right(ix) :: tail =>
-          val arr = parent.asInstanceOf[ArrayNode]
-          while (arr.size() <= ix) arr.add(F.nullNode())
-          val next = arr.get(ix)
-          val child: JsonNode =
-            if (tail.head.isLeft) { if (next != null && next.isObject) next else { val o = F.objectNode(); arr.set(ix, o); o } }
-            else { if (next != null && next.isArray) next else { val a = F.arrayNode(); arr.set(ix, a); a } }
-          step(child, tail)
+        case Left(name) :: Nil => parent match {
+          case obj: ObjectNode => obj.set[JsonNode](name, toNode(v)); ()
+          case _ => ()
+        }
+        case Right(ix) :: Nil => parent match {
+          case arr: ArrayNode =>
+            while (arr.size() <= ix) arr.add(F.nullNode())
+            arr.set(ix, toNode(v)); ()
+          case _ => ()
+        }
+        case Left(name) :: tail => parent match {
+          case obj: ObjectNode =>
+            val next = obj.get(name)
+            val child: JsonNode =
+              if (tail.head.isLeft) { if (next != null && next.isObject) next else { val o = F.objectNode(); obj.set[JsonNode](name, o); o } }
+              else { if (next != null && next.isArray) next else { val a = F.arrayNode(); obj.set[JsonNode](name, a); a } }
+            step(child, tail)
+          case _ => ()
+        }
+        case Right(ix) :: tail => parent match {
+          case arr: ArrayNode =>
+            while (arr.size() <= ix) arr.add(F.nullNode())
+            val next = arr.get(ix)
+            val child: JsonNode =
+              if (tail.head.isLeft) { if (next != null && next.isObject) next else { val o = F.objectNode(); arr.set(ix, o); o } }
+              else { if (next != null && next.isArray) next else { val a = F.arrayNode(); arr.set(ix, a); a } }
+            step(child, tail)
+          case _ => ()
+        }
         case Nil => ()
       }
       step(root, path)

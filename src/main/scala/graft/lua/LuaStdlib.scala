@@ -138,7 +138,22 @@ object LuaStdlib {
 
     g.rawSet(LStr("pairs"), fn("pairs") { a =>
       a.headOption.getOrElse(LNil) match {
-        case t: LTable => Seq(nextFn, t, LNil)
+        case t: LTable =>
+          // Stateful iterator: one key snapshot + an index, so a full
+          // traversal is O(n) instead of next()'s linear re-scan per
+          // step (O(n^2) per table, per row, per partition). Keys
+          // deleted mid-walk are skipped — the one mutation Lua's
+          // `next` contract allows during traversal.
+          val keys = t.m.keys.toVector
+          var i = 0
+          val it = fn("pairsnext") { _ =>
+            while (i < keys.length && !t.m.contains(keys(i))) i += 1
+            if (i < keys.length) {
+              val k = keys(i); i += 1
+              Seq(k, t.m(k))
+            } else one(LNil)
+          }
+          Seq(it, t, LNil)
         case u: LUserData =>
           // userdata pairs: a stateful iterator over the host's keys
           val keys = u.keys()

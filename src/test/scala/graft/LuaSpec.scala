@@ -711,4 +711,60 @@ class LuaSpec extends SparkSpec {
         |""".stripMargin))
     assert(e2.getMessage.toLowerCase.contains("parse"))
   }
+
+  // --------------------------------------------- round-4 review fixes
+  test("lua: malformed numerals raise LuaSyntaxError, not raw JVM errors") {
+    import graft.lua.LuaAst.LuaSyntaxError
+    intercept[LuaSyntaxError](LuaAst.parse("return 0x"))
+    intercept[LuaSyntaxError](LuaAst.parse("return 1..2"))
+    // oversized hex wraps mod 2^64 like real Lua
+    assert(runRet("return 0xFFFFFFFFFFFFFFFF") == LInt(-1L))
+    assert(runRet("return 0x1FFFFFFFFFFFFFFFF") == LInt(-1L))
+    // oversized decimal integers read as floats (Lua 5.4)
+    assert(runRet("return 99999999999999999999") == LNum(1e20))
+  }
+
+  test("lua: serializing a recursive table is a catchable script error") {
+    import graft.lua.LuaEventBridge
+    val vm = new VM(() => 1700000000000L)
+    val t = vm.evalExpr("(function() local t = {}; t.self = t; return t end)()")
+    val e = intercept[LuaError](LuaEventBridge.luaToJson(t))
+    assert(toDisplay(e.value).contains("recursive"))
+    // sibling references (a DAG, not a cycle) still serialize
+    val dag = vm.evalExpr(
+      "(function() local leaf = {x = 1}; return {a = leaf, b = leaf} end)()")
+    val n = LuaEventBridge.luaToJson(dag)
+    assert(n.get("a").get("x").asInt() == 1 && n.get("b").get("x").asInt() == 1)
+  }
+
+  test("lua: v1 event writes with mismatched path shapes are no-ops, not crashes") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import graft.lua.LuaEventBridge.V1Event
+    import graft.config.UnitTestHarness
+    val root = new ObjectMapper().readTree("""{"message":"hi"}""")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    // minimal path parser: "[0]" → array index at root, "a[2]" → field + index
+    val pathParse: String => List[Either[String, Int]] = {
+      case "[0]" => List(Right(0))
+      case "message[2]" => List(Left("message"), Right(2))
+      case k => List(Left(k))
+    }
+    val ev = new V1Event(root, pathParse)
+    ev.set(LStr("[0]"), LStr("x"))          // array index into the object root
+    ev.set(LStr("message[2]"), LStr("x"))   // array index under a scalar field? containers replace
+    assert(root.get("message") != null)
+    assert(ev.get(LStr("message")) != LNil)
+  }
+
+  test("lua: pairs traverses a full table in one pass and allows deletes") {
+    assert(runRet(
+      """local t = {}
+        |for i = 1, 200 do t['k' .. i] = i end
+        |local sum, n = 0, 0
+        |for k, v in pairs(t) do
+        |  sum = sum + v; n = n + 1
+        |  if v % 2 == 0 then t[k] = nil end
+        |end
+        |return sum * 1000 + n""".stripMargin) == LInt(20100L * 1000 + 200))
+  }
 }
