@@ -54,6 +54,15 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
   // (secrets resolve on the raw config before deserialization)
   Secrets.interpolate(root, resolvePath)
 
+  /** Listening ingest endpoints opened by `loadStreamingSources`
+    * (syslog / http_server): exposed so a caller can learn ephemeral
+    * bound ports and must be closed with [[closeIngest]] when the
+    * streaming run ends (the reference's source shutdown).
+    */
+  val ingestListeners: scala.collection.mutable.Buffer[graft.streaming.TcpIngest] =
+    scala.collection.mutable.Buffer.empty
+  def closeIngest(): Unit = { ingestListeners.foreach(_.close()); ingestListeners.clear() }
+
   // the reference's GLOBAL `timezone` option (inherited by every remap,
   // src/config/mod.rs): this engine compiles everything UTC — honoring
   // a non-UTC zone silently wrong is worse than refusing at load
@@ -1160,9 +1169,37 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           // streaming path (Cli run-stream) carries it
           throw VrlUnsupported(s"source $name: socket is streaming-only " +
             "(use Cli run-stream; batch runs read files/tables)")
+        case Some("syslog") =>
+          // reference src/sources/syslog.rs: a listening daemon
+          // (tcp/udp/unix). The STREAMING path listens on a real TCP
+          // socket; a bounded batch run replays a capture file through
+          // the same octet-counting-with-newline-fallback framer
+          // (RFC 6587; octet_counting.rs) — the identical state
+          // machine, minus the connection.
+          if (cfg.str("path").isEmpty) throw VrlUnsupported(
+            s"source $name: syslog listening is streaming-only " +
+              "(use Cli run-stream; batch runs replay a capture file via `path`)")
+          val maxLen = cfg.long("max_length").getOrElse(102400L).toInt
+          val lines = framedMessages(spark, path,
+            () => new Framing.OctetCounting(maxLen))
+          // no connection in a replay: host is the parsed hostname only
+          syslogDecode(lines.df, peer = Some(lit(null).cast("string")))
         case Some("file") =>
           val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
-          val linesFrame: Frame = cfg.tab("multiline") match {
+          val framingTab = cfg.tab("framing")
+          val framingMethod = framingTab.flatMap(_.str("method"))
+            .getOrElse("newline_delimited")
+          val explicitFraming = framingTab.isDefined &&
+            (framingMethod != "newline_delimited" ||
+              framingTab.exists(_.tab("newline_delimited").isDefined))
+          if (explicitFraming && cfg.tab("multiline").isDefined)
+            throw VrlUnsupported(
+              s"source $name: multiline composes over newline framing " +
+                s"only (framing.method = $framingMethod)")
+          val linesFrame: Frame = if (explicitFraming)
+            framedMessages(spark, path,
+              Framing.builder(framingMethod, framingTab, s"source $name"))
+          else cfg.tab("multiline") match {
             case Some(ml) =>
               // the file source's multiline aggregation
               // (src/sources/util/multiline_config.rs: start_pattern /
@@ -1244,31 +1281,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         val df = spark.read.json(lines.df.select(msg).as[String])
         val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
         Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(df.schema))
-      case "syslog" =>
-        val v = VrlParsers.syslog(msg).cv.col
-        def s(n: String) = try_variant_get(v, s"$$.$n", "string")
-        val statics = Seq("message", "timestamp", "hostname", "severity",
-          "facility", "version", "appname", "msgid", "procid")
-        val sd = try_parse_json(to_json(map_filter(
-          try_variant_get(v, "$", "map<string, variant>"),
-          (k, _x) => !statics.map(lit(_) === k).reduce(_ || _))))
-        val df = lines.df.select(
-          s("message").as("message"),
-          s("timestamp").cast("timestamp").as("timestamp"),
-          s("hostname").as("hostname"),
-          s("severity").as("severity"),
-          s("facility").as("facility"),
-          try_variant_get(v, "$.version", "bigint").as("version"),
-          s("appname").as("appname"),
-          s("msgid").as("msgid"),
-          s("procid").as("procid"),
-          sd.as("structured_data"),
-          col(SeqCol))
-        Frame(df, EventMeta(ListMap(
-          "message" -> VStr, "timestamp" -> VTime, "hostname" -> VStr,
-          "severity" -> VStr, "facility" -> VStr, "version" -> VInt,
-          "appname" -> VStr, "msgid" -> VStr, "procid" -> VStr,
-          "structured_data" -> VAny), None))
+      case "syslog" => syslogDecode(lines.df, peer = None)
       case "gelf" =>
         val g = graft.functions.Parsers.parseGelf(msg)
         val df = lines.df.select(
@@ -1313,6 +1326,67 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case other =>
         throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
     }
+  }
+
+  /** The RFC 5424 decode shared by `decoding.codec = "syslog"` and the
+    * `syslog` SOURCE type. `peer` (the connection's remote address, when
+    * there is one) adds the source's enrichment columns
+    * (src/sources/syslog.rs:400-434 enrich_syslog_event): `host` =
+    * parsed hostname, falling back to the peer address, and
+    * `source_type = "syslog"`.
+    */
+  private def syslogDecode(dfIn: DataFrame, peer: Option[Column]): Frame = {
+    val msg = col("message")
+    val v = VrlParsers.syslog(msg).cv.col
+    def s(n: String) = try_variant_get(v, s"$$.$n", "string")
+    val statics = Seq("message", "timestamp", "hostname", "severity",
+      "facility", "version", "appname", "msgid", "procid")
+    val sd = try_parse_json(to_json(map_filter(
+      try_variant_get(v, "$", "map<string, variant>"),
+      (k, _x) => !statics.map(lit(_) === k).reduce(_ || _))))
+    val base = Seq(
+      s("message").as("message"),
+      s("timestamp").cast("timestamp").as("timestamp"),
+      s("hostname").as("hostname"),
+      s("severity").as("severity"),
+      s("facility").as("facility"),
+      try_variant_get(v, "$.version", "bigint").as("version"),
+      s("appname").as("appname"),
+      s("msgid").as("msgid"),
+      s("procid").as("procid"),
+      sd.as("structured_data"))
+    val extra = peer.toSeq.flatMap(p => Seq(
+      coalesce(s("hostname"), p).as("host"),
+      lit("syslog").as("source_type")))
+    val df = dfIn.select(base ++ extra :+ col(SeqCol): _*)
+    val extraT = if (peer.isDefined)
+      ListMap("host" -> VStr, "source_type" -> VStr) else ListMap.empty[String, VT]
+    Frame(df, EventMeta(ListMap(
+      "message" -> VStr, "timestamp" -> VTime, "hostname" -> VStr,
+      "severity" -> VStr, "facility" -> VStr, "version" -> VInt,
+      "appname" -> VStr, "msgid" -> VStr, "procid" -> VStr,
+      "structured_data" -> VAny) ++ extraT, None))
+  }
+
+  /** Byte-stream sources with a non-newline `[framing]`: whole files
+    * framed by one state machine per file (framing is sequential
+    * WITHIN a stream; the parallel unit IS the stream — at scale each
+    * capture file frames in its own task, so a directory of captures
+    * uses the full cluster; `binaryFile` never splits a file, which is
+    * exactly the isolation the framer needs). Frames decode as UTF-8
+    * `message` strings for the codec layer, `__seq` the content hash
+    * like every batch line source.
+    */
+  private def framedMessages(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             framerB: () => Framing.Framer): Frame = {
+    import spark.implicits._
+    val df = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => framerB().frameAll(bytes).map(new String(_, "UTF-8")))
+      .toDF("message")
+    Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
+      EventMeta(ListMap("message" -> VStr), None))
   }
 
   /** `type = "demo_logs"` (reference src/sources/demo_logs.rs): fake
@@ -2302,6 +2376,28 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           val df = filtered(spark.readStream.schema(schema)).parquet(dir)
           val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
           Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(schema))
+        case Some("syslog") =>
+          // the reference's listening syslog daemon
+          // (src/sources/syslog.rs): bind `address`, accept
+          // connections, octet-counting framing with newline fallback
+          // per connection (RFC 6587), RFC 5424 decode, `host` +
+          // `source_type` enrichment with the peer address as the
+          // hostname fallback. `port 0` binds ephemeral —
+          // `activeIngest` exposes the bound port.
+          val mode = cfg.str("mode").getOrElse("tcp")
+          if (mode != "tcp") throw VrlUnsupported(
+            s"source $name: syslog mode $mode (tcp only — udp/unix " +
+              "datagrams have no JVM listener analog here)")
+          val addr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (host, port) = splitHostPort(name, addr)
+          val maxLen = cfg.long("max_length").getOrElse(102400L).toInt
+          val ingest = new graft.streaming.TcpIngest(spark, host, port,
+            () => new Framing.OctetCounting(maxLen))
+          ingestListeners += ingest
+          syslogDecode(
+            ingest.df.withColumn(SeqCol, xxhash64(col("message"))),
+            peer = Some(col("peer")))
         case Some("socket") =>
           // reference src/sources/socket/mod.rs: mode tcp|udp|unix_*,
           // address, decoding codec. TCP stream mode maps onto Spark's
@@ -2499,7 +2595,7 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client", "parquet",
-    "socket", "static_metrics")
+    "socket", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

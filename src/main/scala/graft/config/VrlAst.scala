@@ -185,7 +185,7 @@ object VrlAst {
             case '"' => '"'; case '\'' => '\''; case '\\' => '\\'
             case 'e' => '\u001b' // ESC (strip_ansi_escape_codes.cue)
             case '{' => '{'; case '}' => '}' // literal template braces
-            case '0' => ' '
+            case '0' => '\u0000'
             // VRL rejects unknown escapes at compile time — swallowing
             // the backslash would silently corrupt data ("C:\dir" →
             // "C:dir"); surface the program error instead

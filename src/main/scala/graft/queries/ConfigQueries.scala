@@ -495,6 +495,70 @@ object ConfigQueries {
        ) AS t(stream, message, k, v)
        ORDER BY stream, message"""
 
+  /** `syslog` config source end-to-end: a framed capture derived from
+    * `events` (even event_ids octet-counted per RFC 6587, odd ones
+    * newline-framed — the sniff handles both), written as a multi-file
+    * text dir (each part file framed independently — the parallel
+    * unit at scale), replayed through `type = "syslog"` → RFC 5424
+    * parse → a filter dropping the empty separator frames the text
+    * writer's record terminator leaves after counted payloads. The
+    * oracle recomputes every parsed field directly from `events` —
+    * an independent derivation, no string parsing shared.
+    */
+  private def qConfigSyslog(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "events")
+    val line = concat(
+      lit("<"), (col("user_id") % 8 + 9).cast("int"), lit(">1 "),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit(" host-"), col("user_id") % 5,
+      lit(" "), col("event_type"), lit(" "), col("event_id") % 100,
+      lit(" ID"), col("event_id") % 10, lit(" - event "), col("event_id"))
+    val wire = e.select(
+      when(col("event_id") % 2 === 0,
+        concat(octet_length(line).cast("string"), lit(" "), line))
+        .otherwise(line).as("value"))
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_syslog_capture")
+    wire.write.mode("overwrite").text(out.getAbsolutePath)
+    val topo = Topology.load(
+      s"""
+         |[sources.logs]
+         |  type = "syslog"
+         |  path = "${out.getAbsolutePath}"
+         |[transforms.ok]
+         |  inputs = ["logs"]
+         |  type = "filter"
+         |  condition = '.appname != null'
+         |""".stripMargin)
+    topo.run(topo.loadSources(s))("ok").df
+      .select(
+        element_at(split(col("message"), " "), 2).cast("bigint").as("event_id"),
+        col("appname"), col("hostname"), col("severity"), col("facility"),
+        col("version"), col("procid"), col("msgid"), col("message"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts_iso"),
+        col("host"), col("source_type"))
+      .orderBy("event_id")
+  }
+
+  private val oracleConfigSyslog: String =
+    """SELECT event_id,
+         event_type AS appname,
+         'host-' || (user_id % 5) AS hostname,
+         CASE (user_id % 8 + 9) % 8
+           WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit'
+           WHEN 3 THEN 'err' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice'
+           WHEN 6 THEN 'info' ELSE 'debug' END AS severity,
+         CASE (user_id % 8 + 9) // 8
+           WHEN 1 THEN 'user' ELSE 'mail' END AS facility,
+         CAST(1 AS BIGINT) AS version,
+         CAST(event_id % 100 AS VARCHAR) AS procid,
+         'ID' || (event_id % 10) AS msgid,
+         'event ' || event_id AS message,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+         'host-' || (user_id % 5) AS host,
+         'syslog' AS source_type
+       FROM events ORDER BY event_id"""
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
@@ -503,7 +567,8 @@ object ConfigQueries {
     "q_config_window" -> (qConfigWindow _),
     "q_config_lua" -> (qConfigLua _),
     "q_config_observe" -> (qConfigObserve _),
-    "q_config_exec" -> (qConfigExec _)
+    "q_config_exec" -> (qConfigExec _),
+    "q_config_syslog" -> (qConfigSyslog _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -514,6 +579,7 @@ object ConfigQueries {
     "q_config_window" -> oracleConfigWindow,
     "q_config_lua" -> oracleConfigLua,
     "q_config_observe" -> oracleConfigObserve,
-    "q_config_exec" -> oracleConfigExec
+    "q_config_exec" -> oracleConfigExec,
+    "q_config_syslog" -> oracleConfigSyslog
   )
 }
