@@ -59,7 +59,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * bound ports and must be closed with [[closeIngest]] when the
     * streaming run ends (the reference's source shutdown).
     */
-  val ingestListeners: scala.collection.mutable.Buffer[graft.streaming.TcpIngest] =
+  val ingestListeners: scala.collection.mutable.Buffer[graft.streaming.IngestListener] =
     scala.collection.mutable.Buffer.empty
   def closeIngest(): Unit = { ingestListeners.foreach(_.close()); ingestListeners.clear() }
 
@@ -1169,6 +1169,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           // streaming path (Cli run-stream) carries it
           throw VrlUnsupported(s"source $name: socket is streaming-only " +
             "(use Cli run-stream; batch runs read files/tables)")
+        case Some("http_server") =>
+          throw VrlUnsupported(s"source $name: http_server is " +
+            "streaming-only (a push listener has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("syslog") =>
           // reference src/sources/syslog.rs: a listening daemon
           // (tcp/udp/unix). The STREAMING path listens on a real TCP
@@ -1272,30 +1276,39 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * a content hash (batch tables have no arrival order).
     */
   private def decodeLines(spark: org.apache.spark.sql.SparkSession,
-                          name: String, codec: String, lines: Frame): Frame = {
+                          name: String, codec: String, lines: Frame,
+                          keep: Seq[(String, VT)] = Nil): Frame = {
     val msg = col("message")
+    val keepCols = keep.map { case (n, _) => col(s"`$n`") }
     codec match {
       case "bytes" => lines
       case "json" =>
+        if (keep.nonEmpty) throw VrlUnsupported(
+          s"source $name: json decoding cannot carry request envelope " +
+            "fields (inferred schema) — use bytes + remap parse_json")
         import spark.implicits._
         val df = spark.read.json(lines.df.select(msg).as[String])
         val seq = xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*)
         Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(df.schema))
-      case "syslog" => syslogDecode(lines.df, peer = None)
+      case "syslog" => syslogDecode(lines.df, peer = None, keep = keep)
       case "gelf" =>
         val g = graft.functions.Parsers.parseGelf(msg)
-        val df = lines.df.select(
+        val df = lines.df.select(Seq(
           g.getField("version").as("version"),
           g.getField("host").as("host"),
           g.getField("short_message").as("message"),
           timestamp_micros((g.getField("timestamp") * 1000000L).cast("long"))
             .as("timestamp"),
-          g.getField("level").cast("bigint").as("level"),
-          col(SeqCol))
+          g.getField("level").cast("bigint").as("level")) ++
+          keepCols :+ col(SeqCol): _*)
         Frame(df, EventMeta(ListMap(
           "version" -> VStr, "host" -> VStr, "message" -> VStr,
-          "timestamp" -> VTime, "level" -> VInt), None))
+          "timestamp" -> VTime, "level" -> VInt) ++
+          ListMap(keep: _*), None))
       case "influxdb" =>
+        if (keep.nonEmpty) throw VrlUnsupported(
+          s"source $name: influxdb decoding emits metric events — " +
+            "request envelope fields have no metric-model slot")
         import graft.functions.Parsers
         val m = nullif(Parsers.influxMeasurement(msg), lit(""))
         val tagStr = array_join(transform(
@@ -1323,6 +1336,35 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           // gauge — skipped, like influxdb.rs's FieldValue::String arm
           .filter(col("name").isNotNull && col("value").isNotNull)
         Frame(df, MetricMeta, metric = true)
+      case "statsd" =>
+        if (keep.nonEmpty) throw VrlUnsupported(
+          s"source $name: statsd decoding emits metric events — " +
+            "request envelope fields have no metric-model slot")
+        // statsd/DogStatsD lines → flat metric frame
+        // (src/sources/statsd/parser.rs — see StatsdCodec). A sampled
+        // distribution (`|ms|@0.1`) weights its sample 1/rate times:
+        // the flat model is one row per sample, so the weight explodes
+        // into that many rows (samples![val => rate as u32]).
+        val p = graft.functions.StatsdCodec.parse(msg)
+        val df = lines.df
+          .select(p.as("m"), col(SeqCol))
+          .filter(col("m").isNotNull)
+          .select(
+            col("m.name").as("name"),
+            lit(null).cast("string").as("namespace"),
+            col("m.tags").as("tags"),
+            col("m.kind").as("kind"),
+            col("m.value_type").as("value_type"),
+            col("m.value").as("value"),
+            lit(null).cast("timestamp").as("ts"),
+            col(SeqCol), col("m.weight").as("__w"))
+          .select(col("name"), col("namespace"), col("tags"), col("kind"),
+            col("value_type"), col("value"), col("ts"),
+            explode(sequence(lit(1L), col("__w"))).as("__i"), col(SeqCol))
+          .select(col("name"), col("namespace"), col("tags"), col("kind"),
+            col("value_type"), col("value"), col("ts"),
+            xxhash64(col(SeqCol), col("__i")).as(SeqCol))
+        Frame(df, MetricMeta, metric = true)
       case other =>
         throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
     }
@@ -1335,7 +1377,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * parsed hostname, falling back to the peer address, and
     * `source_type = "syslog"`.
     */
-  private def syslogDecode(dfIn: DataFrame, peer: Option[Column]): Frame = {
+  private def syslogDecode(dfIn: DataFrame, peer: Option[Column],
+                           keep: Seq[(String, VT)] = Nil): Frame = {
     val msg = col("message")
     val v = VrlParsers.syslog(msg).cv.col
     def s(n: String) = try_variant_get(v, s"$$.$n", "string")
@@ -1358,14 +1401,15 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val extra = peer.toSeq.flatMap(p => Seq(
       coalesce(s("hostname"), p).as("host"),
       lit("syslog").as("source_type")))
-    val df = dfIn.select(base ++ extra :+ col(SeqCol): _*)
+    val keepCols = keep.map { case (n, _) => col(s"`$n`") }
+    val df = dfIn.select(base ++ extra ++ keepCols :+ col(SeqCol): _*)
     val extraT = if (peer.isDefined)
       ListMap("host" -> VStr, "source_type" -> VStr) else ListMap.empty[String, VT]
     Frame(df, EventMeta(ListMap(
       "message" -> VStr, "timestamp" -> VTime, "hostname" -> VStr,
       "severity" -> VStr, "facility" -> VStr, "version" -> VInt,
       "appname" -> VStr, "msgid" -> VStr, "procid" -> VStr,
-      "structured_data" -> VAny) ++ extraT, None))
+      "structured_data" -> VAny) ++ extraT ++ ListMap(keep: _*), None))
   }
 
   /** Byte-stream sources with a non-newline `[framing]`: whole files
@@ -2014,6 +2058,30 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             in.df.select(line.as("value")).where(col("value").isNotNull),
             httpSinkCfg(name, cfg))
         case Some("blackhole") => blackhole(name, cfg, in)
+        case Some("prometheus_exporter") =>
+          // reference src/sinks/prometheus/exporter.rs SERVES the
+          // current metric state to scrapers; the bounded-batch analog
+          // renders the same exposition text to `path` (one scrape
+          // snapshot). `address` would imply a live listener — refused
+          // rather than silently written to disk.
+          if (cfg.str("address").isDefined) throw VrlUnsupported(
+            s"sink $name: prometheus_exporter address (a live scrape " +
+              "listener is a continuous-service concern; the batch " +
+              "form renders one snapshot to `path`)")
+          if (!in.metric) throw new IllegalArgumentException(
+            s"sink $name: prometheus_exporter needs metric events " +
+              "(feed it from log_to_metric/aggregate)")
+          val buckets = cfg.arr("buckets").collect {
+            case TFloat(d) => d
+            case TInt(n) => n.toDouble
+          } match { case Vector() => graft.operators.Prometheus.DefaultBuckets
+                    case bs => bs }
+          val lines = graft.operators.Prometheus.exposition(
+            in.df, cfg.str("default_namespace"), buckets)
+            .orderBy("fullname", "ord")
+          lines.select(col("line").as("value")).coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+          df.sparkSession.read.text(path).count()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       name -> n
@@ -2131,6 +2199,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           httpSinkCfg(name, cfg)
           encodedLine(name, in, cfg.tab("encoding"))
         case Some("blackhole") => ()
+        case Some("prometheus_exporter") =>
+          path()
+          if (!in.metric) throw new IllegalArgumentException(
+            s"sink $name: prometheus_exporter needs metric events " +
+              "(feed it from log_to_metric/aggregate)")
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
     }
@@ -2398,6 +2471,53 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           syslogDecode(
             ingest.df.withColumn(SeqCol, xxhash64(col("message"))),
             peer = Some(col("peer")))
+        case Some("http_server") =>
+          // reference src/sources/http_server.rs: receive request
+          // bodies on a bound listener, frame each body (newline by
+          // default, any [framing] method), stamp the request envelope
+          // — path under `path_key`, the LISTED headers and
+          // query_parameters as fields (a streaming schema is static,
+          // so the reference's `*` wildcard capture is refused, not
+          // silently narrowed), peer as `host`. `auth` refused loudly
+          // like the http sink.
+          if (cfg.tab("auth").isDefined) throw VrlUnsupported(
+            s"source $name: auth (no credential handling in this " +
+              "engine — front with a proxy)")
+          val addr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (host, port) = splitHostPort(name, addr)
+          val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+          val framingTab = cfg.tab("framing")
+          val fMethod = framingTab.flatMap(_.str("method"))
+            .getOrElse("newline_delimited")
+          val framerB = Framing.builder(fMethod, framingTab, s"source $name")
+          val hpath = cfg.str("path").getOrElse("/")
+          val strict = cfg.bool("strict_path").getOrElse(true)
+          val httpMethod = cfg.str("method").getOrElse("POST")
+          val respCode = cfg.long("response_code").getOrElse(200L).toInt
+          val headers = cfg.strArr("headers")
+          val qps = cfg.strArr("query_parameters")
+          if ((headers ++ qps).exists(_.contains("*"))) throw VrlUnsupported(
+            s"source $name: wildcard envelope capture (a streaming " +
+              "schema is static — list header/parameter names explicitly)")
+          val pathKey = cfg.str("path_key").getOrElse("path")
+          val ingest = new graft.streaming.HttpIngest(spark, host, port,
+            hpath, strict, httpMethod, respCode, framerB)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(Seq(
+            col("message"), col("rpath").as(pathKey)) ++
+            headers.map(h => element_at(col("headers"), lit(h.toLowerCase)).as(h)) ++
+            qps.map(qp => element_at(col("query"), lit(qp)).as(qp)) ++
+            Seq(col("peer").as("host"), lit("http_server").as("source_type")): _*)
+            .withColumn(SeqCol, xxhash64(col("message")))
+          val envelope: Seq[(String, VT)] =
+            Seq(pathKey -> (VStr: VT)) ++
+              headers.map(_ -> (VStr: VT)) ++ qps.map(_ -> (VStr: VT)) ++
+              Seq("host" -> (VStr: VT), "source_type" -> (VStr: VT))
+          decodeLines(spark, name, codec,
+            Frame(stamped, EventMeta(
+              ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
+            keep = envelope)
         case Some("socket") =>
           // reference src/sources/socket/mod.rs: mode tcp|udp|unix_*,
           // address, decoding codec. TCP stream mode maps onto Spark's
@@ -2594,8 +2714,8 @@ object Topology {
     * dispatch matches; update together (CliSurfaceSpec cross-checks).
     */
   val SourceTypes: Seq[String] = Seq(
-    "demo_logs", "exec", "file", "host_metrics", "http_client", "parquet",
-    "socket", "static_metrics", "syslog")
+    "demo_logs", "exec", "file", "host_metrics", "http_client",
+    "http_server", "parquet", "socket", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);
@@ -2645,7 +2765,8 @@ object Topology {
     "reduce", "remap", "route", "sample", "tag_cardinality_limit",
     "throttle", "trace_to_log", "window")
   val SinkTypes: Seq[String] = Seq(
-    "blackhole", "console", "file", "http", "parquet", "socket")
+    "blackhole", "console", "file", "http", "parquet",
+    "prometheus_exporter", "socket")
   val EnrichmentTableTypes: Seq[String] = Seq("file")
 
   /** The flat metric-event schema every metric-side transform exchanges

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The statsd/DogStatsD wire codec (reference
+  * src/sources/statsd/parser.rs): `<key>:<value>|<type>[|@<rate>][|#<tags>]`
+  *
+  *   - `c`  → incremental counter, value scaled by 1/rate;
+  *   - `ms` → incremental distribution (histogram statistic), value
+  *     converted ms→seconds (the source's default ConversionUnit),
+  *     sample weight = round(1/rate);
+  *   - `h`  → incremental distribution (histogram), no conversion;
+  *   - `d`  → incremental distribution (summary statistic);
+  *   - `g`  → absolute gauge, or incremental signed gauge when the
+  *     value has an explicit `+`/`-` prefix (parser.rs:100-123);
+  *   - `s`  → incremental set; the flat metric model stores NUMERIC
+  *     values, so non-numeric set members parse to null and are
+  *     dropped (documented model narrowing, not silent coercion).
+  *
+  * Key sanitization (parser.rs:181-189, on by default in the source):
+  * `/`→`-`, whitespace→`_`, then every char outside
+  * `[a-zA-Z_\-0-9.]` removed. DogStatsD tags `#k:v,bare` render into
+  * the canonical sorted `k=v` tag string with bare tags as `k=`
+  * (TagValue::Bare); duplicate tag keys are all kept, like the
+  * reference's multi-value tag sets.
+  *
+  * Everything is codegen'd Column arithmetic — one narrow projection
+  * per line, no UDFs.
+  */
+object StatsdCodec {
+
+  /** Sampling component: `1 / rate` with rate 0 sanitized to 1
+    * (parser.rs sanitize_sampling).
+    */
+  private def rateOf(sampling: Column): Column = {
+    val parsed = substring(sampling, 2, 1000000).try_cast("double")
+    lit(1.0) / coalesce(nullif(parsed, lit(0.0)), lit(1.0))
+  }
+
+  private def sanitizeKey(c: Column): Column =
+    regexp_replace(
+      regexp_replace(translate(c, "/", "-"), "\\s+", "_"),
+      "[^a-zA-Z_\\-0-9.]", "")
+
+  /** Parses one statsd line into a struct with the flat-model fields
+    * plus `weight` (distribution sample multiplicity). Null when the
+    * line is malformed (no `:`, fewer than two `|` parts, unknown
+    * type, unparseable value) — the caller's drop channel.
+    */
+  def parse(line: Column, sanitize: Boolean = true,
+            timersToSeconds: Boolean = true): Column = {
+    val key = regexp_extract(line, "^([^:]*):(.*)$", 1)
+    val body = regexp_extract(line, "^([^:]*):(.*)$", 2)
+    val parts = split(body, "\\|")
+    val rawVal = element_at(parts, 1)
+    val mtype = element_at(parts, 2)
+    val p3 = when(size(parts) >= 3, element_at(parts, 3))
+    val p4 = when(size(parts) >= 4, element_at(parts, 4))
+    val sampling = when(p3.startsWith("@"), p3)
+    val tagsPart = coalesce(
+      when(sampling.isNull && p3.startsWith("#"), p3),
+      when(sampling.isNotNull && p4.startsWith("#"), p4))
+    val rate = coalesce(when(sampling.isNotNull, rateOf(sampling)), lit(1.0))
+
+    val name = if (sanitize) sanitizeKey(key) else key
+
+    // "#k:v,bare" → sorted multiset of "k=v" / "bare=" strings
+    val tags = when(tagsPart.isNotNull, array_join(
+      sort_array(transform(
+        split(substring(tagsPart, 2, 1000000), ","),
+        t => when(t.contains(":"),
+          concat(regexp_extract(t, "^([^:]*):", 1), lit("="),
+            regexp_extract(t, "^[^:]*:(.*)$", 1)))
+          .otherwise(concat(t, lit("="))))), ","))
+
+    val num = rawVal.try_cast("double")
+    // gauges: explicit sign prefix = incremental delta (parse_direction)
+    val signed = rawVal.rlike("^[+-]")
+    val gaugeNum = when(signed,
+      substring(rawVal, 2, 1000000).try_cast("double") *
+        when(rawVal.startsWith("-"), -1.0).otherwise(1.0))
+      .otherwise(num)
+
+    val msScale = if (timersToSeconds) lit(0.001) else lit(1.0)
+
+    def m(kind: Column, vt: String, value: Column, weight: Column) = struct(
+      name.as("name"), kind.as("kind"), lit(vt).as("value_type"),
+      value.as("value"), tags.as("tags"), weight.as("weight"))
+
+    val one = lit(1L)
+    val distW = round(rate).cast("long")
+    val parsed =
+      when(mtype === "c", m(lit("incremental"), "counter", num * rate, one))
+        .when(mtype === "ms",
+          m(lit("incremental"), "distribution", num * msScale, distW))
+        .when(mtype === "h" || mtype === "d",
+          m(lit("incremental"), "distribution", num, distW))
+        .when(mtype === "g",
+          m(when(signed, "incremental").otherwise("absolute"), "gauge",
+            gaugeNum, one))
+        .when(mtype === "s", m(lit("incremental"), "set", num, one))
+    // malformed → null: missing ':', short body, bad number
+    when(length(key) > 0 && size(parts) >= 2 && parsed.getField("value").isNotNull,
+      parsed)
+  }
+}

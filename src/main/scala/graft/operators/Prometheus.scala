@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prometheus text exposition over the flat metric model (reference
+  * src/sinks/prometheus/{exporter,collector}.rs — StringCollector).
+  *
+  * A scrape snapshot renders as, per metric family:
+  * {{{
+  * # HELP fullname name
+  * # TYPE fullname counter|gauge|histogram
+  * fullname{k="v",...} value
+  * }}}
+  * with `fullname = namespace_name` (encode_namespace '_'), label
+  * values `\`/`"` backslash-escaped, and tags + the synthetic
+  * `le` label sorted together (collector.rs encode_tags).
+  *
+  * Model mapping (collector.rs:48-90): only ABSOLUTE rows encode — an
+  * incremental stream normalizes first (`Metrics.incrementalToAbsolute`
+  * / `aggregate`), exactly the exporter's normalize step. counter and
+  * gauge emit their value; `set` emits the series' distinct-value
+  * cardinality as a gauge; `distribution` emits a cumulative
+  * histogram over `buckets` (+Inf, `_sum`, `_count`) — the flat model
+  * carries no per-series statistic flag, so the summary-statistic
+  * rendering arm is not expressible and distributions always render as
+  * histograms (documented narrowing).
+  *
+  * Output: `(fullname, ord, line)` — `ord` is the line's position
+  * within its family (HELP, TYPE, then samples ordered by labels), so
+  * `ORDER BY fullname, ord` reproduces the exposition byte order. One
+  * window per family over a scrape-sized snapshot; every line is a
+  * codegen'd string projection.
+  */
+object Prometheus {
+
+  /** exporter.rs default_histogram_buckets. */
+  val DefaultBuckets: Seq[Double] =
+    Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+  /** Rust float Display: integral doubles print without `.0`. */
+  private def fmt(c: Column): Column =
+    regexp_replace(c.cast("string"), "\\.0$", "")
+
+  private def escTag(v: Column): Column =
+    regexp_replace(v, "([\\\\\"])", "\\\\$1")
+
+  /** Canonical `k=v,...` tag string (+ optional extra label) →
+    * `{k="v",...}`; empty-and-no-extra renders nothing.
+    */
+  private def promLabels(tags: Column, extra: Option[(String, Column)]): Column = {
+    val base = when(tags.isNotNull && length(tags) > 0,
+      transform(split(tags, ","),
+        t => concat(regexp_extract(t, "^([^=]*)=", 1), lit("=\""),
+          escTag(regexp_extract(t, "^[^=]*=(.*)$", 1)), lit("\""))))
+      .otherwise(array().cast("array<string>"))
+    val withExtra = extra match {
+      case Some((k, v)) => concat(base, array(concat(lit(k + "=\""), v, lit("\""))))
+      case None => base
+    }
+    when(size(withExtra) > 0,
+      concat(lit("{"), array_join(sort_array(withExtra), ","), lit("}")))
+      .otherwise(lit(""))
+  }
+
+  /** Renders a snapshot of ABSOLUTE flat-model metric rows (one row
+    * per series sample) into exposition lines.
+    */
+  def exposition(metrics: DataFrame,
+                 defaultNamespace: Option[String] = None,
+                 buckets: Seq[Double] = DefaultBuckets): DataFrame = {
+    val ns = coalesce(col("namespace"),
+      defaultNamespace.map(lit).getOrElse(lit(null).cast("string")))
+    val fullname = when(ns.isNotNull, concat_ws("_", ns, col("name")))
+      .otherwise(col("name"))
+    val abs = metrics.filter(col("kind") === "absolute")
+      .withColumn("__full", fullname)
+
+    val ptype = when(col("value_type") === "counter", "counter")
+      .when(col("value_type") === "gauge", "gauge")
+      .when(col("value_type") === "set", "gauge")
+      .otherwise("histogram")
+
+    // ` <millis>` when the metric carries a timestamp (emit_value);
+    // grouped renderings (set/histogram) use the series' max ts
+    def tsSuffix(ts: Column): Column =
+      when(ts.isNotNull,
+        concat(lit(" "), unix_millis(ts).cast("string"))).otherwise(lit(""))
+
+    // headers: one per family (collector emit_metadata)
+    val headers = abs
+      .groupBy(col("__full"), col("name"), ptype.as("__t"))
+      .agg(lit(1).as("__one"))
+      .select(col("__full"),
+        array(
+          concat(lit("# HELP "), col("__full"), lit(" "), col("name")),
+          concat(lit("# TYPE "), col("__full"), lit(" "), col("__t"))
+        ).as("__lines"))
+      .select(col("__full"), posexplode(col("__lines")).as(Seq("ord", "line")))
+
+    // scalar samples: counter/gauge one line per row
+    val scalars = abs.filter(col("value_type").isin("counter", "gauge"))
+      .select(col("__full"), col("tags"),
+        concat(col("__full"), promLabels(col("tags"), None),
+          lit(" "), fmt(col("value")), tsSuffix(col("ts"))).as("line"),
+        lit(0L).as("__sub"))
+
+    // sets: cardinality per series
+    val sets = abs.filter(col("value_type") === "set")
+      .groupBy(col("__full"), col("tags"))
+      .agg(countDistinct(col("value")).as("__card"), max(col("ts")).as("__ts"))
+      .select(col("__full"), col("tags"),
+        concat(col("__full"), promLabels(col("tags"), None),
+          lit(" "), col("__card").cast("string"), tsSuffix(col("__ts"))).as("line"),
+        lit(0L).as("__sub"))
+
+    // distributions → cumulative histogram: count(value <= le) is
+    // cumulative BY DEFINITION, so each bucket is one conditional sum —
+    // a single hash aggregate per series, no self-joins
+    val dists = abs.filter(col("value_type") === "distribution")
+    val bucketAggs = buckets.zipWithIndex.map { case (b, i) =>
+      sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"__b$i")
+    }
+    val distAgg = dists.groupBy(col("__full"), col("tags"))
+      .agg(bucketAggs.head, bucketAggs.tail ++ Seq(
+        count(lit(1)).as("__cnt"), sum(col("value")).as("__sum"),
+        max(col("ts")).as("__ts")): _*)
+    val bucketLines = buckets.zipWithIndex.map { case (b, i) =>
+      struct(lit(i).as("__i"),
+        concat(col("__full"), lit("_bucket"),
+          promLabels(col("tags"), Some(("le", fmt(lit(b))))),
+          lit(" "), col(s"__b$i").cast("string"), tsSuffix(col("__ts"))).as("line"))
+    } ++ Seq(
+      struct(lit(buckets.size).as("__i"),
+        concat(col("__full"), lit("_bucket"),
+          promLabels(col("tags"), Some(("le", lit("+Inf")))),
+          lit(" "), col("__cnt").cast("string"), tsSuffix(col("__ts"))).as("line")),
+      struct(lit(buckets.size + 1).as("__i"),
+        concat(col("__full"), lit("_sum"), promLabels(col("tags"), None),
+          lit(" "), fmt(col("__sum")), tsSuffix(col("__ts"))).as("line")),
+      struct(lit(buckets.size + 2).as("__i"),
+        concat(col("__full"), lit("_count"), promLabels(col("tags"), None),
+          lit(" "), col("__cnt").cast("string"), tsSuffix(col("__ts"))).as("line")))
+    val distLines = distAgg
+      .select(col("__full"), col("tags"),
+        explode(array(bucketLines: _*)).as("b"))
+      .select(col("__full"), col("tags"), col("b.line").as("line"),
+        col("b.__i").cast("long").as("__sub"))
+
+    // family order: HELP, TYPE, then samples by (labels, bucket index)
+    val samples = scalars.unionByName(sets).unionByName(distLines)
+    val w = Window.partitionBy(col("__full"))
+      .orderBy(col("tags").asc_nulls_first, col("__sub"))
+    val orderedSamples = samples
+      .select(col("__full"),
+        (row_number().over(w) + 1L).as("ord"), col("line"))
+
+    headers.select(col("__full").as("fullname"), col("ord"), col("line"))
+      .unionByName(orderedSamples
+        .select(col("__full").as("fullname"), col("ord"), col("line")))
+  }
+}

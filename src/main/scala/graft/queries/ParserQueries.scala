@@ -255,6 +255,175 @@ object ParserQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------- statsd
+  /** statsd/DogStatsD lines cycling the five wire arms: plain counter,
+    * sampled+tagged counter, gauge (absolute and `+`-signed
+    * incremental, with a space in the key exercising sanitization),
+    * sampled timer (ms→seconds, weight-2 samples), set. The oracle
+    * recomputes every decoded field arithmetically — no parsing
+    * shared.
+    */
+  private def statsdLine: Column = {
+    val i = col("event_id")
+    val e = col("event_type")
+    when(i % 5 === 0, concat(lit("req_"), e, lit(":"), i % 50, lit("|c")))
+      .when(i % 5 === 1, concat(lit("req_"), e, lit(":"), i % 50,
+        lit("|c|@0.5|#region:eu,env:prod")))
+      .when(i % 5 === 2, concat(lit("temp "), e, lit(":"),
+        when(i % 2 === 1, lit("+")).otherwise(lit("")), i % 40, lit("|g")))
+      .when(i % 5 === 3, concat(lit("lat_"), e, lit(":"), i % 100, lit("|ms|@0.5")))
+      .otherwise(concat(lit("users_"), e, lit(":"), i % 7, lit("|s")))
+  }
+
+  private def qStatsd(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.functions.StatsdCodec.parse(statsdLine)
+    events(s, dir)
+      .select(col("event_id"), p.as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("event_id"), col("m.name").as("name"),
+        col("m.kind").as("kind"), col("m.value_type").as("value_type"),
+        col("m.value").as("value"), col("m.tags").as("tags"),
+        explode(sequence(lit(1L), col("m.weight"))).as("sample"))
+      .orderBy("event_id", "sample")
+  }
+
+  private val statsdOracleSql: String =
+    """WITH base AS (
+         SELECT event_id, event_type, event_id % 5 AS arm FROM events
+       ), rows_w AS (
+         SELECT b.*, s.sample FROM base b
+         JOIN (SELECT 1 AS sample UNION ALL SELECT 2) s
+           ON s.sample <= (CASE WHEN b.arm = 3 THEN 2 ELSE 1 END)
+       )
+       SELECT event_id,
+         CASE arm
+           WHEN 0 THEN 'req_' || event_type
+           WHEN 1 THEN 'req_' || event_type
+           WHEN 2 THEN 'temp_' || event_type
+           WHEN 3 THEN 'lat_' || event_type
+           ELSE 'users_' || event_type END AS name,
+         CASE WHEN arm = 2 AND event_id % 2 = 0 THEN 'absolute'
+              ELSE 'incremental' END AS kind,
+         CASE arm WHEN 0 THEN 'counter' WHEN 1 THEN 'counter'
+           WHEN 2 THEN 'gauge' WHEN 3 THEN 'distribution'
+           ELSE 'set' END AS value_type,
+         CASE arm
+           WHEN 0 THEN CAST(event_id % 50 AS DOUBLE)
+           WHEN 1 THEN CAST(event_id % 50 AS DOUBLE) * 2.0
+           WHEN 2 THEN CAST(event_id % 40 AS DOUBLE)
+           WHEN 3 THEN CAST(event_id % 100 AS DOUBLE) * 0.001
+           ELSE CAST(event_id % 7 AS DOUBLE) END AS value,
+         CASE WHEN arm = 1 THEN 'env=prod,region=eu' END AS tags,
+         CAST(sample AS BIGINT) AS sample
+       FROM rows_w ORDER BY event_id, sample"""
+
+  // ------------------------------------------------- prometheus text
+  /** A deterministic absolute scrape snapshot (counter family with
+    * per-service labels, one escaped-quote label value, a gauge, a set
+    * family, a distribution spread across the default buckets in exact
+    * 0.25 steps so double→string formatting is portable), rendered to
+    * exposition lines. The oracle string-builds the same lines —
+    * headers, label sorting, cumulative `le` counts — in DuckDB.
+    */
+  private def qPrometheus(s: SparkSession, dir: String): DataFrame = {
+    val i = col("event_id")
+    val e = events(s, dir)
+    val counters = e.groupBy(col("event_type")).agg(
+      sum(i % 10).cast("double").as("value"))
+      .select(lit("requests").as("name"), lit("app").as("namespace"),
+        concat(lit("svc="), col("event_type")).as("tags"),
+        lit("absolute").as("kind"), lit("counter").as("value_type"),
+        col("value"))
+    val gauge = e.agg(sum(i % 4).cast("double").as("value"))
+      .select(lit("queue_depth").as("name"),
+        lit(null).cast("string").as("namespace"),
+        lit("path=a\"b").as("tags"), lit("absolute").as("kind"),
+        lit("gauge").as("value_type"), col("value"))
+    val sets = e.select(lit("users").as("name"), lit("app").as("namespace"),
+      lit(null).cast("string").as("tags"), lit("absolute").as("kind"),
+      lit("set").as("value_type"), (i % 13).cast("double").as("value"))
+    val dist = e.select(lit("latency").as("name"), lit("app").as("namespace"),
+      concat(lit("svc="), col("event_type")).as("tags"),
+      lit("absolute").as("kind"), lit("distribution").as("value_type"),
+      ((i % 20) * lit(0.25)).cast("double").as("value"))
+    val metrics = counters.unionByName(gauge).unionByName(sets).unionByName(dist)
+      .withColumn("ts", lit(null).cast("timestamp"))
+    graft.operators.Prometheus.exposition(metrics)
+      .orderBy("fullname", "ord")
+  }
+
+  private val prometheusOracleSql: String = {
+    // cumulative le counts: one conditional sum per default bucket
+    val buckets = graft.operators.Prometheus.DefaultBuckets
+    val bucketSel = buckets.zipWithIndex.map { case (b, ix) =>
+      val bs = if (b == b.floor) b.toLong.toString else b.toString
+      s"SELECT $ix AS sub, 'app_latency_bucket{le=\"$bs\",svc=\"' || event_type || '\"} ' || " +
+        s"CAST(sum(CASE WHEN (event_id % 20) * 0.25 <= $b THEN 1 ELSE 0 END) AS VARCHAR) AS line, " +
+        "'svc=' || event_type AS tags FROM events GROUP BY event_type"
+    }.mkString("\n UNION ALL ")
+    s"""WITH fams AS (
+         SELECT 'app_requests' AS fullname, 0 AS ord, '# HELP app_requests requests' AS line
+         UNION ALL SELECT 'app_requests', 1, '# TYPE app_requests counter'
+         UNION ALL SELECT 'queue_depth', 0, '# HELP queue_depth queue_depth'
+         UNION ALL SELECT 'queue_depth', 1, '# TYPE queue_depth gauge'
+         UNION ALL SELECT 'app_users', 0, '# HELP app_users users'
+         UNION ALL SELECT 'app_users', 1, '# TYPE app_users gauge'
+         UNION ALL SELECT 'app_latency', 0, '# HELP app_latency latency'
+         UNION ALL SELECT 'app_latency', 1, '# TYPE app_latency histogram'
+       ), counter_samples AS (
+         SELECT 'app_requests' AS fullname, 'svc=' || event_type AS tags, 0 AS sub,
+           'app_requests{svc="' || event_type || '"} ' ||
+             regexp_replace(CAST(CAST(sum(event_id % 10) AS DOUBLE) AS VARCHAR), '\\.0$$', '') AS line
+         FROM events GROUP BY event_type
+       ), gauge_samples AS (
+         SELECT 'queue_depth' AS fullname, 'path=a"b' AS tags, 0 AS sub,
+           'queue_depth{path="a\\"b"} ' ||
+             regexp_replace(CAST(CAST(sum(event_id % 4) AS DOUBLE) AS VARCHAR), '\\.0$$', '') AS line
+         FROM events
+       ), set_samples AS (
+         SELECT 'app_users' AS fullname, CAST(NULL AS VARCHAR) AS tags, 0 AS sub,
+           'app_users ' || CAST(count(DISTINCT event_id % 13) AS VARCHAR) AS line
+         FROM events
+       ), dist_bucketed AS (
+         $bucketSel
+       ), dist_inf AS (
+         SELECT ${buckets.size} AS sub,
+           'app_latency_bucket{le="+Inf",svc="' || event_type || '"} ' ||
+             CAST(count(*) AS VARCHAR) AS line,
+           'svc=' || event_type AS tags
+         FROM events GROUP BY event_type
+       ), dist_sum AS (
+         SELECT ${buckets.size + 1} AS sub,
+           'app_latency_sum{svc="' || event_type || '"} ' ||
+             regexp_replace(CAST(sum((event_id % 20) * CAST(0.25 AS DOUBLE)) AS VARCHAR), '\\.0$$', '') AS line,
+           'svc=' || event_type AS tags
+         FROM events GROUP BY event_type
+       ), dist_cnt AS (
+         SELECT ${buckets.size + 2} AS sub,
+           'app_latency_count{svc="' || event_type || '"} ' ||
+             CAST(count(*) AS VARCHAR) AS line,
+           'svc=' || event_type AS tags
+         FROM events GROUP BY event_type
+       ), dist_samples AS (
+         SELECT 'app_latency' AS fullname, tags, sub, line FROM dist_bucketed
+         UNION ALL SELECT 'app_latency', tags, sub, line FROM dist_inf
+         UNION ALL SELECT 'app_latency', tags, sub, line FROM dist_sum
+         UNION ALL SELECT 'app_latency', tags, sub, line FROM dist_cnt
+       ), samples AS (
+         SELECT * FROM counter_samples UNION ALL SELECT * FROM gauge_samples
+         UNION ALL SELECT * FROM set_samples UNION ALL SELECT * FROM dist_samples
+       ), ordered AS (
+         SELECT fullname,
+           ROW_NUMBER() OVER (PARTITION BY fullname
+             ORDER BY tags NULLS FIRST, sub) + 1 AS ord,
+           line
+         FROM samples
+       )
+       SELECT fullname, CAST(ord AS BIGINT) AS ord, line FROM fams
+       UNION ALL SELECT fullname, ord, line FROM ordered
+       ORDER BY fullname, ord"""
+  }
+
   // ---------------------------------------------------------- encode
   private def qEncode(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
@@ -281,7 +450,9 @@ object ParserQueries {
     "q_parse_glog"   -> (qParseGlog _),
     "q_gelf"         -> (qGelf _),
     "q_cef"          -> (qCef _),
-    "q_encode"       -> (qEncode _)
+    "q_encode"       -> (qEncode _),
+    "q_statsd"       -> (qStatsd _),
+    "q_prometheus"   -> (qPrometheus _)
   )
 
   // ====================================================== DuckDB oracle
@@ -437,7 +608,9 @@ object ParserQueries {
              'id=' || event_id || ' etype=' || event_type
                || ' msg="event ' || event_id || '"' AS logfmt,
              '{"id":' || event_id || ',"etype":"' || event_type || '"}' AS json
-           FROM events ORDER BY event_id"""
+           FROM events ORDER BY event_id""",
+      "q_statsd" -> statsdOracleSql,
+      "q_prometheus" -> prometheusOracleSql
     )
   }
 }

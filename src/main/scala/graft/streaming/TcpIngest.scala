@@ -25,7 +25,7 @@ import graft.config.Framing
   * protocol-compatibility surface, not the bulk path.
   */
 final class TcpIngest(spark: SparkSession, bindHost: String, port: Int,
-                      framerB: () => Framing.Framer) {
+                      framerB: () => Framing.Framer) extends IngestListener {
 
   import spark.implicits._
 

@@ -1,0 +1,189 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.config.Topology
+import graft.functions.StatsdCodec
+import graft.operators.Prometheus
+
+/** The two metric wire formats: statsd decode (reference
+  * src/sources/statsd/parser.rs — pinned to its inline tests) and
+  * prometheus text exposition (src/sinks/prometheus/collector.rs —
+  * pinned to encodes_*_text).
+  */
+class StatsdPromSpec extends SparkSpec {
+
+  private def parseOne(line: String): Option[Map[String, Any]] = {
+    import spark.implicits._
+    val df = Seq(line).toDF("l")
+      .select(StatsdCodec.parse(col("l")).as("m"))
+      .filter(col("m").isNotNull)
+      .select("m.name", "m.kind", "m.value_type", "m.value", "m.tags", "m.weight")
+    df.collect().headOption.map { r =>
+      Map("name" -> r.getString(0), "kind" -> r.getString(1),
+        "vt" -> r.getString(2), "value" -> r.getDouble(3),
+        "tags" -> r.getString(4), "weight" -> r.getLong(5))
+    }
+  }
+
+  test("statsd: reference parser vectors") {
+    // basic_counter
+    assert(parseOne("foo:1|c").get == Map("name" -> "foo",
+      "kind" -> "incremental", "vt" -> "counter", "value" -> 1.0,
+      "tags" -> null, "weight" -> 1L))
+    // tagged_counter with sanitization: foo/how@ever baz → foo-however_baz
+    val tagged = parseOne("foo/how@ever baz:1|c|#tag1,tag2:value").get
+    assert(tagged("name") == "foo-however_baz")
+    assert(tagged("tags") == "tag1=,tag2=value") // bare tag renders k=
+    // sampled_counter: 1|c|@0.1 → value 10
+    assert(parseOne("bar:2|c|@0.1").get("value") == 20.0)
+    // zero sample rate sanitizes to 1
+    assert(parseOne("bar:2|c|@0").get("value") == 2.0)
+    // timer: ms → seconds, sampled weight
+    val t = parseOne("glork:320|ms|@0.1").get
+    assert(t("vt") == "distribution" && t("value") == 0.32 && t("weight") == 10L)
+    // gauge absolute vs signed incremental
+    val ga = parseOne("gaugor:333|g").get
+    assert(ga("kind") == "absolute" && ga("value") == 333.0)
+    val gd = parseOne("gaugor:-10|g").get
+    assert(gd("kind") == "incremental" && gd("value") == -10.0)
+    val gu = parseOne("gaugor:+4|g").get
+    assert(gu("kind") == "incremental" && gu("value") == 4.0)
+    // set
+    val st = parseOne("uniques:1234|s").get
+    assert(st("vt") == "set" && st("value") == 1234.0)
+    // malformed lines drop
+    assert(parseOne("no-colon-here").isEmpty)
+    assert(parseOne("foo:1").isEmpty)
+    assert(parseOne("foo:notanum|c").isEmpty)
+    assert(parseOne("foo:1|q").isEmpty)
+  }
+
+  test("statsd: decoding codec feeds the metric pipeline from config") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_statsd").toFile
+    val f = new java.io.File(dir, "metrics.statsd")
+    java.nio.file.Files.write(f.toPath,
+      "hits:1|c\nhits:3|c\nlat:100|ms|@0.5\ntemp:21|g|#room:a\n".getBytes("UTF-8"))
+    val topo = Topology.load(
+      s"""
+         |[sources.m]
+         |  type = "file"
+         |  path = "${f.getAbsolutePath}"
+         |  [sources.m.decoding]
+         |    codec = "statsd"
+         |""".stripMargin)
+    val out = topo.loadSources(spark)("m")
+    assert(out.metric)
+    val rows = out.df.select("name", "kind", "value_type", "value", "tags")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).sortBy(t => (t._1, t._4))
+    // lat sample weight 2 → two rows
+    assert(rows.toSeq == Seq(
+      ("hits", "incremental", "counter", 1.0, null),
+      ("hits", "incremental", "counter", 3.0, null),
+      ("lat", "incremental", "distribution", 0.1, null),
+      ("lat", "incremental", "distribution", 0.1, null),
+      ("temp", "absolute", "gauge", 21.0, "room=a")))
+  }
+
+  private def expositionLines(rows: Seq[(String, String, String, String, String, Double)],
+                              ns: Option[String]): Seq[String] = {
+    val df = spark.createDataFrame(rows)
+      .toDF("name", "namespace", "tags", "kind", "value_type", "value")
+      .withColumn("namespace",
+        when(col("namespace") === "", lit(null)).otherwise(col("namespace")))
+      .withColumn("tags",
+        when(col("tags") === "", lit(null)).otherwise(col("tags")))
+      .withColumn("ts", to_timestamp(lit("2021-02-03 04:05:06.789")))
+    Prometheus.exposition(df, ns)
+      .orderBy("fullname", "ord").select("line")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("prometheus text: reference collector vectors (counter, gauge, set)") {
+    // encodes_counter_text
+    assert(expositionLines(Seq(
+      ("hits", "", "code=200", "absolute", "counter", 10.0)), Some("vector")) ==
+      Seq("# HELP vector_hits hits",
+        "# TYPE vector_hits counter",
+        "vector_hits{code=\"200\"} 10 1612325106789"))
+    // encodes_gauge_text
+    assert(expositionLines(Seq(
+      ("temperature", "", "code=200", "absolute", "gauge", -1.1)), Some("vector")) ==
+      Seq("# HELP vector_temperature temperature",
+        "# TYPE vector_temperature gauge",
+        "vector_temperature{code=\"200\"} -1.1 1612325106789"))
+    // encodes_set_text: 1 distinct member, type gauge, no labels
+    assert(expositionLines(Seq(
+      ("users", "", "", "absolute", "set", 42.0)), Some("vector")) ==
+      Seq("# HELP vector_users users",
+        "# TYPE vector_users gauge",
+        "vector_users 1 1612325106789"))
+    // incremental rows do not render (collector encodes Absolute only)
+    assert(expositionLines(Seq(
+      ("hits", "", "", "incremental", "counter", 1.0)), None).isEmpty)
+  }
+
+  test("prometheus_exporter sink: statsd gauges render to an exposition file from config") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_promsink").toFile
+    val src = new java.io.File(dir, "metrics.statsd")
+    java.nio.file.Files.write(src.toPath,
+      "temp:21|g|#room:a\ntemp:23|g|#room:b\n".getBytes("UTF-8"))
+    val out = new java.io.File(dir, "exposition")
+    val topo = Topology.load(
+      s"""
+         |[sources.m]
+         |  type = "file"
+         |  path = "${src.getAbsolutePath}"
+         |  [sources.m.decoding]
+         |    codec = "statsd"
+         |[sinks.prom]
+         |  inputs = ["m"]
+         |  type = "prometheus_exporter"
+         |  path = "${out.getAbsolutePath}"
+         |  default_namespace = "vector"
+         |""".stripMargin)
+    val srcMap = topo.loadSources(spark)
+    val n = topo.writeSinks(srcMap ++ topo.run(srcMap))("prom")
+    assert(n == 4L) // HELP + TYPE + 2 samples
+    val lines = spark.read.text(out.getAbsolutePath)
+      .collect().map(_.getString(0)).toSeq
+    assert(lines == Seq(
+      "# HELP vector_temp temp",
+      "# TYPE vector_temp gauge",
+      "vector_temp{room=\"a\"} 21",
+      "vector_temp{room=\"b\"} 23"))
+    // non-metric input refused at validate
+    val bad = Topology.load(
+      s"""
+         |[sinks.prom]
+         |  inputs = ["x"]
+         |  type = "prometheus_exporter"
+         |  path = "${out.getAbsolutePath}"
+         |""".stripMargin)
+    import graft.config.{Frame, Topology => T}
+    import graft.config.VrlCompile.{EventMeta, VStr}
+    val logs = Frame(spark.range(1).selectExpr("'m' AS message", s"id AS ${T.SeqCol}"),
+      EventMeta(ListMap("message" -> VStr), None))
+    val e = intercept[Exception](bad.dryRunSinks(Map("x" -> logs)))
+    assert(e.getMessage.contains("metric"))
+  }
+
+  test("prometheus text: cumulative histogram over the default buckets") {
+    val lines = expositionLines(
+      Seq(0.003, 0.02, 0.02, 0.3, 7.0, 20.0).map(v =>
+        ("lat", "", "svc=a", "absolute", "distribution", v)), None)
+    assert(lines.take(2) == Seq("# HELP lat lat", "# TYPE lat histogram"))
+    def line(sub: String) = lines.find(_.startsWith(s"lat$sub")).get
+    assert(line("_bucket{le=\"0.005\"").endsWith("} 1 1612325106789"))
+    assert(line("_bucket{le=\"0.025\"").endsWith("} 3 1612325106789"))
+    assert(line("_bucket{le=\"0.5\"").endsWith("} 4 1612325106789"))
+    assert(line("_bucket{le=\"10\"").endsWith("} 5 1612325106789"))
+    assert(line("_bucket{le=\"+Inf\"").endsWith("} 6 1612325106789"))
+    assert(line("_count").endsWith("} 6 1612325106789"))
+    // le sorts among the labels (encode_tags sorts tags + extra together)
+    assert(lines.exists(_.startsWith("lat_bucket{le=\"0.005\",svc=\"a\"}")))
+  }
+}
