@@ -63,6 +63,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     scala.collection.mutable.Buffer.empty
   def closeIngest(): Unit = { ingestListeners.foreach(_.close()); ingestListeners.clear() }
 
+  // true while executeStreaming evaluates: relaxes batch-only
+  // ordering refusals whose streaming analogs are handled elsewhere
+  @volatile private var streamingEval = false
+
   // the reference's GLOBAL `timezone` option (inherited by every remap,
   // src/config/mod.rs): this engine compiles everything UTC — honoring
   // a non-UTC zone silently wrong is worse than refusing at load
@@ -116,23 +120,54 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * by contract, exposed to VRL via get_enrichment_table_record /
     * find_enrichment_table_records.
     */
-  val enrichmentTables: Map[String, EnrichTableData] =
+  private val fileEnrichTables: Map[String, EnrichTableData] =
     root.tab("enrichment_tables") match {
-      case Some(t) => t.entries.toSeq.collect { case (n, tab: TTab) =>
-        tab.str("type") match {
-          case Some("file") =>
-            val file = tab.tab("file").getOrElse(
-              throw new IllegalArgumentException(s"enrichment table $n: no [file]"))
-            val path = file.str("path").getOrElse(
-              throw new IllegalArgumentException(s"enrichment table $n: no path"))
-            val delim = file.tab("encoding").flatMap(_.str("delimiter"))
-              .map(_.head).getOrElse(',')
-            n -> loadCsvTable(resolvePath(path), delim)
-          case other =>
-            throw VrlUnsupported(s"enrichment table type ${other.getOrElse("?")}")
-        }
+      case Some(t) => t.entries.toSeq.collect {
+        case (n, tab: TTab) if !tab.str("type").contains("memory") =>
+          tab.str("type") match {
+            case Some("file") =>
+              val file = tab.tab("file").getOrElse(
+                throw new IllegalArgumentException(s"enrichment table $n: no [file]"))
+              val path = file.str("path").getOrElse(
+                throw new IllegalArgumentException(s"enrichment table $n: no path"))
+              val delim = file.tab("encoding").flatMap(_.str("delimiter"))
+                .map(_.head).getOrElse(',')
+              n -> loadCsvTable(resolvePath(path), delim)
+            case other =>
+              throw VrlUnsupported(s"enrichment table type ${other.getOrElse("?")}")
+          }
       }.toMap
       case None => Map.empty
+    }
+
+  /** `type = "memory"` enrichment tables (reference
+    * src/enrichment_tables/memory/): name → (ttl secs, writer inputs).
+    * Knobs that would silently change semantics if ignored
+    * (max_byte_size eviction, ttl_field override, source_config
+    * re-emission) are refused; flush/scan intervals are liveness knobs
+    * of the continuous machine and accepted unused.
+    */
+  val memoryTableDefs: Map[String, (Long, Vector[String])] =
+    root.tab("enrichment_tables") match {
+      case Some(t) => t.entries.toSeq.collect {
+        case (n, tab: TTab) if tab.str("type").contains("memory") =>
+          Seq("max_byte_size", "ttl_field", "source_config").foreach { k =>
+            if (tab.entries.contains(k)) throw VrlUnsupported(
+              s"enrichment table $n: memory $k (honoring it changes " +
+                "lookup semantics; not implemented)")
+          }
+          n -> (tab.long("ttl").getOrElse(600L), tab.strArr("inputs"))
+      }.toMap
+      case None => Map.empty
+    }
+
+  /** The VRL-visible lookup tables: static file tables + a LIVE
+    * snapshot of each memory table (rebuilt per compilation — the
+    * batch analog of the reference's concurrent cache reads).
+    */
+  def enrichmentTables: Map[String, EnrichTableData] =
+    fileEnrichTables ++ memoryTableDefs.keys.map { n =>
+      n -> EnrichTableData(MemoryCache.snapshot(n))
     }
 
   /** Evaluate the DAG. `injected` supplies an input batch per transform
@@ -143,6 +178,25 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * id — `name` or `name.port` — to its frame.
     */
   def run(injected: Map[String, Frame]): Map[String, Frame] = {
+    // memory enrichment tables: writes settle before reads in a
+    // bounded batch — each table's declared inputs (source frames)
+    // upsert into the process cache NOW, so every later compile reads
+    // the post-write snapshot. An input naming a transform would need
+    // the reference's concurrent live-read semantics, which a batch
+    // evaluation cannot promise — refused, not reordered silently.
+    memoryTableDefs.foreach { case (tname, (ttl, inputs)) =>
+      inputs.foreach { in =>
+        if (transforms.contains(rootOf(in))) {
+          // the STREAMING path consumes transform outputs through its
+          // own checkpointed foreachBatch writer (startStreamingSinks)
+          if (!streamingEval) throw VrlUnsupported(
+            s"enrichment table $tname: memory input '$in' is a transform " +
+              "(batch runs settle cache writes before reads — feed memory " +
+              "tables from sources, or run the writer topology first)")
+        } else
+          injected.get(in).foreach(f => MemoryCache.upsertFrame(tname, f, ttl))
+      }
+    }
     val outputs = mutable.LinkedHashMap.empty[String, Frame]
     val done = mutable.Set.empty[String]
     var progress = true
@@ -1173,6 +1227,34 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: http_server is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("kafka") =>
+          throw VrlUnsupported(s"source $name: kafka is streaming-only " +
+            "(a broker subscription has no bounded batch form — use " +
+            "Cli run-stream)")
+        case Some("internal_metrics") =>
+          // reference src/sources/internal_metrics.rs: the process's
+          // own counters re-enter the topology as metric events, so a
+          // config can monitor itself. The registry accumulates from
+          // sink deliveries (writeSinks) and Dataset.observe harvests
+          // (Telemetry.Registry.harvest); this source snapshots it as
+          // a flat metric frame. Totals are ABSOLUTE monotonic
+          // counters, namespace `vector` by default, component under
+          // the reference's `component_id` tag.
+          graft.operators.Telemetry.Registry.harvest(spark)
+          val ns = cfg.str("namespace").getOrElse("vector")
+          val rows = graft.operators.Telemetry.Registry.snapshot()
+          val now = java.sql.Timestamp.from(java.time.Instant.now())
+          import spark.implicits._
+          val df = rows.toDF("__c", "name", "value").select(
+            col("name"),
+            lit(ns).as("namespace"),
+            concat(lit("component_id="), col("__c")).as("tags"),
+            lit("absolute").as("kind"),
+            lit("counter").as("value_type"),
+            col("value").cast("double").as("value"),
+            lit(now).cast("timestamp").as("ts"),
+            xxhash64(col("__c"), col("name")).as(SeqCol))
+          Frame(df, MetricMeta, metric = true)
         case Some("syslog") =>
           // reference src/sources/syslog.rs: a listening daemon
           // (tcp/udp/unix). The STREAMING path listens on a real TCP
@@ -2084,6 +2166,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           df.sparkSession.read.text(path).count()
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
+      // the reference's component_sent_events_total internal counter:
+      // every delivered batch feeds the internal_metrics registry
+      graft.operators.Telemetry.Registry.add(
+        name, "component_sent_events_total", n.toDouble)
       name -> n
     }
 
@@ -2471,6 +2557,47 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           syslogDecode(
             ingest.df.withColumn(SeqCol, xxhash64(col("message"))),
             peer = Some(col("peer")))
+        case Some("kafka") =>
+          // reference src/sources/kafka.rs: config surface maps onto
+          // the Spark Kafka connector (StreamSources.kafkaReader). The
+          // sandbox ships no spark-sql-kafka jar, so `.load()` is
+          // jar-gated: with the connector on the classpath this is a
+          // live subscription; without it the DataSource lookup fails
+          // and the refusal names the missing jar instead of
+          // surfacing a bare ClassNotFoundException.
+          val servers = cfg.str("bootstrap_servers").getOrElse(
+            throw new IllegalArgumentException(
+              s"source $name: no bootstrap_servers"))
+          val topics = cfg.strArr("topics")
+          if (topics.isEmpty) throw new IllegalArgumentException(
+            s"source $name: no topics")
+          val kcfg = graft.sources.StreamSources.KafkaConfig(
+            bootstrapServers = servers,
+            topics = topics,
+            startingOffsets = cfg.str("auto_offset_reset") match {
+              case Some("latest") | Some("end") => "latest"
+              case _ => "earliest"
+            })
+          val reader = graft.sources.StreamSources.kafkaReader(spark, kcfg)
+          val wire =
+            try reader.load()
+            catch { case e: Exception
+                if e.getMessage != null &&
+                  (e.getMessage.contains("Failed to find") ||
+                   e.getMessage.contains("kafka")) =>
+              throw VrlUnsupported(s"source $name: kafka needs the " +
+                "spark-sql-kafka connector jar on the classpath " +
+                s"(DataSource lookup failed: ${e.getMessage.linesIterator.next()})")
+            }
+          val decoded = graft.sources.StreamSources.decodeKafka(wire)
+            .withColumnRenamed("text", "message")
+          val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+          decodeLines(spark, name, codec,
+            Frame(decoded.withColumn(SeqCol,
+              xxhash64(col("topic"), col("partition"), col("offset"))),
+              EventMeta(ListMap("key" -> VStr, "message" -> VStr,
+                "topic" -> VStr, "partition" -> VInt, "offset" -> VInt,
+                "ts" -> VTime), None)))
         case Some("http_server") =>
           // reference src/sources/http_server.rs: receive request
           // bodies on a bound listener, frame each body (newline by
@@ -2580,8 +2707,25 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * file manifest), so a second manifest would be a divergent copy.
     */
   def startStreamingSinks(outputs: Map[String, Frame], checkpointRoot: String)
-      : Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] =
-    sinkDefs.toSeq.map { case (name, cfg) =>
+      : Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] = {
+    // memory enrichment tables consume their inputs as a sink-shaped
+    // query: each micro-batch upserts into the process cache
+    // (memory/table.rs handle_value), checkpointed like any sink so a
+    // resumed run replays only unseen batches
+    val memQueries = memoryTableDefs.toSeq.flatMap { case (tname, (ttl, inputs)) =>
+      inputs.flatMap(in => outputs.get(in).map((in, _))).map { case (in, f) =>
+        val meta = f.meta
+        val q = f.df.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            MemoryCache.upsertFrame(tname, Frame(batch, meta), ttl); ()
+          }
+          .option("checkpointLocation", s"$checkpointRoot/__mem_${tname}_$in")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        s"__mem_$tname" -> q
+      }
+    }
+    memQueries ++ sinkDefs.toSeq.map { case (name, cfg) =>
       val in = sinkInput(name, cfg, outputs)
       val df = in.df.drop(SeqCol)
       // lazy: the console sink has no path
@@ -2662,6 +2806,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       }
       name -> q
     }
+  }
 
   /** Whole-config STREAMING execution: the reference's continuous
     * `vector run` lifecycle, drained with Trigger.AvailableNow — each
@@ -2684,15 +2829,19 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "100000")
     try {
+      streamingEval = true
       val src = loadStreamingSources(spark)
       val queries = startStreamingSinks(src ++ run(src), checkpointRoot)
       queries.map { case (name, q) =>
         q.awaitTermination()
         name -> q.recentProgress.map(_.numInputRows).sum
       }.toMap
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      streamingEval = false
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
@@ -2715,7 +2864,8 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
-    "http_server", "parquet", "socket", "static_metrics", "syslog")
+    "http_server", "internal_metrics", "kafka", "parquet", "socket",
+    "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);
@@ -2767,7 +2917,7 @@ object Topology {
   val SinkTypes: Seq[String] = Seq(
     "blackhole", "console", "file", "http", "parquet",
     "prometheus_exporter", "socket")
-  val EnrichmentTableTypes: Seq[String] = Seq("file")
+  val EnrichmentTableTypes: Seq[String] = Seq("file", "memory")
 
   /** The flat metric-event schema every metric-side transform exchanges
     * (SURVEY §1.3; reference lib/vector-core/src/event/metric/): name,

@@ -40,4 +40,58 @@ object Telemetry {
         sum(when(col("port") === p, 1L).otherwise(0L)).as(s"sent_$p"))
     routed.observe(s"graft.$name", all.head, all.tail: _*)
   }
+
+  /** Process-wide running totals behind the `internal_metrics` config
+    * source (reference src/sources/internal_metrics.rs: the running
+    * topology's own counters re-enter as metric events). Counters
+    * accumulate from two feeds: per-sink delivered counts recorded by
+    * `Topology.writeSinks`, and every `Dataset.observe` metric named
+    * `graft.<component>` once [[harvest]] is installed on the session.
+    */
+  object Registry {
+    private val counters =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Double]()
+
+    def add(component: String, metric: String, n: Double): Unit = {
+      counters.merge((component, metric), n, (a, b) => a + b); ()
+    }
+
+    /** (component, metric, running total), insertion-order-free. */
+    def snapshot(): Seq[(String, String, Double)] =
+      counters.entrySet().toArray(Array.empty[java.util.Map.Entry[(String, String), Double]])
+        .map(e => (e.getKey._1, e.getKey._2, e.getValue)).toSeq
+        .sortBy(t => (t._1, t._2))
+
+    def reset(): Unit = counters.clear()
+
+    @volatile private var installed = false
+    /** Registers a QueryExecutionListener that feeds every observed
+      * `graft.<component>` metric into the registry (idempotent).
+      */
+    def harvest(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+      if (!installed) {
+        installed = true
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                                   qe: org.apache.spark.sql.execution.QueryExecution,
+                                   durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (mname, row) =>
+                if (mname.startsWith("graft.")) {
+                  val comp = mname.stripPrefix("graft.")
+                  row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+                    row.get(i) match {
+                      case n: Number => add(comp, f.name, n.doubleValue())
+                      case _ => ()
+                    }
+                  }
+                }
+              }
+            override def onFailure(funcName: String,
+                                   qe: org.apache.spark.sql.execution.QueryExecution,
+                                   exception: Exception): Unit = ()
+          })
+      }
+    }
+  }
 }

@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{Frame, MemoryCache, Topology}
+import graft.config.Topology.SeqCol
+import graft.config.VrlCompile.{EventMeta, VStr}
+import graft.operators.Telemetry
+
+/** Round-4 config source surface: memory enrichment tables from
+  * config, the internal_metrics self-observability source, and the
+  * kafka dispatch's jar-gated refusal.
+  */
+class ConfigSourcesSpec extends SparkSpec {
+
+  private def msgFrame(rows: Seq[(String, String)]): Frame = {
+    val df = spark.createDataFrame(rows.zipWithIndex.map { case ((k, v), i) =>
+      (i.toLong, k, v) }).toDF(SeqCol, "user", "team")
+    Frame(df, EventMeta(ListMap("user" -> VStr, "team" -> VStr), None))
+  }
+
+  test("memory enrichment table: a source writes the cache, VRL reads it back") {
+    MemoryCache.drop("who")
+    val topo = Topology.load(
+      """
+        |[enrichment_tables.who]
+        |  type = "memory"
+        |  ttl = 60
+        |  inputs = ["writes"]
+        |[transforms.lookup]
+        |  inputs = ["reads"]
+        |  type = "remap"
+        |  drop_on_error = true
+        |  source = '''
+        |    rec = get_enrichment_table_record!("who", {"key": .user})
+        |    .team = string!(rec.value)
+        |    .ttl = to_int!(string!(rec.ttl))
+        |  '''
+        |""".stripMargin)
+    // writer events: FIELD NAMES are the cache keys (memory/table.rs
+    // handle_value iterates top-level fields)
+    val writes = {
+      val df = spark.createDataFrame(Seq(
+        (1L, "core", "infra"), (2L, "apps", "web")))
+        .toDF(SeqCol, "alice", "bob")
+      Frame(df, EventMeta(ListMap("alice" -> VStr, "bob" -> VStr), None))
+    }
+    val reads = {
+      val df = spark.createDataFrame(Seq((1L, "alice"), (2L, "bob")))
+        .toDF(SeqCol, "user")
+      Frame(df, EventMeta(ListMap("user" -> VStr), None))
+    }
+    val out = topo.run(Map("writes" -> writes, "reads" -> reads))("lookup")
+    val rows = out.df.select("user", "team", "ttl").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    // last write wins per key: seq 2 wrote alice=apps, bob=web
+    assert(rows.toSeq == Seq(("alice", "apps"), ("bob", "web")))
+
+    // a missed key raises (get_enrichment_table_record! error channel)
+    val miss = topo.run(Map("writes" -> writes,
+      "reads" -> Frame(
+        spark.createDataFrame(Seq((1L, "nobody"))).toDF(SeqCol, "user"),
+        EventMeta(ListMap("user" -> VStr), None))))
+    assert(miss("lookup").df.count() == 0)
+    MemoryCache.drop("who")
+  }
+
+  test("memory enrichment table: a STREAM fills the cache, a later run reads it") {
+    MemoryCache.drop("seen")
+    val dir = Files.createTempDirectory("graft_memstream").toFile
+    // shaped events whose FIELD NAMES are the cache keys
+    Files.write(new java.io.File(dir, "w.jsonl").toPath,
+      "{\"alice\":\"infra\",\"bob\":\"web\"}\n".getBytes("UTF-8"))
+    val topo = Topology.load(
+      s"""
+         |[enrichment_tables.seen]
+         |  type = "memory"
+         |  ttl = 600
+         |  inputs = ["shape"]
+         |[sources.tail]
+         |  type = "file"
+         |  path = "$dir/w.jsonl"
+         |[transforms.shape]
+         |  inputs = ["tail"]
+         |  type = "remap"
+         |  source = '''
+         |    kv = parse_json!(.message)
+         |    .alice = string!(kv.alice)
+         |    .bob = string!(kv.bob)
+         |    del(.message)
+         |  '''
+         |[sinks.null]
+         |  inputs = ["shape"]
+         |  type = "blackhole"
+         |""".stripMargin)
+    topo.executeStreaming(spark, s"$dir/ckpt")
+    // the streamed upsert survives the run; a fresh topology reads it
+    val reader = Topology.load(
+      """
+        |[enrichment_tables.seen]
+        |  type = "memory"
+        |[transforms.lookup]
+        |  inputs = ["reads"]
+        |  type = "remap"
+        |  drop_on_error = true
+        |  source = '.team = string!(get_enrichment_table_record!("seen", {"key": .user}).value)'
+        |""".stripMargin)
+    val reads = Frame(
+      spark.createDataFrame(Seq((1L, "alice"), (2L, "bob")))
+        .toDF(SeqCol, "user"),
+      EventMeta(ListMap("user" -> VStr), None))
+    val rows = reader.run(Map("reads" -> reads))("lookup").df
+      .select("user", "team").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("alice", "infra"), ("bob", "web")), rows.toSeq.toString)
+    MemoryCache.drop("seen")
+  }
+
+  test("memory enrichment table: transform inputs and semantic knobs are refused") {
+    val t1 = Topology.load(
+      """
+        |[enrichment_tables.who]
+        |  type = "memory"
+        |  inputs = ["shaper"]
+        |[transforms.shaper]
+        |  inputs = ["src"]
+        |  type = "remap"
+        |  source = '.x = 1'
+        |""".stripMargin)
+    val e1 = intercept[Exception](t1.run(Map("src" -> msgFrame(Seq(("a", "b"))))))
+    assert(e1.getMessage.contains("transform"))
+    val e2 = intercept[Exception](Topology.load(
+      """
+        |[enrichment_tables.who]
+        |  type = "memory"
+        |  max_byte_size = 1000
+        |""".stripMargin).memoryTableDefs)
+    assert(e2.getMessage.contains("max_byte_size"))
+  }
+
+  test("memory enrichment table: TTL expires entries from the snapshot") {
+    MemoryCache.drop("ttl_t")
+    val now = System.currentTimeMillis()
+    MemoryCache.upsertFields("ttl_t", Seq("fresh" -> "1"), 60, now)
+    MemoryCache.upsertFields("ttl_t", Seq("stale" -> "2"), 5, now - 10000)
+    val snap = MemoryCache.snapshot("ttl_t", now)
+    assert(snap.map(_("key")) == Seq("fresh"))
+    assert(snap.head("ttl").toLong <= 60)
+    MemoryCache.drop("ttl_t")
+  }
+
+  test("internal_metrics source: sink deliveries re-enter as metric events") {
+    Telemetry.Registry.reset()
+    val dir = Files.createTempDirectory("graft_im").toFile
+    // phase 1: a topology that delivers 3 events to a file sink
+    val writer = Topology.load(
+      s"""
+         |[sinks.out]
+         |  inputs = ["src"]
+         |  type = "file"
+         |  path = "$dir/out"
+         |  [sinks.out.encoding]
+         |    codec = "text"
+         |""".stripMargin)
+    val in = Frame(
+      spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+        .toDF(SeqCol, "message"),
+      EventMeta(ListMap("message" -> VStr), None))
+    assert(writer.writeSinks(Map("src" -> in))("out") == 3L)
+
+    // phase 2: internal_metrics → aggregate chain reads the counters
+    val monitor = Topology.load(
+      """
+        |[sources.self]
+        |  type = "internal_metrics"
+        |[transforms.agg]
+        |  inputs = ["self"]
+        |  type = "aggregate"
+        |  interval_ms = 60000
+        |""".stripMargin)
+    val src = monitor.loadSources(spark)
+    val out = monitor.run(src)("agg")
+    val rows = out.df.select("name", "tags", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.contains(("component_sent_events_total", "component_id=out", 3.0)))
+    Telemetry.Registry.reset()
+  }
+
+  test("kafka source: batch refused as streaming-only; streaming names the missing jar") {
+    val topo = Topology.load(
+      """
+        |[sources.k]
+        |  type = "kafka"
+        |  bootstrap_servers = "localhost:9092"
+        |  topics = ["turns"]
+        |""".stripMargin)
+    val e1 = intercept[Exception](topo.loadSources(spark))
+    assert(e1.getMessage.contains("streaming-only"))
+    val e2 = intercept[Exception](topo.loadStreamingSources(spark))
+    assert(e2.getMessage.toLowerCase.contains("kafka"), e2.getMessage)
+    // config validation still catches missing options before any jar gate
+    val e3 = intercept[Exception](Topology.load(
+      """
+        |[sources.k]
+        |  type = "kafka"
+        |  topics = ["t"]
+        |""".stripMargin).loadStreamingSources(spark))
+    assert(e3.getMessage.contains("bootstrap_servers"))
+  }
+}
