@@ -24,7 +24,12 @@ object LuaInterp {
   final case class LBool(b: Boolean) extends LV
   final case class LInt(v: Long) extends LV
   final case class LNum(v: Double) extends LV
-  final case class LStr(s: String) extends LV
+  final case class LStr(s: String) extends LV {
+    // interpreter hot path: LStr keys hash on EVERY table access and
+    // the case-class default recomputes MurmurHash each call — cache
+    // it (bucket placement only; LinkedHashMap order is insertion)
+    override val hashCode: Int = s.hashCode * 31 + 7
+  }
   final class LTable extends LV {
     /** Insertion-ordered so `pairs`/JSON rendering are deterministic. */
     val m: mutable.LinkedHashMap[LV, LV] = mutable.LinkedHashMap.empty
@@ -168,18 +173,49 @@ object LuaInterp {
   }
 
   // ------------------------------------------------------ environment
+  /** Per-script interned LStr keys for variable/global names — name
+    * sets are bounded by program text, and interning spares one LStr
+    * allocation per global access on the hot path.
+    */
+  private val nameKeys = new java.util.concurrent.ConcurrentHashMap[String, LStr]()
+  private def nameKey(n: String): LStr = {
+    val hit = nameKeys.get(n)
+    if (hit != null) hit
+    else nameKeys.computeIfAbsent(n, s => LStr(s))
+  }
+
   final class Env(val parent: Option[Env], val globals: LTable) {
+    // iterative parent-chain walk with a null-based link: scope lookup
+    // runs once per variable access per event per row, so the
+    // Option/closure allocations of the recursive form were measurable
+    private val parentRef: Env = parent.orNull
     private val vars = mutable.HashMap.empty[String, LV]
     def declare(n: String, v: LV): Unit = vars.update(n, v)
-    def lookupLocal(n: String): Option[Env] =
-      if (vars.contains(n)) Some(this) else parent.flatMap(_.lookupLocal(n))
-    def get(n: String): LV = lookupLocal(n) match {
-      case Some(e) => e.vars(n)
-      case None => globals.rawGet(LStr(n))
+    def lookupLocal(n: String): Option[Env] = {
+      var e: Env = this
+      while (e != null) {
+        if (e.vars.contains(n)) return Some(e)
+        e = e.parentRef
+      }
+      None
     }
-    def set(n: String, v: LV): Unit = lookupLocal(n) match {
-      case Some(e) => e.vars.update(n, v)
-      case None => globals.rawSet(LStr(n), v)
+    def get(n: String): LV = {
+      var e: Env = this
+      while (e != null) {
+        // vars never hold Scala null (absent ≠ LNil-valued declare)
+        val v = e.vars.getOrElse(n, null)
+        if (v != null) return v
+        e = e.parentRef
+      }
+      globals.rawGet(nameKey(n))
+    }
+    def set(n: String, v: LV): Unit = {
+      var e: Env = this
+      while (e != null) {
+        if (e.vars.contains(n)) { e.vars.update(n, v); return }
+        e = e.parentRef
+      }
+      globals.rawSet(nameKey(n), v)
     }
     def child: Env = new Env(Some(this), globals)
   }
