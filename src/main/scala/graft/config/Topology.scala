@@ -1778,10 +1778,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * system, user} + cpu index, exactly the reference's Linux mode set,
     * cpu.rs:27-41, plus the logical_cpus/physical_cpus gauges),
     * `memory` (memory_*_bytes gauges from /proc/meminfo), `load`
-    * (load1/5/15, mod.rs:432-450), `host` (uptime + boot_time) —
-    * the reference's remaining collectors (disk, filesystem, network,
-    * process, cgroups, tcp) are refused loudly rather than silently
-    * skipped. Every metric is kind ABSOLUTE with `collector` and
+    * (load1/5/15, mod.rs:432-450), `host` (uptime + boot_time),
+    * `filesystem`, `network`, `disk`, `process`, `cgroups` (v1/v2/
+    * hybrid detection + recursive hierarchy walk, cgroups.rs:226-283),
+    * and `tcp` (per-state connection counts + queued bytes; the
+    * reference queries netlink sock_diag, tcp.rs:28-57 — this engine
+    * reads the same kernel state from /proc/net/tcp[6], the portable
+    * JVM path) — the full collector set; unknown names are refused
+    * loudly. Every metric is kind ABSOLUTE with `collector` and
     * `host` tags stamped (MetricsBuffer.tags, mod.rs:506-512),
     * namespace default "host" (mod.rs:185-187). `ts` stays null like
     * every deterministic-engine source; the VALUES themselves are
@@ -1791,7 +1795,7 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
   private def hostMetrics(spark: org.apache.spark.sql.SparkSession,
                           name: String, cfg: TTab): Frame = {
     val supported = Seq("cpu", "memory", "load", "host", "filesystem",
-      "network", "disk", "process")
+      "network", "disk", "process", "cgroups", "tcp")
     val collectors = {
       val c = cfg.strArr("collectors")
       if (c.isEmpty) supported else c
@@ -2003,6 +2007,127 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             }
           } catch { case _: Exception => () } // raced exit: skip the pid
         }
+    }
+
+    if (collectors.contains("cgroups")) {
+      // cgroup hierarchy walk (cgroups.rs). Mode detection :226-283:
+      // hybrid if BASE/unified/cgroup.controllers exists, modern if
+      // BASE/cgroup.controllers, legacy if BASE/cpu is a directory.
+      // Modern dirs carry cpu.stat + memory.current + memory.stat;
+      // legacy splits the walk into the memory/ subtree (memory files
+      // only) and the cpu/ subtree (cpu files only) (:97-116); hybrid
+      // scans both. Per-file absence skips that metric set, never the
+      // scrape (filter_result), and v1 stat files simply lack the
+      // usage_usec/anon keys so those default to 0 like the
+      // define_stat_struct parser.
+      val ccfg = cfg.tab("cgroups")
+      val base = ccfg.flatMap(_.str("base_dir")).getOrElse("/sys/fs/cgroup")
+      val levels = ccfg.flatMap(_.long("levels")).getOrElse(100L).toInt
+      val rootName = ccfg.flatMap(_.str("base")).getOrElse("/")
+      def isFile(p: String) = new java.io.File(p).isFile
+      def statKeys(p: String): Map[String, Double] =
+        try readProc(p).flatMap(_.trim.split("\\s+") match {
+          case Array(k, v) => try Some(k -> v.toDouble) catch { case _: NumberFormatException => None }
+          case _ => None
+        }).toMap
+        catch { case _: Exception => Map.empty }
+      def emitGroup(dir: java.io.File, cname: String, loadCpu: Boolean,
+                    loadMem: Boolean): Unit = {
+        val t = tags("cgroups", Seq("cgroup" -> cname))
+        val cpuStat = new java.io.File(dir, "cpu.stat")
+        if (loadCpu && cpuStat.isFile) {
+          val s = statKeys(cpuStat.getPath)
+          out += (("cgroup_cpu_usage_seconds_total", t, "counter",
+            s.getOrElse("usage_usec", 0.0) * 1e-6))
+          out += (("cgroup_cpu_user_seconds_total", t, "counter",
+            s.getOrElse("user_usec", 0.0) * 1e-6))
+          out += (("cgroup_cpu_system_seconds_total", t, "counter",
+            s.getOrElse("system_usec", 0.0) * 1e-6))
+        }
+        if (loadMem) {
+          val cur = new java.io.File(dir, "memory.current")
+          if (cur.isFile)
+            try out += (("cgroup_memory_current_bytes", t, "gauge",
+              readProc(cur.getPath).head.trim.toDouble))
+            catch { case _: Exception => () }
+          val memStat = new java.io.File(dir, "memory.stat")
+          if (memStat.isFile) {
+            val s = statKeys(memStat.getPath)
+            out += (("cgroup_memory_anon_bytes", t, "gauge", s.getOrElse("anon", 0.0)))
+            out += (("cgroup_memory_file_bytes", t, "gauge", s.getOrElse("file", 0.0)))
+            out += (("cgroup_memory_anon_active_bytes", t, "gauge", s.getOrElse("active_anon", 0.0)))
+            out += (("cgroup_memory_anon_inactive_bytes", t, "gauge", s.getOrElse("inactive_anon", 0.0)))
+            out += (("cgroup_memory_file_active_bytes", t, "gauge", s.getOrElse("active_file", 0.0)))
+            out += (("cgroup_memory_file_inactive_bytes", t, "gauge", s.getOrElse("inactive_file", 0.0)))
+          }
+        }
+      }
+      def recurse(dir: java.io.File, cname: String, level: Int,
+                  loadCpu: Boolean, loadMem: Boolean): Unit = {
+        emitGroup(dir, cname, loadCpu, loadMem)
+        if (level < levels) {
+          val kids = Option(dir.listFiles).getOrElse(Array.empty)
+            .filter(_.isDirectory).sortBy(_.getName)
+          kids.foreach { k =>
+            val childName = if (cname.endsWith("/")) cname + k.getName
+              else cname + "/" + k.getName
+            recurse(k, childName, level + 1, loadCpu, loadMem)
+          }
+        }
+      }
+      def scanModern(b: String): Unit = {
+        val root = new java.io.File(b, if (rootName == "/") "" else rootName)
+        if (root.isDirectory) recurse(root, rootName, 1, loadCpu = true, loadMem = true)
+      }
+      def scanLegacy(b: String): Unit = {
+        val sub = if (rootName == "/") "" else "/" + rootName.stripPrefix("/")
+        val mem = new java.io.File(b, "memory" + sub)
+        if (mem.isDirectory) recurse(mem, rootName, 1, loadCpu = false, loadMem = true)
+        val cpu = new java.io.File(b, "cpu" + sub)
+        if (cpu.isDirectory) recurse(cpu, rootName, 1, loadCpu = true, loadMem = false)
+      }
+      if (isFile(s"$base/unified/cgroup.controllers")) {
+        scanLegacy(base); scanModern(s"$base/unified")
+      } else if (isFile(s"$base/cgroup.controllers")) scanModern(base)
+      else if (new java.io.File(base, "cpu").isDirectory) scanLegacy(base)
+      // no cgroup base detected: emit nothing, like the reference's None
+    }
+
+    if (collectors.contains("tcp")) {
+      // per-state connection gauges + queued bytes (tcp.rs:28-57). The
+      // reference dumps netlink sock_diag; the identical kernel state
+      // is exposed at /proc/net/tcp[6] (st hex = the same 1..11 state
+      // codes, tx_queue:rx_queue hex pair), which the JVM can read
+      // without a native netlink socket. IPv6 is included only when
+      // /proc/net/if_inet6 exists, mirroring tcp.rs:21,219.
+      val stateNames = Map(1 -> "established", 2 -> "syn_sent",
+        3 -> "syn_recv", 4 -> "fin_wait1", 5 -> "fin_wait2",
+        6 -> "time_wait", 7 -> "close", 8 -> "close_wait",
+        9 -> "last_ack", 10 -> "listen", 11 -> "closing")
+      val counts = scala.collection.mutable.Map.empty[String, Double]
+      var txQ = 0.0; var rxQ = 0.0
+      val files = Seq("/proc/net/tcp") ++
+        (if (new java.io.File("/proc/net/if_inet6").isFile) Seq("/proc/net/tcp6") else Nil)
+      files.foreach { f =>
+        try readProc(f).drop(1).foreach { line =>
+          val p = line.trim.split("\\s+")
+          if (p.length >= 5) {
+            stateNames.get(Integer.parseInt(p(3), 16)).foreach(s =>
+              counts(s) = counts.getOrElse(s, 0.0) + 1.0)
+            p(4).split(":") match {
+              case Array(tx, rx) =>
+                txQ += java.lang.Long.parseLong(tx, 16).toDouble
+                rxQ += java.lang.Long.parseLong(rx, 16).toDouble
+              case _ => ()
+            }
+          }
+        } catch { case _: Exception => () }
+      }
+      counts.toSeq.sortBy(_._1).foreach { case (s, c) =>
+        out += (("tcp_connections_total", tags("tcp", Seq("state" -> s)), "gauge", c))
+      }
+      out += (("tcp_tx_queued_bytes_total", tags("tcp"), "gauge", txQ))
+      out += (("tcp_rx_queued_bytes_total", tags("tcp"), "gauge", rxQ))
     }
 
     val rows = out.result().zipWithIndex.map { case ((n, t, vt, v), i) =>

@@ -453,4 +453,246 @@ object OtlpCodec {
       override def call(b: Array[Byte]): String =
         if (b == null) null else Try(decode(b)._1).getOrElse(null)
     }, StringType).apply(c)
+
+  // ------------------------------------------------- encode arm
+  //
+  // The inverse of the decode above (reference
+  // `lib/codecs/src/encoding/format/otlp.rs`: the serializer is "the
+  // inverse of what the opentelemetry source does when decoding,
+  // ensuring round-trip compatibility", dispatching on the top-level
+  // resourceLogs / resourceMetrics / resourceSpans field,
+  // otlp.rs:100-126). Fields are emitted in ascending field-number
+  // order — the canonical protobuf layout prost produces — so a frame
+  // built by the reference's own encoder decodes and re-encodes
+  // byte-exactly. Subset limits mirror the decoder: exemplars,
+  // exponential_histogram and Metric.metadata were dropped on decode
+  // and so cannot round-trip; everything the decoder keeps does.
+
+  import ProtoWire.Writer
+
+  private def encBad(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def jLong(n: JsonNode): Long =
+    if (n.isBigInteger) n.bigIntegerValue().longValue() else n.asLong()
+  private def unhex(s: String): Array[Byte] = {
+    if (s.length % 2 != 0) encBad(s"odd-length hex id: $s")
+    Array.tabulate(s.length / 2)(i => Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+  private def wStr(w: Writer, f: Int, o: JsonNode, k: String): Unit =
+    if (o.has(k)) { w.writeLenDelim(f, utf8e(o.get(k).asText())); () }
+  private def wVarint(w: Writer, f: Int, o: JsonNode, k: String): Unit =
+    if (o.has(k)) { w.writeTag(f, 0).writeVarint(jLong(o.get(k))); () }
+  private def wFixed64(w: Writer, f: Int, o: JsonNode, k: String): Unit =
+    if (o.has(k)) { w.writeTag(f, 1).writeFixed64(jLong(o.get(k))); () }
+  private def wDouble(w: Writer, f: Int, o: JsonNode, k: String): Unit =
+    if (o.has(k)) { w.writeTag(f, 1).writeFixed64(java.lang.Double.doubleToLongBits(o.get(k).asDouble())); () }
+  private def wFixed32(w: Writer, f: Int, o: JsonNode, k: String): Unit =
+    if (o.has(k)) { w.writeTag(f, 5).writeFixed32(jLong(o.get(k))); () }
+  private def wHex(w: Writer, f: Int, o: JsonNode, k: String): Unit =
+    if (o.has(k)) { w.writeLenDelim(f, unhex(o.get(k).asText())); () }
+  private def utf8e(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+  private def each(o: JsonNode, k: String)(f: JsonNode => Unit): Unit =
+    if (o.has(k)) { val it = o.get(k).elements(); while (it.hasNext) f(it.next()) }
+
+  private def encAnyValue(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    if (o.has("stringValue")) w.writeLenDelim(1, utf8e(o.get("stringValue").asText()))
+    else if (o.has("boolValue")) w.writeTag(2, 0).writeVarint(if (o.get("boolValue").asBoolean()) 1L else 0L)
+    else if (o.has("intValue")) w.writeTag(3, 0).writeVarint(jLong(o.get("intValue")))
+    else if (o.has("doubleValue")) w.writeTag(4, 1).writeFixed64(java.lang.Double.doubleToLongBits(o.get("doubleValue").asDouble()))
+    else if (o.has("arrayValue")) {
+      val inner = new Writer
+      each(o.get("arrayValue"), "values")(v => { inner.writeLenDelim(1, encAnyValue(v)); () })
+      w.writeLenDelim(5, inner.toBytes)
+    } else if (o.has("kvlistValue")) {
+      val inner = new Writer
+      each(o.get("kvlistValue"), "values")(v => { inner.writeLenDelim(1, encKeyValue(v)); () })
+      w.writeLenDelim(6, inner.toBytes)
+    } else if (o.has("bytesValue"))
+      w.writeLenDelim(7, Base64.getDecoder.decode(o.get("bytesValue").asText()))
+    w.toBytes // empty AnyValue {} encodes to zero bytes, like proto3
+  }
+
+  private def encKeyValue(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wStr(w, 1, o, "key")
+    if (o.has("value")) w.writeLenDelim(2, encAnyValue(o.get("value")))
+    w.toBytes
+  }
+
+  private def encResource(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    each(o, "attributes")(a => { w.writeLenDelim(1, encKeyValue(a)); () })
+    wVarint(w, 2, o, "droppedAttributesCount")
+    w.toBytes
+  }
+
+  private def encScope(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wStr(w, 1, o, "name"); wStr(w, 2, o, "version")
+    each(o, "attributes")(a => { w.writeLenDelim(3, encKeyValue(a)); () })
+    wVarint(w, 4, o, "droppedAttributesCount")
+    w.toBytes
+  }
+
+  private def encLogRecord(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wFixed64(w, 1, o, "timeUnixNano")
+    wVarint(w, 2, o, "severityNumber")
+    wStr(w, 3, o, "severityText")
+    if (o.has("body")) w.writeLenDelim(5, encAnyValue(o.get("body")))
+    each(o, "attributes")(a => { w.writeLenDelim(6, encKeyValue(a)); () })
+    wVarint(w, 7, o, "droppedAttributesCount")
+    wFixed32(w, 8, o, "flags")
+    wHex(w, 9, o, "traceId"); wHex(w, 10, o, "spanId")
+    wFixed64(w, 11, o, "observedTimeUnixNano")
+    wStr(w, 12, o, "eventName")
+    w.toBytes
+  }
+
+  private def encScopedList(o: JsonNode, listKey: String,
+                            item: JsonNode => Array[Byte]): Array[Byte] = {
+    val w = new Writer
+    if (o.has("scope")) w.writeLenDelim(1, encScope(o.get("scope")))
+    each(o, listKey)(i => { w.writeLenDelim(2, item(i)); () })
+    wStr(w, 3, o, "schemaUrl")
+    w.toBytes
+  }
+
+  private def encResourceBlock(o: JsonNode, scopesKey: String, listKey: String,
+                               item: JsonNode => Array[Byte]): Array[Byte] = {
+    val w = new Writer
+    if (o.has("resource")) w.writeLenDelim(1, encResource(o.get("resource")))
+    each(o, scopesKey)(s => { w.writeLenDelim(2, encScopedList(s, listKey, item)); () })
+    wStr(w, 3, o, "schemaUrl")
+    w.toBytes
+  }
+
+  private def encNumberDataPoint(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wFixed64(w, 2, o, "startTimeUnixNano"); wFixed64(w, 3, o, "timeUnixNano")
+    wDouble(w, 4, o, "asDouble")
+    wFixed64(w, 6, o, "asInt") // sfixed64
+    each(o, "attributes")(a => { w.writeLenDelim(7, encKeyValue(a)); () })
+    wVarint(w, 8, o, "flags")
+    w.toBytes
+  }
+
+  private def encHistogramDataPoint(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wFixed64(w, 2, o, "startTimeUnixNano"); wFixed64(w, 3, o, "timeUnixNano")
+    wFixed64(w, 4, o, "count"); wDouble(w, 5, o, "sum")
+    if (o.has("bucketCounts")) { // packed fixed64, prost's proto3 default
+      val p = new Writer
+      each(o, "bucketCounts")(c => { p.writeFixed64(jLong(c)); () })
+      w.writeLenDelim(6, p.toBytes)
+    }
+    if (o.has("explicitBounds")) { // packed double
+      val p = new Writer
+      each(o, "explicitBounds")(c => { p.writeFixed64(java.lang.Double.doubleToLongBits(c.asDouble())); () })
+      w.writeLenDelim(7, p.toBytes)
+    }
+    each(o, "attributes")(a => { w.writeLenDelim(9, encKeyValue(a)); () })
+    wVarint(w, 10, o, "flags")
+    wDouble(w, 11, o, "min"); wDouble(w, 12, o, "max")
+    w.toBytes
+  }
+
+  private def encSummaryDataPoint(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wFixed64(w, 2, o, "startTimeUnixNano"); wFixed64(w, 3, o, "timeUnixNano")
+    wFixed64(w, 4, o, "count"); wDouble(w, 5, o, "sum")
+    each(o, "quantileValues") { q =>
+      val qw = new Writer
+      wDouble(qw, 1, q, "quantile"); wDouble(qw, 2, q, "value")
+      w.writeLenDelim(6, qw.toBytes); ()
+    }
+    each(o, "attributes")(a => { w.writeLenDelim(7, encKeyValue(a)); () })
+    wVarint(w, 8, o, "flags")
+    w.toBytes
+  }
+
+  private def encDataPoints(o: JsonNode, point: JsonNode => Array[Byte],
+                            tail: Writer => Unit = _ => ()): Array[Byte] = {
+    val w = new Writer
+    each(o, "dataPoints")(p => { w.writeLenDelim(1, point(p)); () })
+    tail(w)
+    w.toBytes
+  }
+
+  private def encMetric(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wStr(w, 1, o, "name"); wStr(w, 2, o, "description"); wStr(w, 3, o, "unit")
+    if (o.has("gauge")) w.writeLenDelim(5, encDataPoints(o.get("gauge"), encNumberDataPoint))
+    if (o.has("sum")) w.writeLenDelim(7, encDataPoints(o.get("sum"), encNumberDataPoint, { tw =>
+      wVarint(tw, 2, o.get("sum"), "aggregationTemporality")
+      if (o.get("sum").has("isMonotonic"))
+        tw.writeTag(3, 0).writeVarint(if (o.get("sum").get("isMonotonic").asBoolean()) 1L else 0L): Unit
+    }))
+    if (o.has("histogram")) w.writeLenDelim(9, encDataPoints(o.get("histogram"), encHistogramDataPoint,
+      tw => wVarint(tw, 2, o.get("histogram"), "aggregationTemporality")))
+    if (o.has("summary")) w.writeLenDelim(11, encDataPoints(o.get("summary"), encSummaryDataPoint))
+    w.toBytes
+  }
+
+  private def encSpanEvent(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wFixed64(w, 1, o, "timeUnixNano"); wStr(w, 2, o, "name")
+    each(o, "attributes")(a => { w.writeLenDelim(3, encKeyValue(a)); () })
+    w.toBytes
+  }
+
+  private def encSpanLink(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wHex(w, 1, o, "traceId"); wHex(w, 2, o, "spanId"); wStr(w, 3, o, "traceState")
+    each(o, "attributes")(a => { w.writeLenDelim(4, encKeyValue(a)); () })
+    w.toBytes
+  }
+
+  private def encSpan(o: JsonNode): Array[Byte] = {
+    val w = new Writer
+    wHex(w, 1, o, "traceId"); wHex(w, 2, o, "spanId")
+    wStr(w, 3, o, "traceState"); wHex(w, 4, o, "parentSpanId")
+    wStr(w, 5, o, "name"); wVarint(w, 6, o, "kind")
+    wFixed64(w, 7, o, "startTimeUnixNano"); wFixed64(w, 8, o, "endTimeUnixNano")
+    each(o, "attributes")(a => { w.writeLenDelim(9, encKeyValue(a)); () })
+    wVarint(w, 10, o, "droppedAttributesCount")
+    each(o, "events")(e => { w.writeLenDelim(11, encSpanEvent(e)); () })
+    wVarint(w, 12, o, "droppedEventsCount")
+    each(o, "links")(l => { w.writeLenDelim(13, encSpanLink(l)); () })
+    wVarint(w, 14, o, "droppedLinksCount")
+    if (o.has("status")) {
+      val s = o.get("status"); val sw = new Writer
+      wStr(sw, 2, s, "message"); wVarint(sw, 3, s, "code")
+      w.writeLenDelim(15, sw.toBytes)
+    }
+    w.toBytes
+  }
+
+  /** Event tree -> Export*ServiceRequest bytes. Dispatches on the
+    * top-level resourceLogs / resourceMetrics / resourceSpans field like
+    * the reference serializer (otlp.rs:103-126); anything else raises
+    * the reference's "does not contain OTLP top-level fields" error.
+    */
+  def encode(tree: JsonNode): Array[Byte] = {
+    val w = new Writer
+    if (tree.has("resourceLogs"))
+      each(tree, "resourceLogs")(r => { w.writeLenDelim(1, encResourceBlock(r, "scopeLogs", "logRecords", encLogRecord)); () })
+    else if (tree.has("resourceMetrics"))
+      each(tree, "resourceMetrics")(r => { w.writeLenDelim(1, encResourceBlock(r, "scopeMetrics", "metrics", encMetric)); () })
+    else if (tree.has("resourceSpans"))
+      each(tree, "resourceSpans")(r => { w.writeLenDelim(1, encResourceBlock(r, "scopeSpans", "spans", encSpan)); () })
+    else encBad("Log event does not contain OTLP top-level fields (resourceLogs or resourceMetrics or resourceSpans)")
+    w.toBytes
+  }
+
+  /** Column API: json line of a single-field OTLP event -> frame bytes;
+    * null where the event is not an OTLP tree (dropped channel).
+    */
+  def encodeOtlp(c: Column): Column =
+    udf(new UDF1[String, Array[Byte]] {
+      override def call(s: String): Array[Byte] =
+        if (s == null) null
+        else Try(encode(mapper.readTree(s))).getOrElse(null)
+    }, org.apache.spark.sql.types.BinaryType).apply(c)
 }

@@ -146,4 +146,175 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow]
   }
+
+  // ---------------------------------------------------------- real decode
+  //
+  // Two self-contained formats whose decode needs no external codec —
+  // BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + padded 24bpp rows) and
+  // WAV (RIFF/WAVE chunks + PCM16 samples) — decoded for real: header
+  // fields parsed from the bytes, sample/pixel data walked with the
+  // correct row stride / block align. Every other format still takes
+  // the documented stub path (`decodeOne`), exactly as a production
+  // pipeline would fan out by sniffed magic to per-format decoders.
+
+  final case class MediaBlob(id: Long, bytes: Array[Byte])
+
+  /** The unified decode record. Inapplicable fields are 0 by contract
+    * (a BMP has no sample rate; a WAV no width): `format` is sniffed
+    * from the payload magic, never trusted from metadata.
+    */
+  final case class DecodedMedia(id: Long, format: String, n_bytes: Long,
+                                width: Int, height: Int, sample_rate_hz: Int,
+                                channels: Int, bits: Int, n_samples: Long,
+                                duration_ms: Double, mean_signal: Double)
+
+  private def putIntLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def putShortLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+  }
+
+  /** A real, openable 24bpp BMP: w = id%8+1 (exercises every row-padding
+    * remainder), h = id%5+1, constant BGR pixel ((3id)%256,(5id)%256,
+    * (7id)%256). Constant pixels + zero padding make stride bugs
+    * visible: averaging padding bytes into the channel mean shifts it.
+    */
+  def synthesizeBmp(id: Long): Array[Byte] = {
+    val w = (id % 8 + 1).toInt; val h = (id % 5 + 1).toInt
+    val stride = (3 * w + 3) / 4 * 4
+    val dataSize = stride * h
+    val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+    out.write('B'); out.write('M')
+    putIntLE(out, 54 + dataSize); putShortLE(out, 0); putShortLE(out, 0)
+    putIntLE(out, 54)
+    putIntLE(out, 40); putIntLE(out, w); putIntLE(out, h)
+    putShortLE(out, 1); putShortLE(out, 24); putIntLE(out, 0)
+    putIntLE(out, dataSize); putIntLE(out, 2835); putIntLE(out, 2835)
+    putIntLE(out, 0); putIntLE(out, 0)
+    val b = (3 * id % 256).toInt; val g = (5 * id % 256).toInt; val r = (7 * id % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out.write(b); out.write(g); out.write(r); x += 1 }
+      var pad = stride - 3 * w
+      while (pad > 0) { out.write(0); pad -= 1 }
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** A real mono PCM16 WAV: rate = 8000*(id%3+1), n = id%50+10 samples,
+    * every sample the int16 (id%200)*100-10000.
+    */
+  def synthesizeWav(id: Long): Array[Byte] = {
+    val rate = (8000 * (id % 3 + 1)).toInt
+    val n = (id % 50 + 10).toInt
+    val sample = ((id % 200) * 100 - 10000).toInt
+    val dataSize = 2 * n
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII")); putIntLE(out, 36 + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); putIntLE(out, 16)
+    putShortLE(out, 1); putShortLE(out, 1); putIntLE(out, rate)
+    putIntLE(out, rate * 2); putShortLE(out, 2); putShortLE(out, 16)
+    out.write("data".getBytes("US-ASCII")); putIntLE(out, dataSize)
+    var i = 0
+    while (i < n) { putShortLE(out, sample & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  /** Deterministic media fixture over the documents corpus: even doc_id
+    * becomes a BMP, odd a WAV — real files, reproducible everywhere.
+    */
+  def synthesizeMedia(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => if (id % 2 == 0) synthesizeBmp(id) else synthesizeWav(id))
+    docs.select(col("doc_id").as("id"), gen(col("doc_id")).as("bytes"))
+  }
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Parse one BMP: header fields from the real offsets, red-channel
+    * mean walked with the parsed row stride (padding excluded).
+    */
+  private def decodeBmp(id: Long, b: Array[Byte]): DecodedMedia = {
+    val off = leInt(b, 10)
+    val w = leInt(b, 18); val h = math.abs(leInt(b, 22))
+    val bpp = leShort(b, 28)
+    val bytesPP = bpp / 8
+    val stride = (bytesPP * w + 3) / 4 * 4
+    var sum = 0.0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (b(off + y * stride + x * bytesPP + 2) & 0xff); x += 1 }
+      y += 1
+    }
+    val px = w.toLong * h
+    DecodedMedia(id, "bmp", b.length.toLong, w, h, 0, bytesPP, bpp, px, 0.0,
+      if (px == 0) 0.0 else sum / px)
+  }
+
+  /** Parse one WAV: walk RIFF chunks (not fixed offsets — fmt/data may
+    * be preceded by LIST etc.), then average the PCM16 samples.
+    */
+  private def decodeWav(id: Long, b: Array[Byte]): DecodedMedia = {
+    var rate = 0; var channels = 0; var bits = 0
+    var nSamples = 0L; var sum = 0.0
+    var o = 12
+    while (o + 8 <= b.length) {
+      val cid = new String(b, o, 4, "US-ASCII")
+      val size = leInt(b, o + 4)
+      if (cid == "fmt ") {
+        channels = leShort(b, o + 10); rate = leInt(b, o + 12)
+        bits = leShort(b, o + 22)
+      } else if (cid == "data" && bits == 16) {
+        val n = size / 2
+        var i = 0
+        while (i < n) { sum += leShort(b, o + 8 + 2 * i).toShort.toDouble; i += 1 }
+        nSamples = n.toLong / math.max(1, channels)
+      }
+      o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    val totalVals = nSamples * math.max(1, channels)
+    DecodedMedia(id, "wav", b.length.toLong, 0, 0, rate, channels, bits, nSamples,
+      if (rate == 0) 0.0 else nSamples * 1000.0 / rate,
+      if (totalVals == 0) 0.0 else sum / totalVals)
+  }
+
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+      && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else "unknown"
+
+  /** Real decode over a (id, bytes) media frame: dispatch on sniffed
+    * magic to the BMP/WAV parsers; unknown formats fall back to the
+    * stub-shaped features (length/checksum in mean_signal's place would
+    * be misleading — they get zeros plus the true byte count).
+    */
+  def decodeMedia(media: DataFrame, batchSize: Int = 64): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("bytes")).as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          // a malformed header (truncated data, lying size fields) is a
+          // bad ROW, not a bad task: fall back to the unknown shape
+          try sniffFormat(m.bytes) match {
+            case "bmp" => decodeBmp(m.id, m.bytes)
+            case "wav" => decodeWav(m.id, m.bytes)
+            case _ => DecodedMedia(m.id, "unknown", m.bytes.length.toLong,
+              0, 0, 0, 0, 0, 0L, 0.0, 0.0)
+          } catch {
+            case _: IndexOutOfBoundsException | _: ArithmeticException =>
+              DecodedMedia(m.id, "unknown", m.bytes.length.toLong,
+                0, 0, 0, 0, 0, 0L, 0.0, 0.0)
+          }
+        }
+      }
+    }
+  }
 }

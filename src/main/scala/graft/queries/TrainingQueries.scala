@@ -202,6 +202,18 @@ object TrainingQueries {
         frameBytes = 32, stride = 4)
       .orderBy("id", "frame_idx")
 
+  /** REAL media decode: synthesize actual BMP (even doc_id) / WAV (odd)
+    * payloads, then parse headers + sample data back out distributed.
+    * The oracle recomputes every feature ARITHMETICALLY from the
+    * generation parameters — the only path from bytes to width /
+    * sample-rate / channel-mean on the Spark side is the binary parse,
+    * so a header-offset or row-stride bug breaks the match.
+    */
+  private def qMediaDecode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeMedia(
+        graft.operators.Multimodal.synthesizeMedia(docs(s, dir)))
+      .toDF().orderBy("id")
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowingFingerprints(docs(s, dir), col("doc_id"),
         col("text"), WinnowN, WinnowW)
@@ -255,7 +267,8 @@ object TrainingQueries {
     "q_token_count"   -> (qTokenCount _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_multimodal"    -> (qMultimodal _),
-    "q_frame_sample"  -> (qFrameSample _)
+    "q_frame_sample"  -> (qFrameSample _),
+    "q_media_decode"  -> (qMediaDecode _)
   )
 
   // ====================================================== DuckDB oracle
@@ -622,6 +635,25 @@ c$tag AS (SELECT id, h, count(*) AS c FROM g$tag GROUP BY 1, 2)"""
          substr(hex(encode(text)), 1, 16) AS head_hex,
          CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
          CAST((doc_id % 6 + 1) * 64 AS INT) AS height
+         FROM documents ORDER BY id""",
+
+    "q_media_decode" ->
+      """SELECT doc_id AS id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+         CAST(CASE WHEN doc_id % 2 = 0
+           THEN 54 + (((3 * (doc_id % 8 + 1) + 3) // 4) * 4) * (doc_id % 5 + 1)
+           ELSE 44 + (doc_id % 50 + 10) * 2 END AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1 ELSE 0 END AS INT) AS width,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 + 1 ELSE 0 END AS INT) AS height,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 * (doc_id % 3 + 1) END AS INT) AS sample_rate_hz,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS INT) AS bits,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 8 + 1) * (doc_id % 5 + 1)
+              ELSE doc_id % 50 + 10 END AS BIGINT) AS n_samples,
+         CASE WHEN doc_id % 2 = 0 THEN 0.0
+              ELSE (doc_id % 50 + 10) * 1000.0 / (8000 * (doc_id % 3 + 1)) END AS duration_ms,
+         CASE WHEN doc_id % 2 = 0 THEN CAST((7 * doc_id) % 256 AS DOUBLE)
+              ELSE CAST((doc_id % 200) * 100 - 10000 AS DOUBLE) END AS mean_signal
          FROM documents ORDER BY id""",
 
     "q_frame_sample" ->

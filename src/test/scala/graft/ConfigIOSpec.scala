@@ -1195,14 +1195,57 @@ class ConfigIOSpec extends SparkSpec {
     val names = pm.flatMap(_._2.split(",").find(_.startsWith("name="))).toSet
     assert(names.forall(_.startsWith("name=java")), names.toString)
 
-    // unimplemented collectors refuse loudly
-    val e = intercept[Exception](Topology.load(
+    // cgroups: hierarchy walk with cgroup + collector tags; counters
+    // in seconds (usec * 1e-6 can never exceed raw machine uptime)
+    val cg = Topology.load(
       """
         |[sources.hm]
         |  type = "host_metrics"
         |  collectors = ["cgroups"]
+        |""".stripMargin).loadSources(spark)("hm").df
+      .select("name", "tags", "value_type", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    if (cg.nonEmpty) { // absent cgroup mount → empty scrape, like the reference's None root
+      assert(cg.forall(_._2.contains("cgroup=")))
+      assert(cg.forall(_._2.contains("collector=cgroups")))
+      val cgNames = cg.map(_._1).toSet
+      assert(cgNames.exists(_.startsWith("cgroup_cpu_")) ||
+        cgNames.exists(_.startsWith("cgroup_memory_")), cgNames.toString)
+      assert(cg.filter(_._1.startsWith("cgroup_cpu_")).forall(_._3 == "counter"))
+      assert(cg.filter(_._1.startsWith("cgroup_memory_")).forall(_._3 == "gauge"))
+      assert(cg.forall(_._4 >= 0.0))
+    }
+
+    // tcp: per-state connection gauges + queued-bytes totals; this JVM
+    // always has at least one socket state visible in /proc/net/tcp
+    val tcp = Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["tcp"]
+        |""".stripMargin).loadSources(spark)("hm").df
+      .select("name", "tags", "value_type", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val tcpStates = Set("established", "syn_sent", "syn_recv", "fin_wait1",
+      "fin_wait2", "time_wait", "close", "close_wait", "last_ack",
+      "listen", "closing")
+    val conns = tcp.filter(_._1 == "tcp_connections_total")
+    assert(conns.nonEmpty)
+    assert(conns.forall(_._3 == "gauge"))
+    assert(conns.flatMap(_._2.split(",").find(_.startsWith("state=")))
+      .forall(s => tcpStates.contains(s.stripPrefix("state="))))
+    assert(conns.forall(_._4 > 0)) // only observed states are emitted
+    assert(tcp.count(_._1 == "tcp_tx_queued_bytes_total") == 1)
+    assert(tcp.count(_._1 == "tcp_rx_queued_bytes_total") == 1)
+
+    // unknown collector names still refuse loudly
+    val e = intercept[Exception](Topology.load(
+      """
+        |[sources.hm]
+        |  type = "host_metrics"
+        |  collectors = ["gpu"]
         |""".stripMargin).loadSources(spark))
-    assert(e.getMessage.contains("cgroups"))
+    assert(e.getMessage.contains("gpu"))
   }
 
   test("dynamic-root events reach sinks intact; column codecs refuse") {

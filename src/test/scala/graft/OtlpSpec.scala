@@ -179,6 +179,153 @@ class OtlpSpec extends SparkSpec {
     assert(b.get(3).get("value").get("bytesValue").asText() == "AQI=")
   }
 
+  // ------------------------------------------------- encode arm
+  // (encoding/format/otlp.rs: the serializer is the inverse of the
+  // decode, dispatching on the top-level resource* field)
+
+  test("encode round-trips the three pinned reference frames byte-exactly") {
+    for (frame <- Seq(logsFrame, metricsFrame, tracesFrame)) {
+      val tree = OtlpCodec.decode(frame)._2
+      assert(OtlpCodec.encode(tree).toSeq == frame.toSeq)
+    }
+  }
+
+  test("encode round-trips the nested AnyValue body frame byte-exactly") {
+    // rebuild the body frame from the attributes/body test above
+    def any(f: Writer => Unit): Array[Byte] = { val w = new Writer; f(w); w.toBytes }
+    val kvs = Seq(
+      ("msg", any(_.writeLenDelim(1, utf8("hi")))),
+      ("n", any(_.writeTag(3, 0).writeVarint(7L))),
+      ("xs", any { w =>
+        val arr = new Writer
+        arr.writeLenDelim(1, any(_.writeTag(2, 0).writeVarint(1L)))
+        arr.writeLenDelim(1, any(_.writeTag(4, 1).writeFixed64(
+          java.lang.Double.doubleToLongBits(2.5))))
+        w.writeLenDelim(5, arr.toBytes); ()
+      }),
+      ("raw", any(_.writeLenDelim(7, Array[Byte](1, 2)))))
+    val body = any { w =>
+      val kvl = new Writer
+      kvs.foreach { case (k, v) =>
+        val kv = new Writer
+        kv.writeLenDelim(1, utf8(k)); kv.writeLenDelim(2, v)
+        kvl.writeLenDelim(1, kv.toBytes)
+      }
+      w.writeLenDelim(6, kvl.toBytes); ()
+    }
+    val rec = new Writer
+    rec.writeTag(1, 1).writeFixed64(1L)
+    rec.writeLenDelim(5, body)
+    val scopeLogs = new Writer; scopeLogs.writeLenDelim(2, rec.toBytes)
+    val resourceLogs = new Writer; resourceLogs.writeLenDelim(2, scopeLogs.toBytes)
+    val frame = new Writer().writeLenDelim(1, resourceLogs.toBytes).toBytes
+    assert(OtlpCodec.encode(OtlpCodec.decode(frame)._2).toSeq == frame.toSeq)
+  }
+
+  test("encode round-trips every metric data arm byte-exactly") {
+    def attr(k: String, s: String): Array[Byte] = {
+      val v = new Writer; v.writeLenDelim(1, utf8(s))
+      val kv = new Writer; kv.writeLenDelim(1, utf8(k)); kv.writeLenDelim(2, v.toBytes)
+      kv.toBytes
+    }
+    def numPoint(d: Double): Array[Byte] = {
+      val p = new Writer
+      p.writeTag(2, 1).writeFixed64(10L); p.writeTag(3, 1).writeFixed64(20L)
+      p.writeTag(4, 1).writeFixed64(java.lang.Double.doubleToLongBits(d))
+      p.writeLenDelim(7, attr("host", "a")); p.toBytes
+    }
+    val gauge = new Writer; gauge.writeLenDelim(1, numPoint(1.5))
+    val sum = new Writer
+    sum.writeLenDelim(1, numPoint(2.5))
+    sum.writeTag(2, 0).writeVarint(2L); sum.writeTag(3, 0).writeVarint(1L)
+    val hdp = new Writer
+    hdp.writeTag(3, 1).writeFixed64(30L)
+    hdp.writeTag(4, 1).writeFixed64(7L)
+    hdp.writeTag(5, 1).writeFixed64(java.lang.Double.doubleToLongBits(12.25))
+    val packedCounts = new Writer; Seq(1L, 2L, 4L).foreach(packedCounts.writeFixed64)
+    hdp.writeLenDelim(6, packedCounts.toBytes)
+    val packedBounds = new Writer
+    Seq(0.5, 1.0).foreach(b => packedBounds.writeFixed64(java.lang.Double.doubleToLongBits(b)))
+    hdp.writeLenDelim(7, packedBounds.toBytes)
+    hdp.writeTag(11, 1).writeFixed64(java.lang.Double.doubleToLongBits(0.25))
+    hdp.writeTag(12, 1).writeFixed64(java.lang.Double.doubleToLongBits(3.75))
+    val hist = new Writer
+    hist.writeLenDelim(1, hdp.toBytes); hist.writeTag(2, 0).writeVarint(2L)
+    val q = new Writer
+    q.writeTag(1, 1).writeFixed64(java.lang.Double.doubleToLongBits(0.99))
+    q.writeTag(2, 1).writeFixed64(java.lang.Double.doubleToLongBits(123.0))
+    val sdp = new Writer
+    sdp.writeTag(3, 1).writeFixed64(40L); sdp.writeTag(4, 1).writeFixed64(9L)
+    sdp.writeTag(5, 1).writeFixed64(java.lang.Double.doubleToLongBits(500.0))
+    sdp.writeLenDelim(6, q.toBytes)
+    val summ = new Writer; summ.writeLenDelim(1, sdp.toBytes)
+
+    def metric(name: String, arm: Int, body: Array[Byte]): Array[Byte] = {
+      val m = new Writer
+      m.writeLenDelim(1, utf8(name)); m.writeLenDelim(3, utf8("s"))
+      m.writeLenDelim(arm, body); m.toBytes
+    }
+    val scopeMetrics = new Writer
+    scopeMetrics.writeLenDelim(2, metric("g", 5, gauge.toBytes))
+    scopeMetrics.writeLenDelim(2, metric("c", 7, sum.toBytes))
+    scopeMetrics.writeLenDelim(2, metric("h", 9, hist.toBytes))
+    scopeMetrics.writeLenDelim(2, metric("q", 11, summ.toBytes))
+    val resourceMetrics = new Writer
+    val res = new Writer; res.writeLenDelim(1, attr("service", "api"))
+    resourceMetrics.writeLenDelim(1, res.toBytes)
+    resourceMetrics.writeLenDelim(2, scopeMetrics.toBytes)
+    val frame = new Writer().writeLenDelim(1, resourceMetrics.toBytes).toBytes
+    assert(OtlpCodec.decode(frame)._1 == "metrics")
+    assert(OtlpCodec.encode(OtlpCodec.decode(frame)._2).toSeq == frame.toSeq)
+  }
+
+  test("encode round-trips a full span (events, links, status) byte-exactly") {
+    val ev = new Writer
+    ev.writeTag(1, 1).writeFixed64(1234567895L); ev.writeLenDelim(2, utf8("retry"))
+    val link = new Writer
+    link.writeLenDelim(1, TraceId.reverse); link.writeLenDelim(2, SpanId.reverse)
+    val status = new Writer
+    status.writeLenDelim(2, utf8("boom")); status.writeTag(3, 0).writeVarint(2L)
+    val span = new Writer
+    span.writeLenDelim(1, TraceId); span.writeLenDelim(2, SpanId)
+    span.writeLenDelim(4, SpanId.reverse)
+    span.writeLenDelim(5, utf8("rich_span"))
+    span.writeTag(6, 0).writeVarint(3L)
+    span.writeTag(7, 1).writeFixed64(1234567890L)
+    span.writeTag(8, 1).writeFixed64(1234567900L)
+    span.writeLenDelim(11, ev.toBytes)
+    span.writeLenDelim(13, link.toBytes)
+    span.writeLenDelim(15, status.toBytes)
+    val scopeSpans = new Writer
+    val sc = new Writer; sc.writeLenDelim(1, utf8("lib")); sc.writeLenDelim(2, utf8("1.0"))
+    scopeSpans.writeLenDelim(1, sc.toBytes)
+    scopeSpans.writeLenDelim(2, span.toBytes)
+    val resourceSpans = new Writer
+    resourceSpans.writeLenDelim(1, Array.empty[Byte])
+    resourceSpans.writeLenDelim(2, scopeSpans.toBytes)
+    val frame = new Writer().writeLenDelim(1, resourceSpans.toBytes).toBytes
+    assert(OtlpCodec.encode(OtlpCodec.decode(frame)._2).toSeq == frame.toSeq)
+  }
+
+  test("encode rejects a non-OTLP event with the reference's error text (otlp.rs:111-114)") {
+    val e = intercept[IllegalArgumentException] {
+      OtlpCodec.encode(mapper.readTree("""{"message":"plain log"}"""))
+    }
+    assert(e.getMessage.contains("does not contain OTLP top-level fields"))
+  }
+
+  test("distributed encode Column API: parse -> encode returns the original frames") {
+    val df = Seq(("l", logsFrame), ("m", metricsFrame), ("t", tracesFrame),
+      ("bad", Array[Byte](9, 9))).toDF("k", "frame").repartition(2)
+    val out = df.select(col("k"),
+        OtlpCodec.encodeOtlp(OtlpCodec.parseOtlp(col("frame"))).as("re"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("re")).toMap
+    assert(out("l").toSeq == logsFrame.toSeq)
+    assert(out("m").toSeq == metricsFrame.toSeq)
+    assert(out("t").toSeq == tracesFrame.toSeq)
+    assert(out("bad") == null)
+  }
+
   test("distributed Column API over mixed signals") {
     val df = Seq(("l", logsFrame), ("m", metricsFrame), ("t", tracesFrame),
       ("bad", Array[Byte](1, 2, 3))).toDF("k", "frame").repartition(2)
