@@ -1255,6 +1255,34 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             lit(now).cast("timestamp").as("ts"),
             xxhash64(col("__c"), col("name")).as(SeqCol))
           Frame(df, MetricMeta, metric = true)
+        case Some("internal_logs") =>
+          // reference src/sources/internal_logs.rs: the running
+          // instance's own log events re-enter the topology. The
+          // reference subscribes to its tracing layer; here components
+          // record through Telemetry.Logs at the same emission points
+          // (sink deliveries, source loads) and this source snapshots
+          // the buffer. Stamps mirror the run loop: `host` under
+          // host_key (default "host", "" suppresses) and `pid` under
+          // pid_key (default "pid"), internal_logs.rs:104-109,190-196.
+          val hostKey = cfg.str("host_key").getOrElse("host")
+          val pidKey = cfg.str("pid_key").getOrElse("pid")
+          val hostName = java.net.InetAddress.getLocalHost.getHostName
+          val pid = ProcessHandle.current().pid()
+          val entries = graft.operators.Telemetry.Logs.snapshot()
+          import spark.implicits._
+          val base = entries.zipWithIndex.map { case (e, i) =>
+            (e.message, e.level, e.target, e.ts, i.toLong)
+          }.toDF("message", "level", "target", "timestamp", SeqCol)
+          val stamped0 = if (hostKey.nonEmpty)
+            base.withColumn(hostKey, lit(hostName)) else base
+          val stamped = if (pidKey.nonEmpty)
+            stamped0.withColumn(pidKey, lit(pid)) else stamped0
+          val meta = ListMap("message" -> VStr, "level" -> VStr,
+            "target" -> VStr, "timestamp" -> VTime) ++
+            (if (hostKey.nonEmpty) ListMap(hostKey -> VStr) else ListMap.empty[String, VT]) ++
+            (if (pidKey.nonEmpty) ListMap(pidKey -> VInt) else ListMap.empty[String, VT])
+          Frame(stamped.select(meta.keys.map(k => col(s"`$k`")).toSeq :+ col(SeqCol): _*),
+            EventMeta(meta, None))
         case Some("syslog") =>
           // reference src/sources/syslog.rs: a listening daemon
           // (tcp/udp/unix). The STREAMING path listens on a real TCP
@@ -1332,6 +1360,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         case other =>
           throw VrlUnsupported(s"source $name: type ${other.getOrElse("?")}")
       }
+      // internal_logs' own load is not recorded — the reference's run
+      // loop likewise must not emit logs it would then receive
+      if (!cfg.str("type").contains("internal_logs"))
+        graft.operators.Telemetry.Logs.record("INFO", s"sources.$name",
+          s"Source loaded. type=${cfg.str("type").getOrElse("?")}")
       name -> frame
     }
 
@@ -2295,6 +2328,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       // every delivered batch feeds the internal_metrics registry
       graft.operators.Telemetry.Registry.add(
         name, "component_sent_events_total", n.toDouble)
+      // ...and its "Events sent." style trace line feeds internal_logs
+      graft.operators.Telemetry.Logs.record("INFO", s"sinks.$name",
+        s"Events sent. count=$n")
       name -> n
     }
 
@@ -2989,8 +3025,8 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
-    "http_server", "internal_metrics", "kafka", "parquet", "socket",
-    "static_metrics", "syslog")
+    "http_server", "internal_logs", "internal_metrics", "kafka",
+    "parquet", "socket", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

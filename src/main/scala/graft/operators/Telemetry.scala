@@ -94,4 +94,37 @@ object Telemetry {
       }
     }
   }
+
+  /** Process-wide buffer of the engine's own log events, behind the
+    * `internal_logs` config source (reference
+    * src/sources/internal_logs.rs: Vector subscribes to its own
+    * tracing events and re-emits them as log events). Components call
+    * [[Logs.record]] at the same points the reference's components
+    * `info!`/`warn!` — sink deliveries, source loads, refusals — and
+    * the source snapshots the buffer. Bounded ring (the reference's
+    * TraceSubscription buffers early events and drops under
+    * backpressure; a cap is the batch analog): oldest entries drop
+    * past [[Logs.Cap]].
+    */
+  object Logs {
+    final val Cap = 10000
+    final case class Entry(ts: java.sql.Timestamp, level: String,
+                           target: String, message: String)
+    private val buf = new java.util.concurrent.ConcurrentLinkedDeque[Entry]()
+    private val dropped = new java.util.concurrent.atomic.AtomicLong()
+
+    def record(level: String, target: String, message: String): Unit = {
+      buf.addLast(Entry(java.sql.Timestamp.from(java.time.Instant.now()),
+        level, target, message))
+      // approximate trim — concurrent size() is O(n) but n is capped
+      while (buf.size() > Cap) { buf.pollFirst(); dropped.incrementAndGet(); () }
+    }
+
+    def snapshot(): Seq[Entry] =
+      buf.toArray(Array.empty[Entry]).toSeq
+
+    def droppedCount: Long = dropped.get()
+
+    def reset(): Unit = { buf.clear(); dropped.set(0L) }
+  }
 }

@@ -190,6 +190,61 @@ class ConfigSourcesSpec extends SparkSpec {
     Telemetry.Registry.reset()
   }
 
+  test("internal_logs source: the engine's own events re-enter with host/pid stamps") {
+    Telemetry.Logs.reset()
+    val dir = Files.createTempDirectory("graft_il").toFile
+    // phase 1: a delivery records an "Events sent." line
+    val writer = Topology.load(
+      s"""
+         |[sinks.out]
+         |  inputs = ["src"]
+         |  type = "file"
+         |  path = "$dir/out"
+         |  [sinks.out.encoding]
+         |    codec = "text"
+         |""".stripMargin)
+    val in = Frame(
+      spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF(SeqCol, "message"),
+      EventMeta(ListMap("message" -> VStr), None))
+    assert(writer.writeSinks(Map("src" -> in))("out") == 2L)
+
+    // phase 2: internal_logs → filter chain consumes the log events
+    val monitor = Topology.load(
+      """
+        |[sources.self]
+        |  type = "internal_logs"
+        |[transforms.sent]
+        |  inputs = ["self"]
+        |  type = "filter"
+        |  condition = 'contains!(.message, "Events sent")'
+        |""".stripMargin)
+    val out = monitor.run(monitor.loadSources(spark))("sent")
+    val rows = out.df.select("message", "level", "target", "host", "pid")
+      .collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getString(0) == "Events sent. count=2")
+    assert(r.getString(1) == "INFO" && r.getString(2) == "sinks.out")
+    assert(r.getString(3) == java.net.InetAddress.getLocalHost.getHostName)
+    assert(r.getLong(4) == ProcessHandle.current().pid())
+
+    // host_key/pid_key overrides and "" suppression (internal_logs.rs)
+    val custom = Topology.load(
+      """
+        |[sources.self]
+        |  type = "internal_logs"
+        |  host_key = "node"
+        |  pid_key = ""
+        |""".stripMargin).loadSources(spark)("self")
+    assert(custom.df.columns.contains("node"))
+    assert(!custom.df.columns.contains("pid"))
+
+    // source loads are themselves recorded (but not internal_logs' own)
+    val msgs = Telemetry.Logs.snapshot().map(_.message)
+    assert(msgs.exists(_.contains("Source loaded. type=internal_logs")) == false)
+    Telemetry.Logs.reset()
+  }
+
   test("kafka source: batch refused as streaming-only; streaming names the missing jar") {
     val topo = Topology.load(
       """
