@@ -865,7 +865,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * through one partition. Only the KEPT pairs — ≤ |groups| × |keys| ×
     * value_limit, the same bounded state the reference's per-key
     * HashSets hold in one process — reach the driver, becoming a
-    * broadcast-literal lookup map.
+    * broadcast-literal lookup map. Past [[Topology.TagLimitBroadcastCap]]
+    * kept pairs the transform switches to [[tagLimitJoined]], the fully
+    * distributed join form — no driver materialization at any config.
     */
   private def tagLimitConfig(name: String, cfg: TTab, df: DataFrame): DataFrame = {
     def modeOf(t: TTab): Unit = t.str("mode").foreach {
@@ -932,12 +934,16 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val ranked = firstSeen.withColumn("__rank",
       row_number().over(Window
         .partitionBy(col("__g"), col("__k")).orderBy(col("__first"), col("__v"))))
-    val keptRows = ranked
+    val keptDf = ranked
       .filter(col("__rank") <= maxLimit && col("__rank") <= limitOfG)
-      .select(col("__g"), col("__k"), col("__v")).limit(1000001).collect()
-    if (keptRows.length > 1000000) throw VrlUnsupported(
-      "tag_cardinality_limit kept set beyond 1e6 pairs " +
-        "(use Metrics.tagCardinalityLimit per tag column)")
+      .select(col("__g"), col("__k"), col("__v"))
+    val cap = Topology.TagLimitBroadcastCap
+    val keptRows = keptDf.limit(cap + 1).collect()
+    if (keptRows.length > cap)
+      // kept set too big for a driver literal: the fully distributed
+      // join path (below) — same semantics, two more shuffles
+      return tagLimitJoined(df, keptDf, grpCol, hasTags, entries,
+        grps.filter(_.dropEvent).map(_.id), grps.filterNot(_.dropEvent).map(_.id))
     // composite (group, key) literal-map key; '=' can never appear
     // in a canonical tag key (it terminates the key)
     val kept: Map[String, Seq[String]] =
@@ -970,6 +976,50 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         when(hasTags && g.isin(dropTagIds.map(x => x: Any): _*), rebuilt)
           .otherwise(col("tags")))
     }
+  }
+
+  /** The distributed arm of config tag_cardinality_limit, taken when
+    * the kept set exceeds [[Topology.TagLimitBroadcastCap]]: instead of
+    * a driver literal, exploded tag entries LEFT-join the kept-pair
+    * frame on (group, key, value) and re-aggregate per row — two extra
+    * shuffles (the join and the per-row groupBy), both on bounded keys,
+    * nothing driver-sized. Identical semantics to the broadcast arm
+    * (the spec runs both on the same input and diffs). The input is
+    * persisted because the row id (`monotonically_increasing_id`) is
+    * nondeterministic under recomputation and the frame feeds both the
+    * explode and the final join-back.
+    */
+  private def tagLimitJoined(df: DataFrame, keptDf: DataFrame, grpCol: Column,
+                             hasTags: Column, entries: Column,
+                             dropEventIds: Seq[String],
+                             dropTagIds: Seq[String]): DataFrame = {
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__g", grpCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // normalized __v ("" for bare tags) drives the membership check,
+    // the ORIGINAL __v0 drives the rebuild (concat_ws skips a null so
+    // a bare tag rebuilds as "host", not "host=") — mirroring the
+    // broadcast arm's coalesce-for-lookup / raw-for-rebuild split
+    val ex = withId.filter(hasTags)
+      .select(col("__rid"), col("__g"), explode(entries).as(Seq("__k", "__v0")))
+      .withColumn("__v", coalesce(col("__v0"), lit("")))
+    val marked = ex.join(keptDf.withColumn("__ok", lit(true)),
+      Seq("__g", "__k", "__v"), "left")
+    val perRow = marked.groupBy(col("__rid")).agg(
+      max(when(col("__ok").isNull, 1).otherwise(0)).as("__viol"),
+      array_join(transform(array_sort(collect_list(
+          when(col("__ok").isNotNull, struct(col("__k"), col("__v0"))))),
+        e => concat_ws("=", e.getField("__k"), e.getField("__v0"))), ",")
+        .as("__rebuilt"))
+    val joined = withId.join(perRow, Seq("__rid"), "left")
+    val viol = coalesce(col("__viol") === 1, lit(false))
+    val filtered = if (dropEventIds.isEmpty) joined
+      else joined.filter(!(col("__g").isin(dropEventIds.map(x => x: Any): _*) && viol))
+    val out = if (dropTagIds.isEmpty) filtered
+      else filtered.withColumn("tags",
+        when(hasTags && col("__g").isin(dropTagIds.map(x => x: Any): _*),
+          coalesce(col("__rebuilt"), lit(""))).otherwise(col("tags")))
+    out.drop("__rid", "__g", "__viol", "__rebuilt")
   }
 
   /** Transforms whose batch form depends on a global arrival order
@@ -3013,6 +3063,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
 }
 
 object Topology {
+
+  /** Kept-pair count above which config tag_cardinality_limit switches
+    * from the broadcast-literal lookup to the distributed join path
+    * (var: test seam — specs drop it to force the join path on small
+    * data; production leaves the default).
+    */
+  private[graft] var TagLimitBroadcastCap: Int = 1000000
 
   /** Arrival-order column carried alongside event fields. */
   val SeqCol = "__seq"

@@ -261,6 +261,44 @@ class ConfigMetricsSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L), kept.toString)
   }
 
+  test("tag_cardinality_limit join path (kept set past the broadcast cap) matches the literal path") {
+    // a richer input: several keys, a shared-group override, bare tags
+    val in = metricFrame((1 to 40).map { i =>
+      val tags = i % 5 match {
+        case 0 => s"env=e${i % 7},svc=s${i % 3}"
+        case 1 => s"host" // bare tag
+        case 2 => s"env=e${i % 7}"
+        case 3 => null
+        case _ => s"svc=s${i % 11},user=u$i"
+      }
+      (if (i % 4 == 0) "special" else "m", "ns", tags,
+        "incremental", "counter", 1.0, f"2024-01-01T00:00:$i%02d", i.toLong)
+    })
+    def run(action: String) = Topology.load(
+      s"""
+        |[transforms.t]
+        |  inputs = ["src"]
+        |  type = "tag_cardinality_limit"
+        |  value_limit = 3
+        |  limit_exceeded_action = "$action"
+        |  [transforms.t.per_metric_limits.special]
+        |    value_limit = 1
+        |    limit_exceeded_action = "drop_tag"
+        |""".stripMargin).run(Map("src" -> in))("t").df
+      .orderBy(Topology.SeqCol)
+      .select(col(Topology.SeqCol), col("tags"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (action <- Seq("drop_tag", "drop_event")) {
+      val viaLiteral = run(action)
+      val old = Topology.TagLimitBroadcastCap
+      val viaJoin = try { Topology.TagLimitBroadcastCap = 2; run(action) }
+        finally Topology.TagLimitBroadcastCap = old
+      assert(viaJoin == viaLiteral, s"$action: join path diverged\n" +
+        s"join:    $viaJoin\nliteral: $viaLiteral")
+      assert(viaLiteral.nonEmpty)
+    }
+  }
+
   test("window from config: flush_when context -B/+A per group, forward_when bypasses") {
     val df = Seq(
       ("h1", "info", 1L), ("h1", "info", 2L), ("h1", "error", 3L),
