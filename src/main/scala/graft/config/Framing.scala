@@ -186,197 +186,208 @@ object Framing {
     * DiscardingToEol; a frame is sniffed octet-counted iff its first
     * byte is `1`..`9`.
     */
+  /** CURSOR-BASED, not buffer-rewrite-based: the batch replay path
+    * hands a framer a whole multi-megabyte file as ONE chunk, and an
+    * implementation that copies the remaining buffer per extracted
+    * frame (ByteArrayOutputStream reset+rewrite) is O(bytes × frames)
+    * — measured 241 s for the sf0.1 syslog replay, pure memcpy. The
+    * drain scans with an index and compacts the unconsumed tail ONCE
+    * per push/eof, making a full-file drain O(bytes).
+    */
   final class OctetCounting(maxLength: Int) extends Framer {
-    private val buf = new ByteArrayOutputStream()
+    private var data: Array[Byte] = Array.emptyByteArray // unconsumed tail
     var errors = 0L
     // discardRemaining > 0: drop that many bytes then resume;
     // discardToEol: drop to the next newline then resume
     private var discardRemaining = 0
     private var discardToEol = false
 
+    private def append(chunk: Array[Byte]): Unit =
+      data = if (data.length == 0) java.util.Arrays.copyOf(chunk, chunk.length)
+      else {
+        val d = java.util.Arrays.copyOf(data, data.length + chunk.length)
+        System.arraycopy(chunk, 0, d, data.length, chunk.length); d
+      }
+
+    private def idxOf(b: Byte, from: Int): Int = {
+      var i = from
+      while (i < data.length && data(i) != b) i += 1
+      if (i < data.length) i else -1
+    }
+
     def push(chunk: Array[Byte]): Seq[Array[Byte]] = {
-      buf.write(chunk)
+      append(chunk)
       drain(atEof = false)
     }
 
     def eof(): Seq[Array[Byte]] = {
       val out = drain(atEof = true)
       if (discardToEol || discardRemaining > 0) {
-        errors += 1; buf.reset(); discardToEol = false; discardRemaining = 0
-      } else if (buf.size() > 0) {
-        val data = buf.toByteArray
+        errors += 1; data = Array.emptyByteArray
+        discardToEol = false; discardRemaining = 0
+      } else if (data.length > 0) {
         if (data(0) >= '1'.toByte && data(0) <= '9'.toByte) {
           // a truncated octet-counted frame drops at EOF (decode_eof
           // returns None once the stream can't complete the count)
-          errors += 1; buf.reset()
+          errors += 1; data = Array.emptyByteArray
         } else {
           // an unterminated trailing newline-framed line flushes at
           // EOF (LinesCodec decode_eof)
-          return out ++ takeLine(data.length, consumeSep = false)
+          var end = data.length
+          if (end > 0 && data(end - 1) == '\r'.toByte) end -= 1
+          val frame = java.util.Arrays.copyOfRange(data, 0, end)
+          data = Array.emptyByteArray
+          return out :+ frame
         }
       }
       out
     }
 
-    /** Pops `n` buffered bytes (+separator) as a line frame. */
-    private def takeLine(n: Int, consumeSep: Boolean): Seq[Array[Byte]] = {
-      val data = buf.toByteArray
-      var end = n
-      if (end > 0 && data(end - 1) == '\r'.toByte) end -= 1
-      val frame = java.util.Arrays.copyOfRange(data, 0, end)
-      val rest = java.util.Arrays.copyOfRange(
-        data, if (consumeSep) n + 1 else n, data.length)
-      buf.reset(); buf.write(rest)
-      Seq(frame)
-    }
-
     private def drain(atEof: Boolean): Seq[Array[Byte]] = {
       val out = Seq.newBuilder[Array[Byte]]
-      var progress = true
-      while (progress) {
-        progress = false
-        var data = buf.toByteArray
+      var pos = 0
+      var halt = false
+      while (!halt) {
         if (discardRemaining > 0) {
-          val n = math.min(discardRemaining, data.length)
-          buf.reset(); buf.write(data, n, data.length - n)
-          discardRemaining -= n
-          if (discardRemaining == 0) { errors += 1; progress = true }
-          data = buf.toByteArray
-          if (!progress) return out.result()
-        }
-        if (discardToEol) {
-          val nl = data.indexOf('\n'.toByte)
-          if (nl >= 0) {
-            buf.reset(); buf.write(data, nl + 1, data.length - nl - 1)
-            discardToEol = false
-            errors += 1
-            progress = true
-            data = buf.toByteArray
-          } else { buf.reset(); return out.result() }
-        }
-        if (data.nonEmpty) {
-          val first = data(0)
+          val n = math.min(discardRemaining, data.length - pos)
+          pos += n; discardRemaining -= n
+          if (discardRemaining > 0) halt = true else errors += 1
+        } else if (discardToEol) {
+          val nl = idxOf('\n'.toByte, pos)
+          if (nl >= 0) { pos = nl + 1; discardToEol = false; errors += 1 }
+          else { pos = data.length; halt = true } // partial line discarded
+        } else if (pos >= data.length) halt = true
+        else {
+          val first = data(pos)
           if (first >= '1'.toByte && first <= '9'.toByte) {
             // octet-counted: LEN SP DATA
-            val spacePos = data.indexOf(' '.toByte)
-            if (spacePos >= 0 && spacePos < 20) {
-              val lenStr = new String(data, 0, spacePos, "US-ASCII")
+            val spacePos = idxOf(' '.toByte, pos)
+            val rel = if (spacePos < 0) -1 else spacePos - pos
+            if (rel >= 0 && rel < 20) {
+              val lenStr = new String(data, pos, rel, "US-ASCII")
               lenStr.toIntOption match {
                 case Some(len) if len > maxLength =>
                   // oversized: drop header, discard `len` payload bytes
-                  buf.reset(); buf.write(data, spacePos + 1, data.length - spacePos - 1)
+                  pos = spacePos + 1
                   discardRemaining = len
-                  progress = true
                 case Some(len) =>
                   val from = spacePos + 1
-                  if (data.length >= from + len) {
+                  if (data.length - from >= len) {
                     out += java.util.Arrays.copyOfRange(data, from, from + len)
-                    buf.reset(); buf.write(data, from + len, data.length - from - len)
-                    progress = true
-                  }
-                  // else: wait for more data
+                    pos = from + len
+                  } else halt = true // wait for more data
                 case None =>
                   // digits then non-number (overflow): skip past and error
                   errors += 1
-                  buf.reset(); buf.write(data, spacePos + 1, data.length - spacePos - 1)
-                  progress = true
+                  pos = spacePos + 1
               }
-            } else if (spacePos < 0 && data.length < 20 && !atEof) {
-              // might still be reading the length digits
+            } else if (rel < 0 && data.length - pos < 20 && !atEof) {
+              halt = true // might still be reading the length digits
             } else {
               // no parseable length: discard this line
               discardToEol = true
-              progress = true
             }
           } else {
             // newline fallback
-            val nl = data.indexOf('\n'.toByte)
+            val nl = idxOf('\n'.toByte, pos)
             if (nl >= 0) {
-              out ++= takeLine(nl, consumeSep = true)
-              progress = true
-            }
-            // else: wait (eof flush handled by caller)
+              var end = nl
+              if (end > pos && data(end - 1) == '\r'.toByte) end -= 1
+              out += java.util.Arrays.copyOfRange(data, pos, end)
+              pos = nl + 1
+            } else halt = true // wait (eof flush handled by caller)
           }
         }
       }
+      if (pos > 0)
+        data = java.util.Arrays.copyOfRange(data, pos, data.length)
       out.result()
     }
   }
 
   // -------------------------------------------------- length-prefixed
+  /** Cursor-based like [[OctetCounting]] — the per-frame buffer
+    * rewrite was O(bytes × frames) on whole-file batch chunks.
+    */
   final class LengthDelimited(fieldLen: Int, bigEndian: Boolean,
                               offset: Int, maxFrame: Int) extends Framer {
-    private val buf = new ByteArrayOutputStream()
+    private var data: Array[Byte] = Array.emptyByteArray
     var errors = 0L
     private var skipRemaining = 0
 
     def push(chunk: Array[Byte]): Seq[Array[Byte]] = {
-      buf.write(chunk)
+      data = if (data.length == 0) java.util.Arrays.copyOf(chunk, chunk.length)
+      else {
+        val d = java.util.Arrays.copyOf(data, data.length + chunk.length)
+        System.arraycopy(chunk, 0, d, data.length, chunk.length); d
+      }
       val out = Seq.newBuilder[Array[Byte]]
-      var progress = true
-      while (progress) {
-        progress = false
-        var data = buf.toByteArray
+      var pos = 0
+      var halt = false
+      val headerLen = offset + fieldLen
+      while (!halt) {
         if (skipRemaining > 0) {
-          val n = math.min(skipRemaining, data.length)
-          buf.reset(); buf.write(data, n, data.length - n)
-          skipRemaining -= n
-          if (skipRemaining > 0) return out.result()
-          data = buf.toByteArray
-        }
-        val headerLen = offset + fieldLen
-        if (data.length >= headerLen) {
+          val n = math.min(skipRemaining, data.length - pos)
+          pos += n; skipRemaining -= n
+          if (skipRemaining > 0) halt = true
+        } else if (data.length - pos >= headerLen) {
           var len = 0L
           var i = 0
           while (i < fieldLen) {
-            val b = data(offset + (if (bigEndian) i else fieldLen - 1 - i)) & 0xffL
+            val b = data(pos + offset + (if (bigEndian) i else fieldLen - 1 - i)) & 0xffL
             len = (len << 8) | b
             i += 1
           }
           if (len > maxFrame) {
             errors += 1
-            buf.reset(); buf.write(data, headerLen, data.length - headerLen)
+            pos += headerLen
             skipRemaining = len.toInt
-            progress = true
-          } else if (data.length >= headerLen + len) {
-            out += java.util.Arrays.copyOfRange(data, headerLen, headerLen + len.toInt)
-            val rest = headerLen + len.toInt
-            buf.reset(); buf.write(data, rest, data.length - rest)
-            progress = true
-          }
-        }
+          } else if (data.length - pos >= headerLen + len) {
+            out += java.util.Arrays.copyOfRange(data, pos + headerLen,
+              pos + headerLen + len.toInt)
+            pos += headerLen + len.toInt
+          } else halt = true
+        } else halt = true
       }
+      if (pos > 0)
+        data = java.util.Arrays.copyOfRange(data, pos, data.length)
       out.result()
     }
 
     def eof(): Seq[Array[Byte]] = {
-      if (buf.size() > 0 || skipRemaining > 0) errors += 1 // truncated trailer
-      buf.reset(); skipRemaining = 0
+      if (data.length > 0 || skipRemaining > 0) errors += 1 // truncated trailer
+      data = Array.emptyByteArray; skipRemaining = 0
       Nil
     }
   }
 
   // ----------------------------------------------------------- varint
+  /** Cursor-based like [[OctetCounting]] — the per-frame buffer
+    * rewrite was O(bytes × frames) on whole-file batch chunks.
+    */
   final class VarintLengthDelimited(maxFrame: Int) extends Framer {
-    private val buf = new ByteArrayOutputStream()
+    private var data: Array[Byte] = Array.emptyByteArray
     var errors = 0L
 
     def push(chunk: Array[Byte]): Seq[Array[Byte]] = {
-      buf.write(chunk)
+      data = if (data.length == 0) java.util.Arrays.copyOf(chunk, chunk.length)
+      else {
+        val d = java.util.Arrays.copyOf(data, data.length + chunk.length)
+        System.arraycopy(chunk, 0, d, data.length, chunk.length); d
+      }
       val out = Seq.newBuilder[Array[Byte]]
-      var progress = true
-      while (progress) {
-        progress = false
-        val data = buf.toByteArray
-        // decode one varint (≤10 bytes)
+      var pos = 0
+      var halt = false
+      while (!halt) {
+        // decode one varint (≤10 bytes) at pos
         var value = 0L
         var shift = 0
-        var i = 0
+        var i = pos
         var done = false
         var bad = false
         while (!done && !bad && i < data.length) {
           val b = data(i)
-          if (i >= 10) bad = true
+          if (i - pos >= 10) bad = true
           else {
             value |= (b & 0x7fL) << shift
             shift += 7
@@ -387,24 +398,25 @@ object Framing {
         if (bad) {
           // unparseable varint: unrecoverable for this stream — drop the rest
           errors += 1
-          buf.reset()
+          pos = data.length; halt = true
         } else if (done) {
           if (value > maxFrame) {
             errors += 1
-            buf.reset() // a hostile length would desync; drop the stream tail
-          } else if (data.length >= i + value) {
+            pos = data.length; halt = true // hostile length would desync
+          } else if (data.length - i >= value) {
             out += java.util.Arrays.copyOfRange(data, i, i + value.toInt)
-            buf.reset(); buf.write(data, i + value.toInt, data.length - i - value.toInt)
-            progress = true
-          }
-        }
+            pos = i + value.toInt
+          } else halt = true
+        } else halt = true // mid-varint: wait for more data
       }
+      if (pos > 0)
+        data = java.util.Arrays.copyOfRange(data, pos, data.length)
       out.result()
     }
 
     def eof(): Seq[Array[Byte]] = {
-      if (buf.size() > 0) errors += 1
-      buf.reset()
+      if (data.length > 0) errors += 1
+      data = Array.emptyByteArray
       Nil
     }
   }

@@ -1510,10 +1510,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         // distribution (`|ms|@0.1`) weights its sample 1/rate times:
         // the flat model is one row per sample, so the weight explodes
         // into that many rows (samples![val => rate as u32]).
-        val p = graft.functions.StatsdCodec.parse(msg)
-        val df = lines.df
-          .select(p.as("m"), col(SeqCol))
-          .filter(col("m").isNotNull)
+        // no filter(m.isNotNull): pushdown would alias-substitute m's
+        // whole parse tree into the Filter; the weight explode below
+        // drops null-m rows (null weight -> null sequence -> no rows)
+        val df = graft.functions.StatsdCodec
+          .withParsed(lines.df.select(msg, col(SeqCol)), msg, "m")
+          .select(col("m"), col(SeqCol))
           .select(
             col("m.name").as("name"),
             lit(null).cast("string").as("namespace"),

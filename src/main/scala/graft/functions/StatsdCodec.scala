@@ -104,4 +104,80 @@ object StatsdCodec {
     when(length(key) > 0 && size(parts) >= 2 && parsed.getField("value").isNotNull,
       parsed)
   }
+
+  /** STAGED form of [[parse]] for bulk decode: [[parse]] composes one
+    * Column tree, and the Column DSL has no sharing — every reference
+    * to an intermediate (`parts`, `body`, the input line) re-embeds its
+    * whole subtree, multiplying through the layers to ~450 regex
+    * evaluations PER ROW in the final plan (codegen subexpression
+    * elimination can't recover them: most sit under conditional
+    * branches). This form stages each shared intermediate as a real
+    * projection column across successive selects; Catalyst's
+    * CollapseProject keeps a non-cheap producer that is consumed more
+    * than once, so each regex/split runs ONCE per row (~8 total).
+    * Adds `outCol` (same struct as [[parse]]) and drops the stage
+    * columns. Same null-on-malformed contract.
+    */
+  def withParsed(df: org.apache.spark.sql.DataFrame, line: Column,
+                 outCol: String, sanitize: Boolean = true,
+                 timersToSeconds: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val u = "__statsd_"
+    def c(n: String) = col(u + n)
+    val s1 = df.withColumn(u + "line", line)
+    val s2 = s1.withColumns(Map(
+      u + "key" -> regexp_extract(c("line"), "^([^:]*):(.*)$", 1),
+      u + "body" -> regexp_extract(c("line"), "^([^:]*):(.*)$", 2)))
+    val s3 = s2.withColumn(u + "parts", split(c("body"), "\\|"))
+    val s4 = s3.withColumns(Map(
+      u + "raw" -> element_at(c("parts"), 1),
+      u + "mtype" -> element_at(c("parts"), 2),
+      u + "p3" -> when(size(c("parts")) >= 3, element_at(c("parts"), 3)),
+      u + "p4" -> when(size(c("parts")) >= 4, element_at(c("parts"), 4)),
+      u + "nparts" -> size(c("parts"))))
+    val s5 = s4.withColumns(Map(
+      u + "sampling" -> when(c("p3").startsWith("@"), c("p3")),
+      u + "num" -> c("raw").try_cast("double"),
+      u + "signed" -> c("raw").rlike("^[+-]")))
+    val s6 = s5.withColumns(Map(
+      u + "tagsPart" -> coalesce(
+        when(c("sampling").isNull && c("p3").startsWith("#"), c("p3")),
+        when(c("sampling").isNotNull && c("p4").startsWith("#"), c("p4"))),
+      u + "rate" -> coalesce(when(c("sampling").isNotNull, rateOf(c("sampling"))),
+        lit(1.0)),
+      u + "gaugeNum" -> when(c("signed"),
+        substring(c("raw"), 2, 1000000).try_cast("double") *
+          when(c("raw").startsWith("-"), -1.0).otherwise(1.0))
+        .otherwise(c("num"))))
+    val name = if (sanitize) sanitizeKey(c("key")) else c("key")
+    val tags = when(c("tagsPart").isNotNull, array_join(
+      sort_array(transform(
+        split(substring(c("tagsPart"), 2, 1000000), ","),
+        t => when(t.contains(":"),
+          concat(regexp_extract(t, "^([^:]*):", 1), lit("="),
+            regexp_extract(t, "^[^:]*:(.*)$", 1)))
+          .otherwise(concat(t, lit("="))))), ","))
+    val msScale = if (timersToSeconds) lit(0.001) else lit(1.0)
+    def m(kind: Column, vt: String, value: Column, weight: Column) = struct(
+      name.as("name"), kind.as("kind"), lit(vt).as("value_type"),
+      value.as("value"), tags.as("tags"), weight.as("weight"))
+    val one = lit(1L)
+    val distW = round(c("rate")).cast("long")
+    val mtype = c("mtype")
+    val parsed =
+      when(mtype === "c", m(lit("incremental"), "counter", c("num") * c("rate"), one))
+        .when(mtype === "ms",
+          m(lit("incremental"), "distribution", c("num") * msScale, distW))
+        .when(mtype === "h" || mtype === "d",
+          m(lit("incremental"), "distribution", c("num"), distW))
+        .when(mtype === "g",
+          m(when(c("signed"), "incremental").otherwise("absolute"), "gauge",
+            c("gaugeNum"), one))
+        .when(mtype === "s", m(lit("incremental"), "set", c("num"), one))
+    val s7 = s6.withColumn(outCol,
+      when(length(c("key")) > 0 && c("nparts") >= 2 &&
+        parsed.getField("value").isNotNull, parsed))
+    s7.drop(Seq("line", "key", "body", "parts", "raw", "mtype", "p3", "p4",
+      "nparts", "sampling", "num", "signed", "tagsPart", "rate",
+      "gaugeNum").map(u + _): _*)
+  }
 }

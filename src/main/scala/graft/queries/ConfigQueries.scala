@@ -519,7 +519,10 @@ object ConfigQueries {
         .otherwise(line).as("value"))
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_syslog_capture")
-    wire.write.mode("overwrite").text(out.getAbsolutePath)
+    // the replay's parallelism IS the file count (one framer state
+    // machine per capture file): a single-file capture would frame on
+    // one core regardless of cluster size
+    wire.repartition(32).write.mode("overwrite").text(out.getAbsolutePath)
     val topo = Topology.load(
       s"""
          |[sources.logs]

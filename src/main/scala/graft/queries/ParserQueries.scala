@@ -276,10 +276,17 @@ object ParserQueries {
   }
 
   private def qStatsd(s: SparkSession, dir: String): DataFrame = {
-    val p = graft.functions.StatsdCodec.parse(statsdLine)
-    events(s, dir)
-      .select(col("event_id"), p.as("m"))
-      .filter(col("m").isNotNull)
+    // the staged form: the one-Column parse tree re-embeds shared
+    // subtrees ~450x per row (see StatsdCodec.withParsed)
+    // no filter(m.isNotNull): predicate pushdown would alias-substitute
+    // m through every stage, re-embedding the whole parse tree in the
+    // Filter; the explode below already drops null-m rows (a null
+    // weight makes sequence() null, and exploding a null array emits
+    // nothing)
+    graft.functions.StatsdCodec
+      .withParsed(events(s, dir).select(col("event_id"), statsdLine.as("__l")),
+        col("__l"), "m")
+      .drop("__l")
       .select(col("event_id"), col("m.name").as("name"),
         col("m.kind").as("kind"), col("m.value_type").as("value_type"),
         col("m.value").as("value"), col("m.tags").as("tags"),
