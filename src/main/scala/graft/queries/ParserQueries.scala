@@ -341,13 +341,22 @@ object ParserQueries {
         concat(lit("svc="), col("event_type")).as("tags"),
         lit("absolute").as("kind"), lit("counter").as("value_type"),
         col("value"))
-    val gauge = e.agg(sum(i % 4).cast("double").as("value"))
+    // every family is multi-series (per-host gauge, per-svc set) so no
+    // exposition group has a constant key — a single-series family
+    // would funnel its final agg into one partition (bounded by
+    // map-side combine, but needlessly flagged at scale); the
+    // null-tags/bare-name rendering arm keeps spec coverage in
+    // StatsdPromSpec
+    val gauge = e.groupBy((i % 3).as("host"))
+      .agg(sum(i % 4).cast("double").as("value"))
       .select(lit("queue_depth").as("name"),
         lit(null).cast("string").as("namespace"),
-        lit("path=a\"b").as("tags"), lit("absolute").as("kind"),
+        concat(lit("host="), col("host"), lit(",path=a\"b")).as("tags"),
+        lit("absolute").as("kind"),
         lit("gauge").as("value_type"), col("value"))
     val sets = e.select(lit("users").as("name"), lit("app").as("namespace"),
-      lit(null).cast("string").as("tags"), lit("absolute").as("kind"),
+      concat(lit("svc="), col("event_type")).as("tags"),
+      lit("absolute").as("kind"),
       lit("set").as("value_type"), (i % 13).cast("double").as("value"))
     val dist = e.select(lit("latency").as("name"), lit("app").as("namespace"),
       concat(lit("svc="), col("event_type")).as("tags"),
@@ -383,14 +392,16 @@ object ParserQueries {
              regexp_replace(CAST(CAST(sum(event_id % 10) AS DOUBLE) AS VARCHAR), '\\.0$$', '') AS line
          FROM events GROUP BY event_type
        ), gauge_samples AS (
-         SELECT 'queue_depth' AS fullname, 'path=a"b' AS tags, 0 AS sub,
-           'queue_depth{path="a\\"b"} ' ||
+         SELECT 'queue_depth' AS fullname,
+           'host=' || CAST(event_id % 3 AS VARCHAR) || ',path=a"b' AS tags, 0 AS sub,
+           'queue_depth{host="' || CAST(event_id % 3 AS VARCHAR) || '",path="a\\"b"} ' ||
              regexp_replace(CAST(CAST(sum(event_id % 4) AS DOUBLE) AS VARCHAR), '\\.0$$', '') AS line
-         FROM events
+         FROM events GROUP BY event_id % 3
        ), set_samples AS (
-         SELECT 'app_users' AS fullname, CAST(NULL AS VARCHAR) AS tags, 0 AS sub,
-           'app_users ' || CAST(count(DISTINCT event_id % 13) AS VARCHAR) AS line
-         FROM events
+         SELECT 'app_users' AS fullname, 'svc=' || event_type AS tags, 0 AS sub,
+           'app_users{svc="' || event_type || '"} ' ||
+             CAST(count(DISTINCT event_id % 13) AS VARCHAR) AS line
+         FROM events GROUP BY event_type
        ), dist_bucketed AS (
          $bucketSel
        ), dist_inf AS (
