@@ -1348,6 +1348,20 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             () => new Framing.OctetCounting(maxLen))
           // no connection in a replay: host is the parsed hostname only
           syslogDecode(lines.df, peer = Some(lit(null).cast("string")))
+        case Some("file") if cfg.tab("decoding")
+          .flatMap(_.str("codec")).contains("otlp") =>
+          // otlp is the one BINARY decoding codec (protobuf frames):
+          // it takes its own path where frames stay bytes end-to-end —
+          // the text path would mangle them through UTF-8. Default
+          // framing is `bytes` (one file = one Export*ServiceRequest),
+          // the reference's default_stream_framing for Otlp
+          // (decoding/mod.rs:407); length/varint framing packs many.
+          if (cfg.tab("multiline").isDefined) throw VrlUnsupported(
+            s"source $name: multiline composes over text lines, not otlp frames")
+          val framingTab = cfg.tab("framing")
+          val method = framingTab.flatMap(_.str("method")).getOrElse("bytes")
+          otlpFileSource(spark, name, path,
+            Framing.builder(method, framingTab, s"source $name"))
         case Some("file") =>
           val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
           val framingTab = cfg.tab("framing")
@@ -1588,6 +1602,36 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * `message` strings for the codec layer, `__seq` the content hash
     * like every batch line source.
     */
+  /** `decoding.codec = "otlp"` over a file replay: binary frames cut by
+    * the configured framing, each decoded with the signal-priority
+    * OTLP decoder (OtlpCodec; reference decoding/format/otlp.rs) into
+    * ONE event whose single field is the resourceLogs /
+    * resourceMetrics / resourceSpans tree — typed through the same
+    * schema-inference the json codec uses, `__seq` a content hash of
+    * the decoded tree. Invalid frames drop (the reference's per-frame
+    * error + continue).
+    */
+  private def otlpFileSource(spark: org.apache.spark.sql.SparkSession,
+                             name: String, path: String,
+                             framerB: () => Framing.Framer): Frame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => framerB().frameAll(bytes))
+      .toDF("frame")
+      .select(graft.functions.OtlpCodec.parseOtlp(col("frame")).as("line"))
+      .filter(col("line").isNotNull)
+    val ds = lines.as[String]
+    val schema = spark.read.json(ds).schema // one inference pass
+    val df = lines.select(
+      from_json(col("line"), schema).as("__e"),
+      xxhash64(col("line")).as(SeqCol))
+      .select(schema.fieldNames.map(f => col(s"__e.`$f`").as(f)).toSeq
+        :+ col(SeqCol): _*)
+    Frame(df, EventMeta.fromSchema(
+      org.apache.spark.sql.types.StructType(schema.fields)))
+  }
+
   private def framedMessages(spark: org.apache.spark.sql.SparkSession,
                              path: String,
                              framerB: () => Framing.Framer): Frame = {

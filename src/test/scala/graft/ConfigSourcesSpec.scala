@@ -245,6 +245,64 @@ class ConfigSourcesSpec extends SparkSpec {
     Telemetry.Logs.reset()
   }
 
+  test("otlp decoding codec: binary frames from config, bytes and varint framing") {
+    import graft.functions.ProtoWire.Writer
+    def utf8(s: String) = s.getBytes("UTF-8")
+    // the reference's pinned logs frame (otlp.rs create_logs_request_bytes)
+    def logsFrame(sev: Long): Array[Byte] = {
+      val rec = new Writer
+      rec.writeTag(1, 1).writeFixed64(1234567890L)
+      rec.writeTag(2, 0).writeVarint(sev)
+      rec.writeLenDelim(3, utf8("INFO"))
+      val scopeLogs = new Writer; scopeLogs.writeLenDelim(2, rec.toBytes)
+      val resourceLogs = new Writer
+      resourceLogs.writeLenDelim(1, Array.empty[Byte])
+      resourceLogs.writeLenDelim(2, scopeLogs.toBytes)
+      new Writer().writeLenDelim(1, resourceLogs.toBytes).toBytes
+    }
+    val dir = Files.createTempDirectory("graft_otlp").toFile
+    // bytes framing (the otlp default): one file = one request
+    Files.write(new java.io.File(dir, "a.bin").toPath, logsFrame(9))
+    Files.write(new java.io.File(dir, "b.bin").toPath, logsFrame(13))
+    Files.write(new java.io.File(dir, "bad.bin").toPath, utf8("not a frame"))
+    val frame = Topology.load(
+      s"""
+         |[sources.otel]
+         |  type = "file"
+         |  path = "$dir"
+         |  [sources.otel.decoding]
+         |    codec = "otlp"
+         |""".stripMargin).loadSources(spark)("otel")
+    val rows = frame.df.collect()
+    assert(rows.length == 2) // the bad frame dropped, not fatal
+    assert(frame.df.columns.contains("resourceLogs"))
+    val sevs = frame.df.selectExpr(
+        "resourceLogs[0].scopeLogs[0].logRecords[0].severityNumber")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sevs == Seq(9L, 13L))
+
+    // varint_length_delimited framing: many requests per file
+    val multi = new java.io.ByteArrayOutputStream()
+    for (sev <- Seq(1L, 2L, 3L)) {
+      val f = logsFrame(sev)
+      val w = new Writer; w.writeVarint(f.length.toLong)
+      multi.write(w.toBytes); multi.write(f)
+    }
+    val dir2 = Files.createTempDirectory("graft_otlp2").toFile
+    Files.write(new java.io.File(dir2, "packed.bin").toPath, multi.toByteArray)
+    val n = Topology.load(
+      s"""
+         |[sources.otel]
+         |  type = "file"
+         |  path = "$dir2"
+         |  [sources.otel.framing]
+         |    method = "varint_length_delimited"
+         |  [sources.otel.decoding]
+         |    codec = "otlp"
+         |""".stripMargin).loadSources(spark)("otel").df.count()
+    assert(n == 3)
+  }
+
   test("kafka source: batch refused as streaming-only; streaming names the missing jar") {
     val topo = Topology.load(
       """
