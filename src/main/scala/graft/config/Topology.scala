@@ -1558,10 +1558,15 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * parsed hostname, falling back to the peer address, and
     * `source_type = "syslog"`.
     */
-  private def syslogDecode(dfIn: DataFrame, peer: Option[Column],
+  private def syslogDecode(dfIn0: DataFrame, peer: Option[Column],
                            keep: Seq[(String, VT)] = Nil): Frame = {
     val msg = col("message")
-    val v = VrlParsers.syslog(msg).cv.col
+    // stage the parse as a real projection column: the Column DSL has
+    // no sharing, so referencing the parse tree once per extracted
+    // field would re-embed it ~13x per row (CollapseProject keeps a
+    // non-cheap producer consumed more than once)
+    val dfIn = dfIn0.withColumn("__syslog_v", VrlParsers.syslog(msg).cv.col)
+    val v = col("__syslog_v")
     def s(n: String) = try_variant_get(v, s"$$.$n", "string")
     val statics = Seq("message", "timestamp", "hostname", "severity",
       "facility", "version", "appname", "msgid", "procid")
