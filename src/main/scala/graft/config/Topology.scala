@@ -1471,8 +1471,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         Frame(df.withColumn(SeqCol, seq), EventMeta.fromSchema(df.schema))
       case "syslog" => syslogDecode(lines.df, peer = None, keep = keep)
       case "gelf" =>
-        val g = graft.functions.Parsers.parseGelf(msg)
-        val df = lines.df.select(Seq(
+        // staged: one parse per row, not one per extracted field
+        val g = col("__gelf")
+        val df = lines.df
+          .withColumn("__gelf", graft.functions.Parsers.parseGelf(msg))
+          .select(Seq(
           g.getField("version").as("version"),
           g.getField("host").as("host"),
           g.getField("short_message").as("message"),
