@@ -313,7 +313,7 @@ object Framing {
                               offset: Int, maxFrame: Int) extends Framer {
     private var data: Array[Byte] = Array.emptyByteArray
     var errors = 0L
-    private var skipRemaining = 0
+    private var skipRemaining = 0L // Long: an 8-byte field can exceed Int
 
     def push(chunk: Array[Byte]): Seq[Array[Byte]] = {
       data = if (data.length == 0) java.util.Arrays.copyOf(chunk, chunk.length)
@@ -327,7 +327,7 @@ object Framing {
       val headerLen = offset + fieldLen
       while (!halt) {
         if (skipRemaining > 0) {
-          val n = math.min(skipRemaining, data.length - pos)
+          val n = math.min(skipRemaining, (data.length - pos).toLong).toInt
           pos += n; skipRemaining -= n
           if (skipRemaining > 0) halt = true
         } else if (data.length - pos >= headerLen) {
@@ -338,11 +338,16 @@ object Framing {
             len = (len << 8) | b
             i += 1
           }
-          if (len > maxFrame) {
+          if (len < 0) {
+            // sign-bit 8-byte length: hostile/corrupt beyond recovery —
+            // a negative skip would desync every later frame
+            errors += 1
+            pos = data.length; halt = true
+          } else if (len > maxFrame) {
             errors += 1
             pos += headerLen
-            skipRemaining = len.toInt
-          } else if (data.length - pos >= headerLen + len) {
+            skipRemaining = len // Long-safe: > Int.MaxValue skips incrementally
+          } else if ((data.length - pos).toLong >= headerLen + len) {
             out += java.util.Arrays.copyOfRange(data, pos + headerLen,
               pos + headerLen + len.toInt)
             pos += headerLen + len.toInt
@@ -400,7 +405,7 @@ object Framing {
           errors += 1
           pos = data.length; halt = true
         } else if (done) {
-          if (value > maxFrame) {
+          if (value < 0 || value > maxFrame) {
             errors += 1
             pos = data.length; halt = true // hostile length would desync
           } else if (data.length - i >= value) {

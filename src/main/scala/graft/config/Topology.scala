@@ -193,8 +193,16 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             s"enrichment table $tname: memory input '$in' is a transform " +
               "(batch runs settle cache writes before reads — feed memory " +
               "tables from sources, or run the writer topology first)")
-        } else
-          injected.get(in).foreach(f => MemoryCache.upsertFrame(tname, f, ttl))
+        } else injected.get(in) match {
+          // streaming source inputs ALSO go through the foreachBatch
+          // writer — a driver-side settle would collect() a streaming
+          // frame and crash the query at start
+          case Some(f) =>
+            if (!streamingEval) MemoryCache.upsertFrame(tname, f, ttl)
+          case None => throw new IllegalArgumentException(
+            s"enrichment table $tname: memory input '$in' matches no " +
+              "source or transform (typo?)")
+        }
       }
     }
     val outputs = mutable.LinkedHashMap.empty[String, Frame]
@@ -996,6 +1004,14 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     val withId = df.withColumn("__rid", monotonically_increasing_id())
       .withColumn("__g", grpCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the returned plan consumes the cache lazily, so it cannot be
+    // unpersisted here; bound the leak to ONE live cache by releasing
+    // the previous invocation's (a long-lived session running many
+    // tag-limit configs would otherwise accumulate pinned partitions)
+    Topology.synchronized {
+      Topology.lastTagLimitCache.foreach(_.unpersist(blocking = false))
+      Topology.lastTagLimitCache = Some(withId)
+    }
     // normalized __v ("" for bare tags) drives the membership check,
     // the ORIGINAL __v0 drives the rebuild (concat_ws skips a null so
     // a bare tag rebuilds as "host", not "host=") — mirroring the
@@ -1473,20 +1489,31 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       case "gelf" =>
         // staged: one parse per row, not one per extracted field
         val g = col("__gelf")
+        // envelope fields colliding with decoded names would duplicate
+        // columns (http_server always stamps `host` = peer): the
+        // decoded value wins, with the envelope host as the FALLBACK —
+        // the same precedence the syslog source gives its parsed
+        // hostname over the connection peer
+        val produced = Set("version", "host", "message", "timestamp", "level")
+        val keepSafe = keep.filterNot(k => produced.contains(k._1))
+        val keepColsSafe = keepSafe.map { case (n, _) => col(s"`$n`") }
+        val hostCol = if (keep.exists(_._1 == "host"))
+          coalesce(g.getField("host"), col("host")).as("host")
+        else g.getField("host").as("host")
         val df = lines.df
           .withColumn("__gelf", graft.functions.Parsers.parseGelf(msg))
           .select(Seq(
           g.getField("version").as("version"),
-          g.getField("host").as("host"),
+          hostCol,
           g.getField("short_message").as("message"),
           timestamp_micros((g.getField("timestamp") * 1000000L).cast("long"))
             .as("timestamp"),
           g.getField("level").cast("bigint").as("level")) ++
-          keepCols :+ col(SeqCol): _*)
+          keepColsSafe :+ col(SeqCol): _*)
         Frame(df, EventMeta(ListMap(
           "version" -> VStr, "host" -> VStr, "message" -> VStr,
           "timestamp" -> VTime, "level" -> VInt) ++
-          ListMap(keep: _*), None))
+          ListMap(keepSafe: _*), None))
       case "influxdb" =>
         if (keep.nonEmpty) throw VrlUnsupported(
           s"source $name: influxdb decoding emits metric events — " +
@@ -3124,6 +3151,9 @@ object Topology {
     * data; production leaves the default).
     */
   private[graft] var TagLimitBroadcastCap: Int = 1000000
+
+  /** The join arm's one live persisted input (see tagLimitJoined). */
+  private var lastTagLimitCache: Option[DataFrame] = None
 
   /** Arrival-order column carried alongside event fields. */
   val SeqCol = "__seq"

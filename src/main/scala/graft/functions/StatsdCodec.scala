@@ -48,61 +48,79 @@ object StatsdCodec {
     * line is malformed (no `:`, fewer than two `|` parts, unknown
     * type, unparseable value) — the caller's drop channel.
     */
+  /** The shared intermediate columns both entry points feed into
+    * [[assemble]]: [[parse]] composes them inline (one Column tree),
+    * [[withParsed]] stages each as a real projection column.
+    */
+  private final case class Parts(key: Column, raw: Column, mtype: Column,
+                                 nparts: Column, sampling: Column,
+                                 tagsPart: Column, rate: Column, num: Column,
+                                 signed: Column, gaugeNum: Column)
+
+  /** One source of truth for the statsd semantics: the five type arms,
+    * tag rendering, gauge sign handling, and the malformed gate — over
+    * whatever form the intermediates take.
+    */
+  private def assemble(p: Parts, sanitize: Boolean,
+                       timersToSeconds: Boolean): Column = {
+    val name = if (sanitize) sanitizeKey(p.key) else p.key
+    // "#k:v,bare" → sorted multiset of "k=v" / "bare=" strings
+    val tags = when(p.tagsPart.isNotNull, array_join(
+      sort_array(transform(
+        split(substring(p.tagsPart, 2, 1000000), ","),
+        t => when(t.contains(":"),
+          concat(regexp_extract(t, "^([^:]*):", 1), lit("="),
+            regexp_extract(t, "^[^:]*:(.*)$", 1)))
+          .otherwise(concat(t, lit("="))))), ","))
+    val msScale = if (timersToSeconds) lit(0.001) else lit(1.0)
+    def m(kind: Column, vt: String, value: Column, weight: Column) = struct(
+      name.as("name"), kind.as("kind"), lit(vt).as("value_type"),
+      value.as("value"), tags.as("tags"), weight.as("weight"))
+    val one = lit(1L)
+    val distW = round(p.rate).cast("long")
+    val parsed =
+      when(p.mtype === "c", m(lit("incremental"), "counter", p.num * p.rate, one))
+        .when(p.mtype === "ms",
+          m(lit("incremental"), "distribution", p.num * msScale, distW))
+        .when(p.mtype === "h" || p.mtype === "d",
+          m(lit("incremental"), "distribution", p.num, distW))
+        .when(p.mtype === "g",
+          m(when(p.signed, "incremental").otherwise("absolute"), "gauge",
+            p.gaugeNum, one))
+        .when(p.mtype === "s", m(lit("incremental"), "set", p.num, one))
+    // malformed → null: missing ':', short body, bad number
+    when(length(p.key) > 0 && p.nparts >= 2 && parsed.getField("value").isNotNull,
+      parsed)
+  }
+
   def parse(line: Column, sanitize: Boolean = true,
             timersToSeconds: Boolean = true): Column = {
     val key = regexp_extract(line, "^([^:]*):(.*)$", 1)
     val body = regexp_extract(line, "^([^:]*):(.*)$", 2)
     val parts = split(body, "\\|")
     val rawVal = element_at(parts, 1)
-    val mtype = element_at(parts, 2)
     val p3 = when(size(parts) >= 3, element_at(parts, 3))
     val p4 = when(size(parts) >= 4, element_at(parts, 4))
     val sampling = when(p3.startsWith("@"), p3)
-    val tagsPart = coalesce(
-      when(sampling.isNull && p3.startsWith("#"), p3),
-      when(sampling.isNotNull && p4.startsWith("#"), p4))
-    val rate = coalesce(when(sampling.isNotNull, rateOf(sampling)), lit(1.0))
-
-    val name = if (sanitize) sanitizeKey(key) else key
-
-    // "#k:v,bare" → sorted multiset of "k=v" / "bare=" strings
-    val tags = when(tagsPart.isNotNull, array_join(
-      sort_array(transform(
-        split(substring(tagsPart, 2, 1000000), ","),
-        t => when(t.contains(":"),
-          concat(regexp_extract(t, "^([^:]*):", 1), lit("="),
-            regexp_extract(t, "^[^:]*:(.*)$", 1)))
-          .otherwise(concat(t, lit("="))))), ","))
-
     val num = rawVal.try_cast("double")
     // gauges: explicit sign prefix = incremental delta (parse_direction)
     val signed = rawVal.rlike("^[+-]")
-    val gaugeNum = when(signed,
-      substring(rawVal, 2, 1000000).try_cast("double") *
-        when(rawVal.startsWith("-"), -1.0).otherwise(1.0))
-      .otherwise(num)
-
-    val msScale = if (timersToSeconds) lit(0.001) else lit(1.0)
-
-    def m(kind: Column, vt: String, value: Column, weight: Column) = struct(
-      name.as("name"), kind.as("kind"), lit(vt).as("value_type"),
-      value.as("value"), tags.as("tags"), weight.as("weight"))
-
-    val one = lit(1L)
-    val distW = round(rate).cast("long")
-    val parsed =
-      when(mtype === "c", m(lit("incremental"), "counter", num * rate, one))
-        .when(mtype === "ms",
-          m(lit("incremental"), "distribution", num * msScale, distW))
-        .when(mtype === "h" || mtype === "d",
-          m(lit("incremental"), "distribution", num, distW))
-        .when(mtype === "g",
-          m(when(signed, "incremental").otherwise("absolute"), "gauge",
-            gaugeNum, one))
-        .when(mtype === "s", m(lit("incremental"), "set", num, one))
-    // malformed → null: missing ':', short body, bad number
-    when(length(key) > 0 && size(parts) >= 2 && parsed.getField("value").isNotNull,
-      parsed)
+    assemble(Parts(
+      key = key,
+      raw = rawVal,
+      mtype = element_at(parts, 2),
+      nparts = size(parts),
+      sampling = sampling,
+      tagsPart = coalesce(
+        when(sampling.isNull && p3.startsWith("#"), p3),
+        when(sampling.isNotNull && p4.startsWith("#"), p4)),
+      rate = coalesce(when(sampling.isNotNull, rateOf(sampling)), lit(1.0)),
+      num = num,
+      signed = signed,
+      gaugeNum = when(signed,
+        substring(rawVal, 2, 1000000).try_cast("double") *
+          when(rawVal.startsWith("-"), -1.0).otherwise(1.0))
+        .otherwise(num)), sanitize, timersToSeconds)
   }
 
   /** STAGED form of [[parse]] for bulk decode: [[parse]] composes one
@@ -148,34 +166,12 @@ object StatsdCodec {
         substring(c("raw"), 2, 1000000).try_cast("double") *
           when(c("raw").startsWith("-"), -1.0).otherwise(1.0))
         .otherwise(c("num"))))
-    val name = if (sanitize) sanitizeKey(c("key")) else c("key")
-    val tags = when(c("tagsPart").isNotNull, array_join(
-      sort_array(transform(
-        split(substring(c("tagsPart"), 2, 1000000), ","),
-        t => when(t.contains(":"),
-          concat(regexp_extract(t, "^([^:]*):", 1), lit("="),
-            regexp_extract(t, "^[^:]*:(.*)$", 1)))
-          .otherwise(concat(t, lit("="))))), ","))
-    val msScale = if (timersToSeconds) lit(0.001) else lit(1.0)
-    def m(kind: Column, vt: String, value: Column, weight: Column) = struct(
-      name.as("name"), kind.as("kind"), lit(vt).as("value_type"),
-      value.as("value"), tags.as("tags"), weight.as("weight"))
-    val one = lit(1L)
-    val distW = round(c("rate")).cast("long")
-    val mtype = c("mtype")
-    val parsed =
-      when(mtype === "c", m(lit("incremental"), "counter", c("num") * c("rate"), one))
-        .when(mtype === "ms",
-          m(lit("incremental"), "distribution", c("num") * msScale, distW))
-        .when(mtype === "h" || mtype === "d",
-          m(lit("incremental"), "distribution", c("num"), distW))
-        .when(mtype === "g",
-          m(when(c("signed"), "incremental").otherwise("absolute"), "gauge",
-            c("gaugeNum"), one))
-        .when(mtype === "s", m(lit("incremental"), "set", c("num"), one))
-    val s7 = s6.withColumn(outCol,
-      when(length(c("key")) > 0 && c("nparts") >= 2 &&
-        parsed.getField("value").isNotNull, parsed))
+    val s7 = s6.withColumn(outCol, assemble(Parts(
+      key = c("key"), raw = c("raw"), mtype = c("mtype"),
+      nparts = c("nparts"), sampling = c("sampling"),
+      tagsPart = c("tagsPart"), rate = c("rate"), num = c("num"),
+      signed = c("signed"), gaugeNum = c("gaugeNum")),
+      sanitize, timersToSeconds))
     s7.drop(Seq("line", "key", "body", "parts", "raw", "mtype", "p3", "p4",
       "nparts", "sampling", "num", "signed", "tagsPart", "rate",
       "gaugeNum").map(u + _): _*)

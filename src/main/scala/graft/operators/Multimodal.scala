@@ -245,6 +245,13 @@ object Multimodal {
     val w = leInt(b, 18); val h = math.abs(leInt(b, 22))
     val bpp = leShort(b, 28)
     val bytesPP = bpp / 8
+    // a lying header must FAIL (caught -> unknown row), not loop:
+    // bpp<8 gives stride 0 (the scan would spin w*h iterations over
+    // one byte), and a fabricated w*h far beyond the payload would
+    // walk ~2^60 in-bounds reads before the first out-of-range index
+    if (bytesPP < 1 || w <= 0 || off < 0 ||
+      off.toLong + ((bytesPP.toLong * w + 3) / 4 * 4) * h > b.length)
+      throw new IndexOutOfBoundsException("BMP header inconsistent with payload")
     val stride = (bytesPP * w + 3) / 4 * 4
     var sum = 0.0; var y = 0
     while (y < h) {
@@ -276,7 +283,12 @@ object Multimodal {
         while (i < n) { sum += leShort(b, o + 8 + 2 * i).toShort.toDouble; i += 1 }
         nSamples = n.toLong / math.max(1, channels)
       }
-      o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      // RIFF chunks are word-aligned; a negative/zero-advance size
+      // field (hostile or corrupt) must end the walk, not loop forever,
+      // and a huge one must not wrap the Int cursor
+      val advance = 8L + size + (size & 1)
+      if (advance <= 0 || o + advance > b.length) o = b.length
+      else o += advance.toInt
     }
     val totalVals = nSamples * math.max(1, channels)
     DecodedMedia(id, "wav", b.length.toLong, 0, 0, rate, channels, bits, nSamples,

@@ -120,6 +120,46 @@ class ConfigSourcesSpec extends SparkSpec {
     MemoryCache.drop("seen")
   }
 
+  test("memory enrichment table: a STREAMING SOURCE input fills the cache (no driver settle)") {
+    // regression: the batch settle used to run on streaming frames
+    // too, collect()ing a streaming DataFrame and crashing the query
+    MemoryCache.drop("direct")
+    val dir = Files.createTempDirectory("graft_memsrc").toFile
+    Files.write(new java.io.File(dir, "w.txt").toPath,
+      "hello-cache\n".getBytes("UTF-8"))
+    val topo = Topology.load(
+      s"""
+         |[enrichment_tables.direct]
+         |  type = "memory"
+         |  ttl = 600
+         |  inputs = ["tail"]
+         |[sources.tail]
+         |  type = "file"
+         |  path = "$dir/w.txt"
+         |[sinks.null]
+         |  inputs = ["tail"]
+         |  type = "blackhole"
+         |""".stripMargin)
+    topo.executeStreaming(spark, s"$dir/ckpt")
+    // bytes codec: the event's one field is `message`, so the cache
+    // key is "message" and the value the rendered line
+    assert(MemoryCache.snapshot("direct").exists(r =>
+      r("key") == "message" && r("value") == "hello-cache"))
+    MemoryCache.drop("direct")
+  }
+
+  test("memory enrichment table: an input matching nothing fails loudly") {
+    val t = Topology.load(
+      """
+        |[enrichment_tables.who]
+        |  type = "memory"
+        |  inputs = ["writs"]
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      t.run(Map("writes" -> msgFrame(Seq(("a", "b"))))))
+    assert(e.getMessage.contains("writs"))
+  }
+
   test("memory enrichment table: transform inputs and semantic knobs are refused") {
     val t1 = Topology.load(
       """

@@ -91,6 +91,35 @@ class FramingSpec extends AnyFunSuite {
     assert(f.errors == 1)
   }
 
+  test("length delimited: hostile lengths error, never desync or crash") {
+    // 4-byte length 0x90000000 (2.4 GB, > maxFrame): must skip the
+    // declared span Long-safely — a negative Int wrap would leave the
+    // skip inert and re-parse payload bytes as headers
+    val f = new LengthDelimited(4, bigEndian = true, 0, 1 << 20)
+    assert(f.push(Array[Byte](0x90.toByte, 0, 0, 0) ++
+      Array.fill[Byte](64)('x'.toByte)).isEmpty)
+    assert(f.errors == 1)
+    // still mid-skip at eof: one more error, then a fresh stream works
+    f.eof()
+    assert(s(f.push(Array[Byte](0, 0, 0, 2) ++ b("ok"))) == Seq("ok"))
+
+    // 8-byte length with the sign bit set: negative as Long — must be
+    // an error, not a fabricated frame + crash on tail compaction
+    val f8 = new LengthDelimited(8, bigEndian = true, 0, 1 << 20)
+    assert(f8.push(Array[Byte](0x80.toByte, 0, 0, 0, 0, 0, 1, 0) ++
+      b("garbage")).isEmpty)
+    assert(f8.errors == 1)
+    assert(f8.eof().isEmpty)
+
+    // varint with the 64-bit sign bit set: error, not a huge "wait"
+    val fv = new VarintLengthDelimited(1 << 20)
+    val negVarint = Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x01)
+    assert(fv.push(negVarint ++ b("x")).isEmpty)
+    assert(fv.errors == 1)
+  }
+
   // ------------------------------------------------------------ varint
   test("varint length delimited: single- and multi-byte prefixes (reference vectors)") {
     val f = new VarintLengthDelimited(1 << 20)

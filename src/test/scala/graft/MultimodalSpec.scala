@@ -106,6 +106,28 @@ class MultimodalSpec extends SparkSpec {
     assert(d.format == "wav" && d.sample_rate_hz == 8000 && d.n_samples == 13)
   }
 
+  test("hostile headers terminate: negative RIFF chunk size, lying BMP dimensions") {
+    import spark.implicits._
+    // RIFF/WAVE with a chunk whose size field is -8: o += 8 + size
+    // would never advance — must end the walk, not hang the task
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ Array[Byte](-8, -1, -1, -1) ++
+      Array.fill[Byte](32)(7) // pad past the 44-byte wav sniff minimum
+    // BMP header claiming 2^20 x 2^20 pixels over a 60-byte payload,
+    // and one claiming 4 bpp (stride 0): both must fail fast -> unknown
+    val lying = Multimodal.synthesizeBmp(2)
+    lying(18) = 0; lying(19) = 0; lying(20) = 16; lying(21) = 0 // w = 2^20
+    lying(22) = 0; lying(23) = 0; lying(24) = 16; lying(25) = 0 // h = 2^20
+    val lowBpp = Multimodal.synthesizeBmp(2)
+    lowBpp(28) = 4
+    val rows = Multimodal.decodeMedia(Seq(
+        (1L, evil), (2L, lying), (3L, lowBpp)).toDF("id", "bytes"))
+      .collect().map(d => d.id -> d.format).toMap
+    assert(rows(1L) == "wav") // walk terminated; header fields best-effort
+    assert(rows(2L) == "unknown" && rows(3L) == "unknown")
+  }
+
   test("malformed and unknown payloads fall back to the unknown shape, not task death") {
     import spark.implicits._
     val truncatedBmp = Multimodal.synthesizeBmp(2).take(60) // header says more pixels
