@@ -77,7 +77,9 @@ object StatsdCodec {
       name.as("name"), kind.as("kind"), lit(vt).as("value_type"),
       value.as("value"), tags.as("tags"), weight.as("weight"))
     val one = lit(1L)
-    val distW = round(p.rate).cast("long")
+    // `sample_rate as u32` (parser.rs:94) TRUNCATES toward zero, not
+    // rounds: @0.4 -> 1/0.4 = 2.5000..4 -> weight 2
+    val distW = floor(p.rate).cast("long")
     val parsed =
       when(p.mtype === "c", m(lit("incremental"), "counter", p.num * p.rate, one))
         .when(p.mtype === "ms",

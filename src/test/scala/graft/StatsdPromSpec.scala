@@ -44,6 +44,9 @@ class StatsdPromSpec extends SparkSpec {
     // timer: ms → seconds, sampled weight
     val t = parseOne("glork:320|ms|@0.1").get
     assert(t("vt") == "distribution" && t("value") == 0.32 && t("weight") == 10L)
+    // weight TRUNCATES like the reference's `as u32` (parser.rs:94):
+    // 1/0.4 is exactly 2.5 in IEEE -> weight 2, not round-half-up 3
+    assert(parseOne("glork:320|ms|@0.4").get("weight") == 2L)
     // gauge absolute vs signed incremental
     val ga = parseOne("gaugor:333|g").get
     assert(ga("kind") == "absolute" && ga("value") == 333.0)
