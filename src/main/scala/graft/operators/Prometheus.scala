@@ -39,9 +39,24 @@ object Prometheus {
   val DefaultBuckets: Seq[Double] =
     Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
 
-  /** Rust float Display: integral doubles print without `.0`. */
-  private def fmt(c: Column): Column =
-    regexp_replace(c.cast("string"), "\\.0$", "")
+  /** Rust float Display: integral doubles print without `.0`, and
+    * LARGE values print plain decimal (`10000000`), never the `1.0E7`
+    * Spark's string cast produces past 1e7. The decimal(38,9) detour
+    * is lossless there — a double's ULP at 1e7 is already ~2e-9, so 9
+    * fractional digits carry full precision — and BigDecimal renders
+    * plain for any value ≥ 1e-6. Values below 1e-4 keep Spark's
+    * exponent form (Rust would print the zeros; numerically equal and
+    * valid exposition floats — documented divergence). |v| ≥ 1e38
+    * overflows the decimal and falls back to the exponent form too.
+    */
+  private def fmt(c: Column): Column = {
+    val s = c.cast("string")
+    val dec = c.cast("decimal(38,9)")
+    val plain = regexp_replace(regexp_replace(
+      dec.cast("string"), "0+$", ""), "\\.$", "")
+    when(s.contains("E") && abs(c) >= 1 && dec.isNotNull, plain)
+      .otherwise(regexp_replace(s, "\\.0$", ""))
+  }
 
   private def escTag(v: Column): Column =
     regexp_replace(v, "([\\\\\"])", "\\\\$1")

@@ -129,6 +129,14 @@ class StatsdPromSpec extends SparkSpec {
       ("hits", "", "", "incremental", "counter", 1.0)), None).isEmpty)
   }
 
+  test("prometheus text: large values render plain decimal like Rust Display, not 1.0E7") {
+    val lines = expositionLines(Seq(
+      ("big", "", "", "absolute", "counter", 1.0e7),
+      ("frac", "", "", "absolute", "gauge", 12345678.25)), None)
+    assert(lines.contains("big 10000000 1612325106789"), lines.toString)
+    assert(lines.contains("frac 12345678.25 1612325106789"), lines.toString)
+  }
+
   test("prometheus_exporter sink: statsd gauges render to an exposition file from config") {
     val dir = java.nio.file.Files.createTempDirectory("graft_promsink").toFile
     val src = new java.io.File(dir, "metrics.statsd")
