@@ -1005,12 +1005,19 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
       .withColumn("__g", grpCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the returned plan consumes the cache lazily, so it cannot be
-    // unpersisted here; bound the leak to ONE live cache by releasing
-    // the previous invocation's (a long-lived session running many
-    // tag-limit configs would otherwise accumulate pinned partitions)
+    // unpersisted here. A long-lived session running many tag-limit
+    // configs would accumulate pinned partitions, so the leak is
+    // bounded by a FIFO of the most recent caches — NOT by eagerly
+    // unpersisting the single previous one, which would let a second
+    // concurrent topology evaluation on the same SparkSession release
+    // a cache an in-flight plan still depends on (reintroducing the
+    // monotonically_increasing_id nondeterminism the persist exists to
+    // prevent). More than TagLimitCacheKeep simultaneously-in-flight
+    // tag-limit join plans is the documented bound.
     Topology.synchronized {
-      Topology.lastTagLimitCache.foreach(_.unpersist(blocking = false))
-      Topology.lastTagLimitCache = Some(withId)
+      Topology.tagLimitCaches.enqueue(withId)
+      while (Topology.tagLimitCaches.size > Topology.TagLimitCacheKeep)
+        Topology.tagLimitCaches.dequeue().unpersist(blocking = false)
     }
     // normalized __v ("" for bare tags) drives the membership check,
     // the ORIGINAL __v0 drives the rebuild (concat_ws skips a null so
@@ -1571,7 +1578,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             col(SeqCol), col("m.weight").as("__w"))
           .select(col("name"), col("namespace"), col("tags"), col("kind"),
             col("value_type"), col("value"), col("ts"),
-            explode(sequence(lit(1L), col("__w"))).as("__i"), col(SeqCol))
+            // weight 0 (sample rate > 1, parser.rs `as u32`) must emit
+            // ZERO rows; bare sequence(1, 0) would descend [1,0]
+            explode(when(col("__w") >= 1, sequence(lit(1L), col("__w"))))
+              .as("__i"), col(SeqCol))
           .select(col("name"), col("namespace"), col("tags"), col("kind"),
             col("value_type"), col("value"), col("ts"),
             xxhash64(col(SeqCol), col("__i")).as(SeqCol))
@@ -3152,8 +3162,12 @@ object Topology {
     */
   private[graft] var TagLimitBroadcastCap: Int = 1000000
 
-  /** The join arm's one live persisted input (see tagLimitJoined). */
-  private var lastTagLimitCache: Option[DataFrame] = None
+  /** The join arm's live persisted inputs, newest last (see
+    * tagLimitJoined): a FIFO so a concurrent evaluation can't release
+    * a cache another in-flight plan still reads.
+    */
+  private val tagLimitCaches = scala.collection.mutable.Queue.empty[DataFrame]
+  private val TagLimitCacheKeep = 8
 
   /** Arrival-order column carried alongside event fields. */
   val SeqCol = "__seq"

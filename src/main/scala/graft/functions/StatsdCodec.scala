@@ -78,8 +78,11 @@ object StatsdCodec {
       value.as("value"), tags.as("tags"), weight.as("weight"))
     val one = lit(1L)
     // `sample_rate as u32` (parser.rs:94) TRUNCATES toward zero, not
-    // rounds: @0.4 -> 1/0.4 = 2.5000..4 -> weight 2
-    val distW = floor(p.rate).cast("long")
+    // rounds: @0.4 -> 1/0.4 = 2.5000..4 -> weight 2. Rust's float->u32
+    // `as` SATURATES below zero, so @2 -> 1/2 = 0.5 -> weight 0 (zero
+    // samples) and a negative rate also clamps to 0 — callers must
+    // gate their sample explode on weight >= 1.
+    val distW = greatest(floor(p.rate), lit(0.0)).cast("long")
     val parsed =
       when(p.mtype === "c", m(lit("incremental"), "counter", p.num * p.rate, one))
         .when(p.mtype === "ms",

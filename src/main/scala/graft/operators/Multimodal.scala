@@ -248,8 +248,12 @@ object Multimodal {
     // a lying header must FAIL (caught -> unknown row), not loop:
     // bpp<8 gives stride 0 (the scan would spin w*h iterations over
     // one byte), and a fabricated w*h far beyond the payload would
-    // walk ~2^60 in-bounds reads before the first out-of-range index
-    if (bytesPP < 1 || w <= 0 || off < 0 ||
+    // walk ~2^60 in-bounds reads before the first out-of-range index.
+    // bytesPP < 3 (8/16bpp palette or packed formats) has no red
+    // channel at pixel offset +2 — the scan below would average
+    // neighboring pixels or padding — so those land in the unknown
+    // fallback rather than decode wrong
+    if (bytesPP < 3 || w <= 0 || off < 0 ||
       off.toLong + ((bytesPP.toLong * w + 3) / 4 * 4) * h > b.length)
       throw new IndexOutOfBoundsException("BMP header inconsistent with payload")
     val stride = (bytesPP * w + 3) / 4 * 4

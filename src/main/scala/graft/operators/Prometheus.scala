@@ -41,20 +41,33 @@ object Prometheus {
 
   /** Rust float Display: integral doubles print without `.0`, and
     * LARGE values print plain decimal (`10000000`), never the `1.0E7`
-    * Spark's string cast produces past 1e7. The decimal(38,9) detour
-    * is lossless there — a double's ULP at 1e7 is already ~2e-9, so 9
-    * fractional digits carry full precision — and BigDecimal renders
-    * plain for any value ≥ 1e-6. Values below 1e-4 keep Spark's
-    * exponent form (Rust would print the zeros; numerically equal and
-    * valid exposition floats — documented divergence). |v| ≥ 1e38
-    * overflows the decimal and falls back to the exponent form too.
+    * Spark's string cast produces past 1e7. Two decimal tiers:
+    * decimal(38,9) holds 29 integer digits, so it covers |v| < 1e29
+    * losslessly (a double's ULP at 1e7 is already ~2e-9, so 9
+    * fractional digits carry full precision); for |v| in [1e29, 1e38)
+    * every double is an exact integer (ULP ≥ 1 past 2^52 ≈ 4.5e15), so
+    * decimal(38,0) extends plain rendering to the full 38 digits.
+    * Both go through Double.toString's round-trip digits, matching
+    * Rust's shortest-digits Display on everything the tests pin.
+    * Values below 1e-4 keep Spark's exponent form (Rust would print
+    * the zeros; numerically equal and valid exposition floats —
+    * documented divergence), as does |v| ≥ 1e38 (decimal overflow).
     */
   private def fmt(c: Column): Column = {
     val s = c.cast("string")
-    val dec = c.cast("decimal(38,9)")
-    val plain = regexp_replace(regexp_replace(
-      dec.cast("string"), "0+$", ""), "\\.$", "")
-    when(s.contains("E") && abs(c) >= 1 && dec.isNotNull, plain)
+    // try_cast: under ANSI mode a plain cast THROWS on decimal
+    // overflow instead of nulling into the fallback. The two tiers
+    // stay SEPARATE columns — coalescing the decimals themselves would
+    // coerce both to a common decimal(38,0), truncating fractions.
+    val dec9 = c.try_cast("decimal(38,9)")
+    val dec0 = c.try_cast("decimal(38,0)")
+    // strip only FRACTIONAL trailing zeros — the decimal(38,0) tier
+    // renders integers with no dot, where a bare 0+$ would eat the
+    // value's own zeros (1e30 -> "1")
+    def plainOf(d: Column) = regexp_replace(regexp_replace(
+      d.cast("string"), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+    val plain = coalesce(plainOf(dec9), plainOf(dec0))
+    when(s.contains("E") && abs(c) >= 1 && plain.isNotNull, plain)
       .otherwise(regexp_replace(s, "\\.0$", ""))
   }
 

@@ -290,7 +290,8 @@ object ParserQueries {
       .select(col("event_id"), col("m.name").as("name"),
         col("m.kind").as("kind"), col("m.value_type").as("value_type"),
         col("m.value").as("value"), col("m.tags").as("tags"),
-        explode(sequence(lit(1L), col("m.weight"))).as("sample"))
+        explode(when(col("m.weight") >= 1, sequence(lit(1L), col("m.weight"))))
+          .as("sample"))
       .orderBy("event_id", "sample")
   }
 

@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: PlanAudit <sfDir>   (e.g. /root/testdata/sf0.001)")
+      sys.exit(2)
+    }
     val dir = args(0)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 16)

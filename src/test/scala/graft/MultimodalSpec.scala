@@ -121,11 +121,17 @@ class MultimodalSpec extends SparkSpec {
     lying(22) = 0; lying(23) = 0; lying(24) = 16; lying(25) = 0 // h = 2^20
     val lowBpp = Multimodal.synthesizeBmp(2)
     lowBpp(28) = 4
+    // 8bpp is a VALID BMP depth but has no red channel at pixel
+    // offset +2 — decoding it would average palette indexes and
+    // padding bytes, so it must land in unknown, not decode wrong
+    val pal8 = Multimodal.synthesizeBmp(2)
+    pal8(28) = 8
     val rows = Multimodal.decodeMedia(Seq(
-        (1L, evil), (2L, lying), (3L, lowBpp)).toDF("id", "bytes"))
+        (1L, evil), (2L, lying), (3L, lowBpp), (4L, pal8)).toDF("id", "bytes"))
       .collect().map(d => d.id -> d.format).toMap
     assert(rows(1L) == "wav") // walk terminated; header fields best-effort
     assert(rows(2L) == "unknown" && rows(3L) == "unknown")
+    assert(rows(4L) == "unknown")
   }
 
   test("malformed and unknown payloads fall back to the unknown shape, not task death") {

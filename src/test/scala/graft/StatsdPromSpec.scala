@@ -47,6 +47,11 @@ class StatsdPromSpec extends SparkSpec {
     // weight TRUNCATES like the reference's `as u32` (parser.rs:94):
     // 1/0.4 is exactly 2.5 in IEEE -> weight 2, not round-half-up 3
     assert(parseOne("glork:320|ms|@0.4").get("weight") == 2L)
+    // sample rate > 1 -> 1/2 = 0.5 -> `as u32` = 0: weight 0, and the
+    // explode gate must emit ZERO sample rows; negative rates saturate
+    // to 0 the same way (Rust float->u32 `as` saturates below zero)
+    assert(parseOne("glork:320|ms|@2").get("weight") == 0L)
+    assert(parseOne("glork:320|ms|@-0.5").get("weight") == 0L)
     // gauge absolute vs signed incremental
     val ga = parseOne("gaugor:333|g").get
     assert(ga("kind") == "absolute" && ga("value") == 333.0)
@@ -68,7 +73,9 @@ class StatsdPromSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_statsd").toFile
     val f = new java.io.File(dir, "metrics.statsd")
     java.nio.file.Files.write(f.toPath,
-      "hits:1|c\nhits:3|c\nlat:100|ms|@0.5\ntemp:21|g|#room:a\n".getBytes("UTF-8"))
+      // zap's @4 sample rate -> weight 0 -> zero rows through the gate
+      "hits:1|c\nhits:3|c\nlat:100|ms|@0.5\ntemp:21|g|#room:a\nzap:7|ms|@4\n"
+        .getBytes("UTF-8"))
     val topo = Topology.load(
       s"""
          |[sources.m]
@@ -132,9 +139,15 @@ class StatsdPromSpec extends SparkSpec {
   test("prometheus text: large values render plain decimal like Rust Display, not 1.0E7") {
     val lines = expositionLines(Seq(
       ("big", "", "", "absolute", "counter", 1.0e7),
-      ("frac", "", "", "absolute", "gauge", 12345678.25)), None)
+      ("frac", "", "", "absolute", "gauge", 12345678.25),
+      // decimal(38,9) holds only 29 integer digits; the decimal(38,0)
+      // tier must render [1e29,1e38) plain too — and must NOT have its
+      // own zeros eaten by the fractional-zero strip
+      ("huge", "", "", "absolute", "gauge", 1.0e30)), None)
     assert(lines.contains("big 10000000 1612325106789"), lines.toString)
     assert(lines.contains("frac 12345678.25 1612325106789"), lines.toString)
+    assert(lines.contains(
+      "huge 1000000000000000000000000000000 1612325106789"), lines.toString)
   }
 
   test("prometheus_exporter sink: statsd gauges render to an exposition file from config") {
