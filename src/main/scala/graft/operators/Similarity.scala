@@ -86,33 +86,25 @@ object Similarity {
     * where |v[j]| is small (the point sits near those hyperplanes), so
     * instead of blindly probing every hamming-r bucket, probe exactly
     * the 2^q buckets reachable by flipping any subset of the query's
-    * `q` LEAST-CONFIDENT bits. Returns the array-of-XOR-masks column.
+    * `q` LEAST-CONFIDENT bits. Returns the array-of-probe-buckets
+    * column (home bucket XOR each mask), evaluated by the codegen'd
+    * `graftvec.VectorExpressions.ProbeBuckets` kernel — the Column-DSL
+    * sort/transform formulation ran interpreted and re-embedded its
+    * ranked subtree once per mask bit.
     *
     * Confidence order is (|v[j]| asc, j asc) — a total order both
-    * engines compute identically (struct sort), so the probe set is
-    * deterministic and oracle-portable.
+    * engines compute identically (the oracle recomputes it with a
+    * struct sort), so the probe set is deterministic and portable.
     */
-  def confidenceProbes(v: Column, b: Int, q: Int): Column = {
-    // q > b would read past `ranked` (null probe buckets that silently
-    // vanish in the equi-join, eating recall with no error); b > 52
-    // breaks the pow-based bit math below (2^l exact only to 2^52)
+  def confidenceProbeBuckets(v: Column, bucket: Column, b: Int, q: Int): Column = {
+    // q > b would read past the dimension range (null probe buckets
+    // that silently vanish in the equi-join, eating recall with no
+    // error); b > 52 breaks oracles that recompute 2^l via doubles
     require(q <= b, s"confidence bits q=$q must be <= hash bits b=$b")
-    require(b <= 52, s"hash bits b=$b must be <= 52 (pow-based bit math)")
-    val ranked = array_sort(transform(sequence(lit(0), lit(b - 1)),
-      j => struct(abs(element_at(v, j + 1)).as("a"), j.as("j"))))
-    val ls = (0 until q).map(i => element_at(ranked, i + 1).getField("j"))
-    // 1L << ls(i) without a column-shift builtin: 2^l is exact in double
-    // for l < 53, so pow+cast is bit-exact (and portable to the oracle)
-    def bitOf(l: Column): Column =
-      pow(lit(2.0), l.cast("double")).cast("long")
-    val masks = (0 until (1 << q)).map { t =>
-      (0 until q).filter(i => (t & (1 << i)) != 0) match {
-        case Nil => lit(0L)
-        case is  => is.map(i => bitOf(ls(i))).reduce(_ + _)
-      }
-    }
-    array(masks: _*)
+    require(b <= 52, s"hash bits b=$b must be <= 52 (oracle pow-based bit math)")
+    org.apache.spark.sql.graftvec.VectorExpressions.probeBuckets(v, bucket, b, q)
   }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
     * Voronoi cells, search only the `nProbe` cells nearest each query.
     *
@@ -253,10 +245,15 @@ object Similarity {
     // instead of two. One row per vector (narrower than the raw table).
     val c = prep(df, id, vec).withColumn("bucket", signBucket(col("v"), b))
       .persistOnce()
-    val maskArr =
-      if (confidenceBits > 0) confidenceProbes(col("v"), b, confidenceBits)
-      else array(probeMasks(b, probeRadius).map(lit): _*)
-    val probes = transform(maskArr, m => col("bucket").bitwiseXOR(m))
+    // the probe array is built XOR-folded (no transform() lambda: HOFs
+    // are CodegenFallback and would fence the hottest stage out of
+    // whole-stage codegen); `bucket` is a leaf attribute of the cached
+    // frame, so the blind-probe array's per-element XOR embeds no tree
+    val probes =
+      if (confidenceBits > 0)
+        confidenceProbeBuckets(col("v"), col("bucket"), b, confidenceBits)
+      else array(probeMasks(b, probeRadius)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = c.select(col("id").as("qid"), col("v").as("qv"),
       col("norm").as("qn"), explode(probes).as("bucket"))
     val sims = q.join(c, Seq("bucket"))

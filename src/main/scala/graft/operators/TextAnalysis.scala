@@ -32,23 +32,31 @@ object TextAnalysis {
 
   /** Language-ID: per-language stopword hit count over the token
     * multiset; winner = max count, ties broken alphabetically (stable
-    * argmax). Returns (scores..., lang_pred).
+    * argmax). Adds `s_<lang>` score columns plus `predCol` to `df`.
+    *
+    * STAGED on purpose: a Column-tuple formulation of the argmax fold
+    * re-embeds every score subtree once per fold level (the Column DSL
+    * has no sharing — bestS doubles each step, ~16 copies of the last
+    * filter() by five languages, all CodegenFallback lambdas). Here
+    * each score is a real projection column evaluated once per row,
+    * and the argmax is a linear when-chain over leaf attributes
+    * (alphabetical order, `=== max` — first match wins ties).
     */
-  def languageId(text: Column): (Seq[(String, Column)], Column) = {
-    val toks = split(text, " ")
-    val scores = langProfiles.map { case (lang, words) =>
-      val hits = filter(toks, t => words.map(w => t === w).reduce(_ || _))
-      lang -> size(hits).cast("long")
+  def withLanguageId(df: DataFrame, text: Column,
+                     predCol: String = "lang_pred"): DataFrame = {
+    val u = "__lid_"
+    val s1 = df.withColumn(u + "toks", split(text, " "))
+    val s2 = s1.withColumns(scala.collection.immutable.ListMap(
+      langProfiles.map { case (lang, words) =>
+        (s"s_$lang") -> size(filter(col(u + "toks"),
+          t => words.map(w => t === w).reduce(_ || _))).cast("long")
+      }: _*))
+    val langs = langProfiles.map(_._1) // alphabetical by construction
+    val s3 = s2.withColumn(u + "mx", greatest(langs.map(l => col(s"s_$l")): _*))
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, acc) =>
+      when(col(s"s_$l") === col(u + "mx"), lit(l)).otherwise(acc)
     }
-    // stable argmax: fold in reverse-alphabetical order with >= so the
-    // alphabetically-first language wins ties
-    val pred = scores.reverse.tail.foldLeft(
-      (lit(scores.last._1), scores.last._2)) {
-      case ((bestL, bestS), (lang, s)) =>
-        (when(s >= bestS, lit(lang)).otherwise(bestL),
-         when(s >= bestS, s).otherwise(bestS))
-    }._1
-    (scores, pred)
+    s3.withColumn(predCol, pred).drop(u + "toks", u + "mx")
   }
 
   /** Quality-signal columns over a text column. All ratios in [0,1],

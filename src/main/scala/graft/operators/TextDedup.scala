@@ -122,24 +122,32 @@ object TextDedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persistOnce()
-    var labels = docs.select(id.as("id")).distinct()
+    var cached = docs.select(id.as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val prop = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("cluster")).as("nb"))
+      // the convergence check folds into the SAME materialization: the
+      // propagation join carries the previous label alongside the new
+      // one, so `changed` is a filter-count over the cached frame —
+      // one action and one join per round, not a second labels-vs-next
+      // equi-join. Rounds remain ∝ component diameter (fine for the
+      // near-clique components LSH/jaccard pairs produce; pathological
+      // long chains would need pointer-jumping, out of contract here).
       val next = labels.as("l")
         .join(prop, col("l.id") === col("nid"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.cluster").as("old"),
           least(col("l.cluster"), coalesce(col("nb"), col("l.cluster")))
             .as("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels.unpersist(false)
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      cached.unpersist(false)
+      cached = next
+      labels = next.select(col("id"), col("cluster"))
       i += 1
     }
     labels

@@ -167,13 +167,12 @@ object TrainingQueries {
       .orderBy("qid", "rank")
 
   // ---------------------------------------------------------- text analysis
-  private def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val (scores, pred) = TextAnalysis.languageId(col("text"))
-    docs(s, dir).select(
-        col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }
-          :+ pred.as("lang_pred"): _*)
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLanguageId(docs(s, dir), col("text"))
+      .select(col("doc_id") +:
+        TextAnalysis.langProfiles.map { case (l, _) => col(s"s_$l") }
+        :+ col("lang_pred"): _*)
       .orderBy("doc_id")
-  }
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val sig = TextAnalysis.qualitySignals(col("text"))
@@ -234,10 +233,8 @@ object TrainingQueries {
     val base = docs(s, dir).withColumn("key",
       array_join(slice(split(col("text"), " "), 1, 8), " "))
     val deduped = TextDedup.exact(base, col("key"), col("doc_id"))
-    val (_, pred) = TextAnalysis.languageId(col("text"))
     val toks = TextAnalysis.tokenCounts(col("text")).toMap
-    deduped
-      .withColumn("lang_pred", pred)
+    TextAnalysis.withLanguageId(deduped, col("text"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
       .filter(col("doc_id") % 2 === 0) // deterministic 1-in-2 shard sample

@@ -116,6 +116,32 @@ class PropertySpec extends SparkSpec {
     check(p, 60)
   }
 
+  test("ProbeBuckets kernel matches the (|v[j]| asc, j asc) reference selection") {
+    import org.apache.spark.sql.graftvec.VectorExpressions
+    val genVec = Gen.choose(2, 8).flatMap { b =>
+      for {
+        q <- Gen.choose(1, b)
+        // duplicated magnitudes exercise the j-asc tie-break
+        v <- Gen.listOfN(b, Gen.oneOf(-2.0, -0.5, 0.0, 0.25, 0.5, 1.5))
+        bucket <- Gen.choose(0L, (1L << b) - 1)
+      } yield (b, q, v, bucket)
+    }
+    val p = Prop.forAll(genVec) { case (b, q, v, bucket) =>
+      // reference: full sort by (|v[j]|, j), take q, enumerate subsets
+      val ls = v.indices.sortBy(j => (math.abs(v(j)), j)).take(q)
+      val expect = (0 until (1 << q)).map { t =>
+        (0 until q).filter(i => (t & (1 << i)) != 0)
+          .foldLeft(bucket)((m, i) => m ^ (1L << ls(i)))
+      }
+      val df = Seq((v, bucket)).toDF("v", "bucket")
+      val got = df.select(VectorExpressions.probeBuckets(
+          col("v"), col("bucket"), b, q).as("p"))
+        .collect()(0).getSeq[Long](0)
+      got == expect
+    }
+    check(p, 25)
+  }
+
   test("portable hash family: perm stays in [0, P) and members differ") {
     import graft.functions.PortableHash
     val p = Prop.forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.choose(2, 64)) { (x, k) =>

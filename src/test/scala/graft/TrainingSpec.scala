@@ -274,8 +274,8 @@ class TrainingSpec extends SparkSpec {
       (2L, "der hund und die katze"),// de hits
       (3L, "qqq www zzz")            // no hits anywhere -> tie -> 'de'
     ).toDF("doc_id", "text")
-    val (_, pred) = TextAnalysis.languageId(col("text"))
-    val out = df.select(col("doc_id"), pred.as("p")).collect()
+    val out = TextAnalysis.withLanguageId(df, col("text"))
+      .select(col("doc_id"), col("lang_pred")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "de")
   }
