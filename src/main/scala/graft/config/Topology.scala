@@ -1371,6 +1371,22 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             () => new Framing.OctetCounting(maxLen))
           // no connection in a replay: host is the parsed hostname only
           syslogDecode(lines.df, peer = Some(lit(null).cast("string")))
+        case Some("opentelemetry") =>
+          // reference src/sources/opentelemetry/: a listening OTLP
+          // endpoint. The STREAMING path binds the real OTLP/HTTP
+          // listener (loadStreamingSources); a bounded batch run
+          // replays a capture file of protobuf export-request frames
+          // through the same decoder — `bytes` framing one request per
+          // file by default, length/varint framing packing many (the
+          // same framing set the otlp decoding codec takes).
+          refuseOtlpGrpc(name, cfg)
+          if (cfg.str("path").isEmpty) throw VrlUnsupported(
+            s"source $name: opentelemetry listening is streaming-only " +
+              "(use Cli run-stream; batch runs replay a capture file via `path`)")
+          val framingTab = cfg.tab("framing")
+          val method = framingTab.flatMap(_.str("method")).getOrElse("bytes")
+          otlpFileSource(spark, name, path,
+            Framing.builder(method, framingTab, s"source $name"))
         case Some("file") if cfg.tab("decoding")
           .flatMap(_.str("codec")).contains("otlp") =>
           // otlp is the one BINARY decoding codec (protobuf frames):
@@ -1656,6 +1672,17 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * the decoded tree. Invalid frames drop (the reference's per-frame
     * error + continue).
     */
+  /** The opentelemetry source's gRPC arm (config.rs `grpc.address`,
+    * grpc.rs tonic services) needs an HTTP/2 + gRPC stack this engine
+    * does not carry — refused loudly, like kafka's jar gate, never
+    * silently ignored.
+    */
+  private def refuseOtlpGrpc(name: String, cfg: TTab): Unit =
+    if (cfg.tab("grpc").isDefined) throw VrlUnsupported(
+      s"source $name: grpc transport (no gRPC/HTTP2 stack in this " +
+        s"engine — use OTLP/HTTP: [sources.$name.http] address, and " +
+        "point SDKs at http://host:port/v1/<signal>)")
+
   private def otlpFileSource(spark: org.apache.spark.sql.SparkSession,
                              name: String, path: String,
                              framerB: () => Framing.Framer): Frame = {
@@ -2947,6 +2974,30 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("opentelemetry") =>
+          // reference src/sources/opentelemetry/{config,http}.rs: the
+          // OTLP/HTTP listener (`:4318` shape) with POST
+          // /v1/{logs,metrics,traces} routes, each decoding its
+          // signal's Export*ServiceRequest protobuf. The decoded tree
+          // is data-shaped, and a streaming schema is static, so each
+          // request emits ONE event carrying the canonical OTLP/JSON
+          // under `message` plus `signal`/`host`/`source_type` stamps
+          // — parse_json in a remap structures it downstream (the
+          // batch capture-replay arm infers the real schema).
+          refuseOtlpGrpc(name, cfg)
+          val addr = cfg.tab("http").flatMap(_.str("address")).getOrElse(
+            throw new IllegalArgumentException(
+              s"source $name: no [sources.$name.http] address"))
+          val (host, port) = splitHostPort(name, addr)
+          val ingest = new graft.streaming.OtlpIngest(spark, host, port)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(
+            col("message"), col("signal"), col("peer").as("host"),
+            lit("opentelemetry").as("source_type"))
+            .withColumn(SeqCol, xxhash64(col("message")))
+          Frame(stamped, EventMeta(ListMap(
+            "message" -> VStr, "signal" -> VStr,
+            "host" -> VStr, "source_type" -> VStr), None))
         case Some("socket") =>
           // reference src/sources/socket/mod.rs: mode tcp|udp|unix_*,
           // address, decoding codec. TCP stream mode maps onto Spark's
@@ -3181,7 +3232,7 @@ object Topology {
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
     "http_server", "internal_logs", "internal_metrics", "kafka",
-    "parquet", "socket", "static_metrics", "syslog")
+    "opentelemetry", "parquet", "socket", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

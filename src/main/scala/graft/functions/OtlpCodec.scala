@@ -448,6 +448,21 @@ object OtlpCodec {
         else Try(mapper.writeValueAsString(decode(b)._2)).getOrElse(null)
     }, StringType).apply(c)
 
+  /** Signal-pinned decode to the canonical JSON line — the
+    * opentelemetry source's per-route arm (the HTTP path names the
+    * signal, so no priority dispatch; reference
+    * src/sources/opentelemetry/http.rs decode_log_body /
+    * decode_metrics_body / decode_trace_body). Throws on an invalid
+    * frame (the listener answers 400).
+    */
+  def decodeSignalJson(signal: String, frame: Array[Byte]): String =
+    mapper.writeValueAsString(signal match {
+      case "logs" => decodeLogs(frame)
+      case "metrics" => decodeMetrics(frame)
+      case "traces" => decodeTraces(frame)
+      case other => bad(s"unknown OTLP signal $other")
+    })
+
   def parseOtlpSignal(c: Column): Column =
     udf(new UDF1[Array[Byte], String] {
       override def call(b: Array[Byte]): String =

@@ -562,6 +562,114 @@ object ConfigQueries {
          'syslog' AS source_type
        FROM events ORDER BY event_id"""
 
+  /** `opentelemetry` config source, batch capture-replay arm: every
+    * event row becomes one protobuf ExportLogsServiceRequest frame
+    * (resource service.name attribute, one log record carrying
+    * time / severity number+text / body / an event_type attribute),
+    * length-framed into one capture file per partition (the replay's
+    * parallel unit), then decoded back by `type = "opentelemetry"`.
+    * The oracle recomputes every decoded field arithmetically from
+    * `events` — the only byte path is the protobuf round-trip, so a
+    * wire-offset or framing bug breaks the match.
+    */
+  private def qConfigOtlp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        // ts is TIMESTAMP_NTZ in the parquet; the session is pinned
+        // UTC, so the cast is the identity instant DuckDB's epoch_us
+        // computes on the same naive value
+        unix_micros(col("ts").cast("timestamp")).as("tmicros"))
+      .as[(Long, Long, String, Long)]
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_otlp_capture")
+    if (out.exists()) out.listFiles().foreach(_.delete())
+    out.mkdirs()
+    e.repartition(32).foreachPartition {
+      it: Iterator[(Long, Long, String, Long)] =>
+        import graft.functions.ProtoWire.Writer
+        def u8(x: String) = x.getBytes("UTF-8")
+        val sevNames = Seq("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")
+        val buf = new java.io.ByteArrayOutputStream()
+        it.foreach { case (eventId, userId, eventType, tmicros) =>
+          val body = new Writer; body.writeLenDelim(1, u8(s"event $eventId"))
+          val attrVal = new Writer; attrVal.writeLenDelim(1, u8(eventType))
+          val attr = new Writer
+          attr.writeLenDelim(1, u8("event_type"))
+          attr.writeLenDelim(2, attrVal.toBytes)
+          val rec = new Writer
+          rec.writeTag(1, 1).writeFixed64(tmicros * 1000L)
+          rec.writeTag(2, 0).writeVarint(eventId % 24 + 1)
+          rec.writeLenDelim(3, u8(sevNames((eventId % 6).toInt)))
+          rec.writeLenDelim(5, body.toBytes)
+          rec.writeLenDelim(6, attr.toBytes)
+          val resAttrVal = new Writer
+          resAttrVal.writeLenDelim(1, u8(s"svc-${userId % 5}"))
+          val resAttr = new Writer
+          resAttr.writeLenDelim(1, u8("service.name"))
+          resAttr.writeLenDelim(2, resAttrVal.toBytes)
+          val res = new Writer; res.writeLenDelim(1, resAttr.toBytes)
+          val scopeLogs = new Writer; scopeLogs.writeLenDelim(2, rec.toBytes)
+          val resourceLogs = new Writer
+          resourceLogs.writeLenDelim(1, res.toBytes)
+          resourceLogs.writeLenDelim(2, scopeLogs.toBytes)
+          val frame = new Writer().writeLenDelim(1, resourceLogs.toBytes).toBytes
+          // 4-byte big-endian length prefix (length_delimited default)
+          buf.write(Array[Byte](
+            ((frame.length >> 24) & 0xff).toByte,
+            ((frame.length >> 16) & 0xff).toByte,
+            ((frame.length >> 8) & 0xff).toByte,
+            (frame.length & 0xff).toByte))
+          buf.write(frame)
+        }
+        if (buf.size() > 0) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          java.nio.file.Files.write(
+            new java.io.File(out, f"part-$pid%05d.bin").toPath, buf.toByteArray)
+        }
+        ()
+    }
+    val topo = Topology.load(
+      s"""
+         |[sources.otel]
+         |  type = "opentelemetry"
+         |  path = "${out.getAbsolutePath}"
+         |  [sources.otel.framing]
+         |    method = "length_delimited"
+         |""".stripMargin)
+    topo.loadSources(s)("otel").df
+      .select(
+        col("resourceLogs").getItem(0).getField("scopeLogs").getItem(0)
+          .getField("logRecords").getItem(0).as("r"),
+        col("resourceLogs").getItem(0).getField("resource")
+          .getField("attributes").getItem(0).getField("value")
+          .getField("stringValue").as("service"))
+      .select(
+        element_at(split(col("r.body.stringValue"), " "), 2)
+          .cast("bigint").as("event_id"),
+        col("r.timeUnixNano").as("time_nanos"),
+        col("r.severityNumber").as("severity_number"),
+        col("r.severityText").as("severity_text"),
+        col("r.body.stringValue").as("body"),
+        col("r.attributes").getItem(0).getField("value")
+          .getField("stringValue").as("event_type"),
+        col("service"))
+      .orderBy("event_id")
+  }
+
+  private val oracleConfigOtlp: String =
+    """SELECT event_id,
+         CAST(epoch_us(ts) AS BIGINT) * 1000 AS time_nanos,
+         event_id % 24 + 1 AS severity_number,
+         CASE event_id % 6
+           WHEN 0 THEN 'TRACE' WHEN 1 THEN 'DEBUG' WHEN 2 THEN 'INFO'
+           WHEN 3 THEN 'WARN' WHEN 4 THEN 'ERROR' ELSE 'FATAL'
+         END AS severity_text,
+         'event ' || event_id AS body,
+         event_type,
+         'svc-' || (user_id % 5) AS service
+       FROM events ORDER BY event_id"""
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
@@ -571,7 +679,8 @@ object ConfigQueries {
     "q_config_lua" -> (qConfigLua _),
     "q_config_observe" -> (qConfigObserve _),
     "q_config_exec" -> (qConfigExec _),
-    "q_config_syslog" -> (qConfigSyslog _)
+    "q_config_syslog" -> (qConfigSyslog _),
+    "q_config_otlp" -> (qConfigOtlp _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -583,6 +692,7 @@ object ConfigQueries {
     "q_config_lua" -> oracleConfigLua,
     "q_config_observe" -> oracleConfigObserve,
     "q_config_exec" -> oracleConfigExec,
-    "q_config_syslog" -> oracleConfigSyslog
+    "q_config_syslog" -> oracleConfigSyslog,
+    "q_config_otlp" -> oracleConfigOtlp
   )
 }

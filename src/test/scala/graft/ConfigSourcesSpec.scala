@@ -343,6 +343,113 @@ class ConfigSourcesSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("opentelemetry source: real OTLP/HTTP POSTs decode end-to-end; route guards") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.functions.ProtoWire.Writer
+    def utf8(s: String) = s.getBytes("UTF-8")
+    def logsFrame(sev: Long): Array[Byte] = {
+      val rec = new Writer
+      rec.writeTag(1, 1).writeFixed64(1234567890L)
+      rec.writeTag(2, 0).writeVarint(sev)
+      rec.writeLenDelim(3, utf8("INFO"))
+      val scopeLogs = new Writer; scopeLogs.writeLenDelim(2, rec.toBytes)
+      val resourceLogs = new Writer
+      resourceLogs.writeLenDelim(1, Array.empty[Byte])
+      resourceLogs.writeLenDelim(2, scopeLogs.toBytes)
+      new Writer().writeLenDelim(1, resourceLogs.toBytes).toBytes
+    }
+    val client = HttpClient.newHttpClient()
+    def post(url: String, body: Array[Byte], ctype: String): Int =
+      client.send(HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", ctype)
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.discarding()).statusCode()
+    val topo = Topology.load(
+      """
+        |[sources.otel]
+        |  type = "opentelemetry"
+        |  [sources.otel.http]
+        |    address = "127.0.0.1:0"
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      val port = topo.ingestListeners.head.boundPort
+      val qn = s"otel_src_${System.nanoTime()}"
+      val q = src("otel").df.drop(SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        val base = s"http://127.0.0.1:$port"
+        assert(post(s"$base/v1/logs", logsFrame(9),
+          "application/x-protobuf") == 200)
+        assert(post(s"$base/v1/logs", logsFrame(13),
+          "application/x-protobuf") == 200)
+        // a logs frame IS also a valid empty-metrics shape only if its
+        // discriminator passes — it doesn't: the metrics route answers 400
+        assert(post(s"$base/v1/metrics", logsFrame(9),
+          "application/x-protobuf") == 400)
+        // guards: unknown path 404, wrong content type 415, GET 405
+        assert(post(s"$base/v1/nope", logsFrame(9),
+          "application/x-protobuf") == 404)
+        assert(post(s"$base/v1/logs", logsFrame(9), "application/json") == 415)
+        val get = HttpRequest.newBuilder(
+          URI.create(s"$base/v1/logs")).GET().build()
+        assert(client.send(get,
+          HttpResponse.BodyHandlers.discarding()).statusCode() == 405)
+
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 2 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .select("signal", "message", "source_type").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        assert(rows.length == 2)
+        assert(rows.forall(r => r._1 == "logs" && r._3 == "opentelemetry"))
+        val sevs = rows.map { r =>
+          spark.range(1).select(
+            get_json_object(lit(r._2),
+              "$.resourceLogs[0].scopeLogs[0].logRecords[0].severityNumber"))
+            .collect()(0).getString(0)
+        }.sorted.toSeq
+        assert(sevs == Seq("13", "9"))
+      } finally q.stop()
+    } finally topo.closeIngest()
+  }
+
+  test("opentelemetry source: grpc refused loudly, batch needs a capture path") {
+    val grpc = Topology.load(
+      """
+        |[sources.otel]
+        |  type = "opentelemetry"
+        |  [sources.otel.grpc]
+        |    address = "127.0.0.1:4317"
+        |""".stripMargin)
+    val e1 = intercept[Exception](grpc.loadStreamingSources(spark))
+    assert(e1.getMessage.contains("grpc"), e1.getMessage)
+    val e1b = intercept[Exception](grpc.loadSources(spark))
+    assert(e1b.getMessage.contains("grpc"), e1b.getMessage)
+    // batch without a capture path names the streaming path
+    val noPath = Topology.load(
+      """
+        |[sources.otel]
+        |  type = "opentelemetry"
+        |  [sources.otel.http]
+        |    address = "127.0.0.1:0"
+        |""".stripMargin)
+    val e2 = intercept[Exception](noPath.loadSources(spark))
+    assert(e2.getMessage.contains("streaming-only"), e2.getMessage)
+    // streaming without an http address names the missing option
+    val noAddr = Topology.load(
+      """
+        |[sources.otel]
+        |  type = "opentelemetry"
+        |""".stripMargin)
+    val e3 = intercept[Exception](noAddr.loadStreamingSources(spark))
+    assert(e3.getMessage.contains("http"), e3.getMessage)
+  }
+
   test("kafka source: batch refused as streaming-only; streaming names the missing jar") {
     val topo = Topology.load(
       """
