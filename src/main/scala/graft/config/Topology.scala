@@ -1284,6 +1284,8 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
         case Some("demo_logs") => demoLogs(spark, name, cfg)
         case Some("exec") => execSource(spark, name, cfg)
         case Some("http_client") => httpClientSource(spark, name, cfg)
+        case Some("prometheus_scrape") =>
+          prometheusScrapeSource(spark, name, cfg)
         case Some("host_metrics") => hostMetrics(spark, name, cfg)
         case Some("static_metrics") => staticMetrics(spark, name, cfg)
         case Some("parquet") =>
@@ -1970,6 +1972,91 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     decodeLines(spark, name, codec,
       Frame(lines.toDF("message", SeqCol),
         EventMeta(ListMap("message" -> VStr), None)))
+  }
+
+  /** `type = "prometheus_scrape"` (reference
+    * src/sources/prometheus/scrape.rs): scrape each configured
+    * exposition endpoint once per batch evaluation (the http_client
+    * one-scrape stance; `scrape_interval_secs` accepted, unused) and
+    * parse the text through `Prometheus.parseExposition` — the exact
+    * inverse of the prometheus_exporter sink. Emits absolute
+    * flat-model metric rows: counter groups as counters, gauge /
+    * untyped as gauges, histogram/summary groups in exposition
+    * component form (the parser's documented model narrowing).
+    *
+    * `instance_tag` (default `instance` = the endpoint authority) and
+    * `endpoint_tag` (default `endpoint` = the full URL) stamp every
+    * row; with `honor_labels = false` (the default) a scraped label
+    * colliding with either tag is renamed `exported_<name>`, with
+    * `true` the scraped label wins and the stamp is skipped for that
+    * row — Prometheus' honor_labels semantics (scrape.rs:81-86).
+    */
+  private def prometheusScrapeSource(spark: org.apache.spark.sql.SparkSession,
+                                     name: String, cfg: TTab): Frame = {
+    if (cfg.tab("auth").isDefined) throw VrlUnsupported(
+      s"source $name: prometheus_scrape auth (credential handling out " +
+        "of scope — front with a proxy)")
+    val endpoints = cfg.strArr("endpoints")
+    if (endpoints.isEmpty) throw new IllegalArgumentException(
+      s"source $name: no endpoints")
+    endpoints.foreach(e => require(
+      e.startsWith("http://") || e.startsWith("https://"),
+      s"source $name: endpoint '$e' must be http(s)://"))
+    val instanceTag = cfg.str("instance_tag").orElse(Some("instance"))
+      .filter(_.nonEmpty)
+    val endpointTag = cfg.str("endpoint_tag").orElse(Some("endpoint"))
+      .filter(_.nonEmpty)
+    val honorLabels = cfg.bool("honor_labels").getOrElse(false)
+    val timeout = cfg.long("scrape_timeout_secs").getOrElse(5L)
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    import spark.implicits._
+    val perEndpoint = endpoints.map { ep =>
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(ep))
+          .timeout(java.time.Duration.ofSeconds(timeout)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString(
+          java.nio.charset.StandardCharsets.UTF_8))
+      if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+        throw new IllegalStateException(
+          s"source $name: GET $ep returned HTTP ${resp.statusCode()}")
+      val authority = java.net.URI.create(ep).getAuthority
+      val lines = resp.body().split("\r?\n").toSeq
+        .zipWithIndex.map { case (l, i) => (l, i.toLong) }
+      val parsed = graft.operators.Prometheus.parseExposition(
+        lines.toDF("line", "pos"), col("line"), lit(ep), col("pos"))
+      val extras: Seq[(String, String)] =
+        instanceTag.map(_ -> authority).toSeq ++ endpointTag.map(_ -> ep)
+      val extraKeys = extras.map(_._1)
+      val tagArr = when(col("tags").isNotNull, split(col("tags"), ","))
+        .otherwise(array().cast("array<string>"))
+      val renamed =
+        if (honorLabels || extraKeys.isEmpty) tagArr
+        else transform(tagArr, t =>
+          when(regexp_extract(t, "^([^=]*)=", 1)
+            .isin(extraKeys.map(x => x: Any): _*),
+            concat(lit("exported_"), t)).otherwise(t))
+      val withExtras = extras.foldLeft(renamed) { case (acc, (k, v)) =>
+        val stamp = array(lit(s"$k=$v"))
+        if (honorLabels)
+          // scraped label wins: stamp only the rows that lack it
+          when(exists(tagArr,
+            t => regexp_extract(t, "^([^=]*)=", 1) === k), acc)
+            .otherwise(concat(acc, stamp))
+        else concat(acc, stamp)
+      }
+      parsed.select(
+        col("name"),
+        lit(null).cast("string").as("namespace"),
+        when(size(withExtras) > 0,
+          array_join(sort_array(withExtras), ",")).as("tags"),
+        col("kind"), col("value_type"), col("value"),
+        timestamp_millis(col("tstamp_ms")).as("ts"))
+    }
+    val df = perEndpoint.reduce(_ unionByName _)
+    val stamped = df.withColumn(SeqCol, xxhash64(
+      col("name"), col("tags"), col("value"), col("ts")))
+    Frame(stamped, MetricMeta, metric = true)
   }
 
   /** `type = "host_metrics"` (reference src/sources/host_metrics/):
@@ -3232,7 +3319,8 @@ object Topology {
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
     "http_server", "internal_logs", "internal_metrics", "kafka",
-    "opentelemetry", "parquet", "socket", "static_metrics", "syslog")
+    "opentelemetry", "parquet", "prometheus_scrape", "socket",
+    "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

@@ -188,4 +188,91 @@ object Prometheus {
       .unionByName(orderedSamples
         .select(col("__full").as("fullname"), col("ord"), col("line")))
   }
+
+  /** Parse prometheus text-exposition lines back into flat-model rows —
+    * the inverse of [[exposition]] (reference
+    * `lib/prometheus-parser/src/{lib,line}.rs` parse_text + the
+    * `src/sources/prometheus/parser.rs` reparse: counter groups →
+    * absolute counters, gauge/untyped → absolute gauges — "gauges are
+    * always absolute"). A sample associates with the most recent
+    * `# TYPE` whose name prefixes it AND whose kind admits the suffix
+    * (`""` for simple kinds, `_bucket`/`_sum`/`_count` for histogram,
+    * `""`/`_sum`/`_count` for summary — GroupKind::try_push); anything
+    * else opens its own untyped group, exactly the parser's fallback.
+    *
+    * Model narrowing (documented): the flat metric model carries one
+    * numeric value per row, so histogram/summary groups surface in
+    * exposition COMPONENT form — the `_bucket` (cumulative `le`),
+    * `_sum`, `_count`, and quantile rows themselves, value_type
+    * `gauge`, with `group_name`/`group_kind` naming the family — where
+    * the reference re-aggregates them into native histogram values.
+    *
+    * Input: any frame plus (line, streamId, pos) columns — grouping
+    * state is per `streamId` ordered by `pos` (one scrape body = one
+    * stream; the window shuffles once on the stream id, the per-line
+    * parse is a narrow projection). Output rows: (name, tags, kind,
+    * value_type, value, tstamp_ms, group_name, group_kind); malformed
+    * sample lines, comments and headers drop.
+    */
+  def parseExposition(df: DataFrame, line: Column, streamId: Column,
+                      pos: Column): DataFrame = {
+    val u = "__px_"
+    def c(n: String) = col(u + n)
+    val nameRe = "[a-zA-Z_:][a-zA-Z0-9_:]*"
+    val typeRe = s"^# TYPE ($nameRe) (counter|gauge|histogram|summary|untyped)[ \\t]*$$"
+    val sampleRe = s"^($nameRe)(?:\\{(.*)\\})?[ \\t]+([^ \\t]+)(?:[ \\t]+(-?[0-9]+))?[ \\t]*$$"
+    val s1 = df.select(streamId.as(u + "sid"), pos.as(u + "pos"),
+      line.as(u + "line"))
+    val s2 = s1.withColumns(Map(
+      u + "tname" -> nullif(regexp_extract(c("line"), typeRe, 1), lit("")),
+      u + "tkind" -> nullif(regexp_extract(c("line"), typeRe, 2), lit("")),
+      u + "mname" -> nullif(regexp_extract(c("line"), sampleRe, 1), lit("")),
+      u + "lblob" -> regexp_extract(c("line"), sampleRe, 2),
+      u + "vraw" -> regexp_extract(c("line"), sampleRe, 3),
+      u + "tsraw" -> nullif(regexp_extract(c("line"), sampleRe, 4), lit(""))))
+    // group state: the latest TYPE header at or before this line
+    val w = Window.partitionBy(c("sid")).orderBy(c("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s3 = s2.withColumns(Map(
+      u + "gname" -> last(c("tname"), ignoreNulls = true).over(w),
+      u + "gkind" -> last(c("tkind"), ignoreNulls = true).over(w)))
+      .filter(c("mname").isNotNull)
+    val s4 = s3.withColumn(u + "suffix",
+      when(c("gname").isNotNull && c("mname").startsWith(c("gname")),
+        c("mname").substr(length(c("gname")) + 1, lit(1000000))))
+    val inGroup = c("suffix").isNotNull && (
+      when(c("gkind").isin("counter", "gauge", "untyped"), c("suffix") === "")
+        .when(c("gkind") === "histogram",
+          c("suffix").isin("_bucket", "_sum", "_count"))
+        .otherwise(c("suffix").isin("", "_sum", "_count")))
+    val s5 = s4.withColumns(Map(
+      u + "grp" -> when(inGroup, c("gname")).otherwise(c("mname")),
+      u + "gk" -> when(inGroup, c("gkind")).otherwise(lit("untyped")),
+      // label blob -> canonical sorted `k=v` multiset; the unescape is
+      // the exact inverse of escTag (one left-to-right pass over
+      // backslash pairs, so `\\"` sequences resolve correctly)
+      u + "pairs" -> regexp_extract_all(c("lblob"),
+        lit("([a-zA-Z_][a-zA-Z0-9_]*)=\"((?:\\\\.|[^\"\\\\])*)\""), lit(0))))
+    val tags = when(size(c("pairs")) > 0,
+      array_join(sort_array(transform(c("pairs"), p =>
+        concat(regexp_extract(p, "^([^=]*)=", 1), lit("="),
+          regexp_replace(regexp_extract(p, "^[^=]*=\"(.*)\"$", 1),
+            "\\\\([\"\\\\])", "$1")))), ","))
+    val value =
+      when(c("vraw").isin("+Inf", "Inf"), lit(Double.PositiveInfinity))
+        .when(c("vraw") === "-Inf", lit(Double.NegativeInfinity))
+        .when(c("vraw") === "NaN", lit(Double.NaN))
+        .otherwise(c("vraw").try_cast("double"))
+    s5.select(
+      c("mname").as("name"),
+      tags.as("tags"),
+      lit("absolute").as("kind"),
+      when(c("gk") === "counter", "counter").otherwise("gauge")
+        .as("value_type"),
+      value.as("value"),
+      c("tsraw").try_cast("bigint").as("tstamp_ms"),
+      c("grp").as("group_name"),
+      c("gk").as("group_kind"))
+      .filter(col("value").isNotNull)
+  }
 }

@@ -333,7 +333,7 @@ object ParserQueries {
     * exposition lines. The oracle string-builds the same lines —
     * headers, label sorting, cumulative `le` counts — in DuckDB.
     */
-  private def qPrometheus(s: SparkSession, dir: String): DataFrame = {
+  private def promFixture(s: SparkSession, dir: String): DataFrame = {
     val i = col("event_id")
     val e = events(s, dir)
     val counters = e.groupBy(col("event_type")).agg(
@@ -363,10 +363,29 @@ object ParserQueries {
       concat(lit("svc="), col("event_type")).as("tags"),
       lit("absolute").as("kind"), lit("distribution").as("value_type"),
       ((i % 20) * lit(0.25)).cast("double").as("value"))
-    val metrics = counters.unionByName(gauge).unionByName(sets).unionByName(dist)
+    counters.unionByName(gauge).unionByName(sets).unionByName(dist)
       .withColumn("ts", lit(null).cast("timestamp"))
-    graft.operators.Prometheus.exposition(metrics)
+  }
+
+  private def qPrometheus(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Prometheus.exposition(promFixture(s, dir))
       .orderBy("fullname", "ord")
+
+  /** render → parse ROUND-TRIP: the exposition of the same fixture fed
+    * back through `Prometheus.parseExposition` (the prometheus_scrape
+    * source's decoder). The oracle recomputes every parsed row
+    * arithmetically from `events` — counter/gauge/set values, the
+    * unescaped `path=a"b` label, and the cumulative `le` component
+    * rows — so a renderer/parser asymmetry (escaping, value format,
+    * group association) breaks the match.
+    */
+  private def qPromRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rendered = graft.operators.Prometheus.exposition(promFixture(s, dir))
+    graft.operators.Prometheus.parseExposition(
+        rendered, col("line"), col("fullname"), col("ord"))
+      .select(col("name"), col("tags"), col("kind"), col("value_type"),
+        col("value"), col("group_name"), col("group_kind"))
+      .orderBy("name", "tags")
   }
 
   private val prometheusOracleSql: String = {
@@ -443,6 +462,55 @@ object ParserQueries {
        ORDER BY fullname, ord"""
   }
 
+  /** The roundtrip oracle recomputes the PARSED rows directly from
+    * `events` — an independent derivation sharing nothing with either
+    * the renderer or the parser.
+    */
+  private val promRoundtripOracleSql: String = {
+    val buckets = graft.operators.Prometheus.DefaultBuckets
+    val bucketSel = buckets.map { b =>
+      val bs = if (b == b.floor) b.toLong.toString else b.toString
+      s"""SELECT 'app_latency_bucket' AS name,
+            'le=$bs,svc=' || event_type AS tags,
+            'gauge' AS value_type,
+            CAST(sum(CASE WHEN (event_id % 20) * 0.25 <= $b THEN 1 ELSE 0 END) AS DOUBLE) AS value,
+            'app_latency' AS group_name, 'histogram' AS group_kind
+          FROM events GROUP BY event_type"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH parsed AS (
+         SELECT 'app_requests' AS name, 'svc=' || event_type AS tags,
+           'counter' AS value_type, CAST(sum(event_id % 10) AS DOUBLE) AS value,
+           'app_requests' AS group_name, 'counter' AS group_kind
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'queue_depth', 'host=' || CAST(event_id % 3 AS VARCHAR) || ',path=a"b',
+           'gauge', CAST(sum(event_id % 4) AS DOUBLE), 'queue_depth', 'gauge'
+         FROM events GROUP BY event_id % 3
+         UNION ALL
+         SELECT 'app_users', 'svc=' || event_type,
+           'gauge', CAST(count(DISTINCT event_id % 13) AS DOUBLE), 'app_users', 'gauge'
+         FROM events GROUP BY event_type
+         UNION ALL
+         $bucketSel
+         UNION ALL
+         SELECT 'app_latency_bucket', 'le=+Inf,svc=' || event_type,
+           'gauge', CAST(count(*) AS DOUBLE), 'app_latency', 'histogram'
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'app_latency_sum', 'svc=' || event_type,
+           'gauge', CAST(sum((event_id % 20) * CAST(0.25 AS DOUBLE)) AS DOUBLE),
+           'app_latency', 'histogram'
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'app_latency_count', 'svc=' || event_type,
+           'gauge', CAST(count(*) AS DOUBLE), 'app_latency', 'histogram'
+         FROM events GROUP BY event_type
+       )
+       SELECT name, tags, 'absolute' AS kind, value_type, value,
+         group_name, group_kind
+       FROM parsed ORDER BY name, tags"""
+  }
+
   // ---------------------------------------------------------- encode
   private def qEncode(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
@@ -471,7 +539,8 @@ object ParserQueries {
     "q_cef"          -> (qCef _),
     "q_encode"       -> (qEncode _),
     "q_statsd"       -> (qStatsd _),
-    "q_prometheus"   -> (qPrometheus _)
+    "q_prometheus"   -> (qPrometheus _),
+    "q_prom_roundtrip" -> (qPromRoundtrip _)
   )
 
   // ====================================================== DuckDB oracle
@@ -629,7 +698,8 @@ object ParserQueries {
              '{"id":' || event_id || ',"etype":"' || event_type || '"}' AS json
            FROM events ORDER BY event_id""",
       "q_statsd" -> statsdOracleSql,
-      "q_prometheus" -> prometheusOracleSql
+      "q_prometheus" -> prometheusOracleSql,
+      "q_prom_roundtrip" -> promRoundtripOracleSql
     )
   }
 }

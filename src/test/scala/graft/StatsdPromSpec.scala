@@ -210,4 +210,135 @@ class StatsdPromSpec extends SparkSpec {
     // le sorts among the labels (encode_tags sorts tags + extra together)
     assert(lines.exists(_.startsWith("lat_bucket{le=\"0.005\",svc=\"a\"}")))
   }
+
+  test("prometheus parse: render -> parse round-trips simple families exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      ("hits", "app", "code=200,svc=web", "absolute", "counter", 10.0),
+      ("hits", "app", "code=500,svc=web", "absolute", "counter", 2.5),
+      ("temp", "", "path=a\"b\\c", "absolute", "gauge", -1.1),
+      ("bare", "", "", "absolute", "gauge", 7.0))
+    val rendered = expositionLines(rows, None)
+    val parsed = Prometheus.parseExposition(
+      rendered.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+        .toDF("line", "pos"),
+      col("line"), lit("s"), col("pos"))
+      .select("name", "tags", "kind", "value_type", "value",
+        "tstamp_ms", "group_kind")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4), r.getLong(5), r.getString(6)))
+      .sortBy(t => (t._1, Option(t._2).getOrElse("")))
+    // escaped quote and backslash label values round-trip; the bare
+    // series parses with null tags; values/timestamps exact
+    assert(parsed.toSeq == Seq(
+      ("app_hits", "code=200,svc=web", "absolute", "counter", 10.0,
+        1612325106789L, "counter"),
+      ("app_hits", "code=500,svc=web", "absolute", "counter", 2.5,
+        1612325106789L, "counter"),
+      ("bare", null, "absolute", "gauge", 7.0, 1612325106789L, "gauge"),
+      ("temp", "path=a\"b\\c", "absolute", "gauge", -1.1,
+        1612325106789L, "gauge")))
+  }
+
+  test("prometheus_scrape source: real scrape to metric rows with honor_labels arms") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val text = Seq(
+      "# HELP hits hits",
+      "# TYPE hits counter",
+      "hits{svc=\"web\"} 10",
+      "hits{instance=\"scraped\",svc=\"api\"} 3",
+      "# TYPE temp gauge",
+      "temp 21.5",
+      "").mkString("\n")
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      val b = text.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val ep = s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+      def scrape(extra: String): Seq[(String, String, String, String, Double)] =
+        Topology.load(
+          s"""
+             |[sources.prom]
+             |  type = "prometheus_scrape"
+             |  endpoints = ["$ep"]
+             |$extra
+             |""".stripMargin).loadSources(spark)("prom").df
+          .select("name", "tags", "kind", "value_type", "value")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getDouble(4))).toSeq.sortBy(t => (t._1, t._2))
+      val inst = s"127.0.0.1:${server.getAddress.getPort}"
+      // default: instance+endpoint stamped, scraped `instance` renamed
+      assert(scrape("") == Seq(
+        ("hits", s"endpoint=$ep,exported_instance=scraped,instance=$inst,svc=api",
+          "absolute", "counter", 3.0),
+        ("hits", s"endpoint=$ep,instance=$inst,svc=web",
+          "absolute", "counter", 10.0),
+        ("temp", s"endpoint=$ep,instance=$inst",
+          "absolute", "gauge", 21.5)))
+      // honor_labels: the scraped instance label wins, stamp skipped
+      assert(scrape("  honor_labels = true") == Seq(
+        ("hits", s"endpoint=$ep,instance=$inst,svc=web",
+          "absolute", "counter", 10.0),
+        ("hits", s"endpoint=$ep,instance=scraped,svc=api",
+          "absolute", "counter", 3.0),
+        ("temp", s"endpoint=$ep,instance=$inst",
+          "absolute", "gauge", 21.5)))
+      // the metric frame feeds the metric pipeline (exporter round-trip)
+      val frame = Topology.load(
+        s"""
+           |[sources.prom]
+           |  type = "prometheus_scrape"
+           |  endpoints = ["$ep"]
+           |  instance_tag = ""
+           |  endpoint_tag = ""
+           |""".stripMargin).loadSources(spark)("prom")
+      assert(frame.metric)
+      val lines = Prometheus.exposition(frame.df)
+        .orderBy("fullname", "ord").select("line")
+        .collect().map(_.getString(0)).toSeq
+      assert(lines.contains("hits{svc=\"web\"} 10"))
+      assert(lines.contains("temp 21.5"))
+    } finally server.stop(0)
+  }
+
+  test("prometheus parse: group association, suffix rules, untyped fallback") {
+    import spark.implicits._
+    val text = Seq(
+      "# TYPE lat histogram",
+      "lat_bucket{le=\"0.5\"} 3",
+      "lat_bucket{le=\"+Inf\"} 5",
+      "lat_sum 1.75",
+      "lat_count 5",
+      "lat_rate 9", // suffix not admitted by histogram -> own untyped group
+      "loose 4",    // no TYPE at all -> untyped
+      "# TYPE q summary",
+      "q{quantile=\"0.99\"} 1.5",
+      "q_count 2",
+      "# not a sample",
+      "malformed{ 5")
+    val parsed = Prometheus.parseExposition(
+      text.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+        .toDF("line", "pos"),
+      col("line"), lit("s"), col("pos"))
+      .select("name", "tags", "value_type", "value", "group_name", "group_kind")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getString(5))).toSeq
+      .sortBy(t => (t._1, Option(t._2).getOrElse("")))
+    assert(parsed == Seq(
+      ("lat_bucket", "le=+Inf", "gauge", 5.0, "lat", "histogram"),
+      ("lat_bucket", "le=0.5", "gauge", 3.0, "lat", "histogram"),
+      ("lat_count", null, "gauge", 5.0, "lat", "histogram"),
+      ("lat_rate", null, "gauge", 9.0, "lat_rate", "untyped"),
+      ("lat_sum", null, "gauge", 1.75, "lat", "histogram"),
+      ("loose", null, "gauge", 4.0, "loose", "untyped"),
+      ("q", "quantile=0.99", "gauge", 1.5, "q", "summary"),
+      ("q_count", null, "gauge", 2.0, "q", "summary")))
+  }
 }
