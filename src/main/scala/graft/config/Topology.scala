@@ -1302,6 +1302,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: http_server is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("splunk_hec") =>
+          throw VrlUnsupported(s"source $name: splunk_hec is " +
+            "streaming-only (a push listener has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("kafka") =>
           throw VrlUnsupported(s"source $name: kafka is streaming-only " +
             "(a broker subscription has no bounded batch form — use " +
@@ -2960,15 +2964,23 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           // hostname fallback. `port 0` binds ephemeral —
           // `activeIngest` exposes the bound port.
           val mode = cfg.str("mode").getOrElse("tcp")
-          if (mode != "tcp") throw VrlUnsupported(
-            s"source $name: syslog mode $mode (tcp only — udp/unix " +
+          if (mode != "tcp" && mode != "udp") throw VrlUnsupported(
+            s"source $name: syslog mode $mode (tcp + udp — unix " +
               "datagrams have no JVM listener analog here)")
           val addr = cfg.str("address").getOrElse(
             throw new IllegalArgumentException(s"source $name: no address"))
           val (host, port) = splitHostPort(name, addr)
           val maxLen = cfg.long("max_length").getOrElse(102400L).toInt
-          val ingest = new graft.streaming.TcpIngest(spark, host, port,
-            () => new Framing.OctetCounting(maxLen))
+          // udp (RFC 5426): one message per datagram, no octet
+          // counting on the wire — the newline framer per datagram
+          // accepts both bare and newline-terminated payloads
+          val ingest: graft.streaming.IngestListener =
+            if (mode == "udp")
+              new graft.streaming.UdpIngest(spark, host, port,
+                () => new Framing.NewlineDelimited(Some(maxLen)))
+            else
+              new graft.streaming.TcpIngest(spark, host, port,
+                () => new Framing.OctetCounting(maxLen))
           ingestListeners += ingest
           syslogDecode(
             ingest.df.withColumn(SeqCol, xxhash64(col("message"))),
@@ -3061,6 +3073,39 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("splunk_hec") =>
+          // reference src/sources/splunk_hec/mod.rs: the Splunk HTTP
+          // Event Collector endpoint (event + raw + health services,
+          // Splunk's response contract). Events carry the HEC
+          // envelope as columns; object events ride as canonical JSON
+          // under `message` (static streaming schema — parse_json
+          // downstream). Token auth refused loudly like every
+          // credential surface.
+          if (cfg.str("token").isDefined || cfg.get("valid_tokens").isDefined)
+            throw VrlUnsupported(
+              s"source $name: HEC token auth (no credential handling " +
+                "in this engine — front with a proxy)")
+          val addr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (host, port) = splitHostPort(name, addr)
+          val ingest = new graft.streaming.HecIngest(spark, host, port)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(
+            col("message"), col("channel"), col("source"), col("sourcetype"),
+            col("index"), col("fields"),
+            // envelope host wins, peer is the fallback (build_event's
+            // host extractor over the connection address)
+            coalesce(col("host"), col("peer")).as("host"),
+            // Time::Provided, else the reference stamps receipt time
+            coalesce(timestamp_seconds(col("tsecs")), current_timestamp())
+              .as("timestamp"),
+            lit("splunk_hec").as("source_type"))
+            .withColumn(SeqCol, xxhash64(col("message"), col("timestamp")))
+          Frame(stamped, EventMeta(ListMap(
+            "message" -> VStr, "channel" -> VStr, "source" -> VStr,
+            "sourcetype" -> VStr, "index" -> VStr, "fields" -> VStr,
+            "host" -> VStr, "timestamp" -> VTime,
+            "source_type" -> VStr), None))
         case Some("opentelemetry") =>
           // reference src/sources/opentelemetry/{config,http}.rs: the
           // OTLP/HTTP listener (`:4318` shape) with POST
@@ -3094,9 +3139,9 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           // line-producing endpoint. Datagram modes have no Spark
           // analog and are refused.
           val mode = cfg.str("mode").getOrElse("tcp")
-          if (mode != "tcp") throw VrlUnsupported(
-            s"source $name: socket mode $mode (tcp stream mode only — " +
-              "udp/unix datagrams have no Spark streaming analog)")
+          if (mode != "tcp" && mode != "udp") throw VrlUnsupported(
+            s"source $name: socket mode $mode (tcp stream + udp " +
+              "datagram modes — unix sockets have no JVM listener here)")
           val addr = cfg.str("address").getOrElse(
             throw new IllegalArgumentException(s"source $name: no address"))
           val (host, port) = splitHostPort(name, addr)
@@ -3104,9 +3149,24 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           if (codec == "json") throw VrlUnsupported(
             s"source $name: json decoding on a socket source " +
               "(inference needs a batch line set — use bytes + remap parse_json)")
-          val df = spark.readStream.format("socket")
-            .option("host", host).option("port", port)
-            .load().withColumnRenamed("value", "message")
+          val df = if (mode == "udp") {
+            // reference src/sources/socket/udp.rs: BIND the address,
+            // frame each datagram as its own complete stream (the
+            // statsd/syslog UDP shape; chunked_gelf reassembles
+            // across datagrams inside UdpIngest)
+            val framingTab = cfg.tab("framing")
+            val fMethod = framingTab.flatMap(_.str("method"))
+              .getOrElse("newline_delimited")
+            val ingest = new graft.streaming.UdpIngest(spark, host, port,
+              Framing.builder(fMethod, framingTab, s"source $name"))
+            ingestListeners += ingest
+            ingest.df.select(col("message"))
+          } else
+            // tcp keeps the documented divergence: the reference
+            // LISTENS on `address` while Spark's reader CONNECTS to it
+            spark.readStream.format("socket")
+              .option("host", host).option("port", port)
+              .load().withColumnRenamed("value", "message")
           decodeLines(spark, name, codec,
             Frame(df.withColumn(SeqCol, xxhash64(col("message"))),
               EventMeta(ListMap("message" -> VStr), None)))
@@ -3320,7 +3380,7 @@ object Topology {
     "demo_logs", "exec", "file", "host_metrics", "http_client",
     "http_server", "internal_logs", "internal_metrics", "kafka",
     "opentelemetry", "parquet", "prometheus_scrape", "socket",
-    "static_metrics", "syslog")
+    "splunk_hec", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

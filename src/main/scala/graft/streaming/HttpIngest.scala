@@ -15,6 +15,8 @@ import graft.config.Framing
 trait IngestListener {
   def boundPort: Int
   def close(): Unit
+  /** The listener's raw streaming feed (columns vary per protocol). */
+  def df: org.apache.spark.sql.DataFrame
 }
 
 object HttpIngest {

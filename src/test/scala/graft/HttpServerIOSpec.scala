@@ -115,4 +115,94 @@ class HttpServerIOSpec extends SparkSpec {
     val e3 = intercept[Exception](load("").loadSources(spark))
     assert(e3.getMessage.contains("streaming-only"))
   }
+
+  test("splunk_hec: event stream, sticky time, raw service, response contract") {
+    val topo = graft.config.Topology.load(
+      """
+        |[sources.hec]
+        |  type = "splunk_hec"
+        |  address = "127.0.0.1:0"
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      val port = topo.ingestListeners.head.boundPort
+      val base = s"http://127.0.0.1:$port/services/collector"
+      val qn = s"hec_src_${System.nanoTime()}"
+      val q = src("hec").df.drop(graft.config.Topology.SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        def postBody(url: String, body: String) = {
+          val resp = client.send(HttpRequest.newBuilder(URI.create(url))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+            HttpResponse.BodyHandlers.ofString())
+          (resp.statusCode(), resp.body())
+        }
+        // three concatenated JSON events, no separators (the serde
+        // StreamDeserializer shape): the second omits `time` and must
+        // inherit the first's (request-scoped sticky time); the third
+        // is an object event riding as canonical JSON. Integer time in
+        // MILLIS exercises the magnitude sniff.
+        val (c1, b1) = postBody(s"$base/event",
+          """{"event":"one","time":1612325106,"host":"edge","fields":{"env":"prod"}}""" +
+            """{"event":"two","sourcetype":"app"}""" +
+            """{"event":{"k":1},"time":1612325107000}""")
+        assert(c1 == 200 && b1 == """{"text":"Success","code":0}""")
+        // raw service: whole body one event, envelope from the query
+        val (c2, b2) = postBody(s"$base/raw?sourcetype=blob&channel=ch1",
+          "raw payload bytes")
+        assert(c2 == 200 && b2 == """{"text":"Success","code":0}""")
+        // contract: empty body -> code 5; bad json -> code 6; health
+        assert(postBody(s"$base/event", "") ==
+          (400, """{"text":"No data","code":5}"""))
+        assert(postBody(s"$base/event", "{nope")._1 == 400)
+        val health = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(health.statusCode() == 200 && health.body() == "HEC is available")
+
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 4 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .selectExpr("message", "sourcetype", "channel", "host", "fields",
+            "CAST(unix_millis(timestamp) AS BIGINT)", "source_type")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
+          .sortBy(_._1).toSeq
+        assert(rows.map(_._7).forall(_ == "splunk_hec"))
+        val byMsg = rows.map(r => r._1 -> r).toMap
+        // envelope host wins; fields ride as JSON; provided time exact
+        assert(byMsg("one")._4 == "edge")
+        assert(byMsg("one")._5 == """{"env":"prod"}""")
+        assert(byMsg("one")._6 == 1612325106000L)
+        // sticky time: "two" inherits event one's time; peer host fallback
+        assert(byMsg("two")._2 == "app" && byMsg("two")._6 == 1612325106000L)
+        assert(byMsg("two")._4 == "127.0.0.1")
+        // millis magnitude sniffed; object event is canonical JSON
+        assert(byMsg("""{"k":1}""")._6 == 1612325107000L)
+        // raw: query-param envelope
+        assert(byMsg("raw payload bytes")._2 == "blob" &&
+          byMsg("raw payload bytes")._3 == "ch1")
+      } finally q.stop()
+    } finally topo.closeIngest()
+
+    // token auth refused loudly; batch refused as streaming-only
+    val e1 = intercept[Exception](graft.config.Topology.load(
+      """
+        |[sources.hec]
+        |  type = "splunk_hec"
+        |  address = "127.0.0.1:0"
+        |  token = "secret"
+        |""".stripMargin).loadStreamingSources(spark))
+    assert(e1.getMessage.contains("token"), e1.getMessage)
+    val e2 = intercept[Exception](graft.config.Topology.load(
+      """
+        |[sources.hec]
+        |  type = "splunk_hec"
+        |  address = "127.0.0.1:0"
+        |""".stripMargin).loadSources(spark))
+    assert(e2.getMessage.contains("streaming-only"))
+  }
 }

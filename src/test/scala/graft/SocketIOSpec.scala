@@ -233,4 +233,94 @@ class SocketIOSpec extends SparkSpec {
     val e = intercept[Exception](batch.loadSources(spark))
     assert(e.getMessage.contains("streaming-only"))
   }
+
+  test("socket source udp: real datagrams through the statsd codec to metric rows") {
+    val topo = Topology.load(
+      """
+        |[sources.stats]
+        |  type = "socket"
+        |  mode = "udp"
+        |  address = "127.0.0.1:0"
+        |  [sources.stats.decoding]
+        |    codec = "statsd"
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      val port = topo.ingestListeners.head.boundPort
+      val frame = src("stats")
+      assert(frame.metric)
+      val qn = s"udp_statsd_${System.nanoTime()}"
+      val q = frame.df.drop(SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        val sock = new java.net.DatagramSocket()
+        def send(s: String): Unit = {
+          val b = s.getBytes("UTF-8")
+          sock.send(new java.net.DatagramPacket(b, b.length,
+            java.net.InetAddress.getByName("127.0.0.1"), port))
+        }
+        // one multi-line datagram (the DogStatsD packing shape) and a
+        // bare single-metric datagram without a trailing newline
+        send("hits:1|c\nlat:250|ms|@0.5\n")
+        send("temp:21|g|#room:a")
+        sock.close()
+        val t0 = System.currentTimeMillis()
+        // lat's @0.5 weight-2 explode makes 2 rows -> 4 total
+        while (spark.table(qn).count() < 4 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .select("name", "kind", "value_type", "value", "tags")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getDouble(3), r.getString(4))).sortBy(t => (t._1, t._4))
+        assert(rows.toSeq == Seq(
+          ("hits", "incremental", "counter", 1.0, null),
+          ("lat", "incremental", "distribution", 0.25, null),
+          ("lat", "incremental", "distribution", 0.25, null),
+          ("temp", "absolute", "gauge", 21.0, "room=a")))
+      } finally q.stop()
+    } finally topo.closeIngest()
+  }
+
+  test("syslog source udp: one RFC 5424 message per datagram, peer as host fallback") {
+    val topo = Topology.load(
+      """
+        |[sources.logs]
+        |  type = "syslog"
+        |  mode = "udp"
+        |  address = "127.0.0.1:0"
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      val port = topo.ingestListeners.head.boundPort
+      val qn = s"udp_syslog_${System.nanoTime()}"
+      val q = src("logs").df.drop(SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        val sock = new java.net.DatagramSocket()
+        def send(s: String): Unit = {
+          val b = s.getBytes("UTF-8")
+          sock.send(new java.net.DatagramPacket(b, b.length,
+            java.net.InetAddress.getByName("127.0.0.1"), port))
+        }
+        send("<34>1 2021-02-03T04:05:06Z edge.example app 77 ID9 - boom")
+        send("<13>1 2021-02-03T04:05:07Z - cron - - - tick\n")
+        sock.close()
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 2 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .select("appname", "hostname", "severity", "message", "host")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4))).sortBy(_._1)
+        assert(rows.toSeq == Seq(
+          ("app", "edge.example", "crit", "boom", "edge.example"),
+          // nil hostname -> the datagram peer is the host fallback
+          ("cron", null, "notice", "tick", "127.0.0.1")))
+      } finally q.stop()
+    } finally topo.closeIngest()
+  }
 }
