@@ -1608,6 +1608,70 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             col("value_type"), col("value"), col("ts"),
             xxhash64(col(SeqCol), col("__i")).as(SeqCol))
         Frame(df, MetricMeta, metric = true)
+      case "native_json" =>
+        // Vector's own event interchange (vector-to-vector transport:
+        // a socket/http sink encoding native_json feeding this source;
+        // lib/codecs/src/decoding/format/native_json.rs). This arm is
+        // the METRIC interchange face: the metric envelope has a
+        // static schema, so it decodes into flat metric rows under a
+        // streaming-safe plan. Log/trace envelopes are schemaless BY
+        // DESIGN (Kind::json()) — a static streaming schema cannot
+        // hold them, so those rows DROP here (documented narrowing);
+        // route log streams through `bytes` + remap `parse_json!` (the
+        // batch file source's `json` codec infers them generically).
+        // Flat-model narrowing within metrics, same trades as statsd:
+        // set members decode numerically (non-numeric drop),
+        // distribution samples explode ×rate, and the aggregated
+        // histogram/summary/sketch arms drop (no single-value row
+        // form; DDSketch lives in SketchExpressions for the engine's
+        // own aggregation).
+        if (keep.nonEmpty) throw VrlUnsupported(
+          s"source $name: native_json decoding cannot carry request " +
+            "envelope fields — use bytes + remap parse_json")
+        val env = graft.functions.NativeJson.decode(msg)
+        val df = lines.df
+          .withColumn("__m", env.getField("metric"))
+          .filter(col("__m").isNotNull)
+          .select(
+            col("__m").getField("name").as("name"),
+            col("__m").getField("namespace").as("namespace"),
+            when(col("__m").getField("tags").isNotNull,
+              array_join(sort_array(transform(
+                map_entries(col("__m").getField("tags")),
+                e => concat(e.getField("key"), lit("="),
+                  e.getField("value")))), ",")).as("tags"),
+            col("__m").getField("kind").as("kind"),
+            col("__m").getField("timestamp").try_cast("timestamp").as("ts"),
+            col("__m").getField("counter").getField("value").as("__cv"),
+            col("__m").getField("gauge").getField("value").as("__gv"),
+            col("__m").getField("set").getField("values").as("__sv"),
+            col("__m").getField("distribution").getField("samples").as("__ds"),
+            col(SeqCol))
+          .select(col("name"), col("namespace"), col("tags"), col("kind"),
+            col("ts"),
+            explode(
+              when(col("__cv").isNotNull, array(struct(
+                lit("counter").as("vt"), col("__cv").as("value"), lit(1L).as("w"))))
+              .when(col("__gv").isNotNull, array(struct(
+                lit("gauge").as("vt"), col("__gv").as("value"), lit(1L).as("w"))))
+              .when(col("__sv").isNotNull, filter(transform(col("__sv"),
+                v => struct(lit("set").as("vt"),
+                  v.try_cast("double").as("value"), lit(1L).as("w"))),
+                s => s.getField("value").isNotNull))
+              .when(col("__ds").isNotNull, transform(col("__ds"),
+                s => struct(lit("distribution").as("vt"),
+                  s.getField("value").as("value"),
+                  coalesce(s.getField("rate"), lit(1L)).as("w"))))
+            ).as("__e"), col(SeqCol))
+          .select(col("name"), col("namespace"), col("tags"), col("kind"),
+            col("__e.vt").as("value_type"), col("__e.value").as("value"),
+            col("ts"),
+            explode(when(col("__e.w") >= 1,
+              sequence(lit(1L), col("__e.w")))).as("__i"), col(SeqCol))
+          .select(col("name"), col("namespace"), col("tags"), col("kind"),
+            col("value_type"), col("value"), col("ts"),
+            xxhash64(col(SeqCol), col("__i")).as(SeqCol))
+        Frame(df, MetricMeta, metric = true)
       case other =>
         throw VrlUnsupported(s"source $name: decoding codec $other (use remap)")
     }
@@ -2546,11 +2610,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           df.sparkSession.read.text(path).count()
         case Some("console") => writeConsole(name, cfg, in)
         case Some("socket") =>
-          val (host, port) = socketSinkAddr(name, cfg)
+          val (sockMode, host, port) = socketSinkAddr(name, cfg)
           val line = encodedLine(name, in, cfg.tab("encoding"))
-          graft.sinks.SocketSink.writeLines(
-            in.df.select(line.as("value")).where(col("value").isNotNull),
-            host, port)
+          val values =
+            in.df.select(line.as("value")).where(col("value").isNotNull)
+          if (sockMode == "udp")
+            graft.sinks.SocketSink.writeDatagrams(values, host, port)
+          else graft.sinks.SocketSink.writeLines(values, host, port)
         case Some("http") =>
           val line = encodedLine(name, in, cfg.tab("encoding"))
           graft.sinks.HttpSink.writeLines(
@@ -2647,12 +2713,13 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * partition connects and writes newline-framed encoded events
     * ([[graft.sinks.SocketSink]]).
     */
-  private def socketSinkAddr(name: String, cfg: TTab): (String, Int) = {
+  private def socketSinkAddr(name: String, cfg: TTab): (String, String, Int) = {
     val mode = cfg.str("mode").getOrElse("tcp")
-    if (mode != "tcp") throw VrlUnsupported(
-      s"sink $name: socket mode $mode (tcp stream mode only)")
-    splitHostPort(name, cfg.str("address").getOrElse(
+    if (mode != "tcp" && mode != "udp") throw VrlUnsupported(
+      s"sink $name: socket mode $mode (tcp stream + udp datagram modes)")
+    val (h, p) = splitHostPort(name, cfg.str("address").getOrElse(
       throw new IllegalArgumentException(s"sink $name: no address")))
+    (mode, h, p)
   }
 
   private def splitHostPort(component: String, addr: String): (String, Int) = {
@@ -2800,7 +2867,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           need("host"), need("message"), ts, coalesce(level, lit(1)))
       case "native_json" =>
         if (in.metric)
-          graft.functions.NativeJson.encodeMetric(df.col("name"), df.col("tags"),
+          // tags ride the flat frame as the canonical `k=v,...` string;
+          // the native_json wire format carries them as an OBJECT map
+          // (native_json.rs MetricTags) — encodeMetric takes the map
+          graft.functions.NativeJson.encodeMetric(df.col("name"),
+            when(df.col("tags").isNotNull,
+              str_to_map(df.col("tags"), lit(","), lit("="))),
             df.col("kind"), df.col("value_type"), df.col("value"))
         else graft.functions.NativeJson.encodeLog(fields)
       case "cef" =>
@@ -3261,15 +3333,19 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             .start()
         case Some("socket") =>
           // the streaming form of the socket sink: each micro-batch
-          // fans out through the same per-partition TCP writer, with
-          // the query checkpoint recording which source offsets have
-          // been delivered (at-least-once across restarts)
-          val (host, port) = socketSinkAddr(name, cfg)
+          // fans out through the same per-partition writer (TCP lines
+          // or one UDP datagram per event), with the query checkpoint
+          // recording which source offsets have been delivered
+          // (at-least-once across restarts)
+          val (sockMode, host, port) = socketSinkAddr(name, cfg)
           val line = encodedLine(name, in, cfg.tab("encoding"))
           in.df.select(line.as("value")).where(col("value").isNotNull)
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              graft.sinks.SocketSink.writeLines(batch, host, port); ()
+              if (sockMode == "udp")
+                graft.sinks.SocketSink.writeDatagrams(batch, host, port)
+              else graft.sinks.SocketSink.writeLines(batch, host, port)
+              ()
             }
             .option("checkpointLocation", s"$checkpointRoot/$name")
             .trigger(trigger)

@@ -44,4 +44,31 @@ object SocketSink {
     }
     acc.value
   }
+
+  /** UDP arm (src/sinks/socket.rs Mode::Udp): one datagram per encoded
+    * event — the natural transport for statsd/syslog/native_json peers
+    * whose sources treat every datagram as a complete frame. Same
+    * distributed shape: each partition owns a socket; UDP is fire-and-
+    * forget, so delivery is best-effort by protocol contract (the
+    * reference's UDP sink makes the same trade).
+    */
+  def writeDatagrams(lines: DataFrame, host: String, port: Int): Long = {
+    val acc = lines.sparkSession.sparkContext.longAccumulator("socket_sink_dgrams")
+    lines.select(col(lines.columns.head).cast("string")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val sock = new java.net.DatagramSocket()
+          val target = new java.net.InetSocketAddress(host, port)
+          try it.foreach { r =>
+            val s = r.getString(0)
+            if (s != null) {
+              val b = s.getBytes("UTF-8")
+              sock.send(new java.net.DatagramPacket(b, b.length, target))
+              acc.add(1L)
+            }
+          } finally sock.close()
+        }
+    }
+    acc.value
+  }
 }

@@ -96,16 +96,17 @@ class SocketIOSpec extends SparkSpec {
     val e = intercept[Exception](
       bad.dryRunSinks(Map("x" -> frame(Seq("m")))))
     assert(e.getMessage.contains("host:port"))
-    val udp = Topology.load(
+    // udp is a real mode now; unix sockets remain refused
+    val unix = Topology.load(
       """
         |[sinks.out]
         |  inputs = ["x"]
         |  type = "socket"
-        |  mode = "udp"
+        |  mode = "unix_stream"
         |  address = "127.0.0.1:9000"
         |""".stripMargin)
     val e2 = intercept[Exception](
-      udp.dryRunSinks(Map("x" -> frame(Seq("m")))))
+      unix.dryRunSinks(Map("x" -> frame(Seq("m")))))
     assert(e2.getMessage.contains("tcp"))
   }
 
@@ -281,6 +282,74 @@ class SocketIOSpec extends SparkSpec {
           ("temp", "absolute", "gauge", 21.0, "room=a")))
       } finally q.stop()
     } finally topo.closeIngest()
+  }
+
+  test("vector-to-vector transport: sink topology -> UDP -> source topology, event equality") {
+    // Topology B: the RECEIVING engine — a udp socket source decoding
+    // native_json metric envelopes into flat metric rows.
+    val rx = Topology.load(
+      """
+        |[sources.peer]
+        |  type = "socket"
+        |  mode = "udp"
+        |  address = "127.0.0.1:0"
+        |  [sources.peer.decoding]
+        |    codec = "native_json"
+        |""".stripMargin)
+    try {
+      val src = rx.loadStreamingSources(spark)
+      val port = rx.ingestListeners.head.boundPort
+      val qn = s"v2v_${System.nanoTime()}"
+      val q = src("peer").df.drop(SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        // Topology A: the SENDING engine — statsd capture decoded to
+        // metric rows, socket sink encoding native_json, one datagram
+        // per event. Both ends run the same library: live interop.
+        val dir = java.nio.file.Files.createTempDirectory("graft_v2v").toFile
+        val f = new java.io.File(dir, "m.statsd")
+        java.nio.file.Files.write(f.toPath,
+          "hits:3|c\ntemp:21|g|#room:a\nusers:7|s\nlat:250|ms|@0.5\n"
+            .getBytes("UTF-8"))
+        val tx = Topology.load(
+          s"""
+             |[sources.m]
+             |  type = "file"
+             |  path = "${f.getAbsolutePath}"
+             |  [sources.m.decoding]
+             |    codec = "statsd"
+             |[transforms.relay]
+             |  inputs = ["m"]
+             |  type = "filter"
+             |  condition = 'true'
+             |[sinks.peer]
+             |  inputs = ["relay"]
+             |  type = "socket"
+             |  mode = "udp"
+             |  address = "127.0.0.1:$port"
+             |  [sinks.peer.encoding]
+             |    codec = "native_json"
+             |""".stripMargin)
+        val sent = tx.writeSinks(tx.run(tx.loadSources(spark)))("peer")
+        assert(sent == 5L) // lat's @0.5 weight-2 makes 5 rows of 4 lines
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 5 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .select("name", "kind", "value_type", "value", "tags")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getDouble(3), r.getString(4))).sortBy(t => (t._1, t._4)).toSeq
+        // event equality with the sending topology's own rows
+        assert(rows == Seq(
+          ("hits", "incremental", "counter", 3.0, null),
+          ("lat", "incremental", "distribution", 0.25, null),
+          ("lat", "incremental", "distribution", 0.25, null),
+          ("temp", "absolute", "gauge", 21.0, "room=a"),
+          ("users", "incremental", "set", 7.0, null)))
+      } finally q.stop()
+    } finally rx.closeIngest()
   }
 
   test("syslog source udp: one RFC 5424 message per datagram, peer as host fallback") {
