@@ -1377,6 +1377,16 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             () => new Framing.OctetCounting(maxLen))
           // no connection in a replay: host is the parsed hostname only
           syslogDecode(lines.df, peer = Some(lit(null).cast("string")))
+        case Some("fluent") =>
+          // reference src/sources/fluent/mod.rs: a forward-protocol
+          // listener. STREAMING binds the real TCP port; a bounded
+          // batch run replays a msgpack capture through the identical
+          // decoder (with record-schema inference the static streaming
+          // schema can't offer).
+          if (cfg.str("path").isEmpty) throw VrlUnsupported(
+            s"source $name: fluent listening is streaming-only " +
+              "(use Cli run-stream; batch runs replay a capture file via `path`)")
+          fluentFileSource(spark, name, path)
         case Some("opentelemetry") =>
           // reference src/sources/opentelemetry/: a listening OTLP
           // endpoint. The STREAMING path binds the real OTLP/HTTP
@@ -1742,6 +1752,55 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     * the decoded tree. Invalid frames drop (the reference's per-frame
     * error + continue).
     */
+  /** `type = "fluent"` batch arm: replay a capture file (or dir) of
+    * forward-protocol msgpack bytes through the same decoder the live
+    * TCP listener uses. Record fields are schemaless by design, so the
+    * batch arm infers their schema like the json codec, with `tag` /
+    * `timestamp` / `source_type` as the envelope (envelope names win a
+    * record-field collision — documented). One decode state machine
+    * per capture file; a malformed stream keeps what decoded before
+    * sync was lost (the listener's drop-connection analog).
+    */
+  private def fluentFileSource(spark: org.apache.spark.sql.SparkSession,
+                               name: String, path: String): Frame = {
+    import spark.implicits._
+    val entries = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val out = Seq.newBuilder[(String, Option[Double], String)]
+        var o = 0
+        var ok = true
+        while (ok && o < bytes.length) {
+          try {
+            val (m, next) = graft.functions.Fluent.decodeMessage(bytes, o)
+            m.entries.foreach(e => out += ((e.tag, e.tsecs, e.record)))
+            o = next
+          } catch {
+            case _: graft.functions.MsgPack.Truncated |
+                 _: IllegalArgumentException => ok = false
+          }
+        }
+        out.result()
+      }.toDF("tag", "tsecs", "record")
+    val schema = spark.read.json(entries.select("record").as[String]).schema
+    val recordFields = schema.fieldNames.toSeq
+      .filterNot(Set("tag", "timestamp", "source_type"))
+    val df = entries.select(
+      col("tag"),
+      timestamp_seconds(col("tsecs")).as("timestamp"),
+      lit("fluent").as("source_type"),
+      from_json(col("record"), schema).as("__e"),
+      xxhash64(col("tag"), col("record")).as(SeqCol))
+      .select(Seq(col("tag"), col("timestamp"), col("source_type")) ++
+        recordFields.map(f => col(s"__e.`$f`").as(f)) :+ col(SeqCol): _*)
+    Frame(df, EventMeta(
+      ListMap("tag" -> (VStr: VT), "timestamp" -> (VTime: VT),
+        "source_type" -> (VStr: VT)) ++
+        EventMeta.fromSchema(org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => recordFields.contains(f.name)))).types,
+      None))
+  }
+
   /** The opentelemetry source's gRPC arm (config.rs `grpc.address`,
     * grpc.rs tonic services) needs an HTTP/2 + gRPC stack this engine
     * does not carry — refused loudly, like kafka's jar gate, never
@@ -3145,6 +3204,26 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("fluent") =>
+          // the live forward-protocol listener: record JSON under
+          // `message` (schemaless by design — static streaming schema;
+          // parse_json structures it downstream, the batch replay arm
+          // infers the real schema), tag/timestamp/host/source_type
+          // stamps. A sender chunk option is acked in-band.
+          val addr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (host, port) = splitHostPort(name, addr)
+          val ingest = new graft.streaming.FluentIngest(spark, host, port)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(
+            col("record").as("message"), col("tag"),
+            coalesce(timestamp_seconds(col("tsecs")), current_timestamp())
+              .as("timestamp"),
+            col("peer").as("host"), lit("fluent").as("source_type"))
+            .withColumn(SeqCol, xxhash64(col("message"), col("tag")))
+          Frame(stamped, EventMeta(ListMap(
+            "message" -> VStr, "tag" -> VStr, "timestamp" -> VTime,
+            "host" -> VStr, "source_type" -> VStr), None))
         case Some("splunk_hec") =>
           // reference src/sources/splunk_hec/mod.rs: the Splunk HTTP
           // Event Collector endpoint (event + raw + health services,
@@ -3454,7 +3533,7 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
-    "http_server", "internal_logs", "internal_metrics", "kafka",
+    "fluent", "http_server", "internal_logs", "internal_metrics", "kafka",
     "opentelemetry", "parquet", "prometheus_scrape", "socket",
     "splunk_hec", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the

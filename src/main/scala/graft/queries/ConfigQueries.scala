@@ -670,6 +670,83 @@ object ConfigQueries {
          'svc-' || (user_id % 5) AS service
        FROM events ORDER BY event_id"""
 
+  /** `fluent` config source, batch capture-replay arm: every event row
+    * becomes one forward-protocol msgpack message — even event_ids in
+    * Message mode `[tag, EventTime, record]`, odd ones in Forward mode
+    * `[tag, [[EventTime, record]]]` (both wire shapes decode through
+    * the same kernel) — packed into one capture file per partition.
+    * EventTime nanos use exact quarter-seconds so the double epoch
+    * math is bit-stable across engines. The oracle recomputes every
+    * decoded column from `events`; the only byte path is the msgpack
+    * round-trip.
+    */
+  private def qConfigFluent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_seconds(col("ts").cast("timestamp")).as("tsec"))
+      .as[(Long, Long, String, Long)]
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_fluent_capture")
+    if (out.exists()) out.listFiles().foreach(_.delete())
+    out.mkdirs()
+    e.repartition(32).foreachPartition {
+      it: Iterator[(Long, Long, String, Long)] =>
+        import graft.functions.MsgPack.Writer
+        val buf = new java.io.ByteArrayOutputStream()
+        it.foreach { case (eventId, userId, eventType, tsec) =>
+          val ns = (eventId % 4) * 250000000L
+          def rec(): Array[Byte] = new Writer().writeMapHeader(3)
+            .writeStr("msg").writeStr(s"event $eventId")
+            .writeStr("user").writeLong(userId)
+            .writeStr("lvl").writeLong(eventId % 8).toBytes
+          if (eventId % 2 == 0) {
+            // Message mode
+            buf.write(new Writer().writeArrayHeader(3)
+              .writeStr(s"app.$eventType").writeEventTime(tsec, ns).toBytes)
+            buf.write(rec())
+          } else {
+            // Forward mode, one entry
+            buf.write(new Writer().writeArrayHeader(2)
+              .writeStr(s"app.$eventType").toBytes)
+            buf.write(new Writer().writeArrayHeader(1).toBytes)
+            buf.write(new Writer().writeArrayHeader(2)
+              .writeEventTime(tsec, ns).toBytes)
+            buf.write(rec())
+          }
+        }
+        if (buf.size() > 0) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          java.nio.file.Files.write(
+            new java.io.File(out, f"part-$pid%05d.msgpack").toPath,
+            buf.toByteArray)
+        }
+        ()
+    }
+    val topo = Topology.load(
+      s"""
+         |[sources.fwd]
+         |  type = "fluent"
+         |  path = "${out.getAbsolutePath}"
+         |""".stripMargin)
+    topo.loadSources(s)("fwd").df
+      .select(
+        element_at(split(col("msg"), " "), 2).cast("bigint").as("event_id"),
+        col("tag"), col("msg"), col("user"), col("lvl"),
+        unix_millis(col("timestamp")).as("time_ms"))
+      .orderBy("event_id")
+  }
+
+  private val oracleConfigFluent: String =
+    """SELECT event_id,
+         'app.' || event_type AS tag,
+         'event ' || event_id AS msg,
+         user_id AS "user",
+         event_id % 8 AS lvl,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) * 1000
+           + (event_id % 4) * 250 AS time_ms
+       FROM events ORDER BY event_id"""
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
@@ -680,7 +757,8 @@ object ConfigQueries {
     "q_config_observe" -> (qConfigObserve _),
     "q_config_exec" -> (qConfigExec _),
     "q_config_syslog" -> (qConfigSyslog _),
-    "q_config_otlp" -> (qConfigOtlp _)
+    "q_config_otlp" -> (qConfigOtlp _),
+    "q_config_fluent" -> (qConfigFluent _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -693,6 +771,7 @@ object ConfigQueries {
     "q_config_observe" -> oracleConfigObserve,
     "q_config_exec" -> oracleConfigExec,
     "q_config_syslog" -> oracleConfigSyslog,
-    "q_config_otlp" -> oracleConfigOtlp
+    "q_config_otlp" -> oracleConfigOtlp,
+    "q_config_fluent" -> oracleConfigFluent
   )
 }
