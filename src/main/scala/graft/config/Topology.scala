@@ -1387,6 +1387,17 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             s"source $name: fluent listening is streaming-only " +
               "(use Cli run-stream; batch runs replay a capture file via `path`)")
           fluentFileSource(spark, name, path)
+        case Some("logstash") =>
+          // beats/lumberjack capture replay: one decode state machine
+          // per capture file through the same Lumberjack kernel the
+          // live listener uses, fields schema-inferred; `timestamp` =
+          // the event's parsed @timestamp (no receipt time in a
+          // bounded replay — determinism), `host` = the event's own
+          // host field (no peer).
+          if (cfg.str("path").isEmpty) throw VrlUnsupported(
+            s"source $name: logstash listening is streaming-only " +
+              "(use Cli run-stream; batch runs replay a capture file via `path`)")
+          logstashFileSource(spark, name, path)
         case Some("opentelemetry") =>
           // reference src/sources/opentelemetry/: a listening OTLP
           // endpoint. The STREAMING path binds the real OTLP/HTTP
@@ -1796,6 +1807,51 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
     Frame(df, EventMeta(
       ListMap("tag" -> (VStr: VT), "timestamp" -> (VTime: VT),
         "source_type" -> (VStr: VT)) ++
+        EventMeta.fromSchema(org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => recordFields.contains(f.name)))).types,
+      None))
+  }
+
+  /** `type = "logstash"` batch arm: replay beats/lumberjack capture
+    * files through the [[graft.functions.Lumberjack]] kernel with
+    * field-schema inference. The event's own `@timestamp` parses into
+    * `timestamp` (nullable — a replay stamps no receipt time); a
+    * malformed stream keeps what decoded before sync was lost.
+    */
+  private def logstashFileSource(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, path: String): Frame = {
+    import spark.implicits._
+    val entries = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val out = Seq.newBuilder[String]
+        var o = 0
+        var ok = true
+        while (ok && o < bytes.length) {
+          try {
+            val (frames, next) = graft.functions.Lumberjack.decodeOne(bytes, o)
+            frames.foreach(f => out += f.fields)
+            o = next
+          } catch {
+            case _: graft.functions.Lumberjack.Truncated |
+                 _: IllegalArgumentException => ok = false
+          }
+        }
+        out.result()
+      }.toDF("fields")
+    val schema = spark.read.json(entries.select("fields").as[String]).schema
+    val recordFields = schema.fieldNames.toSeq
+      .filterNot(Set("timestamp", "source_type"))
+    val df = entries.select(
+      try_to_timestamp(get_json_object(col("fields"), "$.@timestamp"))
+        .as("timestamp"),
+      lit("logstash").as("source_type"),
+      from_json(col("fields"), schema).as("__e"),
+      xxhash64(col("fields")).as(SeqCol))
+      .select(Seq(col("timestamp"), col("source_type")) ++
+        recordFields.map(f => col(s"__e.`$f`").as(f)) :+ col(SeqCol): _*)
+    Frame(df, EventMeta(
+      ListMap("timestamp" -> (VTime: VT), "source_type" -> (VStr: VT)) ++
         EventMeta.fromSchema(org.apache.spark.sql.types.StructType(
           schema.fields.filter(f => recordFields.contains(f.name)))).types,
       None))
@@ -3204,6 +3260,29 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("logstash") =>
+          // reference src/sources/logstash.rs: the beats/lumberjack
+          // listener. Fields are schemaless → canonical JSON under
+          // `message`; `timestamp` = the event's parsed @timestamp
+          // else receipt time (handle_events' legacy arm); `host` =
+          // the event's own host field else the peer (InsertIfEmpty).
+          val addr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (host, port) = splitHostPort(name, addr)
+          val ingest = new graft.streaming.LogstashIngest(spark, host, port)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(
+            col("fields").as("message"),
+            coalesce(
+              try_to_timestamp(get_json_object(col("fields"), "$.@timestamp")),
+              current_timestamp()).as("timestamp"),
+            coalesce(get_json_object(col("fields"), "$.host"), col("peer"))
+              .as("host"),
+            lit("logstash").as("source_type"))
+            .withColumn(SeqCol, xxhash64(col("message")))
+          Frame(stamped, EventMeta(ListMap(
+            "message" -> VStr, "timestamp" -> VTime,
+            "host" -> VStr, "source_type" -> VStr), None))
         case Some("fluent") =>
           // the live forward-protocol listener: record JSON under
           // `message` (schemaless by design — static streaming schema;
@@ -3534,7 +3613,7 @@ object Topology {
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
     "fluent", "http_server", "internal_logs", "internal_metrics", "kafka",
-    "opentelemetry", "parquet", "prometheus_scrape", "socket",
+    "logstash", "opentelemetry", "parquet", "prometheus_scrape", "socket",
     "splunk_hec", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral

@@ -747,6 +747,77 @@ object ConfigQueries {
            + (event_id % 4) * 250 AS time_ms
        FROM events ORDER BY event_id"""
 
+  /** `logstash` config source, batch capture-replay arm: every event
+    * row becomes one lumberjack v2 json frame, every third wrapped in
+    * its own zlib compressed frame (both wire paths through the same
+    * kernel, identical decoded rows). `@timestamp` carries the event
+    * time at second precision and parses into the `timestamp` column.
+    * The oracle recomputes every decoded field from `events`.
+    */
+  private def qConfigLogstash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String)]
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_logstash_capture")
+    if (out.exists()) out.listFiles().foreach(_.delete())
+    out.mkdirs()
+    e.repartition(32).foreachPartition { it: Iterator[(Long, Long, String)] =>
+      def u32(v: Long): Array[Byte] = Array[Byte](
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val buf = new java.io.ByteArrayOutputStream()
+      it.foreach { case (eventId, userId, iso) =>
+        val payload =
+          (s"""{"msg":"event $eventId","user":$userId,""" +
+            s""""lvl":${eventId % 8},"@timestamp":"$iso"}""").getBytes("UTF-8")
+        val frame = Array[Byte]('2', 'J') ++ u32(eventId % 1000000) ++
+          u32(payload.length.toLong) ++ payload
+        if (eventId % 3 == 0) {
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(frame); deflater.finish()
+          val cbuf = new Array[Byte](frame.length * 2 + 64)
+          val n = deflater.deflate(cbuf)
+          deflater.end()
+          buf.write(Array[Byte]('2', 'C'))
+          buf.write(u32(n.toLong))
+          buf.write(cbuf, 0, n)
+        } else buf.write(frame)
+      }
+      if (buf.size() > 0) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        java.nio.file.Files.write(
+          new java.io.File(out, f"part-$pid%05d.lumberjack").toPath,
+          buf.toByteArray)
+      }
+      ()
+    }
+    val topo = Topology.load(
+      s"""
+         |[sources.beats]
+         |  type = "logstash"
+         |  path = "${out.getAbsolutePath}"
+         |""".stripMargin)
+    topo.loadSources(s)("beats").df
+      .select(
+        element_at(split(col("msg"), " "), 2).cast("bigint").as("event_id"),
+        col("msg"), col("user"), col("lvl"),
+        unix_millis(col("timestamp")).as("time_ms"),
+        col("source_type"))
+      .orderBy("event_id")
+  }
+
+  private val oracleConfigLogstash: String =
+    """SELECT event_id,
+         'event ' || event_id AS msg,
+         user_id AS "user",
+         event_id % 8 AS lvl,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) * 1000 AS time_ms,
+         'logstash' AS source_type
+       FROM events ORDER BY event_id"""
+
   val spark: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_config_pipeline" -> (qConfigPipeline _),
     "q_config_enrich" -> (qConfigEnrich _),
@@ -758,7 +829,8 @@ object ConfigQueries {
     "q_config_exec" -> (qConfigExec _),
     "q_config_syslog" -> (qConfigSyslog _),
     "q_config_otlp" -> (qConfigOtlp _),
-    "q_config_fluent" -> (qConfigFluent _)
+    "q_config_fluent" -> (qConfigFluent _),
+    "q_config_logstash" -> (qConfigLogstash _)
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -772,6 +844,7 @@ object ConfigQueries {
     "q_config_exec" -> oracleConfigExec,
     "q_config_syslog" -> oracleConfigSyslog,
     "q_config_otlp" -> oracleConfigOtlp,
-    "q_config_fluent" -> oracleConfigFluent
+    "q_config_fluent" -> oracleConfigFluent,
+    "q_config_logstash" -> oracleConfigLogstash
   )
 }
