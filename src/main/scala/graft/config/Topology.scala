@@ -1306,6 +1306,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: splunk_hec is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("datadog_agent") =>
+          throw VrlUnsupported(s"source $name: datadog_agent is " +
+            "streaming-only (a push listener has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("kafka") =>
           throw VrlUnsupported(s"source $name: kafka is streaming-only " +
             "(a broker subscription has no bounded batch form — use " +
@@ -3260,6 +3264,53 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("datadog_agent") =>
+          // reference src/sources/datadog_agent/: the agent-facing
+          // endpoint. One listener serves ONE typed frame here, so
+          // exactly one arm must be enabled: `disable_logs = true`
+          // gives the metric face (/api/v1/series), `disable_metrics
+          // = true` (the default when neither is set) the log face
+          // (/v1/input, /api/v2/logs). Protobuf series/sketches
+          // answer 501; dd-api-key is accepted and discarded (no
+          // credential handling, no store_api_key passthrough).
+          val ddAddr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (ddHost, ddPort) = splitHostPort(name, ddAddr)
+          val disableLogs = cfg.bool("disable_logs").getOrElse(false)
+          val disableMetrics = cfg.bool("disable_metrics").getOrElse(false)
+          if (disableLogs && disableMetrics) throw new IllegalArgumentException(
+            s"source $name: both arms disabled")
+          if (!disableLogs && !disableMetrics && cfg.bool("multiple_outputs").isDefined)
+            throw VrlUnsupported(s"source $name: multiple_outputs (one typed " +
+              "frame per source — run a logs source and a metrics source)")
+          val wantLogs = !disableLogs
+          val ingest = new graft.streaming.DatadogIngest(
+            spark, ddHost, ddPort, wantLogs)
+          ingestListeners += ingest
+          if (wantLogs) {
+            val stamped = ingest.df.select(
+              col("message"), col("status"),
+              coalesce(timestamp_millis(col("tsms")), current_timestamp())
+                .as("timestamp"),
+              coalesce(col("hostname"), col("peer")).as("hostname"),
+              col("service"), col("ddsource"), col("ddtags"),
+              lit("datadog_agent").as("source_type"))
+              .withColumn(SeqCol, xxhash64(col("message"), col("timestamp")))
+            Frame(stamped, EventMeta(ListMap(
+              "message" -> VStr, "status" -> VStr, "timestamp" -> VTime,
+              "hostname" -> VStr, "service" -> VStr, "ddsource" -> VStr,
+              "ddtags" -> VStr, "source_type" -> VStr), None))
+          } else {
+            val stamped = ingest.df.select(
+              col("name"),
+              lit(null).cast("string").as("namespace"),
+              col("tags"), col("kind"),
+              col("valueType").as("value_type"), col("value"),
+              timestamp_seconds(col("tsec")).as("ts"))
+              .withColumn(SeqCol, xxhash64(
+                col("name"), col("tags"), col("value"), col("ts")))
+            Frame(stamped, MetricMeta, metric = true)
+          }
         case Some("logstash") =>
           // reference src/sources/logstash.rs: the beats/lumberjack
           // listener. Fields are schemaless → canonical JSON under
@@ -3612,9 +3663,9 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
-    "fluent", "http_server", "internal_logs", "internal_metrics", "kafka",
-    "logstash", "opentelemetry", "parquet", "prometheus_scrape", "socket",
-    "splunk_hec", "static_metrics", "syslog")
+    "datadog_agent", "fluent", "http_server", "internal_logs",
+    "internal_metrics", "kafka", "logstash", "opentelemetry", "parquet",
+    "prometheus_scrape", "socket", "splunk_hec", "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

@@ -1,0 +1,201 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+object DatadogIngest {
+  /** One agent log event (src/sources/datadog_agent/logs.rs LogMsg):
+    * the seven reserved attributes, timestamp in epoch millis.
+    */
+  final case class Log(message: String, status: String, tsms: Option[Long],
+                       hostname: String, service: String, ddsource: String,
+                       ddtags: String, peer: String)
+
+  /** One flat metric sample decoded from a v1 series point
+    * (metrics.rs into_vector_metric): count/rate → incremental
+    * counter (rate × interval), gauge → absolute gauge; host /
+    * source_type_name / device fold into the tag set.
+    */
+  final case class Metric(name: String, kind: String, valueType: String,
+                          value: Double, tsec: Option[Long], tags: String,
+                          peer: String)
+}
+
+/** The reference's `datadog_agent` source
+  * (src/sources/datadog_agent/): the agent-facing HTTP endpoint.
+  * Implemented arms:
+  *   - logs: POST `/v1/input/...` | `/api/v2/logs...` — a JSON array
+  *     of LogMsg envelopes;
+  *   - metrics: POST `/api/v1/series...` — the JSON series payload.
+  * The protobuf arms (`/api/v2/series`, `/api/beta/sketches`) answer
+  * 501 naming the narrowing; gzip/deflate content-encoding is
+  * decompressed like the reference's decode step; `dd-api-key`
+  * (header or query) is accepted and DISCARDED — no credential
+  * handling in this engine, and unlike the reference there is no
+  * store_api_key passthrough.
+  *
+  * One listener serves ONE typed frame (this engine's frames are
+  * log- or metric-typed): construct with exactly one of the arms
+  * enabled; the other route answers 422 "disabled by configuration"
+  * (the reference's disable_logs / disable_metrics knobs).
+  */
+final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
+                          wantLogs: Boolean) extends IngestListener {
+
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val logStream =
+    if (wantLogs) Some(MemoryStream[DatadogIngest.Log](spark)) else None
+  private val metricStream =
+    if (!wantLogs) Some(MemoryStream[DatadogIngest.Metric](spark)) else None
+  private val pushLock = new Object
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, b.length.toLong)
+    ex.getResponseBody.write(b)
+  }
+
+  private def decompress(enc: String, body: Array[Byte]): Array[Byte] =
+    enc match {
+      case "" | "identity" => body
+      case "gzip" | "x-gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body))
+        try in.readAllBytes() finally in.close()
+      case "deflate" | "x-deflate" =>
+        val in = new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(body))
+        try in.readAllBytes() finally in.close()
+      case other =>
+        throw new IllegalArgumentException(s"unsupported content-encoding $other")
+    }
+
+  private def sOf(n: com.fasterxml.jackson.databind.JsonNode,
+                  k: String): String = {
+    val v = n.get(k)
+    if (v == null || v.isNull) null else v.asText()
+  }
+
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+  server.createContext("/", (ex: HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath
+      val peer = ex.getRemoteAddress.getAddress.getHostAddress
+      val isLogs = path.startsWith("/v1/input") || path.startsWith("/api/v2/logs")
+      val isSeriesV1 = path.startsWith("/api/v1/series")
+      val isProtobufArm =
+        path.startsWith("/api/v2/series") || path.startsWith("/api/beta/sketches")
+      if (!ex.getRequestMethod.equalsIgnoreCase("POST")) {
+        ex.sendResponseHeaders(405, -1)
+      } else if (isProtobufArm) {
+        respond(ex, 501,
+          """{"error":"protobuf series/sketches not implemented — point the agent at the v1 series JSON endpoint"}""")
+      } else if (!isLogs && !isSeriesV1) {
+        ex.sendResponseHeaders(404, -1)
+      } else if (isLogs && logStream.isEmpty) {
+        respond(ex, 422, """{"error":"logs disabled by configuration"}""")
+      } else if (isSeriesV1 && metricStream.isEmpty) {
+        respond(ex, 422, """{"error":"metrics disabled by configuration"}""")
+      } else {
+        val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .getOrElse("").toLowerCase
+        try {
+          val body = decompress(enc, ex.getRequestBody.readAllBytes())
+          if (body.isEmpty) {
+            respond(ex, 200, "{}") // agent keep-alive: empty payload ok
+          } else if (isLogs) {
+            val root = mapper.readTree(body)
+            if (root == null || !root.isArray)
+              throw new IllegalArgumentException("logs payload is not an array")
+            val out = Seq.newBuilder[DatadogIngest.Log]
+            root.forEach { n =>
+              out += DatadogIngest.Log(
+                message = sOf(n, "message"), status = sOf(n, "status"),
+                tsms = Option(n.get("timestamp")).filter(_.isNumber)
+                  .map(_.asLong()),
+                hostname = sOf(n, "hostname"), service = sOf(n, "service"),
+                ddsource = sOf(n, "ddsource"), ddtags = sOf(n, "ddtags"),
+                peer = peer)
+            }
+            val reqs = out.result()
+            if (reqs.nonEmpty) pushLock.synchronized {
+              logStream.get.addData(reqs)
+            }
+            respond(ex, 200, "{}")
+          } else {
+            val root = mapper.readTree(body)
+            val series = if (root == null) null else root.get("series")
+            if (series == null || !series.isArray)
+              throw new IllegalArgumentException("series payload missing 'series' array")
+            val out = Seq.newBuilder[DatadogIngest.Metric]
+            series.forEach { m =>
+              val name = sOf(m, "metric")
+              val mtype = Option(sOf(m, "type")).getOrElse("gauge")
+              val interval = Option(m.get("interval")).filter(_.isNumber)
+                .map(_.asLong()).filter(_ != 0L).getOrElse(1L)
+              // tags [..] plus host/source_type_name/device REPLACE
+              // into the set (into_vector_metric)
+              val tagMap = scala.collection.mutable.LinkedHashMap[String, String]()
+              Option(m.get("tags")).filter(_.isArray).foreach(_.forEach { t =>
+                val s = t.asText()
+                val i = s.indexOf(':')
+                if (i >= 0) tagMap(s.take(i)) = s.drop(i + 1)
+                else tagMap(s) = ""
+              })
+              Option(sOf(m, "host")).foreach(h => tagMap("host") = h)
+              Option(sOf(m, "source_type_name"))
+                .foreach(v => tagMap("source_type_name") = v)
+              Option(sOf(m, "device")).foreach(v => tagMap("device") = v)
+              val tagStr =
+                if (tagMap.isEmpty) null
+                else tagMap.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s"$k=$v" }.mkString(",")
+              Option(m.get("points")).filter(_.isArray).foreach(_.forEach { p =>
+                if (p.isArray && p.size() >= 2) {
+                  val tsec = Option(p.get(0)).filter(_.isNumber).map(_.asLong())
+                  val v = p.get(1).asDouble()
+                  val (kind, value) = mtype match {
+                    case "count" => ("incremental", v)
+                    // agent rates are dogstatsd counters over the
+                    // flush interval — turned back into counters
+                    case "rate" => ("incremental", v * interval)
+                    case _ => ("absolute", v)
+                  }
+                  val vt = if (mtype == "gauge") "gauge" else "counter"
+                  out += DatadogIngest.Metric(
+                    name, kind, vt, value, tsec, tagStr, peer)
+                }
+              })
+            }
+            val reqs = out.result()
+            if (reqs.nonEmpty) pushLock.synchronized {
+              metricStream.get.addData(reqs)
+            }
+            respond(ex, 200, "{}")
+          }
+        } catch {
+          case e: IllegalArgumentException =>
+            respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+          case _: java.io.IOException |
+               _: com.fasterxml.jackson.core.JacksonException =>
+            respond(ex, 400, """{"error":"invalid payload"}""")
+        }
+      }
+    } finally ex.close()
+  })
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+
+  /** The active arm's raw feed (log or metric columns). */
+  def df: DataFrame =
+    logStream.map(_.toDF()).getOrElse(metricStream.get.toDF())
+
+  def close(): Unit = server.stop(0)
+}
