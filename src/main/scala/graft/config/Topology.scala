@@ -3268,10 +3268,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           // reference src/sources/datadog_agent/: the agent-facing
           // endpoint. One listener serves ONE typed frame here, so
           // exactly one arm must be enabled: `disable_logs = true`
-          // gives the metric face (/api/v1/series), `disable_metrics
-          // = true` (the default when neither is set) the log face
-          // (/v1/input, /api/v2/logs). Protobuf series/sketches
-          // answer 501; dd-api-key is accepted and discarded (no
+          // gives the metric face (/api/v1/series JSON + /api/v2/
+          // series protobuf), `disable_metrics = true` (the default
+          // when neither is set) the log face (/v1/input,
+          // /api/v2/logs). Sketches answer 501 (no sketch row in the
+          // flat model); dd-api-key is accepted and discarded (no
           // credential handling, no store_api_key passthrough).
           val ddAddr = cfg.str("address").getOrElse(
             throw new IllegalArgumentException(s"source $name: no address"))

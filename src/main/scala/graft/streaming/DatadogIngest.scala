@@ -29,13 +29,15 @@ object DatadogIngest {
   * Implemented arms:
   *   - logs: POST `/v1/input/...` | `/api/v2/logs...` — a JSON array
   *     of LogMsg envelopes;
-  *   - metrics: POST `/api/v1/series...` — the JSON series payload.
-  * The protobuf arms (`/api/v2/series`, `/api/beta/sketches`) answer
-  * 501 naming the narrowing; gzip/deflate content-encoding is
-  * decompressed like the reference's decode step; `dd-api-key`
-  * (header or query) is accepted and DISCARDED — no credential
-  * handling in this engine, and unlike the reference there is no
-  * store_api_key passthrough.
+  *   - metrics: POST `/api/v1/series...` (the JSON series payload)
+  *     and `/api/v2/series...` (the protobuf MetricPayload, decoded
+  *     over the ProtoWire kernel).
+  * Sketches (`/api/beta/sketches`) answer 501 — DDSketch values have
+  * no single-value row in the flat metric model; gzip/deflate
+  * content-encoding is decompressed like the reference's decode step;
+  * `dd-api-key` (header or query) is accepted and DISCARDED — no
+  * credential handling in this engine, and unlike the reference there
+  * is no store_api_key passthrough.
   *
   * One listener serves ONE typed frame (this engine's frames are
   * log- or metric-typed): construct with exactly one of the arms
@@ -82,6 +84,77 @@ final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
     if (v == null || v.isNull) null else v.asText()
   }
 
+  /** v2 series: the protobuf `MetricPayload` (agent-payload
+    * agent_payload.proto, mirrored at reference proto/vector/
+    * dd_metric.proto), decoded over the ProtoWire kernel —
+    * metrics.rs decode_ddseries_v2 semantics: COUNT → incremental
+    * counter, RATE → incremental counter × interval (0 → 1),
+    * GAUGE/UNSPECIFIED → absolute gauge; a `host`-typed resource
+    * folds into the host tag, any other resource into
+    * `resource.<type>`, plus source_type_name.
+    */
+  private def decodeSeriesV2(body: Array[Byte],
+                             peer: String): Seq[DatadogIngest.Metric] = {
+    import graft.functions.ProtoWire.{Reader, WField}
+    def fields(b: Array[Byte]) = new Reader(b).readAll()
+    def str(b: Array[Byte]) = new String(b, "UTF-8")
+    val out = Seq.newBuilder[DatadogIngest.Metric]
+    fields(body).foreach {
+      case WField(1, 2, _, seriesBytes) =>
+        var name = ""; var mtype = 0L; var interval = 1L
+        var sourceTypeName = ""
+        val tagMap = scala.collection.mutable.LinkedHashMap[String, String]()
+        val resources = Seq.newBuilder[(String, String)]
+        val points = Seq.newBuilder[(Option[Long], Double)]
+        fields(seriesBytes).foreach {
+          case WField(1, 2, _, rb) =>
+            var rt = ""; var rn = ""
+            fields(rb).foreach {
+              case WField(1, 2, _, v) => rt = str(v)
+              case WField(2, 2, _, v) => rn = str(v)
+              case _ => ()
+            }
+            resources += ((rt, rn))
+          case WField(2, 2, _, v) => name = str(v)
+          case WField(3, 2, _, v) =>
+            val s = str(v); val i = s.indexOf(':')
+            if (i >= 0) tagMap(s.take(i)) = s.drop(i + 1) else tagMap(s) = ""
+          case WField(4, 2, _, pb) =>
+            var value = 0.0; var ts = Option.empty[Long]
+            fields(pb).foreach {
+              case WField(1, 1, bits, _) =>
+                value = java.lang.Double.longBitsToDouble(bits)
+              case WField(2, 0, t, _) => ts = Some(t)
+              case _ => ()
+            }
+            points += ((ts, value))
+          case WField(5, 0, t, _) => mtype = t
+          case WField(7, 2, _, v) => sourceTypeName = str(v)
+          case WField(8, 0, t, _) => if (t > 0) interval = t
+          case _ => ()
+        }
+        resources.result().foreach { case (rt, rn) =>
+          if (rt == "host") tagMap("host") = rn
+          else tagMap(s"resource.$rt") = rn
+        }
+        if (sourceTypeName.nonEmpty) tagMap("source_type_name") = sourceTypeName
+        val tagStr =
+          if (tagMap.isEmpty) null
+          else tagMap.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(",")
+        points.result().foreach { case (ts, v) =>
+          val (kind, vt, value) = mtype match {
+            case 1L => ("incremental", "counter", v)
+            case 2L => ("incremental", "counter", v * interval)
+            case _ => ("absolute", "gauge", v)
+          }
+          out += DatadogIngest.Metric(name, kind, vt, value, ts, tagStr, peer)
+        }
+      case _ => ()
+    }
+    out.result()
+  }
+
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   server.createContext("/", (ex: HttpExchange) => {
     try {
@@ -89,18 +162,20 @@ final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
       val peer = ex.getRemoteAddress.getAddress.getHostAddress
       val isLogs = path.startsWith("/v1/input") || path.startsWith("/api/v2/logs")
       val isSeriesV1 = path.startsWith("/api/v1/series")
-      val isProtobufArm =
-        path.startsWith("/api/v2/series") || path.startsWith("/api/beta/sketches")
+      val isSeriesV2 = path.startsWith("/api/v2/series")
       if (!ex.getRequestMethod.equalsIgnoreCase("POST")) {
         ex.sendResponseHeaders(405, -1)
-      } else if (isProtobufArm) {
+      } else if (path.startsWith("/api/beta/sketches")) {
+        // DDSketch values have no single-value row in the flat metric
+        // model (documented narrowing — the engine's own sketch lives
+        // in SketchExpressions); refuse rather than decode wrong
         respond(ex, 501,
-          """{"error":"protobuf series/sketches not implemented — point the agent at the v1 series JSON endpoint"}""")
-      } else if (!isLogs && !isSeriesV1) {
+          """{"error":"sketches not representable in the flat metric model — use series"}""")
+      } else if (!isLogs && !isSeriesV1 && !isSeriesV2) {
         ex.sendResponseHeaders(404, -1)
       } else if (isLogs && logStream.isEmpty) {
         respond(ex, 422, """{"error":"logs disabled by configuration"}""")
-      } else if (isSeriesV1 && metricStream.isEmpty) {
+      } else if ((isSeriesV1 || isSeriesV2) && metricStream.isEmpty) {
         respond(ex, 422, """{"error":"metrics disabled by configuration"}""")
       } else {
         val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
@@ -126,6 +201,16 @@ final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
             val reqs = out.result()
             if (reqs.nonEmpty) pushLock.synchronized {
               logStream.get.addData(reqs)
+            }
+            respond(ex, 200, "{}")
+          } else if (isSeriesV2) {
+            val reqs =
+              try decodeSeriesV2(body, peer)
+              catch { case scala.util.control.NonFatal(e) =>
+                throw new IllegalArgumentException(
+                  s"bad MetricPayload protobuf: ${e.getMessage}") }
+            if (reqs.nonEmpty) pushLock.synchronized {
+              metricStream.get.addData(reqs)
             }
             respond(ex, 200, "{}")
           } else {

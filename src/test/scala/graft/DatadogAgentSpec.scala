@@ -112,12 +112,45 @@ class DatadogAgentSpec extends SparkSpec {
             |]}""".stripMargin.replaceAll("\n", "")
         assert(post(s"http://127.0.0.1:$port/api/v1/series",
           payload.getBytes("UTF-8")) == (200, "{}"))
-        // the logs route answers 422 on a metrics-typed source
+        // the logs route answers 422 on a metrics-typed source;
+        // sketches stay 501 (no sketch row in the flat model)
         assert(post(s"http://127.0.0.1:$port/api/v2/logs",
           "[]".getBytes("UTF-8"))._1 == 422)
+        assert(post(s"http://127.0.0.1:$port/api/beta/sketches",
+          Array[Byte](1))._1 == 501)
+        // v2 series: the protobuf MetricPayload — one RATE series with
+        // a host resource, an extra resource, and source_type_name
+        val v2 = {
+          import graft.functions.ProtoWire.Writer
+          def utf8(s: String) = s.getBytes("UTF-8")
+          val point = new Writer
+          point.writeTag(1, 1).writeFixed64(
+            java.lang.Double.doubleToLongBits(1.5))
+          point.writeTag(2, 0).writeVarint(1612325106L)
+          val resHost = new Writer
+          resHost.writeLenDelim(1, utf8("host"))
+          resHost.writeLenDelim(2, utf8("web-9"))
+          val resOther = new Writer
+          resOther.writeLenDelim(1, utf8("cluster"))
+          resOther.writeLenDelim(2, utf8("c1"))
+          val serie = new Writer
+          serie.writeLenDelim(1, resHost.toBytes)
+          serie.writeLenDelim(1, resOther.toBytes)
+          serie.writeLenDelim(2, utf8("net.rate"))
+          serie.writeLenDelim(3, utf8("env:prod"))
+          serie.writeLenDelim(4, point.toBytes)
+          serie.writeTag(5, 0).writeVarint(2L) // RATE
+          serie.writeLenDelim(7, utf8("system"))
+          serie.writeTag(8, 0).writeVarint(10L) // interval
+          new Writer().writeLenDelim(1, serie.toBytes).toBytes
+        }
+        assert(post(s"http://127.0.0.1:$port/api/v2/series", v2,
+          Map("Content-Type" -> "application/x-protobuf")) == (200, "{}"))
+        assert(post(s"http://127.0.0.1:$port/api/v2/series",
+          "junk".getBytes("UTF-8"))._1 == 400)
 
         val t0 = System.currentTimeMillis()
-        while (spark.table(qn).count() < 4 &&
+        while (spark.table(qn).count() < 5 &&
           System.currentTimeMillis() - t0 < 30000) {
           q.processAllAvailable(); Thread.sleep(100)
         }
@@ -131,6 +164,11 @@ class DatadogAgentSpec extends SparkSpec {
           // gauge points each emit; bare tag + device fold in
           ("cpu", "absolute", "gauge", 0.75, "core=,device=cpu0", 1612325106L),
           ("cpu", "absolute", "gauge", 0.5, "core=,device=cpu0", 1612325116L),
+          // v2 protobuf: rate x interval, host resource + resource.* +
+          // source_type_name folds
+          ("net.rate", "incremental", "counter", 15.0,
+            "env=prod,host=web-9,resource.cluster=c1,source_type_name=system",
+            1612325106L),
           // count incremental; host folds into tags
           ("req.count", "incremental", "counter", 3.0,
             "env=prod,host=web-1", 1612325106L),
