@@ -1310,6 +1310,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: datadog_agent is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("prometheus_remote_write") =>
+          throw VrlUnsupported(s"source $name: prometheus_remote_write is " +
+            "streaming-only (a push listener has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("kafka") =>
           throw VrlUnsupported(s"source $name: kafka is streaming-only " +
             "(a broker subscription has no bounded batch form — use " +
@@ -3264,6 +3268,28 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("prometheus_remote_write") =>
+          // reference src/sources/prometheus/remote_write.rs: accept
+          // remote-write POSTs (snappy prompb WriteRequest) into flat
+          // absolute metric rows — the inverse-direction complement of
+          // prometheus_scrape (same family rules and narrowing).
+          val rwAddr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (rwHost, rwPort) = splitHostPort(name, rwAddr)
+          val rwPath = cfg.str("path").getOrElse("/")
+          val ingest = new graft.streaming.RemoteWriteIngest(
+            spark, rwHost, rwPort, rwPath)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(
+            col("name"),
+            lit(null).cast("string").as("namespace"),
+            col("tags"),
+            lit("absolute").as("kind"),
+            col("valueType").as("value_type"), col("value"),
+            timestamp_millis(col("tsms")).as("ts"))
+            .withColumn(SeqCol, xxhash64(
+              col("name"), col("tags"), col("value"), col("ts")))
+          Frame(stamped, MetricMeta, metric = true)
         case Some("datadog_agent") =>
           // reference src/sources/datadog_agent/: the agent-facing
           // endpoint. One listener serves ONE typed frame here, so
@@ -3666,7 +3692,8 @@ object Topology {
     "demo_logs", "exec", "file", "host_metrics", "http_client",
     "datadog_agent", "fluent", "http_server", "internal_logs",
     "internal_metrics", "kafka", "logstash", "opentelemetry", "parquet",
-    "prometheus_scrape", "socket", "splunk_hec", "static_metrics", "syslog")
+    "prometheus_remote_write", "prometheus_scrape", "socket", "splunk_hec",
+    "static_metrics", "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

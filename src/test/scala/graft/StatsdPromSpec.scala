@@ -308,6 +308,98 @@ class StatsdPromSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("prometheus_remote_write source: snappy prompb WriteRequest to metric rows") {
+    import graft.functions.ProtoWire.Writer
+    def utf8(s: String) = s.getBytes("UTF-8")
+    def label(n: String, v: String): Array[Byte] = {
+      val w = new Writer; w.writeLenDelim(1, utf8(n)); w.writeLenDelim(2, utf8(v))
+      w.toBytes
+    }
+    def sample(v: Double, tms: Long): Array[Byte] = {
+      val w = new Writer
+      w.writeTag(1, 1).writeFixed64(java.lang.Double.doubleToLongBits(v))
+      w.writeTag(2, 0).writeVarint(tms)
+      w.toBytes
+    }
+    def series(name: String, extraLabels: Seq[(String, String)],
+               samples: Seq[Array[Byte]]): Array[Byte] = {
+      val w = new Writer
+      w.writeLenDelim(1, label("__name__", name))
+      extraLabels.foreach { case (n, v) => w.writeLenDelim(1, label(n, v)) }
+      samples.foreach(s => w.writeLenDelim(2, s))
+      w.toBytes
+    }
+    def metadata(fam: String, mtype: Long): Array[Byte] = {
+      val w = new Writer
+      w.writeTag(1, 0).writeVarint(mtype); w.writeLenDelim(2, utf8(fam))
+      w.toBytes
+    }
+    val req = new Writer
+    req.writeLenDelim(1, series("hits", Seq("svc" -> "web"),
+      Seq(sample(10.0, 1612325106000L), sample(12.0, 1612325116000L))))
+    req.writeLenDelim(1, series("lat_bucket", Seq("le" -> "0.5"),
+      Seq(sample(3.0, 1612325106000L))))
+    req.writeLenDelim(1, series("temp", Nil, Seq(sample(21.5, 1612325106000L))))
+    req.writeLenDelim(3, metadata("hits", 1L)) // COUNTER
+    req.writeLenDelim(3, metadata("lat", 3L))  // HISTOGRAM
+    val body = org.xerial.snappy.Snappy.compress(req.toBytes)
+
+    val topo = Topology.load(
+      """
+        |[sources.rw]
+        |  type = "prometheus_remote_write"
+        |  address = "127.0.0.1:0"
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      assert(src("rw").metric)
+      val port = topo.ingestListeners.head.boundPort
+      val qn = s"rw_src_${System.nanoTime()}"
+      val q = src("rw").df.drop(graft.config.Topology.SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def post(p: String, b: Array[Byte]): Int = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p"))
+            .header("Content-Encoding", "snappy")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(b))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+        assert(post("/", body) == 200)
+        assert(post("/nope", body) == 404)
+        // a series without __name__ is the parser's RequestNoNameLabel
+        val bad = new Writer
+        bad.writeLenDelim(1, {
+          val w = new Writer
+          w.writeLenDelim(1, label("svc", "x"))
+          w.writeLenDelim(2, sample(1.0, 1L)); w.toBytes
+        })
+        assert(post("/", org.xerial.snappy.Snappy.compress(bad.toBytes)) == 400)
+
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 4 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .selectExpr("name", "kind", "value_type", "value", "tags",
+            "CAST(unix_millis(ts) AS BIGINT)")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getDouble(3), r.getString(4), r.getLong(5)))
+          .sortBy(t => (t._1, t._6)).toSeq
+        assert(rows == Seq(
+          // counter family via metadata; both samples emit
+          ("hits", "absolute", "counter", 10.0, "svc=web", 1612325106000L),
+          ("hits", "absolute", "counter", 12.0, "svc=web", 1612325116000L),
+          // histogram component (suffix-admitted family) -> gauge
+          ("lat_bucket", "absolute", "gauge", 3.0, "le=0.5", 1612325106000L),
+          // no metadata -> untyped -> gauge
+          ("temp", "absolute", "gauge", 21.5, null, 1612325106000L)))
+      } finally q.stop()
+    } finally topo.closeIngest()
+  }
+
   test("prometheus parse: group association, suffix rules, untyped fallback") {
     import spark.implicits._
     val text = Seq(
