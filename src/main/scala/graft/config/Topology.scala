@@ -1314,6 +1314,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: prometheus_remote_write is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("heroku_logs") =>
+          throw VrlUnsupported(s"source $name: heroku_logs is " +
+            "streaming-only (a push listener has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("kafka") =>
           throw VrlUnsupported(s"source $name: kafka is streaming-only " +
             "(a broker subscription has no bounded batch form — use " +
@@ -3268,6 +3272,39 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("heroku_logs") =>
+          // reference src/sources/heroku_logs.rs: the Logplex drain —
+          // newline-separated logplex lines per POST, the
+          // Logplex-Msg-Count contract, per-line
+          // timestamp/host/app_name/proc_id fields, listed
+          // query_parameters as envelope stamps (wildcard refused —
+          // static streaming schema), auth refused loudly.
+          if (cfg.tab("auth").isDefined) throw VrlUnsupported(
+            s"source $name: auth (no credential handling in this " +
+              "engine — front with a proxy)")
+          val hkAddr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (hkHost, hkPort) = splitHostPort(name, hkAddr)
+          val qps = cfg.strArr("query_parameters")
+          if (qps.exists(_.contains("*"))) throw VrlUnsupported(
+            s"source $name: wildcard query_parameters (a streaming " +
+              "schema is static — list parameter names explicitly)")
+          val ingest = new graft.streaming.HerokuIngest(spark, hkHost, hkPort)
+          ingestListeners += ingest
+          val stamped = ingest.df.select(Seq(
+            col("message"),
+            try_to_timestamp(col("tsIso")).as("timestamp"),
+            col("host"), col("appName").as("app_name"),
+            col("procId").as("proc_id")) ++
+            qps.map(qp => element_at(col("query"), lit(qp)).as(qp)) ++
+            Seq(lit("heroku_logs").as("source_type")): _*)
+            .withColumn(SeqCol, xxhash64(col("message"), col("timestamp")))
+          Frame(stamped, EventMeta(ListMap(
+            Seq("message" -> (VStr: VT), "timestamp" -> (VTime: VT),
+              "host" -> (VStr: VT), "app_name" -> (VStr: VT),
+              "proc_id" -> (VStr: VT)) ++
+              qps.map(_ -> (VStr: VT)) ++
+              Seq("source_type" -> (VStr: VT)): _*), None))
         case Some("prometheus_remote_write") =>
           // reference src/sources/prometheus/remote_write.rs: accept
           // remote-write POSTs (snappy prompb WriteRequest) into flat
@@ -3690,10 +3727,11 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
-    "datadog_agent", "fluent", "http_server", "internal_logs",
-    "internal_metrics", "kafka", "logstash", "opentelemetry", "parquet",
-    "prometheus_remote_write", "prometheus_scrape", "socket", "splunk_hec",
-    "static_metrics", "syslog")
+    "datadog_agent", "fluent", "heroku_logs", "http_server",
+    "internal_logs", "internal_metrics", "kafka", "logstash",
+    "opentelemetry", "parquet", "prometheus_remote_write",
+    "prometheus_scrape", "socket", "splunk_hec", "static_metrics",
+    "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);

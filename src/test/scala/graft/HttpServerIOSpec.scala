@@ -116,6 +116,58 @@ class HttpServerIOSpec extends SparkSpec {
     assert(e3.getMessage.contains("streaming-only"))
   }
 
+  test("heroku_logs: logplex drain lines with the Msg-Count contract") {
+    val topo = graft.config.Topology.load(
+      """
+        |[sources.drain]
+        |  type = "heroku_logs"
+        |  address = "127.0.0.1:0"
+        |  query_parameters = ["app_id"]
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      val port = topo.ingestListeners.head.boundPort
+      val qn = s"heroku_src_${System.nanoTime()}"
+      val q = src("drain").df.drop(graft.config.Topology.SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        def postN(body: String, count: Int, hdr: Boolean = true): Int = {
+          val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port/events?app_id=a42"))
+            .POST(HttpRequest.BodyPublishers.ofString(body))
+          if (hdr) b.header("Logplex-Msg-Count", count.toString)
+          client.send(b.build(),
+            HttpResponse.BodyHandlers.discarding()).statusCode()
+        }
+        val lines =
+          "83 <40>1 2012-11-30T06:45:29+00:00 host app web.3 - State changed from starting to up\n" +
+          "111 <40>1 2012-11-30T06:45:30+00:00 host app web.3 - Starting process with command bundle exec rackup config.ru\n"
+        assert(postN(lines, 2) == 200)
+        // count mismatch -> 400 (a malformed line yields no event)
+        assert(postN("junk-not-logplex\n", 1) == 400)
+        // missing header -> 400
+        assert(postN(lines, 2, hdr = false) == 400)
+
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 2 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .selectExpr("message", "host", "app_name", "proc_id", "app_id",
+            "CAST(unix_millis(timestamp) AS BIGINT)", "source_type")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
+          .sortBy(_._1).toSeq
+        assert(rows == Seq(
+          ("Starting process with command bundle exec rackup config.ru",
+            "host", "app", "web.3", "a42", 1354257930000L, "heroku_logs"),
+          ("State changed from starting to up",
+            "host", "app", "web.3", "a42", 1354257929000L, "heroku_logs")))
+      } finally q.stop()
+    } finally topo.closeIngest()
+  }
+
   test("splunk_hec: event stream, sticky time, raw service, response contract") {
     val topo = graft.config.Topology.load(
       """
