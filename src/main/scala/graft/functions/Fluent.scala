@@ -29,10 +29,21 @@ object Fluent {
 
   private def bad(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  /** Decompression BOUND: a hostile few-KB gzip bomb must error as a
+    * malformed message (connection drop), not inflate to gigabytes on
+    * the receiving thread.
+    */
+  private val MaxInflated = 64 * 1024 * 1024
+
   private def gunzip(b: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
-    try in.readAllBytes() finally in.close()
+    try {
+      val out = in.readNBytes(MaxInflated + 1)
+      if (out.length > MaxInflated)
+        bad(s"fluent: compressed payload inflates past $MaxInflated bytes")
+      out
+    } finally in.close()
   }
 
   private def timeOf(d: MsgPack.Decoded): Option[Double] =

@@ -26,6 +26,9 @@ object Lumberjack {
 
   final class Truncated extends RuntimeException("truncated lumberjack frame")
 
+  /** Decompression bound for `C` frames (see the bomb note there). */
+  private val MaxInflated = 64 * 1024 * 1024
+
   /** One decoded event frame: its sequence number and the fields as
     * canonical JSON (v1 data pairs become an all-string object).
     */
@@ -46,7 +49,15 @@ object Lumberjack {
   /** Decode ONE protocol frame at `off`: (event frames it carries —
     * empty for window/ack, many for compressed — , next offset).
     */
-  def decodeOne(b: Array[Byte], off: Int): (Seq[EventFrame], Int) = {
+  def decodeOne(b: Array[Byte], off: Int): (Seq[EventFrame], Int) =
+    decodeOne(b, off, 0)
+
+  private def decodeOne(b: Array[Byte], off: Int,
+                        depth: Int): (Seq[EventFrame], Int) = {
+    // compressed-in-compressed nests; an adversarial chain of C frames
+    // must error, not recurse unboundedly (beats senders use depth 1)
+    if (depth > 8)
+      bad("lumberjack: compressed frames nested deeper than 8")
     need(b, off, 2)
     val version = b(off) match {
       case '1' | '2' => b(off).toChar
@@ -98,6 +109,10 @@ object Lumberjack {
             if (n == 0 && inflater.needsInput()) bad(
               "lumberjack: compressed frame payload truncated inside zlib")
             outBuf.write(tmp, 0, n)
+            // a few-KB zlib bomb must error (connection drop), not
+            // inflate to gigabytes on the receiving thread
+            if (outBuf.size() > MaxInflated) bad(
+              s"lumberjack: compressed frame inflates past $MaxInflated bytes")
           }
         } catch { case e: java.util.zip.DataFormatException =>
           bad(s"lumberjack: bad zlib payload: ${e.getMessage}")
@@ -109,7 +124,7 @@ object Lumberjack {
           // a truncated INNER stream is malformed, not wait-for-more:
           // the compressed payload arrived whole
           val (fs, next) =
-            try decodeOne(inner, io)
+            try decodeOne(inner, io, depth + 1)
             catch { case _: Truncated =>
               bad("lumberjack: truncated frame inside compressed payload") }
           frames ++= fs

@@ -82,17 +82,30 @@ object MsgPack {
       java.util.Arrays.copyOfRange(b, off, off + len)))
   }
 
-  /** Decode ONE value at `off`. Throws [[Truncated]] if the buffer ends
-    * mid-value, IllegalArgumentException on a malformed/reserved byte.
+  /** Nesting bound: a hostile stream of 0x91 bytes (one-element arrays
+    * all the way down) would otherwise recurse once per byte and kill
+    * the decoding thread with a StackOverflowError instead of a
+    * catchable decode error. Fluent payloads nest ≤ 4 deep.
     */
-  def decode(b: Array[Byte], off: Int = 0): Decoded = {
+  private val MaxDepth = 128
+
+  /** Decode ONE value at `off`. Throws [[Truncated]] if the buffer ends
+    * mid-value, IllegalArgumentException on a malformed/reserved byte
+    * or pathological nesting.
+    */
+  def decode(b: Array[Byte], off: Int = 0): Decoded = decode(b, off, 0)
+
+  private def decode(b: Array[Byte], off: Int, depth: Int): Decoded = {
+    if (depth > MaxDepth) bad(s"msgpack: nesting deeper than $MaxDepth")
     need(b, off, 1)
     val t = u8(b, off)
     def arr(n: Int, o0: Int): Decoded = {
       val a = F.arrayNode()
       var o = o0
       var i = 0
-      while (i < n) { val d = decode(b, o); a.add(d.node); o = d.next; i += 1 }
+      while (i < n) {
+        val d = decode(b, o, depth + 1); a.add(d.node); o = d.next; i += 1
+      }
       Decoded(a, o)
     }
     def map(n: Int, o0: Int): Decoded = {
@@ -100,8 +113,8 @@ object MsgPack {
       var o = o0
       var i = 0
       while (i < n) {
-        val k = decode(b, o)
-        val v = decode(b, k.next)
+        val k = decode(b, o, depth + 1)
+        val v = decode(b, k.next, depth + 1)
         // non-string keys stringify (JSON object keys are strings)
         val key = if (k.node.isTextual) k.node.asText() else k.node.toString
         m.set[JsonNode](key, v.node)

@@ -63,20 +63,28 @@ final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
     ex.getResponseBody.write(b)
   }
 
-  private def decompress(enc: String, body: Array[Byte]): Array[Byte] =
+  private def decompress(enc: String, body: Array[Byte]): Array[Byte] = {
+    // inflate bound: a few-KB bomb must answer 400, not balloon the heap
+    def capped(in: java.io.InputStream): Array[Byte] =
+      try {
+        val out = in.readNBytes(HttpIngest.MaxBody + 1)
+        if (out.length > HttpIngest.MaxBody)
+          throw new IllegalArgumentException(
+            s"payload inflates past ${HttpIngest.MaxBody} bytes")
+        out
+      } finally in.close()
     enc match {
       case "" | "identity" => body
       case "gzip" | "x-gzip" =>
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(body))
-        try in.readAllBytes() finally in.close()
+        capped(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body)))
       case "deflate" | "x-deflate" =>
-        val in = new java.util.zip.InflaterInputStream(
-          new java.io.ByteArrayInputStream(body))
-        try in.readAllBytes() finally in.close()
+        capped(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(body)))
       case other =>
         throw new IllegalArgumentException(s"unsupported content-encoding $other")
     }
+  }
 
   private def sOf(n: com.fasterxml.jackson.databind.JsonNode,
                   k: String): String = {
@@ -180,8 +188,10 @@ final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
       } else {
         val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
           .getOrElse("").toLowerCase
-        try {
-          val body = decompress(enc, ex.getRequestBody.readAllBytes())
+        val rawOpt = HttpIngest.readBodyLimited(ex)
+        if (rawOpt.isEmpty) { HttpIngest.tooLarge(ex) }
+        else try {
+          val body = decompress(enc, rawOpt.get)
           if (body.isEmpty) {
             respond(ex, 200, "{}") // agent keep-alive: empty payload ok
           } else if (isLogs) {

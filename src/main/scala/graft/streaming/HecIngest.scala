@@ -87,8 +87,11 @@ final class HecIngest(spark: SparkSession, bindHost: String, port: Int)
         case "health" | "health/1.0" =>
           respond(ex, 200, "HEC is available")
         case "" | "event" | "event/1.0" if method == "POST" =>
-          val body = ex.getRequestBody.readAllBytes()
-          if (body.isEmpty || new String(body, "UTF-8").trim.isEmpty) {
+          val bodyOpt = HttpIngest.readBodyLimited(ex)
+          val body = bodyOpt.getOrElse(Array.emptyByteArray)
+          if (bodyOpt.isEmpty) {
+            HttpIngest.tooLarge(ex)
+          } else if (body.isEmpty || new String(body, "UTF-8").trim.isEmpty) {
             respond(ex, 400, """{"text":"No data","code":5}""")
           } else {
             // a stream of concatenated JSON values, like serde's
@@ -166,8 +169,10 @@ final class HecIngest(spark: SparkSession, bindHost: String, port: Int)
             }
           }
         case "raw" | "raw/1.0" if method == "POST" =>
-          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-          if (body.isEmpty) respond(ex, 400, """{"text":"No data","code":5}""")
+          val rawOpt = HttpIngest.readBodyLimited(ex)
+          val body = new String(rawOpt.getOrElse(Array.emptyByteArray), "UTF-8")
+          if (rawOpt.isEmpty) HttpIngest.tooLarge(ex)
+          else if (body.isEmpty) respond(ex, 400, """{"text":"No data","code":5}""")
           else {
             val q = HttpIngest.parseQuery(ex.getRequestURI.getRawQuery)
             pushLock.synchronized {

@@ -50,8 +50,10 @@ final class HerokuIngest(spark: SparkSession, bindHost: String, port: Int)
     try {
       if (!ex.getRequestMethod.equalsIgnoreCase("POST")) {
         ex.sendResponseHeaders(405, -1)
-      } else {
-        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      } else HttpIngest.readBodyLimited(ex) match {
+        case None => HttpIngest.tooLarge(ex)
+        case Some(bodyBytes) =>
+        val body = new String(bodyBytes, "UTF-8")
         val countHdr = Option(ex.getRequestHeaders.getFirst("Logplex-Msg-Count"))
           .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
         countHdr match {

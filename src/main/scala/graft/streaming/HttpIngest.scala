@@ -25,6 +25,19 @@ object HttpIngest {
                        headers: Map[String, String],
                        query: Map[String, String])
 
+  /** Request-body ceiling shared by every HTTP push listener: the JDK
+    * server has no built-in limit, so an unbounded `readAllBytes`
+    * would let one hostile request balloon the heap. 64 MB is far
+    * above any agent batch; `None` = too large, answer 413.
+    */
+  val MaxBody: Int = 64 * 1024 * 1024
+  def readBodyLimited(ex: HttpExchange): Option[Array[Byte]] = {
+    val b = ex.getRequestBody.readNBytes(MaxBody + 1)
+    if (b.length > MaxBody) None else Some(b)
+  }
+  def tooLarge(ex: HttpExchange): Unit =
+    ex.sendResponseHeaders(413, -1)
+
   /** `k1=v1&k2=v2` → map (first value wins, like the reference's
     * add_query_parameters over warp's query string).
     */
@@ -74,7 +87,10 @@ final class HttpIngest(spark: SparkSession, bindHost: String, port: Int,
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   server.createContext("/", (ex: HttpExchange) => {
     try {
-      val body = ex.getRequestBody.readAllBytes()
+      val bodyOpt = HttpIngest.readBodyLimited(ex)
+      if (bodyOpt.isEmpty) { HttpIngest.tooLarge(ex) }
+      else {
+      val body = bodyOpt.get
       val reqPath = ex.getRequestURI.getPath
       val pathOk =
         if (strictPath) reqPath == path
@@ -103,6 +119,7 @@ final class HttpIngest(spark: SparkSession, bindHost: String, port: Int,
             peer, reqPath, new String(f, "UTF-8"), hdrs, query)))
         }
         ex.sendResponseHeaders(responseCode, -1)
+      }
       }
     } finally ex.close()
   })

@@ -53,11 +53,14 @@ final class OtlpIngest(spark: SparkSession, bindHost: String, port: Int)
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   server.createContext("/", (ex: HttpExchange) => {
     try {
-      val body = ex.getRequestBody.readAllBytes()
+      val bodyOpt = HttpIngest.readBodyLimited(ex)
+      val body = bodyOpt.getOrElse(Array.emptyByteArray)
       val signal = OtlpIngest.Routes.get(ex.getRequestURI.getPath).orNull
       val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
-      if (!ex.getRequestMethod.equalsIgnoreCase("POST")) {
+      if (bodyOpt.isEmpty) {
+        HttpIngest.tooLarge(ex)
+      } else if (!ex.getRequestMethod.equalsIgnoreCase("POST")) {
         ex.sendResponseHeaders(405, -1)
       } else if (signal == null) {
         ex.sendResponseHeaders(404, -1)

@@ -134,13 +134,21 @@ final class RemoteWriteIngest(spark: SparkSession, bindHost: String,
         ex.sendResponseHeaders(405, -1)
       } else if (reqPath != path) {
         ex.sendResponseHeaders(404, -1)
-      } else {
-        val raw = ex.getRequestBody.readAllBytes()
+      } else HttpIngest.readBodyLimited(ex) match {
+        case None => HttpIngest.tooLarge(ex)
+        case Some(raw) =>
         val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
           .getOrElse("snappy").toLowerCase // snappy is the wire default
         try {
           val body = enc match {
-            case "snappy" => org.xerial.snappy.Snappy.uncompress(raw)
+            case "snappy" =>
+              // the block format carries its decompressed size up
+              // front — bound it before allocating (bomb guard)
+              if (org.xerial.snappy.Snappy.uncompressedLength(raw) >
+                HttpIngest.MaxBody)
+                throw new IllegalArgumentException(
+                  s"payload inflates past ${HttpIngest.MaxBody} bytes")
+              org.xerial.snappy.Snappy.uncompress(raw)
             case "identity" | "" => raw
             case other => throw new IllegalArgumentException(
               s"unsupported content-encoding $other")

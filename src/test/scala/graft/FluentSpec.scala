@@ -53,6 +53,23 @@ class FluentSpec extends SparkSpec {
     assert(d.node.get("n").isNull)
     // truncated buffers say "wait", not "malformed"
     intercept[MsgPack.Truncated](MsgPack.decode(w.toBytes.dropRight(3)))
+    // a nesting bomb (one-element arrays all the way down) must be a
+    // catchable decode error, not a StackOverflowError on the thread
+    val bomb = Array.fill[Byte](100000)(0x91.toByte)
+    intercept[IllegalArgumentException](MsgPack.decode(bomb))
+    // a gzip bomb inside PackedForward must error, not balloon the heap
+    val huge = new java.io.ByteArrayOutputStream()
+    val hz = new java.util.zip.GZIPOutputStream(huge)
+    val zeros = new Array[Byte](1 << 20)
+    for (_ <- 1 to 80) hz.write(zeros) // 80 MB of zeros, ~80 KB gzipped
+    hz.close()
+    val pfBomb = new java.io.ByteArrayOutputStream()
+    pfBomb.write(new MsgPack.Writer().writeArrayHeader(3).writeStr("b").toBytes)
+    pfBomb.write(new MsgPack.Writer().writeBin(huge.toByteArray).toBytes)
+    pfBomb.write(new MsgPack.Writer().writeMapHeader(1)
+      .writeStr("compressed").writeStr("gzip").toBytes)
+    intercept[IllegalArgumentException](
+      graft.functions.Fluent.decodeMessage(pfBomb.toByteArray))
     // EventTime ext: 4+4 big-endian seconds+nanos
     val t = new MsgPack.Writer().writeEventTime(1612325106L, 789000000L).toBytes
     assert(MsgPack.decode(t).eventTimeSeconds.contains(1612325106.789))

@@ -63,6 +63,22 @@ class LogstashSpec extends SparkSpec {
       Lumberjack.decodeOne(Array[Byte]('9', 'J', 0, 0, 0, 0), 0))
     intercept[IllegalArgumentException](
       Lumberjack.decodeOne(Array[Byte]('2', 'Q', 0, 0, 0, 0), 0))
+    // a zlib bomb must error (connection drop), not balloon the heap
+    val deflater = new java.util.zip.Deflater()
+    val zeros = new Array[Byte](1 << 20)
+    val sink = new Array[Byte](1 << 20)
+    val zout = new java.io.ByteArrayOutputStream()
+    for (_ <- 1 to 80) { // 80 MB of zeros
+      deflater.setInput(zeros)
+      var n = deflater.deflate(sink)
+      while (n > 0) { zout.write(sink, 0, n); n = deflater.deflate(sink) }
+    }
+    deflater.finish()
+    var n = deflater.deflate(sink)
+    while (n > 0) { zout.write(sink, 0, n); n = deflater.deflate(sink) }
+    deflater.end()
+    val bomb = Array[Byte]('2', 'C') ++ u32(zout.size().toLong) ++ zout.toByteArray
+    intercept[IllegalArgumentException](Lumberjack.decodeOne(bomb, 0))
   }
 
   test("logstash source: live beats connection with windowed batch and 2A ack") {
