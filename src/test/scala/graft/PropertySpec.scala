@@ -142,6 +142,38 @@ class PropertySpec extends SparkSpec {
     check(p, 25)
   }
 
+  test("prometheus exposition: render -> parse round-trips hostile label values") {
+    import graft.operators.Prometheus
+    // label values stressing the escape/unescape inverse: quotes,
+    // backslashes, and runs of both in every order
+    val genVal = Gen.listOf(Gen.oneOf("a", "\"", "\\", "\\\"", "\"\\", "x\\\\y"))
+      .map(_.mkString).suchThat(_.nonEmpty)
+    val genRow = for {
+      vt <- Gen.oneOf("counter", "gauge")
+      v1 <- genVal; v2 <- genVal
+      value <- Gen.chooseNum(-1000L, 1000L).map(_ / 4.0) // exact quarters
+    } yield (vt, v1, v2, value)
+    val p = Prop.forAll(Gen.listOfN(3, genRow)) { rows =>
+      val df = spark.createDataFrame(rows.zipWithIndex.map {
+        case ((vt, v1, v2, value), i) =>
+          (s"m$i", null.asInstanceOf[String], s"ka=$v1,kb=$v2",
+            "absolute", vt, value)
+      }).toDF("name", "namespace", "tags", "kind", "value_type", "value")
+        .withColumn("ts", lit(null).cast("timestamp"))
+      val rendered = Prometheus.exposition(df)
+      val parsed = Prometheus.parseExposition(
+          rendered, col("line"), col("fullname"), col("ord"))
+        .select("name", "tags", "value_type", "value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getDouble(3))).toSet
+      val expect = rows.zipWithIndex.map { case ((vt, v1, v2, value), i) =>
+        (s"m$i", s"ka=$v1,kb=$v2", vt, value)
+      }.toSet
+      parsed == expect
+    }
+    check(p, 20)
+  }
+
   test("portable hash family: perm stays in [0, P) and members differ") {
     import graft.functions.PortableHash
     val p = Prop.forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.choose(2, 64)) { (x, k) =>
