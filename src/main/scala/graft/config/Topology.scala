@@ -1318,6 +1318,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: heroku_logs is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("vector") =>
+          throw VrlUnsupported(s"source $name: the vector source's gRPC " +
+            "transport (no gRPC/HTTP2 stack in this engine — interop " +
+            "with a live Vector via a socket/udp source with " +
+            "decoding.codec = \"native_json\", the tested " +
+            "vector-to-vector path)")
         case Some("kafka") =>
           throw VrlUnsupported(s"source $name: kafka is streaming-only " +
             "(a broker subscription has no bounded batch form — use " +
@@ -2774,6 +2780,11 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           lines.select(col("line").as("value")).coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
           df.sparkSession.read.text(path).count()
+        case Some("vector") =>
+          throw VrlUnsupported(s"sink $name: the vector sink's gRPC " +
+            "transport (no gRPC/HTTP2 stack — interop with a live " +
+            "Vector via a socket sink with encoding.codec = " +
+            "\"native_json\", the tested vector-to-vector path)")
         case other => throw VrlUnsupported(s"sink $name: type ${other.getOrElse("?")}")
       }
       // the reference's component_sent_events_total internal counter:
@@ -3184,6 +3195,12 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           syslogDecode(
             ingest.df.withColumn(SeqCol, xxhash64(col("message"))),
             peer = Some(col("peer")))
+        case Some("vector") =>
+          throw VrlUnsupported(s"source $name: the vector source's gRPC " +
+            "transport (no gRPC/HTTP2 stack in this engine — interop " +
+            "with a live Vector via a socket/udp source with " +
+            "decoding.codec = \"native_json\", the tested " +
+            "vector-to-vector path)")
         case Some("kafka") =>
           // reference src/sources/kafka.rs: config surface maps onto
           // the Spark Kafka connector (StreamSources.kafkaReader). The
