@@ -64,7 +64,11 @@ final class FluentIngest(spark: SparkSession, bindHost: String, port: Int)
           var alive = true
           while (alive && n >= 0 && running) {
             if (n > 0) {
-              buf = buf ++ java.util.Arrays.copyOf(chunk, n)
+              // a single never-completing message must not accumulate
+              // unboundedly: past the cap the connection drops (framing
+              // sync with such a sender is unrecoverable anyway)
+              if (buf.length + n > 64 * 1024 * 1024) alive = false
+              else buf = buf ++ java.util.Arrays.copyOf(chunk, n)
               var pos = 0
               var more = true
               while (more && pos < buf.length) {

@@ -123,8 +123,14 @@ final class HecIngest(spark: SparkSession, bindHost: String, port: Int)
                         case None => Left(())
                         case Some(d) =>
                           val isInt = d.stripTrailingZeros.scale <= 0
+                          // an integer past Long.MaxValue would WRAP
+                          // through longValue(); the reference's
+                          // as_u64 fails it -> InvalidDataFormat
+                          val fitsLong = d.abs.compareTo(
+                            java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0
                           val r =
-                            if (isInt) HecIngest.epochSecondsOf(d.longValue())
+                            if (isInt && !fitsLong) None
+                            else if (isInt) HecIngest.epochSecondsOf(d.longValue())
                             else if (d.signum() < 0) None
                             else Some(d.doubleValue())
                           r.map(v => Right(Some(v))).getOrElse(Left(()))

@@ -58,7 +58,10 @@ final class LogstashIngest(spark: SparkSession, bindHost: String, port: Int)
           var alive = true
           while (alive && n >= 0 && running) {
             if (n > 0) {
-              buf = buf ++ java.util.Arrays.copyOf(chunk, n)
+              // a single never-completing frame must not accumulate
+              // unboundedly: past the cap the connection drops
+              if (buf.length + n > 64 * 1024 * 1024) alive = false
+              else buf = buf ++ java.util.Arrays.copyOf(chunk, n)
               var pos = 0
               var more = true
               var maxSeq = -1L
