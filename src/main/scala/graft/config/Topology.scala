@@ -1318,6 +1318,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: heroku_logs is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("aws_kinesis_firehose") =>
+          throw VrlUnsupported(s"source $name: aws_kinesis_firehose is " +
+            "streaming-only (a push listener has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("vector") =>
           throw VrlUnsupported(s"source $name: the vector source's gRPC " +
             "transport (no gRPC/HTTP2 stack in this engine — interop " +
@@ -3289,6 +3293,43 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             Frame(stamped, EventMeta(
               ListMap(((("message" -> (VStr: VT))) +: envelope): _*), None)),
             keep = envelope)
+        case Some("aws_kinesis_firehose") =>
+          // reference src/sources/aws_kinesis_firehose/: the HTTP
+          // endpoint Firehose delivery streams POST to — base64
+          // records (auto/gzip/none compression), framed by the
+          // configured framing, stamped with request_id/source_arn/
+          // request timestamp; the protocol's JSON responses. Access
+          // key VALIDATION refused loudly (credential surface); the
+          // header is accepted and discarded.
+          if (cfg.str("access_key").isDefined ||
+            cfg.get("access_keys").isDefined ||
+            cfg.bool("store_access_key").contains(true))
+            throw VrlUnsupported(
+              s"source $name: access-key validation/storage (no " +
+                "credential handling in this engine — front with a proxy)")
+          val fhAddr = cfg.str("address").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no address"))
+          val (fhHost, fhPort) = splitHostPort(name, fhAddr)
+          val comp = cfg.str("compression").getOrElse("auto")
+          if (!Set("auto", "gzip", "none")(comp))
+            throw new IllegalArgumentException(
+              s"source $name: compression $comp (auto|gzip|none)")
+          val framingTab = cfg.tab("framing")
+          val fMethod = framingTab.flatMap(_.str("method"))
+            .getOrElse("newline_delimited")
+          val ingest = new graft.streaming.FirehoseIngest(spark, fhHost,
+            fhPort, comp, Framing.builder(fMethod, framingTab, s"source $name"))
+          ingestListeners += ingest
+          val stamped = ingest.df.select(
+            col("message"),
+            col("requestId").as("request_id"),
+            col("sourceArn").as("source_arn"),
+            timestamp_millis(col("tsms")).as("timestamp"),
+            lit("aws_kinesis_firehose").as("source_type"))
+            .withColumn(SeqCol, xxhash64(col("message"), col("request_id")))
+          Frame(stamped, EventMeta(ListMap(
+            "message" -> VStr, "request_id" -> VStr, "source_arn" -> VStr,
+            "timestamp" -> VTime, "source_type" -> VStr), None))
         case Some("heroku_logs") =>
           // reference src/sources/heroku_logs.rs: the Logplex drain —
           // newline-separated logplex lines per POST, the
@@ -3744,9 +3785,9 @@ object Topology {
     */
   val SourceTypes: Seq[String] = Seq(
     "demo_logs", "exec", "file", "host_metrics", "http_client",
-    "datadog_agent", "fluent", "heroku_logs", "http_server",
-    "internal_logs", "internal_metrics", "kafka", "logstash",
-    "opentelemetry", "parquet", "prometheus_remote_write",
+    "aws_kinesis_firehose", "datadog_agent", "fluent", "heroku_logs",
+    "http_server", "internal_logs", "internal_metrics", "kafka",
+    "logstash", "opentelemetry", "parquet", "prometheus_remote_write",
     "prometheus_scrape", "socket", "splunk_hec", "static_metrics",
     "syslog")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the

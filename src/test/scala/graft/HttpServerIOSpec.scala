@@ -116,6 +116,95 @@ class HttpServerIOSpec extends SparkSpec {
     assert(e3.getMessage.contains("streaming-only"))
   }
 
+  test("aws_kinesis_firehose: base64 gzip records, protocol responses") {
+    val topo = graft.config.Topology.load(
+      """
+        |[sources.fh]
+        |  type = "aws_kinesis_firehose"
+        |  address = "127.0.0.1:0"
+        |""".stripMargin)
+    try {
+      val src = topo.loadStreamingSources(spark)
+      val port = topo.ingestListeners.head.boundPort
+      val qn = s"firehose_src_${System.nanoTime()}"
+      val q = src("fh").df.drop(graft.config.Topology.SeqCol).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try {
+        def b64(s: String, gz: Boolean): String = {
+          val raw = s.getBytes("UTF-8")
+          val bytes = if (gz) {
+            val o = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(o)
+            g.write(raw); g.close(); o.toByteArray
+          } else raw
+          java.util.Base64.getEncoder.encodeToString(bytes)
+        }
+        def post(body: String, hdrs: Map[String, String]): (Int, String) = {
+          val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+            .POST(HttpRequest.BodyPublishers.ofString(body))
+          hdrs.foreach { case (k, v) => b.header(k, v) }
+          val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+          (r.statusCode(), r.body())
+        }
+        // one gzipped multi-line record (the CloudWatch Logs shape) and
+        // one plain record — compression=auto sniffs per record
+        val payload =
+          s"""{"requestId":"req-1","timestamp":1612325106000,
+             |"records":[{"data":"${b64("line a\nline b\n", gz = true)}"},
+             |{"data":"${b64("line c", gz = false)}"}]}"""
+            .stripMargin.replaceAll("\n", "")
+        val (c1, body1) = post(payload, Map(
+          "X-Amz-Firehose-Request-Id" -> "req-1",
+          "X-Amz-Firehose-Source-Arn" ->
+            "arn:aws:firehose:us-east-1:111:deliverystream/s",
+          "X-Amz-Firehose-Access-Key" -> "ignored"))
+        assert(c1 == 200 &&
+          body1 == """{"requestId":"req-1","timestamp":1612325106000}""")
+        // protocol errors answer 400 with errorMessage
+        val (c2, body2) = post("""{"requestId":"r2"}""",
+          Map("X-Amz-Firehose-Request-Id" -> "r2"))
+        assert(c2 == 400 && body2.contains("errorMessage"), body2)
+        assert(post("""{"requestId":"r3","timestamp":1,"records":[{"data":"!!"}]}""",
+          Map.empty)._1 == 400)
+
+        val t0 = System.currentTimeMillis()
+        while (spark.table(qn).count() < 3 &&
+          System.currentTimeMillis() - t0 < 30000) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val rows = spark.table(qn)
+          .selectExpr("message", "request_id", "source_arn",
+            "CAST(unix_millis(timestamp) AS BIGINT)", "source_type")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+        assert(rows == Seq(
+          ("line a", "req-1", "arn:aws:firehose:us-east-1:111:deliverystream/s",
+            1612325106000L, "aws_kinesis_firehose"),
+          ("line b", "req-1", "arn:aws:firehose:us-east-1:111:deliverystream/s",
+            1612325106000L, "aws_kinesis_firehose"),
+          ("line c", "req-1", "arn:aws:firehose:us-east-1:111:deliverystream/s",
+            1612325106000L, "aws_kinesis_firehose")))
+      } finally q.stop()
+    } finally topo.closeIngest()
+
+    // access-key validation refused loudly; batch refused
+    val e1 = intercept[Exception](graft.config.Topology.load(
+      """
+        |[sources.fh]
+        |  type = "aws_kinesis_firehose"
+        |  address = "127.0.0.1:0"
+        |  access_key = "secret"
+        |""".stripMargin).loadStreamingSources(spark))
+    assert(e1.getMessage.contains("credential"), e1.getMessage)
+    val e2 = intercept[Exception](graft.config.Topology.load(
+      """
+        |[sources.fh]
+        |  type = "aws_kinesis_firehose"
+        |  address = "127.0.0.1:0"
+        |""".stripMargin).loadSources(spark))
+    assert(e2.getMessage.contains("streaming-only"))
+  }
+
   test("heroku_logs: logplex drain lines with the Msg-Count contract") {
     val topo = graft.config.Topology.load(
       """
