@@ -20,8 +20,9 @@ package graft.functions
 object Fluent {
 
   /** One decoded event: the tag, epoch seconds (fractional for
-    * EventTime nanos; None when time = 0 — fluentd's "now"), and the
-    * record as canonical JSON.
+    * EventTime nanos; the reference treats ANY numeric time — zero
+    * included — as a literal timestamp, message.rs FluentTimestamp),
+    * and the record as canonical JSON.
     */
   final case class Entry(tag: String, tsecs: Option[Double], record: String)
 
@@ -47,7 +48,7 @@ object Fluent {
   }
 
   private def timeOf(d: MsgPack.Decoded): Option[Double] =
-    d.eventTimeSeconds.filter(_ != 0.0)
+    d.eventTimeSeconds
 
   private def entryOf(tag: String, b: Array[Byte], start: Int): Entry = {
     val (elems, _) = MsgPack.decodeArrayElems(b, start)
