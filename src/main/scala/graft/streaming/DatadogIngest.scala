@@ -198,12 +198,31 @@ final class DatadogIngest(spark: SparkSession, bindHost: String, port: Int,
             val root = mapper.readTree(body)
             if (root == null || !root.isArray)
               throw new IllegalArgumentException("logs payload is not an array")
+            // LogMsg is STRICT in the reference (mod.rs:585
+            // deny_unknown_fields, every field required): a partial or
+            // extended envelope is a 400, not a silently-lax accept
+            val required = Seq("message", "status", "timestamp",
+              "hostname", "service", "ddsource", "ddtags")
             val out = Seq.newBuilder[DatadogIngest.Log]
             root.forEach { n =>
+              if (!n.isObject)
+                throw new IllegalArgumentException("log entry is not an object")
+              val names = {
+                val b = Set.newBuilder[String]
+                n.fieldNames().forEachRemaining(f => b += f)
+                b.result()
+              }
+              val unknown = names -- required.toSet
+              if (unknown.nonEmpty) throw new IllegalArgumentException(
+                s"unknown LogMsg field ${unknown.head}")
+              required.foreach(f => if (!names(f))
+                throw new IllegalArgumentException(s"missing LogMsg field $f"))
+              val ts = n.get("timestamp")
+              if (!ts.isNumber) throw new IllegalArgumentException(
+                "LogMsg timestamp must be epoch millis")
               out += DatadogIngest.Log(
                 message = sOf(n, "message"), status = sOf(n, "status"),
-                tsms = Option(n.get("timestamp")).filter(_.isNumber)
-                  .map(_.asLong()),
+                tsms = Some(ts.asLong()),
                 hostname = sOf(n, "hostname"), service = sOf(n, "service"),
                 ddsource = sOf(n, "ddsource"), ddtags = sOf(n, "ddtags"),
                 peer = peer)

@@ -39,12 +39,15 @@ class DatadogAgentSpec extends SparkSpec {
       val q = src("dd").df.drop(SeqCol).writeStream
         .format("memory").queryName(qn).outputMode("append").start()
       try {
-        val payload =
-          """[{"message":"m1","status":"info","timestamp":1612325106000,
-            |"hostname":"web-1","service":"api","ddsource":"nginx",
-            |"ddtags":"env:prod,team:core"},
-            |{"message":"m2","status":"error"}]""".stripMargin
+        // LogMsg is strict: all seven fields, nothing else
+        def logMsg(msg: String, status: String, host: String): String =
+          s"""{"message":"$msg","status":"$status","timestamp":1612325106000,
+             |"hostname":"$host","service":"api","ddsource":"nginx",
+             |"ddtags":"env:prod,team:core"}""".stripMargin
             .replaceAll("\n", "")
+        val payload = s"""[${logMsg("m1", "info", "web-1")},
+          |${logMsg("m2", "error", "web-2")}]""".stripMargin
+          .replaceAll("\n", "")
         // the agent gzips request bodies: decode like the reference
         val gz = new java.io.ByteArrayOutputStream()
         val gzo = new java.util.zip.GZIPOutputStream(gz)
@@ -54,7 +57,15 @@ class DatadogAgentSpec extends SparkSpec {
           (200, "{}"))
         // the /v1/input legacy path serves the same arm
         assert(post(s"$base/v1/input/abc",
-          """[{"message":"m3"}]""".getBytes("UTF-8"))._1 == 200)
+          s"[${logMsg("m3", "warn", "web-3")}]".getBytes("UTF-8"))._1 == 200)
+        // strictness: a partial LogMsg and an unknown field both 400
+        // (deny_unknown_fields + required fields, like the reference)
+        assert(post(s"$base/api/v2/logs",
+          """[{"message":"partial"}]""".getBytes("UTF-8"))._1 == 400)
+        assert(post(s"$base/api/v2/logs",
+          (s"[${logMsg("m4", "info", "h")}]"
+            .replace("\"ddtags\"", "\"extra\":1,\"ddtags\""))
+            .getBytes("UTF-8"))._1 == 400)
         // guards: series on a logs-typed source 422, protobuf arm 501,
         // bad JSON 400, keep-alive empty body 200
         assert(post(s"$base/api/v1/series",
@@ -79,8 +90,8 @@ class DatadogAgentSpec extends SparkSpec {
         val byMsg = rows.map(r => r._1 -> r).toMap
         assert(byMsg("m1") == ("m1", "info", "web-1", "api", "nginx",
           "env:prod,team:core", 1612325106000L, "datadog_agent"))
-        // missing hostname -> the peer; missing timestamp -> receipt
-        assert(byMsg("m2")._3 == "127.0.0.1" && byMsg("m2")._2 == "error")
+        assert(byMsg("m2")._3 == "web-2" && byMsg("m2")._2 == "error")
+        assert(byMsg("m3")._3 == "web-3" && byMsg("m3")._2 == "warn")
       } finally q.stop()
     } finally topo.closeIngest()
   }
