@@ -1322,6 +1322,10 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
           throw VrlUnsupported(s"source $name: aws_kinesis_firehose is " +
             "streaming-only (a push listener has no bounded batch " +
             "form — use Cli run-stream)")
+        case Some("websocket") =>
+          throw VrlUnsupported(s"source $name: websocket is " +
+            "streaming-only (a live connection has no bounded batch " +
+            "form — use Cli run-stream)")
         case Some("vector") =>
           throw VrlUnsupported(s"source $name: the vector source's gRPC " +
             "transport (no gRPC/HTTP2 stack in this engine — interop " +
@@ -3205,6 +3209,36 @@ final class Topology(val root: TTab, fileDir: Option[String] = None) {
             "with a live Vector via a socket/udp source with " +
             "decoding.codec = \"native_json\", the tested " +
             "vector-to-vector path)")
+        case Some("websocket") =>
+          // reference src/sources/websocket/: CONNECT to an endpoint
+          // and emit every received message through framing + codec —
+          // the reference's own client direction, onto the JDK
+          // websocket client. `initial_message` sent on connect; the
+          // custom application-level ping/pong knobs are liveness
+          // options accepted unused (standard pings are answered by
+          // the client automatically); auth refused loudly.
+          if (cfg.tab("auth").isDefined) throw VrlUnsupported(
+            s"source $name: websocket auth (no credential handling " +
+              "in this engine — front with a proxy)")
+          val wsUri = cfg.str("uri").getOrElse(
+            throw new IllegalArgumentException(s"source $name: no uri"))
+          require(wsUri.startsWith("ws://") || wsUri.startsWith("wss://"),
+            s"source $name: uri '$wsUri' must be ws(s)://")
+          val codec = cfg.tab("decoding").flatMap(_.str("codec")).getOrElse("bytes")
+          if (codec == "json") throw VrlUnsupported(
+            s"source $name: json decoding on a websocket source " +
+              "(inference needs a batch line set — use bytes + remap parse_json)")
+          val framingTab = cfg.tab("framing")
+          val fMethod = framingTab.flatMap(_.str("method"))
+            .getOrElse("bytes") // one ws message = one event by default
+          val ingest = new graft.streaming.WsIngest(spark, wsUri,
+            cfg.str("initial_message"),
+            Framing.builder(fMethod, framingTab, s"source $name"))
+          ingestListeners += ingest
+          decodeLines(spark, name, codec,
+            Frame(ingest.df.select(col("message"))
+              .withColumn(SeqCol, xxhash64(col("message"))),
+              EventMeta(ListMap("message" -> VStr), None)))
         case Some("kafka") =>
           // reference src/sources/kafka.rs: config surface maps onto
           // the Spark Kafka connector (StreamSources.kafkaReader). The
@@ -3789,7 +3823,7 @@ object Topology {
     "http_server", "internal_logs", "internal_metrics", "kafka",
     "logstash", "opentelemetry", "parquet", "prometheus_remote_write",
     "prometheus_scrape", "socket", "splunk_hec", "static_metrics",
-    "syslog")
+    "syslog", "websocket")
   /** Per-type allowed option keys (deny_unknown_fields). Keys the
     * engine reads, plus reference options that are semantics-neutral
     * here and accepted unused: remap `runtime` (implementation knob);
